@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** Reference-parity query surface: one named query per operator family in
+  * SURVEY §2, expressed over the driver's TPC-H-ish parquet tables with a
+  * DuckDB-runnable ANSI-SQL twin in [[oracleSql]].
+  *
+  * Conventions (driver hash-compare contract):
+  *   - every query has an explicit ORDER BY on a unique key set, in both
+  *     the Spark plan and the SQL twin;
+  *   - every computed/aggregated column is aliased identically on both
+  *     sides (the driver sorts columns by name before hashing);
+  *   - double aggregates are rounded to fixed decimals to absorb
+  *     parallel-sum reassociation noise;
+  *   - derived integer columns are cast to long on the Spark side to match
+  *     DuckDB's BIGINT-by-default function results.
+  *
+  * Reference operators covered here (file:line cites are into
+  * /root/reference): scans `src/etl_pipeline.py:53`, projections/filters
+  * `:113,123-138`, dict-lookup joins (≡ broadcast left joins) `:260-262`,
+  * value_counts `:78,299`, distincts `:172,223,241`, sorts `:223,241`,
+  * scalar date/string functions `:91-95,178-189`, surrogate keys
+  * `sql/create_tables.sql:2,8` + `:189`.
+  */
+object ParityQueries extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship: scan -> multi-join -> agg -> sort (SURVEY §7.1) ----
+    // Scale notes: lineitem⋈orders is a key-partitioned shuffle join (both
+    // sides huge at 100 TB; AQE may downgrade to broadcast at small SF);
+    // nation (25 rows) is an explicit broadcast.
+    "q01_revenue_by_nation" -> ((s, dir) => {
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    }),
+
+    // ---- P2: projection (column select + reorder); pruned at the scan ----
+    "q02_projection" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- P3 + predicates: filters pushed into the parquet scan ----
+    "q03_filter" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R" && $"l_discount" > 0.05)
+        .select($"l_orderkey", $"l_linenumber", $"l_discount")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- P1: column rename (reference renames usd_* -> *_usd,
+    //      src/etl_pipeline.py:100-103) ----
+    "q04_rename" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .withColumnsRenamed(Map("l_extendedprice" -> "price_usd", "l_quantity" -> "qty"))
+        .select($"l_orderkey", $"l_linenumber", $"qty", $"price_usd")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- J1: 1-column broadcast hash equi-join, left-outer (dict.get
+    //      semantics, src/etl_pipeline.py:260) ----
+    "q05_join_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select($"o_orderkey", $"c_name", round($"o_totalprice", 2).as("total_usd"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- J2 + O1 + A3: composite-key dim built by distinct+sort+row_number
+    //      then joined back (Dim_Category shape, src/etl_pipeline.py:241-251) ----
+    "q06_join_composite_dim" -> ((s, dir) => {
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+      val dim = li.select($"l_returnflag", $"l_linestatus").distinct()
+        .withColumn("status_key",
+          row_number().over(Window.orderBy($"l_returnflag", $"l_linestatus")).cast("long"))
+      li.join(broadcast(dim), Seq("l_returnflag", "l_linestatus"), "left")
+        .groupBy($"status_key", $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"status_key")
+    }),
+
+    // ---- A2 + F4-F9: the Dim_Date build (distinct dates -> date attrs,
+    //      src/etl_pipeline.py:163-209) ----
+    "q07_dim_date" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders")
+        .select(to_date($"o_orderdate").as("d")).distinct()
+        .select(
+          date_format($"d", "yyyyMMdd").cast("long").as("date_key"),
+          date_format($"d", "yyyy-MM-dd").as("full_date"),
+          year($"d").cast("long").as("year"),
+          quarter($"d").cast("long").as("quarter"),
+          month($"d").cast("long").as("month"),
+          dayofmonth($"d").cast("long").as("day"),
+          date_format($"d", "EEEE").as("day_of_week"),
+          // Spark dayofweek: 1=Sunday..7=Saturday (SURVEY §7.4 trap #1)
+          when(dayofweek($"d").isin(1, 7), 1L).otherwise(0L).as("is_weekend"))
+        .orderBy($"date_key")
+    }),
+
+    // ---- J3 + J1: fact build through date-key and entity-key lookups,
+    //      aggregated (load_data shape, src/etl_pipeline.py:260-269) ----
+    "q08_star_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val dimDate = o.select(to_date($"o_orderdate").as("full_date")).distinct()
+        .withColumn("date_key", date_format($"full_date", "yyyyMMdd").cast("long"))
+      o.join(broadcast(dimDate), to_date($"o_orderdate") === $"full_date", "left")
+        .join(c, $"o_custkey" === $"c_custkey", "left")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey", "left")
+        .groupBy($"n_name", (($"date_key" / 10000L).cast("long")).as("order_year"))
+        .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("sum_total"))
+        .orderBy($"n_name", $"order_year")
+    }),
+
+    // ---- A1 + O5: value_counts == group-count ordered desc
+    //      (src/etl_pipeline.py:78,299) ----
+    "q09_group_count" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"o_orderstatus")
+    }),
+
+    // ---- A2: single-column distinct (unique launch dates,
+    //      src/etl_pipeline.py:172) ----
+    "q10_distinct_dates" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders")
+        .select(date_format($"o_orderdate", "yyyy-MM-dd").as("full_date"))
+        .distinct().orderBy($"full_date")
+    }),
+
+    // ---- A3: multi-column distinct (src/etl_pipeline.py:223,241) ----
+    "q11_distinct_multi" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus").distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // ---- A4 + A5: null-count and row-count aggregates
+    //      (src/etl_pipeline.py:300, :55) ----
+    "q12_null_and_row_count" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "customer").agg(
+        count(lit(1)).as("n_rows"),
+        count(when($"c_name".isNull, 1)).as("n_null_name"),
+        count(when($"c_acctbal".isNull, 1)).as("n_null_acctbal"))
+    }),
+
+    // ---- O4 + O5: top-k = sort desc + limit (src/etl_pipeline.py:74) ----
+    "q13_topk" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders")
+        .select($"o_orderkey", round($"o_totalprice", 2).as("total_usd"))
+        .orderBy($"total_usd".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // ---- F4-F10: scalar date functions, row-level (src/etl_pipeline.py:178-189) ----
+    "q14_date_parts" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders").select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("y"),
+        quarter($"o_orderdate").cast("long").as("q"),
+        month($"o_orderdate").cast("long").as("m"),
+        dayofmonth($"o_orderdate").cast("long").as("d"),
+        date_format($"o_orderdate", "EEEE").as("day_name"),
+        when(dayofweek($"o_orderdate").isin(1, 7), 1L).otherwise(0L).as("is_weekend"),
+        date_format($"o_orderdate", "yyyyMMdd").cast("long").as("date_key"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- F2 + F3: fractional-day timestamp difference (NOT datediff —
+    //      src/etl_pipeline.py:95 divides total_seconds by 86400) and the
+    //      CASE WHEN success flag (src/etl_pipeline.py:108-109) ----
+    "q15_duration_flag" -> ((s, dir) => {
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          // parquet ts is TIMESTAMP_NTZ in Spark 4; session TZ is pinned
+          // UTC so the NTZ->TZ cast is a no-op reinterpretation
+          round((unix_millis($"l_shipdate".cast("timestamp")) -
+                 unix_millis($"o_orderdate".cast("timestamp"))) / 86400000.0, 6)
+            .as("duration_days"),
+          when($"o_orderstatus" === "F", 1L).otherwise(0L).as("finished_flag"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- O1 + O2 + F3: Dim_State shape — distinct, sort, deterministic
+    //      surrogate keys via row_number (AUTOINCREMENT-in-sorted-order,
+    //      sql/create_tables.sql:2 + src/etl_pipeline.py:223-231) ----
+    "q16_surrogate_keys" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders")
+        .select($"o_orderstatus").distinct()
+        .withColumn("status_key", row_number().over(Window.orderBy($"o_orderstatus")).cast("long"))
+        .withColumn("is_open", when($"o_orderstatus" === "O", 1L).otherwise(0L))
+        .select($"status_key", $"o_orderstatus".as("status_name"), $"is_open")
+        .orderBy($"status_key")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_revenue_by_nation" ->
+      """SELECT n_name,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q02_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q03_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+         WHERE l_returnflag = 'R' AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q04_rename" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+         l_extendedprice AS price_usd
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q05_join_lookup" ->
+      """SELECT o_orderkey, c_name, ROUND(o_totalprice, 2) AS total_usd
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "q06_join_composite_dim" ->
+      """WITH dim AS (
+           SELECT l_returnflag, l_linestatus,
+                  ROW_NUMBER() OVER (ORDER BY l_returnflag, l_linestatus) AS status_key
+           FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem))
+         SELECT d.status_key, l.l_returnflag, l.l_linestatus,
+                COUNT(*) AS n_rows, ROUND(SUM(l.l_quantity), 2) AS sum_qty
+         FROM lineitem l LEFT JOIN dim d
+           ON l.l_returnflag = d.l_returnflag AND l.l_linestatus = d.l_linestatus
+         GROUP BY d.status_key, l.l_returnflag, l.l_linestatus
+         ORDER BY d.status_key""",
+    "q07_dim_date" ->
+      """SELECT CAST(STRFTIME(d, '%Y%m%d') AS BIGINT) AS date_key,
+                STRFTIME(d, '%Y-%m-%d') AS full_date,
+                CAST(YEAR(d) AS BIGINT) AS year,
+                CAST(QUARTER(d) AS BIGINT) AS quarter,
+                CAST(MONTH(d) AS BIGINT) AS month,
+                CAST(DAY(d) AS BIGINT) AS day,
+                DAYNAME(d) AS day_of_week,
+                CAST(CASE WHEN DAYOFWEEK(d) IN (0, 6) THEN 1 ELSE 0 END AS BIGINT) AS is_weekend
+         FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+         ORDER BY date_key""",
+    "q08_star_join" ->
+      """WITH dim_date AS (
+           SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date,
+                  CAST(STRFTIME(CAST(o_orderdate AS DATE), '%Y%m%d') AS BIGINT) AS date_key
+           FROM orders)
+         SELECT n_name, CAST(date_key // 10000 AS BIGINT) AS order_year,
+                COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_total
+         FROM orders
+         LEFT JOIN dim_date ON CAST(o_orderdate AS DATE) = full_date
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, order_year ORDER BY n_name, order_year""",
+    "q09_group_count" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+         GROUP BY o_orderstatus ORDER BY n DESC, o_orderstatus""",
+    "q10_distinct_dates" ->
+      """SELECT DISTINCT STRFTIME(o_orderdate, '%Y-%m-%d') AS full_date
+         FROM orders ORDER BY full_date""",
+    "q11_distinct_multi" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q12_null_and_row_count" ->
+      """SELECT COUNT(*) AS n_rows,
+                COUNT(CASE WHEN c_name IS NULL THEN 1 END) AS n_null_name,
+                COUNT(CASE WHEN c_acctbal IS NULL THEN 1 END) AS n_null_acctbal
+         FROM customer""",
+    "q13_topk" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_usd
+         FROM orders ORDER BY total_usd DESC, o_orderkey LIMIT 10""",
+    "q14_date_parts" ->
+      """SELECT o_orderkey,
+                CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+                CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
+                CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+                CAST(DAY(o_orderdate) AS BIGINT) AS d,
+                DAYNAME(o_orderdate) AS day_name,
+                CAST(CASE WHEN DAYOFWEEK(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
+                CAST(STRFTIME(o_orderdate, '%Y%m%d') AS BIGINT) AS date_key
+         FROM orders ORDER BY o_orderkey""",
+    "q15_duration_flag" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND((EPOCH_MS(l_shipdate) - EPOCH_MS(o_orderdate)) / 86400000.0, 6) AS duration_days,
+                CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS finished_flag
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber""",
+    "q16_surrogate_keys" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY o_orderstatus) AS status_key,
+                o_orderstatus AS status_name,
+                CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS BIGINT) AS is_open
+         FROM (SELECT DISTINCT o_orderstatus FROM orders)
+         ORDER BY status_key"""
+  )
+}
