@@ -1,0 +1,133 @@
+package graft.star
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Star-schema builder — reference parity for `load_data` + `load_dim_date`
+  * (/root/reference/src/etl_pipeline.py:163-282) and the DDL at
+  * /root/reference/sql/create_tables.sql.
+  *
+  * Key re-design vs the reference (SURVEY §2.1 S4-S6, §2.7 O1/O7/O8):
+  *   - surrogate keys are generated IN-ENGINE with `row_number` over the
+  *     same sort the reference's AUTOINCREMENT-in-sorted-insert-order
+  *     produces — no per-row INSERT+SELECT read-back loops;
+  *   - fact FK resolution is three BROADCAST left joins (the reference's
+  *     dict lookups are exactly broadcast hash maps) — never collectAsMap;
+  *   - the global `Window.orderBy` single-partition exchange is the one
+  *     intentional serial point; it only ever sees dimension cardinalities
+  *     (6 / 170 / 3,169 in the golden run — logs/etl_pipeline.log:51-55),
+  *     never fact-sized data, so it holds at 100 TB.
+  */
+object StarBuilder {
+
+  /** Dim_Date (create_tables.sql:15-24; build at etl_pipeline.py:163-209).
+    * date_key is semantic (yyyyMMdd int), so needs no window.
+    */
+  def dimDate(campaigns: DataFrame): DataFrame =
+    campaigns
+      .select(to_date(col("launched_at")).as("d")).distinct()
+      .select(
+        date_format(col("d"), "yyyyMMdd").cast("int").as("date_key"),
+        date_format(col("d"), "yyyy-MM-dd").as("full_date"),
+        year(col("d")).as("year"),
+        quarter(col("d")).as("quarter"),
+        month(col("d")).as("month"),
+        dayofmonth(col("d")).as("day"),
+        date_format(col("d"), "EEEE").as("day_of_week"),
+        // pandas weekday()>=5 == Sat/Sun; Spark dayofweek: 1=Sun, 7=Sat
+        when(dayofweek(col("d")).isin(1, 7), 1).otherwise(0).as("is_weekend"))
+
+  /** Dim_State (create_tables.sql:1-5; build at etl_pipeline.py:221-237):
+    * distinct (state, success_flag) sorted by state, keys in sorted order.
+    */
+  def dimState(campaigns: DataFrame): DataFrame =
+    campaigns
+      .select(col("state").as("state_name"), col("success_flag").as("is_successful"))
+      .distinct()
+      .withColumn("state_key", row_number().over(Window.orderBy("state_name")))
+      .select("state_key", "state_name", "is_successful")
+
+  /** Dim_Category (create_tables.sql:7-13; build at etl_pipeline.py:239-254):
+    * distinct (main, sub) pairs sorted by both, keys in sorted order.
+    */
+  def dimCategory(campaigns: DataFrame): DataFrame =
+    campaigns
+      .select(
+        col("main_category").as("main_category_name"),
+        col("category").as("sub_category_name"))
+      .distinct()
+      .withColumn("category_key",
+        row_number().over(Window.orderBy("main_category_name", "sub_category_name")))
+      .select("category_key", "main_category_name", "sub_category_name")
+
+  /** Fact_Campaigns (create_tables.sql:26-43; build at
+    * etl_pipeline.py:256-278): three left-outer key lookups (J1-J3) then
+    * the 9-column fact projection (P4). Dims are tiny -> broadcast; the
+    * fact side streams through without a shuffle.
+    */
+  def factCampaigns(
+      campaigns: DataFrame,
+      dimState: DataFrame,
+      dimCategory: DataFrame,
+      dimDate: DataFrame): DataFrame =
+    campaigns
+      .join(broadcast(dimState.select("state_key", "state_name")),
+        campaigns("state") === col("state_name"), "left")
+      .join(broadcast(dimCategory),
+        campaigns("main_category") === col("main_category_name") &&
+          campaigns("category") === col("sub_category_name"), "left")
+      .join(broadcast(dimDate.select(col("date_key"), col("full_date"))),
+        date_format(col("launched_at"), "yyyy-MM-dd") === col("full_date"), "left")
+      .select(
+        col("ID").as("campaign_id"),
+        col("name"),
+        col("backers"),
+        col("pledged_usd"),
+        col("goal_usd"),
+        col("duration_days"),
+        col("state_key"),
+        col("category_key"),
+        col("date_key").as("launched_date_key"))
+
+  /** All four warehouse tables from a transformed campaigns frame. */
+  def build(campaigns: DataFrame): Map[String, DataFrame] = {
+    val dd = dimDate(campaigns)
+    val ds = dimState(campaigns)
+    val dc = dimCategory(campaigns)
+    Map(
+      "Dim_Date" -> dd,
+      "Dim_State" -> ds,
+      "Dim_Category" -> dc,
+      "Fact_Campaigns" -> factCampaigns(campaigns, ds, dc, dd))
+  }
+
+  /** S4 `INSERT OR IGNORE` parity on a parquet sink: append only rows whose
+    * key set is absent from the existing table (left-anti), first load =
+    * plain write (etl_pipeline.py:197-202, SURVEY §4.2 last row).
+    */
+  def upsertAppend(spark: SparkSession, df: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val exists = try {
+      spark.read.parquet(path).select(keys.map(col): _*).limit(1).count() >= 0
+    } catch { case _: Exception => false }
+    if (!exists) df.write.mode(SaveMode.Overwrite).parquet(path)
+    else {
+      val existing = spark.read.parquet(path).select(keys.map(col): _*)
+      df.join(existing, keys, "left_anti")
+        .write.mode(SaveMode.Append).parquet(path)
+    }
+  }
+
+  /** End-to-end pipeline parity for `__main__` (etl_pipeline.py:285-315):
+    * CSV -> transform -> star schema -> parquet warehouse at outDir.
+    */
+  def runPipeline(spark: SparkSession, csvPath: String, outDir: String): Map[String, Long] = {
+    val raw = graft.etl.Extract.campaignsCsv(spark, csvPath)
+    val campaigns = graft.etl.Transform.campaigns(raw)
+    val tables = build(campaigns)
+    tables.map { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
+      name -> spark.read.parquet(s"$outDir/$name").count()
+    }
+  }
+}
