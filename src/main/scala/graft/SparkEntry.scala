@@ -13,7 +13,9 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def families: Seq[QueryFamily] = Seq(ParityQueries)
+  private def families: Seq[QueryFamily] = Seq(
+    ParityQueries, DedupQueries, AnnQueries, TextQueries,
+    MultimodalQueries, EventQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the documents pipeline — all
+  * composed from built-in (codegen'd / vectorizable) expressions so the
+  * same logic is expressible in the ANSI-SQL oracle. Custom Catalyst
+  * expressions live in [[graft.functions.expr]] and are used only where
+  * built-ins can't express the kernel (simhash/minhash/rolling hash).
+  */
+object TextFunctions {
+
+  /** lower-cased, trimmed, whitespace-collapsed text. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** whitespace token count; 0 for empty/blank text. */
+  def tokenCountWs(c: Column): Column =
+    when(length(normText(c)) === 0, 0L).otherwise(size(tokens(c)).cast("long"))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-space
+    * symbols each count as one token (a cheap proxy for subword tokenizer
+    * load estimation).
+    */
+  def tokenCountRegex(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** word n-gram shingles (space-joined) of the normalized text; empty
+    * array when fewer than n tokens.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+  }
+
+  /** distinct shingle set (order-insensitive) for Jaccard math. */
+  def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))
+
+  /** characters that are neither alnum nor whitespace, over total chars. */
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    when(len === 0, 0.0).otherwise(
+      (len - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))).cast("double") / len)
+  }
+
+  /** small English stopword marker set (public top-frequency words). */
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are")
+
+  /** fraction of whitespace tokens that are in `words`. */
+  def wordSetRatio(c: Column, words: Seq[String]): Column = {
+    val t = tokens(c)
+    val set = array(words.map(lit): _*)
+    when(size(t) === 0, 0.0).otherwise(
+      size(filter(t, x => array_contains(set, x))).cast("double") / size(t))
+  }
+
+  def stopwordRatio(c: Column): Column = wordSetRatio(c, stopwordsEn)
+
+  /** Heuristic quality score in [0,1]: blends length sanity, punctuation
+    * sanity, and stopword presence (the usual cheap pre-LLM text filters).
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 200.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 4.0)
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** Marker-word language ID over a small per-language stopword table
+    * (n-gram-frequency heuristic reduced to its top markers). Returns the
+    * language with the highest marker hit count; ties and zero-hit rows
+    * fall back to "und". Deterministic and SQL-expressible.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "las", "es", "una"))
+
+  def langId(c: Column): Column = {
+    val t = tokens(c)
+    val counts = langMarkers.map { case (lang, words) =>
+      val set = array(words.map(lit): _*)
+      lang -> size(filter(t, x => array_contains(set, x)))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in langMarkers order) achieving the max count wins
+    counts.foldRight(lit("und")) { case ((lang, n), acc) =>
+      when(n === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Exact-dup content fingerprint: md5 of the normalized text. */
+  def contentFingerprint(c: Column): Column = md5(normText(c))
+}

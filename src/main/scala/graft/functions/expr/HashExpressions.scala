@@ -1,0 +1,164 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static text-hashing kernels for the dedup/fingerprint expressions.
+  *
+  * Algorithms are standard public constructions: FNV-1a 64 over UTF-8
+  * bytes with a murmur-style fmix64 finalizer (avalanche), SimHash
+  * (Charikar 2002), MinHash with k universal-hash derivations, and a
+  * polynomial rolling hash with winnowing-style min selection
+  * (Schleimer/Wilkerson/Aiken 2003).
+  */
+object TextHashOps {
+  /** murmur3 fmix64 finalizer — full avalanche over a 64-bit state. */
+  def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** 64-bit FNV-1a over UTF-8 bytes + fmix64. Deterministic everywhere. */
+  def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    fmix64(h)
+  }
+
+  /** SimHash-64 over a token array: per-bit vote of token hashes. */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** k-signature MinHash: h_i(x) = fmix64(hash64(x) ^ seed_i), min over
+    * the shingle set per i. seed_i derived from `seed` via splitmix64.
+    */
+  def minhash(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
+    val seeds = new Array[Long](k)
+    var s = seed
+    var i = 0
+    while (i < k) { s += 0x9e3779b97f4a7c15L; seeds(i) = fmix64(s); i += 1 }
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        val base = hash64(shingles.getUTF8String(j))
+        i = 0
+        while (i < k) {
+          val h = fmix64(base ^ seeds(i))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Winnowing fingerprint: polynomial rolling hash over each `window`
+    * consecutive tokens, then the MINIMUM window hash as the document
+    * fingerprint (robust to local edits away from the minimum).
+    */
+  def rollingFingerprint(tokens: ArrayData, window: Int): Long = {
+    val n = tokens.numElements()
+    if (n == 0) return 0L
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = if (tokens.isNullAt(i)) 0L else hash64(tokens.getUTF8String(i))
+      i += 1
+    }
+    val w = math.min(window, n)
+    val B = 0x100000001b3L
+    // Bw = B^(w-1) for the rolling update
+    var bw = 1L
+    i = 1
+    while (i < w) { bw *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * B + hs(i); i += 1 }
+    var min = h
+    i = w
+    while (i < n) {
+      h = (h - hs(i - w) * bw) * B + hs(i)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+/** simhash64(tokens: array<string>) -> long */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = TextHashOps.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.TextHashOps.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** minhash_sig(shingles: array<string>) -> array<long> of length k. */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.minhash(v.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.TextHashOps.minhash($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** rolling_fingerprint(tokens: array<string>) -> long (winnowing min). */
+case class RollingFingerprint(child: Expression, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.rollingFingerprint(v.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextHashOps.rollingFingerprint($c, $window)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "rolling_fingerprint"
+}
+
+/** Column-API entry points for the hash expressions. */
+object HashFunctions {
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+  def minhashSignature(shingles: Column, k: Int = 128, seed: Long = 42L): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k, seed))
+  def rollingFingerprint(tokens: Column, window: Int = 5): Column =
+    GraftBridge.column(RollingFingerprint(GraftBridge.expression(tokens), window))
+}

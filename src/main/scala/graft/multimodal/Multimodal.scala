@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media payloads travel as opaque `binary`
+  * columns with typed metadata structs alongside; decode/feature-extract
+  * runs partition-parallel so codec work distributes like any other map.
+  *
+  * The actual byte decoding is STUBBED (no image/audio codecs in this
+  * environment — see `decodeStub`): the Spark-side plumbing (schema,
+  * batched per-partition iteration, deterministic output) is real and is
+  * what a codec swap-in would inherit.
+  */
+object Multimodal {
+
+  /** Metadata schema produced by the decoder. */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** STUB decoder — stands in for an image codec (`???` boundary).
+    * Deterministic pure function of the bytes so plumbing is testable:
+    *   width  = 1 + (first byte % 64),  height = 1 + (last byte % 64),
+    *   n_frames = 1 + (byte_len % 8),   format from a leading-byte sniff.
+    * A real build replaces ONLY this function with e.g. a JNI codec.
+    */
+  def decodeStub(bytes: Array[Byte]): (Long, Long, Long, Long, String) = {
+    val n = bytes.length.toLong
+    if (n == 0) (0L, 0L, 0L, 0L, "empty")
+    else {
+      val first = bytes(0) & 0xff
+      val last = bytes(bytes.length - 1) & 0xff
+      val fmt = if (first % 3 == 0) "png" else if (first % 3 == 1) "jpeg" else "webp"
+      (n, 1L + first % 64, 1L + last % 64, 1L + n % 8, fmt)
+    }
+  }
+
+  /** Decode a binary column into metadata columns, partition-parallel.
+    * Input: any frame with (`idCol`: long, `binCol`: binary). Output:
+    * (idCol, byte_len, width, height, n_frames, format).
+    *
+    * Implemented with `mapPartitions` (SURVEY preference (d)) because the
+    * decode kernel is genuinely imperative per-row byte work — exactly the
+    * case the escape hatch exists for; everything before/after stays
+    * declarative.
+    */
+  def decodeImageMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(
+      StructField(idCol, LongType, nullable = false) +: imageMetaSchema.fields.toSeq)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          val (len, w, h, f, fmt) = decodeStub(bytes)
+          Row(id, len, w, h, f, fmt)
+        }
+      }(enc)
+  }
+
+  /** Deterministic frame sampling plan for a (stub-)video payload: every
+    * `stride`-th frame index below n_frames — the shape of a real
+    * frame-extraction fan-out (explode to one row per sampled frame).
+    */
+  def sampleFrames(meta: DataFrame, idCol: String, stride: Int): DataFrame =
+    meta.select(col(idCol), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"))
+}

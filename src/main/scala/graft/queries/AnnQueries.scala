@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.operators.Ann
+
+/** Similarity-search query surface over `embeddings` (SURVEY §7.5):
+  * exact brute-force cosine top-k (oracle-verified) and the LSH-bucketed
+  * approximate variant (rows-only — recall depends on bucket collisions
+  * by construction).
+  */
+object AnnQueries extends QueryFamily {
+
+  private val k = 5
+  private val nQueries = 10 // query batch = vec_id < 10
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_ann_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < nQueries), k)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q27_ann_topk_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < nQueries), k)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  private def cosineExpr(a: String, b: String): String =
+    s"""LIST_DOT_PRODUCT(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))
+        / (SQRT(LIST_DOT_PRODUCT(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[])))
+         * SQRT(LIST_DOT_PRODUCT(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))))"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q26_ann_topk" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ${cosineExpr("q", "e")} AS cos
+            FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+            WHERE q.vec_id < $nQueries),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+                 ROUND(cos, 6) AS cosine
+          FROM ranked WHERE rank <= $k
+          ORDER BY query_id, rank"""
+  )
+}

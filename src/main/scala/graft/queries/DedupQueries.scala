@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.operators.Dedup
+
+/** Deduplication query surface over the `documents` / `embeddings`
+  * tables (SURVEY §7.5). Exact operators carry full DuckDB oracles; the
+  * sketch-based ones (simhash, embedding-LSH) are approximate by design
+  * and run as rows-only checks, with their exact ground-truth twin
+  * (q23 / q24) oracle-verified.
+  *
+  * q21 (MinHash+LSH) intentionally shares q23's exact-Jaccard oracle:
+  * with k=128/b=32/r=4 the candidate-miss probability at j>=0.8 is ~1e-7,
+  * so LSH + exact verification must reproduce the exact operator's output.
+  */
+object DedupQueries extends QueryFamily {
+
+  private val shingleN = 3
+  private val jaccardThreshold = 0.8
+  private val cosineThreshold = 0.5 // testdata embeddings are near-orthogonal; demo threshold
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(table(s, dir, "documents"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")),
+
+    "q21_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(table(s, dir, "documents"),
+          n = shingleN, threshold = jaccardThreshold)
+        .orderBy("id_a", "id_b")),
+
+    "q22_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    "q23_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"),
+          n = shingleN, threshold = jaccardThreshold)
+        .orderBy("id_a", "id_b")),
+
+    "q24_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupExact(table(s, dir, "embeddings"),
+          threshold = cosineThreshold)
+        .orderBy("id_a", "id_b")),
+
+    "q25_dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(table(s, dir, "embeddings"),
+          threshold = cosineThreshold)
+        .orderBy("id_a", "id_b"))
+  )
+
+  /** Shared exact-Jaccard SQL (ground truth for q21 and q23). */
+  private val jaccardSql: String =
+    s"""WITH toks AS (
+          SELECT doc_id,
+                 STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+          FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${shingleN - 1})) AS i) u
+          WHERE LEN(t) >= $shingleN),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= $jaccardThreshold
+        ORDER BY id_a, id_b"""
+
+  /** Exact-cosine SQL structured to fold identically to the engine kernel:
+    * dot/(sqrt(aa)*sqrt(bb)), sequential double accumulation.
+    */
+  private def cosineExpr(a: String, b: String): String =
+    s"""LIST_DOT_PRODUCT(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))
+        / (SQRT(LIST_DOT_PRODUCT(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[])))
+         * SQRT(LIST_DOT_PRODUCT(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))))"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents
+         GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+         ORDER BY keep_id""",
+    "q21_dedup_minhash_lsh" -> jaccardSql,
+    "q23_dedup_ngram_jaccard" -> jaccardSql,
+    "q24_dedup_embedding" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(${cosineExpr("a", "b")}, 6) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ${cosineExpr("a", "b")} >= $cosineThreshold
+          ORDER BY id_a, id_b"""
+  )
+}

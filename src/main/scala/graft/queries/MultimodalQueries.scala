@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.multimodal.Multimodal
+
+/** Multimodal query surface: documents' text bytes stand in for media
+  * payloads (binary column); the decode stub is deterministic so the
+  * whole mapPartitions plumbing is oracle-checkable end-to-end.
+  */
+object MultimodalQueries extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_multimodal_meta" -> ((s, dir) => {
+      val bin = table(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decodeImageMeta(bin, "doc_id", "payload")
+        .orderBy("doc_id")
+    }),
+
+    "q34_multimodal_frames" -> ((s, dir) => {
+      val bin = table(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val meta = Multimodal.decodeImageMeta(bin, "doc_id", "payload")
+      Multimodal.sampleFrames(meta, "doc_id", stride = 2)
+        .orderBy("doc_id", "frame_idx")
+    })
+  )
+
+  // the decode stub in SQL: width = 1 + first_byte % 64, height = 1 +
+  // last_byte % 64, n_frames = 1 + byte_len % 8, format by first_byte % 3
+  // (documents text is ASCII, so ascii(char) == byte value)
+  private val stub =
+    """SELECT doc_id,
+              CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+              CAST(1 + ASCII(SUBSTR(text, 1, 1)) % 64 AS BIGINT) AS width,
+              CAST(1 + ASCII(SUBSTR(text, LENGTH(text), 1)) % 64 AS BIGINT) AS height,
+              CAST(1 + OCTET_LENGTH(ENCODE(text)) % 8 AS BIGINT) AS n_frames,
+              CASE WHEN ASCII(SUBSTR(text, 1, 1)) % 3 = 0 THEN 'png'
+                   WHEN ASCII(SUBSTR(text, 1, 1)) % 3 = 1 THEN 'jpeg'
+                   ELSE 'webp' END AS format
+       FROM documents"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q33_multimodal_meta" ->
+      s"""SELECT doc_id, byte_len, width, height, n_frames, format
+          FROM ($stub) ORDER BY doc_id""",
+    "q34_multimodal_frames" ->
+      s"""SELECT doc_id, CAST(UNNEST(GENERATE_SERIES(0, n_frames - 1, 2)) AS BIGINT) AS frame_idx
+          FROM ($stub) ORDER BY doc_id, frame_idx"""
+  )
+}

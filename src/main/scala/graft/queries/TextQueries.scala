@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.TextFunctions._
+import graft.functions.expr.HashFunctions.rollingFingerprint
+
+/** Text-analysis query surface over `documents`: language ID, quality
+  * scoring, token counting, fingerprinting (SURVEY §7.5 "text analysis").
+  * Everything except the rolling-hash fingerprint (custom kernel) has a
+  * DuckDB oracle built from the same formulas.
+  */
+object TextQueries extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_text_langid" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q29_text_quality" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_obs"),
+          tokenCountWs(col("text")).as("n_tokens"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q30_text_tokens" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          tokenCountWs(col("text")).as("n_ws_tokens"),
+          tokenCountRegex(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "q31_fingerprint_md5" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), contentFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // custom rolling-hash kernel — no SQL twin; rows-only check
+    "q32_fingerprint_rolling" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          rollingFingerprint(tokens(col("text")), window = 5).as("fingerprint"))
+        .orderBy("doc_id"))
+  )
+
+  private val norm = """REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')"""
+  private val toks = s"STRING_SPLIT($norm, ' ')"
+  private def markerCount(words: Seq[String]): String =
+    s"LEN(LIST_FILTER($toks, x -> LIST_CONTAINS([${words.map("'" + _ + "'").mkString(",")}], x)))"
+
+  def oracleSql: Map[String, String] = {
+    val counts = langMarkers.map { case (lang, words) => lang -> markerCount(words) }
+    val best = s"GREATEST(${counts.map(_._2).mkString(", ")})"
+    val langCase = counts.reverse.foldLeft("'und'") { case (acc, (lang, cnt)) =>
+      s"CASE WHEN $cnt = best AND best > 0 THEN '$lang' ELSE $acc END"
+    }
+    val punct = s"""CASE WHEN LENGTH(text) = 0 THEN 0.0
+      ELSE (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE / LENGTH(text) END"""
+    val stopRatio = s"""CASE WHEN LEN($toks) = 0 THEN 0.0
+      ELSE ${markerCount(stopwordsEn)}::DOUBLE / LEN($toks) END"""
+    val nTokens = s"CASE WHEN LENGTH($norm) = 0 THEN 0 ELSE LEN($toks) END"
+    Map(
+      "q28_text_langid" ->
+        s"""SELECT doc_id, $langCase AS lang_pred
+            FROM (SELECT doc_id, text, $best AS best FROM documents)
+            ORDER BY doc_id""",
+      "q29_text_quality" ->
+        s"""SELECT doc_id,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
+                   CAST($nTokens AS BIGINT) AS n_tokens,
+                   ROUND($punct, 6) AS punct_ratio,
+                   ROUND($stopRatio, 6) AS stopword_ratio,
+                   ROUND((LEAST(LENGTH(text)::DOUBLE / 200.0, 1.0)
+                        + GREATEST(0.0, 1.0 - ($punct) * 4.0)
+                        + LEAST(($stopRatio) * 5.0, 1.0)) / 3.0, 6) AS quality
+            FROM documents ORDER BY doc_id""",
+      "q30_text_tokens" ->
+        s"""SELECT doc_id,
+                   CAST($nTokens AS BIGINT) AS n_ws_tokens,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id""",
+      "q31_fingerprint_md5" ->
+        s"""SELECT doc_id, MD5($norm) AS fingerprint
+            FROM documents ORDER BY doc_id"""
+    )
+  }
+}

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Batch twins are provided for every streaming operator: at 100 TB the
+  * same code path backfills history (batch) and tails the live feed
+  * (stream), and the twins double as the DuckDB-oracle-checkable
+  * definitions of the streaming semantics.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling-window aggregate, batch form: per (hour, event_type) counts
+    * and value sums.
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** The same aggregate as an append-mode streaming query with a
+    * watermark: windows emit once the watermark (max event time minus
+    * `delay`) passes their end — late rows beyond `delay` are dropped,
+    * state is bounded. Runs with Trigger.AvailableNow against a parquet
+    * DIRECTORY (file stream sources list directories) and returns the
+    * materialized result read back from `outDir`.
+    */
+  def hourlyByTypeStreaming(
+      spark: SparkSession, eventsDir: String, outDir: String,
+      delay: String = "10 minutes"): DataFrame = {
+    val stream = spark.readStream.schema(eventSchema).parquet(eventsDir)
+    val agg = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Gaps-and-islands sessionization, batch form: a session breaks after
+    * `gapMinutes` of user inactivity. Window functions only — one shuffle
+    * by user_id.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts").cast("timestamp")) -
+            unix_millis(col("prev_ts").cast("timestamp")) > gapSec * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization with explicit state — the
+    * `flatMapGroupsWithState` form of [[sessionize]]: per-user state holds
+    * the open session; an event past the gap emits the closed session and
+    * opens a new one. EventTimeTimeout + watermark bound state size.
+    */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove()
+            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into Spark's `private[sql]` Column<->Expression
+  * converters, so graft's custom Catalyst expressions (package
+  * graft.functions.expr) can be exposed as user-facing Columns. This is
+  * the Spark-4 replacement for the removed public `new Column(expr)`
+  * constructor; no other internals are touched.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).head().getAs[T]("r")
+
+  test("normText lowers, trims, collapses whitespace") {
+    assert(one[String](normText($"t"), "  Hello   WORLD \t x ") == "hello world x")
+  }
+
+  test("tokenCountWs: blank is 0, words counted") {
+    assert(one[Long](tokenCountWs($"t"), "   ") == 0L)
+    assert(one[Long](tokenCountWs($"t"), "a  b c") == 3L)
+  }
+
+  test("tokenCountRegex: alpha runs, digit runs, single symbols") {
+    // "ab12-cd!" -> ab, 12, -, cd, ! = 5
+    assert(one[Long](tokenCountRegex($"t"), "ab12-cd!") == 5L)
+  }
+
+  test("wordShingles: n-grams in order; short text yields empty") {
+    val sh = one[Seq[String]](wordShingles($"t", 3), "a b c d")
+    assert(sh == Seq("a b c", "b c d"))
+    assert(one[Seq[String]](wordShingles($"t", 3), "a b") == Seq.empty)
+  }
+
+  test("punctRatio and stopwordRatio") {
+    assert(one[Double](punctRatio($"t"), "ab!?") == 0.5)
+    assert(one[Double](stopwordRatio($"t"), "the cat and dog") == 0.5)
+  }
+
+  test("langId picks the language with most markers; und on zero hits") {
+    assert(one[String](langId($"t"), "the cat is of the house") == "en")
+    assert(one[String](langId($"t"), "der hund und die katze ist") == "de")
+    assert(one[String](langId($"t"), "le chat et la maison est") == "fr")
+    assert(one[String](langId($"t"), "el perro es una casa los") == "es")
+    assert(one[String](langId($"t"), "xyzzy plugh") == "und")
+  }
+
+  test("contentFingerprint equals on normalization-equivalent text") {
+    val df = Seq(("A  B c", "a b C"), ("abc", "xyz")).toDF("x", "y")
+      .select((contentFingerprint($"x") === contentFingerprint($"y")).as("eq"))
+    assert(df.collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
+  }
+
+  test("qualityScore is in [0,1] and favors clean prose") {
+    val clean = one[Double](qualityScore($"t"),
+      "the quick brown fox jumps over the lazy dog and runs to the house " * 3)
+    val junk = one[Double](qualityScore($"t"), "@@!! ## $$%% ^^&&")
+    assert(clean > 0.9 && junk < 0.5 && junk >= 0.0 && clean <= 1.0)
+  }
+}

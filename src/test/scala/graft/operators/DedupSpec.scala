@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 0/1 exact dups (differ only in case+spacing), 2/3 near-dups (one word
+  // changed), 4 unrelated, 5 short
+  lazy val docs = Seq(
+    (0L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the  quick brown fox JUMPS over the lazy dog near the river bank today"),
+    (2L, "spark shuffles data between executors during wide transformations like join and group by keys"),
+    (3L, "spark shuffles data between executors during wide transformations like join and sort by keys"),
+    (4L, "completely different content about cooking pasta with tomato sauce and fresh basil leaves"),
+    (5L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: case/whitespace-normalized dups collapse to min id") {
+    val g = Dedup.exactGroups(docs).orderBy("keep_id").collect()
+    assert(g.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq ==
+      Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds exact and near dups, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // jaccard 1.0
+    assert(pairs.contains((2L, 3L))) // one word of ~16 changed
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLshPairs reproduces the exact operator's pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lsh = Dedup.minhashLshPairs(docs, threshold = 0.5).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(lsh == exact)
+  }
+
+  test("simhashPairs: near-identical docs collide within small hamming") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((2L, 3L)))
+  }
+
+  test("embedding near-dup: exact finds planted duplicate vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // cos ~0.995 with 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupExact(vecs, threshold = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((0L, 1L)))
+    // LSH variant must also find it (identical-direction vectors share buckets)
+    val lsh = Dedup.embeddingNearDupLsh(vecs, threshold = 0.95, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lsh == Seq((0L, 1L)))
+  }
+}
