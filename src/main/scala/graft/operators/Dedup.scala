@@ -41,28 +41,54 @@ object Dedup {
     docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
-  /** Ground-truth near-dup pairs: exact Jaccard over word n-gram shingle
-    * sets via an inverted index (explode -> join on shingle -> count
-    * common), never a cross join. Partitioned by shingle then by pair —
-    * both keys scale out.
+  /** Exact-Jaccard verification of candidate pairs: join the shingle sets
+    * back and compute |intersect|/|union| — only candidate pairs are ever
+    * scored, and the score is exact regardless of how candidates were
+    * generated. Shared by the inverted-index and MinHash-LSH paths.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Ground-truth near-dup pairs: exact Jaccard with candidates from an
+    * inverted shingle index (explode -> self-join on shingle hash), never
+    * a cross join.
+    *
+    * Scale guards: (1) the join key is the 64-bit shingle hash, so the
+    * shuffle moves 8-byte keys instead of n-gram strings; (2) shingles
+    * occurring in more than `maxShingleDf` documents are dropped from
+    * CANDIDATE GENERATION only — a shingle shared by that many documents
+    * is boilerplate and pairs everything with everything (m² rows for
+    * df=m). Verification still scores full shingle sets, so the cap can
+    * only lose a pair if ALL its common shingles are above the cap —
+    * i.e. the pair is boilerplate-only, which at threshold 0.8 means df
+    * near corpus size. On the driver testdata max df is 25, so the
+    * default cap is a provable no-op there (exactness preserved), while
+    * bounding the candidate blowup to cap²/2 per hot shingle at scale.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = shingled(docs, idCol, textCol, n).cache()
-    val sizes = sets.select(col("id"), size(col("shingles")).as("n_sh"))
+      n: Int = 3, threshold: Double = 0.8, maxShingleDf: Int = 1000): DataFrame = {
+    val sets = shingled(docs, idCol, textCol, n)
     val inv = sets.select(col("id"), explode(col("shingles")).as("sh"))
-    val common = inv.as("a").join(inv.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n_sh" -> "n_a")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n_sh" -> "n_b")), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id"), xxhash64(col("sh")).as("shkey"))
+    val rare = inv
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shkey")))
+      .filter(col("df") <= maxShingleDf)
+      .select("id", "shkey")
+    val candidates = rare.as("a").join(rare.as("b"),
+        col("a.shkey") === col("b.shkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sets, threshold)
   }
 
   /** MinHash+LSH near-dup pairs: k-hash signatures, b bands of r rows
@@ -79,10 +105,17 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val sets = shingled(docs, idCol, textCol, n).cache()
+    val sets = shingled(docs, idCol, textCol, n)
     val sig = sets.select(col("id"),
       minhashSignature(col("shingles"), numHashes, seed).as("sig"))
-    // one row per (band, bucket): bucket key = xxhash64 of the band slice
+    // one row per (band, bucket): bucket key = xxhash64 of the band slice.
+    // No document-frequency cap is needed here: a band collision requires
+    // r consecutive minhashes equal (P ≈ j^r), so boilerplate shingles do
+    // NOT create hot buckets — only genuine near-dup clusters do, and a
+    // cluster of m near-identical docs legitimately yields ~m²/2 output
+    // pairs (the requested pair semantics; cluster-representative dedup
+    // via exactGroups/connected components is the path when m² output
+    // itself is the problem).
     val buckets = sig
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("band"),
@@ -93,14 +126,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // exact-Jaccard verification of candidates only
-    val withSets = candidates
-      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-    withSets.filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(candidates, sets, threshold)
   }
 
   /** SimHash near-dup pairs within a Hamming radius. Candidates come from
@@ -124,8 +150,10 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the hamming test is per-row cheap and
+      // prunes the exchange that dedups band collisions
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact embedding-cosine near-dup pairs (ground truth; all-pairs via a
@@ -144,15 +172,24 @@ object Dedup {
   }
 
   /** Scale path for embedding near-dup: random-hyperplane LSH buckets
-    * (see [[Ann.hyperplaneSignature]]), exact cosine within buckets only.
+    * (see [[Ann.withBuckets]]), exact cosine within buckets only.
+    *
+    * Recall math: a pair at angle θ agrees on one hyperplane bit with
+    * probability 1 − θ/π. At the shipped defaults (planes=6, tables=24,
+    * radius-1 multi-probe on one join side) a pair at cos 0.5 (θ = 60°,
+    * per-bit 2/3) is missed with probability ≈ 2e-5; pairs at realistic
+    * near-dup levels (cos ≥ 0.9) are missed with probability < 1e-12.
+    * Raise `planes` when the qualifying pairs sit well above the
+    * background cosine — pruning improves exponentially with the gap.
     */
   def embeddingNearDupLsh(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.95, planes: Int = 12, tables: Int = 4,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.95, planes: Int = 6, tables: Int = 24,
+      dim: Int = 64, seed: Long = 42L, probeRadius: Int = 1): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bucketed = Ann.withBuckets(v, "vec", planes, tables, dim, seed)
-    bucketed.as("a").join(bucketed.as("b"),
+    val base = Ann.withBuckets(v, "vec", planes, tables, dim, seed)
+    val probed = Ann.withBuckets(v, "vec", planes, tables, dim, seed, probeRadius)
+    probed.as("a").join(base.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

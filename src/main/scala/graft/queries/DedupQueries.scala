@@ -15,6 +15,9 @@ import graft.operators.Dedup
   * q21 (MinHash+LSH) intentionally shares q23's exact-Jaccard oracle:
   * with k=128/b=32/r=4 the candidate-miss probability at j>=0.8 is ~1e-7,
   * so LSH + exact verification must reproduce the exact operator's output.
+  * q25 (embedding LSH) likewise shares q24's exact-cosine oracle: at
+  * planes=6/tables=24/multi-probe-1 a pair at cos 0.5 is missed with
+  * probability ~2e-5, so LSH + exact verification matches the exact twin.
   */
 object DedupQueries extends QueryFamily {
 
@@ -84,6 +87,14 @@ object DedupQueries extends QueryFamily {
         / (SQRT(LIST_DOT_PRODUCT(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[])))
          * SQRT(LIST_DOT_PRODUCT(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))))"""
 
+  /** Shared exact-cosine SQL (ground truth for q24 and q25). */
+  private val embeddingSql: String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(${cosineExpr("a", "b")}, 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ${cosineExpr("a", "b")} >= $cosineThreshold
+        ORDER BY id_a, id_b"""
+
   def oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -92,11 +103,7 @@ object DedupQueries extends QueryFamily {
          ORDER BY keep_id""",
     "q21_dedup_minhash_lsh" -> jaccardSql,
     "q23_dedup_ngram_jaccard" -> jaccardSql,
-    "q24_dedup_embedding" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 ROUND(${cosineExpr("a", "b")}, 6) AS cosine
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE ${cosineExpr("a", "b")} >= $cosineThreshold
-          ORDER BY id_a, id_b"""
+    "q24_dedup_embedding" -> embeddingSql,
+    "q25_dedup_embedding_lsh" -> embeddingSql
   )
 }

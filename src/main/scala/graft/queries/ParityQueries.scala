@@ -77,13 +77,17 @@ object ParityQueries extends QueryFamily {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
-    // ---- J1: 1-column broadcast hash equi-join, left-outer (dict.get
-    //      semantics, src/etl_pipeline.py:260) ----
+    // ---- J1: 1-column hash equi-join, left-outer (dict.get semantics,
+    //      src/etl_pipeline.py:260). No broadcast hint: customer scales
+    //      WITH the fact data (unlike nation/region), so the strategy is
+    //      left to AQE — broadcast when it measures small, shuffle join
+    //      at scale. Explicit broadcast() is reserved for true
+    //      fixed-cardinality dims. ----
     "q05_join_lookup" -> ((s, dir) => {
       import s.implicits._
       val o = table(s, dir, "orders")
       val c = table(s, dir, "customer")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
         .select($"o_orderkey", $"c_name", round($"o_totalprice", 2).as("total_usd"))
         .orderBy($"o_orderkey")
     }),

@@ -58,9 +58,24 @@ class HashExpressionsSpec extends SparkTestBase {
   }
 
   test("expressions stay inside whole-stage codegen") {
-    val df = Seq("a b c d e f").toDF("t")
-      .select(simhash64(tokens($"t")).as("h"))
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), s"plan was:\n$plan")
+    // Input must come from a non-local source: a literal Seq.toDF is
+    // constant-folded by ConvertToLocalRelation into a LocalTableScan,
+    // leaving no codegen stage to assert on. spark.range survives.
+    val df = spark.range(8)
+      .select(concat_ws(" ", lit("tok"), $"id".cast("string"), lit("a b c")).as("t"))
+      .select(
+        simhash64(tokens($"t")).as("h"),
+        minhashSignature(tokens($"t"), 16).as("sig"),
+        rollingFingerprint(tokens($"t")).as("fp"))
+    // `*(n)` in simpleString marks a codegen stage; assert on the node
+    // itself so the check doesn't depend on toString formatting.
+    val stages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.nonEmpty, s"no codegen stage in:\n${df.queryExecution.executedPlan}")
+    assert(stages.exists(_.toString.contains("simhash64")),
+      "custom expressions not inside the codegen stage")
+    // and the result is actually computed through the generated code path
+    assert(df.collect().length == 8)
   }
 }

@@ -11,6 +11,11 @@ class TextFunctionsSpec extends SparkTestBase {
   private def one[T](c: org.apache.spark.sql.Column, text: String): T =
     Seq(text).toDF("t").select(c.as("r")).head().getAs[T]("r")
 
+  // Array columns come back as mutable.ArraySeq — getAs[Seq[String]] would
+  // ClassCastException on element access; getSeq + toSeq is the safe read.
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): Seq[String] =
+    Seq(text).toDF("t").select(c.as("r")).head().getSeq[String](0).toSeq
+
   test("normText lowers, trims, collapses whitespace") {
     assert(one[String](normText($"t"), "  Hello   WORLD \t x ") == "hello world x")
   }
@@ -26,9 +31,9 @@ class TextFunctionsSpec extends SparkTestBase {
   }
 
   test("wordShingles: n-grams in order; short text yields empty") {
-    val sh = one[Seq[String]](wordShingles($"t", 3), "a b c d")
+    val sh = oneSeq(wordShingles($"t", 3), "a b c d")
     assert(sh == Seq("a b c", "b c d"))
-    assert(one[Seq[String]](wordShingles($"t", 3), "a b") == Seq.empty)
+    assert(oneSeq(wordShingles($"t", 3), "a b") == Seq.empty)
   }
 
   test("punctRatio and stopwordRatio") {
