@@ -24,6 +24,9 @@ object KickstarterMain {
     try {
       val raw = Extract.campaignsCsv(spark, csvPath)
       println(s"[extract] rows=${raw.count()} cols=${raw.columns.length}")
+      // O9 inspect_data parity (etl_pipeline.py:74-75): dtypes + head
+      println("[inspect] schema:\n" + raw.schema.treeString)
+      raw.show(5, truncate = false)
       val campaigns = Transform.campaigns(raw).cache()
       println(s"[transform] rows=${campaigns.count()} cols=${campaigns.columns.length}")
       Transform.stateCounts(campaigns).collect()
@@ -31,6 +34,11 @@ object KickstarterMain {
       val counts = graft.star.StarBuilder.runPipeline(spark, csvPath, outDir)
       counts.toSeq.sortBy(_._1)
         .foreach { case (t, n) => println(s"[load] $t rows=$n") }
+      // S3 parity: register the warehouse in the session catalog so every
+      // table is queryable by name from spark.sql (create_tables.sql:1-43)
+      graft.star.StarBuilder.registerCatalog(spark, outDir)
+      println("[load] catalog tables: " +
+        spark.catalog.listTables().collect().map(_.name).sorted.mkString(", "))
     } finally spark.stop()
   }
 }

@@ -71,6 +71,11 @@ object Multimodal {
     */
   def sampleFrames(meta: DataFrame, idCol: String, stride: Int): DataFrame =
     meta.select(col(idCol), col("n_frames"),
-        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+        // empty payload -> n_frames = 0: Spark's sequence(0, -1, +step)
+        // throws, so guard with an empty array (no rows after explode —
+        // same semantics as SQL GENERATE_SERIES over an empty range)
+        explode(when(col("n_frames") > 0,
+            sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<bigint>"))).as("frame_idx"))
       .select(col(idCol), col("frame_idx"))
 }

@@ -36,7 +36,18 @@ object EventQueries extends QueryFamily {
     "q37_events_sessionize" -> ((s, dir) =>
       EventStreams.sessionize(graft.Tables.events(s, dir), gapMinutes)
         .withColumn("session_seq", col("session_seq").cast("long"))
-        .orderBy("user_id", "session_seq"))
+        .orderBy("user_id", "session_seq")),
+
+    "q38_events_sessionize_stream" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_stream_q38").toString
+      graft.Tables.events(s, dir).write.parquet(s"$out/staged")
+      EventStreams.sessionizeStreaming(s, s"$out/staged", s"$out/result", gapMinutes)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("user_id", "session_start")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -72,6 +83,38 @@ object EventQueries extends QueryFamily {
                  STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
                  ROUND(SUM(value), 2) AS sum_value
           FROM numbered GROUP BY user_id, session_seq
-          ORDER BY user_id, session_seq"""
+          ORDER BY user_id, session_seq""",
+    // streaming sessionize emits a session when (a) a later event for the
+    // user opens the next session (closed by successor), or (b) its
+    // event-time timeout (session_end + gap) passes the final watermark
+    // (max ts - 30 min). Open tail sessions stay in state — not emitted.
+    "q38_events_sessionize_stream" ->
+      s"""WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER w) > $gapMinutes * 60000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          numbered AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged),
+          sessions AS (
+            SELECT user_id, session_seq,
+                   MAX(session_seq) OVER (PARTITION BY user_id) AS max_seq,
+                   COUNT(*) AS n_events, MIN(ts) AS s_start, MAX(ts) AS s_end,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM numbered GROUP BY user_id, session_seq)
+          SELECT user_id,
+                 STRFTIME(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+                 STRFTIME(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+                 n_events, sum_value
+          FROM sessions
+          WHERE session_seq < max_seq
+             OR s_end + INTERVAL $gapMinutes MINUTE
+                  < (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)
+          ORDER BY user_id, session_start"""
   )
 }

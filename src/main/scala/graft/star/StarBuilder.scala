@@ -107,16 +107,30 @@ object StarBuilder {
     * plain write (etl_pipeline.py:197-202, SURVEY §4.2 last row).
     */
   def upsertAppend(spark: SparkSession, df: DataFrame, path: String, keys: Seq[String]): Unit = {
-    val exists = try {
-      spark.read.parquet(path).select(keys.map(col): _*).limit(1).count() >= 0
-    } catch { case _: Exception => false }
-    if (!exists) df.write.mode(SaveMode.Overwrite).parquet(path)
-    else {
-      val existing = spark.read.parquet(path).select(keys.map(col): _*)
-      df.join(existing, keys, "left_anti")
-        .write.mode(SaveMode.Append).parquet(path)
+    // An existing sink is one we can resolve a schema from; AnalysisException
+    // on read = first load. (A plan-based probe, not a data scan.)
+    val existing =
+      try Some(spark.read.parquet(path).select(keys.map(col): _*))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    existing match {
+      case None => df.write.mode(SaveMode.Overwrite).parquet(path)
+      case Some(prior) =>
+        df.join(prior, keys, "left_anti")
+          .write.mode(SaveMode.Append).parquet(path)
     }
   }
+
+  /** S3 catalog parity (create_tables.sql:1-43): register the four
+    * warehouse tables as EXTERNAL parquet tables over the written files,
+    * so `spark.sql("SELECT ... FROM Fact_Campaigns")` works by name.
+    * `CREATE TABLE IF NOT EXISTS` mirrors the DDL's idempotency; data
+    * stays in place (schema comes from the parquet footers).
+    */
+  def registerCatalog(spark: SparkSession, warehouseDir: String): Unit =
+    Seq("Dim_Date", "Dim_State", "Dim_Category", "Fact_Campaigns").foreach { t =>
+      spark.sql(
+        s"CREATE TABLE IF NOT EXISTS $t USING parquet LOCATION '$warehouseDir/$t'")
+    }
 
   /** End-to-end pipeline parity for `__main__` (etl_pipeline.py:285-315):
     * CSV -> transform -> star schema -> parquet warehouse at outDir.

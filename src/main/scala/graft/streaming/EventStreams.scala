@@ -93,6 +93,32 @@ object EventStreams {
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_value: Double)
 
+  /** Run [[sessionizeStream]] against a parquet directory with
+    * Trigger.AvailableNow and return the materialized CLOSED sessions
+    * read back from `outDir` (the open tail sessions stay in state — in
+    * production the stream keeps running; here the trigger drains the
+    * directory and stops).
+    */
+  def sessionizeStreaming(
+      spark: SparkSession, eventsDir: String, outDir: String,
+      gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val events = spark.readStream.schema(eventSchema).parquet(eventsDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = sessionizeStream(events, gapMinutes).toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming sessionization with explicit state — the
     * `flatMapGroupsWithState` form of [[sessionize]]: per-user state holds
     * the open session; an event past the gap emits the closed session and

@@ -35,4 +35,22 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(_.getLong(1)).toSeq
     assert(frames == Seq(0L, 2L, 4L))
   }
+
+  test("sampleFrames yields no rows (not an error) for empty payloads") {
+    // n_frames = 0 would make sequence(0, -1, +2) throw; the guard must
+    // turn it into an empty explode, matching GENERATE_SERIES semantics
+    val meta = Seq((1L, 0L), (2L, 3L)).toDF("id", "n_frames")
+    val rows = Multimodal.sampleFrames(meta, "id", stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows == Seq((2L, 0L), (2L, 2L)))
+  }
+
+  test("end-to-end: empty payload survives decode -> sampleFrames") {
+    val df = Seq((1L, ""), (2L, "abcd")).toDF("id", "t")
+      .select($"id", encode($"t", "UTF-8").as("payload"))
+    val frames = Multimodal.sampleFrames(
+        Multimodal.decodeImageMeta(df, "id", "payload"), "id", stride = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!frames.contains(1L) && frames.contains(2L))
+  }
 }

@@ -91,4 +91,19 @@ class StarBuilderSpec extends SparkTestBase {
       "Dim_Date" -> 10L, "Dim_State" -> 6L,
       "Dim_Category" -> 9L, "Fact_Campaigns" -> 11L))
   }
+
+  test("S3: registerCatalog makes warehouse tables queryable by name") {
+    val out = Files.createTempDirectory("graft_star_catalog").toString
+    StarBuilder.runPipeline(spark, fixturePath("kickstarter_fixture.csv"), out)
+    StarBuilder.registerCatalog(spark, out)
+    // idempotent, like CREATE TABLE IF NOT EXISTS in the reference DDL
+    StarBuilder.registerCatalog(spark, out)
+    val byName = spark.sql(
+      """SELECT s.state_name, COUNT(*) AS n
+         FROM Fact_Campaigns f JOIN Dim_State s ON f.state_key = s.state_key
+         GROUP BY s.state_name""").count()
+    assert(byName == 6)
+    val names = spark.catalog.listTables().collect().map(_.name.toLowerCase).toSet
+    assert(Set("dim_date", "dim_state", "dim_category", "fact_campaigns").subsetOf(names))
+  }
 }
