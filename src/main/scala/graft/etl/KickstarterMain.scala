@@ -12,13 +12,12 @@ object KickstarterMain {
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: KickstarterMain <campaigns.csv> <warehouseDir>")
     val Array(csvPath, outDir) = args
-    val spark = SparkSession.builder()
+    val spark = graft.SessionDefaults(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("kickstarter-etl")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

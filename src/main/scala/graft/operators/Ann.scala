@@ -74,7 +74,7 @@ object Ann {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val c = ScaleOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineSim(col("qvec"), col("cvec")))
@@ -106,21 +106,24 @@ object Ann {
       planes: Int = 6, tables: Int = 24, dim: Int = 64, seed: Long = 42L,
       probeRadius: Int = 1): DataFrame = {
     val c = withBuckets(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "cvec",
+      ScaleOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))), "cvec",
       planes, tables, dim, seed)
     // probe the (small) query side only: one side probed is enough to pair
     // any (q, c) whose signatures differ by <= probeRadius bits.
     val q = withBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec",
       planes, tables, dim, seed, probeRadius)
+    // score IN the join stage, then dedupe the scalar triple: re-scoring a
+    // pair once per colliding table/probe costs a 64-float dot product,
+    // far cheaper than shuffling both vectors through a distinct
     val candidates = c.join(broadcast(q),
         c("table") === q("table") && c("bucket") === q("bucket") &&
           col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qvec", "neighbor_id", "cvec")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qvec"), col("cvec")).as("cosine"))
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     candidates
-      .withColumn("cosine", cosineSim(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

@@ -35,11 +35,19 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Per-doc distinct word-shingle sets, the shared input of the Jaccard
-    * family. Filtered to docs with at least one shingle.
+    * family.
+    *
+    * Deliberately NOT filtered on `size(shingles) > 0`: predicate pushdown
+    * would substitute the whole shingle expression into the scan's data
+    * filter — running the expensive kernel inside the (possibly
+    * single-split) scan stage, below the [[ScaleOut]] exchange. Zero-
+    * shingle docs are harmless downstream: they explode to no inverted-
+    * index rows, and empty-vs-empty sketch collisions score NaN in
+    * verification, which fails every threshold.
     */
   def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    ScaleOut(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), shingleSet(col("text"), n).as("shingles"))
 
   /** Exact-Jaccard verification of candidate pairs: join the shingle sets
     * back and compute |intersect|/|union| — only candidate pairs are ever
@@ -66,29 +74,52 @@ object Dedup {
     * occurring in more than `maxShingleDf` documents are dropped from
     * CANDIDATE GENERATION only — a shingle shared by that many documents
     * is boilerplate and pairs everything with everything (m² rows for
-    * df=m). Verification still scores full shingle sets, so the cap can
-    * only lose a pair if ALL its common shingles are above the cap —
-    * i.e. the pair is boilerplate-only, which at threshold 0.8 means df
-    * near corpus size. On the driver testdata max df is 25, so the
-    * default cap is a provable no-op there (exactness preserved), while
-    * bounding the candidate blowup to cap²/2 per hot shingle at scale.
+    * df=m). Scoring stays EXACT under the cap: shared rare shingles are
+    * counted by the co-occurrence groupBy, shared hot shingles are added
+    * back from tiny per-doc above-cap key arrays (bounded by the number
+    * of distinct boilerplate shingles). The cap can therefore only lose a
+    * pair whose EVERY common shingle is above the cap — a boilerplate-only
+    * pair, which at threshold 0.8 means df near corpus size. On the driver
+    * testdata max df is 25, so the default cap is a provable no-op there,
+    * while bounding the candidate blowup to cap²/2 per hot shingle at
+    * scale.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.8, maxShingleDf: Int = 1000): DataFrame = {
-    val sets = shingled(docs, idCol, textCol, n)
-    val inv = sets.select(col("id"), explode(col("shingles")).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("shkey"))
-    val rare = inv
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shkey")))
-      .filter(col("df") <= maxShingleDf)
-      .select("id", "shkey")
-    val candidates = rare.as("a").join(rare.as("b"),
+    // inv carries n_sh per row so the pair scorer needs NO join back to
+    // the (expensive, recomputed-per-use) shingle sets — one small int per
+    // inverted-index row buys the removal of two broadcast subqueries.
+    val inv = shingled(docs, idCol, textCol, n)
+      .select(col("id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("sh"))
+      .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("shkey"))
+    val dfreq = inv.groupBy("shkey").agg(count(lit(1)).as("df"))
+    val keyed = inv.join(dfreq, "shkey")
+    val rare = keyed.filter(col("df") <= maxShingleDf).select("id", "n_sh", "shkey")
+    // count-based scoring: one groupBy over the co-occurrence rows — no
+    // per-pair array materialization (cheaper than set-intersecting the
+    // full shingle arrays for every candidate at ~1M candidates)
+    val commonRare = rare.as("a").join(rare.as("b"),
         col("a.shkey") === col("b.shkey") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    verifyJaccard(candidates, sets, threshold)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_rare"))
+    // hot-shingle correction keeps the score EXACT under the cap: per-doc
+    // arrays of above-cap shingle keys are tiny by construction (few
+    // distinct boilerplate shingles), so the intersect is O(cap-outliers)
+    val hotSets = keyed.filter(col("df") > maxShingleDf)
+      .groupBy("id").agg(sort_array(collect_set(col("shkey"))).as("hot"))
+    val emptyHot = array().cast("array<bigint>")
+    commonRare
+      .join(hotSets.select(col("id").as("id_a"), col("hot").as("hot_a")), Seq("id_a"), "left")
+      .join(hotSets.select(col("id").as("id_b"), col("hot").as("hot_b")), Seq("id_b"), "left")
+      .withColumn("n_common", col("n_rare") +
+        size(array_intersect(coalesce(col("hot_a"), emptyHot), coalesce(col("hot_b"), emptyHot))))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** MinHash+LSH near-dup pairs: k-hash signatures, b bands of r rows
@@ -139,8 +170,8 @@ object Dedup {
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val w = 64 / bands
-    val sketches = docs
-      .select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sk"))
+    val sketches = ScaleOut(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), simhash64(tokens(col("text"))).as("sk"))
     val banded = sketches.select(col("id"), col("sk"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("piece",
@@ -163,7 +194,7 @@ object Dedup {
   def embeddingNearDupExact(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val v = ScaleOut(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("cosine", cosineSim(col("a.vec"), col("b.vec")))
       .filter(col("cosine") >= threshold)
@@ -186,17 +217,20 @@ object Dedup {
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95, planes: Int = 6, tables: Int = 24,
       dim: Int = 64, seed: Long = 42L, probeRadius: Int = 1): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val v = ScaleOut(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val base = Ann.withBuckets(v, "vec", planes, tables, dim, seed)
     val probed = Ann.withBuckets(v, "vec", planes, tables, dim, seed, probeRadius)
     probed.as("a").join(base.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
+      // score IN the join stage and dedupe the scalar triple afterwards:
+      // a multi-table/multi-probe pair re-scores redundantly (cheap flops)
+      // instead of shuffling its vectors through a distinct (dominant cost
+      // at tables x probes candidate multiplicity)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.vec").as("vec_a"), col("b.vec").as("vec_b"))
-      .distinct()
-      .withColumn("cosine", cosineSim(col("vec_a"), col("vec_b")))
+        cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 }
