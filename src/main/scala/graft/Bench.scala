@@ -1,6 +1,23 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark entry point. Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Measurement hygiene (round-2 verdict): queries run in a DETERMINISTIC
+  * order — the cheap parity/text/event queries first, the candidate-heavy
+  * dedup/ANN family last — and the SQL + RDD caches are dropped between
+  * queries, so one query's memory pressure cannot contaminate its
+  * neighbors' numbers and rounds stay comparable per-query.
+  */
 object Bench {
+  /** Dedup/ANN queries pair-score candidates (the heavy tail); everything
+    * else is scan-agg-join shaped. Heavy family runs last.
+    */
+  private def isHeavy(name: String): Boolean =
+    name >= "q20" && name < "q28"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,18 +27,21 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val (light, heavy) = SparkEntry.queries.toSeq.sortBy(_._1).partition(q => !isHeavy(q._1))
+    val results = (light ++ heavy).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full execution of every operator and projection without
       // write-side cost (a bare .count() lets Catalyst prune projections,
       // under-measuring expression-heavy queries)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

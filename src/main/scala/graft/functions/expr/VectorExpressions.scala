@@ -2,8 +2,8 @@ package graft.functions.expr
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Static vector kernels shared by interpreted eval and generated code.
@@ -37,6 +37,70 @@ object VectorOps {
     val na = norm(a); val nb = norm(b)
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
+}
+
+/** Random-hyperplane LSH kernel: per-table sign-bit signatures computed in
+  * ONE pass over the vector, with the hyperplane matrices generated
+  * deterministically from (seed, table) and cached per JVM (driver and
+  * executors each materialize them once on first use — nothing is
+  * serialized into the plan, unlike literal-array hyperplanes, which at
+  * tables x planes x dim floats bloat codegen and planning).
+  */
+object HyperplaneOps {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  /** planes x dim hyperplane matrix for hash table `t`, deterministic in
+    * (seed, t): splitmix64 stream mapped to [-1, 1).
+    */
+  def planesFor(planes: Int, dim: Int, seed: Long, t: Int): Array[Array[Float]] =
+    cache.computeIfAbsent(s"$planes:$dim:$seed:$t", _ => {
+      var s = seed + 0x632be59bd9b4e019L * (t + 1)
+      def next(): Long = { s += 0x9e3779b97f4a7c15L; TextHashOps.fmix64(s) }
+      Array.fill(planes)(Array.fill(dim)(
+        ((next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat))
+    })
+
+  /** One signature per hash table: bit p of sigs[t] = [dot(vec, plane_{t,p}) > 0].
+    * Accumulation matches [[VectorOps.dot]] (double, left-to-right).
+    */
+  def sigs(vec: ArrayData, planes: Int, tables: Int, dim: Int, seed: Long): ArrayData = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val hp = planesFor(planes, dim, seed, t)
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        val row = hp(p)
+        val n = math.min(vec.numElements(), dim)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += vec.getFloat(i).toDouble * row(i).toDouble; i += 1 }
+        if (s > 0.0) sig |= 1L << p
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** hyperplane_sigs(vec: array<float>) -> array<long>: the LSH signature of
+  * `vec` in each of `tables` independent hash tables.
+  */
+case class HyperplaneSigs(child: Expression, planes: Int, tables: Int, dim: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneOps.sigs(v.asInstanceOf[ArrayData], planes, tables, dim, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expr.HyperplaneOps.sigs($c, $planes, $tables, $dim, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "hyperplane_sigs"
 }
 
 /** Base for binary float-vector -> double expressions with static-call
@@ -91,4 +155,7 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+  def hyperplaneSigs(vec: Column, planes: Int, tables: Int, dim: Int, seed: Long): Column =
+    GraftBridge.column(HyperplaneSigs(
+      GraftBridge.expression(vec), planes, tables, dim, seed))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.expr.VectorFunctions.{cosineSim, dotProduct}
+import graft.functions.expr.VectorFunctions.{cosineSim, hyperplaneSigs}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
@@ -15,56 +15,54 @@ import graft.functions.expr.VectorFunctions.{cosineSim, dotProduct}
   *     parallel and shuffle-free until the final per-query k rows.
   *   - [[lshTopK]]: scale path — random-hyperplane signatures bucket the
   *     corpus into 2^planes cells per table; queries only score their own
-  *     buckets. Recall is tuned with `tables` (independent hash tables).
+  *     buckets. Recall is tuned with `tables` (independent hash tables)
+  *     and radius-1 multi-probe on the query side.
+  *
+  * Parameter math (shared with [[Dedup.embeddingNearDupLsh]]): two vectors
+  * at angle θ agree on one hyperplane bit with probability p = 1 − θ/π.
+  * With P planes, T tables and radius-1 probing on ONE side, a pair
+  * collides in a given table with q = p^P + P(1−p)p^(P−1) and is missed
+  * with (1−q)^T. The shipped defaults (P=16, T=16, radius 1) target the
+  * realistic near-dup / near-neighbor regime cos ≥ 0.95 (θ ≤ 18°,
+  * p ≥ 0.90): q ≈ 0.51, miss ≈ 0.49^16 ≈ 1e-5 at the boundary and falls
+  * exponentially above it, while orthogonal background pairs (p = 1/2)
+  * collide with only T(1+P)/2^P = 16·17/65536 ≈ 0.4% — ~240× fewer
+  * scorings than all-pairs. LSH wins exactly when 2^planes ≫
+  * tables × (1+planes); conversely, at cos ≈ 0.5 (θ = 60°, the hyperplane
+  * worst case: ρ = ln(1/p₁)/ln(1/p₀) = ln1.5/ln2 ≈ 0.585) near-certain
+  * recall forces candidate volume ≈ all-pairs no matter the parameters —
+  * callers needing a recall demo at that angle must pass few-planes/
+  * many-tables explicitly and accept brute-force-like cost.
   */
 object Ann {
 
-  /** Deterministic unit-free random hyperplanes from `seed` (splitmix64
-    * stream mapped to [-1,1)) — reproducible across runs and engines.
-    */
-  private[operators] def hyperplanes(planes: Int, dim: Int, seed: Long, table: Int): Seq[Seq[Float]] = {
-    var s = seed + 0x632be59bd9b4e019L * (table + 1)
-    def next(): Long = {
-      s += 0x9e3779b97f4a7c15L
-      graft.functions.expr.TextHashOps.fmix64(s)
-    }
-    Seq.fill(planes)(Seq.fill(dim)(((next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat))
-  }
-
-  /** sign-bit signature: bucket id = sum of (dot(vec, plane_p) > 0) << p. */
-  private def signature(vec: Column, planes: Seq[Seq[Float]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dotProduct(vec, typedlit(p)) > 0.0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-
-  /** Attach (table, bucket) rows for each vector: one output row per hash
-    * table. `df` must carry a column `vecCol` of array<float>.
+  /** Attach (table, bucket) rows for each vector, ALL tables from one
+    * projection: [[hyperplaneSigs]] computes the per-table signature array
+    * in a single codegen'd pass (hyperplanes cached per JVM, not inlined
+    * as plan literals), one `posexplode` fans out the tables, and radius-1
+    * probing is a second explode over the `planes` single-bit flips. One
+    * scan, one pipeline — not a tables-way union.
     *
-    * With `probeRadius = 1` (multi-probe LSH), each row additionally
-    * emits one bucket per signature bit flipped, so joining probed rows
-    * against base rows pairs every two vectors whose signatures are
-    * within Hamming distance 1 in at least one table — a large recall
-    * boost at the cost of `planes` extra rows per (row, table), without
-    * touching the number of tables. Probe only ONE side of a join.
+    * With `probeRadius = 1` (multi-probe LSH), joining probed rows against
+    * base rows pairs every two vectors whose signatures are within Hamming
+    * distance 1 in at least one table. Probe only ONE side of a join.
     */
   private[operators] def withBuckets(
       df: DataFrame, vecCol: String, planes: Int, tables: Int,
       dim: Int, seed: Long, probeRadius: Int = 0): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1, "only probeRadius 0 or 1 supported")
-    (0 until tables).map { t =>
-      val sig = df.withColumn("table", lit(t))
-        .withColumn("sig", signature(col(vecCol), hyperplanes(planes, dim, seed, t)))
-      val bucketed =
-        if (probeRadius == 0) sig.withColumn("bucket", col("sig"))
-        else sig
-          .withColumn("probe",
-            explode(array((lit(-1) +: (0 until planes).map(lit(_))): _*)))
-          .withColumn("bucket",
-            when(col("probe") < 0, col("sig"))
-              .otherwise(col("sig").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), probe)"))))
-          .drop("probe")
-      bucketed.drop("sig")
-    }.reduce(_ unionByName _)
+    val keep = df.columns.map(col)
+    val sigRows = df
+      .withColumn("sigs", hyperplaneSigs(col(vecCol), planes, tables, dim, seed))
+      .select(keep :+ posexplode(col("sigs")).as(Seq("table", "sig")): _*)
+    val bucketed =
+      if (probeRadius == 0) sigRows.withColumn("bucket", col("sig"))
+      else {
+        val flips = array((0 until planes).map(p => lit(1L << p)): _*)
+        sigRows.withColumn("bucket",
+          explode(concat(array(col("sig")), transform(flips, m => col("sig").bitwiseXOR(m)))))
+      }
+    bucketed.drop("sig")
   }
 
   /** Exact top-k cosine neighbors for each query vector. `queries` must be
@@ -89,21 +87,13 @@ object Ann {
   /** LSH-bucketed approximate top-k: queries score only the corpus rows
     * sharing a bucket (or a radius-1 probe bucket) in at least one table.
     * Recall@k rises with `tables` and multi-probe; cost per query is the
-    * mean bucket population times `tables`.
-    *
-    * Parameter guidance: per-bit collision probability for two vectors at
-    * angle θ is 1 − θ/π, so selectivity is the gap between that value for
-    * true neighbors vs the background. On data whose nearest neighbors sit
-    * near cos ≈ 0.4 (θ ≈ 66°) — like the synthetic near-orthogonal
-    * testdata — the gap is small and defaults must favor recall
-    * (few planes, many tables, probing). Real embedding corpora with
-    * neighbors at cos ≥ 0.8 can raise `planes` for exponentially better
-    * pruning.
+    * mean bucket population times `tables`. See the object doc for the
+    * (planes, tables, probeRadius) recall/selectivity math.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      planes: Int = 6, tables: Int = 24, dim: Int = 64, seed: Long = 42L,
+      planes: Int = 16, tables: Int = 16, dim: Int = 64, seed: Long = 42L,
       probeRadius: Int = 1): DataFrame = {
     val c = withBuckets(
       ScaleOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))), "cvec",

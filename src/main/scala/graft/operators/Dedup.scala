@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -74,15 +75,26 @@ object Dedup {
     * occurring in more than `maxShingleDf` documents are dropped from
     * CANDIDATE GENERATION only — a shingle shared by that many documents
     * is boilerplate and pairs everything with everything (m² rows for
-    * df=m). Scoring stays EXACT under the cap: shared rare shingles are
+    * df=m). SCORING stays exact under the cap: shared rare shingles are
     * counted by the co-occurrence groupBy, shared hot shingles are added
     * back from tiny per-doc above-cap key arrays (bounded by the number
-    * of distinct boilerplate shingles). The cap can therefore only lose a
-    * pair whose EVERY common shingle is above the cap — a boilerplate-only
-    * pair, which at threshold 0.8 means df near corpus size. On the driver
-    * testdata max df is 25, so the default cap is a provable no-op there,
-    * while bounding the candidate blowup to cap²/2 per hot shingle at
-    * scale.
+    * of distinct boilerplate shingles). The cap IS however a recall bound,
+    * not a free lunch: a pair whose EVERY common shingle has df > cap
+    * generates no candidate row and is lost — and a near-dup cluster
+    * larger than the cap is exactly that case, since all of its shared
+    * shingles exceed the cap. Operators that must enumerate all pairs of
+    * such clusters should either raise the cap to the corpus max df
+    * (restoring full exactness at m²-per-hot-shingle candidate cost) or
+    * dedup the cluster by representative first ([[exactGroups]] /
+    * MinHash banding, which has no df cap — see [[minhashLshPairs]]). On
+    * the driver testdata max df is 25, so the default cap is a provable
+    * no-op there.
+    *
+    * Plan shape: the document-frequency is computed with a window over the
+    * SAME shkey-partitioned exchange the self-join and the hot-set
+    * aggregation consume, so Spark's ReuseExchange evaluates the shingle
+    * kernel (the most expensive expression here) exactly once, with no
+    * persist/unpersist lifecycle to leak.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
@@ -94,8 +106,12 @@ object Dedup {
       .select(col("id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("sh"))
       .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("shkey"))
-    val dfreq = inv.groupBy("shkey").agg(count(lit(1)).as("df"))
-    val keyed = inv.join(dfreq, "shkey")
+    // df via a window, not groupBy+join: every consumer below then shares
+    // one identical Exchange(shkey) subtree, which ReuseExchange computes
+    // once — with the groupBy+join form the partial aggregate sat under
+    // its own exchange and the kernel ran ~5x.
+    val keyed = inv.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("shkey")))
     val rare = keyed.filter(col("df") <= maxShingleDf).select("id", "n_sh", "shkey")
     // count-based scoring: one groupBy over the co-occurrence rows — no
     // per-pair array materialization (cheaper than set-intersecting the
@@ -205,17 +221,23 @@ object Dedup {
   /** Scale path for embedding near-dup: random-hyperplane LSH buckets
     * (see [[Ann.withBuckets]]), exact cosine within buckets only.
     *
-    * Recall math: a pair at angle θ agrees on one hyperplane bit with
-    * probability 1 − θ/π. At the shipped defaults (planes=6, tables=24,
-    * radius-1 multi-probe on one join side) a pair at cos 0.5 (θ = 60°,
-    * per-bit 2/3) is missed with probability ≈ 2e-5; pairs at realistic
-    * near-dup levels (cos ≥ 0.9) are missed with probability < 1e-12.
-    * Raise `planes` when the qualifying pairs sit well above the
-    * background cosine — pruning improves exponentially with the gap.
+    * Recall/selectivity math (details in [[Ann]]'s object doc): a pair at
+    * angle θ agrees on one hyperplane bit with probability p = 1 − θ/π.
+    * The shipped defaults (planes=16, tables=16, radius-1 multi-probe on
+    * one join side) target the realistic near-dup regime of the default
+    * `threshold` 0.95 (p ≥ 0.90): miss ≈ 1e-5 at the threshold boundary,
+    * exponentially safer above it, while orthogonal background pairs
+    * collide with only 16·17/2^16 ≈ 0.4% probability — ~240× fewer
+    * scorings than the all-pairs twin. At low thresholds near cos 0.5
+    * (θ = 60°, the hyperplane worst case) NO parameterization is
+    * selective at near-certain recall — candidate volume degenerates to
+    * ≈ all-pairs; pass few-planes/many-tables explicitly there (as the
+    * demo query does) and expect brute-force-like cost, or use
+    * [[embeddingNearDupExact]] outright.
     */
   def embeddingNearDupLsh(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.95, planes: Int = 6, tables: Int = 24,
+      threshold: Double = 0.95, planes: Int = 16, tables: Int = 16,
       dim: Int = 64, seed: Long = 42L, probeRadius: Int = 1): DataFrame = {
     val v = ScaleOut(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val base = Ann.withBuckets(v, "vec", planes, tables, dim, seed)

@@ -12,20 +12,20 @@ import org.apache.spark.sql.DataFrame
   * is a no-op; it only widens inputs that are narrower than the cluster's
   * core count, which is exactly the regime where the one-off round-robin
   * shuffle (bounded by the small input's size) is trivially cheap.
+  *
+  * Plain `repartition`, NOT an RDD round-trip: a `LogicalRDD` leaf has no
+  * stats (`sizeInBytes` defaults to huge), which silently disables
+  * broadcast planning for every join above it — the exact-cosine self-join
+  * degenerated to a CartesianProduct over 32x32 partition pairs because of
+  * it. `Repartition` keeps the scan's stats AND is an optimizer barrier
+  * for expression pushdown, and the one rule that would still sink the
+  * expensive kernel below it (`InferFiltersFromGenerate`) is excluded
+  * session-wide in [[graft.SessionDefaults]].
   */
 object ScaleOut {
   def apply(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
+    val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
-    else {
-      // RDD boundary, not Dataset.repartition: the ExistingRDD leaf is
-      // opaque to Catalyst, so downstream inferred predicates (join-key
-      // isnotnull constraints, generator guards) cannot alias-substitute
-      // expensive expressions below the exchange and sink them into the
-      // narrow scan stage. The row-conversion cost is bounded by the
-      // (small, by the branch condition) input size.
-      spark.createDataFrame(df.rdd.repartition(target), df.schema)
-    }
+    else df.repartition(target)
   }
 }

@@ -15,9 +15,14 @@ import graft.operators.Dedup
   * q21 (MinHash+LSH) intentionally shares q23's exact-Jaccard oracle:
   * with k=128/b=32/r=4 the candidate-miss probability at j>=0.8 is ~1e-7,
   * so LSH + exact verification must reproduce the exact operator's output.
-  * q25 (embedding LSH) likewise shares q24's exact-cosine oracle: at
-  * planes=6/tables=24/multi-probe-1 a pair at cos 0.5 is missed with
-  * probability ~2e-5, so LSH + exact verification matches the exact twin.
+  * q25 (embedding LSH) likewise shares q24's exact-cosine oracle. The
+  * testdata embeddings are near-orthogonal randoms whose only qualifying
+  * pairs sit at cos ≈ 0.5 — the hyperplane-LSH worst case — so q25 passes
+  * a few-planes/many-tables RECALL configuration (planes=6, tables=24,
+  * radius-1 probe: per-pair miss ≈ 3e-5 at cos 0.5) explicitly at the
+  * query site, accepting brute-force-like candidate volume; the
+  * operator's shipped defaults target realistic cos ≥ 0.95 near-dups,
+  * where the same operator prunes ~240× (see [[graft.operators.Ann]]).
   */
 object DedupQueries extends QueryFamily {
 
@@ -51,8 +56,10 @@ object DedupQueries extends QueryFamily {
         .orderBy("id_a", "id_b")),
 
     "q25_dedup_embedding_lsh" -> ((s, dir) =>
+      // worst-case-angle demo config (see object doc): recall over
+      // selectivity, because the data's qualifying pairs sit at cos ≈ 0.5
       Dedup.embeddingNearDupLsh(table(s, dir, "embeddings"),
-          threshold = cosineThreshold)
+          threshold = cosineThreshold, planes = 6, tables = 24, probeRadius = 1)
         .orderBy("id_a", "id_b"))
   )
 

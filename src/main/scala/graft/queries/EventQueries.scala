@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.Files
+import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,24 +14,51 @@ import graft.streaming.EventStreams
   * sessionization. The streaming oracle encodes append-mode semantics:
   * only windows whose end <= final watermark (max ts - delay) are
   * emitted.
+  *
+  * Staging hygiene: the streaming queries ingest a parquet DIRECTORY
+  * (file stream sources list directories — at scale the feed lands as
+  * files in a dir), so the single-file driver table is staged once per
+  * (tmpdir, sfDir) under a FIXED path and reused across invocations;
+  * result/checkpoint dirs are likewise fixed per query and wiped before
+  * each run. Repeated bench/verify invocations therefore neither re-write
+  * the input nor grow /tmp without bound.
   */
 object EventQueries extends QueryFamily {
 
   private val gapMinutes = 30
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Stage `events` as a parquet directory once per sfDir; reused. */
+  private def stagedEventsDir(s: SparkSession, dir: String): String = {
+    val stage = new File(sys.props("java.io.tmpdir"),
+      s"graft_events_stage_${math.abs(dir.hashCode)}")
+    if (!new File(stage, "_SUCCESS").exists()) {
+      graft.Tables.events(s, dir).write.mode("overwrite").parquet(stage.toString)
+    }
+    stage.toString
+  }
+
+  /** Fixed per-(query, sfDir) output dir, wiped before each run. */
+  private def freshResultDir(tag: String, dir: String): String = {
+    val d = new File(sys.props("java.io.tmpdir"),
+      s"graft_stream_${tag}_${math.abs(dir.hashCode)}")
+    if (d.exists()) deleteRecursively(d)
+    d.toString
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_events_hourly" -> ((s, dir) =>
       EventStreams.hourlyByType(graft.Tables.events(s, dir))
         .orderBy("window_start", "event_type")),
 
-    "q36_events_hourly_stream" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft_stream_q36").toString
-      // stage the single-file table into a directory: file stream sources
-      // ingest directories (at scale, the feed lands as files in a dir)
-      graft.Tables.events(s, dir).write.parquet(s"$out/staged")
-      EventStreams.hourlyByTypeStreaming(s, s"$out/staged", s"$out/result")
-        .orderBy("window_start", "event_type")
-    }),
+    "q36_events_hourly_stream" -> ((s, dir) =>
+      EventStreams.hourlyByTypeStreaming(
+          s, stagedEventsDir(s, dir), freshResultDir("q36", dir))
+        .orderBy("window_start", "event_type")),
 
     "q37_events_sessionize" -> ((s, dir) =>
       EventStreams.sessionize(graft.Tables.events(s, dir), gapMinutes)
@@ -39,9 +66,8 @@ object EventQueries extends QueryFamily {
         .orderBy("user_id", "session_seq")),
 
     "q38_events_sessionize_stream" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft_stream_q38").toString
-      graft.Tables.events(s, dir).write.parquet(s"$out/staged")
-      EventStreams.sessionizeStreaming(s, s"$out/staged", s"$out/result", gapMinutes)
+      EventStreams.sessionizeStreaming(
+          s, stagedEventsDir(s, dir), freshResultDir("q38", dir), gapMinutes)
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),

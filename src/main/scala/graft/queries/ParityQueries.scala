@@ -232,6 +232,29 @@ object ParityQueries extends QueryFamily {
         .withColumn("is_open", when($"o_orderstatus" === "O", 1L).otherwise(0L))
         .select($"status_key", $"o_orderstatus".as("status_name"), $"is_open")
         .orderBy($"status_key")
+    }),
+
+    // ---- J1/J2 over the remaining dims: fact ⋈ part ⋈ supplier ⋈ nation
+    //      ⋈ region. Strategy split mirrors q01: nation/region are
+    //      FIXED-cardinality (25/5 rows at any SF) -> explicit broadcast;
+    //      part/supplier scale with the data -> left to AQE (broadcast
+    //      while small, shuffle join at 100 TB). ----
+    "q17_part_supplier_region" -> ((s, dir) => {
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+      val p = table(s, dir, "part")
+      val sup = table(s, dir, "supplier")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      li.join(p, $"l_partkey" === $"p_partkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"p_brand")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"p_brand")
     })
   )
 
@@ -331,6 +354,16 @@ object ParityQueries extends QueryFamily {
                 o_orderstatus AS status_name,
                 CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS BIGINT) AS is_open
          FROM (SELECT DISTINCT o_orderstatus FROM orders)
-         ORDER BY status_key"""
+         ORDER BY status_key""",
+    "q17_part_supplier_region" ->
+      """SELECT r_name, p_brand,
+                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                COUNT(*) AS n_items
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, p_brand ORDER BY r_name, p_brand"""
   )
 }

@@ -123,13 +123,15 @@ object StarBuilder {
   /** S3 catalog parity (create_tables.sql:1-43): register the four
     * warehouse tables as EXTERNAL parquet tables over the written files,
     * so `spark.sql("SELECT ... FROM Fact_Campaigns")` works by name.
-    * `CREATE TABLE IF NOT EXISTS` mirrors the DDL's idempotency; data
-    * stays in place (schema comes from the parquet footers).
+    * Idempotent like the DDL, but via DROP-then-CREATE rather than
+    * `IF NOT EXISTS`: a stale registration pointing at a previous
+    * warehouseDir must be replaced, not silently kept (external tables —
+    * dropping the entry never touches the parquet files).
     */
   def registerCatalog(spark: SparkSession, warehouseDir: String): Unit =
     Seq("Dim_Date", "Dim_State", "Dim_Category", "Fact_Campaigns").foreach { t =>
-      spark.sql(
-        s"CREATE TABLE IF NOT EXISTS $t USING parquet LOCATION '$warehouseDir/$t'")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$warehouseDir/$t'")
     }
 
   /** End-to-end pipeline parity for `__main__` (etl_pipeline.py:285-315):

@@ -60,7 +60,12 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    // explicit schema: a run that emits zero windows writes no data files,
+    // and a schema-less read-back of the empty sink dir would throw
+    spark.read.schema(StructType(Seq(
+        StructField("window_start", StringType), StructField("event_type", StringType),
+        StructField("n_events", LongType), StructField("sum_value", DoubleType))))
+      .parquet(outDir)
   }
 
   /** Gaps-and-islands sessionization, batch form: a session breaks after
@@ -116,7 +121,11 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    // explicit schema: a run that closes zero sessions writes no data
+    // files, and a schema-less read-back of the empty sink dir would throw
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[Session].schema)
+      .parquet(outDir)
   }
 
   /** Streaming sessionization with explicit state — the
@@ -143,8 +152,16 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
+                // in-gap event, including a watermark-legal late one that
+                // PRECEDES the open session's start: widen both bounds
+                case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
+                // late event more than a gap BEFORE the open session: it
+                // belongs to an earlier, already-over session — emit it
+                // immediately rather than corrupting the open one
+                case Some(s) if t < s.start - gapMs =>
+                  closed ::= Session(user, new Timestamp(t), new Timestamp(t), 1, e.value)
                 case Some(s) =>
                   closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -154,7 +171,11 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // the timeout must sit strictly above the current watermark
+              // or Spark throws — a session whose gap deadline the
+              // watermark already passed times out at the next tick
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
