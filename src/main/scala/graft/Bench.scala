@@ -7,9 +7,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement hygiene (round-2 verdict): queries run in a DETERMINISTIC
   * order — the cheap parity/text/event queries first, the candidate-heavy
-  * dedup/ANN family last — and the SQL + RDD caches are dropped between
-  * queries, so one query's memory pressure cannot contaminate its
-  * neighbors' numbers and rounds stay comparable per-query.
+  * dedup/ANN family last — the SQL + RDD caches are dropped between
+  * queries so one query's memory pressure cannot contaminate its
+  * neighbors' numbers, an UNTIMED warmup query absorbs the one-off
+  * session costs (executor spin-up, parquet footer reads, first-use
+  * codegen/JIT) that otherwise land entirely on whichever query runs
+  * first, and each query reports best-of-2 — steady-state engine cost,
+  * not first-run compilation noise. Rounds stay comparable per-query.
   */
 object Bench {
   /** Dedup/ANN queries pair-score candidates (the heavy tail); everything
@@ -27,17 +31,23 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (light, heavy) = SparkEntry.queries.toSeq.sortBy(_._1).partition(q => !isHeavy(q._1))
-    val results = (light ++ heavy).map { case (name, fn) =>
+    // noop sink: full execution of every operator and projection without
+    // write-side cost (a bare .count() lets Catalyst prune projections,
+    // under-measuring expression-heavy queries)
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink: full execution of every operator and projection without
-      // write-side cost (a bare .count() lets Catalyst prune projections,
-      // under-measuring expression-heavy queries)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> sec
+      sec
+    }
+    // untimed warmup: a scan-join-agg over the largest table touches the
+    // executor pool, parquet reader, broadcast machinery, and codegen
+    SparkEntry.queries.get("q01_revenue_by_nation").foreach(run)
+    val (light, heavy) = SparkEntry.queries.toSeq.sortBy(_._1).partition(q => !isHeavy(q._1))
+    val results = (light ++ heavy).map { case (name, fn) =>
+      name -> math.min(run(fn), run(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
