@@ -66,42 +66,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
-  /** Ground-truth near-dup pairs: exact Jaccard with candidates from an
-    * inverted shingle index (explode -> self-join on shingle hash), never
-    * a cross join.
+  /** Ground-truth near-dup pairs: exact Jaccard with candidates from
+    * PREFIX FILTERING over an inverted shingle index — never a cross join,
+    * never a recall cap.
     *
-    * Scale guards: (1) the join key is the 64-bit shingle hash, so the
-    * shuffle moves 8-byte keys instead of n-gram strings; (2) shingles
-    * occurring in more than `maxShingleDf` documents are dropped from
-    * CANDIDATE GENERATION only — a shingle shared by that many documents
-    * is boilerplate and pairs everything with everything (m² rows for
-    * df=m). SCORING stays exact under the cap: shared rare shingles are
-    * counted by the co-occurrence groupBy, shared hot shingles are added
-    * back from tiny per-doc above-cap key arrays (bounded by the number
-    * of distinct boilerplate shingles). The cap IS however a recall bound,
-    * not a free lunch: a pair whose EVERY common shingle has df > cap
-    * generates no candidate row and is lost — and a near-dup cluster
-    * larger than the cap is exactly that case, since all of its shared
-    * shingles exceed the cap. Operators that must enumerate all pairs of
-    * such clusters should either raise the cap to the corpus max df
-    * (restoring full exactness at m²-per-hot-shingle candidate cost) or
-    * dedup the cluster by representative first ([[exactGroups]] /
-    * MinHash banding, which has no df cap — see [[minhashLshPairs]]). On
-    * the driver testdata max df is 25, so the default cap is a provable
-    * no-op there.
+    * Prefix filter (Chaudhuri et al., "A Primitive Operator for Similarity
+    * Joins", ICDE'06): order every document's shingles by global rarity
+    * (document frequency asc, then hash — a strict total order shared by
+    * all docs). If J(a,b) >= t then |a∩b| >= t·|a∪b| >= t·|a|, and the
+    * globally-rarest common shingle must sit within the first
+    * |d| − ⌈t·|d|⌉ + 1 shingles of BOTH docs (were it outside doc a's
+    * prefix, all common shingles would be among a's last ⌈t·|a|⌉ − 1,
+    * contradicting |a∩b| >= t·|a|). So joining only the per-doc prefixes
+    * on shingle hash generates a superset of all qualifying pairs —
+    * EXACT, with no document-frequency cap and no lost >cap clusters —
+    * while boilerplate shingles (highest df, sorted last) never enter a
+    * prefix unless the doc is mostly boilerplate, which is precisely when
+    * they are needed for recall. A size-ratio guard (t·|a| <= |b| and
+    * t·|b| <= |a|, both implied by J >= t) prunes cross-size noise.
+    * Candidate volume is output-bound plus prefix-collision noise: an
+    * m-doc near-identical cluster still yields its inherent m²/2 output
+    * pairs, but no hot shingle multiplies unrelated docs.
     *
-    * Plan shape: the document-frequency is computed with a window over the
-    * SAME shkey-partitioned exchange the self-join and the hot-set
-    * aggregation consume, so Spark's ReuseExchange evaluates the shingle
-    * kernel (the most expensive expression here) exactly once, with no
-    * persist/unpersist lifecycle to leak.
+    * Scale shape: the join key is the 64-bit shingle hash (8-byte
+    * shuffle keys, not n-gram strings); document frequency is a window
+    * over the shkey exchange and per-doc rank a window over the id
+    * exchange, so the shingling kernel (the most expensive expression
+    * here) is evaluated once below the first exchange and every consumer
+    * reuses it (ReuseExchange) — no persist/unpersist lifecycle.
+    * Verification intersects per-doc HASHED-key arrays rebuilt from the
+    * same id exchange (8-byte elements, no kernel re-eval); per-window
+    * buffering is bounded by a single document's shingle count.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, threshold: Double = 0.8, maxShingleDf: Int = 1000): DataFrame = {
-    // inv carries n_sh per row so the pair scorer needs NO join back to
-    // the (expensive, recomputed-per-use) shingle sets — one small int per
-    // inverted-index row buys the removal of two broadcast subqueries.
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val inv = shingled(docs, idCol, textCol, n)
       .select(col("id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("sh"))
@@ -112,26 +111,32 @@ object Dedup {
     // its own exchange and the kernel ran ~5x.
     val keyed = inv.withColumn("df",
       count(lit(1)).over(Window.partitionBy("shkey")))
-    val rare = keyed.filter(col("df") <= maxShingleDf).select("id", "n_sh", "shkey")
-    // count-based scoring: one groupBy over the co-occurrence rows — no
-    // per-pair array materialization (cheaper than set-intersecting the
-    // full shingle arrays for every candidate at ~1M candidates)
-    val commonRare = rare.as("a").join(rare.as("b"),
-        col("a.shkey") === col("b.shkey") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("n_rare"))
-    // hot-shingle correction keeps the score EXACT under the cap: per-doc
-    // arrays of above-cap shingle keys are tiny by construction (few
-    // distinct boilerplate shingles), so the intersect is O(cap-outliers)
-    val hotSets = keyed.filter(col("df") > maxShingleDf)
-      .groupBy("id").agg(sort_array(collect_set(col("shkey"))).as("hot"))
-    val emptyHot = array().cast("array<bigint>")
-    commonRare
-      .join(hotSets.select(col("id").as("id_a"), col("hot").as("hot_a")), Seq("id_a"), "left")
-      .join(hotSets.select(col("id").as("id_b"), col("hot").as("hot_b")), Seq("id_b"), "left")
-      .withColumn("n_common", col("n_rare") +
-        size(array_intersect(coalesce(col("hot_a"), emptyHot), coalesce(col("hot_b"), emptyHot))))
+    // global rarity rank within each doc; (df, shkey) is a strict total
+    // order because shkey is unique per distinct shingle
+    val ranked = keyed.withColumn("pos", row_number().over(
+      Window.partitionBy("id").orderBy(col("df"), col("shkey"))))
+    // the 1e-9 slack keeps ceil() from rounding a binary-inexact t·|d|
+    // (e.g. 0.8*5 = 4.0000000000000002) past the true integer bound,
+    // which would shorten the prefix and break the exactness guarantee
+    val prefix = ranked
+      .filter(col("pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select("id", "n_sh", "shkey")
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shkey") === col("b.shkey") && col("a.id") < col("b.id") &&
+          col("b.n_sh") >= lit(threshold) * col("a.n_sh") - lit(1e-9) &&
+          col("a.n_sh") >= lit(threshold) * col("b.n_sh") - lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // hashed-key sets off the SAME id-partitioned exchange `ranked` uses
+    // (no new shuffle, no kernel re-eval); hash-equality == shingle
+    // equality is already the candidate join's premise
+    val sets = ranked.groupBy("id")
+      .agg(first(col("n_sh")).as("n_sh"), collect_list(col("shkey")).as("keys"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("keys").as("k_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("keys").as("k_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("k_a"), col("k_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)

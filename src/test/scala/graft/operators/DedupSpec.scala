@@ -32,6 +32,27 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngramJaccardPairs enumerates every pair of a cluster sharing only high-df shingles") {
+    // 30 near-identical docs: 11 words, last word unique per doc, so the 9
+    // word-3-shingles split into 8 cluster-wide (df = 30) + 1 unique
+    // (df = 1); J = 8/10 = 0.8 for every pair — exactly at the threshold.
+    // A df-capped candidate generator (cap < 30) would lose ALL of these
+    // pairs (every common shingle is above the cap); the prefix filter
+    // must enumerate all C(30,2), and the ceil-slack must keep the
+    // boundary pairs (t*|d| binary-inexact) in.
+    val m = 30
+    val cluster = (0 until m).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa uniq$i"))
+    val noise = (100 until 120).map(i =>
+      (i.toLong, s"unrelated$i content$i about$i topic$i number$i item$i thing$i"))
+    val df = (cluster ++ noise).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == m * (m - 1) / 2)
+    assert(pairs.forall(_._3 == 0.8))
+    assert(pairs.forall(p => p._1 < m && p._2 < m))
+  }
+
   test("minhashLshPairs reproduces the exact operator's pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5).orderBy("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
