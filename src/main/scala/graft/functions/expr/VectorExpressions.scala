@@ -103,6 +103,48 @@ case class HyperplaneSigs(child: Expression, planes: Int, tables: Int, dim: Int,
   override def prettyName: String = "hyperplane_sigs"
 }
 
+/** IVF coarse-quantizer kernel: indices of the `m` centroids with the
+  * highest dot product against the input vector (centroids are unit-norm,
+  * so dot order == cosine order), ties broken by lower index.
+  */
+object IvfOps {
+  def nearest(vec: ArrayData, cents: Array[Array[Float]], m: Int): ArrayData = {
+    val n = cents.length
+    val scores = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val c = cents(i)
+      val lim = math.min(vec.numElements(), c.length)
+      var s = 0.0
+      var j = 0
+      while (j < lim) { s += vec.getFloat(j).toDouble * c(j).toDouble; j += 1 }
+      scores(i) = s
+      i += 1
+    }
+    val top = Array.tabulate(n)(identity)
+      .sortBy(i => (-scores(i), i)).take(math.min(m, n))
+    new GenericArrayData(top)
+  }
+}
+
+/** nearest_cells(vec) -> array<int>: the `nprobe` nearest of the bound
+  * centroid set. The centroid matrix rides along as a plan reference
+  * object (nlist x dim floats — a few KB), not as literal expressions.
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    IvfOps.nearest(v.asInstanceOf[ArrayData], centroids, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.IvfOps.nearest($c, $ref, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nearest_cells"
+}
+
 /** Base for binary float-vector -> double expressions with static-call
   * codegen. Spark lacks native vector similarity kernels; higher-order
   * `aggregate`/`zip_with` equivalents run interpreted per element, which
@@ -158,4 +200,7 @@ object VectorFunctions {
   def hyperplaneSigs(vec: Column, planes: Int, tables: Int, dim: Int, seed: Long): Column =
     GraftBridge.column(HyperplaneSigs(
       GraftBridge.expression(vec), planes, tables, dim, seed))
+  def nearestCells(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    GraftBridge.column(NearestCells(
+      GraftBridge.expression(vec), centroids, nprobe))
 }

@@ -4,20 +4,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
-import graft.operators.Ann
+import graft.operators.{Ann, Ivf}
 
 /** Similarity-search query surface over `embeddings` (SURVEY §7.5):
-  * exact brute-force cosine top-k and the LSH-bucketed approximate
-  * variant. Both carry the same exact-top-k oracle: the testdata's
-  * nearest neighbors sit near the background cosine (the hyperplane
-  * worst case), so q27 passes a few-planes/many-tables RECALL
-  * configuration (planes=6, tables=24, radius-1 probe) explicitly at the
-  * query site; on the gate's data this reproduces the exact top-k
-  * verbatim (LshRecallSpec asserts lsh == exact on the same data and
+  * exact brute-force cosine top-k plus BOTH approximate scale paths —
+  * LSH-bucketed and IVF (inverted-file).
+  *
+  * q26/q27 carry the same exact-top-k oracle: the testdata's nearest
+  * neighbors sit near the background cosine (the hyperplane worst
+  * case), so q27 passes a few-planes/many-tables RECALL configuration
+  * (planes=6, tables=24, radius-1 probe) explicitly at the query site;
+  * on the gate's data this reproduces the exact top-k verbatim
+  * (LshRecallSpec asserts lsh == exact on the same data and
   * parameters), and candidates are ranked by the same exact cosine
   * kernel. The operator's shipped defaults instead target realistic
   * cos ≥ 0.95 neighbors, where LSH prunes ~240× (see
   * [[graft.operators.Ann]]'s parameter math).
+  *
+  * q39 (IVF) is a rows-only check: its coarse quantizer is LEARNED from
+  * the data (spherical k-means), so no closed-form SQL twin exists, and
+  * on this clusterless corpus partial recall at nprobe < nlist is the
+  * documented trade — IvfSpec proves recall on planted clustered data
+  * and exact degeneration at nprobe = nlist.
   */
 object AnnQueries extends QueryFamily {
 
@@ -37,6 +45,13 @@ object AnnQueries extends QueryFamily {
       // selectivity, because neighbors sit near the background cosine
       Ann.lshTopK(emb, emb.filter(col("vec_id") < nQueries), k,
           planes = 6, tables = 24, probeRadius = 1)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q39_ann_topk_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ivf.ivfTopK(emb, emb.filter(col("vec_id") < nQueries), k,
+          nlist = 16, nprobe = 4)
         .orderBy("query_id", "rank")
     })
   )

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -8,9 +9,12 @@ import graft.functions.TextFunctions._
 import graft.functions.expr.HashFunctions.rollingFingerprint
 
 /** Text-analysis query surface over `documents`: language ID, quality
-  * scoring, token counting, fingerprinting (SURVEY §7.5 "text analysis").
-  * Everything except the rolling-hash fingerprint (custom kernel) has a
-  * DuckDB oracle built from the same formulas.
+  * scoring, token counting, fingerprinting (SURVEY §7.5 "text analysis"),
+  * plus q40 — the end-to-end curation pipeline a training-data run
+  * composes from those pieces (exact dedup -> language filter -> quality
+  * floor -> token-count bounds). Everything except the rolling-hash
+  * fingerprint (custom kernel) has a DuckDB oracle built from the same
+  * formulas.
   */
 object TextQueries extends QueryFamily {
 
@@ -49,7 +53,25 @@ object TextQueries extends QueryFamily {
       table(s, dir, "documents")
         .select(col("doc_id"),
           rollingFingerprint(tokens(col("text")), window = 5).as("fingerprint"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // end-to-end curation: keep the min-id doc per exact-content group
+    // (dedup as a window, ONE shuffle by fingerprint — no groupBy+join
+    // back), then filter to predicted-English docs above a quality floor
+    // within token bounds. The shape a 100 TB curation run uses verbatim.
+    "q40_curation" -> ((s, dir) => {
+      val w = Window.partitionBy(contentFingerprint(col("text"))).orderBy(col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          tokenCountWs(col("text")).as("n_tokens"),
+          qualityScore(col("text")).as("quality"),
+          langId(col("text")).as("lang_pred"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.4 &&
+          col("n_tokens").between(20, 2000))
+        .orderBy("doc_id")
+    })
   )
 
   private val norm = """REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')"""
@@ -90,7 +112,26 @@ object TextQueries extends QueryFamily {
             FROM documents ORDER BY doc_id""",
       "q31_fingerprint_md5" ->
         s"""SELECT doc_id, MD5($norm) AS fingerprint
-            FROM documents ORDER BY doc_id"""
+            FROM documents ORDER BY doc_id""",
+      "q40_curation" ->
+        s"""WITH ranked AS (
+              SELECT doc_id, lang, source, text,
+                     ROW_NUMBER() OVER (PARTITION BY MD5($norm) ORDER BY doc_id) AS rn
+              FROM documents),
+            feat AS (
+              SELECT doc_id, lang, source, text,
+                     CAST($nTokens AS BIGINT) AS n_tokens,
+                     ROUND((LEAST(LENGTH(text)::DOUBLE / 200.0, 1.0)
+                          + GREATEST(0.0, 1.0 - ($punct) * 4.0)
+                          + LEAST(($stopRatio) * 5.0, 1.0)) / 3.0, 6) AS quality
+              FROM ranked WHERE rn = 1),
+            pred AS (
+              SELECT doc_id, lang, source, n_tokens, quality, $langCase AS lang_pred
+              FROM (SELECT *, $best AS best FROM feat))
+            SELECT doc_id, lang, source, n_tokens, quality, lang_pred
+            FROM pred
+            WHERE lang_pred = 'en' AND quality >= 0.4 AND n_tokens BETWEEN 20 AND 2000
+            ORDER BY doc_id"""
     )
   }
 }
