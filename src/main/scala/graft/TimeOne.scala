@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+/** Dev scratch: time one named query at a given SF, best of N. */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0); val sfDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 2
+    val spark = SessionDefaults(SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(name)
+    val times = (1 to n).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); s
+    }
+    println(f"[timeone] $name best=${times.min}%.3f all=${times.map(t => f"$t%.2f").mkString(",")}")
+    spark.stop()
+  }
+}

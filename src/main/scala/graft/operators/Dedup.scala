@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions._
 import graft.functions.expr.HashFunctions._
@@ -91,20 +92,27 @@ object Dedup {
     * Scale shape: the join key is the 64-bit shingle hash (8-byte
     * shuffle keys, not n-gram strings); document frequency is a window
     * over the shkey exchange and per-doc rank a window over the id
-    * exchange, so the shingling kernel (the most expensive expression
-    * here) is evaluated once below the first exchange and every consumer
-    * reuses it (ReuseExchange) — no persist/unpersist lifecycle.
-    * Verification intersects per-doc HASHED-key arrays rebuilt from the
-    * same id exchange (8-byte elements, no kernel re-eval); per-window
+    * exchange. The shingling kernel (the most expensive expression here)
+    * feeds four structurally DIFFERENT consumers after column pruning
+    * (both prefix join sides, both verification set joins), which defeats
+    * exchange reuse — so its output is persisted spill-safe
+    * (MEMORY_AND_DISK) and evaluated exactly once; callers release the
+    * block with `spark.catalog.clearCache()` after their action (the
+    * Bench/Verify harnesses do). Verification intersects per-doc
+    * HASHED-key arrays (8-byte elements, no kernel re-eval); per-window
     * buffering is bounded by a single document's shingle count.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // persist the exploded HASHED rows, not the shingle arrays: three
+    // narrow columns cache far cheaper than array<string>, and every
+    // consumer reads exactly this shape
     val inv = shingled(docs, idCol, textCol, n)
       .select(col("id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("sh"))
       .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("shkey"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // df via a window, not groupBy+join: every consumer below then shares
     // one identical Exchange(shkey) subtree, which ReuseExchange computes
     // once — with the groupBy+join form the partial aggregate sat under
@@ -157,7 +165,11 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
+    // three consumers (signature path + both verification joins) with
+    // different prunings — persist so the shingle kernel runs once; the
+    // caller's clearCache() releases it (see ngramJaccardPairs)
     val sets = shingled(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sig = sets.select(col("id"),
       minhashSignature(col("shingles"), numHashes, seed).as("sig"))
     // one row per (band, bucket): bucket key = xxhash64 of the band slice.

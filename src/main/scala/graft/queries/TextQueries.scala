@@ -71,7 +71,28 @@ object TextQueries extends QueryFamily {
         .filter(col("lang_pred") === "en" && col("quality") >= 0.4 &&
           col("n_tokens").between(20, 2000))
         .orderBy("doc_id")
-    })
+    }),
+
+    // deterministic stratified downsampling: the keep-decision is a pure
+    // function of (doc_id, salt) — reproducible across runs, engines, and
+    // cluster layouts (no RNG state), trivially parallel, and the rate is
+    // a per-stratum hex threshold (en kept at 16/64, others at 3/4 here,
+    // balancing the corpus toward minority languages)
+    "q41_sample_stratified" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("bucket",
+          substring(md5(concat(col("doc_id").cast("string"), lit(":graft"))), 1, 2))
+        .filter(col("bucket") < when(col("lang") === "en", "40").otherwise("c0"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")),
+
+    // corpus stats: token-count histogram in width-10 buckets — partial
+    // aggregation makes this one tiny shuffle regardless of corpus size
+    "q42_token_histogram" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select((floor(tokenCountWs(col("text")) / 10) * 10).cast("long").as("bucket_lo"))
+        .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_lo"))
   )
 
   private val norm = """REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')"""
@@ -131,7 +152,19 @@ object TextQueries extends QueryFamily {
             SELECT doc_id, lang, source, n_tokens, quality, lang_pred
             FROM pred
             WHERE lang_pred = 'en' AND quality >= 0.4 AND n_tokens BETWEEN 20 AND 2000
-            ORDER BY doc_id"""
+            ORDER BY doc_id""",
+      "q41_sample_stratified" ->
+        """SELECT doc_id, lang, bucket FROM (
+             SELECT doc_id, lang,
+                    SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 2) AS bucket
+             FROM documents)
+           WHERE bucket < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
+           ORDER BY doc_id""",
+      "q42_token_histogram" ->
+        s"""SELECT CAST(FLOOR(($nTokens) / 10) * 10 AS BIGINT) AS bucket_lo,
+                   COUNT(*) AS n_docs
+            FROM documents
+            GROUP BY 1 ORDER BY bucket_lo"""
     )
   }
 }
