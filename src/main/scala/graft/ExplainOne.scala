@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev scratch: print a structural summary of a named query's optimized plan. */
+object ExplainOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0); val sfDir = args(1)
+    val spark = SessionDefaults(SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val p = df.queryExecution.optimizedPlan.toString
+    val phys = df.queryExecution.sparkPlan.toString
+    println("=== scans: " + phys.linesIterator.count(_.contains("Scan parquet")))
+    println("=== exchanges: " + phys.linesIterator.count(_.trim.startsWith("Exchange") ))
+    println("=== broadcasts: " + phys.linesIterator.count(_.contains("BroadcastExchange")))
+    phys.linesIterator.filter(l => l.contains("Join") || l.contains("Scan parquet"))
+      .foreach(l => println(l.take(150)))
+    spark.stop()
+  }
+}
