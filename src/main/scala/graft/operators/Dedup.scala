@@ -220,6 +220,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Collapse near-dup PAIRS into clusters and elect a representative:
+    * connected components by iterative min-label propagation, returning
+    * one (member_id, keep_id) row per vertex with keep_id = the minimum
+    * id in the component.
+    *
+    * Pair-emitting operators ([[ngramJaccardPairs]], [[minhashLshPairs]],
+    * [[embeddingNearDupLsh]]) answer "which documents are near-dups";
+    * a curation run needs the KEEP-LIST — this is the bridge.
+    *
+    * Scale shape: each round is one join + one min-aggregate, both keyed
+    * by vertex id; rounds needed = component diameter. Components built
+    * from near-dup pair output are cliques or near-cliques (every member
+    * pairs with most others), so propagation converges in 1-2 rounds;
+    * `maxIters` bounds pathological chains (a chain of length > maxIters
+    * would need the large-star/small-star variant instead). Per round the
+    * frontier is persisted and the previous one released — no lineage
+    * blowup, bounded storage; callers release the final frame's block
+    * with `clearCache()` after their action (as Bench/Verify do).
+    */
+  def nearDupGroups(
+      pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val e = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      // each vertex takes the min label over itself and its neighbors
+      val next = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("member_id"), col("label").as("keep_id"))
+  }
+
   /** Exact embedding-cosine near-dup pairs (ground truth; all-pairs via a
     * broadcast nested-loop — use ONLY at verification scale or as the
     * within-bucket kernel of [[embeddingNearDupLsh]]).

@@ -60,12 +60,28 @@ object DedupQueries extends QueryFamily {
       // selectivity, because the data's qualifying pairs sit at cos ≈ 0.5
       Dedup.embeddingNearDupLsh(table(s, dir, "embeddings"),
           threshold = cosineThreshold, planes = 6, tables = 24, probeRadius = 1)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // pairs -> keep-list: connected components over the exact near-dup
+    // pairs, every document mapped to its cluster representative
+    // (singletons keep themselves)
+    "q43_dedup_groups" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val groups = Dedup.nearDupGroups(
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"),
+          n = shingleN, threshold = jaccardThreshold))
+      docs.join(groups, docs("doc_id") === groups("member_id"), "left")
+        .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
+        .orderBy("doc_id")
+    })
   )
 
-  /** Shared exact-Jaccard SQL (ground truth for q21 and q23). */
-  private val jaccardSql: String =
-    s"""WITH toks AS (
+  /** Exact-Jaccard pair CTEs (shared by the pair oracles and q43's
+    * connected-components closure). Yields a `jpairs(id_a, id_b,
+    * jaccard)` relation.
+    */
+  private val jaccardCtes: String =
+    s"""toks AS (
           SELECT doc_id,
                  STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t
           FROM documents),
@@ -77,14 +93,37 @@ object DedupQueries extends QueryFamily {
         common AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT id_a, id_b,
-               ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-        FROM common
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= $jaccardThreshold
-        ORDER BY id_a, id_b"""
+          GROUP BY 1, 2),
+        jpairs AS (
+          SELECT id_a, id_b,
+                 ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= $jaccardThreshold)"""
+
+  /** Shared exact-Jaccard SQL (ground truth for q21 and q23). */
+  private val jaccardSql: String =
+    s"""WITH $jaccardCtes
+        SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b"""
+
+  /** q43: transitive closure of the near-dup pairs (connected
+    * components), representative = min id; singletons keep themselves.
+    */
+  private val groupsSql: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM jpairs
+          UNION SELECT id_b, id_a FROM jpairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT d.doc_id,
+               CAST(COALESCE(LEAST(MIN(r.dst), d.doc_id), d.doc_id) AS BIGINT) AS keep_id
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id"""
 
   /** Exact-cosine SQL structured to fold identically to the engine kernel:
     * dot/(sqrt(aa)*sqrt(bb)), sequential double accumulation.
@@ -110,6 +149,7 @@ object DedupQueries extends QueryFamily {
          ORDER BY keep_id""",
     "q21_dedup_minhash_lsh" -> jaccardSql,
     "q23_dedup_ngram_jaccard" -> jaccardSql,
+    "q43_dedup_groups" -> groupsSql,
     "q24_dedup_embedding" -> embeddingSql,
     "q25_dedup_embedding_lsh" -> embeddingSql
   )

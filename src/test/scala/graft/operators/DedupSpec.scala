@@ -61,6 +61,17 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("nearDupGroups: components collapse to min-id reps, chains converge") {
+    // components: {0,1}, {2,3}, and the 4-node CHAIN 7-8-9-10 (diameter
+    // 3 — exercises multi-round propagation, not just one hop)
+    val pairs = Seq((0L, 1L), (2L, 3L), (7L, 8L), (8L, 9L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val groups = Dedup.nearDupGroups(pairs).collect()
+      .map(r => (r.getAs[Long]("member_id"), r.getAs[Long]("keep_id"))).toMap
+    assert(groups == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L))
+  }
+
   test("simhashPairs: near-identical docs collide within small hamming") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 16).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
