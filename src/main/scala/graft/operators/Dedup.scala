@@ -246,8 +246,12 @@ object Dedup {
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with the 1-hop minimum (min over self + direct neighbors):
+    // clique-shaped components — the common near-dup case — then converge
+    // on the FIRST verification round instead of needing a propagation
+    // round before it
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var it = 0
