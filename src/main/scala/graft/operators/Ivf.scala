@@ -96,6 +96,63 @@ object Ivf {
     cents
   }
 
+  /** Persist an IVF index: the corpus written as parquet PARTITIONED BY
+    * its Voronoi cell, plus the centroid matrix (one row per centroid)
+    * alongside it. A search against the index reads only the probed
+    * cells' directories — partition pruning at the file listing level,
+    * the on-disk analogue of probing `nprobe/nlist` of the corpus. This
+    * is the deployment shape for a static 100 TB corpus serving many
+    * query batches: quantizer cost is paid once at build time.
+    */
+  def writeIndex(
+      corpus: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 16, iters: Int = 3, seed: Long = 42L,
+      sampleOneIn: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters, seed, sampleOneIn)
+    corpus
+      .withColumn("cell", element_at(nearestCells(col(vecCol), cents, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Top-k against a [[writeIndex]] directory: probe cells come from the
+    * stored centroids, and the union of probed cells is pushed as a
+    * STATIC `cell IN (...)` filter on the partition column, so unprobed
+    * cell directories never enter the scan's file listing. (The probe
+    * set is collected on the driver — it is at most queries × nprobe
+    * smallints, and the centroid matrix is already driver-resident.)
+    */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(nearestCells(col("qvec"), cents, nprobe)))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
+    val candidates = c.join(broadcast(q),
+        c("cell") === q("cell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** IVF top-k: train the quantizer, assign each corpus row to its ONE
     * nearest cell, probe each query's `nprobe` nearest cells, exact
     * cosine within probed cells, per-query top-k. Corpus rows live in

@@ -56,6 +56,36 @@ class IvfSpec extends SparkTestBase {
     assert(ivf == exact)
   }
 
+  test("persisted index reproduces in-memory ivfTopK and prunes unprobed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    // a SMALL query batch so the probed-cell union stays well below nlist
+    // and pruning is observable, not just present
+    val queries = corpus.filter(col("vec_id").isin(0L, perCluster.toLong))
+    Ivf.writeIndex(corpus, dir, nlist = 16, iters = 3, seed = 42L)
+    val viaIndex = Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 2)
+    val inMemory = Ivf.ivfTopK(corpus, queries, k = 5, nlist = 16, nprobe = 2,
+      iters = 3, seed = 42L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(rows(viaIndex) == rows(inMemory))
+    // the probed-cell set must prune the corpus scan down to the probed
+    // partitions: PartitionFilters carries `cell INSET ...` with at most
+    // queries x nprobe cells, strictly fewer than nlist
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("FileScan parquet"))
+      .getOrElse(fail(s"no FileScan in plan:\n${plan.take(1500)}"))
+    val pf = """PartitionFilters: \[([^\]]*)""".r.findFirstMatchIn(scanLine)
+      .map(_.group(1)).getOrElse(fail(s"no PartitionFilters in scan: $scanLine"))
+    // small probe sets print as `cell IN (...)`, larger ones as
+    // `cell INSET ...` — accept either, but the listed cell count must
+    // stay <= queries x nprobe
+    val nCells = """cell#\d+ IN(?:SET)? \(?([0-9, ]+)""".r.findFirstMatchIn(pf)
+      .map(_.group(1).split(",").length).getOrElse(0)
+    assert(nCells > 0, s"no cell pruning predicate in: $pf")
+    assert(nCells <= 4 && nCells < 16, s"expected <=4 probed cells, scan lists $nCells in: $pf")
+  }
+
   test("trainCentroids is deterministic and returns unit-norm centroids") {
     val a = Ivf.trainCentroids(corpus, nlist = 8, iters = 2, seed = 7L)
     val b = Ivf.trainCentroids(corpus, nlist = 8, iters = 2, seed = 7L)
