@@ -113,12 +113,14 @@ object Dedup {
         explode(col("shingles")).as("sh"))
       .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("shkey"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // df via a window, not groupBy+join: every consumer below then shares
-    // one identical Exchange(shkey) subtree, which ReuseExchange computes
-    // once — with the groupBy+join form the partial aggregate sat under
-    // its own exchange and the kernel ran ~5x.
-    val keyed = inv.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("shkey")))
+    // df via groupBy+join, NOT a window: a window partitioned by shkey
+    // buffers every row of a hot (boilerplate) shingle in one task with
+    // no skew mitigation, while the aggregate combines map-side and the
+    // skewed join is AQE-splittable. The persisted `inv` already
+    // guarantees the kernel runs once, which is what the window form was
+    // buying before.
+    val dfreq = inv.groupBy("shkey").agg(count(lit(1)).as("df"))
+    val keyed = inv.join(dfreq, "shkey")
     // global rarity rank within each doc; (df, shkey) is a strict total
     // order because shkey is unique per distinct shingle
     val ranked = keyed.withColumn("pos", row_number().over(
