@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.functions.expr.MarkerFunctions.markerCounts
+
 /** Text-analysis column functions for the documents pipeline — all
   * composed from built-in (codegen'd / vectorizable) expressions so the
   * same logic is expressible in the ANSI-SQL oracle. Custom Catalyst
@@ -55,12 +57,13 @@ object TextFunctions {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "for", "on", "with", "as", "at", "by", "be", "this", "that", "are")
 
-  /** fraction of whitespace tokens that are in `words`. */
+  /** fraction of whitespace tokens that are in `words` (single-pass
+    * codegen'd kernel — see [[graft.functions.expr.MarkerCounts]]).
+    */
   def wordSetRatio(c: Column, words: Seq[String]): Column = {
     val t = tokens(c)
-    val set = array(words.map(lit): _*)
-    when(size(t) === 0, 0.0).otherwise(
-      size(filter(t, x => array_contains(set, x))).cast("double") / size(t))
+    val cnt = element_at(markerCounts(t, Seq(words)), 1)
+    when(size(t) === 0, 0.0).otherwise(cnt.cast("double") / size(t))
   }
 
   def stopwordRatio(c: Column): Column = wordSetRatio(c, stopwordsEn)
@@ -87,10 +90,13 @@ object TextFunctions {
     "es" -> Seq("el", "los", "las", "es", "una"))
 
   def langId(c: Column): Column = {
-    val t = tokens(c)
-    val counts = langMarkers.map { case (lang, words) =>
-      val set = array(words.map(lit): _*)
-      lang -> size(filter(t, x => array_contains(set, x)))
+    // ALL languages' marker counts in one token pass (codegen'd kernel;
+    // repeated references below dedupe via codegen subexpression
+    // elimination) — the HOF form re-walked the tokens per language,
+    // interpreted
+    val cnts = markerCounts(tokens(c), langMarkers.map(_._2))
+    val counts = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(cnts, i + 1)
     }
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     // first language (in langMarkers order) achieving the max count wins
