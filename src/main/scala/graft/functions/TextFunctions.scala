@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.expr.MarkerFunctions.markerCounts
+import graft.functions.expr.ShingleFunctions
 
 /** Text-analysis column functions for the documents pipeline — all
   * composed from built-in (codegen'd / vectorizable) expressions so the
@@ -32,7 +33,9 @@ object TextFunctions {
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
   /** word n-gram shingles (space-joined) of the normalized text; empty
-    * array when fewer than n tokens.
+    * array when fewer than n tokens. Declarative REFERENCE form (with
+    * multiplicity) — the production path is [[shingleSet]]'s compiled
+    * kernel, which ShingleKernelSpec asserts element-equal to this.
     */
   def wordShingles(c: Column, n: Int): Column = {
     val t = tokens(c)
@@ -42,8 +45,11 @@ object TextFunctions {
         i => array_join(slice(t, i, lit(n)), " ")))
   }
 
-  /** distinct shingle set (order-insensitive) for Jaccard math. */
-  def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))
+  /** distinct shingle set (order-insensitive) for Jaccard math —
+    * single-pass codegen'd kernel ([[graft.functions.expr.ShingleSet]]).
+    */
+  def shingleSet(c: Column, n: Int): Column =
+    ShingleFunctions.shingleSet(tokens(c), n)
 
   /** characters that are neither alnum nor whitespace, over total chars. */
   def punctRatio(c: Column): Column = {

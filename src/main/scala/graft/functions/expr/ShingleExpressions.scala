@@ -1,0 +1,68 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word-n-gram shingle kernel — the single most expensive
+  * expression of the dedup family, compiled.
+  *
+  * The declarative form (`transform(sequence(...), i -> array_join(
+  * slice(tokens, i, n), ' '))` + `array_distinct`) runs as interpreted
+  * CodegenFallback higher-order functions: per shingle it materializes a
+  * slice, joins it, and boxes through the HOF lambda machinery, then
+  * array_distinct re-walks the result. This kernel makes ONE pass over
+  * the token array, emitting each shingle as a single `UTF8String.concat`
+  * into a hash set, inside whole-stage codegen. Output ELEMENTS are
+  * identical (space-joined n-grams, first-occurrence order) so every
+  * downstream consumer — explode/xxhash inverted index, minhash
+  * signatures, Jaccard verification, the DuckDB `t[i] || ' ' || ...`
+  * oracle — is unaffected.
+  */
+object ShingleOps {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def shingleSet(tokens: ArrayData, n: Int): ArrayData = {
+    val count = tokens.numElements() - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](2 * n - 1)
+    var j = 0
+    while (j < n - 1) { parts(2 * j + 1) = SPACE; j += 1 }
+    var i = 0
+    while (i < count) {
+      var k = 0
+      while (k < n) { parts(2 * k) = tokens.getUTF8String(i + k); k += 1 }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** shingle_set(tokens: array<string>) -> array<string>: distinct
+  * space-joined n-grams, first-occurrence order.
+  */
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.shingleSet(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.ShingleOps.shingleSet($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "shingle_set"
+}
+
+object ShingleFunctions {
+  def shingleSet(tokens: Column, n: Int): Column =
+    GraftBridge.column(ShingleSet(GraftBridge.expression(tokens), n))
+}
