@@ -87,6 +87,32 @@ object HyperplaneOps {
   }
 }
 
+/** bucket_probes(sig) -> array<long>: the signature itself plus its
+  * `planes` radius-1 bit flips — the multi-probe bucket list. A compiled
+  * one-call replacement for the `transform(flips, m -> sig ^ m)` HOF,
+  * which runs interpreted per (row, table) over the probed join side.
+  */
+object ProbeOps {
+  def probes(sig: Long, planes: Int): ArrayData = {
+    val out = new Array[Long](planes + 1)
+    out(0) = sig
+    var p = 0
+    while (p < planes) { out(p + 1) = sig ^ (1L << p); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class BucketProbes(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ProbeOps.probes(v.asInstanceOf[Long], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.ProbeOps.probes($c, $planes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "bucket_probes"
+}
+
 /** hyperplane_sigs(vec: array<float>) -> array<long>: the LSH signature of
   * `vec` in each of `tables` independent hash tables.
   */
@@ -203,4 +229,6 @@ object VectorFunctions {
   def nearestCells(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     GraftBridge.column(NearestCells(
       GraftBridge.expression(vec), centroids, nprobe))
+  def bucketProbes(sig: Column, planes: Int): Column =
+    GraftBridge.column(BucketProbes(GraftBridge.expression(sig), planes))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.expr.VectorFunctions.{cosineSim, hyperplaneSigs}
+import graft.functions.expr.VectorFunctions.{bucketProbes, cosineSim, hyperplaneSigs}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
@@ -57,11 +57,7 @@ object Ann {
       .select(keep :+ posexplode(col("sigs")).as(Seq("table", "sig")): _*)
     val bucketed =
       if (probeRadius == 0) sigRows.withColumn("bucket", col("sig"))
-      else {
-        val flips = array((0 until planes).map(p => lit(1L << p)): _*)
-        sigRows.withColumn("bucket",
-          explode(concat(array(col("sig")), transform(flips, m => col("sig").bitwiseXOR(m)))))
-      }
+      else sigRows.withColumn("bucket", explode(bucketProbes(col("sig"), planes)))
     bucketed.drop("sig")
   }
 
