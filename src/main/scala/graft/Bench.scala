@@ -20,7 +20,8 @@ object Bench {
     * else is scan-agg-join shaped. Heavy family runs last.
     */
   private def isHeavy(name: String): Boolean =
-    (name >= "q20" && name < "q28") || name.startsWith("q43")
+    (name >= "q20" && name < "q28") ||
+      name.startsWith("q39") || name.startsWith("q43")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -40,40 +40,37 @@ object VectorOps {
 }
 
 /** Random-hyperplane LSH kernel: per-table sign-bit signatures computed in
-  * ONE pass over the vector, with the hyperplane matrices generated
-  * deterministically from (seed, table) and cached per JVM (driver and
-  * executors each materialize them once on first use — nothing is
-  * serialized into the plan, unlike literal-array hyperplanes, which at
-  * tables x planes x dim floats bloat codegen and planning).
+  * ONE pass over the vector. The hyperplane matrices are generated
+  * deterministically from (seed, table) ONCE per expression instance and
+  * ride the plan as a reference object — no per-row cache lookups in the
+  * kernel, and no literal-array hyperplanes (which at tables x planes x
+  * dim floats bloat codegen and planning).
   */
 object HyperplaneOps {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
-
   /** planes x dim hyperplane matrix for hash table `t`, deterministic in
     * (seed, t): splitmix64 stream mapped to [-1, 1).
     */
-  def planesFor(planes: Int, dim: Int, seed: Long, t: Int): Array[Array[Float]] =
-    cache.computeIfAbsent(s"$planes:$dim:$seed:$t", _ => {
-      var s = seed + 0x632be59bd9b4e019L * (t + 1)
-      def next(): Long = { s += 0x9e3779b97f4a7c15L; TextHashOps.fmix64(s) }
-      Array.fill(planes)(Array.fill(dim)(
-        ((next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat))
-    })
+  def planesFor(planes: Int, dim: Int, seed: Long, t: Int): Array[Array[Float]] = {
+    var s = seed + 0x632be59bd9b4e019L * (t + 1)
+    def next(): Long = { s += 0x9e3779b97f4a7c15L; TextHashOps.fmix64(s) }
+    Array.fill(planes)(Array.fill(dim)(
+      ((next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat))
+  }
 
   /** One signature per hash table: bit p of sigs[t] = [dot(vec, plane_{t,p}) > 0].
     * Accumulation matches [[VectorOps.dot]] (double, left-to-right).
+    * `hp` is the pre-resolved tables x planes x dim matrix stack.
     */
-  def sigs(vec: ArrayData, planes: Int, tables: Int, dim: Int, seed: Long): ArrayData = {
-    val out = new Array[Long](tables)
+  def sigs(vec: ArrayData, hp: Array[Array[Array[Float]]], dim: Int): ArrayData = {
+    val out = new Array[Long](hp.length)
+    val n = math.min(vec.numElements(), dim)
     var t = 0
-    while (t < tables) {
-      val hp = planesFor(planes, dim, seed, t)
+    while (t < hp.length) {
+      val tbl = hp(t)
       var sig = 0L
       var p = 0
-      while (p < planes) {
-        val row = hp(p)
-        val n = math.min(vec.numElements(), dim)
+      while (p < tbl.length) {
+        val row = tbl(p)
         var s = 0.0
         var i = 0
         while (i < n) { s += vec.getFloat(i).toDouble * row(i).toDouble; i += 1 }
@@ -118,13 +115,17 @@ case class BucketProbes(child: Expression, planes: Int) extends UnaryExpression 
   */
 case class HyperplaneSigs(child: Expression, planes: Int, tables: Int, dim: Int, seed: Long)
     extends UnaryExpression {
+  @transient private lazy val hp: Array[Array[Array[Float]]] =
+    Array.tabulate(tables)(t => HyperplaneOps.planesFor(planes, dim, seed, t))
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any =
-    HyperplaneOps.sigs(v.asInstanceOf[ArrayData], planes, tables, dim, seed)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expr.HyperplaneOps.sigs($c, $planes, $tables, $dim, ${seed}L)")
+    HyperplaneOps.sigs(v.asInstanceOf[ArrayData], hp, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplanes", hp, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.HyperplaneOps.sigs($c, $ref, $dim)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "hyperplane_sigs"
 }

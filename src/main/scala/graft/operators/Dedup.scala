@@ -270,6 +270,12 @@ object Dedup {
       labels = next
       it += 1
     }
+    // refuse to return a silently-wrong keep-list: a component with
+    // diameter > maxIters has unconverged labels
+    require(changed == 0,
+      s"nearDupGroups did not converge in $maxIters rounds ($changed labels " +
+        "still changing) — a component's diameter exceeds maxIters; raise it " +
+        "or pre-collapse with exactGroups")
     labels.select(col("id").as("member_id"), col("label").as("keep_id"))
   }
 

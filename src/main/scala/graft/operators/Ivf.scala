@@ -141,16 +141,7 @@ object Ivf {
     val c = spark.read.parquet(s"$dir/corpus")
       .filter(col("cell").isin(probed.map(Int.box): _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
-    val candidates = c.join(broadcast(q),
-        c("cell") === q("cell") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineSim(col("qvec"), col("cvec")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    cellTopK(c, q, k)
   }
 
   /** IVF top-k: train the quantizer, assign each corpus row to its ONE
@@ -169,6 +160,15 @@ object Ivf {
       .withColumn("cell", element_at(nearestCells(col("cvec"), cents, 1), 1))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("cell", explode(nearestCells(col("qvec"), cents, nprobe)))
+    cellTopK(c, q, k)
+  }
+
+  /** Shared search tail for the in-memory and persisted-index paths:
+    * probed-cell broadcast join, exact cosine, per-query top-k. One
+    * definition so the two paths cannot silently diverge (IvfSpec asserts
+    * them equal).
+    */
+  private def cellTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val candidates = c.join(broadcast(q),
         c("cell") === q("cell") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -27,15 +27,16 @@ object EventQueries extends QueryFamily {
 
   private val gapMinutes = 30
 
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
-  }
-
-  /** Stage `events` as a parquet directory once per sfDir; reused. */
+  /** Stage `events` as a parquet directory once per SOURCE STATE: the
+    * stage name fingerprints the absolute path plus the source file's
+    * (length, mtime), so regenerated testdata restages instead of
+    * silently replaying a stale copy, and distinct paths cannot alias.
+    */
   private def stagedEventsDir(s: SparkSession, dir: String): String = {
-    val stage = new File(sys.props("java.io.tmpdir"),
-      s"graft_events_stage_${math.abs(dir.hashCode)}")
+    val src = new File(s"$dir/events.parquet")
+    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      s"${src.getAbsolutePath}:${src.length()}:${src.lastModified()}").take(16)
+    val stage = new File(sys.props("java.io.tmpdir"), s"graft_events_stage_$key")
     if (!new File(stage, "_SUCCESS").exists()) {
       graft.Tables.events(s, dir).write.mode("overwrite").parquet(stage.toString)
     }
@@ -44,9 +45,10 @@ object EventQueries extends QueryFamily {
 
   /** Fixed per-(query, sfDir) output dir, wiped before each run. */
   private def freshResultDir(tag: String, dir: String): String = {
-    val d = new File(sys.props("java.io.tmpdir"),
-      s"graft_stream_${tag}_${math.abs(dir.hashCode)}")
-    if (d.exists()) deleteRecursively(d)
+    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      new File(dir).getAbsolutePath).take(16)
+    val d = new File(sys.props("java.io.tmpdir"), s"graft_stream_${tag}_$key")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
     d.toString
   }
 
@@ -110,10 +112,11 @@ object EventQueries extends QueryFamily {
                  ROUND(SUM(value), 2) AS sum_value
           FROM numbered GROUP BY user_id, session_seq
           ORDER BY user_id, session_seq""",
-    // streaming sessionize emits a session when (a) a later event for the
-    // user opens the next session (closed by successor), or (b) its
-    // event-time timeout (session_end + gap) passes the final watermark
-    // (max ts - 30 min). Open tail sessions stay in state — not emitted.
+    // streaming sessionize (session_window-style append semantics) emits
+    // a session iff the final watermark (max ts - 30 min) strictly passes
+    // its gap deadline (session_end + gap) — only then can no
+    // watermark-legal event still extend or bridge it. Sessions whose
+    // deadline the watermark never passes stay in state — not emitted.
     "q38_events_sessionize_stream" ->
       s"""WITH flagged AS (
             SELECT user_id, ts, value,
@@ -129,7 +132,6 @@ object EventQueries extends QueryFamily {
             FROM flagged),
           sessions AS (
             SELECT user_id, session_seq,
-                   MAX(session_seq) OVER (PARTITION BY user_id) AS max_seq,
                    COUNT(*) AS n_events, MIN(ts) AS s_start, MAX(ts) AS s_end,
                    ROUND(SUM(value), 2) AS sum_value
             FROM numbered GROUP BY user_id, session_seq)
@@ -138,8 +140,7 @@ object EventQueries extends QueryFamily {
                  STRFTIME(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
                  n_events, sum_value
           FROM sessions
-          WHERE session_seq < max_seq
-             OR s_end + INTERVAL $gapMinutes MINUTE
+          WHERE s_end + INTERVAL $gapMinutes MINUTE
                   < (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)
           ORDER BY user_id, session_start"""
   )

@@ -95,6 +95,7 @@ object EventStreams {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class OpenSessions(sessions: Seq[SessionState])
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_value: Double)
 
@@ -129,9 +130,22 @@ object EventStreams {
   }
 
   /** Streaming sessionization with explicit state — the
-    * `flatMapGroupsWithState` form of [[sessionize]]: per-user state holds
-    * the open session; an event past the gap emits the closed session and
-    * opens a new one. EventTimeTimeout + watermark bound state size.
+    * `flatMapGroupsWithState` form of [[sessionize]].
+    *
+    * Per-user state holds ALL sessions still inside the watermark horizon
+    * as a start-sorted interval list; each batch folds the (sorted)
+    * existing sessions and incoming events through one gaps-and-islands
+    * merge, so a watermark-legal late event can extend a session on
+    * either side or BRIDGE two previously-separate sessions — exactly the
+    * batch twin's semantics, incrementally. A session is emitted only
+    * once the watermark passes `session_end + gap` (the same append-mode
+    * rule as Spark's native `session_window`): only then can no legal
+    * event still extend or bridge it. Closing on the mere existence of a
+    * later session would be premature — a late bridge event may yet merge
+    * the two. State is bounded: sessions whose gap deadline the watermark
+    * passed are emitted and dropped, so per user it holds only the
+    * sessions of the last (watermark delay + gap) window; both the data
+    * and timeout paths share the single merge-evict-emit code path.
     */
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -139,46 +153,33 @@ object EventStreams {
     events
       .withWatermark("ts", "30 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[OpenSessions, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get; state.remove()
-            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // in-gap event, including a watermark-legal late one that
-                // PRECEDES the open session's start: widen both bounds
-                case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
-                    s.n + 1, s.sum + e.value))
-                // late event more than a gap BEFORE the open session: it
-                // belongs to an earlier, already-over session — emit it
-                // immediately rather than corrupting the open one
-                case Some(s) if t < s.start - gapMs =>
-                  closed ::= Session(user, new Timestamp(t), new Timestamp(t), 1, e.value)
-                case Some(s) =>
-                  closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // the timeout must sit strictly above the current watermark
-              // or Spark throws — a session whose gap deadline the
-              // watermark already passed times out at the next tick
-              state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.reverseIterator
+        (user: Long, rows: Iterator[Event], state: GroupState[OpenSessions]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val incoming = rows.map(e =>
+            SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)).toSeq
+          val merged = (existing ++ incoming).sortBy(s => (s.start, s.last))
+            .foldLeft(List.empty[SessionState]) {
+              case (cur :: acc, s) if s.start - cur.last <= gapMs =>
+                SessionState(cur.start, math.max(cur.last, s.last),
+                  cur.n + s.n, cur.sum + s.sum) :: acc
+              case (acc, s) => s :: acc
+            }.reverse
+          // emit iff the deadline is strictly below the watermark —
+          // mirrors Spark's timeout condition (timeoutTimestamp < wm)
+          val (expired, open) = merged.partition(_.last + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            // earliest remaining deadline, clamped strictly above the
+            // watermark (Spark rejects timeouts at/below it)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.last + gapMs).min, wm + 1))
           }
+          expired.iterator.map(s =>
+            Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
       }
   }
 }

@@ -10,15 +10,16 @@ import graft.streaming.EventStreams.{Event, Session}
 
 /** Multi-micro-batch behavior of [[EventStreams.sessionizeStream]] —
   * the AvailableNow harness queries (q38) drain the input in ONE batch,
-  * so the cross-batch late-event branches only execute here:
+  * so the cross-batch paths only execute here:
   *
-  *   - a watermark-legal late event BEFORE the open session's start but
-  *     within the gap must widen the session start (not corrupt it);
-  *   - a watermark-legal late event more than a gap before the open
-  *     session belongs to an earlier, closed-by-time session and is
-  *     emitted as its own singleton session;
-  *   - a session whose gap deadline the watermark already passed times
-  *     out rather than throwing on a below-watermark timeout timestamp.
+  *   - a watermark-legal late event before the open session's start
+  *     widens the session (not corrupts it);
+  *   - consecutive late events sessionize together (one session, not
+  *     per-event singletons);
+  *   - a late event can BRIDGE two previously-separate sessions into one;
+  *   - emission follows the session_window append rule: a session is
+  *     output only once the watermark strictly passes end + gap, via a
+  *     timeout clamped above the watermark (no below-watermark errors).
   */
 class SessionizeStreamSpec extends SparkTestBase {
 
@@ -42,30 +43,46 @@ class SessionizeStreamSpec extends SparkTestBase {
   test("watermark-legal late event before session start widens the session") {
     // b1 opens 10:00-10:05 (watermark after b1 = 09:35); b2's 09:50 is
     // legal and within the gap BEFORE the start -> start must move to
-    // 09:50; b3's 13:00 is past the gap -> closes the widened session
+    // 09:50; b3's 13:00 advances the watermark past the gap deadline
     val out = run(gapMinutes = 30)(
       Seq(Event(1, ts("10:00"), 1L, "c", 1.0), Event(2, ts("10:05"), 1L, "c", 1.0)),
       Seq(Event(3, ts("09:50"), 1L, "c", 1.0)),
       Seq(Event(4, ts("13:00"), 1L, "c", 1.0)))
-    val closed = out.filter(_.n_events == 3)
-    assert(closed.map(s => (s.session_start, s.session_end)) ==
+    val widened = out.filter(_.n_events == 3)
+    assert(widened.map(s => (s.session_start, s.session_end)) ==
       Seq((ts("09:50"), ts("10:05"))), s"got $out")
   }
 
-  test("late event more than a gap before the open session emits a singleton") {
+  test("consecutive late events sessionize together, not as singletons") {
     // gap 10 < watermark delay 30: b1 opens at 12:00 (watermark 11:30);
-    // b2's 11:40 is watermark-legal but > gap before the session start —
-    // it must NOT merge into (or corrupt) the open session
+    // b2's 11:31 and 11:36 are watermark-legal and > gap before 12:00 —
+    // they must form ONE 2-event session (the batch twin's answer), which
+    // emits once b3 pushes the watermark past its 11:46 deadline
     val out = run(gapMinutes = 10)(
       Seq(Event(1, ts("12:00"), 1L, "c", 1.0)),
-      Seq(Event(2, ts("11:40"), 1L, "c", 1.0)))
-    assert(out.contains(Session(1L, ts("11:40"), ts("11:40"), 1, 1.0)), s"got $out")
+      Seq(Event(2, ts("11:31"), 1L, "c", 1.0), Event(3, ts("11:36"), 1L, "c", 2.0)),
+      Seq(Event(4, ts("12:40"), 2L, "c", 1.0)))
+    assert(out.contains(Session(1L, ts("11:31"), ts("11:36"), 2, 3.0)), s"got $out")
+    assert(!out.exists(s => s.user_id == 1L && s.n_events == 1), s"got $out")
+  }
+
+  test("late event bridges two separate open sessions into one") {
+    // b1: 10:00 and 10:50 are two sessions (50 min > gap 30, watermark
+    // after b1 = 10:20); b2's 10:25 is legal and within the gap of BOTH —
+    // it must bridge them; b3 advances the watermark past the merged
+    // deadline (11:20) -> ONE 3-event session emits
+    val out = run(gapMinutes = 30)(
+      Seq(Event(1, ts("10:00"), 1L, "c", 1.0), Event(2, ts("10:50"), 1L, "c", 1.0)),
+      Seq(Event(3, ts("10:25"), 1L, "c", 1.0)),
+      Seq(Event(4, ts("13:00"), 2L, "c", 1.0)))
+    val u1 = out.filter(_.user_id == 1L)
+    assert(u1 == Seq(Session(1L, ts("10:00"), ts("10:50"), 3, 3.0)), s"got $out")
   }
 
   test("session times out via watermark without below-watermark timeout errors") {
-    // u1's session last=10:00, gap deadline 10:30; u2 pushes the
-    // watermark to 11:30 > deadline. The timeout must clamp above the
-    // watermark (not throw) and the session must be emitted by timeout.
+    // u1's session deadline is 10:30; u2 pushes the watermark to 11:30 >
+    // deadline. The timeout must clamp above the watermark (not throw)
+    // and the session must be emitted by timeout.
     val out = run(gapMinutes = 30)(
       Seq(Event(1, ts("10:00"), 1L, "c", 2.0)),
       Seq(Event(2, ts("12:00"), 2L, "c", 1.0)),
