@@ -276,6 +276,8 @@ object Dedup {
       s"nearDupGroups did not converge in $maxIters rounds ($changed labels " +
         "still changing) — a component's diameter exceeds maxIters; raise it " +
         "or pre-collapse with exactGroups")
+    // labels is materialized, so the edge list is no longer needed
+    edges.unpersist()
     labels.select(col("id").as("member_id"), col("label").as("keep_id"))
   }
 
