@@ -67,6 +67,13 @@ object EventQueries extends QueryFamily {
         .withColumn("session_seq", col("session_seq").cast("long"))
         .orderBy("user_id", "session_seq")),
 
+    // same task as q38 through Spark's NATIVE session_window aggregation
+    // (built-in-first); shares q38's deadline-rule oracle
+    "q44_events_sessionize_native" -> ((s, dir) =>
+      EventStreams.sessionizeWindowStreaming(
+          s, stagedEventsDir(s, dir), freshResultDir("q44", dir), gapMinutes)
+        .orderBy("user_id", "session_start")),
+
     "q38_events_sessionize_stream" -> ((s, dir) => {
       EventStreams.sessionizeStreaming(
           s, stagedEventsDir(s, dir), freshResultDir("q38", dir), gapMinutes)
@@ -117,31 +124,36 @@ object EventQueries extends QueryFamily {
     // its gap deadline (session_end + gap) — only then can no
     // watermark-legal event still extend or bridge it. Sessions whose
     // deadline the watermark never passes stay in state — not emitted.
-    "q38_events_sessionize_stream" ->
-      s"""WITH flagged AS (
-            SELECT user_id, ts, value,
-                   CASE WHEN LAG(ts) OVER w IS NULL
-                          OR EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER w) > $gapMinutes * 60000
-                        THEN 1 ELSE 0 END AS new_session
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-          numbered AS (
-            SELECT user_id, ts, value,
-                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-            FROM flagged),
-          sessions AS (
-            SELECT user_id, session_seq,
-                   COUNT(*) AS n_events, MIN(ts) AS s_start, MAX(ts) AS s_end,
-                   ROUND(SUM(value), 2) AS sum_value
-            FROM numbered GROUP BY user_id, session_seq)
-          SELECT user_id,
-                 STRFTIME(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
-                 STRFTIME(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
-                 n_events, sum_value
-          FROM sessions
-          WHERE s_end + INTERVAL $gapMinutes MINUTE
-                  < (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)
-          ORDER BY user_id, session_start"""
+    // Shared by the custom-state form (q38) and the native session_window
+    // form (q44), which must agree.
+    "q38_events_sessionize_stream" -> sessionizeStreamSql,
+    "q44_events_sessionize_native" -> sessionizeStreamSql
   )
+
+  private lazy val sessionizeStreamSql: String =
+    s"""WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER w) > $gapMinutes * 60000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        numbered AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM flagged),
+        sessions AS (
+          SELECT user_id, session_seq,
+                 COUNT(*) AS n_events, MIN(ts) AS s_start, MAX(ts) AS s_end,
+                 ROUND(SUM(value), 2) AS sum_value
+          FROM numbered GROUP BY user_id, session_seq)
+        SELECT user_id,
+               STRFTIME(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+               STRFTIME(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+               n_events, sum_value
+        FROM sessions
+        WHERE s_end + INTERVAL $gapMinutes MINUTE
+                < (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)
+        ORDER BY user_id, session_start"""
 }

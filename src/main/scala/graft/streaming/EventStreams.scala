@@ -129,6 +129,46 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregation —
+    * the built-in-first counterpart of [[sessionizeStream]] (preference
+    * (a) in the build rules: compose existing operators when semantics
+    * allow). The engine merges in-gap events into dynamic windows and, in
+    * append mode, emits a session once the watermark passes its window
+    * end (last event + gap) — the same deadline rule the custom-state
+    * form implements. Use this form when per-session output needs only
+    * aggregates; drop to [[sessionizeStream]] when emission or state
+    * needs custom logic.
+    */
+  def sessionizeWindowStreaming(
+      spark: SparkSession, eventsDir: String, outDir: String,
+      gapMinutes: Int): DataFrame = {
+    val stream = spark.readStream.schema(eventSchema).parquet(eventsDir)
+    val agg = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("session_start", StringType),
+        StructField("session_end", StringType), StructField("n_events", LongType),
+        StructField("sum_value", DoubleType))))
+      .parquet(outDir)
+  }
+
   /** Streaming sessionization with explicit state — the
     * `flatMapGroupsWithState` form of [[sessionize]].
     *
