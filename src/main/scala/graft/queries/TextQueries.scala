@@ -92,7 +92,22 @@ object TextQueries extends QueryFamily {
       table(s, dir, "documents")
         .select((floor(tokenCountWs(col("text")) / 10) * 10).cast("long").as("bucket_lo"))
         .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
-        .orderBy("bucket_lo"))
+        .orderBy("bucket_lo")),
+
+    // corpus stats: EXACT interpolated token-count percentiles per
+    // language — the sequence-length profile a training run budgets
+    // against. `percentile` (exact) rather than percentile_approx: the
+    // sketch differs across engines, the exact definition doesn't.
+    "q45_token_percentiles" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"), tokenCountWs(col("text")).as("n_tokens"))
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"),
+          round(expr("percentile(n_tokens, 0.99)"), 6).as("p99"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy("lang"))
   )
 
   private val norm = """REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')"""
@@ -164,7 +179,15 @@ object TextQueries extends QueryFamily {
         s"""SELECT CAST(FLOOR(($nTokens) / 10) * 10 AS BIGINT) AS bucket_lo,
                    COUNT(*) AS n_docs
             FROM documents
-            GROUP BY 1 ORDER BY bucket_lo"""
+            GROUP BY 1 ORDER BY bucket_lo""",
+      "q45_token_percentiles" ->
+        s"""SELECT lang,
+                   ROUND(QUANTILE_CONT(n_tokens, 0.5), 6) AS p50,
+                   ROUND(QUANTILE_CONT(n_tokens, 0.9), 6) AS p90,
+                   ROUND(QUANTILE_CONT(n_tokens, 0.99), 6) AS p99,
+                   MAX(n_tokens) AS max_tokens
+            FROM (SELECT lang, CAST($nTokens AS BIGINT) AS n_tokens FROM documents)
+            GROUP BY lang ORDER BY lang"""
     )
   }
 }
