@@ -20,15 +20,28 @@ class PlanShapeSpec extends SparkTestBase {
   private val sfDir = "/root/testdata/sf0.001"
   private def haveTestdata = new java.io.File(s"$sfDir/lineitem.parquet").exists()
 
-  /** Fully-planned (post-AQE if triggered) physical plan string. */
+  /** Fully-planned post-AQE physical plan string. Executes the frame's OWN
+    * QueryExecution (a noop write would plan and run a separate one,
+    * leaving this AQE root un-finalized) before reading the adaptive
+    * root's current — now final — physical plan.
+    */
   private def plan(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
-    val root = df.queryExecution.executedPlan
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    val root = qe.executedPlan
     val s = root.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan.toString }
       .getOrElse(root.toString)
     spark.catalog.clearCache()
     s
   }
+
+  /** INITIAL physical plan, before any AQE re-planning — the object that
+    * records the optimizer's stats-driven choices (join strategy,
+    * broadcast decisions). At this SF several candidate queries return
+    * zero rows and AQE folds their joins into EmptyRelation, so the
+    * finalized plan can't pin planning decisions.
+    */
+  private def initialPlan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
 
@@ -59,12 +72,24 @@ class PlanShapeSpec extends SparkTestBase {
   test("LSH bucket joins are hash joins, never cartesian (stats regression guard)") {
     assume(haveTestdata)
     Seq("q25_dedup_embedding_lsh", "q27_ann_topk_lsh").foreach { name =>
-      val p = plan(q(name))
+      val p = initialPlan(q(name))
       assert(!p.contains("CartesianProduct"),
         s"$name degenerated to CartesianProduct — input stats lost")
       assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
         p.contains("ShuffledHashJoin"), s"$name: no hash join found")
     }
+  }
+
+  test("q45 percentiles come from the count histogram, not a value-buffering aggregate") {
+    assume(haveTestdata)
+    val p = plan(q("q45_token_percentiles"))
+    // the exact `percentile` aggregate is a TypedImperativeAggregate that
+    // buffers every group member in executor memory — the one operator
+    // shape that cannot survive 100 TB groups; q45 must stay histogram-based
+    assert(!p.toLowerCase.contains("percentile"),
+      "value-buffering percentile aggregate found in q45's plan")
+    assert(!p.contains("ObjectHashAggregate"),
+      "ObjectHashAggregate (imperative agg buffer) found in q45's plan")
   }
 
   test("q37 batch sessionization shuffles once by user_id") {
