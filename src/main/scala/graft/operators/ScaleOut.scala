@@ -24,8 +24,25 @@ import org.apache.spark.sql.DataFrame
   */
 object ScaleOut {
   def apply(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate the scan's split count from logical-plan SIZE STATISTICS —
+    // the same byte math FilePartition planning uses — instead of
+    // `df.rdd.getNumPartitions`, which built the full physical plan and an
+    // RDD lineage on every operator call just to read a partition count
+    // (and read it off the pre-AQE plan at that). sizeInBytes for a file
+    // relation is the file-byte sum, so the estimate tracks what the
+    // scheduler will actually do: splits ≈ bytes / min(maxPartitionBytes,
+    // max(openCost, bytes/parallelism)).
+    val conf = spark.sessionState.conf
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = conf.filesMaxPartitionBytes
+    if (bytes >= BigInt(maxSplit) * target) df // >= target splits even at the coarsest split size
+    else {
+      val perSplit = math.min(maxSplit,
+        math.max(conf.filesOpenCostInBytes, math.max(bytes.toLong / target, 1L)))
+      val splits = (bytes.toLong + perSplit - 1) / perSplit
+      if (splits >= target) df else df.repartition(target)
+    }
   }
 }
