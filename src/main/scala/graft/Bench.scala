@@ -37,11 +37,15 @@ object Bench {
     // under-measuring expression-heavy queries)
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      sec
+      // plan + action under one CacheScope: operator-pinned blocks are
+      // released at scope exit, so one query's cached intermediates can't
+      // occupy memory during its neighbors' runs
+      try {
+        graft.operators.CacheScope.scoped {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
     // untimed warmup: a scan-join-agg over the largest table touches the
     // executor pool, parquet reader, broadcast machinery, and codegen

@@ -13,9 +13,10 @@ object TimeOne {
     val fn = SparkEntry.queries(name)
     val times = (1 to n).map { _ =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val s = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache(); s
+      graft.operators.CacheScope.scoped {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      (System.nanoTime() - t0) / 1e9
     }
     println(f"[timeone] $name best=${times.min}%.3f all=${times.map(t => f"$t%.2f").mkString(",")}")
     spark.stop()

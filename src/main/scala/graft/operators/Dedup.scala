@@ -96,11 +96,15 @@ object Dedup {
     * feeds four structurally DIFFERENT consumers after column pruning
     * (both prefix join sides, both verification set joins), which defeats
     * exchange reuse — so its output is persisted spill-safe
-    * (MEMORY_AND_DISK) and evaluated exactly once; callers release the
-    * block with `spark.catalog.clearCache()` after their action (the
-    * Bench/Verify harnesses do). Verification intersects per-doc
+    * (MEMORY_AND_DISK) and evaluated exactly once. Verification
+    * intersects per-doc
     * HASHED-key arrays (8-byte elements, no kernel re-eval); per-window
     * buffering is bounded by a single document's shingle count.
+    *
+    * Block lifetime: run the consuming action inside [[CacheScope.scoped]]
+    * and the persisted kernel output is released when the scope exits;
+    * outside a scope the session keeps the block until the caller releases
+    * it (see [[CacheScope]]).
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
@@ -108,11 +112,12 @@ object Dedup {
     // persist the exploded HASHED rows, not the shingle arrays: three
     // narrow columns cache far cheaper than array<string>, and every
     // consumer reads exactly this shape
-    val inv = shingled(docs, idCol, textCol, n)
-      .select(col("id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("sh"))
-      .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("shkey"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inv = CacheScope.pin(
+      shingled(docs, idCol, textCol, n)
+        .select(col("id"), size(col("shingles")).as("n_sh"),
+          explode(col("shingles")).as("sh"))
+        .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("shkey")),
+      StorageLevel.MEMORY_AND_DISK)
     // df via groupBy+join, NOT a window: a window partitioned by shkey
     // buffers every row of a hot (boilerplate) shingle in one task with
     // no skew mitigation, while the aggregate combines map-side and the
@@ -169,9 +174,9 @@ object Dedup {
     val r = numHashes / bands
     // three consumers (signature path + both verification joins) with
     // different prunings — persist so the shingle kernel runs once; the
-    // caller's clearCache() releases it (see ngramJaccardPairs)
-    val sets = shingled(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // block's lifetime follows the caller's CacheScope (see ngramJaccardPairs)
+    val sets = CacheScope.pin(
+      shingled(docs, idCol, textCol, n), StorageLevel.MEMORY_AND_DISK)
     val sig = sets.select(col("id"),
       minhashSignature(col("shingles"), numHashes, seed).as("sig"))
     // one row per (band, bucket): bucket key = xxhash64 of the band slice.
@@ -238,32 +243,36 @@ object Dedup {
     * `maxIters` bounds pathological chains (a chain of length > maxIters
     * would need the large-star/small-star variant instead). Per round the
     * frontier is persisted and the previous one released — no lineage
-    * blowup, bounded storage; callers release the final frame's block
-    * with `clearCache()` after their action (as Bench/Verify do).
+    * blowup, bounded storage; the final frame's block follows the caller's
+    * [[CacheScope]] (run the consuming action inside `CacheScope.scoped`).
     */
   def nearDupGroups(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
       maxIters: Int = 20): DataFrame = {
     val e = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pinned to the caller's scope as well: an exception mid-propagation
+    // (e.g. the convergence guard) must not strand the blocks
+    val edges = CacheScope.pin(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      StorageLevel.MEMORY_AND_DISK)
     // seed with the 1-hop minimum (min over self + direct neighbors):
     // clique-shaped components — the common near-dup case — then converge
     // on the FIRST verification round instead of needing a propagation
     // round before it
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), col("src")).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = CacheScope.pin(
+      edges.groupBy(col("src").as("id"))
+        .agg(least(min(col("dst")), col("src")).as("label")),
+      StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       // each vertex takes the min label over itself and its neighbors
-      val next = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = CacheScope.pin(
+        edges.join(labels, edges("dst") === labels("id"))
+          .select(edges("src").as("id"), col("label"))
+          .union(labels)
+          .groupBy("id").agg(min("label").as("label")),
+        StorageLevel.MEMORY_AND_DISK)
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).count()
       labels.unpersist()

@@ -25,14 +25,12 @@ class PlanShapeSpec extends SparkTestBase {
     * leaving this AQE root un-finalized) before reading the adaptive
     * root's current — now final — physical plan.
     */
-  private def plan(df: DataFrame): String = {
+  private def plan(df: DataFrame): String = graft.operators.CacheScope.scoped {
     val qe = df.queryExecution
     qe.toRdd.count()
     val root = qe.executedPlan
-    val s = root.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan.toString }
+    root.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan.toString }
       .getOrElse(root.toString)
-    spark.catalog.clearCache()
-    s
   }
 
   /** INITIAL physical plan, before any AQE re-planning — the object that

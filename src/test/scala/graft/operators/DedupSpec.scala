@@ -7,6 +7,17 @@ import graft.SparkTestBase
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Build + action inside one CacheScope, then assert the operator's
+    * persisted blocks were all released — the block-leak contract every
+    * persisting operator must honor.
+    */
+  private def scopedNoLeak[A](body: => A): A = {
+    val out = graft.operators.CacheScope.scoped(body)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "operator leaked persisted blocks past its CacheScope")
+    out
+  }
+
   // 0/1 exact dups (differ only in case+spacing), 2/3 near-dups (one word
   // changed), 4 unrelated, 5 short
   lazy val docs = Seq(
@@ -25,7 +36,7 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("ngramJaccardPairs finds exact and near dups, not unrelated") {
-    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+    val pairs = scopedNoLeak(Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect())
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L))) // jaccard 1.0
     assert(pairs.contains((2L, 3L))) // one word of ~16 changed
@@ -46,7 +57,7 @@ class DedupSpec extends SparkTestBase {
     val noise = (100 until 120).map(i =>
       (i.toLong, s"unrelated$i content$i about$i topic$i number$i item$i thing$i"))
     val df = (cluster ++ noise).toDF("doc_id", "text")
-    val pairs = Dedup.ngramJaccardPairs(df, threshold = 0.8).collect()
+    val pairs = scopedNoLeak(Dedup.ngramJaccardPairs(df, threshold = 0.8).collect())
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.length == m * (m - 1) / 2)
     assert(pairs.forall(_._3 == 0.8))
@@ -54,10 +65,12 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("minhashLshPairs reproduces the exact operator's pairs") {
-    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5).orderBy("id_a", "id_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    val lsh = Dedup.minhashLshPairs(docs, threshold = 0.5).orderBy("id_a", "id_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = scopedNoLeak(
+      Dedup.ngramJaccardPairs(docs, threshold = 0.5).orderBy("id_a", "id_b")
+        .collect()).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lsh = scopedNoLeak(
+      Dedup.minhashLshPairs(docs, threshold = 0.5).orderBy("id_a", "id_b")
+        .collect()).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(lsh == exact)
   }
 
@@ -66,7 +79,7 @@ class DedupSpec extends SparkTestBase {
     // 3 — exercises multi-round propagation, not just one hop)
     val pairs = Seq((0L, 1L), (2L, 3L), (7L, 8L), (8L, 9L), (9L, 10L))
       .toDF("id_a", "id_b")
-    val groups = Dedup.nearDupGroups(pairs).collect()
+    val groups = scopedNoLeak(Dedup.nearDupGroups(pairs).collect())
       .map(r => (r.getAs[Long]("member_id"), r.getAs[Long]("keep_id"))).toMap
     assert(groups == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L,
       7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L))
