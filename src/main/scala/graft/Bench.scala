@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   * codegen/JIT) that otherwise land entirely on whichever query runs
   * first, and each query reports best-of-2 — steady-state engine cost,
   * not first-run compilation noise. Rounds stay comparable per-query.
+  *
+  * The micro-batch STREAMING queries run dead last as their own family
+  * with a GC+sleep settle before every timed run: their checkpoint I/O,
+  * state-store maintenance threads, and GC pressure otherwise bleed into
+  * whatever batch query runs next (round-3 verdict: q37 measured 7.8 s
+  * sandwiched between q36/q38 vs 1.2 s in isolation).
   */
 object Bench {
   /** Dedup/ANN queries pair-score candidates (the heavy tail); everything
@@ -22,6 +28,10 @@ object Bench {
   private def isHeavy(name: String): Boolean =
     (name >= "q20" && name < "q28") ||
       name.startsWith("q39") || name.startsWith("q43")
+
+  /** Micro-batch Structured Streaming queries (checkpointed sinks). */
+  private def isStreaming(name: String): Boolean =
+    Set("q36", "q38", "q44", "q47").contains(name.take(3))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,12 +57,19 @@ object Bench {
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // untimed settle between streaming runs: drain GC debt and give the
+    // state-store/checkpoint machinery a beat to quiesce
+    def settle(): Unit = { System.gc(); Thread.sleep(1500) }
     // untimed warmup: a scan-join-agg over the largest table touches the
     // executor pool, parquet reader, broadcast machinery, and codegen
     SparkEntry.queries.get("q01_revenue_by_nation").foreach(run)
-    val (light, heavy) = SparkEntry.queries.toSeq.sortBy(_._1).partition(q => !isHeavy(q._1))
+    val (streaming, batch) =
+      SparkEntry.queries.toSeq.sortBy(_._1).partition(q => isStreaming(q._1))
+    val (light, heavy) = batch.partition(q => !isHeavy(q._1))
     val results = (light ++ heavy).map { case (name, fn) =>
       name -> math.min(run(fn), run(fn))
+    } ++ streaming.map { case (name, fn) =>
+      name -> math.min({ settle(); run(fn) }, { settle(); run(fn) })
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

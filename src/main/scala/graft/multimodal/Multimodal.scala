@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata structs alongside; decode/feature-extract
   * runs partition-parallel so codec work distributes like any other map.
   *
-  * The actual byte decoding is STUBBED (no image/audio codecs in this
-  * environment — see `decodeStub`): the Spark-side plumbing (schema,
-  * batched per-partition iteration, deterministic output) is real and is
-  * what a codec swap-in would inherit.
+  * Header METADATA decode is real: payloads carrying a PNG/JPEG/GIF
+  * container signature are parsed by [[ImageHeaders]] (pure-JVM layout
+  * walk, public formats, no codec libs). Everything else falls back to
+  * the deterministic [[decodeStub]] — the `???` boundary where a pixel
+  * codec would plug in. The driver testdata's payloads are ASCII text
+  * bytes, which cannot carry the PNG/JPEG signatures (both contain
+  * bytes > 0x7F), so the stub-arithmetic oracles stay exact on that
+  * path while MultimodalSpec covers real encoded headers.
   */
 object Multimodal {
 
@@ -24,7 +28,17 @@ object Multimodal {
     StructField("n_frames", LongType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** STUB decoder — stands in for an image codec (`???` boundary).
+  /** Decode one payload's metadata: real container-header parse when the
+    * bytes carry a known signature, deterministic stub otherwise.
+    */
+  def decode(bytes: Array[Byte]): (Long, Long, Long, Long, String) =
+    ImageHeaders.parse(bytes) match {
+      case Some(m) => (bytes.length.toLong, m.width, m.height, m.nFrames, m.format)
+      case None => decodeStub(bytes)
+    }
+
+  /** STUB decoder — the fallback for bytes with no recognized container
+    * signature, standing in for a full pixel codec (`???` boundary).
     * Deterministic pure function of the bytes so plumbing is testable:
     *   width  = 1 + (first byte % 64),  height = 1 + (last byte % 64),
     *   n_frames = 1 + (byte_len % 8),   format from a leading-byte sniff.
@@ -59,7 +73,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-          val (len, w, h, f, fmt) = decodeStub(bytes)
+          val (len, w, h, f, fmt) = decode(bytes)
           Row(id, len, w, h, f, fmt)
         }
       }(enc)

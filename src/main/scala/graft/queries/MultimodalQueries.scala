@@ -7,8 +7,11 @@ import graft.Tables.table
 import graft.multimodal.Multimodal
 
 /** Multimodal query surface: documents' text bytes stand in for media
-  * payloads (binary column); the decode stub is deterministic so the
-  * whole mapPartitions plumbing is oracle-checkable end-to-end.
+  * payloads (binary column). Text bytes carry no PNG/JPEG/GIF container
+  * signature, so every row takes the decoder's deterministic stub
+  * fallback — SQL-expressible, hence oracle-checkable end-to-end; the
+  * real header-parse path is pinned by MultimodalSpec on encoded
+  * fixture bytes.
   */
 object MultimodalQueries extends QueryFamily {
 

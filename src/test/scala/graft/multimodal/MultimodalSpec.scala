@@ -7,6 +7,94 @@ import graft.SparkTestBase
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
+  // --- real container-header fixtures (built from the public layouts) ---
+
+  private def be32(v: Int) =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+  private def le16(v: Int) = Array((v & 0xff).toByte, (v >>> 8).toByte)
+
+  private def pngBytes(w: Int, h: Int, acTlFrames: Option[Int] = None): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    out ++= Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      out ++= be32(data.length); out ++= t.getBytes("US-ASCII")
+      out ++= data; out ++= be32(0) // CRC not validated by a header parse
+    }
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 6, 0, 0, 0))
+    acTlFrames.foreach(n => chunk("acTL", be32(n) ++ be32(0)))
+    chunk("IEND", Array.empty[Byte])
+    out.toArray
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    out ++= Array(0xff, 0xd8).map(_.toByte) // SOI
+    out ++= Array(0xff, 0xe0).map(_.toByte) // APP0
+    out ++= be16(16); out ++= "JFIF".getBytes("US-ASCII")
+    out ++= Array.fill(10)(0.toByte) // rest of the 14-byte APP0 payload
+    out ++= Array(0xff, 0xc0).map(_.toByte) // SOF0 (baseline)
+    out ++= be16(11); out += 8.toByte // len, precision
+    out ++= be16(h); out ++= be16(w)
+    out += 1.toByte; out ++= Array[Byte](1, 0x11, 0) // 1 component
+    out.toArray
+  }
+
+  private def gifBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    out ++= "GIF89a".getBytes("US-ASCII")
+    out ++= le16(w); out ++= le16(h); out ++= Array[Byte](0, 0, 0) // no GCT
+    (1 to frames).foreach { _ =>
+      out += 0x2c.toByte // image descriptor
+      out ++= le16(0); out ++= le16(0); out ++= le16(w); out ++= le16(h)
+      out += 0.toByte // no local color table
+      out += 2.toByte // LZW minimum code size
+      out ++= Array[Byte](1, 0x4c, 0) // one 1-byte data sub-block + terminator
+    }
+    out += 0x3b.toByte // trailer
+    out.toArray
+  }
+
+  test("ImageHeaders parses PNG IHDR dimensions and APNG frame count") {
+    assert(ImageHeaders.parse(pngBytes(640, 480)) ==
+      Some(ImageHeaders.Meta(640L, 480L, 1L, "png")))
+    assert(ImageHeaders.parse(pngBytes(81, 29, acTlFrames = Some(10))) ==
+      Some(ImageHeaders.Meta(81L, 29L, 10L, "png")))
+  }
+
+  test("ImageHeaders walks JPEG segments to the SOF frame header") {
+    assert(ImageHeaders.parse(jpegBytes(1920, 1080)) ==
+      Some(ImageHeaders.Meta(1920L, 1080L, 1L, "jpeg")))
+  }
+
+  test("ImageHeaders reads GIF screen descriptor and counts frames") {
+    assert(ImageHeaders.parse(gifBytes(320, 200, 1)) ==
+      Some(ImageHeaders.Meta(320L, 200L, 1L, "gif")))
+    assert(ImageHeaders.parse(gifBytes(320, 200, 3)) ==
+      Some(ImageHeaders.Meta(320L, 200L, 3L, "gif")))
+  }
+
+  test("ImageHeaders rejects non-container bytes (text, empty, truncated sig)") {
+    assert(ImageHeaders.parse("plain old text".getBytes("UTF-8")).isEmpty)
+    assert(ImageHeaders.parse(Array.emptyByteArray).isEmpty)
+    assert(ImageHeaders.parse(Array(0x89.toByte, 0x50.toByte)).isEmpty)
+  }
+
+  test("decodeImageMeta: real headers decode, unknown bytes fall back to the stub") {
+    val payloads = Seq(
+      1L -> pngBytes(640, 480),
+      2L -> gifBytes(320, 200, 4),
+      3L -> "Az".getBytes("UTF-8")) // no signature -> stub path
+    val df = payloads.toDF("id", "payload")
+    val rows = Multimodal.decodeImageMeta(df, "id", "payload").orderBy("id").collect()
+    assert(rows(0).getAs[Long]("width") == 640L && rows(0).getAs[Long]("height") == 480L
+      && rows(0).getAs[String]("format") == "png")
+    assert(rows(1).getAs[Long]("n_frames") == 4L && rows(1).getAs[String]("format") == "gif")
+    // stub arithmetic: 'A'=65, 'z'=122
+    assert(rows(2).getAs[Long]("width") == 2L && rows(2).getAs[Long]("height") == 59L
+      && rows(2).getAs[String]("format") == "webp")
+  }
+
   test("decodeImageMeta: deterministic stub metadata from bytes") {
     val df = Seq((1L, "Az"), (2L, "")).toDF("id", "t")
       .select($"id", encode($"t", "UTF-8").as("payload"))
