@@ -26,11 +26,41 @@ import graft.operators.{Ann, Ivf}
   * on this clusterless corpus partial recall at nprobe < nlist is the
   * documented trade — IvfSpec proves recall on planted clustered data
   * and exact degeneration at nprobe = nlist.
+  *
+  * q46 is q39's DEPLOYMENT shape: the corpus written once as a
+  * cell-partitioned parquet index ([[Ivf.writeIndex]], staged per source
+  * state like EventQueries stages its stream input), searched through
+  * [[Ivf.searchIndex]] so probes prune unprobed cell directories at the
+  * file-listing level. Same quantizer parameters and seed as q39, so the
+  * two must return identical rows — IvfSpec pins that equivalence and
+  * the partition pruning.
   */
 object AnnQueries extends QueryFamily {
 
   private val k = 5
   private val nQueries = 10 // query batch = vec_id < 10
+  private val nlist = 16
+  private val nprobe = 4
+
+  /** Build the persisted IVF index once per SOURCE STATE of
+    * embeddings.parquet: the stage key fingerprints the source file's
+    * (path, length, mtime) plus the quantizer parameters, so regenerated
+    * testdata re-indexes instead of replaying a stale index, and repeated
+    * bench/verify invocations reuse it instead of re-training.
+    * `centroids/_SUCCESS` is written last in [[Ivf.writeIndex]], making it
+    * the completion marker.
+    */
+  private def stagedIndexDir(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      s"${src.getAbsolutePath}:${src.length()}:${src.lastModified()}:$nlist:42").take(16)
+    val stage = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ivf_index_$key")
+    if (!new java.io.File(stage, "centroids/_SUCCESS").exists()) {
+      Ivf.writeIndex(table(s, dir, "embeddings"), stage.toString,
+        nlist = nlist, iters = 3, seed = 42L)
+    }
+    stage.toString
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_topk" -> ((s, dir) => {
@@ -51,7 +81,16 @@ object AnnQueries extends QueryFamily {
     "q39_ann_topk_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Ivf.ivfTopK(emb, emb.filter(col("vec_id") < nQueries), k,
-          nlist = 16, nprobe = 4)
+          nlist = nlist, nprobe = nprobe)
+        .orderBy("query_id", "rank")
+    }),
+
+    // build-once/query-many: search the PERSISTED cell-partitioned index;
+    // rows-only like q39 (learned quantizer), pinned equal to q39 by IvfSpec
+    "q46_ann_topk_ivf_index" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ivf.searchIndex(s, stagedIndexDir(s, dir),
+          emb.filter(col("vec_id") < nQueries), k, nprobe = nprobe)
         .orderBy("query_id", "rank")
     })
   )

@@ -86,6 +86,23 @@ class IvfSpec extends SparkTestBase {
     assert(nCells <= 4 && nCells < 16, s"expected <=4 probed cells, scan lists $nCells in: $pf")
   }
 
+  test("q46 (persisted-index search) reproduces q39 (in-memory IVF) with pruning wired") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val q39 = graft.SparkEntry.queries("q39_ann_topk_ivf")(spark, sfDir)
+    val q46 = graft.SparkEntry.queries("q46_ann_topk_ivf_index")(spark, sfDir)
+    // identical quantizer params + seed -> identical rows, ordered
+    assert(q46.collect().toSeq == q39.collect().toSeq)
+    // the query path must scan through the partition-pruning predicate
+    // (selectivity itself is pinned by the small-batch test above; a
+    // 10-query batch here may legitimately probe most cells)
+    val scan = q46.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet"))
+      .getOrElse(fail("no FileScan in q46's plan"))
+    assert("""PartitionFilters: \[[^\]]*cell#\d+ IN""".r.findFirstIn(scan).isDefined,
+      s"q46 scan lacks cell-pruning PartitionFilters: $scan")
+  }
+
   test("trainCentroids is deterministic and returns unit-norm centroids") {
     val a = Ivf.trainCentroids(corpus, nlist = 8, iters = 2, seed = 7L)
     val b = Ivf.trainCentroids(corpus, nlist = 8, iters = 2, seed = 7L)
