@@ -74,6 +74,15 @@ object EventQueries extends QueryFamily {
           s, stagedEventsDir(s, dir), freshResultDir("q44", dir), gapMinutes)
         .orderBy("user_id", "session_start")),
 
+    // stream-static enrichment: the event stream joined to the customer
+    // dimension (user_id -> market segment) before the hourly aggregate;
+    // watermark/append semantics identical to q36's
+    "q47_events_enriched_stream" -> ((s, dir) =>
+      EventStreams.enrichedHourlyStreaming(
+          s, stagedEventsDir(s, dir), freshResultDir("q47", dir),
+          graft.Tables.table(s, dir, "customer"), "c_custkey", "c_mktsegment")
+        .orderBy("window_start", "segment")),
+
     "q38_events_sessionize_stream" -> ((s, dir) => {
       EventStreams.sessionizeStreaming(
           s, stagedEventsDir(s, dir), freshResultDir("q38", dir), gapMinutes)
@@ -127,7 +136,17 @@ object EventQueries extends QueryFamily {
     // Shared by the custom-state form (q38) and the native session_window
     // form (q44), which must agree.
     "q38_events_sessionize_stream" -> sessionizeStreamSql,
-    "q44_events_sessionize_native" -> sessionizeStreamSql
+    "q44_events_sessionize_native" -> sessionizeStreamSql,
+    // enrichment join then the same append-mode window rule as q36
+    "q47_events_enriched_stream" ->
+      """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                c_mktsegment AS segment, COUNT(*) AS n_events,
+                ROUND(SUM(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY DATE_TRUNC('hour', ts), c_mktsegment
+         HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR
+                  <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+         ORDER BY window_start, segment"""
   )
 
   private lazy val sessionizeStreamSql: String =

@@ -68,6 +68,58 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** Stream-static enrichment + tumbling aggregate: events joined to a
+    * STATIC dimension (key `dimKey`, enrichment column `segCol`, exposed
+    * as `segment`) before the hourly window aggregation — the standard
+    * enrichment shape: facts stream, dims are slowly-changing tables
+    * re-read per micro-batch. The dim is broadcast (small-dim case; a
+    * large dim would drop the hint and shuffle by the join key); the
+    * static side neither carries nor affects the watermark, so
+    * append-mode emission stays governed by the event stream's own
+    * event-time watermark, and the join adds NO streaming state — only
+    * the window aggregation holds any.
+    *
+    * One definition for both executions: on a batch frame `withWatermark`
+    * is a no-op and this IS the DuckDB-oracle-checkable batch twin; on a
+    * streaming frame it is the enrichment stream.
+    */
+  def enrichedHourly(
+      events: DataFrame, dim: DataFrame, dimKey: String, segCol: String,
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .join(broadcast(dim.select(col(dimKey).as("dim_key"), col(segCol).as("segment"))),
+        col("user_id") === col("dim_key"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("segment"), col("n_events"), col("sum_value"))
+
+  /** [[enrichedHourly]] as an append-mode streaming run against a parquet
+    * directory (Trigger.AvailableNow), result read back from `outDir` —
+    * the same harness shape as [[hourlyByTypeStreaming]].
+    */
+  def enrichedHourlyStreaming(
+      spark: SparkSession, eventsDir: String, outDir: String,
+      dim: DataFrame, dimKey: String, segCol: String,
+      delay: String = "10 minutes"): DataFrame = {
+    val stream = spark.readStream.schema(eventSchema).parquet(eventsDir)
+    val q = enrichedHourly(stream, dim, dimKey, segCol, delay).writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(StructType(Seq(
+        StructField("window_start", StringType), StructField("segment", StringType),
+        StructField("n_events", LongType), StructField("sum_value", DoubleType))))
+      .parquet(outDir)
+  }
+
   /** Gaps-and-islands sessionization, batch form: a session breaks after
     * `gapMinutes` of user inactivity. Window functions only — one shuffle
     * by user_id.
