@@ -35,8 +35,17 @@ object ShingleOps {
     var i = 0
     while (i < count) {
       var k = 0
-      while (k < n) { parts(2 * k) = tokens.getUTF8String(i + k); k += 1 }
-      seen.add(UTF8String.concat(parts: _*))
+      var hasNull = false
+      while (k < n) {
+        if (tokens.isNullAt(i + k)) hasNull = true
+        else parts(2 * k) = tokens.getUTF8String(i + k)
+        k += 1
+      }
+      // a null token would make UTF8String.concat return null, planting a
+      // null element in an array whose type declares containsNull = false
+      // — skip windows containing one (split() never produces null tokens,
+      // but the kernel must be safe for any array<string> input)
+      if (!hasNull) seen.add(UTF8String.concat(parts: _*))
       i += 1
     }
     val out = new Array[Any](seen.size())

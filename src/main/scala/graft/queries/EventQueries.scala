@@ -129,12 +129,13 @@ object EventQueries extends QueryFamily {
           FROM numbered GROUP BY user_id, session_seq
           ORDER BY user_id, session_seq""",
     // streaming sessionize (session_window-style append semantics) emits
-    // a session iff the final watermark (max ts - 30 min) strictly passes
-    // its gap deadline (session_end + gap) — only then can no
-    // watermark-legal event still extend or bridge it. Sessions whose
-    // deadline the watermark never passes stay in state — not emitted.
-    // Shared by the custom-state form (q38) and the native session_window
-    // form (q44), which must agree.
+    // a session iff the final watermark (max ts - 30 min) REACHES its gap
+    // deadline (session_end + gap <= watermark, the native eviction rule
+    // — non-strict, pinned at the exact tie by SessionizeStreamSpec) —
+    // only then can no watermark-legal event still extend or bridge it.
+    // Sessions whose deadline the watermark never reaches stay in state —
+    // not emitted. Shared by the custom-state form (q38) and the native
+    // session_window form (q44), which must agree.
     "q38_events_sessionize_stream" -> sessionizeStreamSql,
     "q44_events_sessionize_native" -> sessionizeStreamSql,
     // enrichment join then the same append-mode window rule as q36
@@ -173,6 +174,6 @@ object EventQueries extends QueryFamily {
                n_events, sum_value
         FROM sessions
         WHERE s_end + INTERVAL $gapMinutes MINUTE
-                < (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)
+                <= (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)
         ORDER BY user_id, session_start"""
 }

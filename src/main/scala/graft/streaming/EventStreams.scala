@@ -230,9 +230,10 @@ object EventStreams {
     * merge, so a watermark-legal late event can extend a session on
     * either side or BRIDGE two previously-separate sessions — exactly the
     * batch twin's semantics, incrementally. A session is emitted only
-    * once the watermark passes `session_end + gap` (the same append-mode
-    * rule as Spark's native `session_window`): only then can no legal
-    * event still extend or bridge it. Closing on the mere existence of a
+    * once the watermark REACHES `session_end + gap` (>=, the same
+    * append-mode eviction rule as Spark's native `session_window`): only
+    * then can no legal event still extend or bridge it. Closing on the
+    * mere existence of a
     * later session would be premature — a late bridge event may yet merge
     * the two. State is bounded: sessions whose gap deadline the watermark
     * passed are emitted and dropped, so per user it holds only the
@@ -259,16 +260,20 @@ object EventStreams {
                   cur.n + s.n, cur.sum + s.sum) :: acc
               case (acc, s) => s :: acc
             }.reverse
-          // emit iff the deadline is strictly below the watermark —
-          // mirrors Spark's timeout condition (timeoutTimestamp < wm)
-          val (expired, open) = merged.partition(_.last + gapMs < wm)
+          // emit iff the watermark has REACHED the gap deadline (<=) —
+          // the native session_window eviction rule at ms granularity
+          // (SessionizeStreamSpec pins both forms agreeing at the exact
+          // tie). Timeouts fire only when timeoutTimestamp < wm, so the
+          // timeout is set one ms BEFORE the deadline: it then fires as
+          // soon as wm >= deadline, matching the data-path predicate.
+          val (expired, open) = merged.partition(_.last + gapMs <= wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(OpenSessions(open))
-            // earliest remaining deadline, clamped strictly above the
-            // watermark (Spark rejects timeouts at/below it)
+            // earliest remaining deadline minus the firing slack, clamped
+            // strictly above the watermark (Spark rejects timeouts at/below)
             state.setTimeoutTimestamp(
-              math.max(open.map(_.last + gapMs).min, wm + 1))
+              math.max(open.map(_.last + gapMs).min - 1, wm + 1))
           }
           expired.iterator.map(s =>
             Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))

@@ -43,6 +43,17 @@ class ShingleKernelSpec extends SparkTestBase {
     assert(mism == 0L)
   }
 
+  test("kernel skips windows containing null tokens (containsNull=false output)") {
+    // split() never produces null tokens, but the kernel's declared output
+    // type is array<string> containsNull=false — a null token reaching
+    // UTF8String.concat would plant a null element in it
+    val out = Seq(1).toDF("i")
+      .select(graft.functions.expr.ShingleFunctions.shingleSet(
+        array(lit("a"), lit(null).cast("string"), lit("b"), lit("c"), lit("d")), 2))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("b c", "c d"))
+  }
+
   test("kernel for n=1 yields distinct tokens") {
     val out = Seq("b a b c a").toDF("t")
       .select(shingleSet($"t", 1)).collect()(0).getSeq[String](0)

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkTestBase
@@ -57,13 +58,17 @@ class SessionizeStreamSpec extends SparkTestBase {
     // gap 10 < watermark delay 30: b1 opens at 12:00 (watermark 11:30);
     // b2's 11:31 and 11:36 are watermark-legal and > gap before 12:00 —
     // they must form ONE 2-event session (the batch twin's answer), which
-    // emits once b3 pushes the watermark past its 11:46 deadline
+    // emits once b3 pushes the watermark past its 11:46 deadline. (The
+    // separate 12:00 session also emits: its 12:10 deadline exactly
+    // EQUALS the final watermark, the non-strict eviction tie.)
     val out = run(gapMinutes = 10)(
       Seq(Event(1, ts("12:00"), 1L, "c", 1.0)),
       Seq(Event(2, ts("11:31"), 1L, "c", 1.0), Event(3, ts("11:36"), 1L, "c", 2.0)),
       Seq(Event(4, ts("12:40"), 2L, "c", 1.0)))
     assert(out.contains(Session(1L, ts("11:31"), ts("11:36"), 2, 3.0)), s"got $out")
-    assert(!out.exists(s => s.user_id == 1L && s.n_events == 1), s"got $out")
+    // the late pair must never surface as singletons
+    assert(!out.exists(s => s.user_id == 1L && s.n_events == 1 &&
+      s.session_start != ts("12:00")), s"got $out")
   }
 
   test("late event bridges two separate open sessions into one") {
@@ -77,6 +82,47 @@ class SessionizeStreamSpec extends SparkTestBase {
       Seq(Event(4, ts("13:00"), 2L, "c", 1.0)))
     val u1 = out.filter(_.user_id == 1L)
     assert(u1 == Seq(Session(1L, ts("10:00"), ts("10:50"), 3, 3.0)), s"got $out")
+  }
+
+  test("custom-state and native session_window forms agree at exact tie boundaries") {
+    // q38 and q44 share one oracle, so their tie rules must agree with
+    // the NATIVE operator's (the semantics reference):
+    //   - events exactly gapMinutes apart MERGE (gap rule is <=);
+    //   - a session whose end+gap EQUALS the final watermark IS emitted
+    //     (native eviction is non-strict: end+gap <= watermark — the
+    //     custom-state form originally used strict < and diverged here).
+    // max ts 14:00, watermark delay 30m -> final watermark 13:30; gap 30m.
+    //   u1: 11:00 + 11:30 (exactly gap apart) -> ONE session, emitted
+    //   u2: 13:00 -> deadline 13:30 == watermark -> emitted (tie)
+    //   u3: 12:59 -> deadline 13:29 <  watermark -> emitted
+    //   u9: 14:00 (watermark driver) -> withheld
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("11:00"), 1L, "c", 1.0, "{}"),
+      (2L, ts("11:30"), 1L, "c", 2.0, "{}"),
+      (3L, ts("13:00"), 2L, "c", 1.0, "{}"),
+      (4L, ts("12:59"), 3L, "c", 1.0, "{}"),
+      (5L, ts("14:00"), 9L, "c", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val stage = java.nio.file.Files.createTempDirectory("graft_ties").toString
+    events.write.mode("overwrite").parquet(s"$stage/events")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("e"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sorted
+    val custom = rows(EventStreams.sessionizeStreaming(
+      spark, s"$stage/events", s"$stage/out38", gapMinutes = 30))
+    val native = rows(EventStreams.sessionizeWindowStreaming(
+      spark, s"$stage/events", s"$stage/out44", gapMinutes = 30))
+    val expect = Seq(
+      (1L, "2024-01-01 11:00:00", "2024-01-01 11:30:00", 2L),
+      (2L, "2024-01-01 13:00:00", "2024-01-01 13:00:00", 1L),
+      (3L, "2024-01-01 12:59:00", "2024-01-01 12:59:00", 1L))
+    assert(custom == expect, s"custom-state form: $custom")
+    assert(native == expect, s"native session_window form: $native")
   }
 
   test("session times out via watermark without below-watermark timeout errors") {
