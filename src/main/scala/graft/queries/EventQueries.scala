@@ -74,6 +74,27 @@ object EventQueries extends QueryFamily {
           s, stagedEventsDir(s, dir), freshResultDir("q44", dir), gapMinutes)
         .orderBy("user_id", "session_start")),
 
+    // backward AS-OF join: each purchase attributed to the user's most
+    // recent click at-or-before it (clicks pre-aggregated per (user, ts)
+    // to satisfy the operator's — and DuckDB ASOF's — uniqueness
+    // precondition). One union+window shuffle, no pair explosion.
+    "q48_asof_click_attribution" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").cast("timestamp").as("ts"))
+        .agg(max(col("value")).as("click_value"))
+      graft.operators.AsOf.asofBackward(
+          purchases, clicks, "user_id", "ts", rightTsOut = "click_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // stream-static enrichment: the event stream joined to the customer
     // dimension (user_id -> market segment) before the hourly aggregate;
     // watermark/append semantics identical to q36's
@@ -138,6 +159,21 @@ object EventQueries extends QueryFamily {
     // session_window form (q44), which must agree.
     "q38_events_sessionize_stream" -> sessionizeStreamSql,
     "q44_events_sessionize_native" -> sessionizeStreamSql,
+    // DuckDB's native ASOF LEFT JOIN is the ground truth for the as-of
+    // operator (same inclusive l.ts >= r.ts backward-match rule)
+    "q48_asof_click_attribution" ->
+      """WITH purchases AS (
+           SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+         clicks AS (
+           SELECT user_id, ts, MAX(value) AS click_value FROM events
+           WHERE event_type = 'click' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id,
+                STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
+                STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts, c.click_value
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     // enrichment join then the same append-mode window rule as q36
     "q47_events_enriched_stream" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
