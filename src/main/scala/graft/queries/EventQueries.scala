@@ -104,6 +104,13 @@ object EventQueries extends QueryFamily {
           graft.Tables.table(s, dir, "customer"), "c_custkey", "c_mktsegment")
         .orderBy("window_start", "segment")),
 
+    // stream-STREAM interval join: purchases x same-user clicks within
+    // the preceding hour, both sides watermarked (bounded join state)
+    "q49_events_attribution_stream" -> ((s, dir) =>
+      EventStreams.attributionStreaming(
+          s, stagedEventsDir(s, dir), freshResultDir("q49", dir), windowMinutes = 60)
+        .orderBy("event_id", "click_id")),
+
     "q38_events_sessionize_stream" -> ((s, dir) => {
       EventStreams.sessionizeStreaming(
           s, stagedEventsDir(s, dir), freshResultDir("q38", dir), gapMinutes)
@@ -174,6 +181,19 @@ object EventQueries extends QueryFamily {
          FROM purchases p ASOF LEFT JOIN clicks c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    // inner stream-stream join drained by AvailableNow emits every
+    // qualifying pair exactly once == the batch interval join
+    "q49_events_attribution_stream" ->
+      """SELECT p.event_id, p.user_id,
+                STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                c.event_id AS click_id,
+                STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                c.value AS click_value
+         FROM events p JOIN events c
+           ON p.event_type = 'purchase' AND c.event_type = 'click'
+          AND p.user_id = c.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts
+         ORDER BY p.event_id, click_id""",
     // enrichment join then the same append-mode window rule as q36
     "q47_events_enriched_stream" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -120,6 +120,71 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** Stream-STREAM interval join: purchases paired with the same user's
+    * clicks in the preceding `windowMinutes`. The range condition between
+    * the two event-time columns plus a watermark on EACH side is what
+    * lets Spark bound the join state: a buffered click is evictable once
+    * the watermark passes click_ts + window (no future purchase can reach
+    * back to it), and symmetric for purchases. Inner join: every
+    * qualifying pair emits exactly once when matched, so draining both
+    * sides (AvailableNow) yields exactly the batch interval join — which
+    * is the DuckDB oracle for q49.
+    *
+    * Takes the two prepared (projected + watermarked) sides so the same
+    * definition runs under MemoryStream in multi-batch tests and under
+    * the file-source harness in [[attributionStreaming]].
+    */
+  def attribution(purchases: DataFrame, clicks: DataFrame, windowMinutes: Int): DataFrame =
+    purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+          col("click_ts") <= col("ts"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("click_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("click_value"))
+
+  /** Purchase/click sides of [[attribution]] from one event source
+    * (by-name: each side instantiates its own reader).
+    */
+  def attributionSides(events: => DataFrame, delay: String): (DataFrame, DataFrame) = {
+    def e = events.withColumn("ts", col("ts").cast("timestamp"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", delay)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", delay)
+    (purchases, clicks)
+  }
+
+  /** [[attribution]] against a parquet directory with Trigger.AvailableNow,
+    * result read back from `outDir`. Both sides read the same directory —
+    * at scale they'd be separate feeds; the state-bounding math is
+    * identical.
+    */
+  def attributionStreaming(
+      spark: SparkSession, eventsDir: String, outDir: String,
+      windowMinutes: Int, delay: String = "30 minutes"): DataFrame = {
+    def src = spark.readStream.schema(eventSchema).parquet(eventsDir)
+    val (purchases, clicks) = attributionSides(src, delay)
+    val q = attribution(purchases, clicks, windowMinutes).writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", StringType), StructField("click_id", LongType),
+        StructField("click_ts", StringType), StructField("click_value", DoubleType))))
+      .parquet(outDir)
+  }
+
   /** Gaps-and-islands sessionization, batch form: a session breaks after
     * `gapMinutes` of user inactivity. Window functions only — one shuffle
     * by user_id.
