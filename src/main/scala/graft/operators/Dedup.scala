@@ -36,6 +36,34 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: dedupe a NEW increment against itself and
+    * an existing corpus — the daily-ingest shape. At 100 TB, re-running
+    * [[exactGroups]] over corpus+increment re-shuffles petabytes to
+    * dedupe gigabytes; here the corpus participates only as its
+    * FINGERPRINT SET (16 bytes/doc — a maintained index table, e.g. the
+    * `fingerprint` column this operator returns, appended after each
+    * ingest). The increment deduplicates within itself (min-id per
+    * fingerprint, one window shuffle keyed by the digest) and anti-joins
+    * the corpus fingerprints (shuffle of digests only, AQE-broadcastable
+    * when the increment is small). Output rows are exactly the rows
+    * exactGroups over the union would have NEWLY kept.
+    */
+  def dedupeAgainst(
+      increment: DataFrame, corpusFingerprints: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("fingerprint").orderBy(col(idCol))
+    increment
+      .withColumn("fingerprint", contentFingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .join(corpusFingerprints.select("fingerprint"), Seq("fingerprint"), "left_anti")
+  }
+
+  /** The fingerprint set of a corpus, the right side of [[dedupeAgainst]]. */
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(contentFingerprint(col(textCol)).as("fingerprint")).distinct()
+
   /** Per-doc distinct word-shingle sets, the shared input of the Jaccard
     * family.
     *

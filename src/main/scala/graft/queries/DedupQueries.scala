@@ -62,6 +62,18 @@ object DedupQueries extends QueryFamily {
           threshold = cosineThreshold, planes = 6, tables = 24, probeRadius = 1)
         .orderBy("id_a", "id_b")),
 
+    // incremental ingest: documents with doc_id >= 250 arrive as the new
+    // batch and dedupe against themselves plus the doc_id < 250 corpus's
+    // fingerprint set — the output is what the ingest would append
+    "q50_dedup_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.dedupeAgainst(
+          docs.filter(col("doc_id") >= 250),
+          Dedup.fingerprints(docs.filter(col("doc_id") < 250)))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // pairs -> keep-list: connected components over the exact near-dup
     // pairs, every document mapped to its cluster representative
     // (singletons keep themselves)
@@ -147,6 +159,20 @@ object DedupQueries extends QueryFamily {
          FROM documents
          GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))
          ORDER BY keep_id""",
+    // NOT EXISTS (not NOT IN): matches the null semantics of Spark's
+    // left_anti should a fingerprint ever be null
+    "q50_dedup_incremental" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS f
+           FROM documents)
+         SELECT doc_id FROM (
+           SELECT doc_id, f,
+                  ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+           FROM fp WHERE doc_id >= 250) i
+         WHERE rn = 1
+           AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id < 250 AND c.f = i.f)
+         ORDER BY doc_id""",
     "q21_dedup_minhash_lsh" -> jaccardSql,
     "q23_dedup_ngram_jaccard" -> jaccardSql,
     "q43_dedup_groups" -> groupsSql,

@@ -74,6 +74,20 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("dedupeAgainst: increment dedupes within itself and against corpus fingerprints") {
+    val corpus = Seq(
+      (0L, "existing doc about rivers"),
+      (1L, "existing doc about mountains")).toDF("doc_id", "text")
+    val increment = Seq(
+      (10L, "Existing   doc ABOUT rivers"), // dup of corpus 0 after normalization
+      (11L, "brand new doc"),
+      (12L, "brand  NEW doc"),              // intra-increment dup of 11
+      (13L, "another new doc")).toDF("doc_id", "text")
+    val kept = Dedup.dedupeAgainst(increment, Dedup.fingerprints(corpus))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(11L, 13L))
+  }
+
   test("nearDupGroups: components collapse to min-id reps, chains converge") {
     // components: {0,1}, {2,3}, and the 4-node CHAIN 7-8-9-10 (diameter
     // 3 — exercises multi-round propagation, not just one hop)
