@@ -51,6 +51,20 @@ object TextFunctions {
   def shingleSet(c: Column, n: Int): Column =
     ShingleFunctions.shingleSet(tokens(c), n)
 
+  /** Within-doc repetition: the duplicate n-gram fraction,
+    * 1 − distinct/total word n-grams (0 when fewer than n tokens) — the
+    * standard repetition filter for training corpora (boilerplate,
+    * keyword stuffing, and degenerate generations repeat n-grams; clean
+    * prose rarely does). Distinct count reuses the compiled shingle
+    * kernel; the total is arithmetic on the token count, so the whole
+    * signal is one pass over the tokens.
+    */
+  def repetitionRatio(c: Column, n: Int = 3): Column = {
+    val total = greatest(tokenCountWs(c) - (n - 1), lit(0L))
+    when(total === 0, 0.0)
+      .otherwise(lit(1.0) - size(shingleSet(c, n)).cast("double") / total)
+  }
+
   /** characters that are neither alnum nor whitespace, over total chars. */
   def punctRatio(c: Column): Column = {
     val len = length(c)

@@ -94,6 +94,13 @@ object TextQueries extends QueryFamily {
         .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
         .orderBy("bucket_lo")),
 
+    // repetition filter signal: duplicate 3-gram fraction per document
+    "q51_text_repetition" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(repetitionRatio(col("text")), 6).as("repetition"))
+        .orderBy("doc_id")),
+
     // corpus stats: EXACT interpolated token-count percentiles per
     // language — the sequence-length profile a training run budgets
     // against. Exact rather than percentile_approx (the sketch differs
@@ -203,6 +210,20 @@ object TextQueries extends QueryFamily {
                    COUNT(*) AS n_docs
             FROM documents
             GROUP BY 1 ORDER BY bucket_lo""",
+      "q51_text_repetition" ->
+        s"""WITH toksr AS (SELECT doc_id, $toks AS t FROM documents),
+            shr AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toksr, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS i) u
+              WHERE LEN(t) >= 3),
+            aggr AS (
+              SELECT doc_id, COUNT(*)::DOUBLE AS total,
+                     COUNT(DISTINCT s)::DOUBLE AS dist
+              FROM shr GROUP BY doc_id)
+            SELECT d.doc_id,
+                   ROUND(COALESCE(1.0 - a.dist / a.total, 0.0), 6) AS repetition
+            FROM documents d LEFT JOIN aggr a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id""",
       "q45_token_percentiles" ->
         s"""SELECT lang,
                    ROUND(QUANTILE_CONT(n_tokens, 0.5), 6) AS p50,

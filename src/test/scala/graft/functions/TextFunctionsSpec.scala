@@ -61,4 +61,12 @@ class TextFunctionsSpec extends SparkTestBase {
     val junk = one[Double](qualityScore($"t"), "@@!! ## $$%% ^^&&")
     assert(clean > 0.9 && junk < 0.5 && junk >= 0.0 && clean <= 1.0)
   }
+
+  test("repetitionRatio: duplicate 3-gram fraction, 0 for short/empty text") {
+    // "a a a a a": 3 total 3-grams, 1 distinct -> 2/3
+    assert(math.abs(one[Double](repetitionRatio($"t"), "a a a a a") - 2.0 / 3) < 1e-9)
+    assert(one[Double](repetitionRatio($"t"), "one two three four") == 0.0)
+    assert(one[Double](repetitionRatio($"t"), "tiny doc") == 0.0)
+    assert(one[Double](repetitionRatio($"t"), "") == 0.0)
+  }
 }
