@@ -65,6 +65,23 @@ object TextFunctions {
       .otherwise(lit(1.0) - size(shingleSet(c, n)).cast("double") / total)
   }
 
+  /** PII scrubbing for training corpora: email addresses and URLs
+    * replaced with placeholder tokens. Both patterns are deliberately
+    * lookaround-free so the exact same regex runs under Java regex
+    * (Spark, codegen'd `regexp_replace`) and RE2 (the DuckDB oracle).
+    * URLs are scrubbed FIRST so an address embedded in a URL's userinfo
+    * is consumed as part of the URL, not left half-redacted.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, urlPattern, "<URL>"), emailPattern, "<EMAIL>")
+
+  /** number of non-overlapping matches of `pattern` in `c`. */
+  def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
   /** characters that are neither alnum nor whitespace, over total chars. */
   def punctRatio(c: Column): Column = {
     val len = length(c)

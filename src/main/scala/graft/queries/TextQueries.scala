@@ -94,6 +94,22 @@ object TextQueries extends QueryFamily {
         .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
         .orderBy("bucket_lo")),
 
+    // PII scrub: the synthetic corpus carries no addresses, so the query
+    // injects a deterministic email + URL per row (same expression in the
+    // oracle) and scrubs THAT — every row exercises both patterns and the
+    // scrubbed text itself is hash-compared
+    "q52_text_pii_scrub" -> ((s, dir) => {
+      val dirty = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com via https://example.com/p/"),
+        col("doc_id").cast("string"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          matchCount(dirty, emailPattern).as("n_emails"),
+          matchCount(dirty, urlPattern).as("n_urls"),
+          scrubPii(dirty).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // repetition filter signal: duplicate 3-gram fraction per document
     "q51_text_repetition" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -210,6 +226,20 @@ object TextQueries extends QueryFamily {
                    COUNT(*) AS n_docs
             FROM documents
             GROUP BY 1 ORDER BY bucket_lo""",
+      "q52_text_pii_scrub" ->
+        """WITH dirty AS (
+             SELECT doc_id,
+                    text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com via https://example.com/p/'
+                         || CAST(doc_id AS VARCHAR) AS d
+             FROM documents)
+           SELECT doc_id,
+                  CAST(LEN(REGEXP_EXTRACT_ALL(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                  CAST(LEN(REGEXP_EXTRACT_ALL(d, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+                  REGEXP_REPLACE(
+                    REGEXP_REPLACE(d, 'https?://[^\s]+', '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+           FROM dirty ORDER BY doc_id""",
       "q51_text_repetition" ->
         s"""WITH toksr AS (SELECT doc_id, $toks AS t FROM documents),
             shr AS (

@@ -69,4 +69,13 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(one[Double](repetitionRatio($"t"), "tiny doc") == 0.0)
     assert(one[Double](repetitionRatio($"t"), "") == 0.0)
   }
+
+  test("scrubPii redacts emails and URLs; URL-embedded userinfo goes with the URL") {
+    assert(one[String](scrubPii($"t"), "mail bob.smith+x@corp.io now") == "mail <EMAIL> now")
+    assert(one[String](scrubPii($"t"), "see https://a.b/c?d=1 ok") == "see <URL> ok")
+    // the @ inside the URL is consumed by the URL scrub, not half-redacted
+    assert(one[String](scrubPii($"t"), "go http://u@h.com/p end") == "go <URL> end")
+    assert(one[Long](matchCount($"t", emailPattern), "a@b.co and c@d.org") == 2L)
+    assert(one[Long](matchCount($"t", urlPattern), "no links here") == 0L)
+  }
 }
