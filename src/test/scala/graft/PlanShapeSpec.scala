@@ -90,6 +90,19 @@ class PlanShapeSpec extends SparkTestBase {
       "ObjectHashAggregate (imperative agg buffer) found in q45's plan")
   }
 
+  test("q48 as-of join plans as union+window — no join operator at all") {
+    assume(haveTestdata)
+    val p = plan(q("q48_asof_click_attribution"))
+    // the whole point of the union+window form: no pair-generating join
+    // node anywhere (a theta-join encoding would explode per-key history)
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n${p.take(800)}")
+    val hashExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused")).toSeq
+    assert(hashExchanges.size <= 2,
+      s"expected <=2 hash exchanges (click-dedup agg + as-of window), got:\n" +
+        hashExchanges.mkString("\n"))
+  }
+
   test("q37 batch sessionization shuffles once by user_id") {
     assume(haveTestdata)
     val p = plan(q("q37_events_sessionize"))
