@@ -94,6 +94,34 @@ object TextQueries extends QueryFamily {
         .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
         .orderBy("bucket_lo")),
 
+    // corpus vocabulary stats: top tokens by DOCUMENT frequency (each doc
+    // counts a token once) — stopword/boilerplate discovery, and the df
+    // ranking the prefix filter's rarity order is built on. Map-side
+    // partial aggregation makes this one tiny token-keyed shuffle.
+    "q53_vocab_df" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(50)),
+
+    // token-budget sequence packing (concat-and-chunk pretraining shape):
+    // documents are laid out contiguously per language in doc_id order
+    // and a document's bin is the fixed-size window its START offset
+    // falls in. One window shuffle; the language is the parallel unit —
+    // for a mono-language 100 TB corpus, salt the partition key into
+    // sub-streams and offset bins per sub-stream.
+    "q54_pack_sequences" -> ((s, dir) => {
+      val budget = 2048
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokenCountWs(col("text")).as("n_tokens"))
+        .withColumn("bin",
+          floor((sum("n_tokens").over(w) - col("n_tokens")) / budget).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrub: the synthetic corpus carries no addresses, so the query
     // injects a deterministic email + URL per row (same expression in the
     // oracle) and scrubs THAT — every row exercises both patterns and the
@@ -226,6 +254,22 @@ object TextQueries extends QueryFamily {
                    COUNT(*) AS n_docs
             FROM documents
             GROUP BY 1 ORDER BY bucket_lo""",
+      "q53_vocab_df" ->
+        s"""SELECT token, COUNT(*) AS df FROM (
+              SELECT DISTINCT doc_id, UNNEST($toks) AS token FROM documents)
+            GROUP BY token
+            ORDER BY df DESC, token
+            LIMIT 50""",
+      "q54_pack_sequences" ->
+        s"""SELECT doc_id, lang, n_tokens,
+                   CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin
+            FROM (
+              SELECT doc_id, lang, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM (SELECT doc_id, lang, CAST($nTokens AS BIGINT) AS n_tokens
+                    FROM documents))
+            ORDER BY doc_id""",
       "q52_text_pii_scrub" ->
         """WITH dirty AS (
              SELECT doc_id,
