@@ -122,6 +122,30 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // tokenize-to-ids, the terminal training-prep step: a vocabulary of
+    // the top-20 tokens by (df, token) maps every token position to an id
+    // (OOV -> 0). The vocab is learned with one tiny aggregation; the
+    // mapping is a BROADCAST join against exploded (doc, pos, token) rows
+    // — the scalable shape for vocabularies too big for a literal map
+    // expression, and nothing ever shuffles by document. Output stays
+    // exploded (doc_id, pos, token_id): scalar rows hash-compare exactly,
+    // and downstream packing consumes position-keyed rows anyway.
+    "q55_tokenize_ids" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val vocab = docs
+        .select(explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(20)
+        .withColumn("id", row_number().over(
+          Window.orderBy(col("df").desc, col("token"))).cast("long"))
+      docs
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+        .join(broadcast(vocab.select("token", "id")), Seq("token"), "left")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          coalesce(col("id"), lit(0L)).as("token_id"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // PII scrub: the synthetic corpus carries no addresses, so the query
     // injects a deterministic email + URL per row (same expression in the
     // oracle) and scrubs THAT — every row exercises both patterns and the
@@ -270,6 +294,21 @@ object TextQueries extends QueryFamily {
               FROM (SELECT doc_id, lang, CAST($nTokens AS BIGINT) AS n_tokens
                     FROM documents))
             ORDER BY doc_id""",
+      "q55_tokenize_ids" ->
+        s"""WITH toksv AS (SELECT doc_id, $toks AS t FROM documents),
+            vocab AS (
+              SELECT token, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS id FROM (
+                SELECT token, COUNT(*) AS df FROM (
+                  SELECT DISTINCT doc_id, UNNEST(t) AS token FROM toksv)
+                GROUP BY token ORDER BY df DESC, token LIMIT 20)),
+            flat AS (
+              SELECT doc_id, UNNEST(t) AS token,
+                     UNNEST(GENERATE_SERIES(1, LEN(t))) - 1 AS pos
+              FROM toksv)
+            SELECT f.doc_id, CAST(f.pos AS BIGINT) AS pos,
+                   CAST(COALESCE(v.id, 0) AS BIGINT) AS token_id
+            FROM flat f LEFT JOIN vocab v ON v.token = f.token
+            ORDER BY f.doc_id, pos""",
       "q52_text_pii_scrub" ->
         """WITH dirty AS (
              SELECT doc_id,
