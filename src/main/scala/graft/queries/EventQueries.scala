@@ -3,6 +3,7 @@ package graft.queries
 import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -74,6 +75,22 @@ object EventQueries extends QueryFamily {
           s, stagedEventsDir(s, dir), freshResultDir("q44", dir), gapMinutes)
         .orderBy("user_id", "session_start")),
 
+    // per-event trailing-hour rolling aggregate (feature engineering):
+    // a RANGE window frame over event-time seconds — peer-inclusive and
+    // order-independent at timestamp ties, so it hash-matches DuckDB's
+    // RANGE INTERVAL frame exactly. One shuffle by user_id.
+    "q56_events_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_seconds(col("ts").cast("timestamp")))
+        .rangeBetween(-3600, 0)
+      graft.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          count(lit(1)).over(w).as("n_hour"),
+          round(sum(col("value")).over(w), 2).as("sum_hour"))
+        .orderBy("event_id")
+    }),
+
     // backward AS-OF join: each purchase attributed to the user's most
     // recent click at-or-before it (clicks pre-aggregated per (user, ts)
     // to satisfy the operator's — and DuckDB ASOF's — uniqueness
@@ -110,6 +127,15 @@ object EventQueries extends QueryFamily {
       EventStreams.attributionStreaming(
           s, stagedEventsDir(s, dir), freshResultDir("q49", dir), windowMinutes = 60)
         .orderBy("event_id", "click_id")),
+
+    // streaming ingest dedup: event_id uniqueness repaired with bounded
+    // (watermark-horizon) state; the driver feed has unique ids, so the
+    // oracle is the identity projection — the dedup SEMANTICS (planted
+    // re-deliveries, state eviction) are pinned by DedupStreamSpec
+    "q57_events_dedup_stream" -> ((s, dir) =>
+      EventStreams.dedupStreaming(
+          s, stagedEventsDir(s, dir), freshResultDir("q57", dir))
+        .orderBy("event_id")),
 
     "q38_events_sessionize_stream" -> ((s, dir) => {
       EventStreams.sessionizeStreaming(
@@ -166,6 +192,18 @@ object EventQueries extends QueryFamily {
     // session_window form (q44), which must agree.
     "q38_events_sessionize_stream" -> sessionizeStreamSql,
     "q44_events_sessionize_native" -> sessionizeStreamSql,
+    "q57_events_dedup_stream" ->
+      """SELECT event_id, user_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                event_type, value
+         FROM events ORDER BY event_id""",
+    "q56_events_rolling" ->
+      """SELECT event_id, user_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                COUNT(*) OVER w AS n_hour,
+                ROUND(SUM(value) OVER w, 2) AS sum_hour
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     // DuckDB's native ASOF LEFT JOIN is the ground truth for the as-of
     // operator (same inclusive l.ts >= r.ts backward-match rule)
     "q48_asof_click_attribution" ->

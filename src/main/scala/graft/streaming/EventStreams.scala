@@ -185,6 +185,41 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** Streaming exact dedup by event_id with BOUNDED state — the
+    * feed-repair operator: at-least-once sources re-deliver, and ingest
+    * must drop the re-deliveries. `dropDuplicatesWithinWatermark` keeps a
+    * seen-id entry only until the watermark passes its event time plus
+    * the delay, so state is bounded by the horizon's id count (a plain
+    * streaming `dropDuplicates` grows state forever). The guarantee is
+    * correspondingly scoped: a re-delivery arriving with a fresh
+    * timestamp AFTER its entry was evicted escapes the dedup —
+    * DedupStreamSpec pins both sides of that contract.
+    */
+  def dedupStreaming(
+      spark: SparkSession, eventsDir: String, outDir: String,
+      delay: String = "30 minutes"): DataFrame = {
+    val stream = spark.readStream.schema(eventSchema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("event_type"), col("value"))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", StringType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .parquet(outDir)
+  }
+
   /** Gaps-and-islands sessionization, batch form: a session breaks after
     * `gapMinutes` of user inactivity. Window functions only — one shuffle
     * by user_id.

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.streaming.EventStreams.Event
+
+/** Multi-micro-batch contract of streaming ingest dedup (q57,
+  * `dropDuplicatesWithinWatermark`): re-deliveries within the watermark
+  * horizon are dropped; state is BOUNDED by that horizon, so the
+  * guarantee is scoped to it — a re-delivery with a fresh timestamp
+  * after its seen-id entry was evicted escapes (the documented
+  * at-least-once-repair trade, not a bug).
+  */
+class DedupStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  private def run(batches: Seq[Event]*): Seq[Long] = {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val sink = s"dedup_${System.nanoTime()}"
+    val q = source.toDF()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(sink).start()
+    try {
+      batches.foreach { b => source.addData(b); q.processAllAvailable() }
+      spark.table(sink).select(col("event_id")).collect().map(_.getLong(0)).toSeq.sorted
+    } finally q.stop()
+  }
+
+  test("re-delivery within the watermark horizon is dropped, across batches") {
+    val out = run(
+      Seq(Event(1, ts("10:00"), 1L, "c", 1.0), Event(2, ts("10:05"), 1L, "c", 1.0)),
+      Seq(Event(1, ts("10:00"), 1L, "c", 1.0), // exact re-delivery
+        Event(1, ts("10:07"), 1L, "c", 1.0),   // same id, drifted ts, still in horizon
+        Event(3, ts("10:10"), 1L, "c", 1.0)))
+    assert(out == Seq(1L, 2L, 3L), s"got $out")
+  }
+
+  test("a re-delivery after state eviction escapes the dedup (horizon-scoped guarantee)") {
+    // b1 emits id 1 (10:00) and advances the watermark to 13:30 via id 2;
+    // id 1's seen-entry expires at 10:30 < 13:30, so b2's eviction pass
+    // clears it; b3 re-delivers id 1 with a fresh in-horizon timestamp ->
+    // it is emitted AGAIN. Cross-horizon exactness needs the batch
+    // operator (Dedup.dedupeAgainst) downstream.
+    val out = run(
+      Seq(Event(1, ts("10:00"), 1L, "c", 1.0), Event(2, ts("14:00"), 2L, "c", 1.0)),
+      Seq(Event(3, ts("14:01"), 3L, "c", 1.0)),
+      Seq(Event(1, ts("14:05"), 1L, "c", 1.0)))
+    assert(out == Seq(1L, 1L, 2L, 3L), s"got $out")
+  }
+}
