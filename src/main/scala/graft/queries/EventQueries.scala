@@ -75,6 +75,25 @@ object EventQueries extends QueryFamily {
           s, stagedEventsDir(s, dir), freshResultDir("q44", dir), gapMinutes)
         .orderBy("user_id", "session_start")),
 
+    // bucketed RANGE JOIN: events assigned to the maintenance window
+    // containing them (02:00-02:45 of each active day, derived from the
+    // events' own distinct days so the oracle is closed-form). The
+    // operator equi-joins on hour buckets and filters exactly — never a
+    // nested-loop over |events| x |windows|.
+    "q58_events_range_join" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+      val windows = graft.Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d")).distinct()
+        .select(date_format(col("d"), "yyyy-MM-dd").as("win_day"),
+          (col("d").cast("timestamp") + expr("INTERVAL 2 HOURS")).as("win_start"),
+          (col("d").cast("timestamp") + expr("INTERVAL 2 HOURS 45 MINUTES")).as("win_end"))
+      graft.operators.RangeJoin
+        .pointInInterval(ev, "ts", windows, "win_start", "win_end", bucketSeconds = 3600)
+        .select(col("event_id"), col("win_day"))
+        .orderBy("event_id", "win_day")
+    }),
+
     // per-event trailing-hour rolling aggregate (feature engineering):
     // a RANGE window frame over event-time seconds — peer-inclusive and
     // order-independent at timestamp ties, so it hash-matches DuckDB's
@@ -196,6 +215,16 @@ object EventQueries extends QueryFamily {
       """SELECT event_id, user_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts,
                 event_type, value
          FROM events ORDER BY event_id""",
+    "q58_events_range_join" ->
+      """WITH wdef AS (
+           SELECT STRFTIME(d, '%Y-%m-%d') AS win_day,
+                  CAST(d AS TIMESTAMP) + INTERVAL 2 HOUR AS win_start,
+                  CAST(d AS TIMESTAMP) + INTERVAL 2 HOUR + INTERVAL 45 MINUTE AS win_end
+           FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events))
+         SELECT e.event_id, w.win_day
+         FROM events e JOIN wdef w
+           ON e.ts BETWEEN w.win_start AND w.win_end
+         ORDER BY e.event_id, w.win_day""",
     "q56_events_rolling" ->
       """SELECT event_id, user_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts,
                 COUNT(*) OVER w AS n_hour,
