@@ -75,6 +75,26 @@ object EventQueries extends QueryFamily {
           s, stagedEventsDir(s, dir), freshResultDir("q44", dir), gapMinutes)
         .orderBy("user_id", "session_start")),
 
+    // exact distinct users per event type: Spark plans count_distinct as
+    // Expand + two-phase aggregation (partial per (type, user), then
+    // merge) — scale-safe while per-group distinct cardinality fits a
+    // shuffle partition; q60 is the sketch twin for when it doesn't
+    "q59_events_distinct_users" -> ((s, dir) =>
+      graft.Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // HyperLogLog++ sketch twin of q59: constant state per group at any
+    // cardinality. Rows-only (DuckDB's approx sketch differs); SketchSpec
+    // bounds its error against the exact answer
+    "q60_events_distinct_users_approx" -> ((s, dir) =>
+      graft.Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"))
+        .orderBy("event_type")),
+
     // bucketed RANGE JOIN: events assigned to the maintenance window
     // containing them (02:00-02:45 of each active day, derived from the
     // events' own distinct days so the oracle is closed-form). The
@@ -215,6 +235,10 @@ object EventQueries extends QueryFamily {
       """SELECT event_id, user_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts,
                 event_type, value
          FROM events ORDER BY event_id""",
+    "q59_events_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                COUNT(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q58_events_range_join" ->
       """WITH wdef AS (
            SELECT STRFTIME(d, '%Y-%m-%d') AS win_day,

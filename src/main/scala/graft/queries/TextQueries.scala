@@ -172,40 +172,19 @@ object TextQueries extends QueryFamily {
     // corpus stats: EXACT interpolated token-count percentiles per
     // language — the sequence-length profile a training run budgets
     // against. Exact rather than percentile_approx (the sketch differs
-    // across engines; the exact definition doesn't), but NOT via the
-    // `percentile` aggregate: that TypedImperativeAggregate buffers every
-    // group member's value in executor memory — per-language groups at
-    // 100 TB hold billions. Token counts are small integers, so the
-    // (lang, n_tokens) COUNT HISTOGRAM is tiny regardless of corpus size;
-    // the exact interpolated percentile falls out of its cumulative sums
-    // with the same formula `percentile`/QUANTILE_CONT use: for rank
-    // r = p·(n−1), x_lo/x_hi = values at ranks ⌊r⌋/⌈r⌉, result =
-    // x_lo + (r − ⌊r⌋)·(x_hi − x_lo). State is bounded by the number of
-    // DISTINCT token counts per language, not the number of documents.
-    "q45_token_percentiles" -> ((s, dir) => {
-      val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
-      val hist = table(s, dir, "documents")
-        .select(col("lang"), tokenCountWs(col("text")).as("n_tokens"))
-        .groupBy("lang", "n_tokens").agg(count(lit(1)).as("cnt"))
-      // running + total counts over the tiny histogram; the value holding
-      // 0-based rank j is the first whose cumulative count exceeds j
-      val cum = hist
-        .withColumn("cum", sum("cnt").over(
-          Window.partitionBy("lang").orderBy("n_tokens")))
-        .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
-      def rank(p: Double) = lit(p) * (col("n") - 1).cast("double")
-      val aggs = ps.flatMap { case (nm, p) => Seq(
-        min(when(col("cum") > floor(rank(p)), col("n_tokens"))).as(s"${nm}_lo"),
-        min(when(col("cum") > ceil(rank(p)), col("n_tokens"))).as(s"${nm}_hi"))
-      } ++ Seq(max(col("n_tokens")).as("max_tokens"), max(col("n")).as("n_total"))
-      val bounds = cum.groupBy("lang").agg(aggs.head, aggs.tail: _*)
-      val out = col("lang") +: ps.map { case (nm, p) =>
-        val r = lit(p) * (col("n_total") - 1).cast("double")
-        round(col(s"${nm}_lo") + (r - floor(r)) * (col(s"${nm}_hi") - col(s"${nm}_lo")), 6)
-          .as(nm)
-      } :+ col("max_tokens")
-      bounds.select(out: _*).orderBy("lang")
-    })
+    // across engines; the exact definition doesn't), via the bounded-
+    // state count-histogram operator (see [[graft.operators
+    // .ExactPercentiles]] for why the `percentile` aggregate itself
+    // cannot survive 100 TB groups).
+    "q45_token_percentiles" -> ((s, dir) =>
+      graft.operators.ExactPercentiles.byGroup(
+          table(s, dir, "documents")
+            .select(col("lang"), tokenCountWs(col("text")).as("n_tokens")),
+          groupCols = Seq("lang"), valueCol = "n_tokens",
+          ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .select(col("lang"), col("p50"), col("p90"), col("p99"),
+          col("max_n_tokens").as("max_tokens"))
+        .orderBy("lang"))
   )
 
   private val norm = """REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')"""
