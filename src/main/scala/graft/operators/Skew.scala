@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted inner equi-join for HOT-KEY skew.
+  *
+  * The default fix is AQE's skew-join split — it is on session-wide and
+  * handles most batch skew without help. Reach for explicit salting
+  * where AQE cannot:
+  *
+  *   - the skewed key feeds a WINDOW or other single-partition-per-key
+  *     operator downstream (AQE splits shuffle partitions, not key
+  *     groups);
+  *   - STREAMING stateful joins/aggregations (no adaptive re-planning
+  *     mid-stream);
+  *   - sort-merge shuffles whose skew exceeds what partition-splitting
+  *     amortizes, when the other side is small enough to replicate
+  *     `salts`× but too big (or on the wrong side of a left join) to
+  *     broadcast.
+  *
+  * Left rows scatter deterministically across `salts` sub-keys — the
+  * salt is a hash of the whole row, not RNG, so results and layout are
+  * reproducible across runs and task retries; right rows replicate to
+  * every sub-key. The joined result is IDENTICAL to the unsalted join
+  * (SkewSpec pins it, q61's oracle proves it end-to-end); the hot key's
+  * probe work spreads over `salts` tasks at the cost of |right|·salts
+  * replicated rows.
+  */
+object Skew {
+
+  /** Inner equi-join of `left` and `right` on `key` (same name both
+    * sides), salted `salts` ways. `salts = 1` degenerates to the plain
+    * join.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "__salt column name is reserved")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -75,6 +75,20 @@ object EventQueries extends QueryFamily {
           s, stagedEventsDir(s, dir), freshResultDir("q44", dir), gapMinutes)
         .orderBy("user_id", "session_start")),
 
+    // salted hot-key join end-to-end: ~2/3 of events collapse onto key 0
+    // (users < 100), joined to a per-key label dim through Skew.saltedJoin
+    // and rolled up — the oracle (plain unsalted join) proves the salt
+    // changes the shuffle layout, never the result
+    "q61_skew_salted_join" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(when(col("user_id") < 100, 0L).otherwise(col("user_id")).as("k"))
+      val dim = ev.distinct()
+        .withColumn("label", concat(lit("g"), pmod(col("k"), lit(7L))))
+      graft.operators.Skew.saltedJoin(ev, dim, "k", salts = 8)
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .orderBy("label")
+    }),
+
     // exact distinct users per event type: Spark plans count_distinct as
     // Expand + two-phase aggregation (partial per (type, user), then
     // merge) — scale-safe while per-group distinct cardinality fits a
@@ -239,6 +253,14 @@ object EventQueries extends QueryFamily {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                 COUNT(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q61_skew_salted_join" ->
+      """WITH ev AS (
+           SELECT CASE WHEN user_id < 100 THEN 0 ELSE user_id END AS k FROM events),
+         dim AS (
+           SELECT DISTINCT k, 'g' || CAST(k % 7 AS VARCHAR) AS label FROM ev)
+         SELECT label, COUNT(*) AS n
+         FROM ev JOIN dim USING (k)
+         GROUP BY label ORDER BY label""",
     "q58_events_range_join" ->
       """WITH wdef AS (
            SELECT STRFTIME(d, '%Y-%m-%d') AS win_day,

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 5k rows, ~80% on the hot key 0
+  private lazy val left = (0 until 5000).map { i =>
+    (if (i % 5 != 0) 0L else (i % 40).toLong, i.toLong)
+  }.toDF("k", "payload")
+
+  private lazy val right = (0 until 40).map(k => (k.toLong, s"label$k")).toDF("k", "label")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "payload", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+
+  test("salted join result is identical to the plain join") {
+    val plain = rows(left.join(right, Seq("k")))
+    assert(rows(Skew.saltedJoin(left, right, "k", salts = 8)) == plain)
+    assert(rows(Skew.saltedJoin(left, right, "k", salts = 1)) == plain)
+  }
+
+  test("the join key actually includes the salt (work spreads across sub-keys)") {
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8)
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"),
+      "salt column missing from the physical join keys")
+    // the hot key's rows really scatter: >1 distinct salt on key 0
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(8L)).cast("int"))
+    val nSalts = l.filter(col("k") === 0).select("__salt").distinct().count()
+    assert(nSalts > 4, s"hot key only used $nSalts salts")
+  }
+
+  test("salting is deterministic across evaluations") {
+    val a = Skew.saltedJoin(left, right, "k", salts = 8)
+    assert(rows(a) == rows(a))
+  }
+}
