@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.SparkTestBase
+
+class BucketedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val fact = (0 until 20000).map(i => ((i % 400).toLong, i.toLong))
+    .toDF("k", "payload")
+  private lazy val dim = (0 until 400).map(k => (k.toLong, s"label$k")).toDF("k", "label")
+
+  test("both-sides-bucketed join plans with no exchange and no extra sort") {
+    val t1 = s"b_fact_${System.nanoTime()}"
+    val t2 = s"b_dim_${System.nanoTime()}"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Bucketed.writeBucketed(fact, t1, "k", buckets = 8)
+      Bucketed.writeBucketed(dim, t2, "k", buckets = 8)
+      // force the sort-merge path (a broadcast would trivially avoid the
+      // exchange without exercising bucket co-location)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketed.read(spark, t1).join(Bucketed.read(spark, t2), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(600)}")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(1200)}")
+      // bucket-sorted data: no per-task sort either side
+      assert(!plan.linesIterator.exists(_.trim.startsWith("Sort ")),
+        s"bucket-sorted join must not re-sort:\n${plan.take(1200)}")
+      // and the result equals the shuffled join of the original frames
+      val expect = fact.join(dim, "k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+      val got = joined.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+      assert(got == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $t1")
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
+    }
+  }
+
+  test("bucketed-by-fingerprint self-join (the dedup-index layout) stays shuffle-free") {
+    val t = s"b_docs_${System.nanoTime()}"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val docs = (0 until 5000).map(i => (i.toLong, s"fp${i % 1000}")).toDF("doc_id", "fingerprint")
+      Bucketed.writeBucketed(docs, t, "fingerprint", buckets = 4)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = Bucketed.read(spark, t)
+      val b = Bucketed.read(spark, t)
+      val plan = a.join(b.withColumnRenamed("doc_id", "doc_id_b"), "fingerprint")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"shuffled:\n${plan.take(1200)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+}
