@@ -122,6 +122,22 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // Unicode canonicalization: the corpus is ASCII, so (like q52's PII)
+    // the query appends a decomposed-form suffix ("e"+combining acute,
+    // U+0301) per row — the kernel must COMPOSE it to U+00E9, shrinking
+    // the char count by one, and DuckDB's NFC_NORMALIZE must agree on
+    // the full normalized text
+    "q62_text_nfc" -> ((s, dir) => {
+      val dirty = concat(col("text"), lit(" café")) // decomposed: e + U+0301
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          length(dirty).as("n_chars_raw"),
+          length(graft.functions.expr.NormalizeFunctions.nfcNormalize(dirty))
+            .as("n_chars_nfc"),
+          graft.functions.expr.NormalizeFunctions.nfcNormalize(dirty).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // tokenize-to-ids, the terminal training-prep step: a vocabulary of
     // the top-20 tokens by (df, token) maps every token position to an id
     // (OOV -> 0). The vocab is learned with one tiny aggregation; the
@@ -273,6 +289,12 @@ object TextQueries extends QueryFamily {
               FROM (SELECT doc_id, lang, CAST($nTokens AS BIGINT) AS n_tokens
                     FROM documents))
             ORDER BY doc_id""",
+      "q62_text_nfc" ->
+        """SELECT doc_id,
+                  CAST(LENGTH(text || ' cafe' || CHR(769)) AS INT) AS n_chars_raw,
+                  CAST(LENGTH(NFC_NORMALIZE(text || ' cafe' || CHR(769))) AS INT) AS n_chars_nfc,
+                  NFC_NORMALIZE(text || ' cafe' || CHR(769)) AS clean
+           FROM documents ORDER BY doc_id""",
       "q55_tokenize_ids" ->
         s"""WITH toksv AS (SELECT doc_id, $toks AS t FROM documents),
             vocab AS (
