@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Small-files compaction for parquet directories — streaming sinks and
+  * incremental ingests accrete files far below the scan-efficient size,
+  * and at scale the file COUNT (listing, footer reads, task scheduling)
+  * becomes the bottleneck before the byte count does.
+  *
+  * Rewrites a directory into ⌈total bytes / targetBytes⌉ files: plain
+  * round-robin when no clustering is requested (balanced file sizes), or
+  * `repartitionByRange(clusterBy)` to keep/establish value clustering so
+  * min/max row-group pruning keeps working after the rewrite. The
+  * rewrite lands in a sibling temp directory first and is swapped in
+  * with a delete+rename — atomic on a local/HDFS filesystem, NOT on
+  * object stores; at real scale run compaction under a table format's
+  * transaction (the operator is the data motion, the format is the
+  * commit protocol).
+  */
+object Compact {
+
+  /** @return the number of files written */
+  def rewriteParquet(
+      spark: SparkSession, dir: String, targetBytes: Long,
+      clusterBy: Seq[String] = Nil): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val totalBytes = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(dir)
+    val laid =
+      if (clusterBy.isEmpty) df.repartition(n)
+      else df.repartitionByRange(n, clusterBy.map(col): _*)
+    val tmp = new Path(dir.stripSuffix("/") + "__compacting")
+    laid.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    n
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.io.File
+
+import graft.SparkTestBase
+
+class CompactSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Seq[File] =
+    new File(dir).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_compact").resolve("t").toString
+
+  test("compaction collapses a fragmented directory, preserving every row") {
+    val dir = freshDir()
+    val data = (0 until 20000).map(i => (i.toLong, s"v$i"))
+    data.toDF("id", "v").repartition(64).write.parquet(dir)
+    assert(parquetFiles(dir).size == 64)
+    val n = Compact.rewriteParquet(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(n == 1)
+    assert(parquetFiles(dir).size == 1)
+    val back = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(back == data.sorted)
+  }
+
+  test("clusterBy compaction keeps range clustering for min/max pruning") {
+    val dir = freshDir()
+    (0 until 20000).map(i => (i.toLong, i % 7)).toDF("id", "x")
+      .repartition(32).write.parquet(dir)
+    // force a few output files, range-clustered by id
+    val small = parquetFiles(dir).map(_.length()).sum / 3
+    val n = Compact.rewriteParquet(spark, dir, targetBytes = small, clusterBy = Seq("id"))
+    assert(n >= 2 && parquetFiles(dir).size == n)
+    // ranges must not overlap across files: per-file (min, max) intervals
+    // are disjoint when sorted
+    val ranges = parquetFiles(dir).map { f =>
+      val d = spark.read.parquet(f.getPath)
+      val r = d.agg(org.apache.spark.sql.functions.min("id"),
+        org.apache.spark.sql.functions.max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sorted
+    ranges.sliding(2).foreach {
+      case Seq((_, e1), (s2, _)) => assert(e1 <= s2, s"overlapping ranges: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == 20000L)
+  }
+}
