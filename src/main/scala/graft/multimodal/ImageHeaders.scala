@@ -100,8 +100,15 @@ object ImageHeaders {
     * height le16, packed flags with global-color-table size), then a
     * block walk — 0x2C image descriptors (one per frame; local color
     * table + LZW sub-blocks skipped by length), 0x21 extensions, 0x3B
-    * trailer. Frame count = image descriptors seen; a truncated stream
-    * keeps the frames counted so far (min 1).
+    * trailer. Frame count = image descriptors seen.
+    *
+    * STRICT: the walk must reach the 0x3B trailer through well-formed
+    * blocks or the bytes are rejected. Unlike PNG/JPEG, the GIF
+    * signature is pure ASCII — "GIF87a" can legitimately open a TEXT
+    * payload — so signature-plus-dimensions alone must not claim the
+    * bytes; requiring a structurally valid block walk makes an
+    * accidental text match (which would silently diverge from the
+    * caller's stub-fallback contract) practically impossible.
     */
   private def parseGif(b: Array[Byte]): Option[Meta] = {
     if (b.length < 13) return None
@@ -112,17 +119,18 @@ object ImageHeaders {
     val packed = u8(b, 10)
     var i = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
     var frames = 0L
-    var done = false
+    var sawTrailer = false
+    var corrupt = false
     def skipSubBlocks(): Unit = {
       while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
       i += 1 // block terminator
     }
-    while (!done && i < b.length) {
+    while (!sawTrailer && !corrupt && i < b.length) {
       u8(b, i) match {
-        case 0x3b => done = true // trailer
+        case 0x3b => sawTrailer = true
         case 0x21 => i += 2; skipSubBlocks() // extension: introducer + label
         case 0x2c => // image descriptor
-          if (i + 10 > b.length) done = true
+          if (i + 10 > b.length) corrupt = true
           else {
             frames += 1
             val p = u8(b, i + 9)
@@ -130,9 +138,9 @@ object ImageHeaders {
             i += 1 // LZW minimum code size
             skipSubBlocks()
           }
-        case _ => done = true // corrupt introducer: keep what we have
+        case _ => corrupt = true
       }
     }
-    Some(Meta(w, h, math.max(frames, 1L), "gif"))
+    if (sawTrailer) Some(Meta(w, h, math.max(frames, 1L), "gif")) else None
   }
 }

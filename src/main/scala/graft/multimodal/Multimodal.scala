@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   * the deterministic [[decodeStub]] — the `???` boundary where a pixel
   * codec would plug in. The driver testdata's payloads are ASCII text
   * bytes, which cannot carry the PNG/JPEG signatures (both contain
-  * bytes > 0x7F), so the stub-arithmetic oracles stay exact on that
-  * path while MultimodalSpec covers real encoded headers.
+  * bytes > 0x7F); the GIF signature IS ASCII, so the GIF parser demands
+  * a structurally valid block walk to the trailer before claiming the
+  * bytes (see [[ImageHeaders]]). The stub-arithmetic oracles therefore
+  * stay exact on the text path while MultimodalSpec covers real encoded
+  * headers.
   */
 object Multimodal {
 

@@ -52,6 +52,11 @@ object AsOf {
     require(clash.isEmpty, s"as-of output columns collide with left columns: $clash")
     require(right.columns.contains(key) && right.columns.contains(ts),
       s"right side must carry '$key' and '$ts'")
+    val reserved = Set("__side", "__snap", "__carried")
+      .intersect(left.columns.toSet ++ right.columns.toSet)
+    require(reserved.isEmpty,
+      s"column names $reserved are reserved by the as-of join (withColumn " +
+        "would silently overwrite them)")
 
     // one struct per right row: all carried fields move together
     val snap = struct(col(ts).as(rightTsOut) +: payloadCols.map(col): _*)

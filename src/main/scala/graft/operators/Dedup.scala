@@ -45,8 +45,16 @@ object Dedup {
     * ingest). The increment deduplicates within itself (min-id per
     * fingerprint, one window shuffle keyed by the digest) and anti-joins
     * the corpus fingerprints (shuffle of digests only, AQE-broadcastable
-    * when the increment is small). Output rows are exactly the rows
-    * exactGroups over the union would have NEWLY kept.
+    * when the increment is small).
+    *
+    * Contract: the CORPUS always wins — an increment row whose content
+    * already exists in the corpus is dropped regardless of id order.
+    * Under the natural ingest invariant (increment ids assigned after
+    * corpus ids, as in q50), the output is exactly the rows
+    * [[exactGroups]] over the union would have newly kept; with
+    * arbitrary interleaved id spaces, min-id union semantics could
+    * instead elect an increment row — use exactGroups over the union if
+    * that is the semantics needed.
     */
   def dedupeAgainst(
       increment: DataFrame, corpusFingerprints: DataFrame,

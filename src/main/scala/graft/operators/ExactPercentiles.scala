@@ -33,7 +33,11 @@ object ExactPercentiles {
       ps: Seq[(String, Double)], roundScale: Int = 6): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
     val gs = groupCols.map(col)
-    val hist = df.groupBy(gs :+ col(valueCol): _*).agg(count(lit(1)).as("cnt"))
+    // NULLs are excluded up front, matching `percentile`/QUANTILE_CONT —
+    // a null histogram row would inflate n and every cumulative count
+    // (nulls sort first) while never being selectable as a bound
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(gs :+ col(valueCol): _*).agg(count(lit(1)).as("cnt"))
     val cum = hist
       .withColumn("cum", sum("cnt").over(
         Window.partitionBy(gs: _*).orderBy(valueCol)))

@@ -40,6 +40,8 @@ object RangeJoin {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val clash = intervals.columns.toSet.intersect(points.columns.toSet)
     require(clash.isEmpty, s"point/interval column names collide: $clash")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "__bucket column name is reserved by the range join")
     def bucketOf(c: org.apache.spark.sql.Column) =
       floor(unix_seconds(c.cast("timestamp")) / bucketSeconds)
     val b = intervals

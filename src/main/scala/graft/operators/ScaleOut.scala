@@ -26,16 +26,19 @@ object ScaleOut {
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    // Estimate the scan's split count from logical-plan SIZE STATISTICS —
-    // the same byte math FilePartition planning uses — instead of
+    // Estimate the scan's split count from the LEAF relations' byte
+    // sizes — the same byte math FilePartition planning uses — instead of
     // `df.rdd.getNumPartitions`, which built the full physical plan and an
     // RDD lineage on every operator call just to read a partition count
-    // (and read it off the pre-AQE plan at that). sizeInBytes for a file
-    // relation is the file-byte sum, so the estimate tracks what the
-    // scheduler will actually do: splits ≈ bytes / min(maxPartitionBytes,
-    // max(openCost, bytes/parallelism)).
+    // (and read it off the pre-AQE plan at that). Leaf stats, not the
+    // frame's own: a Project's stats are scaled down by column pruning,
+    // which would under-estimate the split count of a wide table behind a
+    // narrow projection; the scheduler splits on FILE bytes, and for a
+    // file relation the leaf's sizeInBytes is exactly that sum. So:
+    // splits ≈ bytes / min(maxPartitionBytes, max(openCost, bytes/parallelism)).
     val conf = spark.sessionState.conf
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
     val maxSplit = conf.filesMaxPartitionBytes
     if (bytes >= BigInt(maxSplit) * target) df // >= target splits even at the coarsest split size
     else {

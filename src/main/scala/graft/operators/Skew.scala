@@ -19,13 +19,16 @@ import org.apache.spark.sql.functions._
   *     `salts`× but too big (or on the wrong side of a left join) to
   *     broadcast.
   *
-  * Left rows scatter deterministically across `salts` sub-keys — the
-  * salt is a hash of the whole row, not RNG, so results and layout are
-  * reproducible across runs and task retries; right rows replicate to
-  * every sub-key. The joined result is IDENTICAL to the unsalted join
-  * (SkewSpec pins it, q61's oracle proves it end-to-end); the hot key's
-  * probe work spreads over `salts` tasks at the cost of |right|·salts
-  * replicated rows.
+  * Left rows scatter across `salts` sub-keys by hashing the row TOGETHER
+  * WITH its partition-local position (`monotonically_increasing_id`) —
+  * a whole-row hash alone would assign every copy of a duplicated row
+  * the same salt, silently un-spreading exactly the hot-identical-rows
+  * case salting exists for. No RNG state: a task retry recomputes the
+  * same ids, so the layout is stable within a run; across different
+  * input layouts the salt ASSIGNMENT may differ but the joined result
+  * never does — it is IDENTICAL to the unsalted join (SkewSpec pins it,
+  * q61's oracle proves it end-to-end). Cost: |right|·salts replicated
+  * rows.
   */
 object Skew {
 
@@ -38,7 +41,8 @@ object Skew {
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "__salt column name is reserved")
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
+        lit(salts.toLong)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions.col
   * round-robin when no clustering is requested (balanced file sizes), or
   * `repartitionByRange(clusterBy)` to keep/establish value clustering so
   * min/max row-group pruning keeps working after the rewrite. The
-  * rewrite lands in a sibling temp directory first and is swapped in
-  * with a delete+rename — atomic on a local/HDFS filesystem, NOT on
-  * object stores; at real scale run compaction under a table format's
-  * transaction (the operator is the data motion, the format is the
+  * rewrite lands in a sibling temp directory, the live directory is
+  * renamed aside, the rewrite renamed in, and only then is the old copy
+  * deleted — a full copy of the data exists on disk at every step, so a
+  * crash at any point is recoverable (readers can race the two renames;
+  * each rename is atomic on a local/HDFS filesystem, NOT on object
+  * stores — at real scale run compaction under a table format's
+  * transaction: the operator is the data motion, the format is the
   * commit protocol).
   */
 object Compact {
@@ -37,10 +40,16 @@ object Compact {
       if (clusterBy.isEmpty) df.repartition(n)
       else df.repartitionByRange(n, clusterBy.map(col): _*)
     val tmp = new Path(dir.stripSuffix("/") + "__compacting")
+    val old = new Path(dir.stripSuffix("/") + "__precompact")
     laid.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    if (!fs.rename(tmp, path))
+    fs.delete(old, true) // stale leftover from a previous crashed run
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compaction swap failed: $path -> $old")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore the original before giving up
       throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    }
+    fs.delete(old, true)
     n
   }
 }

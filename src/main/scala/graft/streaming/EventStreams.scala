@@ -371,7 +371,17 @@ object EventStreams {
           else {
             state.update(OpenSessions(open))
             // earliest remaining deadline minus the firing slack, clamped
-            // strictly above the watermark (Spark rejects timeouts at/below)
+            // strictly above the watermark (Spark rejects timeouts at/below).
+            // Residual: when a deadline D == wm + 1 exactly, the clamp
+            // parks the timeout AT D and the strict firing rule
+            // (timeout < wm') cannot trigger at wm' == D — if the
+            // watermark then stops precisely on D forever and the user
+            // never sees another event, emission waits for the next
+            // watermark movement (native session_window scans state
+            // per-batch and has no such window). Reaching it needs
+            // adversarial 1 ms watermark steps; any data or further
+            // watermark progress resolves it through the <= partition
+            // above.
             state.setTimeoutTimestamp(
               math.max(open.map(_.last + gapMs).min - 1, wm + 1))
           }

@@ -80,6 +80,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(ImageHeaders.parse(Array(0x89.toByte, 0x50.toByte)).isEmpty)
   }
 
+  test("TEXT starting with the ASCII GIF signature is rejected (strict block walk)") {
+    // unlike PNG/JPEG, "GIF87a" is valid ASCII — a text payload opening
+    // with it must still fall back to the stub, or the q33/q34 oracle
+    // invariant (text == stub path) silently breaks
+    assert(ImageHeaders.parse("GIF87a document about image formats".getBytes("UTF-8")).isEmpty)
+    assert(ImageHeaders.parse("GIF89a and more prose here".getBytes("UTF-8")).isEmpty)
+    // a real GIF truncated before its trailer is likewise not claimed
+    assert(ImageHeaders.parse(gifBytes(320, 200, 1).dropRight(1)).isEmpty)
+  }
+
   test("decodeImageMeta: real headers decode, unknown bytes fall back to the stub") {
     val payloads = Seq(
       1L -> pngBytes(640, 480),

@@ -30,9 +30,25 @@ class SkewSpec extends SparkTestBase {
       "salt column missing from the physical join keys")
     // the hot key's rows really scatter: >1 distinct salt on key 0
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(8L)).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
+        lit(8L)).cast("int"))
     val nSalts = l.filter(col("k") === 0).select("__salt").distinct().count()
     assert(nSalts > 4, s"hot key only used $nSalts salts")
+  }
+
+  test("IDENTICAL hot rows still scatter (whole-row hashing alone would collapse them)") {
+    // the q61 shape: a single-column left where every hot-key row is the
+    // same row — a salt that is a pure function of the row's values puts
+    // them all in one sub-key and the mitigation silently vanishes
+    val dupLeft = (0 until 4000).map(_ => 0L).toDF("k")
+    val dupRight = Seq((0L, "hot")).toDF("k", "label")
+    val plain = dupLeft.join(dupRight, Seq("k")).collect().length
+    assert(Skew.saltedJoin(dupLeft, dupRight, "k", salts = 8).collect().length == plain)
+    val l = dupLeft.withColumn("__salt",
+      pmod(xxhash64(dupLeft.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
+        lit(8L)).cast("int"))
+    val nSalts = l.select("__salt").distinct().count()
+    assert(nSalts > 4, s"identical hot rows only used $nSalts salts")
   }
 
   test("salting is deterministic across evaluations") {

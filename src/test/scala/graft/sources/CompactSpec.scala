@@ -21,6 +21,11 @@ class CompactSpec extends SparkTestBase {
     val n = Compact.rewriteParquet(spark, dir, targetBytes = 512L * 1024 * 1024)
     assert(n == 1)
     assert(parquetFiles(dir).size == 1)
+    // the swap cleans up both scratch directories
+    val parent = new File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("__compact")),
+      s"scratch dirs left behind: ${parent.listFiles().map(_.getName).toSeq}")
+    assert(!parent.listFiles().exists(_.getName.contains("__precompact")))
     val back = spark.read.parquet(dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
     assert(back == data.sorted)
