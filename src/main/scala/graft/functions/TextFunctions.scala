@@ -82,6 +82,28 @@ object TextFunctions {
   def matchCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 
+  /** HTML-to-text extraction for web-scrape curation: script/style blocks
+    * dropped whole, remaining tags stripped, the common entities decoded
+    * (`&amp;` last so `&amp;lt;` does not double-decode), whitespace
+    * collapsed. Every pattern is lookaround- and backreference-free so
+    * the identical regexes run under Java regex and RE2 (the DuckDB
+    * oracle); this is the cheap curation-scale pass — a fidelity
+    * extraction (tables, lists, boilerplate classification) belongs in a
+    * dedicated parser behind the multimodal-style stub boundary.
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (ent, ch)) =>
+        replace(col0, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** characters that are neither alnum nor whitespace, over total chars. */
   def punctRatio(c: Column): Column = {
     val len = length(c)

@@ -122,6 +122,21 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // HTML-to-text: the corpus is plain text, so (like q52's PII) the
+    // query wraps each row in a deterministic HTML shell — style/script
+    // blocks, tags, and entities — and the extraction must recover the
+    // text plus the decoded suffix, char-for-char against the oracle
+    "q63_text_html_strip" -> ((s, dir) => {
+      val dirty = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><p class=\"big\">"),
+        col("text"),
+        lit("</p><script>var x = 1 < 2;</script>A &amp; B &lt;ok&gt; " +
+          "&quot;q&quot; &#39;s&#39;&nbsp;end</body></html>"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), stripHtml(dirty).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // Unicode canonicalization: the corpus is ASCII, so (like q52's PII)
     // the query appends a decomposed-form suffix ("e"+combining acute,
     // U+0301) per row — the kernel must COMPOSE it to U+00E9, shrinking
@@ -289,6 +304,24 @@ object TextQueries extends QueryFamily {
               FROM (SELECT doc_id, lang, CAST($nTokens AS BIGINT) AS n_tokens
                     FROM documents))
             ORDER BY doc_id""",
+      "q63_text_html_strip" ->
+        """WITH dirty AS (
+             SELECT doc_id,
+                    '<html><head><style>p{color:red}</style></head><body><p class="big">'
+                    || text ||
+                    '</p><script>var x = 1 < 2;</script>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</body></html>' AS d
+             FROM documents)
+           SELECT doc_id,
+                  TRIM(REGEXP_REPLACE(
+                    REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+                      REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(d,
+                        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '<[^>]*>', ' ', 'g'),
+                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                    '\s+', ' ', 'g')) AS clean
+           FROM dirty ORDER BY doc_id""",
       "q62_text_nfc" ->
         """SELECT doc_id,
                   CAST(LENGTH(text || ' cafe' || CHR(769)) AS INT) AS n_chars_raw,

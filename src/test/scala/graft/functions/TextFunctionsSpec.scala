@@ -78,4 +78,17 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(one[Long](matchCount($"t", emailPattern), "a@b.co and c@d.org") == 2L)
     assert(one[Long](matchCount($"t", urlPattern), "no links here") == 0L)
   }
+
+  test("stripHtml drops script/style whole, strips tags, decodes entities") {
+    assert(one[String](stripHtml($"t"),
+      "<p>Hello <b>world</b></p>") == "Hello world")
+    assert(one[String](stripHtml($"t"),
+      "<script>if (a < b) x();</script>after") == "after")
+    assert(one[String](stripHtml($"t"),
+      "<style>p { color: red }</style>text") == "text")
+    assert(one[String](stripHtml($"t"),
+      "A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;!") == "A & B <tag> \"q\" 's' !")
+    // &amp;lt; decodes to the LITERAL &lt;, not to < (amp decodes last)
+    assert(one[String](stripHtml($"t"), "x &amp;lt; y") == "x &lt; y")
+  }
 }
