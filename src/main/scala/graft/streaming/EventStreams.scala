@@ -220,6 +220,50 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** One micro-batch of the idempotent append protocol: dedupe the batch
+    * within itself, anti-join the keys already present in the sink, and
+    * append only the remainder. Factored out so tests can drive it
+    * directly; [[idempotentAppendStream]] wires it under `foreachBatch`.
+    */
+  def idempotentAppendBatch(batch: DataFrame, dataDir: String, keyCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.dropDuplicates(keyCol)
+    val novel =
+      if (new java.io.File(dataDir).exists())
+        fresh.join(
+          spark.read.schema(batch.schema).parquet(dataDir).select(keyCol),
+          Seq(keyCol), "left_anti")
+      else fresh
+    novel.write.mode("append").parquet(dataDir)
+  }
+
+  /** Idempotent parquet APPEND sink via `foreachBatch` — the
+    * horizon-UNBOUNDED complement of [[dedupStreaming]]: at-least-once
+    * re-deliveries are dropped no matter how late they arrive, because
+    * each batch anti-joins the sink's own key set instead of a
+    * watermark-bounded state store. The price is reading the sink's key
+    * column once per batch (columnar, key-only — at real scale keep the
+    * keys in a bucketed side table, or use a table format's MERGE as the
+    * commit protocol). Batch writes are append-only files, so a replayed
+    * micro-batch after a crash re-runs the same anti-join and appends
+    * nothing — idempotent end to end.
+    */
+  def idempotentAppendStream(
+      spark: SparkSession, eventsDir: String, outDir: String,
+      keyCol: String = "event_id"): DataFrame = {
+    val dataDir = s"$outDir/data"
+    val q = spark.readStream.schema(eventSchema).parquet(eventsDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        idempotentAppendBatch(batch.toDF(), dataDir, keyCol)
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(eventSchema).parquet(dataDir)
+  }
+
   /** Gaps-and-islands sessionization, batch form: a session breaks after
     * `gapMinutes` of user inactivity. Window functions only — one shuffle
     * by user_id.

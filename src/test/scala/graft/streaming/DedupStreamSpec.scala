@@ -46,6 +46,34 @@ class DedupStreamSpec extends SparkTestBase {
     assert(out == Seq(1L, 2L, 3L), s"got $out")
   }
 
+  test("idempotent append sink drops re-deliveries with NO horizon bound") {
+    // the case the watermark-bounded dedup above cannot handle: a
+    // re-delivery arbitrarily far past the horizon. The sink anti-joins
+    // its own key set, so lateness is irrelevant.
+    implicit val sqlCtx = spark.sqlContext
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_idem").resolve("data").toString
+    val source = MemoryStream[Event]
+    val q = source.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        EventStreams.idempotentAppendBatch(b.toDF(), dataDir, "event_id")
+      }
+      .start()
+    try {
+      source.addData(Seq(
+        Event(1, ts("10:00"), 1L, "c", 1.0), Event(2, ts("14:00"), 2L, "c", 1.0),
+        Event(2, ts("14:00"), 2L, "c", 1.0))) // in-batch duplicate
+      q.processAllAvailable()
+      source.addData(Seq(Event(3, ts("14:01"), 3L, "c", 1.0)))
+      q.processAllAvailable()
+      // id 1 re-delivered days late — far beyond any watermark horizon
+      source.addData(Seq(Event(1, ts("23:00"), 1L, "c", 9.0)))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(dataDir).select(col("event_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("a re-delivery after state eviction escapes the dedup (horizon-scoped guarantee)") {
     // b1 emits id 1 (10:00) and advances the watermark to 13:30 via id 2;
     // id 1's seen-entry expires at 10:30 < 13:30, so b2's eviction pass
