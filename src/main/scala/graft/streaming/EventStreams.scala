@@ -145,11 +145,13 @@ object EventStreams {
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
         col("click_value"))
 
-  /** Purchase/click sides of [[attribution]] from one event source
-    * (by-name: each side instantiates its own reader).
+  /** Purchase/click sides of [[attribution]] as two filtered branches of
+    * ONE source (stream self-joins are supported; a second reader would
+    * scan the feed twice per micro-batch). Each branch carries its own
+    * watermark node — the global watermark is still the min of the two.
     */
-  def attributionSides(events: => DataFrame, delay: String): (DataFrame, DataFrame) = {
-    def e = events.withColumn("ts", col("ts").cast("timestamp"))
+  def attributionSides(events: DataFrame, delay: String): (DataFrame, DataFrame) = {
+    val e = events.withColumn("ts", col("ts").cast("timestamp"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .withWatermark("ts", delay)
@@ -168,7 +170,7 @@ object EventStreams {
   def attributionStreaming(
       spark: SparkSession, eventsDir: String, outDir: String,
       windowMinutes: Int, delay: String = "30 minutes"): DataFrame = {
-    def src = spark.readStream.schema(eventSchema).parquet(eventsDir)
+    val src = spark.readStream.schema(eventSchema).parquet(eventsDir)
     val (purchases, clicks) = attributionSides(src, delay)
     val q = attribution(purchases, clicks, windowMinutes).writeStream
       .outputMode(OutputMode.Append)
