@@ -174,6 +174,22 @@ object EventQueries extends QueryFamily {
           graft.Tables.table(s, dir, "customer"), "c_custkey", "c_mktsegment")
         .orderBy("window_start", "segment")),
 
+    // per-window TOP-K over the stream: append mode emits each window's
+    // rows exactly once when the watermark finalizes it, so ranking the
+    // materialized sink is correct-by-construction — rank is not
+    // expressible inside an append-mode stream, and this composition is
+    // the honest shape (finalize first, rank finalized windows)
+    "q64_events_hourly_topk_stream" -> ((s, dir) => {
+      val hourly = EventStreams.hourlyByTypeStreaming(
+        s, stagedEventsDir(s, dir), freshResultDir("q64", dir))
+      val w = Window.partitionBy("window_start")
+        .orderBy(col("sum_value").desc, col("event_type"))
+      hourly
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2)
+        .orderBy("window_start", "rank")
+    }),
+
     // stream-STREAM interval join: purchases x same-user clicks within
     // the preceding hour, both sides watermarked (bounded join state)
     "q49_events_attribution_stream" -> ((s, dir) =>
@@ -253,6 +269,21 @@ object EventQueries extends QueryFamily {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                 COUNT(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // q36's append-mode window rule, then rank within each finalized window
+    "q64_events_hourly_topk_stream" ->
+      """WITH hourly AS (
+           SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                  event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+           FROM events
+           GROUP BY DATE_TRUNC('hour', ts), event_type
+           HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR
+                    <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events))
+         SELECT window_start, event_type, n_events, sum_value,
+                CAST(rnk AS BIGINT) AS rank
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                 ORDER BY sum_value DESC, event_type) AS rnk FROM hourly)
+         WHERE rnk <= 2
+         ORDER BY window_start, rank""",
     "q61_skew_salted_join" ->
       """WITH ev AS (
            SELECT CASE WHEN user_id < 100 THEN 0 ELSE user_id END AS k FROM events),
