@@ -82,6 +82,53 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio metadata schema produced by [[decodeAudioMeta]]. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** STUB audio decoder — fallback for bytes with no RIFF/WAVE container,
+    * deterministic arithmetic like [[decodeStub]] so the plumbing is
+    * oracle-checkable: sample_rate from the first byte, channels from the
+    * last, n_samples proportional to length.
+    */
+  def decodeAudioStub(bytes: Array[Byte]): (Long, Long, Long, Long, String) = {
+    val n = bytes.length.toLong
+    if (n == 0) (0L, 0L, 0L, 0L, "empty")
+    else {
+      val first = bytes(0) & 0xff
+      val last = bytes(bytes.length - 1) & 0xff
+      val rate = Seq(8000L, 16000L, 44100L)(first % 3)
+      (n, rate, 1L + last % 2, n * 100 + first, "pcm_stub")
+    }
+  }
+
+  /** Audio metadata decode: real WAV header parse when the bytes carry a
+    * structurally valid RIFF/WAVE layout ([[AudioHeaders]]), stub
+    * otherwise. Same partition-parallel shape as [[decodeImageMeta]].
+    */
+  def decodeAudioMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(
+      StructField(idCol, LongType, nullable = false) +: audioMetaSchema.fields.toSeq)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          val (len, rate, ch, ns, fmt) = AudioHeaders.parseWav(bytes) match {
+            case Some(m) =>
+              (bytes.length.toLong, m.sampleRate, m.channels, m.nSamples, m.format)
+            case None => decodeAudioStub(bytes)
+          }
+          Row(id, len, rate, ch, ns, fmt)
+        }
+      }(enc)
+  }
+
   /** Deterministic frame sampling plan for a (stub-)video payload: every
     * `stride`-th frame index below n_frames — the shape of a real
     * frame-extraction fan-out (explode to one row per sampled frame).

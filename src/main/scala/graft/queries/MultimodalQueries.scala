@@ -23,6 +23,16 @@ object MultimodalQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // audio modality: same plumbing/oracle pattern as q33 — text payloads
+    // take the deterministic stub (natural text cannot satisfy a valid
+    // RIFF/WAVE chunk walk); real WAV headers are pinned by MultimodalSpec
+    "q65_multimodal_audio" -> ((s, dir) => {
+      val bin = table(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decodeAudioMeta(bin, "doc_id", "payload")
+        .orderBy("doc_id")
+    }),
+
     "q34_multimodal_frames" -> ((s, dir) => {
       val bin = table(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -46,7 +56,20 @@ object MultimodalQueries extends QueryFamily {
                    ELSE 'webp' END AS format
        FROM documents"""
 
+  private val audioStub =
+    """SELECT doc_id,
+              CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+              CAST(CASE ASCII(SUBSTR(text, 1, 1)) % 3
+                     WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS BIGINT) AS sample_rate,
+              CAST(1 + ASCII(SUBSTR(text, LENGTH(text), 1)) % 2 AS BIGINT) AS channels,
+              CAST(OCTET_LENGTH(ENCODE(text)) * 100 + ASCII(SUBSTR(text, 1, 1)) AS BIGINT) AS n_samples,
+              'pcm_stub' AS format
+       FROM documents"""
+
   def oracleSql: Map[String, String] = Map(
+    "q65_multimodal_audio" ->
+      s"""SELECT doc_id, byte_len, sample_rate, channels, n_samples, format
+          FROM ($audioStub) ORDER BY doc_id""",
     "q33_multimodal_meta" ->
       s"""SELECT doc_id, byte_len, width, height, n_frames, format
           FROM ($stub) ORDER BY doc_id""",

@@ -90,6 +90,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(ImageHeaders.parse(gifBytes(320, 200, 1).dropRight(1)).isEmpty)
   }
 
+  private def le32(v: Int) =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, (v >>> 24).toByte)
+
+  private def wavBytes(rate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataLen = nSamples * blockAlign
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    out ++= "RIFF".getBytes("US-ASCII"); out ++= le32(36 + dataLen)
+    out ++= "WAVE".getBytes("US-ASCII")
+    out ++= "fmt ".getBytes("US-ASCII"); out ++= le32(16)
+    out ++= le16(1) ++ le16(channels) // PCM, channels
+    out ++= le32(rate); out ++= le32(rate * blockAlign) // rate, byte rate
+    out ++= le16(blockAlign) ++ le16(bits)
+    out ++= "data".getBytes("US-ASCII"); out ++= le32(dataLen)
+    out ++= Array.fill(dataLen)(0x11.toByte)
+    out.toArray
+  }
+
+  test("AudioHeaders parses WAV fmt/data chunks; text with a RIFF prefix is rejected") {
+    assert(AudioHeaders.parseWav(wavBytes(44100, 2, 16, 1000)) ==
+      Some(AudioHeaders.Meta(44100L, 2L, 16L, 1000L, "wav")))
+    assert(AudioHeaders.parseWav(wavBytes(16000, 1, 8, 320)) ==
+      Some(AudioHeaders.Meta(16000L, 1L, 8L, 320L, "wav")))
+    // ASCII prose that happens to open RIFF....WAVE must not be claimed
+    assert(AudioHeaders.parseWav(
+      "RIFFsomeWAVEprose continues here for a while and then some".getBytes("UTF-8")).isEmpty)
+    assert(AudioHeaders.parseWav("plain text".getBytes("UTF-8")).isEmpty)
+    // truncated: fmt without data
+    assert(AudioHeaders.parseWav(wavBytes(44100, 2, 16, 1000).take(40)).isEmpty)
+  }
+
+  test("decodeAudioMeta: real WAV decodes, text falls back to the audio stub") {
+    val payloads = Seq(
+      1L -> wavBytes(44100, 2, 16, 500),
+      2L -> "Az".getBytes("UTF-8"))
+    val rows = Multimodal.decodeAudioMeta(payloads.toDF("id", "payload"), "id", "payload")
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Long]("sample_rate") == 44100L &&
+      rows(0).getAs[Long]("channels") == 2L &&
+      rows(0).getAs[Long]("n_samples") == 500L &&
+      rows(0).getAs[String]("format") == "wav")
+    // stub: 'A'=65 -> 65%3=2 -> 44100; 'z'=122 -> 1+122%2=1; 2*100+65=265
+    assert(rows(1).getAs[Long]("sample_rate") == 44100L &&
+      rows(1).getAs[Long]("channels") == 1L &&
+      rows(1).getAs[Long]("n_samples") == 265L &&
+      rows(1).getAs[String]("format") == "pcm_stub")
+  }
+
   test("decodeImageMeta: real headers decode, unknown bytes fall back to the stub") {
     val payloads = Seq(
       1L -> pngBytes(640, 480),
