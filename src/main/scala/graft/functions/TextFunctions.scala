@@ -92,8 +92,8 @@ object TextFunctions {
     * dedicated parser behind the multimodal-style stub boundary.
     */
   def stripHtml(c: Column): Column = {
-    val noScript = regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",

@@ -32,7 +32,10 @@ object AudioHeaders {
     var dataBytes = -1L
     while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
       val size = le32(b, i + 4)
-      if (size < 0 || size > b.length) return None // declared size out of bounds
+      // the declared chunk payload must fit the buffer FROM ITS OFFSET —
+      // checking `size <= length` alone would accept a truncated file
+      // whose final chunk overruns the end
+      if (size < 0 || i + 8 + size > b.length) return None
       if (cc(b, i, "fmt ")) {
         if (size < 16 || i + 8 + 16 > b.length) return None
         val channels = le16(b, i + 10)

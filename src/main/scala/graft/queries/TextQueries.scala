@@ -315,8 +315,8 @@ object TextQueries extends QueryFamily {
                   TRIM(REGEXP_REPLACE(
                     REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
                       REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(d,
-                        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-                        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                         '<[^>]*>', ' ', 'g'),
                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),

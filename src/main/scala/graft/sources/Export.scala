@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sharded training export — the hand-off format between
@@ -32,11 +33,17 @@ object Export {
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
   }
 
-  /** The shard a key lands in — for loaders/tests to locate rows. */
-  def shardOf(spark: org.apache.spark.sql.SparkSession, key: Any, shards: Int): Int = {
-    import spark.implicits._
-    Seq(0).toDF("i")
-      .select(pmod(xxhash64(typedLit(key)), lit(shards.toLong)).cast("int"))
-      .head().getInt(0)
-  }
+  /** The shard a key lands in — for loaders/tests to locate rows.
+    * Evaluated LOCALLY (Catalyst literal eval, no Spark job: a loader
+    * resolving N keys must not pay N job round-trips) and TYPED: xxhash64
+    * hashes a 4-byte int differently from the same value as an 8-byte
+    * long, so the overloads pin the JVM type to the exported column type.
+    */
+  def shardOf(key: Long, shards: Int): Int = shardOfLiteral(Literal(key), shards)
+  def shardOf(key: String, shards: Int): Int = shardOfLiteral(Literal(key), shards)
+
+  private def shardOfLiteral(l: Literal, shards: Int): Int =
+    // seed 42 == the SQL xxhash64() function's fixed seed
+    math.floorMod(
+      XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long], shards.toLong).toInt
 }

@@ -230,13 +230,22 @@ object EventStreams {
   def idempotentAppendBatch(batch: DataFrame, dataDir: String, keyCol: String): Unit = {
     val spark = batch.sparkSession
     val fresh = batch.dropDuplicates(keyCol)
+    // sink existence via the Hadoop filesystem of the PATH — java.io.File
+    // is only correct for bare local paths and would silently skip the
+    // anti-join (i.e. drop the dedup guarantee) on hdfs://, s3a://, or
+    // even file:/ URIs
     val novel =
-      if (new java.io.File(dataDir).exists())
+      if (sinkExists(spark, dataDir))
         fresh.join(
           spark.read.schema(batch.schema).parquet(dataDir).select(keyCol),
           Seq(keyCol), "left_anti")
       else fresh
     novel.write.mode("append").parquet(dataDir)
+  }
+
+  private def sinkExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   /** Idempotent parquet APPEND sink via `foreachBatch` — the
@@ -263,7 +272,9 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.schema(eventSchema).parquet(dataDir)
+    // a source that yields zero batches never creates the sink directory
+    if (sinkExists(spark, dataDir)) spark.read.schema(eventSchema).parquet(dataDir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
   }
 
   /** Gaps-and-islands sessionization, batch form: a session breaks after

@@ -84,6 +84,11 @@ class TextFunctionsSpec extends SparkTestBase {
       "<p>Hello <b>world</b></p>") == "Hello world")
     assert(one[String](stripHtml($"t"),
       "<script>if (a < b) x();</script>after") == "after")
+    // scraped HTML is frequently not lowercase — block drop must be (?i)
+    assert(one[String](stripHtml($"t"),
+      "<SCRIPT>var secret = 1;</SCRIPT>after") == "after")
+    assert(one[String](stripHtml($"t"),
+      "<Style>p { color: red }</Style>text") == "text")
     assert(one[String](stripHtml($"t"),
       "<style>p { color: red }</style>text") == "text")
     assert(one[String](stripHtml($"t"),

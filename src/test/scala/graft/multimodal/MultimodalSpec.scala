@@ -120,6 +120,9 @@ class MultimodalSpec extends SparkTestBase {
     assert(AudioHeaders.parseWav("plain text".getBytes("UTF-8")).isEmpty)
     // truncated: fmt without data
     assert(AudioHeaders.parseWav(wavBytes(44100, 2, 16, 1000).take(40)).isEmpty)
+    // truncated mid-data: the data chunk's declared size overruns the
+    // buffer from its offset — must be rejected, not parsed from phantom bytes
+    assert(AudioHeaders.parseWav(wavBytes(44100, 2, 16, 1000).dropRight(4)).isEmpty)
   }
 
   test("decodeAudioMeta: real WAV decodes, text falls back to the audio stub") {

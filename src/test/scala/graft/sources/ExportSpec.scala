@@ -32,10 +32,10 @@ class ExportSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     val m1 = membership(d1)
     assert(m1 == membership(d2))
-    // and matches the published shard function
+    // and matches the published (locally-evaluated, Long-typed) shard function
     val probe = Seq(0L, 42L, 9999L)
     probe.foreach { id =>
-      assert(m1(id) == Export.shardOf(spark, id, 8), s"id $id")
+      assert(m1(id) == Export.shardOf(id, 8), s"id $id")
     }
   }
 

@@ -74,6 +74,29 @@ class DedupStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("idempotentAppendStream end-to-end: re-runs append nothing; empty source is not an error") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_idem_e2e")
+    val eventsDir = root.resolve("events").toString
+    val outDir = root.resolve("out").toString
+    Seq(
+      (1L, ts("10:00"), 1L, "c", 1.0, "{}"),
+      (2L, ts("10:05"), 1L, "c", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(eventsDir)
+    val first = EventStreams.idempotentAppendStream(spark, eventsDir, outDir)
+    assert(first.count() == 2L)
+    // same checkpoint, no new files: zero batches run, sink unchanged
+    val rerun = EventStreams.idempotentAppendStream(spark, eventsDir, outDir)
+    assert(rerun.count() == 2L)
+    // a source that never produced a batch must yield an empty frame, not throw
+    val emptyDir = root.resolve("empty_events").toString
+    new java.io.File(emptyDir).mkdirs()
+    val none = EventStreams.idempotentAppendStream(
+      spark, emptyDir, root.resolve("out2").toString)
+    assert(none.count() == 0L)
+  }
+
   test("a re-delivery after state eviction escapes the dedup (horizon-scoped guarantee)") {
     // b1 emits id 1 (10:00) and advances the watermark to 13:30 via id 2;
     // id 1's seen-entry expires at 10:30 < 13:30, so b2's eviction pass
