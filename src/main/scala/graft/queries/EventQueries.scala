@@ -75,6 +75,45 @@ object EventQueries extends QueryFamily {
           s, stagedEventsDir(s, dir), freshResultDir("q44", dir), gapMinutes)
         .orderBy("user_id", "session_start")),
 
+    // ordered conversion funnel: first view, first click AT-OR-AFTER that
+    // view, first purchase at-or-after that click — per-user MIN
+    // aggregates chained through broadcastable joins (each stage's frame
+    // is one row per qualifying user); never a window over raw events
+    "q66_events_funnel" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts").cast("timestamp").as("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      Seq("1_view" -> v, "2_click" -> c, "3_purchase" -> p)
+        .map { case (nm, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(nm).as("stage"), col("n_users"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("stage")
+    }),
+
+    // retention cohorts: users bucketed by first-seen day, activity
+    // counted per week offset — (user, day) de-duplicated FIRST so the
+    // grid aggregation never rescans raw events
+    "q67_events_retention" -> ((s, dir) => {
+      val days = graft.Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val first = days.groupBy("user_id").agg(min("d").as("cohort_day"))
+      days.join(first, "user_id")
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          floor(datediff(col("d"), col("cohort_day")) / 7).cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_day", "week_offset")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    }),
+
     // salted hot-key join end-to-end: ~2/3 of events collapse onto key 0
     // (users < 100), joined to a per-key label dim through Skew.saltedJoin
     // and rolled up — the oracle (plain unsalted join) proves the salt
@@ -284,6 +323,34 @@ object EventQueries extends QueryFamily {
                  ORDER BY sum_value DESC, event_type) AS rnk FROM hourly)
          WHERE rnk <= 2
          ORDER BY window_start, rank""",
+    "q66_events_funnel" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+           JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts >= v.t_view
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+           JOIN c ON c.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+           GROUP BY e.user_id)
+         SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+         UNION ALL SELECT '2_click', COUNT(*) FROM c
+         UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+         ORDER BY stage""",
+    "q67_events_retention" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         f AS (
+           SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY user_id)
+         SELECT STRFTIME(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+                CAST(FLOOR(DATE_DIFF('day', f.cohort_day, days.d) / 7) AS BIGINT) AS week_offset,
+                COUNT(DISTINCT days.user_id) AS n_users
+         FROM days JOIN f ON f.user_id = days.user_id
+         GROUP BY 1, 2 ORDER BY cohort_day, week_offset""",
     "q61_skew_salted_join" ->
       """WITH ev AS (
            SELECT CASE WHEN user_id < 100 THEN 0 ELSE user_id END AS k FROM events),
