@@ -122,6 +122,20 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // the z-order clustering key itself, oracle-checked bit-for-bit:
+    // deterministic 10-bit dims from doc_id, Morton-interleaved by the
+    // compiled kernel; the DuckDB twin expands the interleave as 20
+    // shift-and-mask terms (see graft.sources.Layout for the layout
+    // writer this key drives, and LayoutSpec for the 2-D pruning proof)
+    "q68_zorder_key" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 1024).as("x"),
+          ((col("doc_id") * 7919) % 1024).as("y"))
+        .withColumn("z",
+          graft.functions.expr.ZOrderFunctions.zValue(col("x"), col("y"), 10))
+        .orderBy("doc_id")),
+
     // HTML-to-text: the corpus is plain text, so (like q52's PII) the
     // query wraps each row in a deterministic HTML shell — style/script
     // blocks, tags, and entities — and the extraction must recover the
@@ -304,6 +318,16 @@ object TextQueries extends QueryFamily {
               FROM (SELECT doc_id, lang, CAST($nTokens AS BIGINT) AS n_tokens
                     FROM documents))
             ORDER BY doc_id""",
+      "q68_zorder_key" -> {
+        val terms = (0 until 10).map(b =>
+          s"((((x >> $b) & 1) << ${2 * b + 1}) + (((y >> $b) & 1) << ${2 * b}))")
+          .mkString(" + ")
+        s"""WITH d AS (
+              SELECT doc_id, doc_id % 1024 AS x, (doc_id * 7919) % 1024 AS y
+              FROM documents)
+            SELECT doc_id, x, y, CAST($terms AS BIGINT) AS z
+            FROM d ORDER BY doc_id"""
+      },
       "q63_text_html_strip" ->
         """WITH dirty AS (
              SELECT doc_id,
