@@ -40,9 +40,14 @@ object ZOrderOps {
   * dimension; inputs pre-bucketed to [0, 2^bitsPer).
   */
 case class ZValue(left: Expression, right: Expression, bitsPer: Int)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(bitsPer >= 1 && 2 * bitsPer <= 63,
     "2 * bitsPer must fit in a non-negative long")
+  // declared input types make the analyzer insert casts (or fail) for
+  // non-long children — without them an int child works under codegen
+  // (Java widening) but ClassCastExceptions on the interpreted path
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =

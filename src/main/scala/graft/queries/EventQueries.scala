@@ -323,17 +323,20 @@ object EventQueries extends QueryFamily {
                  ORDER BY sum_value DESC, event_type) AS rnk FROM hourly)
          WHERE rnk <= 2
          ORDER BY window_start, rank""",
+    // stage comparisons at microsecond precision, matching Spark's ts cast
     "q66_events_funnel" ->
-      """WITH v AS (
-           SELECT user_id, MIN(ts) AS t_view FROM events
+      """WITH e0 AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         v AS (
+           SELECT user_id, MIN(ts) AS t_view FROM e0
            WHERE event_type = 'view' GROUP BY user_id),
          c AS (
-           SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+           SELECT e.user_id, MIN(e.ts) AS t_click FROM e0 e
            JOIN v ON v.user_id = e.user_id
            WHERE e.event_type = 'click' AND e.ts >= v.t_view
            GROUP BY e.user_id),
          p AS (
-           SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+           SELECT e.user_id, MIN(e.ts) AS t_purchase FROM e0 e
            JOIN c ON c.user_id = e.user_id
            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
            GROUP BY e.user_id)
@@ -367,25 +370,33 @@ object EventQueries extends QueryFamily {
            FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events))
          SELECT e.event_id, w.win_day
          FROM events e JOIN wdef w
-           ON e.ts BETWEEN w.win_start AND w.win_end
+           ON CAST(e.ts AS TIMESTAMP) BETWEEN w.win_start AND w.win_end
          ORDER BY e.event_id, w.win_day""",
+    // the frame is ordered by WHOLE SECONDS on both sides (Spark uses
+    // unix_seconds): a sub-second RANGE boundary would otherwise
+    // include/exclude same-second straddling pairs differently
     "q56_events_rolling" ->
       """SELECT event_id, user_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts,
                 COUNT(*) OVER w AS n_hour,
                 ROUND(SUM(value) OVER w, 2) AS sum_hour
          FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
     // DuckDB's native ASOF LEFT JOIN is the ground truth for the as-of
     // operator (same inclusive l.ts >= r.ts backward-match rule)
+    // CAST(ts AS TIMESTAMP) everywhere a cross-event comparison happens:
+    // DuckDB reads the parquet nanos column as TIMESTAMP_NS while Spark
+    // compares at microseconds — a same-microsecond pair differing only
+    // in nanos would otherwise flip the >= result
     "q48_asof_click_attribution" ->
       """WITH purchases AS (
-           SELECT event_id, user_id, ts, value FROM events
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
            WHERE event_type = 'purchase'),
          clicks AS (
-           SELECT user_id, ts, MAX(value) AS click_value FROM events
-           WHERE event_type = 'click' GROUP BY user_id, ts)
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
+           FROM events
+           WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP))
          SELECT p.event_id, p.user_id,
                 STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
                 STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts, c.click_value
@@ -393,14 +404,18 @@ object EventQueries extends QueryFamily {
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
     // inner stream-stream join drained by AvailableNow emits every
-    // qualifying pair exactly once == the batch interval join
+    // qualifying pair exactly once == the batch interval join (ts cast
+    // to microseconds to match Spark's comparison precision)
     "q49_events_attribution_stream" ->
-      """SELECT p.event_id, p.user_id,
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events)
+         SELECT p.event_id, p.user_id,
                 STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
                 c.event_id AS click_id,
                 STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
                 c.value AS click_value
-         FROM events p JOIN events c
+         FROM e p JOIN e c
            ON p.event_type = 'purchase' AND c.event_type = 'click'
           AND p.user_id = c.user_id
           AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts

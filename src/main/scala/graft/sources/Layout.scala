@@ -23,13 +23,19 @@ object Layout {
   def writeZOrdered(
       df: DataFrame, dir: String, xCol: String, yCol: String, files: Int): Unit = {
     require(files >= 1, "files must be >= 1")
+    require(!df.columns.contains("__z"), "'__z' column name is reserved")
     val b = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      "cannot z-order an empty frame (no min/max bounds)")
     val (xMin, xMax, yMin, yMax) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     def bucket(c: String, lo: Long, hi: Long) = {
       val span = math.max(hi - lo, 1L)
-      // (v - lo) * 65535 / span, in [0, 2^16)
-      ((col(c) - lit(lo)) * lit((1L << bitsPer) - 1) / lit(span)).cast("long")
+      // scale in DOUBLE: (v - lo) * 65535 in long arithmetic overflows
+      // once the span exceeds ~2^63/65535 (epoch-nanos columns), which
+      // would silently destroy the clustering
+      ((col(c) - lit(lo)).cast("double") * lit((1L << bitsPer) - 1) / lit(span.toDouble))
+        .cast("long")
     }
     df.withColumn("__z",
         zValue(bucket(xCol, xMin, xMax), bucket(yCol, yMin, yMax), bitsPer))
@@ -40,14 +46,12 @@ object Layout {
   }
 
   /** Per-file (min, max) of a long column — the footprint a parquet
-    * reader's row-group pruning sees. For LayoutSpec's skipping math.
+    * reader's row-group pruning sees. One job over input_file_name()
+    * (not a job per file), path-scheme-agnostic.
     */
-  def fileRanges(spark: SparkSession, dir: String, c: String): Seq[(Long, Long)] = {
-    new java.io.File(dir).listFiles().toSeq
-      .filter(_.getName.endsWith(".parquet"))
-      .map { f =>
-        val r = spark.read.parquet(f.getPath).agg(min(c), max(c)).head()
-        (r.getLong(0), r.getLong(1))
-      }
-  }
+  def fileRanges(spark: SparkSession, dir: String, c: String): Seq[(Long, Long)] =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(min(c).as("lo"), max(c).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
 }
