@@ -125,6 +125,18 @@ class SessionizeStreamSpec extends SparkTestBase {
     assert(native == expect, s"native session_window form: $native")
   }
 
+  test("timeout path emits when the watermark lands EXACTLY on the gap deadline") {
+    // u1's session deadline is 10:30; b2 advances the watermark to
+    // exactly 10:30 (11:00 - 30m). The b1 timeout was set at deadline-1ms,
+    // so it fires at wm == deadline and the non-strict (<=) eviction rule
+    // emits — pinning the tie behavior through the TIMEOUT branch (the
+    // AvailableNow tie test above exercises the data-path branch).
+    val out = run(gapMinutes = 30)(
+      Seq(Event(1, ts("10:00"), 1L, "c", 2.0)),
+      Seq(Event(2, ts("11:00"), 2L, "c", 1.0)))
+    assert(out.contains(Session(1L, ts("10:00"), ts("10:00"), 1, 2.0)), s"got $out")
+  }
+
   test("session times out via watermark without below-watermark timeout errors") {
     // u1's session deadline is 10:30; u2 pushes the watermark to 11:30 >
     // deadline. The timeout must clamp above the watermark (not throw)
