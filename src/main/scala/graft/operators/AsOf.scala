@@ -74,10 +74,13 @@ object AsOf {
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = tagged.withColumn("__carried", last(col("__snap"), ignoreNulls = true).over(w))
+    // age test at MICROsecond precision (timestamps' native resolution):
+    // a millisecond-floored difference would disagree with an exact
+    // interval comparison for pairs straddling the boundary by sub-ms
     val aged = toleranceMs match {
       case Some(tol) => carried.withColumn("__carried",
-        when(unix_millis(col(ts).cast("timestamp")) -
-          unix_millis(col("__carried")(rightTsOut).cast("timestamp")) <= tol,
+        when(unix_micros(col(ts).cast("timestamp")) -
+          unix_micros(col("__carried")(rightTsOut).cast("timestamp")) <= tol * 1000L,
           col("__carried")))
       case None => carried
     }

@@ -204,6 +204,26 @@ object EventQueries extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // the as-of TOLERANCE path, oracle-checked: same attribution as q48
+    // but matches older than 10 minutes are nulled out (left-join rows
+    // survive with null click columns)
+    "q69_asof_tolerance" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").cast("timestamp").as("ts"))
+        .agg(max(col("value")).as("click_value"))
+      graft.operators.AsOf.asofBackward(purchases, clicks, "user_id", "ts",
+          rightTsOut = "click_ts", toleranceMs = Some(10L * 60000))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // stream-static enrichment: the event stream joined to the customer
     // dimension (user_id -> market segment) before the hourly aggregate;
     // watermark/append semantics identical to q36's
@@ -420,6 +440,25 @@ object EventQueries extends QueryFamily {
           AND p.user_id = c.user_id
           AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts
          ORDER BY p.event_id, click_id""",
+    // the tolerance is applied POST-match (DuckDB ASOF has no tolerance
+    // clause): the backward match stands, but stale matches null out
+    "q69_asof_tolerance" ->
+      """WITH purchases AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+           WHERE event_type = 'purchase'),
+         clicks AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
+           FROM events
+           WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+         SELECT p.event_id, p.user_id,
+                STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
+                CASE WHEN p.ts - c.ts <= INTERVAL 10 MINUTE
+                     THEN STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') END AS click_ts,
+                CASE WHEN p.ts - c.ts <= INTERVAL 10 MINUTE
+                     THEN c.click_value END AS click_value
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     // enrichment join then the same append-mode window rule as q36
     "q47_events_enriched_stream" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
