@@ -44,6 +44,30 @@ object EventQueries extends QueryFamily {
     stage.toString
   }
 
+  /** Shared purchase/click sides of the as-of attribution pair (q48/q69):
+    * clicks pre-aggregated per (user, ts) for the uniqueness precondition;
+    * one definition so the two queries cannot drift.
+    */
+  private def purchasesAndClicks(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = graft.Tables.events(s, dir)
+    (ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("value")),
+      ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").cast("timestamp").as("ts"))
+        .agg(max(col("value")).as("click_value")))
+  }
+
+  /** The matching oracle CTEs (ts cast to micros — see the q48 note). */
+  private val asofCtes: String =
+    """purchases AS (
+         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+         WHERE event_type = 'purchase'),
+       clicks AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
+         FROM events
+         WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP))"""
+
   /** Fixed per-(query, sfDir) output dir, wiped before each run. */
   private def freshResultDir(tag: String, dir: String): String = {
     val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
@@ -188,13 +212,7 @@ object EventQueries extends QueryFamily {
     // to satisfy the operator's — and DuckDB ASOF's — uniqueness
     // precondition). One union+window shuffle, no pair explosion.
     "q48_asof_click_attribution" -> ((s, dir) => {
-      val ev = graft.Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp").as("ts"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts").cast("timestamp").as("ts"))
-        .agg(max(col("value")).as("click_value"))
+      val (purchases, clicks) = purchasesAndClicks(s, dir)
       graft.operators.AsOf.asofBackward(
           purchases, clicks, "user_id", "ts", rightTsOut = "click_ts")
         .select(col("event_id"), col("user_id"),
@@ -208,13 +226,7 @@ object EventQueries extends QueryFamily {
     // but matches older than 10 minutes are nulled out (left-join rows
     // survive with null click columns)
     "q69_asof_tolerance" -> ((s, dir) => {
-      val ev = graft.Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp").as("ts"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts").cast("timestamp").as("ts"))
-        .agg(max(col("value")).as("click_value"))
+      val (purchases, clicks) = purchasesAndClicks(s, dir)
       graft.operators.AsOf.asofBackward(purchases, clicks, "user_id", "ts",
           rightTsOut = "click_ts", toleranceMs = Some(10L * 60000))
         .select(col("event_id"), col("user_id"),
@@ -410,13 +422,7 @@ object EventQueries extends QueryFamily {
     // compares at microseconds — a same-microsecond pair differing only
     // in nanos would otherwise flip the >= result
     "q48_asof_click_attribution" ->
-      """WITH purchases AS (
-           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
-           WHERE event_type = 'purchase'),
-         clicks AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
-           FROM events
-           WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+      s"""WITH $asofCtes
          SELECT p.event_id, p.user_id,
                 STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
                 STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts, c.click_value
@@ -443,13 +449,7 @@ object EventQueries extends QueryFamily {
     // the tolerance is applied POST-match (DuckDB ASOF has no tolerance
     // clause): the backward match stands, but stale matches null out
     "q69_asof_tolerance" ->
-      """WITH purchases AS (
-           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
-           WHERE event_type = 'purchase'),
-         clicks AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
-           FROM events
-           WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+      s"""WITH $asofCtes
          SELECT p.event_id, p.user_id,
                 STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
                 CASE WHEN p.ts - c.ts <= INTERVAL 10 MINUTE

@@ -52,6 +52,28 @@ class AsOfSpec extends SparkTestBase {
       (104L, None, None)), s"got $out")
   }
 
+  test("tolerance compares at microsecond precision (sub-ms straddle ages out)") {
+    // with tol = 1 ms: a match exactly 1.000 ms old stays, one 1.500 ms
+    // old must age out — a millisecond-FLOORED difference (1 <= 1) would
+    // wrongly keep it, so this pins the micros-precision comparison
+    def tsMicro(ms: Long, micros: Int) = {
+      val t = new Timestamp(ms)
+      t.setNanos(((ms % 1000) * 1000 + micros).toInt * 1000)
+      t
+    }
+    val base = 1700000000000L // whole-second epoch
+    val snaps = Seq((1L, tsMicro(base, 0), "s")).toDF("user_id", "ts", "tag")
+    val facts = Seq(
+      (100L, 1L, tsMicro(base + 1, 0)),  // +1.000 ms == tol -> kept
+      (101L, 1L, tsMicro(base + 1, 500)) // +1.500 ms -> aged out
+    ).toDF("event_id", "user_id", "ts")
+    val out = rows(AsOf.asofBackward(facts, snaps, "user_id", "ts",
+      toleranceMs = Some(1L)))
+    assert(out == Seq(
+      (100L, Some(tsMicro(base, 0)), Some("s")),
+      (101L, None, None)), s"got $out")
+  }
+
   test("carried columns all come from the SAME right row even when a field is null") {
     // snapshot b carries a NULL tag: a per-column ignoreNulls carry would
     // reach back to a's tag while taking b's ts — the struct must not
