@@ -27,17 +27,24 @@ object ExactPercentiles {
 
   /** One row per group: `<name> double` for every (name, p) in `ps`
     * (rounded to `roundScale`), plus `max_<valueCol>` and `n_<valueCol>`.
+    * A group whose values are ALL null is kept — null percentiles, null
+    * max, n = 0 — exactly as `percentile` / DuckDB QUANTILE_CONT would.
     */
   def byGroup(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[(String, Double)], roundScale: Int = 6): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
     val gs = groupCols.map(col)
-    // NULLs are excluded up front, matching `percentile`/QUANTILE_CONT —
-    // a null histogram row would inflate n and every cumulative count
-    // (nulls sort first) while never being selectable as a bound
-    val hist = df.filter(col(valueCol).isNotNull)
-      .groupBy(gs :+ col(valueCol): _*).agg(count(lit(1)).as("cnt"))
+    // NULL values are kept through the histogram but counted as ZERO —
+    // matching `percentile`/QUANTILE_CONT, which ignore null values yet
+    // KEEP a group whose values are all null (it surfaces with null
+    // percentiles and n = 0). Filtering nulls before the groupBy would
+    // silently drop such groups. A null histogram row can never be
+    // selected as a bound: it contributes 0 to every cumulative count
+    // (nulls sort first) and `min(when(…, value))` ignores null values.
+    val hist = df
+      .groupBy(gs :+ col(valueCol): _*)
+      .agg(count(col(valueCol)).as("cnt")) // count(col) is 0 for the null-value row
     val cum = hist
       .withColumn("cum", sum("cnt").over(
         Window.partitionBy(gs: _*).orderBy(valueCol)))

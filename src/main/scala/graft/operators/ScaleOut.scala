@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Parallelism guard for CPU-bound kernels (shingling, minhash/simhash
   * signatures, hyperplane projections, per-pair verification).
@@ -36,16 +38,36 @@ object ScaleOut {
     // narrow projection; the scheduler splits on FILE bytes, and for a
     // file relation the leaf's sizeInBytes is exactly that sum. So:
     // splits ≈ bytes / min(maxPartitionBytes, max(openCost, bytes/parallelism)).
+    // … but the byte math only describes FILE-SOURCE leaves. A LogicalRDD
+    // or JDBC leaf reports a default-huge sizeInBytes (skipping the widen
+    // for a frame that may genuinely be 1 partition), and an upstream
+    // coalesce/repartition(1) is invisible to leaf stats entirely. In
+    // either regime fall back to the physical partition count — the
+    // plan-build cost the stats path avoids is worth paying when the
+    // estimate cannot be trusted.
     val conf = spark.sessionState.conf
-    val bytes = df.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes).sum
-    val maxSplit = conf.filesMaxPartitionBytes
-    if (bytes >= BigInt(maxSplit) * target) df // >= target splits even at the coarsest split size
-    else {
-      val perSplit = math.min(maxSplit,
-        math.max(conf.filesOpenCostInBytes, math.max(bytes.toLong / target, 1L)))
-      val splits = (bytes.toLong + perSplit - 1) / perSplit
-      if (splits >= target) df else df.repartition(target)
+    val plan = df.queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    val allFileLeaves = leaves.nonEmpty && leaves.forall {
+      case l: LogicalRelation => l.relation.isInstanceOf[HadoopFsRelation]
+      case _ => false
+    }
+    val explicitLayout = plan.exists {
+      case _: Repartition | _: RepartitionByExpression => true
+      case _ => false
+    }
+    if (!allFileLeaves || explicitLayout) {
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    } else {
+      val bytes = leaves.map(_.stats.sizeInBytes).sum
+      val maxSplit = conf.filesMaxPartitionBytes
+      if (bytes >= BigInt(maxSplit) * target) df // >= target splits even at the coarsest split size
+      else {
+        val perSplit = math.min(maxSplit,
+          math.max(conf.filesOpenCostInBytes, math.max(bytes.toLong / target, 1L)))
+        val splits = (bytes.toLong + perSplit - 1) / perSplit
+        if (splits >= target) df else df.repartition(target)
+      }
     }
   }
 }

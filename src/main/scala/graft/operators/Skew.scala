@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   *     `salts`× but too big (or on the wrong side of a left join) to
   *     broadcast.
   *
-  * Left rows scatter across `salts` sub-keys by hashing the row TOGETHER
-  * WITH its partition-local position (`monotonically_increasing_id`) —
-  * a whole-row hash alone would assign every copy of a duplicated row
-  * the same salt, silently un-spreading exactly the hot-identical-rows
-  * case salting exists for. No RNG state: a task retry recomputes the
+  * Left rows scatter across `salts` sub-keys by hashing the join key
+  * TOGETHER WITH the row's partition-local position
+  * (`monotonically_increasing_id`) — the position term is what spreads
+  * identical hot rows (a key-only or whole-row hash would assign every
+  * copy the same salt), and hashing just the key keeps the expression
+  * legal for rows carrying unhashable columns (maps) and free of wide-row
+  * hashing cost. No RNG state: a task retry recomputes the
   * same ids, so the layout is stable within a run; across different
   * input layouts the salt ASSIGNMENT may differ but the joined result
   * never does — it is IDENTICAL to the unsalted join (SkewSpec pins it,
@@ -41,7 +43,7 @@ object Skew {
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "__salt column name is reserved")
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
+      pmod(xxhash64(col(key), monotonically_increasing_id()),
         lit(salts.toLong)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")

@@ -31,7 +31,18 @@ object Compact {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val totalBytes = fs.listStatus(path)
+    // A flat listing under a Hive-partitioned layout would sum 0 bytes
+    // (all data sits in subdirectories) and silently rewrite the whole
+    // dataset into ONE file with the partition columns flattened into
+    // data columns. Partition-preserving compaction needs a per-partition
+    // rewrite under a table format's commit protocol — refuse, don't guess.
+    val entries = fs.listStatus(path)
+    val dataDirs = entries.filter(e =>
+      e.isDirectory && !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+    require(dataDirs.isEmpty,
+      s"$dir contains subdirectories (${dataDirs.take(3).map(_.getPath.getName).mkString(", ")}…): " +
+        "partitioned layouts need per-partition compaction, not a flat rewrite")
+    val totalBytes = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt

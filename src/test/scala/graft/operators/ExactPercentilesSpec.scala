@@ -16,6 +16,22 @@ class ExactPercentilesSpec extends SparkTestBase {
     assert(r.getAs[Long]("max_v") == 20L)
   }
 
+  test("a group whose values are all null is kept, with null percentiles and n = 0") {
+    val df = Seq(("a", Option(10L)), ("a", Option(30L)), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val rows = ExactPercentiles.byGroup(df, Seq("g"), "v", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "b"))
+    assert(rows("a").getAs[Double]("p50") == 20.0)
+    assert(rows("b").isNullAt(rows("b").fieldIndex("p50")))
+    assert(rows("b").isNullAt(rows("b").fieldIndex("max_v")))
+    assert(rows("b").getAs[Long]("n_v") == 0L)
+    // and the same frame matches Spark's own aggregate group-for-group
+    val ref = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(ref("b").isEmpty && ref("a").contains(20.0))
+  }
+
   test("matches Spark's exact percentile aggregate on random grouped data") {
     val rnd = new scala.util.Random(3L)
     val df = (0 until 3000).map { _ =>

@@ -30,8 +30,7 @@ class SkewSpec extends SparkTestBase {
       "salt column missing from the physical join keys")
     // the hot key's rows really scatter: >1 distinct salt on key 0
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
-        lit(8L)).cast("int"))
+      pmod(xxhash64(col("k"), monotonically_increasing_id()), lit(8L)).cast("int"))
     val nSalts = l.filter(col("k") === 0).select("__salt").distinct().count()
     assert(nSalts > 4, s"hot key only used $nSalts salts")
   }
@@ -45,10 +44,15 @@ class SkewSpec extends SparkTestBase {
     val plain = dupLeft.join(dupRight, Seq("k")).collect().length
     assert(Skew.saltedJoin(dupLeft, dupRight, "k", salts = 8).collect().length == plain)
     val l = dupLeft.withColumn("__salt",
-      pmod(xxhash64(dupLeft.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
-        lit(8L)).cast("int"))
+      pmod(xxhash64(col("k"), monotonically_increasing_id()), lit(8L)).cast("int"))
     val nSalts = l.select("__salt").distinct().count()
     assert(nSalts > 4, s"identical hot rows only used $nSalts salts")
+  }
+
+  test("left rows carrying unhashable columns (maps) still salt — only the key is hashed") {
+    val mapLeft = left.withColumn("attrs", map(lit("a"), col("payload")))
+    val plain = rows(left.join(right, Seq("k")))
+    assert(rows(Skew.saltedJoin(mapLeft, right, "k", salts = 8)) == plain)
   }
 
   test("salting is deterministic across evaluations") {

@@ -31,6 +31,18 @@ class CompactSpec extends SparkTestBase {
     assert(back == data.sorted)
   }
 
+  test("refuses a Hive-partitioned layout instead of silently flattening it") {
+    val dir = freshDir()
+    (0 until 100).map(i => (i.toLong, i % 3)).toDF("id", "p")
+      .write.partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Compact.rewriteParquet(spark, dir, targetBytes = 1024L * 1024)
+    }
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    // untouched: still readable with the partition column intact
+    assert(spark.read.parquet(dir).select("id", "p").count() == 100L)
+  }
+
   test("clusterBy compaction keeps range clustering for min/max pruning") {
     val dir = freshDir()
     (0 until 20000).map(i => (i.toLong, i % 7)).toDF("id", "x")
