@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -223,10 +223,7 @@ object Dedup {
     // pairs (the requested pair semantics; cluster-representative dedup
     // via exactGroups/connected components is the path when m² output
     // itself is the problem).
-    val buckets = sig
-      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), col("band"),
-        xxhash64(col("band"), expr(s"slice(sig, band * $r + 1, $r)")).as("bucket"))
+    val buckets = bandBuckets(sig, bands, r)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -234,6 +231,126 @@ object Dedup {
       .distinct()
     // exact-Jaccard verification of candidates only
     verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** One row per (id, band): bucket = xxhash64(band, that band's
+    * signature slice). One definition shared by the in-memory pair path
+    * and the persisted-index path, so an increment probing a stored index
+    * can never hash a band differently than the build did.
+    */
+  private def bandBuckets(sig: DataFrame, bands: Int, r: Int): DataFrame =
+    sig
+      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("band"),
+        xxhash64(col("band"), expr(s"slice(sig, band * $r + 1, $r)")).as("bucket"))
+
+  /** Per-doc (id, n_sh, hashed-shingle-key array) — the verification-side
+    * shape of the near-dup index: 8-byte keys, never the text. Docs with
+    * zero shingles drop out (they cannot be in a qualifying pair).
+    */
+  private def hashedKeySets(sets: DataFrame): DataFrame =
+    sets
+      .select(col("id"), size(col("shingles")).as("n_sh"), explode(col("shingles")).as("sh"))
+      .groupBy("id")
+      .agg(first("n_sh").as("n_sh"), collect_list(xxhash64(col("sh"))).as("keys"))
+
+  /** Persist a MinHash-LSH near-dup index for a corpus: band buckets
+    * (`dir/buckets`: id, band, bucket), hashed shingle-key sets
+    * (`dir/sets`: id, n_sh, keys — for exact-Jaccard verification without
+    * the text), and the signature parameters (`dir/meta`, written LAST as
+    * the completion marker).
+    *
+    * This is the daily-ingest deployment shape: [[minhashLshPairs]] over
+    * corpus+increment re-shingles and re-signatures the WHOLE corpus on
+    * every run — at 100 TB that is petabytes of kernel work to dedupe
+    * gigabytes. Built once per corpus state, the index lets
+    * [[incrementalNearDupPairs]] probe with an increment whose own
+    * shingling is the only kernel work; after the ingest, append the
+    * increment's bucket/set rows (the same frames this writes) to keep the
+    * index current. Corpus-side cost here is the one-off build: the
+    * shingle kernel runs once (persisted), and the set aggregation is one
+    * id-keyed shuffle of 8-byte keys.
+    */
+  def writeMinhashIndex(
+      docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32, seed: Long = 42L): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = docs.sparkSession
+    val r = numHashes / bands
+    CacheScope.scoped {
+      val sets = CacheScope.pin(
+        shingled(docs, idCol, textCol, n), StorageLevel.MEMORY_AND_DISK)
+      bandBuckets(
+          sets.select(col("id"), minhashSignature(col("shingles"), numHashes, seed).as("sig")),
+          bands, r)
+        .write.mode("overwrite").parquet(s"$dir/buckets")
+      hashedKeySets(sets).write.mode("overwrite").parquet(s"$dir/sets")
+      import spark.implicits._
+      Seq((n, numHashes, bands, seed)).toDF("n", "num_hashes", "bands", "seed")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  /** Near-dup pairs TOUCHING an increment — increment-vs-corpus and
+    * increment-vs-increment, never corpus-vs-corpus — against a
+    * [[writeMinhashIndex]] directory. The corpus participates ONLY through
+    * its index: band buckets for candidate generation and hashed key sets
+    * for exact-Jaccard verification; its text is never read and its
+    * shingle kernel never re-runs (the spec pins `inputFiles` to the index
+    * directory). Signature parameters come from the index's meta, so probe
+    * and build cannot disagree.
+    *
+    * Increment ids must be disjoint from corpus ids (the ingest
+    * invariant); an id present in both is resolved in the increment's
+    * favor. Output pairs are (id_a < id_b, exact jaccard >= threshold) —
+    * the same contract as [[minhashLshPairs]] restricted to pairs with at
+    * least one increment member.
+    */
+  def incrementalNearDupPairs(
+      spark: SparkSession, dir: String, increment: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val n = meta.getAs[Int]("n")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val seed = meta.getAs[Long]("seed")
+    val r = numHashes / bands
+    // the increment's shingle kernel feeds both its buckets and its
+    // verification sets — persist so it runs once (caller's CacheScope)
+    val incSets = CacheScope.pin(
+      shingled(increment, idCol, textCol, n), StorageLevel.MEMORY_AND_DISK)
+    val incBuckets = bandBuckets(
+      incSets.select(col("id"), minhashSignature(col("shingles"), numHashes, seed).as("sig")),
+      bands, r)
+    val corpusBuckets = spark.read.parquet(s"$dir/buckets")
+    // probe side = corpus buckets ∪ increment buckets; the `corpus` flag
+    // keeps pair semantics straight: inc-vs-corpus pairs in either id
+    // order, inc-vs-inc deduped by id order. The small increment side
+    // broadcasts; the index is the big, streamed side.
+    val probeSide = corpusBuckets.withColumn("corpus", lit(true))
+      .unionByName(incBuckets.withColumn("corpus", lit(false)))
+    val candidates = incBuckets.as("a").join(probeSide.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id") && (col("b.corpus") || col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    // verification sets: the increment's own, plus the stored corpus sets
+    // (increment wins on an id collision via the anti-join)
+    val incKeys = hashedKeySets(incSets)
+    val sets = incKeys.unionByName(
+      spark.read.parquet(s"$dir/sets")
+        .join(incKeys.select("id"), Seq("id"), "left_anti"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("keys").as("k_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("keys").as("k_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("k_a"), col("k_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** SimHash near-dup pairs within a Hamming radius. Candidates come from

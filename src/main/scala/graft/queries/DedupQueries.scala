@@ -29,6 +29,27 @@ object DedupQueries extends QueryFamily {
   private val shingleN = 3
   private val jaccardThreshold = 0.8
   private val cosineThreshold = 0.5 // testdata embeddings are near-orthogonal; demo threshold
+  private val corpusSplit = 250 // doc_id < split = corpus, >= split = increment (q50/q70)
+
+  /** Build the persisted MinHash-LSH index once per SOURCE STATE of
+    * documents.parquet (same staging contract as AnnQueries' IVF index):
+    * the stage key fingerprints the source file plus the signature
+    * parameters, and `meta/_SUCCESS` — written last in
+    * [[Dedup.writeMinhashIndex]] — is the completion marker.
+    */
+  private def stagedMinhashIndexDir(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      s"${src.getAbsolutePath}:${src.length()}:${src.lastModified()}:" +
+        s"$corpusSplit:$shingleN:128:32:42").take(16)
+    val stage = new java.io.File(sys.props("java.io.tmpdir"), s"graft_minhash_index_$key")
+    if (!new java.io.File(stage, "meta/_SUCCESS").exists()) {
+      Dedup.writeMinhashIndex(
+        table(s, dir, "documents").filter(col("doc_id") < corpusSplit),
+        stage.toString, n = shingleN)
+    }
+    stage.toString
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> ((s, dir) =>
@@ -73,6 +94,15 @@ object DedupQueries extends QueryFamily {
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
+
+    // incremental NEAR-dup: the doc_id >= 250 batch probes the persisted
+    // corpus index — its own shingling is the only kernel work; the
+    // corpus contributes band buckets + hashed key sets, never text
+    "q70_dedup_incremental_minhash" -> ((s, dir) =>
+      Dedup.incrementalNearDupPairs(s, stagedMinhashIndexDir(s, dir),
+          table(s, dir, "documents").filter(col("doc_id") >= corpusSplit),
+          threshold = jaccardThreshold)
+        .orderBy("id_a", "id_b")),
 
     // pairs -> keep-list: connected components over the exact near-dup
     // pairs, every document mapped to its cluster representative
@@ -175,6 +205,13 @@ object DedupQueries extends QueryFamily {
          ORDER BY doc_id""",
     "q21_dedup_minhash_lsh" -> jaccardSql,
     "q23_dedup_ngram_jaccard" -> jaccardSql,
+    // exact Jaccard over the FULL document set, restricted to pairs with
+    // at least one increment member — corpus-vs-corpus pairs excluded
+    "q70_dedup_incremental_minhash" ->
+      s"""WITH $jaccardCtes
+          SELECT id_a, id_b, jaccard FROM jpairs
+          WHERE id_a >= $corpusSplit OR id_b >= $corpusSplit
+          ORDER BY id_a, id_b""",
     "q43_dedup_groups" -> groupsSql,
     "q24_dedup_embedding" -> embeddingSql,
     "q25_dedup_embedding_lsh" -> embeddingSql
