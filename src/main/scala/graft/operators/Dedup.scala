@@ -159,9 +159,16 @@ object Dedup {
     // no skew mitigation, while the aggregate combines map-side and the
     // skewed join is AQE-splittable. The persisted `inv` already
     // guarantees the kernel runs once, which is what the window form was
-    // buying before.
-    val dfreq = inv.groupBy("shkey").agg(count(lit(1)).as("df"))
-    val keyed = inv.join(dfreq, "shkey")
+    // buying before. The join carries only the REPEATED shingles (df >= 2
+    // — in a real corpus the overwhelming majority of shingles are
+    // unique, and df = 1 is the left join's default), so the joined side
+    // is the small repeated tail: AQE broadcasts it at runtime and the
+    // full inv relation never re-shuffles by shkey for the join; when the
+    // repeated tail is genuinely large it degrades to the same
+    // AQE-splittable shuffle join as joining all of dfreq would.
+    val dfreq = inv.groupBy("shkey").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    val keyed = inv.join(dfreq, Seq("shkey"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
     // global rarity rank within each doc; (df, shkey) is a strict total
     // order because shkey is unique per distinct shingle
     val ranked = keyed.withColumn("pos", row_number().over(
