@@ -40,6 +40,42 @@ class BucketedSpec extends SparkTestBase {
     }
   }
 
+  test("q71's query path joins co-located with no orderkey exchange and no sort") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/orders.parquet").exists())
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force SMJ so co-location (not a broadcast) is what elides the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = graft.queries.ParityQueries.queries("q71_bucketed_orders_lineitem")
+      val frame = q(spark, sfDir)
+      val plan = frame.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(800)}")
+      // the aggregation exchange (on o_orderpriority) is expected; the
+      // JOIN must not shuffle either fact on its order key
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed fact join shuffled:\n${plan.take(1500)}")
+      assert(!plan.linesIterator.exists(_.trim.startsWith("Sort [o_orderkey")) &&
+        !plan.linesIterator.exists(_.trim.startsWith("Sort [l_orderkey")),
+        s"bucket-sorted join re-sorted:\n${plan.take(1500)}")
+      // and the result matches the plain shuffled join over the raw tables
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      val expect = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.expr("l_extendedprice * (1.0 - l_discount)")), 2)
+          .as("revenue"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val got = frame.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(got == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("bucketed-by-fingerprint self-join (the dedup-index layout) stays shuffle-free") {
     val t = s"b_docs_${System.nanoTime()}"
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
