@@ -136,6 +136,19 @@ object TextQueries extends QueryFamily {
           graft.functions.expr.ZOrderFunctions.zValue(col("x"), col("y"), 10))
         .orderBy("doc_id")),
 
+    // the N-dimensional kernel (q68's sibling): three 8-bit dims,
+    // Morton-interleaved; the twin expands 24 shift-and-mask terms —
+    // bit b of dim j lands at output position 3*b + (2 - j)
+    "q72_zorder_key_3d" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 256).as("x"),
+          ((col("doc_id") * 7919) % 256).as("y"),
+          ((col("doc_id") * 104729) % 256).as("w"))
+        .withColumn("z", graft.functions.expr.ZOrderFunctions.zValueN(
+          Seq(col("x"), col("y"), col("w")), 8))
+        .orderBy("doc_id")),
+
     // HTML-to-text: the corpus is plain text, so (like q52's PII) the
     // query wraps each row in a deterministic HTML shell — style/script
     // blocks, tags, and entities — and the extraction must recover the
@@ -326,6 +339,18 @@ object TextQueries extends QueryFamily {
               SELECT doc_id, doc_id % 1024 AS x, (doc_id * 7919) % 1024 AS y
               FROM documents)
             SELECT doc_id, x, y, CAST($terms AS BIGINT) AS z
+            FROM d ORDER BY doc_id"""
+      },
+      "q72_zorder_key_3d" -> {
+        val terms = (0 until 8).flatMap(b => Seq(
+          s"(((x >> $b) & 1) << ${3 * b + 2})",
+          s"(((y >> $b) & 1) << ${3 * b + 1})",
+          s"(((w >> $b) & 1) << ${3 * b})")).mkString(" + ")
+        s"""WITH d AS (
+              SELECT doc_id, doc_id % 256 AS x, (doc_id * 7919) % 256 AS y,
+                     (doc_id * 104729) % 256 AS w
+              FROM documents)
+            SELECT doc_id, x, y, w, CAST($terms AS BIGINT) AS z
             FROM d ORDER BY doc_id"""
       },
       "q63_text_html_strip" ->

@@ -1,49 +1,78 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-import graft.functions.expr.ZOrderFunctions.zValue
+import graft.functions.expr.ZOrderFunctions.{stringPrefixKey, zValueN}
 
-/** Z-ORDERED parquet layout for two-column data skipping. A 1-D sorted
+/** Z-ORDERED parquet layout for multi-column data skipping. A 1-D sorted
   * layout gives narrow per-file min/max ranges only on its leading
-  * column; interleaving the bits of BOTH (range-bucketed) columns into a
-  * Morton key and range-partitioning + sorting by it keeps every file's
-  * footprint small in both dimensions — parquet min/max row-group stats
-  * then prune scans filtered on EITHER column. Bucket bounds come from
-  * one min/max aggregate (driver-resident scalars, never the data).
+  * column; interleaving the bits of ALL (range-bucketed) clustering
+  * columns into a Morton key and range-partitioning + sorting by it keeps
+  * every file's footprint small in every dimension — parquet min/max
+  * row-group stats then prune scans filtered on ANY of them. Bucket
+  * bounds come from one min/max aggregate (driver-resident scalars,
+  * never the data).
+  *
+  * Dimensions may be any integral/date/timestamp/float/string column;
+  * each is normalized to an ORDER-PRESERVING long/double key first
+  * ([[dimKey]]): timestamps to epoch micros, dates to epoch days, strings
+  * to their big-endian 8-byte-prefix key — so the interleave always works
+  * over comparable bucketed longs, the lakehouse OPTIMIZE/ZORDER recipe.
   */
 object Layout {
 
-  private val bitsPer = 16 // 2 x 16 bits: 65536 buckets per dimension
+  /** Order-preserving numeric key for a clustering column. */
+  private[graft] def dimKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+      case DateType => unix_date(col(c)).cast("long")
+      case TimestampType => unix_micros(col(c))
+      // parquet timestamps load as NTZ in Spark 4; session TZ is UTC so
+      // the cast is a reinterpretation, not a shift
+      case TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+      case FloatType | DoubleType => col(c).cast("double")
+      case StringType => stringPrefixKey(col(c))
+      case dt => throw new IllegalArgumentException(
+        s"cannot z-order column '$c' of type ${dt.simpleString}")
+    }
 
-  /** Write `df` into `files` z-ordered parquet files clustered on the
-    * two LONG columns `xCol`/`yCol`.
+  /** Write `df` into `files` z-ordered parquet files clustered on
+    * `cols` (any mix of supported types; 2–3 dims is the sweet spot —
+    * bits per dimension shrink as dims grow).
     */
-  def writeZOrdered(
-      df: DataFrame, dir: String, xCol: String, yCol: String, files: Int): Unit = {
+  def writeZOrdered(df: DataFrame, dir: String, cols: Seq[String], files: Int): Unit = {
     require(files >= 1, "files must be >= 1")
+    require(cols.nonEmpty, "need at least one clustering column")
     require(!df.columns.contains("__z"), "'__z' column name is reserved")
-    val b = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
-    require(!b.isNullAt(0) && !b.isNullAt(2),
-      "cannot z-order an empty frame (no min/max bounds)")
-    val (xMin, xMax, yMin, yMax) =
-      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    def bucket(c: String, lo: Long, hi: Long) = {
-      val span = math.max(hi - lo, 1L)
+    val bitsPer = math.min(16, 63 / cols.size)
+    val keys = cols.map(c => dimKey(df, c).cast("double"))
+    val bounds = keys.flatMap(k => Seq(min(k), max(k)))
+    val b = df.agg(bounds.head, bounds.tail: _*).head()
+    require(cols.indices.forall(i => !b.isNullAt(2 * i)),
+      "cannot z-order an empty frame or an all-null dimension (no min/max bounds)")
+    val maxBucket = (1L << bitsPer) - 1
+    val bucketCols = keys.zipWithIndex.map { case (k, i) =>
+      val (lo, hi) = (b.getDouble(2 * i), b.getDouble(2 * i + 1))
       // scale in DOUBLE: (v - lo) * 65535 in long arithmetic overflows
       // once the span exceeds ~2^63/65535 (epoch-nanos columns), which
-      // would silently destroy the clustering
-      ((col(c) - lit(lo)).cast("double") * lit((1L << bitsPer) - 1) / lit(span.toDouble))
-        .cast("long")
+      // would silently destroy the clustering; a constant dimension
+      // (span 0) buckets to 0 everywhere
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      ((k - lit(lo)) * lit(maxBucket) / lit(span)).cast("long")
     }
-    df.withColumn("__z",
-        zValue(bucket(xCol, xMin, xMax), bucket(yCol, yMin, yMax), bitsPer))
+    df.withColumn("__z", zValueN(bucketCols, bitsPer))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** 2-column convenience overload (the original surface). */
+  def writeZOrdered(
+      df: DataFrame, dir: String, xCol: String, yCol: String, files: Int): Unit =
+    writeZOrdered(df, dir, Seq(xCol, yCol), files)
 
   /** Per-file (min, max) of a long column — the footprint a parquet
     * reader's row-group pruning sees. One job over input_file_name()
