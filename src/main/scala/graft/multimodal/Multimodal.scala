@@ -129,6 +129,53 @@ object Multimodal {
       }(enc)
   }
 
+  /** Video metadata schema produced by [[decodeVideoMeta]]. */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_tracks", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** STUB video decoder — fallback for bytes with no valid ISO-BMFF box
+    * tiling, deterministic arithmetic like the image/audio stubs so the
+    * plumbing is oracle-checkable.
+    */
+  def decodeVideoStub(bytes: Array[Byte]): (Long, Long, Long, Long, Long, String) = {
+    val n = bytes.length.toLong
+    if (n == 0) (0L, 0L, 0L, 0L, 0L, "empty")
+    else {
+      val first = bytes(0) & 0xff
+      val last = bytes(bytes.length - 1) & 0xff
+      (n, n * 10 + first, 1L + last % 3,
+        16L * (1 + first % 40), 16L * (1 + last % 30), "mp4_stub")
+    }
+  }
+
+  /** Video metadata decode: real MP4/ISO-BMFF box walk when the bytes
+    * tile as valid boxes ([[VideoHeaders]]), stub otherwise. Same
+    * partition-parallel shape as [[decodeImageMeta]].
+    */
+  def decodeVideoMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(
+      StructField(idCol, LongType, nullable = false) +: videoMetaSchema.fields.toSeq)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          val (len, dur, nt, w, h, fmt) = VideoHeaders.parseMp4(bytes) match {
+            case Some(m) =>
+              (bytes.length.toLong, m.durationMs, m.nTracks, m.width, m.height, "mp4")
+            case None => decodeVideoStub(bytes)
+          }
+          Row(id, len, dur, nt, w, h, fmt)
+        }
+      }(enc)
+  }
+
   /** Deterministic frame sampling plan for a (stub-)video payload: every
     * `stride`-th frame index below n_frames — the shape of a real
     * frame-extraction fan-out (explode to one row per sampled frame).

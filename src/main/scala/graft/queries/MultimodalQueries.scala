@@ -33,6 +33,16 @@ object MultimodalQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // video modality: same plumbing/oracle pattern — text payloads take
+    // the deterministic stub (natural text cannot tile as ISO-BMFF
+    // boxes); real MP4 boxes are pinned by MultimodalSpec
+    "q73_multimodal_video" -> ((s, dir) => {
+      val bin = table(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decodeVideoMeta(bin, "doc_id", "payload")
+        .orderBy("doc_id")
+    }),
+
     "q34_multimodal_frames" -> ((s, dir) => {
       val bin = table(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -66,7 +76,20 @@ object MultimodalQueries extends QueryFamily {
               'pcm_stub' AS format
        FROM documents"""
 
+  private val videoStub =
+    """SELECT doc_id,
+              CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+              CAST(OCTET_LENGTH(ENCODE(text)) * 10 + ASCII(SUBSTR(text, 1, 1)) AS BIGINT) AS duration_ms,
+              CAST(1 + ASCII(SUBSTR(text, LENGTH(text), 1)) % 3 AS BIGINT) AS n_tracks,
+              CAST(16 * (1 + ASCII(SUBSTR(text, 1, 1)) % 40) AS BIGINT) AS width,
+              CAST(16 * (1 + ASCII(SUBSTR(text, LENGTH(text), 1)) % 30) AS BIGINT) AS height,
+              'mp4_stub' AS format
+       FROM documents"""
+
   def oracleSql: Map[String, String] = Map(
+    "q73_multimodal_video" ->
+      s"""SELECT doc_id, byte_len, duration_ms, n_tracks, width, height, format
+          FROM ($videoStub) ORDER BY doc_id""",
     "q65_multimodal_audio" ->
       s"""SELECT doc_id, byte_len, sample_rate, channels, n_samples, format
           FROM ($audioStub) ORDER BY doc_id""",

@@ -109,6 +109,66 @@ class MultimodalSpec extends SparkTestBase {
     out.toArray
   }
 
+  /** Minimal valid ISO-BMFF: ftyp + moov(mvhd v0 + traks(tkhd v0)) + mdat. */
+  private def mp4Bytes(
+      timescale: Int, duration: Int, tracks: Seq[(Int, Int)]): Array[Byte] = {
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ // version 0 + flags
+      be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+      Array.fill(80)(0.toByte)) // rate..next_track_id
+    val traks = tracks.map { case (w, h) =>
+      box("trak", box("tkhd", Array[Byte](0, 0, 0, 0) ++
+        Array.fill(72)(0.toByte) ++ // ctime..matrix
+        be32(w << 16) ++ be32(h << 16))) // 16.16 fixed
+    }
+    val moov = box("moov", mvhd ++ traks.flatten.toArray)
+    val mdat = box("mdat", Array.fill(16)(7.toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  test("VideoHeaders parses MP4 mvhd/tkhd; text with an ftyp-looking prefix is rejected") {
+    // 2 tracks: 640x480 video + 0x0 audio; duration 9000/600 = 15000 ms
+    val m = VideoHeaders.parseMp4(
+      mp4Bytes(600, 9000, Seq((640, 480), (0, 0)))).get
+    assert(m == VideoHeaders.Meta(15000L, 600L, 2L, 640L, 480L, "isom"))
+    assert(VideoHeaders.parseMp4("plain text that is long enough".getBytes("UTF-8")).isEmpty)
+    // ASCII prose with 'ftyp' at offset 4 must still fail the box tiling
+    assert(VideoHeaders.parseMp4(
+      "abcdftyp continues as natural language for quite a while".getBytes("UTF-8")).isEmpty)
+    // truncated: last box's declared size overruns the buffer
+    assert(VideoHeaders.parseMp4(
+      mp4Bytes(600, 9000, Seq((640, 480))).dropRight(3)).isEmpty)
+    // no moov -> reject even though ftyp is valid
+    val noMoov = mp4Bytes(600, 9000, Seq((640, 480)))
+    val ftypOnly = noMoov.take(8 + 16) // just the ftyp box
+    assert(VideoHeaders.parseMp4(ftypOnly).isEmpty)
+    // moov without any trak -> reject
+    assert(VideoHeaders.parseMp4(mp4Bytes(600, 9000, Seq.empty)).isEmpty)
+  }
+
+  test("decodeVideoMeta: real MP4 decodes, text falls back to the video stub") {
+    val payloads = Seq(
+      1L -> mp4Bytes(1000, 2500, Seq((1920, 1080))),
+      2L -> "Az".getBytes("UTF-8"))
+    val rows = Multimodal.decodeVideoMeta(payloads.toDF("id", "payload"), "id", "payload")
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Long]("duration_ms") == 2500L &&
+      rows(0).getAs[Long]("n_tracks") == 1L &&
+      rows(0).getAs[Long]("width") == 1920L &&
+      rows(0).getAs[Long]("height") == 1080L &&
+      rows(0).getAs[String]("format") == "mp4")
+    // stub: len=2, 'A'=65, 'z'=122 -> duration 2*10+65=85; tracks 1+122%3=3;
+    // width 16*(1+65%40)=416; height 16*(1+122%30)=48
+    assert(rows(1).getAs[Long]("duration_ms") == 85L &&
+      rows(1).getAs[Long]("n_tracks") == 3L &&
+      rows(1).getAs[Long]("width") == 416L &&
+      rows(1).getAs[Long]("height") == 48L &&
+      rows(1).getAs[String]("format") == "mp4_stub")
+  }
+
   test("AudioHeaders parses WAV fmt/data chunks; text with a RIFF prefix is rejected") {
     assert(AudioHeaders.parseWav(wavBytes(44100, 2, 16, 1000)) ==
       Some(AudioHeaders.Meta(44100L, 2L, 16L, 1000L, "wav")))
