@@ -68,11 +68,43 @@ object EventQueries extends QueryFamily {
          FROM events
          WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP))"""
 
+  /** RAM-backed scratch root when available: a micro-batch drain pays a
+    * per-batch fsync tax on the offset/commit logs and per-partition
+    * state deltas; on a disk-backed /tmp that tax dominates small-SF
+    * streaming runs. Checkpoints and (tiny) result sinks are transient
+    * per-run artifacts, so tmpfs is semantics-neutral — a production
+    * deployment would put the checkpoint on durable storage and size the
+    * batch interval so the fsync amortizes.
+    */
+  private lazy val scratchRoot: String = {
+    val shm = new File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.toString else sys.props("java.io.tmpdir")
+  }
+
+  /** Run a synchronous stream drain with state partitioning sized by
+    * STATE VOLUME instead of core count. Stateful streaming cost has a
+    * fixed per-partition-per-batch floor (state-store open/commit, task
+    * launch, a sink file) that data volume cannot amortize at small
+    * state; 32 partitions of kilobyte state pay that floor 32×. The
+    * partition count is pinned into the checkpoint at first start, so it
+    * is a per-deployment sizing decision — at 100 TB feed rates set
+    * `SPARK_GRAFT_STREAM_PARTITIONS` to the state-volume-appropriate
+    * count. Results are partition-count-invariant (the oracles pin it).
+    */
+  private val streamStatePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
+  private def withStreamShuffle[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Fixed per-(query, sfDir) output dir, wiped before each run. */
   private def freshResultDir(tag: String, dir: String): String = {
     val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
       new File(dir).getAbsolutePath).take(16)
-    val d = new File(sys.props("java.io.tmpdir"), s"graft_stream_${tag}_$key")
+    val d = new File(scratchRoot, s"graft_stream_${tag}_$key")
     org.apache.commons.io.FileUtils.deleteQuietly(d)
     d.toString
   }
@@ -83,8 +115,8 @@ object EventQueries extends QueryFamily {
         .orderBy("window_start", "event_type")),
 
     "q36_events_hourly_stream" -> ((s, dir) =>
-      EventStreams.hourlyByTypeStreaming(
-          s, stagedEventsDir(s, dir), freshResultDir("q36", dir))
+      withStreamShuffle(s)(EventStreams.hourlyByTypeStreaming(
+          s, stagedEventsDir(s, dir), freshResultDir("q36", dir)))
         .orderBy("window_start", "event_type")),
 
     "q37_events_sessionize" -> ((s, dir) =>
@@ -95,8 +127,8 @@ object EventQueries extends QueryFamily {
     // same task as q38 through Spark's NATIVE session_window aggregation
     // (built-in-first); shares q38's deadline-rule oracle
     "q44_events_sessionize_native" -> ((s, dir) =>
-      EventStreams.sessionizeWindowStreaming(
-          s, stagedEventsDir(s, dir), freshResultDir("q44", dir), gapMinutes)
+      withStreamShuffle(s)(EventStreams.sessionizeWindowStreaming(
+          s, stagedEventsDir(s, dir), freshResultDir("q44", dir), gapMinutes))
         .orderBy("user_id", "session_start")),
 
     // ordered conversion funnel: first view, first click AT-OR-AFTER that
@@ -240,9 +272,9 @@ object EventQueries extends QueryFamily {
     // dimension (user_id -> market segment) before the hourly aggregate;
     // watermark/append semantics identical to q36's
     "q47_events_enriched_stream" -> ((s, dir) =>
-      EventStreams.enrichedHourlyStreaming(
+      withStreamShuffle(s)(EventStreams.enrichedHourlyStreaming(
           s, stagedEventsDir(s, dir), freshResultDir("q47", dir),
-          graft.Tables.table(s, dir, "customer"), "c_custkey", "c_mktsegment")
+          graft.Tables.table(s, dir, "customer"), "c_custkey", "c_mktsegment"))
         .orderBy("window_start", "segment")),
 
     // per-window TOP-K over the stream: append mode emits each window's
@@ -251,8 +283,8 @@ object EventQueries extends QueryFamily {
     // expressible inside an append-mode stream, and this composition is
     // the honest shape (finalize first, rank finalized windows)
     "q64_events_hourly_topk_stream" -> ((s, dir) => {
-      val hourly = EventStreams.hourlyByTypeStreaming(
-        s, stagedEventsDir(s, dir), freshResultDir("q64", dir))
+      val hourly = withStreamShuffle(s)(EventStreams.hourlyByTypeStreaming(
+        s, stagedEventsDir(s, dir), freshResultDir("q64", dir)))
       val w = Window.partitionBy("window_start")
         .orderBy(col("sum_value").desc, col("event_type"))
       hourly
@@ -264,8 +296,8 @@ object EventQueries extends QueryFamily {
     // stream-STREAM interval join: purchases x same-user clicks within
     // the preceding hour, both sides watermarked (bounded join state)
     "q49_events_attribution_stream" -> ((s, dir) =>
-      EventStreams.attributionStreaming(
-          s, stagedEventsDir(s, dir), freshResultDir("q49", dir), windowMinutes = 60)
+      withStreamShuffle(s)(EventStreams.attributionStreaming(
+          s, stagedEventsDir(s, dir), freshResultDir("q49", dir), windowMinutes = 60))
         .orderBy("event_id", "click_id")),
 
     // streaming ingest dedup: event_id uniqueness repaired with bounded
@@ -273,13 +305,13 @@ object EventQueries extends QueryFamily {
     // oracle is the identity projection — the dedup SEMANTICS (planted
     // re-deliveries, state eviction) are pinned by DedupStreamSpec
     "q57_events_dedup_stream" -> ((s, dir) =>
-      EventStreams.dedupStreaming(
-          s, stagedEventsDir(s, dir), freshResultDir("q57", dir))
+      withStreamShuffle(s)(EventStreams.dedupStreaming(
+          s, stagedEventsDir(s, dir), freshResultDir("q57", dir)))
         .orderBy("event_id")),
 
     "q38_events_sessionize_stream" -> ((s, dir) => {
-      EventStreams.sessionizeStreaming(
-          s, stagedEventsDir(s, dir), freshResultDir("q38", dir), gapMinutes)
+      withStreamShuffle(s)(EventStreams.sessionizeStreaming(
+          s, stagedEventsDir(s, dir), freshResultDir("q38", dir), gapMinutes))
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
