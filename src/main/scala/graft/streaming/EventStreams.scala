@@ -277,6 +277,60 @@ object EventStreams {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
   }
 
+  /** One micro-batch of the KEY-SIDE-TABLE idempotent append protocol —
+    * the scale variant of [[idempotentAppendBatch]]: the dedup anti-join
+    * reads a compact keys table (`keysDir`: keyCol + a `batch=N`
+    * partition per micro-batch) instead of re-scanning the sink's key
+    * column, so the DATA files are never re-read on the append path
+    * (DedupStreamSpec proves it by corrupting them). Crash safety comes
+    * from per-batch OVERWRITE: both data and keys land in `batch=N`
+    * directories, a replayed batch rewrites both (its own partial keys
+    * are excluded from the anti-join), so every replay converges to the
+    * same state — no appended-beside-partial duplicates. At real scale,
+    * fold old `batch=` partitions of the keys table into a bucketed base
+    * under a table format's transaction (plain [[graft.sources.Compact]]
+    * refuses partitioned layouts by design).
+    */
+  def idempotentAppendBatchKeyed(
+      batch: DataFrame, dataDir: String, keysDir: String,
+      keyCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.dropDuplicates(keyCol)
+    val novel =
+      if (sinkExists(spark, keysDir))
+        fresh.join(
+          spark.read.parquet(keysDir)
+            // a replayed batch must not anti-join its own partial write
+            .filter(col("batch") =!= batchId)
+            .select(keyCol),
+          Seq(keyCol), "left_anti")
+      else fresh
+    novel.write.mode("overwrite").parquet(s"$dataDir/batch=$batchId")
+    novel.select(col(keyCol)).write.mode("overwrite").parquet(s"$keysDir/batch=$batchId")
+  }
+
+  /** [[idempotentAppendStream]] over the key-side-table batch protocol:
+    * same horizon-unbounded dedup guarantee, sink data never re-read.
+    */
+  def idempotentAppendStreamKeyed(
+      spark: SparkSession, eventsDir: String, outDir: String,
+      keyCol: String = "event_id"): DataFrame = {
+    val dataDir = s"$outDir/data"
+    val keysDir = s"$outDir/keys"
+    val q = spark.readStream.schema(eventSchema).parquet(eventsDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        idempotentAppendBatchKeyed(batch.toDF(), dataDir, keysDir, keyCol, batchId)
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (sinkExists(spark, dataDir))
+      spark.read.parquet(dataDir).select(eventSchema.fieldNames.map(col).toSeq: _*)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
+  }
+
   /** Gaps-and-islands sessionization, batch form: a session breaks after
     * `gapMinutes` of user inactivity. Window functions only — one shuffle
     * by user_id.

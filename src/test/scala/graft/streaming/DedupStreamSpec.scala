@@ -97,6 +97,56 @@ class DedupStreamSpec extends SparkTestBase {
     assert(none.count() == 0L)
   }
 
+  test("keyed sink: dedup across batches WITHOUT ever re-reading the data files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idem_keyed")
+    val dataDir = root.resolve("data").toString
+    val keysDir = root.resolve("keys").toString
+    def batchDf(rows: (Long, String)*) =
+      rows.map { case (id, t) => Event(id, ts(t), 1L, "c", 1.0) }.toDF()
+    EventStreams.idempotentAppendBatchKeyed(
+      batchDf(1L -> "10:00", 2L -> "10:05", 2L -> "10:05"), dataDir, keysDir, "event_id", 0L)
+    // CORRUPT every data file: if any later batch read them, it would throw
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dataDir)).iterator()
+      .forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.write(p, "not parquet".getBytes("UTF-8"))
+      }
+    // days-late re-delivery of id 1 + novel id 3: anti-join via keys only
+    EventStreams.idempotentAppendBatchKeyed(
+      batchDf(1L -> "23:00", 3L -> "10:10"), dataDir, keysDir, "event_id", 1L)
+    val keys = spark.read.parquet(keysDir).select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(keys == Seq(1L, 2L, 3L), s"got $keys")
+    // crash REPLAY of batch 1 (same content, same id): overwrite, not append
+    EventStreams.idempotentAppendBatchKeyed(
+      batchDf(1L -> "23:00", 3L -> "10:10"), dataDir, keysDir, "event_id", 1L)
+    val replayed = spark.read.parquet(keysDir).select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(replayed == Seq(1L, 2L, 3L), s"replay duplicated: $replayed")
+  }
+
+  test("idempotentAppendStreamKeyed end-to-end matches the data-scan variant") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idem_keyed_e2e")
+    val eventsDir = root.resolve("events").toString
+    Seq(
+      (1L, ts("10:00"), 1L, "c", 1.0, "{}"),
+      (2L, ts("10:05"), 1L, "c", 1.0, "{}"),
+      (2L, ts("10:05"), 1L, "c", 1.0, "{}") // in-batch duplicate
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(eventsDir)
+    val outDir = root.resolve("out").toString
+    val first = EventStreams.idempotentAppendStreamKeyed(spark, eventsDir, outDir)
+    assert(first.select("event_id").collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L))
+    // re-run with the same checkpoint: nothing appends
+    val rerun = EventStreams.idempotentAppendStreamKeyed(spark, eventsDir, outDir)
+    assert(rerun.count() == 2L)
+    // empty source: empty frame, not an error
+    val emptyDir = root.resolve("empty").toString
+    new java.io.File(emptyDir).mkdirs()
+    assert(EventStreams.idempotentAppendStreamKeyed(
+      spark, emptyDir, root.resolve("out2").toString).count() == 0L)
+  }
+
   test("a re-delivery after state eviction escapes the dedup (horizon-scoped guarantee)") {
     // b1 emits id 1 (10:00) and advances the watermark to 13:30 via id 2;
     // id 1's seen-entry expires at 10:30 < 13:30, so b2's eviction pass
