@@ -296,6 +296,15 @@ object ParityQueries extends QueryFamily {
     val tOrders = s"graft_bkt_orders_$key"
     val tLineitem = s"graft_bkt_lineitem_$key"
     if (!s.catalog.tableExists(tOrders) || !s.catalog.tableExists(tLineitem)) {
+      // a prior SESSION may have left the managed-table directories in the
+      // warehouse while this session's catalog has no entry — CTAS then
+      // fails LOCATION_ALREADY_EXISTS. The directories are a rebuildable
+      // cache keyed by source state, so clear them before re-staging.
+      for (t <- Seq(tOrders, tLineitem) if !s.catalog.tableExists(t)) {
+        val wh = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, t.toLowerCase(java.util.Locale.ROOT))
+        wh.getFileSystem(s.sessionState.newHadoopConf()).delete(wh, true)
+      }
       graft.sources.Bucketed.writeBucketed(
         table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
         tOrders, "o_orderkey", bucketCount)

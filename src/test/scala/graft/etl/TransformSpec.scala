@@ -11,7 +11,9 @@ import graft.SparkTestBase
 class TransformSpec extends SparkTestBase {
 
   lazy val raw = Extract.campaignsCsv(spark, fixturePath("kickstarter_fixture.csv"))
-  lazy val out = Transform.campaigns(raw).cache()
+  // no .cache(): the fixture is 12 rows, and a suite-lifetime cached block
+  // in the SHARED test session would trip later suites' leak assertions
+  lazy val out = Transform.campaigns(raw)
 
   test("S1: explicit schema — 15 columns incl. the space-named one") {
     assert(raw.columns.length == 15)

@@ -9,12 +9,15 @@ class DedupSpec extends SparkTestBase {
 
   /** Build + action inside one CacheScope, then assert the operator's
     * persisted blocks were all released — the block-leak contract every
-    * persisting operator must honor.
+    * persisting operator must honor. Delta-based (blocks NEW inside the
+    * scope), so another suite's session-lifetime blocks can't trip it.
     */
   private def scopedNoLeak[A](body: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = graft.operators.CacheScope.scoped(body)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "operator leaked persisted blocks past its CacheScope")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"operator leaked persisted blocks past its CacheScope: $leaked")
     out
   }
 

@@ -7,10 +7,16 @@ import graft.SparkTestBase
 class MinhashIndexSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Delta-based, not global-emptiness: the shared test session may carry
+    * another suite's blocks — only blocks NEW inside the scope count as
+    * leaks.
+    */
   private def scopedNoLeak[A](body: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = CacheScope.scoped(body)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "operator leaked persisted blocks past its CacheScope")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"operator leaked persisted blocks past its CacheScope: $leaked")
     out
   }
 
