@@ -450,6 +450,39 @@ object Dedup {
     labels.select(col("id").as("member_id"), col("label").as("keep_id"))
   }
 
+  /** Leakage-safe train/valid/test assignment: every document is split by
+    * a deterministic hash of its near-dup GROUP representative, so a
+    * cluster of near-duplicates can never straddle split boundaries — the
+    * classic eval-set contamination a doc-id-hash split silently permits.
+    *
+    * The split key is the first hex character of md5(keep_id): uniform
+    * over 16 values, so thresholds are sixteenths (default 12/2/2 =
+    * 75% / 12.5% / 12.5%). Hex-char thresholds rather than hash-mod keep
+    * the rule portable to any engine with md5 (the oracle reproduces it
+    * verbatim). One broadcast-sized join against the keep-list; no
+    * shuffle of the corpus beyond what [[nearDupGroups]] already did.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame, groups: DataFrame,
+      idCol: String = "doc_id",
+      trainSixteenths: Int = 12, validSixteenths: Int = 2): DataFrame = {
+    require(trainSixteenths + validSixteenths < 16,
+      "train + valid must leave room for test")
+    val hexChars = "0123456789abcdef"
+    val trainMax = hexChars(trainSixteenths - 1).toString
+    val validMax = hexChars(trainSixteenths + validSixteenths - 1).toString
+    val keyed = docs.select(col(idCol))
+      .join(groups, docs(idCol) === groups("member_id"), "left")
+      .select(col(idCol), coalesce(col("keep_id"), col(idCol)).as("keep_id"))
+    keyed
+      .withColumn("h", substring(md5(encode(col("keep_id").cast("string"), "UTF-8")), 1, 1))
+      .withColumn("split",
+        when(col("h") <= trainMax, "train")
+          .when(col("h") <= validMax, "valid")
+          .otherwise("test"))
+      .select(col(idCol), col("keep_id"), col("split"))
+  }
+
   /** Exact embedding-cosine near-dup pairs (ground truth; all-pairs via a
     * broadcast nested-loop — use ONLY at verification scale or as the
     * within-bucket kernel of [[embeddingNearDupLsh]]).

@@ -104,6 +104,16 @@ object DedupQueries extends QueryFamily {
           threshold = jaccardThreshold)
         .orderBy("id_a", "id_b")),
 
+    // leakage-safe train/valid/test: split by the near-dup GROUP
+    // representative's hash, so near-duplicate clusters never straddle a
+    // split boundary (doc-id-hash splits leak eval data via near-dups)
+    "q74_train_split" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val groups = Dedup.nearDupGroups(
+        Dedup.ngramJaccardPairs(docs, n = shingleN, threshold = jaccardThreshold))
+      Dedup.leakageSafeSplit(docs, groups).orderBy("doc_id")
+    }),
+
     // pairs -> keep-list: connected components over the exact near-dup
     // pairs, every document mapped to its cluster representative
     // (singletons keep themselves)
@@ -149,23 +159,39 @@ object DedupQueries extends QueryFamily {
     s"""WITH $jaccardCtes
         SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b"""
 
-  /** q43: transitive closure of the near-dup pairs (connected
-    * components), representative = min id; singletons keep themselves.
+  /** Transitive closure of the near-dup pairs (connected components) up
+    * to a `keeps(doc_id, keep_id)` relation: representative = min id,
+    * singletons keep themselves. Shared by q43 and q74.
     */
-  private val groupsSql: String =
-    s"""WITH RECURSIVE $jaccardCtes,
+  private val groupsCtes: String =
+    s"""$jaccardCtes,
         edges AS (
           SELECT id_a AS src, id_b AS dst FROM jpairs
           UNION SELECT id_b, id_a FROM jpairs),
         reach(src, dst) AS (
           SELECT src, dst FROM edges
           UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        SELECT d.doc_id,
-               CAST(COALESCE(LEAST(MIN(r.dst), d.doc_id), d.doc_id) AS BIGINT) AS keep_id
-        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        GROUP BY d.doc_id
-        ORDER BY d.doc_id"""
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        keeps AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(LEAST(MIN(r.dst), d.doc_id), d.doc_id) AS BIGINT) AS keep_id
+          FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+          GROUP BY d.doc_id)"""
+
+  private val groupsSql: String =
+    s"""WITH RECURSIVE $groupsCtes
+        SELECT doc_id, keep_id FROM keeps ORDER BY doc_id"""
+
+  /** q74: 12/2/2-sixteenths split on the first hex char of md5(keep_id) —
+    * the exact rule [[Dedup.leakageSafeSplit]] computes.
+    */
+  private val splitSql: String =
+    s"""WITH RECURSIVE $groupsCtes
+        SELECT doc_id, keep_id,
+               CASE WHEN SUBSTR(MD5(CAST(keep_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                    WHEN SUBSTR(MD5(CAST(keep_id AS VARCHAR)), 1, 1) <= 'd' THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM keeps ORDER BY doc_id"""
 
   /** Exact-cosine SQL structured to fold identically to the engine kernel:
     * dot/(sqrt(aa)*sqrt(bb)), sequential double accumulation.
@@ -213,6 +239,7 @@ object DedupQueries extends QueryFamily {
           WHERE id_a >= $corpusSplit OR id_b >= $corpusSplit
           ORDER BY id_a, id_b""",
     "q43_dedup_groups" -> groupsSql,
+    "q74_train_split" -> splitSql,
     "q24_dedup_embedding" -> embeddingSql,
     "q25_dedup_embedding_lsh" -> embeddingSql
   )

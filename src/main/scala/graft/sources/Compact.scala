@@ -63,4 +63,35 @@ object Compact {
     fs.delete(old, true)
     n
   }
+
+  /** Compaction for HIVE-PARTITIONED layouts: every LEAF partition
+    * directory is rewritten independently with [[rewriteParquet]]'s
+    * temp-and-swap protocol, so partition columns stay directory-encoded
+    * and partition pruning keeps working. Returns (partition path →
+    * files written). Each leaf rewrite is its own distributed job —
+    * driver-side iteration is over the PARTITION LIST, which is exactly
+    * the thing a metastore keeps driver-sized; at very high partition
+    * counts run the leaves in batches (or under a table format's OPTIMIZE,
+    * which is this loop plus a transaction log).
+    */
+  def rewritePartitionedParquet(
+      spark: SparkSession, dir: String, targetBytes: Long,
+      clusterBy: Seq[String] = Nil): Map[String, Int] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def leaves(p: Path): Seq[Path] = {
+      val entries = fs.listStatus(p)
+      val subdirs = entries.filter(e =>
+        e.isDirectory && !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    require(fs.getFileStatus(root).isDirectory, s"$dir is not a directory")
+    leaves(root)
+      .filter(p => p != root) // a flat layout belongs to rewriteParquet
+      .filter(p => fs.listStatus(p).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))) // skip empty leaves
+      .map(p => p.toString ->
+        rewriteParquet(spark, p.toString, targetBytes, clusterBy))
+      .toMap
+  }
 }

@@ -102,6 +102,25 @@ class DedupSpec extends SparkTestBase {
       7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L))
   }
 
+  test("leakageSafeSplit keeps near-dup groups in ONE split; coverage matches thresholds") {
+    // 60 docs in 20 groups of 3 (ids 3k, 3k+1, 3k+2 share a group)
+    val groups = (0 until 60).map(i => (i.toLong, (i / 3 * 3).toLong))
+      .toDF("member_id", "keep_id")
+    val docs = (0 until 60).map(_.toLong).toDF("doc_id")
+    val rows = Dedup.leakageSafeSplit(docs, groups).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keep_id"), r.getAs[String]("split")))
+    // every member of a group lands in the same split
+    rows.groupBy(_._2).foreach { case (k, members) =>
+      assert(members.map(_._3).distinct.length == 1, s"group $k straddles splits")
+    }
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "valid", "test")))
+    // docs absent from the group list keep themselves
+    val solo = Dedup.leakageSafeSplit(
+      Seq(99L).toDF("doc_id"), spark.emptyDataFrame.selectExpr("1L as member_id", "1L as keep_id").limit(0))
+      .head()
+    assert(solo.getAs[Long]("keep_id") == 99L)
+  }
+
   test("simhashPairs: near-identical docs collide within small hamming") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 16).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -43,6 +43,23 @@ class CompactSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).select("id", "p").count() == 100L)
   }
 
+  test("partitioned compaction collapses each leaf, preserving the partition layout") {
+    val dir = freshDir()
+    (0 until 9000).map(i => (i.toLong, i % 3)).toDF("id", "p")
+      .repartition(24).write.partitionBy("p").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .select("id", "p").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    val written = Compact.rewritePartitionedParquet(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(written.size == 3 && written.values.forall(_ == 1), s"got $written")
+    // each partition dir now holds exactly one parquet file
+    for (p <- 0 until 3)
+      assert(parquetFiles(s"$dir/p=$p").size == 1, s"p=$p not compacted")
+    // partition column still directory-encoded and every row intact
+    val after = spark.read.parquet(dir)
+      .select("id", "p").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(after == before)
+  }
+
   test("clusterBy compaction keeps range clustering for min/max pruning") {
     val dir = freshDir()
     (0 until 20000).map(i => (i.toLong, i % 7)).toDF("id", "x")
