@@ -103,6 +103,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Exact-Jaccard verification over HASHED-key sets: joins per-doc
+    * (n_sh, keys) rows onto the candidate pairs and scores
+    * |intersect| / |union| on the 8-byte key arrays. One definition for
+    * the inverted-index and incremental-index paths, so the
+    * oracle-sensitive formula (denominator shape, threshold comparison,
+    * 6-dp rounding) cannot drift between them. `sets` columns:
+    * (id, n_sh, keys).
+    */
+  private def verifyJaccardHashed(
+      candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("keys").as("k_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("keys").as("k_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("k_a"), col("k_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
   /** Ground-truth near-dup pairs: exact Jaccard with candidates from
     * PREFIX FILTERING over an inverted shingle index — never a cross join,
     * never a recall cap.
@@ -191,14 +210,7 @@ object Dedup {
     // equality is already the candidate join's premise
     val sets = ranked.groupBy("id")
       .agg(first(col("n_sh")).as("n_sh"), collect_list(col("shkey")).as("keys"))
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("keys").as("k_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("keys").as("k_b")), "id_b")
-      .withColumn("n_common", size(array_intersect(col("k_a"), col("k_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccardHashed(candidates, sets, threshold)
   }
 
   /** MinHash+LSH near-dup pairs: k-hash signatures, b bands of r rows
@@ -350,14 +362,7 @@ object Dedup {
     val sets = incKeys.unionByName(
       spark.read.parquet(s"$dir/sets")
         .join(incKeys.select("id"), Seq("id"), "left_anti"))
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("keys").as("k_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("keys").as("k_b")), "id_b")
-      .withColumn("n_common", size(array_intersect(col("k_a"), col("k_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccardHashed(candidates, sets, threshold)
   }
 
   /** SimHash near-dup pairs within a Hamming radius. Candidates come from

@@ -43,24 +43,17 @@ object AnnQueries extends QueryFamily {
   private val nprobe = 4
 
   /** Build the persisted IVF index once per SOURCE STATE of
-    * embeddings.parquet: the stage key fingerprints the source file's
-    * (path, length, mtime) plus the quantizer parameters, so regenerated
-    * testdata re-indexes instead of replaying a stale index, and repeated
-    * bench/verify invocations reuse it instead of re-training.
-    * `centroids/_SUCCESS` is written last in [[Ivf.writeIndex]], making it
-    * the completion marker.
+    * embeddings.parquet ([[Staging]] contract; `centroids/_SUCCESS` is
+    * written last in [[Ivf.writeIndex]], making it the completion
+    * marker).
     */
-  private def stagedIndexDir(s: SparkSession, dir: String): String = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-      s"${src.getAbsolutePath}:${src.length()}:${src.lastModified()}:$nlist:42").take(16)
-    val stage = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ivf_index_$key")
-    if (!new java.io.File(stage, "centroids/_SUCCESS").exists()) {
-      Ivf.writeIndex(table(s, dir, "embeddings"), stage.toString,
+  private def stagedIndexDir(s: SparkSession, dir: String): String =
+    Staging.dir("graft_ivf_index",
+      Seq(new java.io.File(s"$dir/embeddings.parquet")),
+      s"$nlist:42", "centroids/_SUCCESS") { stage =>
+      Ivf.writeIndex(table(s, dir, "embeddings"), stage,
         nlist = nlist, iters = 3, seed = 42L)
     }
-    stage.toString
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_topk" -> ((s, dir) => {

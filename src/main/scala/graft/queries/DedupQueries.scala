@@ -32,24 +32,17 @@ object DedupQueries extends QueryFamily {
   private val corpusSplit = 250 // doc_id < split = corpus, >= split = increment (q50/q70)
 
   /** Build the persisted MinHash-LSH index once per SOURCE STATE of
-    * documents.parquet (same staging contract as AnnQueries' IVF index):
-    * the stage key fingerprints the source file plus the signature
-    * parameters, and `meta/_SUCCESS` — written last in
-    * [[Dedup.writeMinhashIndex]] — is the completion marker.
+    * documents.parquet ([[Staging]] contract; `meta/_SUCCESS` — written
+    * last in [[Dedup.writeMinhashIndex]] — is the completion marker).
     */
-  private def stagedMinhashIndexDir(s: SparkSession, dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-      s"${src.getAbsolutePath}:${src.length()}:${src.lastModified()}:" +
-        s"$corpusSplit:$shingleN:128:32:42").take(16)
-    val stage = new java.io.File(sys.props("java.io.tmpdir"), s"graft_minhash_index_$key")
-    if (!new java.io.File(stage, "meta/_SUCCESS").exists()) {
+  private def stagedMinhashIndexDir(s: SparkSession, dir: String): String =
+    Staging.dir("graft_minhash_index",
+      Seq(new java.io.File(s"$dir/documents.parquet")),
+      s"$corpusSplit:$shingleN:128:32:42", "meta/_SUCCESS") { stage =>
       Dedup.writeMinhashIndex(
         table(s, dir, "documents").filter(col("doc_id") < corpusSplit),
-        stage.toString, n = shingleN)
+        stage, n = shingleN)
     }
-    stage.toString
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> ((s, dir) =>

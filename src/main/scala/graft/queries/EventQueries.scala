@@ -28,21 +28,15 @@ object EventQueries extends QueryFamily {
 
   private val gapMinutes = 30
 
-  /** Stage `events` as a parquet directory once per SOURCE STATE: the
-    * stage name fingerprints the absolute path plus the source file's
-    * (length, mtime), so regenerated testdata restages instead of
-    * silently replaying a stale copy, and distinct paths cannot alias.
+  /** Stage `events` as a parquet directory once per SOURCE STATE
+    * ([[Staging]] contract — file stream sources list directories; at
+    * scale the feed lands as files in a dir).
     */
-  private def stagedEventsDir(s: SparkSession, dir: String): String = {
-    val src = new File(s"$dir/events.parquet")
-    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-      s"${src.getAbsolutePath}:${src.length()}:${src.lastModified()}").take(16)
-    val stage = new File(sys.props("java.io.tmpdir"), s"graft_events_stage_$key")
-    if (!new File(stage, "_SUCCESS").exists()) {
-      graft.Tables.events(s, dir).write.mode("overwrite").parquet(stage.toString)
+  private def stagedEventsDir(s: SparkSession, dir: String): String =
+    Staging.dir("graft_events_stage",
+      Seq(new File(s"$dir/events.parquet")), "", "_SUCCESS") { stage =>
+      graft.Tables.events(s, dir).write.mode("overwrite").parquet(stage)
     }
-    stage.toString
-  }
 
   /** Shared purchase/click sides of the as-of attribution pair (q48/q69):
     * clicks pre-aggregated per (user, ts) for the uniqueness precondition;

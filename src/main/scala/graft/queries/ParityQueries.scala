@@ -281,18 +281,16 @@ object ParityQueries extends QueryFamily {
   private val bucketCount = 8
 
   /** Stage orders/lineitem as bucket-sorted catalog tables once per
-    * SOURCE STATE (same staging contract as the IVF / MinHash indexes:
-    * the table name fingerprints the source files, so regenerated
-    * testdata restages and repeated runs reuse). Only the columns the
-    * join consumes are staged — the bucketed table IS the projection.
+    * SOURCE STATE (the [[Staging]] key, applied to table names rather
+    * than a stage directory — bucketing metadata lives in the catalog).
+    * Only the columns the join consumes are staged — the bucketed table
+    * IS the projection.
     */
   private[graft] def stagedBucketedTables(s: SparkSession, dir: String): (String, String) = {
-    def stateOf(name: String): String = {
-      val f = new java.io.File(s"$dir/$name.parquet")
-      s"${f.getAbsolutePath}:${f.length()}:${f.lastModified()}"
-    }
-    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-      s"${stateOf("orders")}|${stateOf("lineitem")}|$bucketCount").take(12)
+    val key = Staging.key(
+      Seq(new java.io.File(s"$dir/orders.parquet"),
+        new java.io.File(s"$dir/lineitem.parquet")),
+      bucketCount.toString)
     val tOrders = s"graft_bkt_orders_$key"
     val tLineitem = s"graft_bkt_lineitem_$key"
     if (!s.catalog.tableExists(tOrders) || !s.catalog.tableExists(tLineitem)) {

@@ -50,8 +50,12 @@ object Compact {
     val laid =
       if (clusterBy.isEmpty) df.repartition(n)
       else df.repartitionByRange(n, clusterBy.map(col): _*)
-    val tmp = new Path(dir.stripSuffix("/") + "__compacting")
-    val old = new Path(dir.stripSuffix("/") + "__precompact")
+    // DOT-prefixed sibling scratch names: Hive partition discovery (and
+    // this file's own leaf walks) skip dot/underscore entries, so when the
+    // rewritten directory is a partition leaf, an in-flight or crashed
+    // swap never surfaces as a phantom partition to concurrent readers
+    val tmp = new Path(path.getParent, s".${path.getName}__compacting")
+    val old = new Path(path.getParent, s".${path.getName}__precompact")
     laid.write.mode("overwrite").parquet(tmp.toString)
     fs.delete(old, true) // stale leftover from a previous crashed run
     if (!fs.rename(path, old))
@@ -86,8 +90,12 @@ object Compact {
       if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(d => leaves(d.getPath))
     }
     require(fs.getFileStatus(root).isDirectory, s"$dir is not a directory")
-    leaves(root)
-      .filter(p => p != root) // a flat layout belongs to rewriteParquet
+    val leafDirs = leaves(root).filter(p => p != root)
+    // a flat layout belongs to rewriteParquet — refuse loudly, don't
+    // return an empty map that reads as "compacted, nothing to do"
+    require(leafDirs.nonEmpty,
+      s"$dir has no partition subdirectories: use rewriteParquet for flat layouts")
+    leafDirs
       .filter(p => fs.listStatus(p).exists(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet"))) // skip empty leaves
       .map(p => p.toString ->

@@ -296,10 +296,18 @@ object EventStreams {
       keyCol: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val fresh = batch.dropDuplicates(keyCol)
+    // EXPLICIT schema (key field + the batch partition column): a crash
+    // during the very first keys write can leave keysDir existing with
+    // zero committed files, and a schemaless read would then throw
+    // "unable to infer schema" on every replay — a permanent crash loop
+    // on exactly the replay path this sink exists for
+    val keysSchema = org.apache.spark.sql.types.StructType(
+      Seq(batch.schema(keyCol),
+        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
     val novel =
       if (sinkExists(spark, keysDir))
         fresh.join(
-          spark.read.parquet(keysDir)
+          spark.read.schema(keysSchema).parquet(keysDir)
             // a replayed batch must not anti-join its own partial write
             .filter(col("batch") =!= batchId)
             .select(keyCol),
@@ -326,8 +334,15 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // same explicit-schema rationale as the keys read in
+    // [[idempotentAppendBatchKeyed]]: never infer from a possibly-partial
+    // directory
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      eventSchema.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType))
     if (sinkExists(spark, dataDir))
-      spark.read.parquet(dataDir).select(eventSchema.fieldNames.map(col).toSeq: _*)
+      spark.read.schema(dataSchema).parquet(dataDir)
+        .select(eventSchema.fieldNames.map(col).toSeq: _*)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
   }
 
