@@ -86,6 +86,21 @@ object TextQueries extends QueryFamily {
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy("doc_id")),
 
+    // deterministic FIXED-SIZE per-group sample (q41's complement: exact k
+    // per language, not a hash-rate): rank by a salted content-independent
+    // hash and keep the k smallest — reproducible across runs and
+    // layouts, one group-keyed exchange, the standard top-k-per-group
+    // shape (rank windows stream over the sort; no per-group buffering)
+    "q75_grouped_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":sample"))), col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    }),
+
     // corpus stats: token-count histogram in width-10 buckets — partial
     // aggregation makes this one tiny shuffle regardless of corpus size
     "q42_token_histogram" -> ((s, dir) =>
@@ -310,6 +325,16 @@ object TextQueries extends QueryFamily {
              FROM documents)
            WHERE bucket < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
            ORDER BY doc_id""",
+      "q75_grouped_sample" ->
+        """SELECT doc_id, lang, rk FROM (
+             SELECT doc_id, lang,
+                    CAST(ROW_NUMBER() OVER (
+                      PARTITION BY lang
+                      ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':sample'), doc_id)
+                      AS BIGINT) AS rk
+             FROM documents)
+           WHERE rk <= 5
+           ORDER BY lang, rk""",
       "q42_token_histogram" ->
         s"""SELECT CAST(FLOOR(($nTokens) / 10) * 10 AS BIGINT) AS bucket_lo,
                    COUNT(*) AS n_docs
