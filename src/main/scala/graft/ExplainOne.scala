@@ -13,10 +13,16 @@ object ExplainOne {
     val df = SparkEntry.queries(name)(spark, sfDir)
     val p = df.queryExecution.optimizedPlan.toString
     val phys = df.queryExecution.sparkPlan.toString
+    // NOTE: InMemoryRelation renders its CACHED child plan inline, so raw
+    // "Scan parquet" line counts over-report real scans when kernels are
+    // pinned — read them together with the cached-scan count
     println("=== scans: " + phys.linesIterator.count(_.contains("Scan parquet")))
+    println("=== cached scans (InMemoryTableScan): " +
+      phys.linesIterator.count(_.contains("InMemoryTableScan")))
     println("=== exchanges: " + phys.linesIterator.count(_.trim.startsWith("Exchange") ))
     println("=== broadcasts: " + phys.linesIterator.count(_.contains("BroadcastExchange")))
-    phys.linesIterator.filter(l => l.contains("Join") || l.contains("Scan parquet"))
+    phys.linesIterator.filter(l =>
+        l.contains("Join") || l.contains("Scan parquet") || l.contains("InMemoryTableScan"))
       .foreach(l => println(l.take(150)))
     spark.stop()
   }
