@@ -365,6 +365,49 @@ object Dedup {
     verifyJaccardHashed(candidates, sets, threshold)
   }
 
+  /** Eval-set contamination probe: for each document of a (small) eval
+    * set, the fraction of its distinct word n-grams that appear anywhere
+    * in the training corpus — the benchmark-leakage check run before a
+    * training corpus ships (the n-gram-overlap methodology of the GPT-3
+    * appendix / Dodge et al. C4 audit, with longer n-grams than the dedup
+    * family because a single shared 5-gram is already strong evidence).
+    *
+    * Scale shape (the asymmetry is the whole design): the eval set is
+    * thousands of docs, the corpus is the 100 TB side. The eval side is
+    * shingled, hashed, and BROADCAST; the corpus streams through the
+    * broadcast-hash join shuffle-free — its only kernel work is its own
+    * shingling, and no corpus-side distinct/exchange exists at all. The
+    * per-eval match count aggregates (eval_id, shkey) pairs with map-side
+    * partial distinct, bounded by eval size, never by corpus size.
+    *
+    * Output: (eval_id, n_grams, n_matched, frac_contaminated), one row
+    * per eval doc with at least one n-gram (a doc shorter than n tokens
+    * has no probe surface and is absent). Zero-match docs are kept with
+    * frac 0 — the audit must list clean docs, not silently drop them.
+    */
+  def evalContamination(
+      corpus: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 5): DataFrame = {
+    val evalSh = shingled(eval, idCol, textCol, n)
+      .select(col("id").as("eval_id"), size(col("shingles")).cast("long").as("n_grams"),
+        explode(col("shingles")).as("sh"))
+      .select(col("eval_id"), col("n_grams"), xxhash64(col("sh")).as("shkey"))
+    val corpusSh = shingled(corpus, idCol, textCol, n)
+      .select(explode(col("shingles")).as("sh"))
+      .select(xxhash64(col("sh")).as("shkey"))
+    // count DISTINCT matched shingles: a hot corpus shingle matches an
+    // eval n-gram many times but contaminates it once
+    val matched = corpusSh.join(broadcast(evalSh), Seq("shkey"))
+      .groupBy("eval_id")
+      .agg(countDistinct(col("shkey")).as("n_matched"))
+    evalSh.select("eval_id", "n_grams").distinct()
+      .join(matched, Seq("eval_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("frac_contaminated",
+        round(col("n_matched").cast("double") / col("n_grams"), 6))
+      .select("eval_id", "n_grams", "n_matched", "frac_contaminated")
+  }
+
   /** SimHash near-dup pairs within a Hamming radius. Candidates come from
     * equality on one of `bands` equal-width bit-bands of the 64-bit
     * sketch (pigeonhole: hamming <= bands-1 guarantees a shared band),
@@ -538,6 +581,87 @@ object Dedup {
         cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Persist a hyperplane-LSH near-dup index for an embedding corpus:
+    * radius-0 bucket rows (`dir/buckets`: id, table, bucket), the vectors
+    * themselves (`dir/vecs`: id, vec — the verification side; embeddings
+    * ARE the payload, unlike the text-free MinHash index), and the
+    * signature parameters (`dir/meta`, written LAST as the completion
+    * marker).
+    *
+    * Same deployment shape as [[writeMinhashIndex]]: built once per
+    * corpus state, so a daily embedding increment probes stored buckets
+    * instead of re-hashing 100 TB of corpus vectors on every ingest;
+    * after the ingest, append the increment's bucket/vec rows to keep the
+    * index current.
+    */
+  def writeEmbeddingIndex(
+      emb: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planes: Int = 16, tables: Int = 16, dim: Int = 64, seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    Ann.withBuckets(v, "vec", planes, tables, dim, seed)
+      .select("id", "table", "bucket")
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    v.write.mode("overwrite").parquet(s"$dir/vecs")
+    import spark.implicits._
+    Seq((planes, tables, dim, seed)).toDF("planes", "tables", "dim", "seed")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Embedding near-dup pairs TOUCHING an increment — increment-vs-corpus
+    * and increment-vs-increment, never corpus-vs-corpus — against a
+    * [[writeEmbeddingIndex]] directory. The corpus participates only
+    * through its index (stored buckets for candidate generation, stored
+    * vectors for exact-cosine verification of candidates); its source
+    * table is never read and its signatures never recompute. Parameters
+    * come from the index meta, so probe and build cannot disagree.
+    * Multi-probe runs on the increment side only (probing one join side
+    * pairs any signatures within the probe radius).
+    *
+    * Increment ids must be disjoint from corpus ids (the ingest
+    * invariant); an id present in both resolves in the increment's favor.
+    * Output matches [[embeddingNearDupLsh]] restricted to pairs with at
+    * least one increment member: (id_a < id_b, exact cosine >= threshold).
+    */
+  def incrementalEmbeddingNearDupPairs(
+      spark: SparkSession, dir: String, increment: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95, probeRadius: Int = 1): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val planes = meta.getAs[Int]("planes")
+    val tables = meta.getAs[Int]("tables")
+    val dim = meta.getAs[Int]("dim")
+    val seed = meta.getAs[Long]("seed")
+    val inc = increment.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val incBase = Ann.withBuckets(inc, "vec", planes, tables, dim, seed)
+      .select("id", "table", "bucket")
+    val incProbed = Ann.withBuckets(inc, "vec", planes, tables, dim, seed, probeRadius)
+      .select("id", "table", "bucket")
+    // base side = corpus buckets ∪ increment's radius-0 buckets; the
+    // `corpus` flag keeps pair semantics straight (inc-vs-corpus in either
+    // id order, inc-vs-inc deduped by id order). The increment side
+    // broadcasts; the stored index is the big, streamed side.
+    val baseSide = spark.read.parquet(s"$dir/buckets").withColumn("corpus", lit(true))
+      .unionByName(incBase.withColumn("corpus", lit(false)))
+    val candidates = broadcast(incProbed.as("a")).join(baseSide.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id") && (col("b.corpus") || col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    // verification vectors: the increment's own, plus the stored corpus
+    // vectors (increment wins on an id collision via the anti-join)
+    val vecs = inc.unionByName(
+      spark.read.parquet(s"$dir/vecs").join(inc.select("id"), Seq("id"), "left_anti"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
+      .withColumn("cosine", cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -27,9 +27,11 @@ import graft.operators.Dedup
 object DedupQueries extends QueryFamily {
 
   private val shingleN = 3
+  private val contaminationN = 5 // longer n-grams for the q76 leakage probe
   private val jaccardThreshold = 0.8
   private val cosineThreshold = 0.5 // testdata embeddings are near-orthogonal; demo threshold
-  private val corpusSplit = 250 // doc_id < split = corpus, >= split = increment (q50/q70)
+  private val corpusSplit = 250 // doc_id < split = corpus, >= split = increment (q50/q70/q78)
+  private val evalMod = 25 // doc_id % 25 == 0 -> the q76 "eval set"
 
   /** Build the persisted MinHash-LSH index once per SOURCE STATE of
     * documents.parquet ([[Staging]] contract; `meta/_SUCCESS` — written
@@ -42,6 +44,19 @@ object DedupQueries extends QueryFamily {
       Dedup.writeMinhashIndex(
         table(s, dir, "documents").filter(col("doc_id") < corpusSplit),
         stage, n = shingleN)
+    }
+
+  /** Build the persisted hyperplane-LSH embedding index once per SOURCE
+    * STATE of embeddings.parquet (q25's recall-first worst-case-angle
+    * parameters — see the object doc).
+    */
+  private def stagedEmbeddingIndexDir(s: SparkSession, dir: String): String =
+    Staging.dir("graft_emb_index",
+      Seq(new java.io.File(s"$dir/embeddings.parquet")),
+      s"$corpusSplit:6:24:64:42", "meta/_SUCCESS") { stage =>
+      Dedup.writeEmbeddingIndex(
+        table(s, dir, "embeddings").filter(col("vec_id") < corpusSplit),
+        stage, planes = 6, tables = 24)
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -107,6 +122,27 @@ object DedupQueries extends QueryFamily {
       Dedup.leakageSafeSplit(docs, groups).orderBy("doc_id")
     }),
 
+    // eval-contamination audit: every doc_id % 25 == 0 document plays the
+    // eval set; the rest is the training corpus. Per eval doc: what
+    // fraction of its distinct 5-grams appears anywhere in the corpus?
+    "q76_eval_contamination" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.evalContamination(
+          docs.filter(col("doc_id") % evalMod =!= 0),
+          docs.filter(col("doc_id") % evalMod === 0),
+          n = contaminationN)
+        .orderBy("eval_id")
+    }),
+
+    // incremental embedding near-dup: the vec_id >= 250 batch probes the
+    // persisted hyperplane index — the corpus contributes stored buckets
+    // and vectors, its signatures never recompute
+    "q78_dedup_incremental_embedding" -> ((s, dir) =>
+      Dedup.incrementalEmbeddingNearDupPairs(s, stagedEmbeddingIndexDir(s, dir),
+          table(s, dir, "embeddings").filter(col("vec_id") >= corpusSplit),
+          threshold = cosineThreshold)
+        .orderBy("id_a", "id_b")),
+
     // pairs -> keep-list: connected components over the exact near-dup
     // pairs, every document mapped to its cluster representative
     // (singletons keep themselves)
@@ -125,15 +161,26 @@ object DedupQueries extends QueryFamily {
     * connected-components closure). Yields a `jpairs(id_a, id_b,
     * jaccard)` relation.
     */
-  private val jaccardCtes: String =
-    s"""toks AS (
+  private val toksCte: String =
+    """toks AS (
           SELECT doc_id,
-                 STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t
-          FROM documents),
-        sh AS (
-          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-          FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${shingleN - 1})) AS i) u
-          WHERE LEN(t) >= $shingleN),
+                 STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'), ' ') AS t
+          FROM documents)"""
+
+  /** Distinct word-n-gram expansion at width `n` over a `toks` slice —
+    * the SQL twin of [[graft.functions.TextFunctions.shingleSet]].
+    */
+  private def shingleCte(name: String, n: Int, where: String = "TRUE"): String = {
+    val gram = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""$name AS (
+          SELECT DISTINCT doc_id, $gram AS sh
+          FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${n - 1})) AS i) u
+          WHERE LEN(t) >= $n AND ($where))"""
+  }
+
+  private val jaccardCtes: String =
+    s"""$toksCte,
+        ${shingleCte("sh", shingleN)},
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -234,6 +281,32 @@ object DedupQueries extends QueryFamily {
     "q43_dedup_groups" -> groupsSql,
     "q74_train_split" -> splitSql,
     "q24_dedup_embedding" -> embeddingSql,
-    "q25_dedup_embedding_lsh" -> embeddingSql
+    "q25_dedup_embedding_lsh" -> embeddingSql,
+    // per eval doc: distinct 5-grams, how many appear in the corpus side,
+    // and the contaminated fraction — zero-match docs kept via LEFT JOIN
+    "q76_eval_contamination" ->
+      s"""WITH $toksCte,
+          ${shingleCte("esh", contaminationN, s"doc_id % $evalMod = 0")},
+          ${shingleCte("csh", contaminationN, s"doc_id % $evalMod <> 0")},
+          en AS (SELECT doc_id, COUNT(*) AS n_grams FROM esh GROUP BY 1),
+          m AS (
+            SELECT e.doc_id, COUNT(*) AS n_matched
+            FROM esh e JOIN (SELECT DISTINCT sh FROM csh) c ON c.sh = e.sh
+            GROUP BY 1)
+          SELECT en.doc_id AS eval_id, en.n_grams,
+                 COALESCE(m.n_matched, 0) AS n_matched,
+                 ROUND(COALESCE(m.n_matched, 0)::DOUBLE / en.n_grams, 6)
+                   AS frac_contaminated
+          FROM en LEFT JOIN m ON m.doc_id = en.doc_id
+          ORDER BY eval_id""",
+    // exact cosine over the FULL embedding set, restricted to pairs with
+    // at least one increment member — corpus-vs-corpus pairs excluded
+    "q78_dedup_incremental_embedding" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(${cosineExpr("a", "b")}, 6) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ${cosineExpr("a", "b")} >= $cosineThreshold
+            AND (a.vec_id >= $corpusSplit OR b.vec_id >= $corpusSplit)
+          ORDER BY id_a, id_b"""
   )
 }

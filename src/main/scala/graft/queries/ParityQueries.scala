@@ -275,6 +275,42 @@ object ParityQueries extends QueryFamily {
           round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // ---- SCD2 dimension history: the orders feed read as a change
+    //      stream of each customer's order status, compressed into
+    //      versioned valid_from/valid_to rows ([[graft.operators.Scd]]).
+    //      One key-partitioned exchange serves all three window passes. ----
+    "q77_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Scd.scd2History(
+          table(s, dir, "orders")
+            .select($"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_orderkey"),
+          keyCols = Seq("o_custkey"), attrCols = Seq("o_orderstatus"),
+          tsCol = "o_orderdate", tieCols = Seq("o_orderkey"))
+        .orderBy($"o_custkey", $"version")
+    }),
+
+    // ---- the MERGE-shaped incremental SCD2 path: history built from the
+    //      pre-2000 feed, the rest applied as the ingest batch
+    //      ([[graft.operators.Scd.applyChanges]]) — the output must equal
+    //      the full rebuild, so q77's oracle is THE oracle. Closed history
+    //      passes through without a shuffle; only batch keys do window
+    //      work. ----
+    "q79_scd2_apply_changes" -> ((s, dir) => {
+      import s.implicits._
+      val feed = table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_orderkey")
+      val cut = lit("2000-01-01").cast("timestamp_ntz")
+      graft.operators.Scd.applyChanges(
+          graft.operators.Scd.scd2History(
+            feed.filter($"o_orderdate" < cut),
+            keyCols = Seq("o_custkey"), attrCols = Seq("o_orderstatus"),
+            tsCol = "o_orderdate", tieCols = Seq("o_orderkey")),
+          feed.filter($"o_orderdate" >= cut),
+          keyCols = Seq("o_custkey"), attrCols = Seq("o_orderstatus"),
+          tsCol = "o_orderdate", tieCols = Seq("o_orderkey"))
+        .orderBy($"o_custkey", $"version")
     })
   )
 
@@ -427,6 +463,31 @@ object ParityQueries extends QueryFamily {
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
                 COUNT(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // SCD2 twin: lag to drop unchanged observations, then lead/row_number
+    // over the surviving version-opening rows. Also the q79 oracle: the
+    // incremental applyChanges path must reproduce the full rebuild.
+    "q77_scd2_history" -> scd2Sql,
+    "q79_scd2_apply_changes" -> scd2Sql
   )
+
+  private lazy val scd2Sql: String =
+      """WITH ordered AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                  LAG(o_orderstatus) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         changes AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+           FROM ordered WHERE prev IS NULL OR prev <> o_orderstatus),
+         hist AS (
+           SELECT o_custkey, o_orderstatus,
+                  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+                  o_orderdate AS valid_from,
+                  LEAD(o_orderdate) OVER w AS valid_to
+           FROM changes
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+         SELECT o_custkey, o_orderstatus, version, valid_from, valid_to,
+                (valid_to IS NULL) AS is_current
+         FROM hist ORDER BY o_custkey, version"""
 }
