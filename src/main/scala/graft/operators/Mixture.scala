@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-mixture resampling: re-weight a corpus by group (source/domain)
+  * for training, where a weight w means "each document of this group
+  * appears ⌊w⌋ or ⌈w⌉ times, deterministically, with group-mean w" —
+  * the mixture/epochs step of a pretraining pipeline (down-sample noisy
+  * crawl, up-sample books/wiki), expressed as data so the training
+  * reader needs no weighting logic.
+  *
+  * Determinism and portability: the fractional copy is decided by the
+  * first two hex chars of md5(id:salt) against a per-group threshold —
+  * the same engine-portable rule as [[Dedup.leakageSafeSplit]], at 1/256
+  * granularity (weights' fractional parts must be multiples of 1/256).
+  * Re-runs, engines, and layout changes all reproduce the same sample;
+  * changing `salt` draws an independent one.
+  *
+  * Scale shape: the weight table broadcasts; the filter + copy explode
+  * run map-side in the scan stage — NO shuffle at any size. Groups
+  * absent from `weights` are dropped (weight 0): a curation mixture is
+  * an allow-list, not a default-keep.
+  */
+object Mixture {
+
+  def resample(
+      docs: DataFrame, weights: Map[String, Double],
+      groupCol: String = "source", idCol: String = "doc_id",
+      salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one group")
+    weights.foreach { case (g, w) =>
+      require(w >= 0, s"negative weight for group $g")
+      val frac = w - math.floor(w)
+      require(math.rint(frac * 256) == frac * 256,
+        s"weight for group $g must have a fractional part that is a multiple " +
+          "of 1/256, so the md5 hex-pair rule stays engine-portable")
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val params = weights.toSeq.map { case (g, w) =>
+      val fracIdx = math.rint((w - math.floor(w)) * 256).toInt
+      // highest kept hex pair: frac f keeps pairs '00'.. <f*256 of 256
+      (g, math.floor(w).toLong,
+        if (fracIdx == 0) null else "%02x".format(fracIdx - 1))
+    }.toDF(groupCol, "_base", "_thr")
+    docs.join(broadcast(params), Seq(groupCol))
+      .withColumn("_h", substring(
+        md5(encode(concat(col(idCol).cast("string"), lit(":" + salt)), "UTF-8")), 1, 2))
+      .withColumn("_n",
+        col("_base") + when(col("_thr").isNotNull && col("_h") <= col("_thr"), 1L)
+          .otherwise(0L))
+      .filter(col("_n") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("_n"))))
+      .drop("_base", "_thr", "_h", "_n")
+  }
+}

@@ -101,6 +101,19 @@ object TextQueries extends QueryFamily {
         .orderBy("lang", "rk")
     }),
 
+    // training-mixture resampling: per-source weights as data — ⌊w⌋/⌈w⌉
+    // deterministic copies per doc ([[graft.operators.Mixture]]). src4 is
+    // weighted 0 and src9 left unlisted: both must drop.
+    "q80_mixture_resample" -> ((s, dir) =>
+      graft.operators.Mixture.resample(
+          table(s, dir, "documents").select(col("doc_id"), col("source")),
+          weights = Map(
+            "src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25,
+            "src4" -> 0.0, "src5" -> 1.75, "src6" -> 3.0, "src7" -> 0.125,
+            "src8" -> 1.0))
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("doc_id", "copy")),
+
     // corpus stats: token-count histogram in width-10 buckets — partial
     // aggregation makes this one tiny shuffle regardless of corpus size
     "q42_token_histogram" -> ((s, dir) =>
@@ -335,6 +348,30 @@ object TextQueries extends QueryFamily {
              FROM documents)
            WHERE rk <= 5
            ORDER BY lang, rk""",
+      // same md5 hex-pair rule, CASE-encoded: base copies + one more when
+      // the pair falls under the group's fractional threshold
+      "q80_mixture_resample" ->
+        """WITH w AS (
+             SELECT doc_id, source,
+                    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                         WHEN 'src5' THEN 1 WHEN 'src6' THEN 3
+                         WHEN 'src8' THEN 1 ELSE 0 END AS base,
+                    CASE source WHEN 'src0' THEN '7f' WHEN 'src2' THEN '7f'
+                         WHEN 'src3' THEN '3f' WHEN 'src5' THEN 'bf'
+                         WHEN 'src7' THEN '1f' END AS thr
+             FROM documents
+             WHERE source IN ('src0','src1','src2','src3','src4',
+                              'src5','src6','src7','src8')),
+           n AS (
+             SELECT doc_id, source,
+                    base + CASE WHEN thr IS NOT NULL
+                                  AND SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 2) <= thr
+                                THEN 1 ELSE 0 END AS n_copies
+             FROM w)
+           SELECT doc_id, source, CAST(c AS BIGINT) AS copy
+           FROM n, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, n_copies)) AS c) u
+           WHERE n_copies > 0
+           ORDER BY doc_id, copy""",
       "q42_token_histogram" ->
         s"""SELECT CAST(FLOOR(($nTokens) / 10) * 10 AS BIGINT) AS bucket_lo,
                    COUNT(*) AS n_docs
