@@ -12,14 +12,21 @@ object ExplainOne {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
     val p = df.queryExecution.optimizedPlan.toString
-    val phys = df.queryExecution.sparkPlan.toString
+    // executedPlan, not sparkPlan: exchanges are inserted by the physical
+    // preparation rules (EnsureRequirements), which sparkPlan predates —
+    // counting on sparkPlan reports 0 shuffles for every query
+    val phys = df.queryExecution.executedPlan.toString
     // NOTE: InMemoryRelation renders its CACHED child plan inline, so raw
     // "Scan parquet" line counts over-report real scans when kernels are
     // pinned — read them together with the cached-scan count
     println("=== scans: " + phys.linesIterator.count(_.contains("Scan parquet")))
     println("=== cached scans (InMemoryTableScan): " +
       phys.linesIterator.count(_.contains("InMemoryTableScan")))
-    println("=== exchanges: " + phys.linesIterator.count(_.trim.startsWith("Exchange") ))
+    // tree lines carry "+- "/":- " branch prefixes, so match the node name
+    // anywhere in the line, splitting shuffles from broadcasts by kind
+    println("=== shuffle exchanges: " + phys.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition")))
     println("=== broadcasts: " + phys.linesIterator.count(_.contains("BroadcastExchange")))
     phys.linesIterator.filter(l =>
         l.contains("Join") || l.contains("Scan parquet") || l.contains("InMemoryTableScan"))

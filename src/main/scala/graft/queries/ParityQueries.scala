@@ -302,11 +302,17 @@ object ParityQueries extends QueryFamily {
       val feed = table(s, dir, "orders")
         .select($"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_orderkey")
       val cut = lit("2000-01-01").cast("timestamp_ntz")
-      graft.operators.Scd.applyChanges(
-          graft.operators.Scd.scd2History(
-            feed.filter($"o_orderdate" < cut),
-            keyCols = Seq("o_custkey"), attrCols = Seq("o_orderstatus"),
-            tsCol = "o_orderdate", tieCols = Seq("o_orderkey")),
+      // applyChanges reads the history three ways (seed, reclose,
+      // passthrough); in deployment that's a stored table, so the inline
+      // rebuild is pinned here to stand in for it — without the pin the
+      // full window chain re-executes per consumer
+      val history = graft.operators.CacheScope.pin(
+        graft.operators.Scd.scd2History(
+          feed.filter($"o_orderdate" < cut),
+          keyCols = Seq("o_custkey"), attrCols = Seq("o_orderstatus"),
+          tsCol = "o_orderdate", tieCols = Seq("o_orderkey")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Scd.applyChanges(history,
           feed.filter($"o_orderdate" >= cut),
           keyCols = Seq("o_custkey"), attrCols = Seq("o_orderstatus"),
           tsCol = "o_orderdate", tieCols = Seq("o_orderkey"))
