@@ -11,7 +11,6 @@ object ExplainOne {
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
-    val p = df.queryExecution.optimizedPlan.toString
     // executedPlan, not sparkPlan: exchanges are inserted by the physical
     // preparation rules (EnsureRequirements), which sparkPlan predates —
     // counting on sparkPlan reports 0 shuffles for every query
@@ -26,7 +25,7 @@ object ExplainOne {
     // anywhere in the line, splitting shuffles from broadcasts by kind
     println("=== shuffle exchanges: " + phys.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning") ||
-        l.contains("Exchange SinglePartition")))
+        l.contains("Exchange SinglePartition") || l.contains("Exchange RoundRobinPartitioning")))
     println("=== broadcasts: " + phys.linesIterator.count(_.contains("BroadcastExchange")))
     phys.linesIterator.filter(l =>
         l.contains("Join") || l.contains("Scan parquet") || l.contains("InMemoryTableScan"))

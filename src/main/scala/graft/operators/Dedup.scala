@@ -388,10 +388,14 @@ object Dedup {
   def evalContamination(
       corpus: DataFrame, eval: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 5): DataFrame = {
-    val evalSh = shingled(eval, idCol, textCol, n)
-      .select(col("id").as("eval_id"), size(col("shingles")).cast("long").as("n_grams"),
-        explode(col("shingles")).as("sh"))
-      .select(col("eval_id"), col("n_grams"), xxhash64(col("sh")).as("shkey"))
+    // the eval shingle kernel feeds two consumers (the broadcast probe
+    // side and the per-doc gram counts) — pin it so it runs once; the
+    // block follows the caller's CacheScope as in the pair operators
+    val sets = CacheScope.pin(
+      shingled(eval, idCol, textCol, n), StorageLevel.MEMORY_AND_DISK)
+    val evalSh = sets
+      .select(col("id").as("eval_id"), explode(col("shingles")).as("sh"))
+      .select(col("eval_id"), xxhash64(col("sh")).as("shkey"))
     val corpusSh = shingled(corpus, idCol, textCol, n)
       .select(explode(col("shingles")).as("sh"))
       .select(xxhash64(col("sh")).as("shkey"))
@@ -400,7 +404,10 @@ object Dedup {
     val matched = corpusSh.join(broadcast(evalSh), Seq("shkey"))
       .groupBy("eval_id")
       .agg(countDistinct(col("shkey")).as("n_matched"))
-    evalSh.select("eval_id", "n_grams").distinct()
+    sets
+      .select(col("id").as("eval_id"), size(col("shingles")).cast("long").as("n_grams"))
+      // docs shorter than n tokens have no probe surface (the contract)
+      .filter(col("n_grams") > 0)
       .join(matched, Seq("eval_id"), "left")
       .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
       .withColumn("frac_contaminated",

@@ -76,11 +76,16 @@ object Scd {
     * rows pass through untouched, and only keys present in the batch do
     * any window work.
     *
-    * Preconditions (the ingest invariant): every batch observation is at
-    * or after its key's current `valid_from`; a batch observation at a
-    * closed-row timestamp would rewrite history and is not supported.
-    * Output equals [[scd2History]] over the concatenated feed (the
-    * equivalence ScdSpec pins), with the same column contract.
+    * Preconditions (the ingest invariant): every batch observation is
+    * STRICTLY after its key's current `valid_from` — slicing the feed by
+    * time satisfies this. A batch observation at a closed-row timestamp
+    * would rewrite history and is not supported; one at exactly the
+    * current `valid_from` is resolved deterministically (the stored
+    * version is treated as first) but cannot match a full rebuild, which
+    * would order that collision by `tieCols` the stored row no longer
+    * carries. Under the invariant, output equals [[scd2History]] over
+    * the concatenated feed (the equivalence ScdSpec pins), with the same
+    * column contract.
     *
     * Scale shape: one key exchange over the batch (its own window
     * passes), one equi-join against the history's current slice — at

@@ -19,11 +19,12 @@ import graft.operators.Scd
   * shape as [[EventStreams.idempotentAppendBatchKeyed]]'s per-batch
   * overwrite, applied to a full-table state instead of an append.
   *
-  * Ordering contract (inherited from [[Scd.applyChanges]]): the feed
-  * must deliver each key's observations in batches that never run behind
-  * that key's current `valid_from` — a CDC log consumed in order
-  * satisfies this; an unordered backfill does not (rebuild with
-  * [[Scd.scd2History]] instead).
+  * Ordering contract (inherited from [[Scd.applyChanges]]): each key's
+  * observations must arrive in batches strictly after that key's current
+  * `valid_from` — a CDC log consumed in order satisfies this, including
+  * same-timestamp runs as long as they land in ONE batch; an unordered
+  * backfill, or a same-timestamp run split across batches, does not
+  * (rebuild with [[Scd.scd2History]] instead).
   *
   * Scale note: the per-batch snapshot rewrite of the whole dimension is
   * the documented cost of doing this on plain parquet — dimensions are
@@ -63,18 +64,34 @@ object Scd2Stream {
       .map(n => spark.read.parquet(s"$dimDir/v=$n"))
 
   /** One micro-batch of the upsert protocol: merge `batch` into the
-    * latest committed predecessor (or open the dimension from scratch)
-    * and overwrite this batch's snapshot.
+    * latest committed predecessor (or open the dimension from scratch),
+    * overwrite this batch's snapshot, then prune every version below the
+    * predecessor. Retention is therefore bounded at TWO snapshots: the
+    * predecessor must survive because a crash between this write and the
+    * checkpoint commit replays this batch, which merges from it again;
+    * anything older (including torn leftovers) can never be read — only
+    * the last uncommitted batch is ever replayed.
     */
   def scd2UpsertBatch(
       batch: DataFrame, dimDir: String, batchId: Long,
       keyCols: Seq[String], attrCols: Seq[String],
       tsCol: String, tieCols: Seq[String] = Nil): Unit = {
-    val merged = latestSnapshot(batch.sparkSession, dimDir, beforeBatch = batchId) match {
+    val spark = batch.sparkSession
+    val predecessor = committedVersions(spark, dimDir, beforeBatch = batchId).maxOption
+    val merged = predecessor.map(n => spark.read.parquet(s"$dimDir/v=$n")) match {
       case Some(hist) => Scd.applyChanges(hist, batch, keyCols, attrCols, tsCol, tieCols)
       case None => Scd.scd2History(batch, keyCols, attrCols, tsCol, tieCols)
     }
     merged.write.mode("overwrite").parquet(s"$dimDir/v=$batchId")
+    for (keep <- predecessor) {
+      val (fs, p) = hadoopFs(spark, dimDir)
+      fs.listStatus(p).toSeq
+        .map(_.getPath)
+        .filter(_.getName.startsWith("v="))
+        .filter(d => scala.util.Try(d.getName.stripPrefix("v=").toLong)
+          .toOption.exists(_ < keep))
+        .foreach(d => fs.delete(d, true))
+    }
   }
 
   /** Wire a streaming change feed into the upsert protocol and block

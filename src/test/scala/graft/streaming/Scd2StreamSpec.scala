@@ -83,6 +83,23 @@ class Scd2StreamSpec extends SparkTestBase {
       collectDim(Scd.scd2History(feed.toDF(), Seq("k"), Seq("status"), "ts", Seq("tie"))))
   }
 
+  test("retention is bounded at two snapshots: the latest and its replay predecessor") {
+    val dimDir = tmp("graft_scd2_retain")
+    def upsert(rows: Seq[Obs], id: Long) =
+      Scd2Stream.scd2UpsertBatch(rows.toDF(), dimDir, id,
+        Seq("k"), Seq("status"), "ts", Seq("tie"))
+    upsert(feed.filter(_.ts <= 20), 0L)
+    upsert(feed.filter(o => o.ts > 20 && o.ts <= 32), 1L)
+    upsert(feed.filter(_.ts > 32), 2L)
+    val versions = new java.io.File(dimDir).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).sorted.toSeq
+    assert(versions == Seq("v=1", "v=2"), s"got $versions")
+    // the survivors still serve a batch-2 replay correctly
+    upsert(feed.filter(_.ts > 32), 2L)
+    assert(collectDim(Scd2Stream.latestSnapshot(spark, dimDir).get) ==
+      collectDim(Scd.scd2History(feed.toDF(), Seq("k"), Seq("status"), "ts", Seq("tie"))))
+  }
+
   test("scd2UpsertStream drains the source and returns the final dimension") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Obs]
