@@ -114,6 +114,27 @@ object TextQueries extends QueryFamily {
         .select(col("doc_id"), col("source"), col("copy"))
         .orderBy("doc_id", "copy")),
 
+    // distinctive terms per document: tf-idf with a LINEAR idf (score =
+    // tf/df). Deliberately log-free: +,-,*,/ are IEEE-exactly rounded in
+    // both engines so the rank order is cross-engine deterministic, while
+    // ln differs in final ulps and would make near-tie ranks flap. Rank
+    // ties break on the token itself.
+    "q81_distinctive_terms" -> ((s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      tf.join(dfreq, Seq("token"))
+        .withColumn("score", col("tf").cast("double") / col("df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // corpus stats: token-count histogram in width-10 buckets — partial
     // aggregation makes this one tiny shuffle regardless of corpus size
     "q42_token_histogram" -> ((s, dir) =>
@@ -372,6 +393,18 @@ object TextQueries extends QueryFamily {
            FROM n, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, n_copies)) AS c) u
            WHERE n_copies > 0
            ORDER BY doc_id, copy""",
+      "q81_distinctive_terms" ->
+        s"""WITH tok AS (SELECT doc_id, UNNEST($toks) AS token FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            d AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT doc_id, token, tf, df, tf::DOUBLE / df AS score,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf::DOUBLE / df DESC, token) AS BIGINT) AS rank
+              FROM tf JOIN d USING (token))
+            SELECT doc_id, rank, token, tf, df, ROUND(score, 6) AS score
+            FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""",
       "q42_token_histogram" ->
         s"""SELECT CAST(FLOOR(($nTokens) / 10) * 10 AS BIGINT) AS bucket_lo,
                    COUNT(*) AS n_docs
