@@ -48,8 +48,8 @@ object AnnQueries extends QueryFamily {
     * marker).
     */
   private def stagedIndexDir(s: SparkSession, dir: String): String =
-    Staging.dir("graft_ivf_index",
-      Seq(new java.io.File(s"$dir/embeddings.parquet")),
+    Staging.dir(s, "graft_ivf_index",
+      Seq(s"$dir/embeddings.parquet"),
       s"$nlist:42", "centroids/_SUCCESS") { stage =>
       Ivf.writeIndex(table(s, dir, "embeddings"), stage,
         nlist = nlist, iters = 3, seed = 42L)

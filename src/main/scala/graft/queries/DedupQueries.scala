@@ -38,12 +38,33 @@ object DedupQueries extends QueryFamily {
     * last in [[Dedup.writeMinhashIndex]] — is the completion marker).
     */
   private def stagedMinhashIndexDir(s: SparkSession, dir: String): String =
-    Staging.dir("graft_minhash_index",
-      Seq(new java.io.File(s"$dir/documents.parquet")),
+    Staging.dir(s, "graft_minhash_index",
+      Seq(s"$dir/documents.parquet"),
       s"$corpusSplit:$shingleN:128:32:42", "meta/_SUCCESS") { stage =>
       Dedup.writeMinhashIndex(
         table(s, dir, "documents").filter(col("doc_id") < corpusSplit),
         stage, n = shingleN)
+    }
+
+  /** Build the near-dup KEEP-LIST (connected components over the exact
+    * n-gram-Jaccard pairs, (member_id, keep_id) rows) once per SOURCE
+    * STATE of documents.parquet — the deployment shape: the pair pipeline
+    * is the most expensive operator in the engine, and a corpus state has
+    * ONE keep-list that every consumer (the dedup keep-list query q43, the
+    * leakage-safe split q74) reads, instead of each consumer recomputing
+    * the pair set from the text. The parquet `_SUCCESS` written at the end
+    * of the write is the completion marker.
+    */
+  private[graft] def stagedKeepListDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_keeplist",
+      Seq(s"$dir/documents.parquet"),
+      s"$shingleN:$jaccardThreshold", "_SUCCESS") { stage =>
+      graft.operators.CacheScope.scoped {
+        Dedup.nearDupGroups(
+            Dedup.ngramJaccardPairs(table(s, dir, "documents"),
+              n = shingleN, threshold = jaccardThreshold))
+          .write.mode("overwrite").parquet(stage)
+      }
     }
 
   /** Build the persisted hyperplane-LSH embedding index once per SOURCE
@@ -51,8 +72,8 @@ object DedupQueries extends QueryFamily {
     * parameters — see the object doc).
     */
   private def stagedEmbeddingIndexDir(s: SparkSession, dir: String): String =
-    Staging.dir("graft_emb_index",
-      Seq(new java.io.File(s"$dir/embeddings.parquet")),
+    Staging.dir(s, "graft_emb_index",
+      Seq(s"$dir/embeddings.parquet"),
       s"$corpusSplit:6:24:64:42", "meta/_SUCCESS") { stage =>
       Dedup.writeEmbeddingIndex(
         table(s, dir, "embeddings").filter(col("vec_id") < corpusSplit),
@@ -114,11 +135,12 @@ object DedupQueries extends QueryFamily {
 
     // leakage-safe train/valid/test: split by the near-dup GROUP
     // representative's hash, so near-duplicate clusters never straddle a
-    // split boundary (doc-id-hash splits leak eval data via near-dups)
+    // split boundary (doc-id-hash splits leak eval data via near-dups).
+    // Reads the staged keep-list — one broadcast-sized join, no pair
+    // recomputation (the pair pipeline runs once per corpus state)
     "q74_train_split" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val groups = Dedup.nearDupGroups(
-        Dedup.ngramJaccardPairs(docs, n = shingleN, threshold = jaccardThreshold))
+      val groups = s.read.parquet(stagedKeepListDir(s, dir))
       Dedup.leakageSafeSplit(docs, groups).orderBy("doc_id")
     }),
 
@@ -145,12 +167,12 @@ object DedupQueries extends QueryFamily {
 
     // pairs -> keep-list: connected components over the exact near-dup
     // pairs, every document mapped to its cluster representative
-    // (singletons keep themselves)
+    // (singletons keep themselves). The closure is computed once per
+    // corpus state ([[stagedKeepListDir]]); this query is the
+    // read-and-complete view of it
     "q43_dedup_groups" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select(col("doc_id"))
-      val groups = Dedup.nearDupGroups(
-        Dedup.ngramJaccardPairs(table(s, dir, "documents"),
-          n = shingleN, threshold = jaccardThreshold))
+      val groups = s.read.parquet(stagedKeepListDir(s, dir))
       docs.join(groups, docs("doc_id") === groups("member_id"), "left")
         .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
         .orderBy("doc_id")

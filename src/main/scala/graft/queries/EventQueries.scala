@@ -33,8 +33,8 @@ object EventQueries extends QueryFamily {
     * scale the feed lands as files in a dir).
     */
   private def stagedEventsDir(s: SparkSession, dir: String): String =
-    Staging.dir("graft_events_stage",
-      Seq(new File(s"$dir/events.parquet")), "", "_SUCCESS") { stage =>
+    Staging.dir(s, "graft_events_stage",
+      Seq(s"$dir/events.parquet"), "", "_SUCCESS") { stage =>
       graft.Tables.events(s, dir).write.mode("overwrite").parquet(stage)
     }
 

@@ -329,9 +329,8 @@ object ParityQueries extends QueryFamily {
     * IS the projection.
     */
   private[graft] def stagedBucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val key = Staging.key(
-      Seq(new java.io.File(s"$dir/orders.parquet"),
-        new java.io.File(s"$dir/lineitem.parquet")),
+    val key = Staging.key(s,
+      Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet"),
       bucketCount.toString)
     val tOrders = s"graft_bkt_orders_$key"
     val tLineitem = s"graft_bkt_lineitem_$key"

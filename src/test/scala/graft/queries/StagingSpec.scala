@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class StagingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpdir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("a file: URI source keys identically to its plain-path spelling") {
+    val dir = tmpdir("graft_staging_uri")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
+    val plain = Staging.key(spark, Seq(s"$dir/t.parquet"), "p")
+    val uri = Staging.key(spark, Seq(s"file:$dir/t.parquet"), "p")
+    assert(plain == uri,
+      "URI-spelled and plain-spelled paths must fingerprint the same source state")
+  }
+
+  test("a missing source throws instead of producing a stable-but-wrong key") {
+    // java.io.File would have reported length 0 / mtime 0 and produced a
+    // key that never invalidates — the bug class Staging closes
+    intercept[java.io.FileNotFoundException] {
+      Staging.key(spark, Seq("/nonexistent/graft/nowhere.parquet"), "p")
+    }
+  }
+
+  test("the key tracks source state: a rewrite with different content re-keys") {
+    val dir = tmpdir("graft_staging_state")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
+    val k1 = Staging.key(spark, Seq(s"$dir/t.parquet"), "p")
+    // different row count -> different length (and a later mtime)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val k2 = Staging.key(spark, Seq(s"$dir/t.parquet"), "p")
+    assert(k1 != k2, "source rewrite must invalidate the stage key")
+    assert(Staging.key(spark, Seq(s"$dir/t.parquet"), "other") != k2,
+      "different build params must not alias")
+  }
+
+  test("dir() builds once per state and reuses until the marker exists") {
+    val dir = tmpdir("graft_staging_dir")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
+    var builds = 0
+    def stage(): String =
+      Staging.dir(spark, "graft_staging_spec", Seq(s"$dir/t.parquet"), "p",
+        "done.marker") { s =>
+        builds += 1
+        val p = new org.apache.hadoop.fs.Path(s, "done.marker")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.mkdirs(p.getParent); fs.create(p).close()
+      }
+    val first = stage()
+    val second = stage()
+    assert(first == second && builds == 1, "second call must reuse the staged dir")
+  }
+
+  test("q43/q74's staged keep-list: consumers read the stage, not the text") {
+    val dir = tmpdir("graft_staging_keeplist")
+    // two near-dup docs + two singletons, written as the documents table
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa first"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa second"),
+      (2L, "completely different content about cooking pasta with tomato sauce"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val stage = DedupQueries.stagedKeepListDir(spark, dir)
+    val groups = spark.read.parquet(stage)
+    // correctness: the staged closure equals a direct computation
+    val direct = graft.operators.CacheScope.scoped {
+      graft.operators.Dedup.nearDupGroups(
+          graft.operators.Dedup.ngramJaccardPairs(
+            spark.read.parquet(s"$dir/documents.parquet"), n = 3, threshold = 0.8))
+        .orderBy("member_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val staged = groups.orderBy("member_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(staged == direct)
+    assert(staged.contains((0L, 0L)) && staged.contains((1L, 0L)))
+
+    // scale contract: the q43/q74 group side reads ONLY the staged
+    // parquet — the pair pipeline must not re-run over the text
+    val files = groups.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("graft_keeplist_")),
+      s"keep-list consumer reads outside the stage: ${files.take(3).toSeq}")
+    assert(!files.exists(_.contains("documents.parquet")),
+      "keep-list consumer re-reads the corpus text")
+  }
+}
