@@ -28,7 +28,8 @@ object Bench {
   private def isHeavy(name: String): Boolean =
     (name >= "q20" && name < "q28") ||
       name.startsWith("q39") || name.startsWith("q43") || name.startsWith("q70") ||
-      name.startsWith("q74") || name.startsWith("q76") || name.startsWith("q78")
+      name.startsWith("q74") || name.startsWith("q76") || name.startsWith("q78") ||
+      name.startsWith("q82")
 
   /** Micro-batch Structured Streaming queries (checkpointed sinks). */
   private def isStreaming(name: String): Boolean =

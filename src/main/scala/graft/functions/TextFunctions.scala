@@ -51,6 +51,15 @@ object TextFunctions {
   def shingleSet(c: Column, n: Int): Column =
     ShingleFunctions.shingleSet(tokens(c), n)
 
+  /** ORDERED per-window n-gram hashes of the normalized text (element i =
+    * xxhash64 of the window starting at token i) — the positional shape
+    * the repeated-span operator needs, where [[shingleSet]]'s distinct set
+    * loses positions. Compiled kernel
+    * ([[graft.functions.expr.ShingleWindowHashes]]).
+    */
+  def shingleWindowHashes(c: Column, n: Int): Column =
+    ShingleFunctions.shingleWindowHashes(tokens(c), n)
+
   /** Within-doc repetition: the duplicate n-gram fraction,
     * 1 − distinct/total word n-grams (0 when fewer than n tokens) — the
     * standard repetition filter for training corpora (boilerplate,

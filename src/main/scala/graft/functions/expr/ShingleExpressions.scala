@@ -54,6 +54,40 @@ object ShingleOps {
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
   }
+
+  /** Ordered per-window xxhash64 (seed 42, matching the `xxhash64` SQL
+    * function on the joined gram string): element i is the hash of the
+    * n-token window starting at token i, so `posexplode` recovers (token
+    * position, window hash) — the shape the repeated-span operator needs.
+    * Windows containing a null token yield a null element (positions must
+    * not shift; callers filter). Hashing in-kernel means the gram string
+    * is concatenated, hashed, and dropped in one pass — it never
+    * materializes into the row.
+    */
+  def shingleWindowHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val count = tokens.numElements() - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val parts = new Array[UTF8String](2 * n - 1)
+    var j = 0
+    while (j < n - 1) { parts(2 * j + 1) = SPACE; j += 1 }
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      var k = 0
+      var hasNull = false
+      while (k < n) {
+        if (tokens.isNullAt(i + k)) hasNull = true
+        else parts(2 * k) = tokens.getUTF8String(i + k)
+        k += 1
+      }
+      if (!hasNull) {
+        out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(UTF8String.concat(parts: _*), 42L)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** shingle_set(tokens: array<string>) -> array<string>: distinct
@@ -71,7 +105,26 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_set"
 }
 
+/** shingle_window_hashes(tokens: array<string>) -> array<long>: ordered
+  * per-window xxhash64(seed 42) of each n-gram, null element where the
+  * window contains a null token.
+  */
+case class ShingleWindowHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.shingleWindowHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.ShingleOps.shingleWindowHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "shingle_window_hashes"
+}
+
 object ShingleFunctions {
   def shingleSet(tokens: Column, n: Int): Column =
     GraftBridge.column(ShingleSet(GraftBridge.expression(tokens), n))
+
+  def shingleWindowHashes(tokens: Column, n: Int): Column =
+    GraftBridge.column(ShingleWindowHashes(GraftBridge.expression(tokens), n))
 }

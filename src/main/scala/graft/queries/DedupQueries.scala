@@ -28,6 +28,7 @@ object DedupQueries extends QueryFamily {
 
   private val shingleN = 3
   private val contaminationN = 5 // longer n-grams for the q76 leakage probe
+  private val spanK = 8 // min repeated-span width; ~50 at corpus scale, scaled to 10-99-token testdata docs
   private val jaccardThreshold = 0.8
   private val cosineThreshold = 0.5 // testdata embeddings are near-orthogonal; demo threshold
   private val corpusSplit = 250 // doc_id < split = corpus, >= split = increment (q50/q70/q78)
@@ -165,6 +166,15 @@ object DedupQueries extends QueryFamily {
           threshold = cosineThreshold)
         .orderBy("id_a", "id_b")),
 
+    // exact repeated-substring dedup (Lee et al. ACL'22): every span of
+    // >= spanK tokens occurring in >= 2 distinct documents, merged into
+    // maximal spans per doc — the substring-granularity complement of the
+    // document-pair dedup family (boilerplate/license/quote removal)
+    "q82_repeated_spans" -> ((s, dir) =>
+      graft.operators.Spans.repeatedSpanCoverage(
+          table(s, dir, "documents"), k = spanK)
+        .orderBy("doc_id")),
+
     // pairs -> keep-list: connected components over the exact near-dup
     // pairs, every document mapped to its cluster representative
     // (singletons keep themselves). The closure is computed once per
@@ -199,6 +209,52 @@ object DedupQueries extends QueryFamily {
           FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${n - 1})) AS i) u
           WHERE LEN(t) >= $n AND ($where))"""
   }
+
+  /** Positional window expansion at width `n` over `toks` — like
+    * [[shingleCte]] but keeping (pos, multiplicity), the shape the
+    * repeated-span oracle needs.
+    */
+  private def windowCte(name: String, n: Int): String = {
+    val gram = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""$name AS (
+          SELECT doc_id, i AS pos, $gram AS sh
+          FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${n - 1})) AS i) u
+          WHERE LEN(t) >= $n)"""
+  }
+
+  /** q82: repeated >= spanK-token spans across documents, merged per doc.
+    * Identical interval-merge rule to [[graft.operators.Spans]] (fixed
+    * width ==> lag suffices); positions are 1-based here vs 0-based in
+    * the engine, which only differences consume.
+    */
+  private val repeatedSpansSql: String =
+    s"""WITH $toksCte,
+        ${windowCte("w", spanK)},
+        rep AS (SELECT sh FROM w GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (SELECT w.doc_id, w.pos FROM w JOIN rep r ON r.sh = w.sh),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                        OR pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $spanK
+                      THEN 1 ELSE 0 END AS new_span
+          FROM hits),
+        numbered AS (
+          SELECT doc_id, pos,
+                 SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+          FROM flagged),
+        spans AS (
+          SELECT doc_id, span_id, MAX(pos) - MIN(pos) + $spanK AS span_len
+          FROM numbered GROUP BY 1, 2),
+        perdoc AS (
+          SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS covered_tokens,
+                 COUNT(*) AS n_spans
+          FROM spans GROUP BY 1)
+        SELECT t.doc_id, CAST(LEN(t.t) AS BIGINT) AS n_tokens,
+               COALESCE(p.covered_tokens, 0) AS covered_tokens,
+               COALESCE(p.n_spans, 0) AS n_spans,
+               ROUND(COALESCE(p.covered_tokens, 0)::DOUBLE / LEN(t.t), 6) AS frac_covered
+        FROM toks t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+        ORDER BY t.doc_id"""
 
   private val jaccardCtes: String =
     s"""$toksCte,
@@ -301,6 +357,7 @@ object DedupQueries extends QueryFamily {
           WHERE id_a >= $corpusSplit OR id_b >= $corpusSplit
           ORDER BY id_a, id_b""",
     "q43_dedup_groups" -> groupsSql,
+    "q82_repeated_spans" -> repeatedSpansSql,
     "q74_train_split" -> splitSql,
     "q24_dedup_embedding" -> embeddingSql,
     "q25_dedup_embedding_lsh" -> embeddingSql,
