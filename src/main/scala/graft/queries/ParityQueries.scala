@@ -317,8 +317,84 @@ object ParityQueries extends QueryFamily {
           keyCols = Seq("o_custkey"), attrCols = Seq("o_orderstatus"),
           tsCol = "o_orderdate", tieCols = Seq("o_orderkey"))
         .orderBy($"o_custkey", $"version")
+    }),
+
+    // ---- streaming facts enriched against the SCD2 dimension AS OF
+    //      event time: the reference's fact-to-dim key resolution
+    //      (src/etl_pipeline.py:260-262) upgraded to time-correct keys.
+    //      The dimension is maintained by the streaming SCD2 upserter
+    //      ([[graft.streaming.Scd2Stream]], staged per source state);
+    //      each fact micro-batch re-reads its latest committed snapshot
+    //      and as-of joins on (o_custkey, o_orderdate >= valid_from) —
+    //      so every order resolves to the status version its date falls
+    //      in, not the current one. ----
+    "q83_scd2_asof_enrich_stream" -> ((s, dir) => {
+      import s.implicits._
+      val dimDir = s"${stagedScd2DimDir(s, dir)}/dim"
+      graft.streaming.Scd2EnrichStream.enrichStream(
+          s, stagedOrdersFeedDir(s, dir), factSchema, dimDir,
+          freshResultDir("q83", dir),
+          key = "o_custkey", ts = "o_orderdate", attrCols = Seq("o_orderstatus"))
+        .orderBy($"o_orderkey")
     })
   )
+
+  /** The orders change feed projected to the SCD2 columns, as a parquet
+    * DIRECTORY (file stream sources list directories), staged once per
+    * source state. Written as ONE file: the same directory feeds the
+    * dimension maintainer, whose ordering contract requires a key's
+    * observations to arrive in-order across batches — a single file is
+    * a single batch, which satisfies it trivially (multi-batch ordering
+    * is exercised by Scd2StreamSpec with an ordered feed).
+    */
+  private def stagedOrdersFeedDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_orders_feed", Seq(s"$dir/orders.parquet"), "", "_SUCCESS") {
+      stage =>
+        table(s, dir, "orders")
+          .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+    }
+
+  /** The SCD2 customer-status dimension, built from the staged feed by
+    * the STREAMING maintainer (so q83 reads a genuine [[graft.streaming.Scd2Stream]]
+    * snapshot directory), staged once per source state. The single-file
+    * feed drains as one micro-batch; `dim/v=0/_SUCCESS` is that batch's
+    * snapshot commit marker.
+    */
+  private def stagedScd2DimDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_scd2_dim", Seq(s"$dir/orders.parquet"),
+      "o_custkey:o_orderstatus", "dim/v=0/_SUCCESS") { stage =>
+      graft.streaming.Scd2Stream.scd2UpsertStream(
+        s.readStream.schema(feedSchema).parquet(stagedOrdersFeedDir(s, dir)),
+        s"$stage/dim", s"$stage/_checkpoint",
+        keyCols = Seq("o_custkey"), attrCols = Seq("o_orderstatus"),
+        tsCol = "o_orderdate", tieCols = Seq("o_orderkey"))
+      ()
+    }
+
+  private lazy val feedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("o_orderdate", org.apache.spark.sql.types.TimestampNTZType),
+    org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType)))
+
+  /** Fact view of the same feed: the status column stays OUT (it is the
+    * dimension's payload; as-of enrichment attaches it back time-correctly).
+    */
+  private lazy val factSchema = org.apache.spark.sql.types.StructType(
+    feedSchema.filter(f => f.name != "o_orderstatus"))
+
+  /** Fixed per-(query, sfDir) output dir, wiped before each run (the
+    * [[EventQueries]] convention; locally-constructed tmp path).
+    */
+  private def freshResultDir(tag: String, dir: String): String = {
+    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      new java.io.File(dir).getAbsolutePath).take(16)
+    val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_stream_${tag}_$key")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.toString
+  }
 
   private val bucketCount = 8
 
@@ -473,11 +549,35 @@ object ParityQueries extends QueryFamily {
     // over the surviving version-opening rows. Also the q79 oracle: the
     // incremental applyChanges path must reproduce the full rebuild.
     "q77_scd2_history" -> scd2Sql,
-    "q79_scd2_apply_changes" -> scd2Sql
+    "q79_scd2_apply_changes" -> scd2Sql,
+    // time-correct fact enrichment: ASOF join each order to the status
+    // version open at its date; versions colliding on one valid_from
+    // resolve to the max version (its zero-duration predecessors are
+    // valid "as of" no instant) — the engine's asOfView rule
+    "q83_scd2_asof_enrich_stream" ->
+      s"""WITH $scd2Ctes,
+          ranked AS (
+            SELECT o_custkey, o_orderstatus, version, valid_from,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY o_custkey, valid_from ORDER BY version DESC) AS rn
+            FROM hist),
+          dim AS (
+            SELECT o_custkey, o_orderstatus, version, valid_from
+            FROM ranked WHERE rn = 1)
+          SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+                 d.valid_from, d.version, d.o_orderstatus
+          FROM orders f
+          ASOF LEFT JOIN dim d
+            ON f.o_custkey = d.o_custkey AND f.o_orderdate >= d.valid_from
+          ORDER BY f.o_orderkey"""
   )
 
-  private lazy val scd2Sql: String =
-      """WITH ordered AS (
+  /** SCD2 history CTEs over the orders feed, ending in
+    * `hist(o_custkey, o_orderstatus, version, valid_from, valid_to)` —
+    * shared by q77/q79 (history dump) and q83 (as-of enrichment).
+    */
+  private lazy val scd2Ctes: String =
+      """ordered AS (
            SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
                   LAG(o_orderstatus) OVER (
                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
@@ -491,8 +591,11 @@ object ParityQueries extends QueryFamily {
                   o_orderdate AS valid_from,
                   LEAD(o_orderdate) OVER w AS valid_to
            FROM changes
-           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
-         SELECT o_custkey, o_orderstatus, version, valid_from, valid_to,
-                (valid_to IS NULL) AS is_current
-         FROM hist ORDER BY o_custkey, version"""
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))"""
+
+  private lazy val scd2Sql: String =
+    s"""WITH $scd2Ctes
+        SELECT o_custkey, o_orderstatus, version, valid_from, valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM hist ORDER BY o_custkey, version"""
 }
