@@ -331,10 +331,15 @@ object ParityQueries extends QueryFamily {
     "q83_scd2_asof_enrich_stream" -> ((s, dir) => {
       import s.implicits._
       val dimDir = s"${stagedScd2DimDir(s, dir)}/dim"
+      // the FACT feed is staged as several files and drained one file per
+      // trigger, so every correctness run exercises the multi-batch path:
+      // each micro-batch re-reads the committed snapshot and as-of joins
+      // independently (facts need no cross-batch ordering)
       graft.streaming.Scd2EnrichStream.enrichStream(
-          s, stagedOrdersFeedDir(s, dir), factSchema, dimDir,
+          s, stagedOrdersFactFeedDir(s, dir), factSchema, dimDir,
           freshResultDir("q83", dir),
-          key = "o_custkey", ts = "o_orderdate", attrCols = Seq("o_orderstatus"))
+          key = "o_custkey", ts = "o_orderdate", attrCols = Seq("o_orderstatus"),
+          maxFilesPerTrigger = Some(1))
         .orderBy($"o_orderkey")
     })
   )
@@ -354,6 +359,22 @@ object ParityQueries extends QueryFamily {
           .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
           .coalesce(1)
           .write.mode("overwrite").parquet(stage)
+    }
+
+  /** FACT view of the orders feed (status column out — it is the
+    * dimension's payload), staged as THREE files so q83's enrichment
+    * stream drains ≥3 micro-batches under maxFilesPerTrigger=1. Facts
+    * carry no cross-batch ordering contract — each resolves against the
+    * full committed version history — so an arbitrary repartition split
+    * is safe where the dimension feed's single file is load-bearing.
+    */
+  private def stagedOrdersFactFeedDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_orders_fact_feed", Seq(s"$dir/orders.parquet"),
+      "files=3", "_SUCCESS") { stage =>
+      table(s, dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .repartition(3)
+        .write.mode("overwrite").parquet(stage)
     }
 
   /** The SCD2 customer-status dimension, built from the staged feed by

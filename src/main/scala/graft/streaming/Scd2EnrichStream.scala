@@ -23,7 +23,8 @@ import graft.operators.AsOf
   * Facts need NO cross-batch ordering (unlike the dimension maintainer's
   * change feed): each fact resolves independently against the full
   * version history, so late-arriving facts are correct by construction —
-  * the spec interleaves dimension updates between fact batches to pin
+  * Scd2EnrichStreamSpec interleaves dimension updates between fact
+  * batches (and replays batches against a moved dimension) to pin
   * exactly that.
   *
   * Scale shape: the snapshot is dimension-sized and re-read once per
