@@ -79,8 +79,9 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // short trailing summary line: harvesters that keep only the tail of
     // the output would otherwise truncate the front of the (long)
-    // per-query line and lose the total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // per-query line and lose the total. Distinct metric name so a
+    // consumer that aggregates by metric can't double-count the total.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -542,20 +542,22 @@ object Dedup {
     * broadcast nested-loop — use ONLY at verification scale or as the
     * within-bucket kernel of [[embeddingNearDupLsh]]).
     *
-    * The verification-scale contract is ENFORCED, not advisory: the input
-    * is counted (parquet row-count metadata — no data read) and a corpus
+    * The verification-scale contract is ENFORCED, not advisory: a corpus
     * above `maxInputRows` is refused with a pointer to the scale path,
     * because an all-pairs join that sneaks into a scheduled pipeline is
     * a quadratic time bomb, not a slow query. Raise the bound explicitly
-    * for a deliberate large ground-truth run.
+    * for a deliberate large ground-truth run. The guard is an eager
+    * action at call time (this API is NOT lazy), but its cost is bounded:
+    * it counts a `limit(maxInputRows + 1)` of the input, so it never
+    * scans past the refusal point even over a derived input.
     */
   def embeddingNearDupExact(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95, maxInputRows: Long = 20000L): DataFrame = {
-    val n = emb.count()
+    val n = emb.limit((maxInputRows + 1).min(Int.MaxValue).toInt).count()
     require(n <= maxInputRows,
       s"embeddingNearDupExact is all-pairs (verification scale only): input has " +
-        s"$n rows > maxInputRows=$maxInputRows — use embeddingNearDupLsh (the " +
+        s"> maxInputRows=$maxInputRows rows — use embeddingNearDupLsh (the " +
         "scale path) or raise maxInputRows explicitly for a ground-truth run")
     val v = ScaleOut(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))

@@ -39,13 +39,36 @@ object Staging {
   /** Stage under `tmpdir/<prefix>_<key>`. `marker` is a stage-relative
     * path that `build` must create LAST — it is the completion flag, so
     * a crashed half-build reruns instead of being trusted.
+    *
+    * Concurrency: the build runs in a process-unique scratch dir that is
+    * renamed into place only when complete, so two JVMs staging the same
+    * key (e.g. bench and verify over the same testdata state) never write
+    * interleaved files into one directory — the loser of the rename race
+    * discards its scratch copy and reads the winner's stage.
     */
   def dir(spark: SparkSession, prefix: String, sources: Seq[String], params: String,
       marker: String)(build: String => Unit): String = {
     val stage = new Path(sys.props("java.io.tmpdir"),
       s"${prefix}_${key(spark, sources, params)}")
     val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new Path(stage, marker))) build(stage.toString)
+    if (!fs.exists(new Path(stage, marker))) {
+      val scratch = new Path(s"$stage.build_${java.util.UUID.randomUUID().toString.take(8)}")
+      try build(scratch.toString)
+      catch { case e: Throwable => fs.delete(scratch, true); throw e }
+      if (!fs.exists(new Path(scratch, marker))) {
+        fs.delete(scratch, true)
+        throw new IllegalArgumentException(
+          s"stage build for $stage did not create its completion marker $marker")
+      }
+      // Publish atomically. A pre-existing destination means another
+      // process won the race (Hadoop local rename would otherwise move
+      // the scratch dir INSIDE it) — drop our copy and use theirs.
+      if (fs.exists(stage) || !fs.rename(scratch, stage)) {
+        fs.delete(scratch, true)
+        require(fs.exists(new Path(stage, marker)),
+          s"lost the stage race for $stage but the winner's marker $marker is absent")
+      }
+    }
     stage.toString
   }
 }

@@ -57,6 +57,37 @@ class StagingSpec extends SparkTestBase {
     assert(first == second && builds == 1, "second call must reuse the staged dir")
   }
 
+  test("dir() publishes atomically: a build that omits its marker throws and leaves no stage") {
+    val dir = tmpdir("graft_staging_atomic")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    intercept[IllegalArgumentException] {
+      Staging.dir(spark, "graft_staging_atomic_spec", Seq(s"$dir/t.parquet"), "p",
+        "done.marker") { s =>
+        // a "crashed" build: writes data but never the completion marker
+        val p = new org.apache.hadoop.fs.Path(s, "partial.data")
+        fs.mkdirs(p.getParent); fs.create(p).close()
+      }
+    }
+    // the half-built scratch must NOT have been published as the stage
+    val stage = new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir"),
+      "graft_staging_atomic_spec_" +
+        Staging.key(spark, Seq(s"$dir/t.parquet"), "p"))
+    assert(!fs.exists(stage),
+      "a markerless build must not be visible at the stage path")
+    // a subsequent correct build succeeds and is reused
+    var builds = 0
+    def good(): String =
+      Staging.dir(spark, "graft_staging_atomic_spec", Seq(s"$dir/t.parquet"), "p",
+        "done.marker") { s =>
+        builds += 1
+        val p = new org.apache.hadoop.fs.Path(s, "done.marker")
+        fs.mkdirs(p.getParent); fs.create(p).close()
+      }
+    assert(good() == good() && builds == 1)
+  }
+
   test("q43/q74's staged keep-list: consumers read the stage, not the text") {
     val dir = tmpdir("graft_staging_keeplist")
     // two near-dup docs + two singletons, written as the documents table
