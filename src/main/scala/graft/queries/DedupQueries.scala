@@ -68,6 +68,33 @@ object DedupQueries extends QueryFamily {
       }
     }
 
+  /** Build the window-hash span index over the FULL documents table once
+    * per SOURCE STATE ([[Staging]] contract; `meta/_SUCCESS` — written
+    * last in [[graft.operators.Spans.writeSpanIndex]] — is the completion
+    * marker). Carries `source` so the per-source boilerplate audit (q85)
+    * shares the same stage as the global audit (q82).
+    */
+  private def stagedSpanIndexDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_span_index",
+      Seq(s"$dir/documents.parquet"),
+      s"full:$spanK:source", "meta/_SUCCESS") { stage =>
+      graft.operators.Spans.writeSpanIndex(
+        table(s, dir, "documents"), stage, k = spanK, carry = Seq("source"))
+    }
+
+  /** The CORPUS-side (doc_id < corpusSplit) span index, probed by the
+    * q84 increment — same split convention as the other incremental
+    * operators (q50/q70/q78).
+    */
+  private def stagedSpanCorpusIndexDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_span_index",
+      Seq(s"$dir/documents.parquet"),
+      s"corpus$corpusSplit:$spanK", "meta/_SUCCESS") { stage =>
+      graft.operators.Spans.writeSpanIndex(
+        table(s, dir, "documents").filter(col("doc_id") < corpusSplit),
+        stage, k = spanK)
+    }
+
   /** Build the persisted hyperplane-LSH embedding index once per SOURCE
     * STATE of embeddings.parquet (q25's recall-first worst-case-angle
     * parameters — see the object doc).
@@ -169,10 +196,32 @@ object DedupQueries extends QueryFamily {
     // exact repeated-substring dedup (Lee et al. ACL'22): every span of
     // >= spanK tokens occurring in >= 2 distinct documents, merged into
     // maximal spans per doc — the substring-granularity complement of the
-    // document-pair dedup family (boilerplate/license/quote removal)
+    // document-pair dedup family (boilerplate/license/quote removal).
+    // Reads the staged window-hash index: the kernel pass and the df
+    // aggregate run once per corpus state; the audit is a scan + filter
     "q82_repeated_spans" -> ((s, dir) =>
-      graft.operators.Spans.repeatedSpanCoverage(
-          table(s, dir, "documents"), k = spanK)
+      graft.operators.Spans.repeatedSpanCoverageFromIndex(
+          s, stagedSpanIndexDir(s, dir))
+        .orderBy("doc_id")),
+
+    // incremental repeated-span audit: the doc_id >= 250 batch computes
+    // only its OWN window hashes and probes the stored corpus df — a
+    // window is repeated when corpus-df + increment-df >= 2, i.e. the
+    // full-corpus audit restricted to the increment's rows (completing
+    // the incremental family: q50 exact, q70 minhash, q78 embedding)
+    "q84_repeated_spans_incremental" -> ((s, dir) =>
+      graft.operators.Spans.incrementalSpanCoverage(
+          s, stagedSpanCorpusIndexDir(s, dir),
+          table(s, dir, "documents").filter(col("doc_id") >= corpusSplit))
+        .orderBy("doc_id")),
+
+    // within-source boilerplate audit: a window counts as repeated only
+    // when >= 2 docs OF THE SAME SOURCE contain it (site chrome, license
+    // headers, forum signatures are source-specific); reuses q82's staged
+    // kernel output — the per-source df is the only per-audit aggregate
+    "q85_boilerplate_by_source" -> ((s, dir) =>
+      graft.operators.Spans.groupedSpanCoverageFromIndex(
+          s, stagedSpanIndexDir(s, dir), groupCol = "source")
         .orderBy("doc_id")),
 
     // pairs -> keep-list: connected components over the exact near-dup
@@ -210,28 +259,33 @@ object DedupQueries extends QueryFamily {
           WHERE LEN(t) >= $n AND ($where))"""
   }
 
-  /** Positional window expansion at width `n` over `toks` — like
-    * [[shingleCte]] but keeping (pos, multiplicity), the shape the
-    * repeated-span oracle needs.
+  /** q82/q84/q85: repeated >= spanK-token spans across documents, merged
+    * per doc. Identical interval-merge rule to [[graft.operators.Spans]]
+    * (fixed width ==> lag suffices); positions are 1-based here vs
+    * 0-based in the engine, which only differences consume.
+    *
+    * `grouped` scopes the repetition bar (and the hit join) to documents
+    * of the same `source` and adds the source column to the output — the
+    * q85 within-source boilerplate semantics. `where` restricts the
+    * OUTPUT rows only (q84's increment view); the repetition count always
+    * sees every document, exactly like the engine's corpus-df +
+    * increment-df sum.
     */
-  private def windowCte(name: String, n: Int): String = {
-    val gram = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
-    s"""$name AS (
-          SELECT doc_id, i AS pos, $gram AS sh
-          FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${n - 1})) AS i) u
-          WHERE LEN(t) >= $n)"""
-  }
-
-  /** q82: repeated >= spanK-token spans across documents, merged per doc.
-    * Identical interval-merge rule to [[graft.operators.Spans]] (fixed
-    * width ==> lag suffices); positions are 1-based here vs 0-based in
-    * the engine, which only differences consume.
-    */
-  private val repeatedSpansSql: String =
-    s"""WITH $toksCte,
-        ${windowCte("w", spanK)},
-        rep AS (SELECT sh FROM w GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
-        hits AS (SELECT w.doc_id, w.pos FROM w JOIN rep r ON r.sh = w.sh),
+  private def repeatedSpansSql(grouped: Boolean = false, where: String = "TRUE"): String = {
+    val src = if (grouped) ", source" else ""
+    val srcOut = if (grouped) ", t.source" else ""
+    val srcJoin = if (grouped) " AND r.source = w.source" else ""
+    val gram = (0 until spanK).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+          SELECT doc_id$src,
+                 STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        w AS (
+          SELECT doc_id$src, i AS pos, $gram AS sh
+          FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${spanK - 1})) AS i) u
+          WHERE LEN(t) >= $spanK),
+        rep AS (SELECT sh$src FROM w GROUP BY ALL HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (SELECT w.doc_id, w.pos FROM w JOIN rep r ON r.sh = w.sh$srcJoin),
         flagged AS (
           SELECT doc_id, pos,
                  CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
@@ -249,12 +303,14 @@ object DedupQueries extends QueryFamily {
           SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS covered_tokens,
                  COUNT(*) AS n_spans
           FROM spans GROUP BY 1)
-        SELECT t.doc_id, CAST(LEN(t.t) AS BIGINT) AS n_tokens,
+        SELECT t.doc_id$srcOut, CAST(LEN(t.t) AS BIGINT) AS n_tokens,
                COALESCE(p.covered_tokens, 0) AS covered_tokens,
                COALESCE(p.n_spans, 0) AS n_spans,
                ROUND(COALESCE(p.covered_tokens, 0)::DOUBLE / LEN(t.t), 6) AS frac_covered
         FROM toks t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+        WHERE $where
         ORDER BY t.doc_id"""
+  }
 
   private val jaccardCtes: String =
     s"""$toksCte,
@@ -357,7 +413,12 @@ object DedupQueries extends QueryFamily {
           WHERE id_a >= $corpusSplit OR id_b >= $corpusSplit
           ORDER BY id_a, id_b""",
     "q43_dedup_groups" -> groupsSql,
-    "q82_repeated_spans" -> repeatedSpansSql,
+    "q82_repeated_spans" -> repeatedSpansSql(),
+    // full-corpus span audit restricted to the increment's rows — the
+    // repetition count still sees every document (corpus + increment)
+    "q84_repeated_spans_incremental" ->
+      repeatedSpansSql(where = s"t.doc_id >= $corpusSplit"),
+    "q85_boilerplate_by_source" -> repeatedSpansSql(grouped = true),
     "q74_train_split" -> splitSql,
     "q24_dedup_embedding" -> embeddingSql,
     "q25_dedup_embedding_lsh" -> embeddingSql,
