@@ -16,7 +16,11 @@ object BenchPipeline {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val workDir = "target/tmp/pipeline-bench"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
+    def wipe(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    wipe(workDir)
     val csvDir = s"$workDir/raw_csv"
     val states = typedlit(Seq("failed", "successful", "canceled", "undefined", "live", "suspended"))
     val launchedDate = date_add(to_date(lit("2009-01-01")), ($"id" % 3169).cast("int"))
@@ -44,7 +48,7 @@ object BenchPipeline {
       val counts = graft.star.StarBuilder.runPipeline(spark, csvDir, s"$workDir/wh$i")
       println(f"[pipeline] run$i ${(System.nanoTime() - t0) / 1e9}%.2f s  counts=$counts")
     }
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
+    wipe(workDir)
     spark.stop()
   }
 }

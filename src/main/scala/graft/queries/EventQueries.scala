@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -62,19 +61,6 @@ object EventQueries extends QueryFamily {
          FROM events
          WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP))"""
 
-  /** RAM-backed scratch root when available: a micro-batch drain pays a
-    * per-batch fsync tax on the offset/commit logs and per-partition
-    * state deltas; on a disk-backed /tmp that tax dominates small-SF
-    * streaming runs. Checkpoints and (tiny) result sinks are transient
-    * per-run artifacts, so tmpfs is semantics-neutral — a production
-    * deployment would put the checkpoint on durable storage and size the
-    * batch interval so the fsync amortizes.
-    */
-  private lazy val scratchRoot: String = {
-    val shm = new File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) shm.toString else sys.props("java.io.tmpdir")
-  }
-
   /** Run a synchronous stream drain with state partitioning sized by
     * STATE VOLUME instead of core count. Stateful streaming cost has a
     * fixed per-partition-per-batch floor (state-store open/commit, task
@@ -94,14 +80,6 @@ object EventQueries extends QueryFamily {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Fixed per-(query, sfDir) output dir, wiped before each run. */
-  private def freshResultDir(tag: String, dir: String): String = {
-    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-      new File(dir).getAbsolutePath).take(16)
-    val d = new File(scratchRoot, s"graft_stream_${tag}_$key")
-    org.apache.commons.io.FileUtils.deleteQuietly(d)
-    d.toString
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_events_hourly" -> ((s, dir) =>
@@ -110,7 +88,7 @@ object EventQueries extends QueryFamily {
 
     "q36_events_hourly_stream" -> ((s, dir) =>
       withStreamShuffle(s)(EventStreams.hourlyByTypeStreaming(
-          s, stagedEventsDir(s, dir), freshResultDir("q36", dir)))
+          s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q36", dir)))
         .orderBy("window_start", "event_type")),
 
     "q37_events_sessionize" -> ((s, dir) =>
@@ -122,7 +100,7 @@ object EventQueries extends QueryFamily {
     // (built-in-first); shares q38's deadline-rule oracle
     "q44_events_sessionize_native" -> ((s, dir) =>
       withStreamShuffle(s)(EventStreams.sessionizeWindowStreaming(
-          s, stagedEventsDir(s, dir), freshResultDir("q44", dir), gapMinutes))
+          s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q44", dir), gapMinutes))
         .orderBy("user_id", "session_start")),
 
     // ordered conversion funnel: first view, first click AT-OR-AFTER that
@@ -267,7 +245,7 @@ object EventQueries extends QueryFamily {
     // watermark/append semantics identical to q36's
     "q47_events_enriched_stream" -> ((s, dir) =>
       withStreamShuffle(s)(EventStreams.enrichedHourlyStreaming(
-          s, stagedEventsDir(s, dir), freshResultDir("q47", dir),
+          s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q47", dir),
           graft.Tables.table(s, dir, "customer"), "c_custkey", "c_mktsegment"))
         .orderBy("window_start", "segment")),
 
@@ -278,7 +256,7 @@ object EventQueries extends QueryFamily {
     // the honest shape (finalize first, rank finalized windows)
     "q64_events_hourly_topk_stream" -> ((s, dir) => {
       val hourly = withStreamShuffle(s)(EventStreams.hourlyByTypeStreaming(
-        s, stagedEventsDir(s, dir), freshResultDir("q64", dir)))
+        s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q64", dir)))
       val w = Window.partitionBy("window_start")
         .orderBy(col("sum_value").desc, col("event_type"))
       hourly
@@ -291,7 +269,7 @@ object EventQueries extends QueryFamily {
     // the preceding hour, both sides watermarked (bounded join state)
     "q49_events_attribution_stream" -> ((s, dir) =>
       withStreamShuffle(s)(EventStreams.attributionStreaming(
-          s, stagedEventsDir(s, dir), freshResultDir("q49", dir), windowMinutes = 60))
+          s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q49", dir), windowMinutes = 60))
         .orderBy("event_id", "click_id")),
 
     // streaming ingest dedup: event_id uniqueness repaired with bounded
@@ -300,12 +278,12 @@ object EventQueries extends QueryFamily {
     // re-deliveries, state eviction) are pinned by DedupStreamSpec
     "q57_events_dedup_stream" -> ((s, dir) =>
       withStreamShuffle(s)(EventStreams.dedupStreaming(
-          s, stagedEventsDir(s, dir), freshResultDir("q57", dir)))
+          s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q57", dir)))
         .orderBy("event_id")),
 
     "q38_events_sessionize_stream" -> ((s, dir) => {
       withStreamShuffle(s)(EventStreams.sessionizeStreaming(
-          s, stagedEventsDir(s, dir), freshResultDir("q38", dir), gapMinutes))
+          s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q38", dir), gapMinutes))
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),

@@ -337,7 +337,7 @@ object ParityQueries extends QueryFamily {
       // independently (facts need no cross-batch ordering)
       graft.streaming.Scd2EnrichStream.enrichStream(
           s, stagedOrdersFactFeedDir(s, dir), factSchema, dimDir,
-          freshResultDir("q83", dir),
+          Scratch.freshDir(s, "q83", dir),
           key = "o_custkey", ts = "o_orderdate", attrCols = Seq("o_orderstatus"),
           maxFilesPerTrigger = Some(1))
         .orderBy($"o_orderkey")
@@ -405,17 +405,6 @@ object ParityQueries extends QueryFamily {
     */
   private lazy val factSchema = org.apache.spark.sql.types.StructType(
     feedSchema.filter(f => f.name != "o_orderstatus"))
-
-  /** Fixed per-(query, sfDir) output dir, wiped before each run (the
-    * [[EventQueries]] convention; locally-constructed tmp path).
-    */
-  private def freshResultDir(tag: String, dir: String): String = {
-    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-      new java.io.File(dir).getAbsolutePath).take(16)
-    val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_stream_${tag}_$key")
-    org.apache.commons.io.FileUtils.deleteQuietly(d)
-    d.toString
-  }
 
   private val bucketCount = 8
 
