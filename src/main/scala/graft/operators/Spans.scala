@@ -172,7 +172,10 @@ object Spans {
     windowPass(docs, idCol, textCol, k, carry)
       .write.mode("overwrite").parquet(s"$dir/docs")
     explodeWindows(spark.read.parquet(s"$dir/docs"))
-      .groupBy("h").agg(countDistinct(col("id")).as("nd"))
+      .groupBy("h")
+      // min_id: the canonical OWNER of a repeated window (smallest doc id
+      // containing it) — the strip transform keeps the owner's copy
+      .agg(countDistinct(col("id")).as("nd"), min(col("id")).as("min_id"))
       .write.mode("overwrite").parquet(s"$dir/df")
     import spark.implicits._
     Seq(k).toDF("k").repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -234,6 +237,73 @@ object Spans {
       .select("h")
     val perDoc = mergeSpans(win.join(rep, Seq("h")).select("id", "pos"), k)
     finishCoverage(doc, perDoc, idCol)
+  }
+
+  /** REMOVE repeated spans, keeping one canonical occurrence — the
+    * transform half of Lee et al. ACL'22 (the coverage operators are the
+    * audit half): for every repeated window the document with the
+    * smallest id containing it is the OWNER and keeps its copy; every
+    * other document has the window's tokens stripped. Owners are
+    * per-window, so a document can keep one span and lose another, and
+    * an owner's tokens still strip where a DIFFERENT window owned
+    * elsewhere covers them — deterministic, order-free semantics.
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text), one row per input
+    * document; `clean_text` is the whitespace-normalized token stream
+    * (the same normalization every operator in the family tokenizes by)
+    * with removed positions deleted, `""` when everything was repeated.
+    *
+    * Scale shape: removal HITS live only in repeated windows (the df
+    * tail), so the interval list per document is small; it rides an
+    * id-keyed join onto the documents scan, and the per-row strip is a
+    * bounded array traversal (token count × intervals of ONE document) —
+    * no token-level shuffle exists. The owner (`min_id`) is precomputed
+    * in the staged index's df table, so the strip never re-aggregates
+    * the corpus. The per-row array work runs as interpreted higher-order
+    * functions, acceptable because this transform runs once per corpus
+    * state (stage its output); promote to a compiled kernel only if a
+    * profile says so.
+    */
+  def stripRepeatedSpans(
+      spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "a span repeated in fewer than 2 docs is not repeated")
+    val k = spark.read.parquet(s"$dir/meta").head().getAs[Int]("k")
+    val rep = spark.read.parquet(s"$dir/df")
+      .filter(col("nd") >= minDocs).select("h", "min_id")
+    // non-owner hits only; same maximal-interval merge as the audits
+    val hits = explodeWindows(spark.read.parquet(s"$dir/docs"))
+      .join(rep, Seq("h"))
+      .filter(col("id") =!= col("min_id"))
+      .select("id", "pos")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val spans = hits
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("pos") > col("prev") + k, 1L).otherwise(0L))
+      .withColumn("span_id", sum("new_span").over(w))
+      .groupBy("id", "span_id")
+      .agg(min("pos").as("s"), (max("pos") + k - 1).cast("long").as("e"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("s").cast("long").as("s"), col("e"))).as("spans"))
+    val toks = TextFunctions.tokens(col(textCol))
+    val noSpans = array().cast("array<struct<s:bigint,e:bigint>>")
+    // token kept <=> its position is outside every removal interval; the
+    // indexed transform carries positions so the filter is pure per-row
+    // array work
+    val kept = filter(
+      transform(col("toks"), (t, i) => struct(t.as("t"), i.cast("long").as("i"))),
+      x => !exists(col("spans"), sp => x("i") >= sp("s") && x("i") <= sp("e")))
+    docs
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("spans", coalesce(col("spans"), noSpans))
+      .withColumn("kept", kept)
+      .select(col("id").as(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("kept"), x => x("t")), " ").as("clean_text"))
   }
 
   /** WITHIN-GROUP repeated-span coverage against a [[writeSpanIndex]]

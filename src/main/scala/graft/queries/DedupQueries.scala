@@ -77,7 +77,7 @@ object DedupQueries extends QueryFamily {
   private def stagedSpanIndexDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_span_index",
       Seq(s"$dir/documents.parquet"),
-      s"full:$spanK:source", "meta/_SUCCESS") { stage =>
+      s"full:$spanK:source:v2", "meta/_SUCCESS") { stage =>
       graft.operators.Spans.writeSpanIndex(
         table(s, dir, "documents"), stage, k = spanK, carry = Seq("source"))
     }
@@ -89,7 +89,7 @@ object DedupQueries extends QueryFamily {
   private def stagedSpanCorpusIndexDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_span_index",
       Seq(s"$dir/documents.parquet"),
-      s"corpus$corpusSplit:$spanK", "meta/_SUCCESS") { stage =>
+      s"corpus$corpusSplit:$spanK:v2", "meta/_SUCCESS") { stage =>
       graft.operators.Spans.writeSpanIndex(
         table(s, dir, "documents").filter(col("doc_id") < corpusSplit),
         stage, k = spanK)
@@ -215,6 +215,15 @@ object DedupQueries extends QueryFamily {
           table(s, dir, "documents").filter(col("doc_id") >= corpusSplit))
         .orderBy("doc_id")),
 
+    // the TRANSFORM half of the span family: remove repeated spans,
+    // keeping the smallest-id document's copy per window (Lee et al.'s
+    // keep-one-occurrence rule); reads the same staged index — the
+    // owner (min_id) is precomputed in its df table
+    "q86_strip_repeated_spans" -> ((s, dir) =>
+      graft.operators.Spans.stripRepeatedSpans(
+          s, stagedSpanIndexDir(s, dir), table(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // within-source boilerplate audit: a window counts as repeated only
     // when >= 2 docs OF THE SAME SOURCE contain it (site chrome, license
     // headers, forum signatures are source-specific); reuses q82's staged
@@ -309,6 +318,49 @@ object DedupQueries extends QueryFamily {
                ROUND(COALESCE(p.covered_tokens, 0)::DOUBLE / LEN(t.t), 6) AS frac_covered
         FROM toks t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
         WHERE $where
+        ORDER BY t.doc_id"""
+  }
+
+  /** q86: delete every repeated window's tokens except in the window's
+    * OWNER document (min doc_id containing it) and rebuild the normalized
+    * token stream. Engine positions are 0-based, DuckDB's 1-based — the
+    * GENERATE_SERIES offsets are internal, only the reconstructed string
+    * compares.
+    */
+  private val stripSpansSql: String = {
+    val gram = (0 until spanK).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+          SELECT doc_id,
+                 STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        w AS (
+          SELECT doc_id, i AS pos, $gram AS sh
+          FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${spanK - 1})) AS i) u
+          WHERE LEN(t) >= $spanK),
+        rep AS (
+          SELECT sh, MIN(doc_id) AS owner FROM w
+          GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (
+          SELECT w.doc_id, w.pos FROM w
+          JOIN rep r ON r.sh = w.sh AND w.doc_id <> r.owner),
+        removed AS (
+          SELECT DISTINCT doc_id, pos + off AS tpos
+          FROM hits, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, ${spanK - 1})) AS off) o),
+        tok AS (
+          SELECT doc_id, i AS tpos, t[i] AS token
+          FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t))) AS i) u),
+        kept AS (
+          SELECT k.doc_id, k.tpos, k.token FROM tok k
+          WHERE NOT EXISTS (SELECT 1 FROM removed r
+                            WHERE r.doc_id = k.doc_id AND r.tpos = k.tpos)),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 STRING_AGG(token, ' ' ORDER BY tpos) AS clean_text
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, CAST(LEN(t.t) AS BIGINT) AS n_tokens,
+               CAST(LEN(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
         ORDER BY t.doc_id"""
   }
 
@@ -419,6 +471,7 @@ object DedupQueries extends QueryFamily {
     "q84_repeated_spans_incremental" ->
       repeatedSpansSql(where = s"t.doc_id >= $corpusSplit"),
     "q85_boilerplate_by_source" -> repeatedSpansSql(grouped = true),
+    "q86_strip_repeated_spans" -> stripSpansSql,
     "q74_train_split" -> splitSql,
     "q24_dedup_embedding" -> embeddingSql,
     "q25_dedup_embedding_lsh" -> embeddingSql,

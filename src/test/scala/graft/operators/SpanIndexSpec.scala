@@ -146,6 +146,49 @@ class SpanIndexSpec extends SparkTestBase {
       "globally the y-span IS repeated — the group scope is what hides it")
   }
 
+  test("strip: owners keep their copy, non-owners lose the span's tokens") {
+    // s-span owner = 0; a-span and b-span owner = 4; doc 7 owns neither
+    val docs = Seq(
+      (0L, "u1 u2 s1 s2 s3 s4 u3"),
+      (1L, "v1 s1 s2 s3 s4 v2"),
+      (2L, "c1 c2 c3"),
+      (3L, "s1 s2 s3"),
+      (4L, "a1 a2 a3 b1 b2 b3"),
+      (5L, "a1 a2 a3 x1"),
+      (6L, "y1 b1 b2 b3"),
+      (7L, "s1 s2 s3 a1 a2 a3")
+    ).toDF("doc_id", "text")
+    val dir = buildIndex(docs)
+    val out = scopedNoLeak(
+      Spans.stripRepeatedSpans(spark, dir, docs)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq)
+    val expected = Seq(
+      (0L, 7L, 0L, "u1 u2 s1 s2 s3 s4 u3"), // owner of every s-window
+      (1L, 6L, 4L, "v1 v2"),                // overlapping windows merge before removal
+      (2L, 3L, 0L, "c1 c2 c3"),             // unique doc untouched
+      (3L, 3L, 3L, ""),                     // fully repeated, fully removed
+      (4L, 6L, 0L, "a1 a2 a3 b1 b2 b3"),    // owner of both its spans
+      (5L, 4L, 3L, "x1"),
+      (6L, 4L, 3L, "y1"),
+      (7L, 6L, 6L, "")                      // owns neither span -> loses both
+    )
+    assert(out == expected)
+  }
+
+  test("strip output is the NORMALIZED token stream") {
+    val docs = Seq(
+      (0L, "  The   QUICK brown fox  "),
+      (1L, "unrelated content entirely here")
+    ).toDF("doc_id", "text")
+    val dir = buildIndex(docs)
+    val out = scopedNoLeak(
+      Spans.stripRepeatedSpans(spark, dir, docs)
+        .orderBy("doc_id").collect().map(_.getString(3)).toSeq)
+    assert(out.head == "the quick brown fox",
+      "whitespace collapsed + lowercased — the family's tokenization")
+  }
+
   test("an index built without the carry column refuses the grouped audit") {
     val dir = buildIndex(corpus)
     val e = intercept[IllegalArgumentException] {
