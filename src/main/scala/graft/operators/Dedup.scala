@@ -7,7 +7,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions._
 import graft.functions.expr.HashFunctions._
-import graft.functions.expr.VectorFunctions.cosineSim
+import graft.functions.expr.VectorFunctions.{cosineSim, nearestCells}
 
 /** Deduplication operators for the documents pipeline, each designed for
   * the 100 TB shape:
@@ -598,6 +598,51 @@ object Dedup {
       // a multi-table/multi-probe pair re-scores redundantly (cheap flops)
       // instead of shuffling its vectors through a distinct (dominant cost
       // at tables x probes candidate multiplicity)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Semantic (clustered) near-dup pairs — the SemDeDup shape (Abbas et
+    * al. 2023, arXiv:2303.09540): partition the corpus with a spherical
+    * k-means coarse quantizer (reusing [[Ivf.trainCentroids]]) and score
+    * exact cosine ONLY within a cell, so the pair surface is
+    * sum-of-squares over cell sizes instead of all-pairs. This is the
+    * third embedding scale path next to [[embeddingNearDupLsh]]: LSH
+    * buckets are oblivious to corpus structure (good on structureless
+    * data), cells exploit it (good on the clustered corpora training
+    * data actually is — near-dups are semantically close, so they land
+    * in the same region of embedding space).
+    *
+    * Recall at cell BOUNDARIES is the failure mode k-means introduces: a
+    * qualifying pair split across two adjacent cells is invisible to a
+    * single-assignment join. `nassign` > 1 multi-assigns every vector to
+    * its `nassign` nearest cells (the dedup analogue of IVF's nprobe —
+    * both sides widen, so a pair is caught iff ANY cell is shared);
+    * duplicate catches collapse in the post-score `distinct`, paid in
+    * cheap re-scored flops, not a pre-score vector shuffle (same
+    * trade as [[embeddingNearDupLsh]]).
+    *
+    * Scale notes: the within-cell self-join shuffles both sides on the
+    * smallint cell key once; `nlist` controls the quadratic-per-cell
+    * bound — size it so corpus/nlist fits a partition (the quantizer
+    * trains on a bounded sample via `sampleOneIn`, and a skewed giant
+    * cell is a data-distribution signal to raise nlist, exactly as in
+    * the SemDeDup paper's k=11k over 600M docs).
+    */
+  def semanticNearDupPairs(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95, nlist: Int = 16, nassign: Int = 2,
+      iters: Int = 3, seed: Long = 42L, sampleOneIn: Int = 1): DataFrame = {
+    require(nassign >= 1 && nassign <= nlist, s"nassign must be in [1, nlist]")
+    val cents = Ivf.trainCentroids(emb, idCol, vecCol, nlist, iters, seed, sampleOneIn)
+    val v = ScaleOut(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"),
+        explode(nearestCells(col("vec"), cents, nassign)).as("cell"))
+    v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)

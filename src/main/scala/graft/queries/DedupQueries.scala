@@ -140,6 +140,16 @@ object DedupQueries extends QueryFamily {
           threshold = cosineThreshold, planes = 6, tables = 24, probeRadius = 1)
         .orderBy("id_a", "id_b")),
 
+    // clustered (SemDeDup-shaped) scale path, verified against the same
+    // exact twin as q24/q25. The testdata's qualifying pair is
+    // CROSS-label (cos 0.51 between two near-orthogonal clusters), i.e.
+    // it straddles a cell boundary — the nassign multi-assignment is
+    // what catches it; single assignment would not (spec pins both).
+    "q87_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticNearDupPairs(table(s, dir, "embeddings"),
+          threshold = cosineThreshold, nlist = 8, nassign = 3)
+        .orderBy("id_a", "id_b")),
+
     // incremental ingest: documents with doc_id >= 250 arrive as the new
     // batch and dedupe against themselves plus the doc_id < 250 corpus's
     // fingerprint set — the output is what the ingest would append
@@ -475,6 +485,7 @@ object DedupQueries extends QueryFamily {
     "q74_train_split" -> splitSql,
     "q24_dedup_embedding" -> embeddingSql,
     "q25_dedup_embedding_lsh" -> embeddingSql,
+    "q87_dedup_semantic" -> embeddingSql,
     // per eval doc: distinct 5-grams, how many appear in the corpus side,
     // and the contaminated fraction — zero-match docs kept via LEFT JOIN
     "q76_eval_contamination" ->

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Semantic (k-means-cell) near-dup — the SemDeDup shape. Planted
+  * clustered corpus as in [[IvfSpec]], with near-dup pairs planted both
+  * WITHIN clusters (the regime the operator is designed for) and ON a
+  * cell boundary (the regime single assignment provably misses — the
+  * testdata's one qualifying pair is exactly this shape, which is why
+  * q87 runs with nassign > 1).
+  */
+class SemanticDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 32
+
+  private def randVec(rnd: scala.util.Random): Array[Float] =
+    Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+
+  private def mix(a: Array[Float], b: Array[Float], wa: Float, wb: Float): Array[Float] =
+    a.zip(b).map { case (x, y) => wa * x + wb * y }
+
+  // 6 well-separated clusters of 30; ids 0..179. Near-dup plants:
+  //   - within-cluster: member i=1 of each cluster = member i=0 + 2% noise
+  //   - boundary: ids 1000/1001 straddle the Voronoi boundary between
+  //     cluster 0 and cluster 1 ASYMMETRICALLY (0.45/0.55 vs 0.55/0.45
+  //     mixtures): for near-orthogonal centers their mutual cosine is
+  //     ~0.98 but their NEAREST centroids differ — the pair shape a
+  //     single-assignment join cannot see. (A symmetric 50/50 plant
+  //     would not do: two near-identical vectors always share a nearest
+  //     centroid.)
+  private lazy val corpus: DataFrame = {
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.fill(6)(randVec(rnd))
+    val members = (0 until 6).flatMap { c =>
+      val base = (0 until 30).map { i =>
+        val v = mix(centers(c), randVec(rnd), 1f, 0.15f)
+        ((c * 30 + i).toLong, v)
+      }
+      val dup = (base(1)._1, mix(base(0)._2, randVec(rnd), 1f, 0.02f))
+      base.updated(1, dup)
+    }
+    val boundary = Seq(
+      (1000L, mix(mix(centers(0), centers(1), 0.45f, 0.55f), randVec(rnd), 1f, 0.01f)),
+      (1001L, mix(mix(centers(0), centers(1), 0.55f, 0.45f), randVec(rnd), 1f, 0.01f)))
+    (members ++ boundary).toDF("vec_id", "embedding")
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def exact(threshold: Double): DataFrame =
+    Dedup.embeddingNearDupExact(corpus, threshold = threshold)
+
+  test("semanticNearDupPairs == exact twin on planted clusters (nassign=2)") {
+    val sem = Dedup.semanticNearDupPairs(corpus,
+      threshold = 0.9, nlist = 8, nassign = 2)
+    val want = exact(0.9)
+    assert(pairSet(want).nonEmpty, "plant failed: no qualifying pairs")
+    assert(pairSet(sem) === pairSet(want))
+    // full rows (incl. rounded cosine) must match, not just the id pairs
+    val semRows = sem.collect().map(_.toSeq).toSet
+    val wantRows = want.collect().map(_.toSeq).toSet
+    assert(semRows === wantRows)
+  }
+
+  test("boundary pair: single assignment misses it, multi-assignment catches it") {
+    val boundary = (1000L, 1001L)
+    // nlist = the planted cluster count, so the quantizer has no spare
+    // centroid to park on the boundary region itself
+    val one = Dedup.semanticNearDupPairs(corpus,
+      threshold = 0.9, nlist = 6, nassign = 1)
+    val two = Dedup.semanticNearDupPairs(corpus,
+      threshold = 0.9, nlist = 6, nassign = 2)
+    assert(pairSet(exact(0.9)).contains(boundary), "plant failed: boundary pair not a near-dup")
+    assert(pairSet(two).contains(boundary))
+    // the planted boundary pair is only a REGRESSION canary for the
+    // multi-assign rationale if single-assign can actually split it;
+    // pinned so a quantizer change that silently alters the geometry
+    // fails loudly instead of invisibly.
+    assert(!pairSet(one).contains(boundary),
+      "quantizer geometry changed: boundary pair now co-assigned at nassign=1 — " +
+        "re-plant the boundary case so the multi-assignment rationale stays tested")
+  }
+
+  test("nassign = nlist degenerates to the exact twin verbatim") {
+    val all = Dedup.semanticNearDupPairs(corpus,
+      threshold = 0.5, nlist = 4, nassign = 4)
+    assert(pairSet(all) === pairSet(exact(0.5)))
+  }
+
+  test("plan: cell-keyed equi join, no cartesian / nested-loop all-pairs") {
+    val sem = Dedup.semanticNearDupPairs(corpus,
+      threshold = 0.9, nlist = 8, nassign = 2)
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
