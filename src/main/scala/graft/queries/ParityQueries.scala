@@ -319,6 +319,24 @@ object ParityQueries extends QueryFamily {
         .orderBy($"o_custkey", $"version")
     }),
 
+    // ---- snapshot (dataset-version) diff: two states of the documents
+    //      corpus derived from the same table (old = one slice removed;
+    //      new = another slice removed plus a deterministic text edit),
+    //      classified added/removed/changed by digest compare — the
+    //      shuffle carries (id, 8-byte digest), never the text
+    //      ([[graft.operators.SnapshotDiff]]). ----
+    "q88_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val oldSnap = docs.filter($"doc_id" % 10 =!= 3)
+      val newSnap = docs.filter($"doc_id" % 10 =!= 7)
+        .withColumn("text",
+          when($"doc_id" % 10 === 0, concat($"text", lit(" rev2")))
+            .otherwise($"text"))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, Seq("doc_id"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- streaming facts enriched against the SCD2 dimension AS OF
     //      event time: the reference's fact-to-dim key resolution
     //      (src/etl_pipeline.py:260-262) upgraded to time-correct keys.
@@ -560,6 +578,32 @@ object ParityQueries extends QueryFamily {
     // incremental applyChanges path must reproduce the full rebuild.
     "q77_scd2_history" -> scd2Sql,
     "q79_scd2_apply_changes" -> scd2Sql,
+    // snapshot diff twin: the same two derived states compared column by
+    // column (IS DISTINCT FROM = the digest compare's null semantics);
+    // unchanged rows are excluded on both sides
+    "q88_snapshot_diff" ->
+      """WITH old AS (
+           SELECT * FROM documents WHERE doc_id % 10 <> 3),
+         new AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0 THEN text || ' rev2' ELSE text END AS text,
+                  lang, source, n_chars
+           FROM documents WHERE doc_id % 10 <> 7)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN (o.text IS DISTINCT FROM n.text)
+                       OR (o.lang IS DISTINCT FROM n.lang)
+                       OR (o.source IS DISTINCT FROM n.source)
+                       OR (o.n_chars IS DISTINCT FROM n.n_chars) THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+         WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                    AND o.text IS NOT DISTINCT FROM n.text
+                    AND o.lang IS NOT DISTINCT FROM n.lang
+                    AND o.source IS NOT DISTINCT FROM n.source
+                    AND o.n_chars IS NOT DISTINCT FROM n.n_chars)
+         ORDER BY doc_id""",
     // time-correct fact enrichment: ASOF join each order to the status
     // version open at its date; versions colliding on one valid_from
     // resolve to the max version (its zero-duration predecessors are
