@@ -291,7 +291,14 @@ object TextQueries extends QueryFamily {
           ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
         .select(col("lang"), col("p50"), col("p90"), col("p99"),
           col("max_n_tokens").as("max_tokens"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // corpus-LM quality score (the CCNet filter shape): per-doc mean
+    // -ln p(token) under the corpus's own unigram MLE — see
+    // [[graft.operators.UnigramLm]]
+    "q89_unigram_logprob" -> ((s, dir) =>
+      graft.operators.UnigramLm.scoreDocs(table(s, dir, "documents"))
+        .orderBy("doc_id"))
   )
 
   private val norm = """REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')"""
@@ -416,6 +423,16 @@ object TextQueries extends QueryFamily {
             GROUP BY token
             ORDER BY df DESC, token
             LIMIT 50""",
+      // unigram NLL: ln N - mean(ln cf) per doc, cf/N from the corpus
+      // itself (term frequency, not presence — no DISTINCT here)
+      "q89_unigram_logprob" ->
+        s"""WITH tok AS (SELECT doc_id, UNNEST($toks) AS token FROM documents),
+              cf AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY token),
+              n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok)
+            SELECT t.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(LN((SELECT n FROM n)) - AVG(LN(cf.cf)), 6) AS nll
+            FROM tok t JOIN cf USING (token)
+            GROUP BY t.doc_id ORDER BY doc_id""",
       "q54_pack_sequences" ->
         s"""SELECT doc_id, lang, n_tokens,
                    CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** [[UnigramLm]] — hand-computed NLL on a tiny corpus, the filter
+  * direction (rare-token docs score higher), and invariance under
+  * duplication-consistent scoring.
+  */
+class UnigramLmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def scores(rows: Seq[(Long, String)]): Map[Long, (Long, Double)] =
+    UnigramLm.scoreDocs(rows.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+
+  test("hand-computed NLL: cf {a:3,b:1,c:1}, N=5") {
+    val got = scores(Seq((1L, "a a b"), (2L, "a c")))
+    // doc1: ln5 - (2 ln3 + ln1)/3 ; doc2: ln5 - (ln3 + ln1)/2
+    val d1 = math.log(5) - (2 * math.log(3)) / 3
+    val d2 = math.log(5) - math.log(3) / 2
+    assert(got(1L)._1 === 3L)
+    assert(got(2L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - d1) < 1e-6)
+    assert(math.abs(got(2L)._2 - d2) < 1e-6)
+  }
+
+  test("filter direction: a rare-token doc scores above a common-token doc") {
+    val corpus = (1L to 20L).map(i => (i, "the cat sat on the mat")) ++
+      Seq((100L, "zxqv flrm qwpt jklz"))
+    val got = scores(corpus)
+    assert(got(100L)._2 > got(1L)._2 + 1.0,
+      s"gibberish ${got(100L)._2} should score far above prose ${got(1L)._2}")
+  }
+
+  test("identical docs score identically; normalization folds case/whitespace") {
+    val got = scores(Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text")))
+    assert(got(1L) === got(2L))
+  }
+}
