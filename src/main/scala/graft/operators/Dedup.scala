@@ -692,6 +692,16 @@ object Dedup {
     * invariant); an id present in both resolves in the increment's favor.
     * Output matches [[embeddingNearDupLsh]] restricted to pairs with at
     * least one increment member: (id_a < id_b, exact cosine >= threshold).
+    *
+    * Parallelism: BOTH the increment and the streamed base side pass
+    * through [[ScaleOut]]. The candidate join streams `baseSide` against
+    * the broadcast probe signatures, and the join's output (plus the
+    * partial-distinct aggregation above it) materializes IN the streamed
+    * side's partitions — a small increment read as 1-2 parquet splits
+    * would serialize millions of candidate rows onto 2 cores (the r7
+    * bench's 3.5 s two-task stages; elevated and load-sensitive precisely
+    * because 2-way stages have no headroom). At 100 TB the corpus bucket
+    * scan arrives wide on its own and the widen is a no-op.
     */
   def incrementalEmbeddingNearDupPairs(
       spark: SparkSession, dir: String, increment: DataFrame,
@@ -702,7 +712,7 @@ object Dedup {
     val tables = meta.getAs[Int]("tables")
     val dim = meta.getAs[Int]("dim")
     val seed = meta.getAs[Long]("seed")
-    val inc = increment.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val inc = ScaleOut(increment.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val incBase = Ann.withBuckets(inc, "vec", planes, tables, dim, seed)
       .select("id", "table", "bucket")
     val incProbed = Ann.withBuckets(inc, "vec", planes, tables, dim, seed, probeRadius)
@@ -710,8 +720,9 @@ object Dedup {
     // base side = corpus buckets ∪ increment's radius-0 buckets; the
     // `corpus` flag keeps pair semantics straight (inc-vs-corpus in either
     // id order, inc-vs-inc deduped by id order). The increment side
-    // broadcasts; the stored index is the big, streamed side.
-    val baseSide = spark.read.parquet(s"$dir/buckets").withColumn("corpus", lit(true))
+    // broadcasts; the stored index is the big, streamed side — widened
+    // (see scaladoc) because candidate volume lands in ITS partitions.
+    val baseSide = ScaleOut(spark.read.parquet(s"$dir/buckets")).withColumn("corpus", lit(true))
       .unionByName(incBase.withColumn("corpus", lit(false)))
     val candidates = broadcast(incProbed.as("a")).join(baseSide.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

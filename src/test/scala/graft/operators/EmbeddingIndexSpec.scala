@@ -57,6 +57,22 @@ class EmbeddingIndexSpec extends SparkTestBase {
       s"search plan reads outside the index: ${files.take(3).toSeq}")
   }
 
+  test("candidate generation is widened: both the increment and the streamed " +
+      "base side pass ScaleOut (r7 perf root cause — a 2-split base side " +
+      "serialized millions of candidate rows onto 2 cores)") {
+    assume(haveTestdata)
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = buildIndex(emb.filter(col("vec_id") < split))
+    val frame = Dedup.incrementalEmbeddingNearDupPairs(spark, dir,
+      emb.filter(col("vec_id") >= split), threshold = 0.5)
+    val phys = frame.queryExecution.executedPlan.toString
+    val widens = phys.linesIterator.count(_.contains("RoundRobinPartitioning"))
+    assert(widens >= 2,
+      s"expected ScaleOut widens on the increment AND the index bucket scan " +
+        s"(tiny inputs in local test => both must repartition); found $widens:\n" +
+        phys.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("probe parameters come from the index meta, surviving non-default builds") {
     assume(haveTestdata)
     val emb = Tables.embeddings(spark, sfDir)
