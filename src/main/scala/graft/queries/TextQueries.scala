@@ -424,15 +424,23 @@ object TextQueries extends QueryFamily {
             ORDER BY df DESC, token
             LIMIT 50""",
       // unigram NLL: ln N - mean(ln cf) per doc, cf/N from the corpus
-      // itself (term frequency, not presence — no DISTINCT here)
+      // itself (term frequency, not presence — no DISTINCT here).
+      // LEFT JOIN from documents: zero-token docs emit (0, NULL) rather
+      // than vanishing — they are precisely the docs a filter wants
       "q89_unigram_logprob" ->
-        s"""WITH tok AS (SELECT doc_id, UNNEST($toks) AS token FROM documents),
+        s"""WITH tok AS (
+                SELECT * FROM (SELECT doc_id, UNNEST($toks) AS token FROM documents)
+                WHERE token <> ''),
               cf AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY token),
-              n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok)
-            SELECT t.doc_id, COUNT(*) AS n_tokens,
-                   ROUND(LN((SELECT n FROM n)) - AVG(LN(cf.cf)), 6) AS nll
-            FROM tok t JOIN cf USING (token)
-            GROUP BY t.doc_id ORDER BY doc_id""",
+              n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+              per AS (
+                SELECT t.doc_id, COUNT(*) AS n_tokens,
+                       ROUND(LN((SELECT n FROM n)) - AVG(LN(cf.cf)), 6) AS nll
+                FROM tok t JOIN cf USING (token)
+                GROUP BY t.doc_id)
+            SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, p.nll
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY doc_id""",
       "q54_pack_sequences" ->
         s"""SELECT doc_id, lang, n_tokens,
                    CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin

@@ -3,8 +3,10 @@ package graft.operators
 import graft.SparkTestBase
 
 /** [[UnigramLm]] — hand-computed NLL on a tiny corpus, the filter
-  * direction (rare-token docs score higher), and invariance under
-  * duplication-consistent scoring.
+  * direction (rare-token docs score higher), invariance under
+  * duplication-consistent scoring, the head/tail de-skew split
+  * (execution strategy only — results identical at any `headVocab`),
+  * and zero-token-doc emission.
   */
 class UnigramLmSpec extends SparkTestBase {
   import spark.implicits._
@@ -37,5 +39,34 @@ class UnigramLmSpec extends SparkTestBase {
   test("identical docs score identically; normalization folds case/whitespace") {
     val got = scores(Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text")))
     assert(got(1L) === got(2L))
+  }
+
+  test("head/tail split is pure execution strategy: headVocab=2 (forced tail) " +
+      "== headVocab=all (pure broadcast)") {
+    val docs = Seq((1L, "a a b c d"), (2L, "a b e f"), (3L, "c c g a"),
+      (4L, "h i j"), (5L, "a b c")).toDF("doc_id", "text")
+    def run(hv: Int) = UnigramLm.scoreDocs(docs, headVocab = hv)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run(2) === run(1 << 16))
+  }
+
+  test("the head join is broadcast (the de-skew invariant: occurrence rows " +
+      "must not shuffle by token for head-vocabulary tokens)") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val phys = UnigramLm.scoreDocs(docs).queryExecution.executedPlan.toString
+    assert(phys.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("token")),
+      s"head-vocab scoring join must be a broadcast hash join on token:\n$phys")
+  }
+
+  test("zero-token docs are emitted with n_tokens=0 and NULL nll") {
+    val rows = UnigramLm.scoreDocs(
+        Seq((1L, "real text here"), (2L, ""), (3L, "   ")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(1).getLong(1) === 0L && rows(1).isNullAt(2))
+    assert(rows(2).getLong(1) === 0L && rows(2).isNullAt(2))
+    assert(rows(0).getLong(1) === 3L && !rows(0).isNullAt(2))
   }
 }
