@@ -66,18 +66,39 @@ object Bench {
     // untimed warmup: a scan-join-agg over the largest table touches the
     // executor pool, parquet reader, broadcast machinery, and codegen
     SparkEntry.queries.get("q01_revenue_by_nation").foreach(run)
+    // pre-build every per-source-state stage UNTIMED, reporting each
+    // build's cost as its own metric: a cold stage (fresh tmpdir in the
+    // driver container) otherwise lands on run 1 of whichever query
+    // touches it first — invisible contamination in the artifact (r7)
+    val stageTimes = SparkEntry.stages.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try graft.operators.CacheScope.scoped { fn(spark, sfDir); () }
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
     val (streaming, batch) =
       SparkEntry.queries.toSeq.sortBy(_._1).partition(q => isStreaming(q._1))
     val (light, heavy) = batch.partition(q => !isHeavy(q._1))
-    val results = (light ++ heavy).map { case (name, fn) =>
-      name -> math.min(run(fn), run(fn))
+    // BOTH raw runs are kept: the min is the steady-state number, the
+    // spread between runs is the contention signal (a clean machine runs
+    // near-equal pairs; a loaded one shows wide, correlated spread)
+    val results: Seq[(String, Seq[Double])] = (light ++ heavy).map { case (name, fn) =>
+      name -> Seq(run(fn), run(fn))
     } ++ streaming.map { case (name, fn) =>
-      name -> math.min({ settle(); run(fn) }, { settle(); run(fn) })
+      name -> Seq({ settle(); run(fn) }, { settle(); run(fn) })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def jmap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v) => k -> v.min.toString })
+    val total = results.map(_._2.min).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query raw runs (spread = contention visibility)
+    println(s"""{"metric":"runs","unit":"sec","runs":${
+      jmap(results.map { case (k, v) => k -> v.mkString("[", ",", "]") })},"sf":"$sfDir"}""")
+    // untimed stage-build cost, itemized — rebuilds show up HERE, not in
+    // a query's number
+    println(s"""{"metric":"stage_build","value":${stageTimes.map(_._2).sum},"unit":"sec","stages":${
+      jmap(stageTimes.map { case (k, v) => k -> v.toString })},"sf":"$sfDir"}""")
     // short trailing summary line: harvesters that keep only the tail of
     // the output would otherwise truncate the front of the (long)
     // per-query line and lose the total. Distinct metric name so a

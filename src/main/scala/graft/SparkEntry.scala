@@ -29,4 +29,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     families.flatMap(_.oracleSql).toMap
+
+  /** Every family's per-source-state stage builders (see
+    * [[QueryFamily.stages]]) — Bench pre-builds these untimed.
+    */
+  def stages: Map[String, (SparkSession, String) => String] =
+    families.flatMap(_.stages).toMap
 }

@@ -55,6 +55,9 @@ object AnnQueries extends QueryFamily {
         nlist = nlist, iters = 3, seed = 42L)
     }
 
+  override def stages: Map[String, (SparkSession, String) => String] = Map(
+    "ivf_index" -> (stagedIndexDir _))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")

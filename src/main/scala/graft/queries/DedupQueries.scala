@@ -108,6 +108,13 @@ object DedupQueries extends QueryFamily {
         stage, planes = 6, tables = 24)
     }
 
+  override def stages: Map[String, (SparkSession, String) => String] = Map(
+    "minhash_index" -> (stagedMinhashIndexDir _),
+    "keeplist" -> (stagedKeepListDir _),
+    "span_index_full" -> (stagedSpanIndexDir _),
+    "span_index_corpus" -> (stagedSpanCorpusIndexDir _),
+    "emb_index" -> (stagedEmbeddingIndexDir _))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(table(s, dir, "documents"))

@@ -81,6 +81,9 @@ object EventQueries extends QueryFamily {
   }
 
 
+  override def stages: Map[String, (SparkSession, String) => String] = Map(
+    "events_stage" -> (stagedEventsDir _))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_events_hourly" -> ((s, dir) =>
       EventStreams.hourlyByType(graft.Tables.events(s, dir))

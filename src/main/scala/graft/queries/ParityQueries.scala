@@ -29,6 +29,11 @@ import graft.Tables.table
   */
 object ParityQueries extends QueryFamily {
 
+  override def stages: Map[String, (SparkSession, String) => String] = Map(
+    "orders_feed" -> (stagedOrdersFeedDir _),
+    "orders_fact_feed" -> (stagedOrdersFactFeedDir _),
+    "scd2_dim" -> (stagedScd2DimDir _))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship: scan -> multi-join -> agg -> sort (SURVEY §7.1) ----
     // Scale notes: lineitem⋈orders is a key-partitioned shuffle join (both

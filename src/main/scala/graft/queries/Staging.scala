@@ -1,6 +1,9 @@
 package graft.queries
 
-import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Source-state staging, shared by every query that builds a derived
@@ -19,21 +22,85 @@ import org.apache.spark.sql.SparkSession
   * correctly, where java.io.File silently reports length 0 / mtime 0 for
   * a URI-shaped path — a stable-but-wrong key that would replay a stale
   * artifact forever. A missing source throws instead of keying.
+  *
+  * Retention: a regenerated source changes the key, so its old stage
+  * directory would otherwise leak under tmpdir forever — one full
+  * derived artifact per dead source state. Every stage therefore records
+  * its sources' fingerprint state in a `_sources` file, and each
+  * [[dir]] call sweeps SAME-PREFIX siblings whose recorded state no
+  * longer matches the live filesystem (source missing, or length/mtime
+  * changed). Same-source stages with different params all stay live —
+  * their recorded states still match. The sweep assumes a reader of a
+  * source state does not outlive that state (the deployment contract:
+  * data regeneration happens between runs, not during one). Orphaned
+  * `.build_*` scratch dirs from crashed builds are collected once cold
+  * (>1 h by mtime).
   */
 object Staging {
 
-  /** 16-hex-char fingerprint of the sources' state plus build params. */
-  def key(spark: SparkSession, sources: Seq[String], params: String): String = {
-    val conf = spark.sessionState.newHadoopConf()
-    val state = sources.map { src =>
+  /** Per-source fingerprint rows: (qualified URI, length, mtime). */
+  private def sourceState(
+      conf: Configuration, sources: Seq[String]): Seq[(String, Long, Long)] =
+    sources.map { src =>
       val p = new Path(src)
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p) // FileNotFoundException on a missing source
       // the qualified URI, so "/x" and "file:/x" key as the same state
-      s"${fs.makeQualified(p)}:${st.getLen}:${st.getModificationTime}"
+      (fs.makeQualified(p).toString, st.getLen, st.getModificationTime)
     }
+
+  /** 16-hex-char fingerprint of the sources' state plus build params. */
+  def key(spark: SparkSession, sources: Seq[String], params: String): String = {
+    val state = sourceState(spark.sessionState.newHadoopConf(), sources)
+      .map { case (uri, len, mtime) => s"$uri:$len:$mtime" }
     org.apache.commons.codec.digest.DigestUtils.md5Hex(
       state.mkString("|") + "|" + params).take(16)
+  }
+
+  private val stageName = """^(.+)_[0-9a-f]{16}$""".r
+
+  /** Collect dead same-prefix stages (recorded source state no longer
+    * matches the live filesystem) and cold orphaned scratch dirs.
+    * Conservative by construction: a sibling without a `_sources` record
+    * or whose sources all still match is left alone, and nothing outside
+    * `tmpdir/<prefix>_<16-hex>` is ever considered.
+    */
+  private def sweep(fs: FileSystem, conf: Configuration, tmp: Path,
+      prefix: String, keep: Path): Unit = {
+    val siblings =
+      try fs.listStatus(tmp).filter(_.getPath.getName.startsWith(prefix + "_"))
+      catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    siblings.foreach { st =>
+      val p = st.getPath
+      val name = p.getName
+      try {
+        if (name.contains(".build_")) {
+          // crashed build's scratch: collect once cold
+          if (System.currentTimeMillis() - st.getModificationTime > 3600 * 1000L)
+            fs.delete(p, true)
+        } else if (p.toString != keep.toString && stageName.matches(name)) {
+          val rec = new Path(p, "_sources")
+          if (fs.exists(rec)) {
+            val in = fs.open(rec)
+            val recorded =
+              try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+              finally in.close()
+            val dead = recorded.exists { line =>
+              line.split('\t') match {
+                case Array(uri, len, mtime) =>
+                  try {
+                    val sp = new Path(uri)
+                    val sst = sp.getFileSystem(conf).getFileStatus(sp)
+                    sst.getLen != len.toLong || sst.getModificationTime != mtime.toLong
+                  } catch { case _: java.io.FileNotFoundException => true }
+                case _ => false // malformed record: leave the stage alone
+              }
+            }
+            if (dead) fs.delete(p, true)
+          }
+        }
+      } catch { case _: java.io.IOException => () } // sweep is best-effort
+    }
   }
 
   /** Stage under `tmpdir/<prefix>_<key>`. `marker` is a stage-relative
@@ -48,9 +115,11 @@ object Staging {
     */
   def dir(spark: SparkSession, prefix: String, sources: Seq[String], params: String,
       marker: String)(build: String => Unit): String = {
-    val stage = new Path(sys.props("java.io.tmpdir"),
-      s"${prefix}_${key(spark, sources, params)}")
-    val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val tmp = new Path(sys.props("java.io.tmpdir"))
+    val stage = new Path(tmp, s"${prefix}_${key(spark, sources, params)}")
+    val fs = stage.getFileSystem(conf)
+    sweep(fs, conf, tmp, prefix, keep = stage)
     if (!fs.exists(new Path(stage, marker))) {
       val scratch = new Path(s"$stage.build_${java.util.UUID.randomUUID().toString.take(8)}")
       try build(scratch.toString)
@@ -60,6 +129,13 @@ object Staging {
         throw new IllegalArgumentException(
           s"stage build for $stage did not create its completion marker $marker")
       }
+      // retention record, written post-marker (the publish below is what
+      // makes the stage visible, so ordering inside scratch is free)
+      val out = fs.create(new Path(scratch, "_sources"), true)
+      try out.write(sourceState(conf, sources)
+        .map { case (u, l, m) => s"$u\t$l\t$m" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
       // Publish atomically. A pre-existing destination means another
       // process won the race (Hadoop local rename would otherwise move
       // the scratch dir INSIDE it) — drop our copy and use theirs.

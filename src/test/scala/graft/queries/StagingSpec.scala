@@ -88,6 +88,40 @@ class StagingSpec extends SparkTestBase {
     assert(good() == good() && builds == 1)
   }
 
+  test("retention sweep: regenerating a source collects its dead stage, " +
+      "the live stage survives, and same-source/other-params stages survive") {
+    val dir = tmpdir("graft_staging_gc")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    def mkStage(params: String): String =
+      Staging.dir(spark, "graft_staging_gc_spec", Seq(s"$dir/t.parquet"), params,
+        "done.marker") { s =>
+        val p = new org.apache.hadoop.fs.Path(s, "done.marker")
+        fs.mkdirs(p.getParent); fs.create(p).close()
+      }
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
+    val stateA1 = mkStage("p")
+    val stateA2 = mkStage("other") // same source state, different params
+    assert(stateA1 != stateA2)
+    // regenerate the source: both old-state stages are now dead
+    Thread.sleep(5) // ensure a distinct mtime even on coarse clocks
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val stateB1 = mkStage("p") // stages anew AND sweeps
+    assert(stateB1 != stateA1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stateA1)),
+      "dead stage (params p) must be collected by the sweep")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stateA2)),
+      "dead stage (params other) must be collected by the sweep")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stateB1, "done.marker")),
+      "the live stage must survive its own sweep")
+    // a second live stage with different params is NOT collected by a
+    // subsequent call's sweep (its recorded source state still matches)
+    val stateB2 = mkStage("other")
+    mkStage("p")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stateB2, "done.marker")),
+      "live same-source/other-params stage must survive sibling sweeps")
+  }
+
   test("q43/q74's staged keep-list: consumers read the stage, not the text") {
     val dir = tmpdir("graft_staging_keeplist")
     // two near-dup docs + two singletons, written as the documents table
