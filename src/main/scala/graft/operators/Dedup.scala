@@ -641,12 +641,114 @@ object Dedup {
     val v = ScaleOut(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"), col("vec"),
         explode(nearestCells(col("vec"), cents, nassign)).as("cell"))
+    cellPairScore(v, threshold)
+  }
+
+  /** Shared within-cell scoring tail for the in-memory and staged
+    * semantic paths: cell-keyed self-join on (id, vec, cell) rows, exact
+    * cosine, post-score distinct (multi-assignment catches collapse in
+    * cheap re-scored flops, not a pre-score vector shuffle). One
+    * definition so the two paths cannot silently diverge.
+    */
+  private[operators] def cellPairScore(v: DataFrame, threshold: Double): DataFrame =
     v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
+  /** Persist a semantic (k-means cell) near-dup index: the trained
+    * quantizer plus the corpus's multi-assignments — `dir/assigned`
+    * (id, cell, vec; `nassign` rows per vector, the within-cell join's
+    * scan-ready layout), `dir/vecs` (id, vec; one row per vector, the
+    * pair-verification side), `dir/centroids` (cell, centroid), and
+    * `dir/meta` (nlist, nassign, seed — written LAST as the completion
+    * marker).
+    *
+    * Same deployment shape as [[writeMinhashIndex]]/[[writeEmbeddingIndex]]:
+    * the quantizer trains once per corpus state (the expensive, sampled,
+    * iterative step) and every consumer — the full audit (q87) and the
+    * daily-increment probe (q90) — reads it instead of retraining.
+    * Vectors are replicated `nassign`× in `assigned` (disk for shuffle:
+    * the full audit scans join-ready rows with zero pre-join exchange).
+    */
+  def writeSemanticIndex(
+      emb: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 16, nassign: Int = 2, iters: Int = 3, seed: Long = 42L,
+      sampleOneIn: Int = 1): Unit = {
+    require(nassign >= 1 && nassign <= nlist, s"nassign must be in [1, nlist]")
+    val spark = emb.sparkSession
+    val cents = Ivf.trainCentroids(emb, idCol, vecCol, nlist, iters, seed, sampleOneIn)
+    val v = ScaleOut(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    v.select(col("id"), col("vec"),
+        explode(nearestCells(col("vec"), cents, nassign)).as("cell"))
+      .write.mode("overwrite").parquet(s"$dir/assigned")
+    v.write.mode("overwrite").parquet(s"$dir/vecs")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((nlist, nassign, seed)).toDF("nlist", "nassign", "seed")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Full-corpus semantic near-dup pairs from a [[writeSemanticIndex]]
+    * directory — output identical to [[semanticNearDupPairs]] at the
+    * index's parameters, but the quantizer training and cell assignment
+    * are READ, not recomputed (the per-invocation retraining was the one
+    * staged-family asymmetry left in r7).
+    */
+  def semanticNearDupPairsFromIndex(
+      spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame =
+    cellPairScore(ScaleOut(spark.read.parquet(s"$dir/assigned")), threshold)
+
+  /** Semantic near-dup pairs TOUCHING an increment — increment-vs-corpus
+    * and increment-vs-increment, never corpus-vs-corpus — against a
+    * [[writeSemanticIndex]] directory; the semantic member of the
+    * incremental family (q50 exact / q70 minhash / q78 embedding-LSH /
+    * q84 spans). The corpus participates only through its index: stored
+    * assignments for candidate generation (column-pruned to (id, cell)),
+    * stored vectors for verification, stored centroids to assign the
+    * increment — nothing retrains and the corpus source is never read.
+    * A pair is a candidate iff the two sides share ≥1 of their `nassign`
+    * nearest cells (exactly the full audit's rule, so probe output ==
+    * full run restricted to increment-touching pairs).
+    */
+  def incrementalSemanticNearDupPairs(
+      spark: SparkSession, dir: String, increment: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val nassign = meta.getAs[Int]("nassign")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+    val inc = ScaleOut(increment.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val incCells = inc.select(col("id"),
+      explode(nearestCells(col("vec"), cents, nassign)).as("cell"))
+    // base side = corpus assignments ∪ increment's own (same pair
+    // semantics as the LSH probe: inc-vs-corpus in either id order,
+    // inc-vs-inc deduped by id order); the increment side broadcasts,
+    // the stored index streams wide
+    val baseSide = ScaleOut(
+        spark.read.parquet(s"$dir/assigned").select("id", "cell"))
+      .withColumn("corpus", lit(true))
+      .unionByName(incCells.withColumn("corpus", lit(false)))
+    val candidates = broadcast(incCells.as("a")).join(baseSide.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id") &&
+          (col("b.corpus") || col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val vecs = inc.unionByName(
+      spark.read.parquet(s"$dir/vecs").join(inc.select("id"), Seq("id"), "left_anti"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
+      .withColumn("cosine", cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 

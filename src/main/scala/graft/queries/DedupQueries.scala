@@ -95,6 +95,31 @@ object DedupQueries extends QueryFamily {
         stage, k = spanK)
     }
 
+  /** Build the persisted semantic (k-means cell) index over the FULL
+    * embeddings table once per SOURCE STATE — q87's quantizer trains
+    * here, not per invocation ([[Staging]] contract; `meta/_SUCCESS`
+    * — written last in [[Dedup.writeSemanticIndex]] — is the marker).
+    */
+  private def stagedSemanticIndexDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_sem_index",
+      Seq(s"$dir/embeddings.parquet"),
+      s"full:8:3:42", "meta/_SUCCESS") { stage =>
+      Dedup.writeSemanticIndex(table(s, dir, "embeddings"), stage,
+        nlist = 8, nassign = 3)
+    }
+
+  /** The CORPUS-side (vec_id < corpusSplit) semantic index, probed by
+    * the q90 increment — same split convention as q50/q70/q78/q84.
+    */
+  private def stagedSemanticCorpusIndexDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_sem_index",
+      Seq(s"$dir/embeddings.parquet"),
+      s"corpus$corpusSplit:8:3:42", "meta/_SUCCESS") { stage =>
+      Dedup.writeSemanticIndex(
+        table(s, dir, "embeddings").filter(col("vec_id") < corpusSplit),
+        stage, nlist = 8, nassign = 3)
+    }
+
   /** Build the persisted hyperplane-LSH embedding index once per SOURCE
     * STATE of embeddings.parquet (q25's recall-first worst-case-angle
     * parameters — see the object doc).
@@ -113,7 +138,9 @@ object DedupQueries extends QueryFamily {
     "keeplist" -> (stagedKeepListDir _),
     "span_index_full" -> (stagedSpanIndexDir _),
     "span_index_corpus" -> (stagedSpanCorpusIndexDir _),
-    "emb_index" -> (stagedEmbeddingIndexDir _))
+    "emb_index" -> (stagedEmbeddingIndexDir _),
+    "sem_index_full" -> (stagedSemanticIndexDir _),
+    "sem_index_corpus" -> (stagedSemanticCorpusIndexDir _))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> ((s, dir) =>
@@ -152,9 +179,19 @@ object DedupQueries extends QueryFamily {
     // CROSS-label (cos 0.51 between two near-orthogonal clusters), i.e.
     // it straddles a cell boundary — the nassign multi-assignment is
     // what catches it; single assignment would not (spec pins both).
+    // Reads the staged index: the quantizer trains once per corpus state
     "q87_dedup_semantic" -> ((s, dir) =>
-      Dedup.semanticNearDupPairs(table(s, dir, "embeddings"),
-          threshold = cosineThreshold, nlist = 8, nassign = 3)
+      Dedup.semanticNearDupPairsFromIndex(s, stagedSemanticIndexDir(s, dir),
+          threshold = cosineThreshold)
+        .orderBy("id_a", "id_b")),
+
+    // incremental semantic near-dup: the vec_id >= 250 batch assigns to
+    // the STORED corpus quantizer's cells and scores only against
+    // touched cells — the semantic member of the incremental family
+    "q90_dedup_semantic_incremental" -> ((s, dir) =>
+      Dedup.incrementalSemanticNearDupPairs(s, stagedSemanticCorpusIndexDir(s, dir),
+          table(s, dir, "embeddings").filter(col("vec_id") >= corpusSplit),
+          threshold = cosineThreshold)
         .orderBy("id_a", "id_b")),
 
     // incremental ingest: documents with doc_id >= 250 arrive as the new
@@ -510,6 +547,16 @@ object DedupQueries extends QueryFamily {
                    AS frac_contaminated
           FROM en LEFT JOIN m ON m.doc_id = en.doc_id
           ORDER BY eval_id""",
+    // q90 shares q78's exact-restricted oracle: same increment-touching
+    // pair semantics, different candidate structure (k-means cells vs
+    // hyperplane buckets) — both must land on the exact answer
+    "q90_dedup_semantic_incremental" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(${cosineExpr("a", "b")}, 6) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ${cosineExpr("a", "b")} >= $cosineThreshold
+            AND (a.vec_id >= $corpusSplit OR b.vec_id >= $corpusSplit)
+          ORDER BY id_a, id_b""",
     // exact cosine over the FULL embedding set, restricted to pairs with
     // at least one increment member — corpus-vs-corpus pairs excluded
     "q78_dedup_incremental_embedding" ->

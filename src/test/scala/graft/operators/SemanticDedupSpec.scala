@@ -100,4 +100,58 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("staged index path == in-memory path (quantizer trains at build, not per run)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_index").toString
+    Dedup.writeSemanticIndex(corpus, dir, nlist = 8, nassign = 2)
+    val staged = Dedup.semanticNearDupPairsFromIndex(spark, dir, threshold = 0.9)
+    val mem = Dedup.semanticNearDupPairs(corpus, threshold = 0.9, nlist = 8, nassign = 2)
+    assert(staged.collect().map(_.toSeq).toSet === mem.collect().map(_.toSeq).toSet)
+  }
+
+  test("incremental probe == full-from-index restricted to increment-touching " +
+      "pairs; no corpus-vs-corpus pair surfaces") {
+    val split = 90L // clusters 0-2 = corpus, 3-5 + boundary ids = increment
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_corpus_idx").toString
+    Dedup.writeSemanticIndex(corpus.filter(col("vec_id") < split), dir,
+      nlist = 4, nassign = 2)
+    val probe = Dedup.incrementalSemanticNearDupPairs(spark, dir,
+      corpus.filter(col("vec_id") >= split), threshold = 0.9)
+    val got = probe.collect().map(_.toSeq).toSet
+    // the reference: assign the FULL corpus with the same stored
+    // quantizer (cells from the index, increment assigned on the fly),
+    // then restrict to increment-touching pairs — i.e. exactly the full
+    // audit the probe claims to be a restriction of
+    val assignedAll = spark.read.parquet(s"$dir/assigned").unionByName {
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+      corpus.filter(col("vec_id") >= split)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .select(col("id"), col("vec"), explode(
+          graft.functions.expr.VectorFunctions.nearestCells(
+            col("vec"), cents, 2)).as("cell"))
+    }
+    val full = Dedup.cellPairScore(assignedAll, threshold = 0.9)
+      .filter(col("id_a") >= split || col("id_b") >= split)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got === full)
+    assert(!got.exists(r =>
+      r(0).asInstanceOf[Long] < split && r(1).asInstanceOf[Long] < split))
+  }
+
+  test("the incremental probe reads ONLY the index — never the corpus source") {
+    val split = 90L
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sem_src").toString + "/emb"
+    corpus.filter(col("vec_id") < split).write.parquet(srcDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_idx2").toString
+    Dedup.writeSemanticIndex(spark.read.parquet(srcDir), dir, nlist = 4, nassign = 2)
+    val frame = Dedup.incrementalSemanticNearDupPairs(spark, dir,
+      corpus.filter(col("vec_id") >= split), threshold = 0.9)
+    val files = frame.inputFiles
+    assert(files.nonEmpty)
+    assert(!files.exists(_.contains("graft_sem_src")),
+      "probe plan reads the corpus embeddings themselves")
+    assert(files.forall(_.contains(dir.substring(dir.lastIndexOf('/') + 1))),
+      s"probe plan reads outside the index: ${files.take(3).toSeq}")
+  }
 }
