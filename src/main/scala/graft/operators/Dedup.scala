@@ -435,7 +435,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.piece") === col("b.piece") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).as("hamming"))
+        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("long").as("hamming"))
       // filter BEFORE distinct: the hamming test is per-row cheap and
       // prunes the exchange that dedups band collisions
       .filter(col("hamming") <= maxHamming)
