@@ -626,11 +626,14 @@ object Dedup {
     * trade as [[embeddingNearDupLsh]]).
     *
     * Scale notes: the within-cell self-join shuffles both sides on the
-    * smallint cell key once; `nlist` controls the quadratic-per-cell
-    * bound — size it so corpus/nlist fits a partition (the quantizer
-    * trains on a bounded sample via `sampleOneIn`, and a skewed giant
-    * cell is a data-distribution signal to raise nlist, exactly as in
-    * the SemDeDup paper's k=11k over 600M docs).
+    * smallint cell key, with every vector REPLICATED `nassign`× through
+    * that exchange (the explode runs below the join) — multi-assignment
+    * buys its boundary recall with an `nassign`-factor shuffle volume,
+    * not for free; `nlist` controls the quadratic-per-cell bound — size
+    * it so corpus/nlist fits a partition (the quantizer trains on a
+    * bounded sample via `sampleOneIn`, and a skewed giant cell is a
+    * data-distribution signal to raise nlist, exactly as in the SemDeDup
+    * paper's k=11k over 600M docs).
     */
   def semanticNearDupPairs(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",

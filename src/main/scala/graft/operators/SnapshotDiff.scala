@@ -33,6 +33,15 @@ object SnapshotDiff {
     * defaults to every column the two sides share minus the keys. Keys
     * must be unique within each snapshot (a duplicated key makes "the
     * row changed" ill-posed).
+    *
+    * `compareCols` must serialize deterministically under `to_json`:
+    * MAP-typed columns render in entry-iteration order, so two
+    * semantically equal maps with different entry order digest
+    * differently and classify as `changed` — a FALSE POSITIVE (the safe
+    * direction: no real change is ever missed, but order-churned maps
+    * re-report). Canonicalize maps before diffing
+    * (`array_sort(map_entries(m))` as the compare column) or key the
+    * comparison on scalar/struct/array columns.
     */
   def diff(
       oldSnap: DataFrame, newSnap: DataFrame, idCols: Seq[String],
