@@ -343,7 +343,12 @@ object Dedup {
     val incBuckets = bandBuckets(
       incSets.select(col("id"), minhashSignature(col("shingles"), numHashes, seed).as("sig")),
       bands, r)
-    val corpusBuckets = spark.read.parquet(s"$dir/buckets")
+    // widened for the same reason as the q78 probe: candidate rows and
+    // the partial-distinct above them materialize in the STREAMED side's
+    // partitions, and a small corpus index read as 1-2 parquet splits
+    // would serialize that work on 1-2 cores (no-op at scale, where the
+    // bucket scan arrives wide on its own)
+    val corpusBuckets = ScaleOut(spark.read.parquet(s"$dir/buckets"))
     // probe side = corpus buckets ∪ increment buckets; the `corpus` flag
     // keeps pair semantics straight: inc-vs-corpus pairs in either id
     // order, inc-vs-inc deduped by id order. The small increment side

@@ -138,8 +138,14 @@ object Ivf {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("cell", explode(nearestCells(col("qvec"), cents, nprobe)))
     val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val c = spark.read.parquet(s"$dir/corpus")
-      .filter(col("cell").isin(probed.map(Int.box): _*))
+    // ScaleOut AFTER the partition filter (pruning happens at file
+    // listing; the widen only spreads what survives): per-candidate
+    // cosine scoring runs in the streamed corpus partitions, which for a
+    // few probed cell files would otherwise serialize on 1-2 cores —
+    // the q78 under-split class. No-op at scale (probed cells are many
+    // splits); the in-memory twin ivfTopK already widens its corpus.
+    val c = ScaleOut(spark.read.parquet(s"$dir/corpus")
+        .filter(col("cell").isin(probed.map(Int.box): _*)))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
     cellTopK(c, q, k)
   }
