@@ -417,18 +417,12 @@ object DedupQueries extends QueryFamily {
         ORDER BY t.doc_id"""
   }
 
-  /** q22's FULL DuckDB twin — not just the verification half. The engine's
-    * SimHash kernel is deliberately built from arithmetic-only public
-    * primitives (FNV-1a 64 over UTF-8 bytes + murmur fmix64 + per-bit
-    * votes, `functions/expr/HashExpressions.scala`), so DuckDB can
-    * recompute the signatures bit-exactly: unsigned-64 state rides as
-    * HUGEINT in [0, 2^64) (products split at 2^32 so nothing overflows
-    * 128 bits), bytes come from HEX(ENCODE(token)) (UTF-8, not
-    * code-points), the byte-loop is a recursive CTE bounded by the
-    * longest token, and the band/verify tail (pigeonhole candidates,
-    * popcount on the signed-wrapped sketches) mirrors the engine's
-    * plan. This flips q22 from rows-only to hash-green: candidates AND
-    * hamming values must agree exactly.
+  /** q22's FULL DuckDB twin — not just the verification half. DuckDB
+    * recomputes the SimHash signatures bit-exactly via the shared
+    * [[HashOracleSql]] FNV-1a+fmix64 chain, then mirrors the engine's
+    * band/verify tail (pigeonhole candidates, popcount on the
+    * signed-wrapped sketches). This flips q22 from rows-only to
+    * hash-green: candidates AND hamming values must agree exactly.
     */
   private def simhashSql(maxHamming: Int, bands: Int = 4): String = {
     val w = 64 / bands
@@ -440,22 +434,7 @@ object DedupQueries extends QueryFamily {
           SELECT doc_id, UNNEST(STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ')) AS token
           FROM documents),
         tokh AS (SELECT doc_id, ROW_NUMBER() OVER () AS tid, HEX(ENCODE(token)) AS hx FROM toks),
-        fnv(tid, i, nb, h) AS (
-          SELECT tid, 0, LEN(hx)//2, 14695981039346656037::HUGEINT FROM tokh
-          UNION ALL
-          SELECT f.tid, f.i + 1, f.nb,
-            ((f.h - (f.h % 256) + xor((f.h % 256)::BIGINT,
-                (16 * (STRPOS('0123456789ABCDEF', SUBSTR(t.hx, 2*f.i+1, 1)) - 1)
-                  + (STRPOS('0123456789ABCDEF', SUBSTR(t.hx, 2*f.i+2, 1)) - 1))::BIGINT)::HUGEINT)
-              * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
-          FROM fnv f JOIN tokh t USING (tid) WHERE f.i < f.nb),
-        fm1 AS (SELECT tid, xor(h, h // 8589934592::HUGEINT) AS x FROM fnv WHERE i = nb),
-        fm2 AS (SELECT tid, (((x // 4294967296) * 18397679294719823053::HUGEINT % 4294967296) * 4294967296
-                             + (x % 4294967296) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM fm1),
-        fm3 AS (SELECT tid, xor(x, x // 8589934592::HUGEINT) AS x FROM fm2),
-        fm4 AS (SELECT tid, (((x // 4294967296) * 14181476777654086739::HUGEINT % 4294967296) * 4294967296
-                             + (x % 4294967296) * 14181476777654086739::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM fm3),
-        sig AS (SELECT tid, xor(x, x // 8589934592::HUGEINT) AS x FROM fm4),
+        ${HashOracleSql.fnvFmixCtes},
         pow2(b, p) AS (VALUES $pow2),
         votes AS (
           SELECT t.doc_id, p.b, SUM(CASE WHEN (s.x // p.p) % 2 = 1 THEN 1 ELSE -1 END) AS vs
@@ -469,9 +448,7 @@ object DedupQueries extends QueryFamily {
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM pieces a JOIN pieces b ON a.band = b.band AND a.piece = b.piece AND a.doc_id < b.doc_id),
-        sks AS (SELECT doc_id,
-          CAST(CASE WHEN sk >= 9223372036854775808::HUGEINT THEN sk - 18446744073709551616::HUGEINT ELSE sk END AS BIGINT) AS skb
-          FROM sk)
+        sks AS (SELECT doc_id, ${HashOracleSql.wrapSigned("sk")} AS skb FROM sk)
         SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.skb, sb.skb)) AS BIGINT) AS hamming
         FROM cand c JOIN sks sa ON sa.doc_id = c.id_a JOIN sks sb ON sb.doc_id = c.id_b
         WHERE bit_count(xor(sa.skb, sb.skb)) <= $maxHamming

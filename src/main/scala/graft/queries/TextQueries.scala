@@ -48,7 +48,8 @@ object TextQueries extends QueryFamily {
         .select(col("doc_id"), contentFingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
-    // custom rolling-hash kernel — no SQL twin; rows-only check
+    // winnowing rolling-hash kernel; full bit-exact DuckDB twin (see
+    // the oracle's comment)
     "q32_fingerprint_rolling" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"),
@@ -301,6 +302,42 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id"))
   )
 
+  /** q32's DuckDB twin (see the oracleSql comment). Window hashes are
+    * computed directly (coefficient join against a B-power table) rather
+    * than via the kernel's rolling update — same value mod 2^64, and
+    * set-oriented SQL has no use for the O(1)-update trick.
+    */
+  private def rollingFingerprintSql(window: Int): String = {
+    val m64 = BigInt(1) << 64
+    val b = BigInt("100000001b3", 16)
+    val pw = (0 until window)
+      .map(k => s"($k, ${b.modPow(BigInt(k), m64)}::HUGEINT)").mkString(", ")
+    s"""WITH RECURSIVE
+        toks0 AS (
+          SELECT doc_id, STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        tokpos AS (
+          SELECT doc_id, i AS pos, t[i] AS token
+          FROM toks0, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t))) AS i) u),
+        tokh AS (SELECT doc_id, pos, ROW_NUMBER() OVER () AS tid, HEX(ENCODE(token)) AS hx FROM tokpos),
+        ${HashOracleSql.fnvFmixCtes},
+        hs AS (SELECT t.doc_id, t.pos, s.x AS h FROM tokh t JOIN sig s USING (tid)),
+        nn AS (SELECT doc_id, MAX(pos) AS n, LEAST($window, MAX(pos)) AS w FROM hs GROUP BY 1),
+        starts AS (
+          SELECT doc_id, w, UNNEST(GENERATE_SERIES(1, n - w + 1)) AS s FROM nn),
+        pw(k, p) AS (VALUES $pw),
+        terms AS (
+          SELECT h.doc_id, st.s, ${HashOracleSql.mulMod64("h.h", "pw.p")} AS term
+          FROM starts st
+          JOIN hs h ON h.doc_id = st.doc_id AND h.pos BETWEEN st.s AND st.s + st.w - 1
+          JOIN pw ON pw.k = st.w - 1 - (h.pos - st.s)),
+        wsum AS (SELECT doc_id, s, SUM(term) % ${HashOracleSql.M64}::HUGEINT AS hw
+                 FROM terms GROUP BY 1, 2),
+        fp AS (SELECT doc_id, MIN(${HashOracleSql.wrapSigned("hw")}) AS fingerprint
+               FROM wsum GROUP BY 1)
+        SELECT doc_id, fingerprint FROM fp ORDER BY doc_id"""
+  }
+
   private val norm = """REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')"""
   private val toks = s"STRING_SPLIT($norm, ' ')"
   private def markerCount(words: Seq[String]): String =
@@ -340,6 +377,12 @@ object TextQueries extends QueryFamily {
       "q31_fingerprint_md5" ->
         s"""SELECT doc_id, MD5($norm) AS fingerprint
             FROM documents ORDER BY doc_id""",
+      // q32's FULL twin: DuckDB recomputes the winnowing fingerprint
+      // bit-exactly — per-token FNV-1a+fmix64 via the shared
+      // HashOracleSql chain, then every width-w window's polynomial hash
+      // Σ h_j·B^(w-1-j) mod 2^64 (w = min(5, n_tokens), matching the
+      // kernel's short-doc clamp), min over the SIGNED reinterpretation
+      "q32_fingerprint_rolling" -> rollingFingerprintSql(window = 5),
       "q40_curation" ->
         s"""WITH ranked AS (
               SELECT doc_id, lang, source, text,
