@@ -30,7 +30,7 @@ object Bench {
       name.startsWith("q39") || name.startsWith("q43") || name.startsWith("q70") ||
       name.startsWith("q74") || name.startsWith("q76") || name.startsWith("q78") ||
       name.startsWith("q82") || name.startsWith("q84") || name.startsWith("q85") ||
-      name.startsWith("q86") || name.startsWith("q90")
+      name.startsWith("q86") || name.startsWith("q90") || name.startsWith("q91")
 
   /** Micro-batch Structured Streaming queries (checkpointed sinks). */
   private def isStreaming(name: String): Boolean =

@@ -510,6 +510,42 @@ object Dedup {
     labels.select(col("id").as("member_id"), col("label").as("keep_id"))
   }
 
+  /** Incremental KEEP-LIST maintenance — the missing last step of the
+    * incremental dedup family: the pair probes (q70/q78/q90) answer
+    * "which new pairs touch the ingest", but a curation run consumes the
+    * keep-list, and rebuilding it from scratch re-runs connected
+    * components over the corpus-vs-corpus pair set that did not change.
+    * This merges the EXISTING corpus keep-list with the increment's
+    * probe pairs instead.
+    *
+    * Correctness rests on the star-edge equivalence: a component's
+    * keep-list rows (member → keep) are a spanning star of that
+    * component, so connected components over (star edges ∪ new pairs)
+    * equal components over (original corpus pairs ∪ new pairs) — the
+    * exact from-scratch answer (DedupSpec pins the equality, including
+    * the case where one increment document BRIDGES two existing corpus
+    * components, whose labels must all collapse to the global min).
+    *
+    * Scale shape: input sizes are |corpus keep-list| (one row per
+    * already-grouped member — far smaller than the corpus pair set) plus
+    * |increment-touching pairs|; propagation inherits
+    * [[nearDupGroups]]'s per-round join+min-aggregate shape, and stars
+    * converge in ~2 rounds, so the merge costs rounds over MB-scale
+    * edges, not a re-run over the corpus. Output follows the
+    * [[nearDupGroups]] convention (paired members only; singletons
+    * complete at read time as in q43).
+    */
+  def incrementalKeepList(
+      corpusKeepList: DataFrame, incrementPairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val stars = corpusKeepList
+      .filter(col("member_id") =!= col("keep_id"))
+      .select(col("member_id").as("id_a"), col("keep_id").as("id_b"))
+    nearDupGroups(
+      stars.unionByName(incrementPairs.select(col("id_a"), col("id_b"))),
+      maxIters = maxIters)
+  }
+
   /** Leakage-safe train/valid/test assignment: every document is split by
     * a deterministic hash of its near-dup GROUP representative, so a
     * cluster of near-duplicates can never straddle split boundaries — the

@@ -67,6 +67,23 @@ object DedupQueries extends QueryFamily {
       }
     }
 
+  /** The CORPUS-side (doc_id < corpusSplit) keep-list, merged by the q91
+    * incremental maintenance — same split convention as the other
+    * incremental operators.
+    */
+  private def stagedCorpusKeepListDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_keeplist",
+      Seq(s"$dir/documents.parquet"),
+      s"corpus$corpusSplit:$shingleN:$jaccardThreshold", "_SUCCESS") { stage =>
+      graft.operators.CacheScope.scoped {
+        Dedup.nearDupGroups(
+            Dedup.ngramJaccardPairs(
+              table(s, dir, "documents").filter(col("doc_id") < corpusSplit),
+              n = shingleN, threshold = jaccardThreshold))
+          .write.mode("overwrite").parquet(stage)
+      }
+    }
+
   /** Build the window-hash span index over the FULL documents table once
     * per SOURCE STATE ([[Staging]] contract; `meta/_SUCCESS` — written
     * last in [[graft.operators.Spans.writeSpanIndex]] — is the completion
@@ -135,6 +152,7 @@ object DedupQueries extends QueryFamily {
   override def stages: Map[String, (SparkSession, String) => String] = Map(
     "minhash_index" -> (stagedMinhashIndexDir _),
     "keeplist" -> (stagedKeepListDir _),
+    "keeplist_corpus" -> (stagedCorpusKeepListDir _),
     "span_index_full" -> (stagedSpanIndexDir _),
     "span_index_corpus" -> (stagedSpanCorpusIndexDir _),
     "emb_index" -> (stagedEmbeddingIndexDir _),
@@ -285,6 +303,24 @@ object DedupQueries extends QueryFamily {
       graft.operators.Spans.groupedSpanCoverageFromIndex(
           s, stagedSpanIndexDir(s, dir), groupCol = "source")
         .orderBy("doc_id")),
+
+    // incremental keep-list maintenance: merge the STAGED corpus
+    // keep-list with the increment's minhash-probe pairs (q70's
+    // operator) and complete singletons over all docs — must equal the
+    // from-scratch full-corpus closure (q43's oracle verifies exactly
+    // that), with the corpus contributing only its keep-list rows and
+    // its minhash index, never text or corpus-vs-corpus pair work
+    "q91_dedup_groups_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merged = Dedup.incrementalKeepList(
+        s.read.parquet(stagedCorpusKeepListDir(s, dir)),
+        Dedup.incrementalNearDupPairs(s, stagedMinhashIndexDir(s, dir),
+          docs.filter(col("doc_id") >= corpusSplit), threshold = jaccardThreshold))
+      docs.select(col("doc_id"))
+        .join(merged, docs("doc_id") === merged("member_id"), "left")
+        .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
+        .orderBy("doc_id")
+    }),
 
     // pairs -> keep-list: connected components over the exact near-dup
     // pairs, every document mapped to its cluster representative
@@ -557,6 +593,9 @@ object DedupQueries extends QueryFamily {
           WHERE id_a >= $corpusSplit OR id_b >= $corpusSplit
           ORDER BY id_a, id_b""",
     "q43_dedup_groups" -> groupsSql,
+    // the incremental merge must land on the identical from-scratch
+    // closure — strongest possible check for the star-edge equivalence
+    "q91_dedup_groups_incremental" -> groupsSql,
     "q82_repeated_spans" -> repeatedSpansSql(),
     // full-corpus span audit restricted to the increment's rows — the
     // repetition count still sees every document (corpus + increment)

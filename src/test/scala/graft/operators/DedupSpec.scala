@@ -102,6 +102,32 @@ class DedupSpec extends SparkTestBase {
       7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L))
   }
 
+  test("incrementalKeepList == from-scratch components, including an increment " +
+      "doc BRIDGING two corpus components") {
+    // corpus components: {0,1,2} (star around 0) and {5,6}; corpus pairs
+    // also include the redundant (1,2) edge the star drops
+    val corpusPairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    // increment: 100 pairs into BOTH corpus components (bridge — {0,1,2}
+    // and {5,6} must merge under min label 0), 101-102 a new inc-only
+    // component, 103 pairs with corpus singleton... 103-7 touches corpus
+    // doc 7 never seen in corpus pairs (a pair-free corpus doc)
+    val incPairs = Seq((2L, 100L), (5L, 100L), (101L, 102L), (7L, 103L))
+      .toDF("id_a", "id_b")
+    val corpusKeep = scopedNoLeak(Dedup.nearDupGroups(corpusPairs).collect())
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("member_id", "keep_id")
+    val merged = scopedNoLeak(
+      Dedup.incrementalKeepList(corpusKeep, incPairs).collect())
+      .map(r => (r.getAs[Long]("member_id"), r.getAs[Long]("keep_id"))).toMap
+    val scratch = scopedNoLeak(
+      Dedup.nearDupGroups(corpusPairs.unionByName(incPairs)).collect())
+      .map(r => (r.getAs[Long]("member_id"), r.getAs[Long]("keep_id"))).toMap
+    assert(merged === scratch)
+    // the bridge collapsed everything to the global min
+    assert(Seq(0L, 1L, 2L, 5L, 6L, 100L).forall(id => merged(id) == 0L))
+    assert(merged(101L) == 101L && merged(102L) == 101L)
+    assert(merged(7L) == 7L && merged(103L) == 7L)
+  }
+
   test("leakageSafeSplit keeps near-dup groups in ONE split; coverage matches thresholds") {
     // 60 docs in 20 groups of 3 (ids 3k, 3k+1, 3k+2 share a group)
     val groups = (0 until 60).map(i => (i.toLong, (i / 3 * 3).toLong))
