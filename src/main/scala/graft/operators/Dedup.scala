@@ -311,6 +311,38 @@ object Dedup {
     }
   }
 
+  /** Append an increment's band-bucket and hashed-key-set rows to a
+    * [[writeMinhashIndex]] directory — the index-maintenance step its
+    * deployment contract promises ("after the ingest, append the
+    * increment's bucket/set rows to keep the index current"), as an
+    * operator. Signature parameters come from the index meta, so the
+    * appended rows and the stored rows cannot disagree; writes are
+    * append-only (corpus files are never rewritten, meta is untouched).
+    * The caller owns the ingest invariant (ids disjoint from what the
+    * index already holds) and ordering (append AFTER the batch's own
+    * probe, as [[graft.streaming.MinhashIngestStream]] does).
+    */
+  def appendToMinhashIndex(
+      increment: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = increment.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val n = meta.getAs[Int]("n")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val seed = meta.getAs[Long]("seed")
+    val r = numHashes / bands
+    CacheScope.scoped {
+      val sets = CacheScope.pin(
+        shingled(increment, idCol, textCol, n), StorageLevel.MEMORY_AND_DISK)
+      bandBuckets(
+          sets.select(col("id"), minhashSignature(col("shingles"), numHashes, seed).as("sig")),
+          bands, r)
+        .write.mode("append").parquet(s"$dir/buckets")
+      hashedKeySets(sets).write.mode("append").parquet(s"$dir/sets")
+    }
+  }
+
   /** Near-dup pairs TOUCHING an increment — increment-vs-corpus and
     * increment-vs-increment, never corpus-vs-corpus — against a
     * [[writeMinhashIndex]] directory. The corpus participates ONLY through

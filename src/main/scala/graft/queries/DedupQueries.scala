@@ -67,6 +67,36 @@ object DedupQueries extends QueryFamily {
       }
     }
 
+  /** The increment (doc_id >= corpusSplit) staged as a THREE-file parquet
+    * feed directory, so q92's ingest stream drains >= 3 micro-batches
+    * under maxFilesPerTrigger=1 (the q83 fact-feed pattern) — cross-batch
+    * pair formation is exercised on every correctness run.
+    */
+  private def stagedDocsFeedDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_docs_feed",
+      Seq(s"$dir/documents.parquet"), s"inc$corpusSplit:files=3", "_SUCCESS") { stage =>
+      table(s, dir, "documents").filter(col("doc_id") >= corpusSplit)
+        .select("doc_id", "text")
+        .repartition(3)
+        .write.mode("overwrite").parquet(stage)
+    }
+
+  private val docsFeedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+  /** Copy a staged (immutable) index directory into a per-run scratch
+    * dir the ingest is allowed to mutate.
+    */
+  private def copiedIndexDir(s: SparkSession, stagedDir: String, scratch: String): String = {
+    val conf = s.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(stagedDir)
+    val dst = new org.apache.hadoop.fs.Path(scratch)
+    val fs = src.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    dst.toString
+  }
+
   /** The CORPUS-side (doc_id < corpusSplit) keep-list, merged by the q91
     * incremental maintenance — same split convention as the other
     * incremental operators.
@@ -153,6 +183,7 @@ object DedupQueries extends QueryFamily {
     "minhash_index" -> (stagedMinhashIndexDir _),
     "keeplist" -> (stagedKeepListDir _),
     "keeplist_corpus" -> (stagedCorpusKeepListDir _),
+    "docs_feed" -> (stagedDocsFeedDir _),
     "span_index_full" -> (stagedSpanIndexDir _),
     "span_index_corpus" -> (stagedSpanCorpusIndexDir _),
     "emb_index" -> (stagedEmbeddingIndexDir _),
@@ -310,6 +341,21 @@ object DedupQueries extends QueryFamily {
     // from-scratch full-corpus closure (q43's oracle verifies exactly
     // that), with the corpus contributing only its keep-list rows and
     // its minhash index, never text or corpus-vs-corpus pair work
+    // streaming ingest dedup: the increment arrives as 3 micro-batches;
+    // each probes the (per-run copy of the) corpus MinHash index and
+    // then appends itself, so cross-batch near-dups are caught — the
+    // drained output must equal the single-shot q70 answer (same
+    // oracle), proving batch boundaries are invisible
+    "q92_dedup_ingest_stream" -> ((s, dir) =>
+      graft.streaming.MinhashIngestStream.ingest(
+          s, stagedDocsFeedDir(s, dir), docsFeedSchema,
+          copiedIndexDir(s, stagedMinhashIndexDir(s, dir),
+            Scratch.freshDir(s, "q92idx", dir)),
+          Scratch.freshDir(s, "q92out", dir),
+          Scratch.freshDir(s, "q92ckpt", dir),
+          threshold = jaccardThreshold, maxFilesPerTrigger = Some(1))
+        .orderBy("id_a", "id_b")),
+
     "q91_dedup_groups_incremental" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val merged = Dedup.incrementalKeepList(
@@ -588,6 +634,12 @@ object DedupQueries extends QueryFamily {
     // exact Jaccard over the FULL document set, restricted to pairs with
     // at least one increment member — corpus-vs-corpus pairs excluded
     "q70_dedup_incremental_minhash" ->
+      s"""WITH $jaccardCtes
+          SELECT id_a, id_b, jaccard FROM jpairs
+          WHERE id_a >= $corpusSplit OR id_b >= $corpusSplit
+          ORDER BY id_a, id_b""",
+    // the streamed ingest must land on the identical single-shot answer
+    "q92_dedup_ingest_stream" ->
       s"""WITH $jaccardCtes
           SELECT id_a, id_b, jaccard FROM jpairs
           WHERE id_a >= $corpusSplit OR id_b >= $corpusSplit
