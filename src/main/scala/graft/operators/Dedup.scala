@@ -515,9 +515,9 @@ object Dedup {
       edges.groupBy(col("src").as("id"))
         .agg(least(min(col("dst")), col("src")).as("label")),
       StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (!converged && it < maxIters) {
       // each vertex takes the min label over itself and its neighbors
       val next = CacheScope.pin(
         edges.join(labels, edges("dst") === labels("id"))
@@ -525,17 +525,21 @@ object Dedup {
           .union(labels)
           .groupBy("id").agg(min("label").as("label")),
         StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      // isEmpty, not count(): the convergence test needs ANY changed
+      // label, not how many — a non-final round stops at the first
+      // change instead of scanning every partition (one fewer full job
+      // per round; only the final, convergent round pays the full scan)
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).isEmpty
       labels.unpersist()
       labels = next
       it += 1
     }
     // refuse to return a silently-wrong keep-list: a component with
     // diameter > maxIters has unconverged labels
-    require(changed == 0,
-      s"nearDupGroups did not converge in $maxIters rounds ($changed labels " +
-        "still changing) — a component's diameter exceeds maxIters; raise it " +
+    require(converged,
+      s"nearDupGroups did not converge in $maxIters rounds (labels still " +
+        "changing) — a component's diameter exceeds maxIters; raise it " +
         "or pre-collapse with exactGroups")
     // labels is materialized, so the edge list is no longer needed
     edges.unpersist()
