@@ -860,6 +860,49 @@ object Dedup {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Append an increment's bucket and vector rows to a
+    * [[writeEmbeddingIndex]] directory — the embedding mirror of
+    * [[appendToMinhashIndex]] (same contract: parameters from meta,
+    * append-only writes, caller owns id-disjointness and probe-before-
+    * append ordering).
+    */
+  def appendToEmbeddingIndex(
+      increment: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = increment.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val planes = meta.getAs[Int]("planes")
+    val tables = meta.getAs[Int]("tables")
+    val dim = meta.getAs[Int]("dim")
+    val seed = meta.getAs[Long]("seed")
+    val v = increment.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    Ann.withBuckets(v, "vec", planes, tables, dim, seed)
+      .select("id", "table", "bucket")
+      .write.mode("append").parquet(s"$dir/buckets")
+    v.write.mode("append").parquet(s"$dir/vecs")
+  }
+
+  /** Append an increment's cell assignments and vector rows to a
+    * [[writeSemanticIndex]] directory: new vectors assign to the STORED
+    * centroids (the quantizer does not retrain on an append — codebook
+    * drift across a long append history is the documented rebuild
+    * trigger, exactly as in IVF practice). Same append contract as
+    * [[appendToMinhashIndex]].
+    */
+  def appendToSemanticIndex(
+      increment: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = increment.sparkSession
+    val nassign = spark.read.parquet(s"$dir/meta").head().getAs[Int]("nassign")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+    val v = increment.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.select(col("id"), col("vec"),
+        explode(nearestCells(col("vec"), cents, nassign)).as("cell"))
+      .write.mode("append").parquet(s"$dir/assigned")
+    v.write.mode("append").parquet(s"$dir/vecs")
+  }
+
   /** Embedding near-dup pairs TOUCHING an increment — increment-vs-corpus
     * and increment-vs-increment, never corpus-vs-corpus — against a
     * [[writeEmbeddingIndex]] directory. The corpus participates only

@@ -73,6 +73,26 @@ class EmbeddingIndexSpec extends SparkTestBase {
         phys.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("appendToEmbeddingIndex keeps the index current: a second increment's " +
+      "probe pairs against appended vectors, and equals a from-scratch index " +
+      "over corpus+first-increment") {
+    assume(haveTestdata)
+    val emb = Tables.embeddings(spark, sfDir)
+    val firstInc = emb.filter(col("vec_id") >= split && col("vec_id") < 400)
+    val secondInc = emb.filter(col("vec_id") >= 400)
+    // ingest: probe-then-append the first increment
+    val dir = buildIndex(emb.filter(col("vec_id") < split))
+    Dedup.incrementalEmbeddingNearDupPairs(spark, dir, firstInc, threshold = 0.5).collect()
+    Dedup.appendToEmbeddingIndex(firstInc, dir)
+    val grown = Dedup.incrementalEmbeddingNearDupPairs(spark, dir, secondInc, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    // reference: an index built from scratch over corpus + first increment
+    val refDir = buildIndex(emb.filter(col("vec_id") < 400))
+    val ref = Dedup.incrementalEmbeddingNearDupPairs(spark, refDir, secondInc, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(grown === ref, "appended index must behave exactly like a rebuilt one")
+  }
+
   test("probe parameters come from the index meta, surviving non-default builds") {
     assume(haveTestdata)
     val emb = Tables.embeddings(spark, sfDir)

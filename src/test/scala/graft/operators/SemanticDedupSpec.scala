@@ -139,6 +139,36 @@ class SemanticDedupSpec extends SparkTestBase {
       r(0).asInstanceOf[Long] < split && r(1).asInstanceOf[Long] < split))
   }
 
+  test("appendToSemanticIndex keeps the index current: a second increment's " +
+      "probe pairs against appended vectors using the ORIGINAL (unretrained) " +
+      "quantizer") {
+    val split = 90L
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_append").toString
+    Dedup.writeSemanticIndex(corpus.filter(col("vec_id") < split), dir,
+      nlist = 4, nassign = 2)
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toSeq)
+    // cluster 4 (ids 120-149) is SPLIT across the two increments, so
+    // cross-increment within-cluster pairs exist by construction
+    val firstInc = corpus.filter(col("vec_id") >= split && col("vec_id") < 135)
+    val secondInc = corpus.filter(col("vec_id") >= 135)
+    Dedup.appendToSemanticIndex(firstInc, dir)
+    // the quantizer must NOT have retrained on append
+    val centsAfter = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toSeq)
+    assert(centsBefore.toSeq === centsAfter.toSeq)
+    val got = Dedup.incrementalSemanticNearDupPairs(spark, dir, secondInc, threshold = 0.9)
+      .collect().map(_.toSeq).toSet
+    // the grown-index witness: a cluster-4 pair with its low side in the
+    // FIRST increment [120, 135) and high side in the second (>= 135) —
+    // visible only because the append put the first increment's rows in
+    // the index the second increment probes
+    assert(got.exists(r => {
+      val a = r(0).asInstanceOf[Long]; val b = r(1).asInstanceOf[Long]
+      a >= 120L && a < 135L && b >= 135L && b < 150L
+    }), s"no pair against appended first-increment members: ${got.size} pairs")
+  }
+
   test("the incremental probe reads ONLY the index — never the corpus source") {
     val split = 90L
     val srcDir = java.nio.file.Files.createTempDirectory("graft_sem_src").toString + "/emb"
