@@ -86,6 +86,15 @@ object Pq {
     * shortlist, exact-cosine re-rank to top-k. `codes` columns:
     * (neighbor_id, codes); `queries` columns: (query_id, qvec);
     * `vectors` columns: (id, vec) — the exact-re-rank side.
+    *
+    * Scale constraint, stated honestly: the shortlist window shuffles
+    * ALL n×q scored rows keyed by query_id — for a small query batch
+    * that is q hot partitions carrying the corpus. The flat ADC scan is
+    * the PQ *baseline*; at 100 TB the deployment shape is IVF+PQ (probe
+    * [[Ivf]] cells first, ADC-score only probed cells' codes — both
+    * index layouts ship here and compose by partitioning `dir/codes` by
+    * cell), and/or large query batches so the window key has
+    * cardinality. The re-rank join is shortlist-bounded either way.
     */
   private def adcSearch(
       codes: DataFrame, queries: DataFrame, vectors: DataFrame,
