@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.expr.VectorFunctions.{bucketProbes, cosineSim, hyperplaneSigs}
@@ -72,12 +71,7 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineSim(col("qvec"), col("cvec")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    TopK.perQuery(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: queries score only the corpus rows
@@ -108,11 +102,6 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("qvec"), col("cvec")).as("cosine"))
       .distinct()
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    TopK.perQuery(candidates, k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.expr.VectorFunctions.{cosineSim, nearestCells}
@@ -179,11 +178,6 @@ object Ivf {
         c("cell") === q("cell") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("qvec"), col("cvec")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    TopK.perQuery(candidates, k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.expr.PqFunctions.{pqAdcScore, pqAdcTable, pqEncode}
@@ -87,14 +86,14 @@ object Pq {
     * (neighbor_id, codes); `queries` columns: (query_id, qvec);
     * `vectors` columns: (id, vec) — the exact-re-rank side.
     *
-    * Scale constraint, stated honestly: the shortlist window shuffles
-    * ALL n×q scored rows keyed by query_id — for a small query batch
-    * that is q hot partitions carrying the corpus. The flat ADC scan is
-    * the PQ *baseline*; at 100 TB the deployment shape is IVF+PQ (probe
-    * [[Ivf]] cells first, ADC-score only probed cells' codes — both
-    * index layouts ship here and compose by partitioning `dir/codes` by
-    * cell), and/or large query batches so the window key has
-    * cardinality. The re-rank join is shortlist-bounded either way.
+    * Both ranking stages run through the bounded-top-k aggregate
+    * ([[TopK]]): partial buffers truncate at shortlist/k inside the
+    * map-side aggregation, so the per-query exchanges carry capped
+    * entry lists, never the scored corpus. The flat ADC scan remains
+    * the PQ *baseline* — at 100 TB the deployment shape is IVF+PQ
+    * (probe [[Ivf]] cells first, ADC-score only probed cells' codes;
+    * both index layouts ship here and compose by partitioning
+    * `dir/codes` by cell). The re-rank join is shortlist-bounded.
     */
   private def adcSearch(
       codes: DataFrame, queries: DataFrame, vectors: DataFrame,
@@ -102,24 +101,23 @@ object Pq {
     val ksub = books(0).length
     val q = queries.select(col("query_id"), col("qvec"),
       pqAdcTable(col("qvec"), books, dsub).as("table"))
-    val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val short = codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("qvec"), col("neighbor_id"),
-        pqAdcScore(col("codes"), col("table"), ksub).as("adc"))
-      .withColumn("srank", row_number().over(wAdc))
-      .filter(col("srank") <= shortlist)
-      .select("query_id", "qvec", "neighbor_id")
-    val wExact = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    short
-      .join(vectors.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
-        "neighbor_id")
-      .withColumn("cosine", cosineSim(col("qvec"), col("nvec")))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    // both ranking stages run through the bounded-top-k aggregate (see
+    // [[TopK]]): the ADC stage's exchange carries <= shortlist entries
+    // per (partition, query) instead of the full scored corpus
+    val short = TopK.perQuery(
+        codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            pqAdcScore(col("codes"), col("table"), ksub).as("adc")),
+        shortlist, scoreCol = "adc")
+      .select("query_id", "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+    TopK.perQuery(
+      short
+        .join(vectors.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
+          "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSim(col("qvec"), col("nvec")).as("cosine")),
+      k)
   }
 
   /** In-memory PQ top-k (train + encode + search in one call). */
