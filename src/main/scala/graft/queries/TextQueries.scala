@@ -88,19 +88,24 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id")),
 
     // deterministic FIXED-SIZE per-group sample (q41's complement: exact k
-    // per language, not a hash-rate): rank by a salted content-independent
-    // hash and keep the k smallest — reproducible across runs and
-    // layouts, one group-keyed exchange, the standard top-k-per-group
-    // shape (rank windows stream over the sort; no per-group buffering)
-    "q75_grouped_sample" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":sample"))), col("doc_id"))
+    // per language, not a hash-rate): keep the k lexicographically-
+    // smallest salted content-independent hashes — reproducible across
+    // runs and layouts. Ranked through the bounded MIN-k aggregate, not
+    // a lang-keyed rank window: a handful of language partitions would
+    // otherwise carry the whole corpus through one exchange; the
+    // aggregate's map-side partials truncate at k, so the exchange moves
+    // <= k (hash, id) entries per (partition, language)
+    "q75_grouped_sample" -> ((s, dir) =>
       table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
-        .orderBy("lang", "rk")
-    }),
+        .select(col("doc_id"), col("lang"),
+          md5(concat(col("doc_id").cast("string"), lit(":sample"))).as("sk"))
+        .groupBy("lang")
+        .agg(graft.functions.expr.TopKFunctions.boundedMinKString(
+          col("sk"), col("doc_id"), 5).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("e.id").as("doc_id"), col("lang"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("lang", "rk")),
 
     // training-mixture resampling: per-source weights as data — ⌊w⌋/⌈w⌉
     // deterministic copies per doc ([[graft.operators.Mixture]]). src4 is

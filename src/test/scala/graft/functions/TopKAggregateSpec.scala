@@ -59,4 +59,35 @@ class TopKAggregateSpec extends SparkTestBase {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(plan.contains("partial_bounded_topk"), plan)
   }
+
+  // string-ordered MIN-k sibling (the q75 sampling shape): md5-ranked,
+  // so tie and lexicographic ordering must match the window byte-for-byte
+  private lazy val strData = spark.range(0, 2000).repartition(16)
+    .select((col("id") % 4).as("g"), col("id").as("entry"),
+      md5(concat(col("id").cast("string"), lit(":s"))).as("sk"))
+
+  private def strViaAggregate(k: Int) =
+    strData.groupBy("g")
+      .agg(graft.functions.expr.TopKFunctions.boundedMinKString(
+        col("sk"), col("entry"), k).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1).as("rk"),
+        col("e.id").as("entry"), col("e.score").as("sk"))
+      .orderBy("g", "rk")
+      .collect().map(_.toSeq).toSeq
+
+  private def strViaWindow(k: Int) = {
+    val w = Window.partitionBy("g").orderBy(col("sk"), col("entry"))
+    strData.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("g"), col("rk"), col("entry"), col("sk"))
+      .orderBy("g", "rk")
+      .collect().map(_.toSeq).toSeq
+  }
+
+  test("string MIN-k aggregate == string-ordered window, across partial merges") {
+    assert(strViaAggregate(7) === strViaWindow(7))
+    assert(strViaAggregate(1) === strViaWindow(1))
+    assert(strViaAggregate(10000) === strViaWindow(10000))
+  }
 }
