@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.expr.PqFunctions.{pqAdcScore, pqAdcTable, pqEncode}
-import graft.functions.expr.VectorFunctions.cosineSim
+import graft.functions.expr.VectorFunctions.{cosineSim, nearestCells}
 
 /** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
   * Nearest Neighbor Search", TPAMI 2011) — the ANN representation for
@@ -159,6 +159,100 @@ object Pq {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/books")
     Seq((dim, m, ksub, seed)).toDF("dim", "m", "ksub", "seed")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Persist the COMPOSED IVF+PQ index — the FAISS-standard shape for
+    * ANN over a corpus whose floats cannot be the working set AND whose
+    * size forbids even a flat code scan: a coarse [[Ivf]] quantizer
+    * assigns every vector to one of `nlist` cells, PQ codes are written
+    * PARTITIONED BY cell, and a search ADC-scans only the probed cells'
+    * code files (partition pruning at the file listing, exactly
+    * [[Ivf.writeIndex]]'s trick, over rows 32× smaller). Codes are over
+    * RAW vectors, not per-cell residuals (the public `by_residual=false`
+    * IVFPQ variant): one global ADC table per query instead of one per
+    * probed cell — cheaper queries, slightly coarser codes, and at
+    * nprobe = nlist the search is EXACTLY the flat [[searchIndex]]
+    * (PqSpec pins the equality).
+    *
+    * Layout: `dir/codes` (cell=<c>/ partitioned; neighbor_id, codes),
+    * `dir/vecs`, `dir/books`, `dir/centroids`, `dir/meta` (written LAST).
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, m: Int = 8, ksub: Int = 16, nlist: Int = 16,
+      iters: Int = 3, seed: Long = 42L, sampleOneIn: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    val cents = Ivf.trainCentroids(corpus, idCol, vecCol, nlist, iters, seed, sampleOneIn)
+    val books = trainCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters, seed, sampleOneIn)
+    val dsub = dim / m
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.select(col("id").as("neighbor_id"),
+        pqEncode(col("vec"), books, dsub).as("codes"),
+        element_at(nearestCells(col("vec"), cents, 1), 1).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    v.write.mode("overwrite").parquet(s"$dir/vecs")
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, kk) => (j, kk, c.toSeq) }
+    }.toSeq.toDF("j", "k", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/books")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((dim, m, ksub, nlist, seed)).toDF("dim", "m", "ksub", "nlist", "seed")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Top-k against a [[writeIvfPqIndex]] directory: probe each query's
+    * `nprobe` nearest cells, push the union of probed cells as a static
+    * partition filter on the code scan (unprobed cells' files never
+    * enter the listing), ADC-score only rows whose cell one of the
+    * query's probes covers, then shortlist + exact re-rank as in the
+    * flat path.
+    */
+  def searchIvfPqIndex(
+      spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nprobe: Int = 4, shortlistFactor: Int = 4): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val dim = meta.getAs[Int]("dim")
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val dsub = dim / m
+    val books: Array[Array[Array[Float]]] = {
+      val rows = spark.read.parquet(s"$dir/books").orderBy("j", "k").collect()
+      Array.tabulate(m)(j => rows.filter(_.getInt(0) == j).map(_.getSeq[Float](2).toArray))
+    }
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(nearestCells(col("qvec"), cents, nprobe)))
+      .withColumn("table", pqAdcTable(col("qvec"), books, dsub))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val codes = ScaleOut(spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(probed.map(Int.box): _*)))
+    // cell-keyed join (not a cross): a code row is scored only by the
+    // queries probing ITS cell, and since a corpus row lives in exactly
+    // one cell while a query's probes are distinct cells, (query, row)
+    // candidates are already unique — no dedup needed. ADC shortlist +
+    // exact re-rank follow the flat path's bounded-aggregate tail
+    val short = TopK.perQuery(
+        codes.join(broadcast(q),
+            codes("cell") === q("cell") && col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            pqAdcScore(col("codes"), col("table"), ksub).as("adc")),
+        shortlistFactor * k, scoreCol = "adc")
+      .select("query_id", "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
+        "query_id")
+    TopK.perQuery(
+      short
+        .join(spark.read.parquet(s"$dir/vecs")
+          .select(col("id").as("neighbor_id"), col("vec").as("nvec")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSim(col("qvec"), col("nvec")).as("cosine")),
+      k)
   }
 
   /** Top-k against a [[writeIndex]] directory: codebooks and parameters

@@ -67,9 +67,19 @@ object AnnQueries extends QueryFamily {
         dim = 64, m = 8, ksub = 16, iters = 3, seed = 42L)
     }
 
+  /** Build the persisted composed IVF+PQ index once per SOURCE STATE. */
+  private def stagedIvfPqIndexDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_ivfpq_index",
+      Seq(s"$dir/embeddings.parquet"),
+      s"64:8:16:$nlist:42", "meta/_SUCCESS") { stage =>
+      graft.operators.Pq.writeIvfPqIndex(table(s, dir, "embeddings"), stage,
+        dim = 64, m = 8, ksub = 16, nlist = nlist, iters = 3, seed = 42L)
+    }
+
   override def stages: Map[String, (SparkSession, String) => String] = Map(
     "ivf_index" -> (stagedIndexDir _),
-    "pq_index" -> (stagedPqIndexDir _))
+    "pq_index" -> (stagedPqIndexDir _),
+    "ivfpq_index" -> (stagedIvfPqIndexDir _))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_topk" -> ((s, dir) => {
@@ -117,6 +127,18 @@ object AnnQueries extends QueryFamily {
       val emb = table(s, dir, "embeddings")
       graft.operators.Pq.searchIndex(s, stagedPqIndexDir(s, dir),
           emb.filter(col("vec_id") < nQueries), k)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the COMPOSED IVF+PQ deployment shape: probed-cell partition
+    // pruning over 32x-smaller code rows, ADC within probed cells, exact
+    // re-rank. Rows-only like q39/q46/q93 (two learned quantizers);
+    // PqSpec pins nprobe=nlist == flat PQ, clustered-recall, and the
+    // partition-pruning plan shape
+    "q94_ann_topk_ivfpq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Pq.searchIvfPqIndex(s, stagedIvfPqIndexDir(s, dir),
+          emb.filter(col("vec_id") < nQueries), k, nprobe = nprobe)
         .orderBy("query_id", "rank")
     })
   )

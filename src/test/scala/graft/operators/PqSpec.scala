@@ -70,6 +70,32 @@ class PqSpec extends SparkTestBase {
     assert(rows(pq) === rows(exact))
   }
 
+  test("IVF+PQ: nprobe=nlist == flat PQ searchIndex; clustered nprobe=2 == " +
+      "exact brute force; unprobed cells pruned at the file listing") {
+    val flatDir = java.nio.file.Files.createTempDirectory("graft_pq_flat").toString
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Pq.writeIndex(clustered, flatDir, dim = dim, m = 8, ksub = 16)
+    Pq.writeIvfPqIndex(clustered, ivfDir, dim = dim, m = 8, ksub = 16, nlist = 6)
+    val queries = clustered.filter(col("vec_id") % 30 === 0)
+    // all cells probed => candidate set == flat scan => identical rows
+    val all = Pq.searchIvfPqIndex(spark, ivfDir, queries, k = 5, nprobe = 6,
+      shortlistFactor = 8)
+    val flat = Pq.searchIndex(spark, flatDir, queries, k = 5, shortlistFactor = 8)
+    assert(rows(all) === rows(flat))
+    // clustered regime at nprobe=2: the query's own cell dominates; with
+    // a cluster-covering shortlist the result is exactly brute force
+    val pruned = Pq.searchIvfPqIndex(spark, ivfDir, queries, k = 5, nprobe = 2,
+      shortlistFactor = 8)
+    assert(rows(pruned) === rows(Ann.bruteForceTopK(clustered, queries, 5)))
+    // partition pruning: the code scan's PartitionFilters lists probed
+    // cells (the IvfSpec pin, over 32x-smaller rows)
+    val scan = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet"))
+      .getOrElse(fail("no FileScan in IVF+PQ plan"))
+    assert("""PartitionFilters: \[[^\]]*cell#\d+ IN""".r.findFirstIn(scan).isDefined,
+      s"IVF+PQ code scan lacks cell-pruning PartitionFilters: $scan")
+  }
+
   test("staged index path == in-memory path; codes genuinely compress") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
     Pq.writeIndex(clustered, dir, dim = dim, m = 8, ksub = 16)
