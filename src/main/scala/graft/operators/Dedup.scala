@@ -8,6 +8,7 @@ import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions._
 import graft.functions.expr.HashFunctions._
 import graft.functions.expr.VectorFunctions.{cosineSim, nearestCells}
+import graft.sources.Segments
 
 /** Deduplication operators for the documents pipeline, each designed for
   * the 100 TB shape:
@@ -316,16 +317,29 @@ object Dedup {
     * deployment contract promises ("after the ingest, append the
     * increment's bucket/set rows to keep the index current"), as an
     * operator. Signature parameters come from the index meta, so the
-    * appended rows and the stored rows cannot disagree; writes are
-    * append-only (corpus files are never rewritten, meta is untouched).
-    * The caller owns the ingest invariant (ids disjoint from what the
-    * index already holds) and ordering (append AFTER the batch's own
-    * probe, as [[graft.streaming.MinhashIngestStream]] does).
+    * appended rows and the stored rows cannot disagree; the corpus files
+    * are never rewritten and meta is untouched.
+    *
+    * The append is a [[graft.sources.Segments]] COMMIT: both frames land
+    * in one segment whose marker rename is the atomic publish, so a crash
+    * between the bucket and set writes can never leave bucket rows whose
+    * set rows are missing (candidates that silently fail the verify join
+    * — the r8 advice finding), and a caller that names the segment
+    * deterministically (`seg = Some("batch-<id>")` from a streaming
+    * checkpoint, as [[graft.streaming.MinhashIngestStream]] does) gets
+    * exactly-once appends under at-least-once batch replay — an already
+    * committed segment is skipped whole. The caller owns the ingest
+    * invariant (ids disjoint from what the index already holds) and
+    * ordering (append AFTER the batch's own probe).
     */
   def appendToMinhashIndex(
       increment: DataFrame, dir: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      seg: Option[String] = None): Unit = {
     val spark = increment.sparkSession
+    val segName = seg.getOrElse(
+      "append-" + java.util.UUID.randomUUID().toString.take(8))
+    if (Segments.isCommitted(spark, dir, segName)) return
     val meta = spark.read.parquet(s"$dir/meta").head()
     val n = meta.getAs[Int]("n")
     val numHashes = meta.getAs[Int]("num_hashes")
@@ -335,12 +349,14 @@ object Dedup {
     CacheScope.scoped {
       val sets = CacheScope.pin(
         shingled(increment, idCol, textCol, n), StorageLevel.MEMORY_AND_DISK)
-      bandBuckets(
+      Segments.writePart(
+        bandBuckets(
           sets.select(col("id"), minhashSignature(col("shingles"), numHashes, seed).as("sig")),
-          bands, r)
-        .write.mode("append").parquet(s"$dir/buckets")
-      hashedKeySets(sets).write.mode("append").parquet(s"$dir/sets")
+          bands, r),
+        dir, "buckets", segName)
+      Segments.writePart(hashedKeySets(sets), dir, "sets", segName)
     }
+    Segments.commit(spark, dir, segName)
   }
 
   /** Near-dup pairs TOUCHING an increment — increment-vs-corpus and
@@ -380,7 +396,7 @@ object Dedup {
     // partitions, and a small corpus index read as 1-2 parquet splits
     // would serialize that work on 1-2 cores (no-op at scale, where the
     // bucket scan arrives wide on its own)
-    val corpusBuckets = ScaleOut(spark.read.parquet(s"$dir/buckets"))
+    val corpusBuckets = ScaleOut(Segments.readPart(spark, dir, "buckets"))
     // probe side = corpus buckets ∪ increment buckets; the `corpus` flag
     // keeps pair semantics straight: inc-vs-corpus pairs in either id
     // order, inc-vs-inc deduped by id order. The small increment side
@@ -397,7 +413,7 @@ object Dedup {
     // (increment wins on an id collision via the anti-join)
     val incKeys = hashedKeySets(incSets)
     val sets = incKeys.unionByName(
-      spark.read.parquet(s"$dir/sets")
+      Segments.readPart(spark, dir, "sets")
         .join(incKeys.select("id"), Seq("id"), "left_anti"))
     verifyJaccardHashed(candidates, sets, threshold)
   }
@@ -783,7 +799,7 @@ object Dedup {
     */
   def semanticNearDupPairsFromIndex(
       spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame =
-    cellPairScore(ScaleOut(spark.read.parquet(s"$dir/assigned")), threshold)
+    cellPairScore(ScaleOut(Segments.readPart(spark, dir, "assigned")), threshold)
 
   /** Semantic near-dup pairs TOUCHING an increment — increment-vs-corpus
     * and increment-vs-increment, never corpus-vs-corpus — against a
@@ -813,7 +829,7 @@ object Dedup {
     // inc-vs-inc deduped by id order); the increment side broadcasts,
     // the stored index streams wide
     val baseSide = ScaleOut(
-        spark.read.parquet(s"$dir/assigned").select("id", "cell"))
+        Segments.readPart(spark, dir, "assigned").select("id", "cell"))
       .withColumn("corpus", lit(true))
       .unionByName(incCells.withColumn("corpus", lit(false)))
     val candidates = broadcast(incCells.as("a")).join(baseSide.as("b"),
@@ -823,7 +839,7 @@ object Dedup {
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
     val vecs = inc.unionByName(
-      spark.read.parquet(s"$dir/vecs").join(inc.select("id"), Seq("id"), "left_anti"))
+      Segments.readPart(spark, dir, "vecs").join(inc.select("id"), Seq("id"), "left_anti"))
     candidates
       .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
@@ -863,23 +879,30 @@ object Dedup {
   /** Append an increment's bucket and vector rows to a
     * [[writeEmbeddingIndex]] directory — the embedding mirror of
     * [[appendToMinhashIndex]] (same contract: parameters from meta,
-    * append-only writes, caller owns id-disjointness and probe-before-
-    * append ordering).
+    * segment-committed atomic writes, replay-safe under a caller-named
+    * `seg`, caller owns id-disjointness and probe-before-append
+    * ordering).
     */
   def appendToEmbeddingIndex(
       increment: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seg: Option[String] = None): Unit = {
     val spark = increment.sparkSession
+    val segName = seg.getOrElse(
+      "append-" + java.util.UUID.randomUUID().toString.take(8))
+    if (Segments.isCommitted(spark, dir, segName)) return
     val meta = spark.read.parquet(s"$dir/meta").head()
     val planes = meta.getAs[Int]("planes")
     val tables = meta.getAs[Int]("tables")
     val dim = meta.getAs[Int]("dim")
     val seed = meta.getAs[Long]("seed")
     val v = increment.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    Ann.withBuckets(v, "vec", planes, tables, dim, seed)
-      .select("id", "table", "bucket")
-      .write.mode("append").parquet(s"$dir/buckets")
-    v.write.mode("append").parquet(s"$dir/vecs")
+    Segments.writePart(
+      Ann.withBuckets(v, "vec", planes, tables, dim, seed)
+        .select("id", "table", "bucket"),
+      dir, "buckets", segName)
+    Segments.writePart(v, dir, "vecs", segName)
+    Segments.commit(spark, dir, segName)
   }
 
   /** Append an increment's cell assignments and vector rows to a
@@ -891,16 +914,22 @@ object Dedup {
     */
   def appendToSemanticIndex(
       increment: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seg: Option[String] = None): Unit = {
     val spark = increment.sparkSession
+    val segName = seg.getOrElse(
+      "append-" + java.util.UUID.randomUUID().toString.take(8))
+    if (Segments.isCommitted(spark, dir, segName)) return
     val nassign = spark.read.parquet(s"$dir/meta").head().getAs[Int]("nassign")
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
     val v = increment.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    v.select(col("id"), col("vec"),
-        explode(nearestCells(col("vec"), cents, nassign)).as("cell"))
-      .write.mode("append").parquet(s"$dir/assigned")
-    v.write.mode("append").parquet(s"$dir/vecs")
+    Segments.writePart(
+      v.select(col("id"), col("vec"),
+        explode(nearestCells(col("vec"), cents, nassign)).as("cell")),
+      dir, "assigned", segName)
+    Segments.writePart(v, dir, "vecs", segName)
+    Segments.commit(spark, dir, segName)
   }
 
   /** Embedding near-dup pairs TOUCHING an increment — increment-vs-corpus
@@ -947,7 +976,8 @@ object Dedup {
     // id order, inc-vs-inc deduped by id order). The increment side
     // broadcasts; the stored index is the big, streamed side — widened
     // (see scaladoc) because candidate volume lands in ITS partitions.
-    val baseSide = ScaleOut(spark.read.parquet(s"$dir/buckets")).withColumn("corpus", lit(true))
+    val baseSide = ScaleOut(Segments.readPart(spark, dir, "buckets"))
+      .withColumn("corpus", lit(true))
       .unionByName(incBase.withColumn("corpus", lit(false)))
     val candidates = broadcast(incProbed.as("a")).join(baseSide.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
@@ -958,7 +988,7 @@ object Dedup {
     // verification vectors: the increment's own, plus the stored corpus
     // vectors (increment wins on an id collision via the anti-join)
     val vecs = inc.unionByName(
-      spark.read.parquet(s"$dir/vecs").join(inc.select("id"), Seq("id"), "left_anti"))
+      Segments.readPart(spark, dir, "vecs").join(inc.select("id"), Seq("id"), "left_anti"))
     candidates
       .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
