@@ -34,7 +34,8 @@ object Bench {
 
   /** Micro-batch Structured Streaming queries (checkpointed sinks). */
   private def isStreaming(name: String): Boolean =
-    Set("q36", "q38", "q44", "q47", "q49", "q57", "q64", "q83", "q92").contains(name.take(3))
+    Set("q36", "q38", "q44", "q47", "q49", "q57", "q64", "q83", "q92", "q95")
+      .contains(name.take(3))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -85,6 +85,25 @@ object DedupQueries extends QueryFamily {
     org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
 
+  /** The embedding increment (vec_id >= corpusSplit) staged as a
+    * THREE-file parquet feed, so q95's ingest stream drains >= 3
+    * micro-batches under maxFilesPerTrigger=1 — same pattern as the q92
+    * document feed.
+    */
+  private def stagedEmbFeedDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_emb_feed",
+      Seq(s"$dir/embeddings.parquet"), s"inc$corpusSplit:files=3", "_SUCCESS") { stage =>
+      table(s, dir, "embeddings").filter(col("vec_id") >= corpusSplit)
+        .select("vec_id", "embedding")
+        .repartition(3)
+        .write.mode("overwrite").parquet(stage)
+    }
+
+  private val embFeedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+
   /** Copy a staged (immutable) index directory into a per-run scratch
     * dir the ingest is allowed to mutate.
     */
@@ -184,6 +203,7 @@ object DedupQueries extends QueryFamily {
     "keeplist" -> (stagedKeepListDir _),
     "keeplist_corpus" -> (stagedCorpusKeepListDir _),
     "docs_feed" -> (stagedDocsFeedDir _),
+    "emb_feed" -> (stagedEmbFeedDir _),
     "span_index_full" -> (stagedSpanIndexDir _),
     "span_index_corpus" -> (stagedSpanCorpusIndexDir _),
     "emb_index" -> (stagedEmbeddingIndexDir _),
@@ -345,7 +365,9 @@ object DedupQueries extends QueryFamily {
     // each probes the (per-run copy of the) corpus MinHash index and
     // then appends itself, so cross-batch near-dups are caught — the
     // drained output must equal the single-shot q70 answer (same
-    // oracle), proving batch boundaries are invisible
+    // oracle), proving batch boundaries are invisible. compactEvery=2
+    // runs the scheduled segment compaction mid-stream, so the
+    // correctness gate also proves probes are compaction-transparent
     "q92_dedup_ingest_stream" -> ((s, dir) =>
       graft.streaming.MinhashIngestStream.ingest(
           s, stagedDocsFeedDir(s, dir), docsFeedSchema,
@@ -353,7 +375,24 @@ object DedupQueries extends QueryFamily {
             Scratch.freshDir(s, "q92idx", dir)),
           Scratch.freshDir(s, "q92out", dir),
           Scratch.freshDir(s, "q92ckpt", dir),
-          threshold = jaccardThreshold, maxFilesPerTrigger = Some(1))
+          threshold = jaccardThreshold, maxFilesPerTrigger = Some(1),
+          compactEvery = 2)
+        .orderBy("id_a", "id_b")),
+
+    // streaming EMBEDDING ingest dedup: the q78 probe + segment-committed
+    // index append as one running operator ([[graft.streaming
+    // .EmbeddingIngestStream]]); drained output must equal the
+    // single-shot q78 answer (same exact-restricted oracle), with
+    // mid-stream segment compaction proven probe-transparent
+    "q95_dedup_ingest_stream_embedding" -> ((s, dir) =>
+      graft.streaming.EmbeddingIngestStream.ingest(
+          s, stagedEmbFeedDir(s, dir), embFeedSchema,
+          copiedIndexDir(s, stagedEmbeddingIndexDir(s, dir),
+            Scratch.freshDir(s, "q95idx", dir)),
+          Scratch.freshDir(s, "q95out", dir),
+          Scratch.freshDir(s, "q95ckpt", dir),
+          threshold = cosineThreshold, maxFilesPerTrigger = Some(1),
+          compactEvery = 2)
         .orderBy("id_a", "id_b")),
 
     "q91_dedup_groups_incremental" -> ((s, dir) => {
@@ -680,6 +719,15 @@ object DedupQueries extends QueryFamily {
     // pair semantics, different candidate structure (k-means cells vs
     // hyperplane buckets) — both must land on the exact answer
     "q90_dedup_semantic_incremental" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(${cosineExpr("a", "b")}, 6) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ${cosineExpr("a", "b")} >= $cosineThreshold
+            AND (a.vec_id >= $corpusSplit OR b.vec_id >= $corpusSplit)
+          ORDER BY id_a, id_b""",
+    // the streamed embedding ingest must land on the identical
+    // single-shot q78 answer
+    "q95_dedup_ingest_stream_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  ROUND(${cosineExpr("a", "b")}, 6) AS cosine
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
