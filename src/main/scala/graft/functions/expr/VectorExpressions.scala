@@ -172,6 +172,72 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]], nprob
   override def prettyName: String = "nearest_cells"
 }
 
+/** Quantizer-drift kernel: (argmin cell, L2 distance) of a vector
+  * against a bound centroid set, composed EXACTLY as
+  * `sqrt(max(dot(v,v) - 2*dot(v,c) + dot(c,c), 0))` with every dot a
+  * sequential double fold — the arithmetic a SQL oracle reproduces
+  * verbatim from three LIST_DOT_PRODUCTs (the q24 cosine precedent), so
+  * the drift audit gets a bit-exact oracle despite the learned centroids.
+  * Ties pick the lower cell (strict `<`), matching the oracle's
+  * MIN(cell)-at-min-distance.
+  */
+object DriftOps {
+  def selfDot(c: Array[Float]): Double = {
+    var s = 0.0
+    var k = 0
+    while (k < c.length) { s += c(k).toDouble * c(k).toDouble; k += 1 }
+    s
+  }
+
+  def nearestDist(
+      vec: ArrayData, cents: Array[Array[Float]], cc: Array[Double]):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    var vv = 0.0
+    var j = 0
+    while (j < n) { val x = vec.getFloat(j).toDouble; vv += x * x; j += 1 }
+    var best = 0
+    var bestD2 = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val lim = math.min(n, c.length)
+      var vc = 0.0
+      var k = 0
+      while (k < lim) { vc += vec.getFloat(k).toDouble * c(k).toDouble; k += 1 }
+      val d2 = vv - 2.0 * vc + cc(i)
+      if (d2 < bestD2) { bestD2 = d2; best = i }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, math.sqrt(math.max(bestD2, 0.0)))
+  }
+}
+
+/** nearest_cell_dist(vec) -> struct<cell:int, dist:double> against the
+  * bound centroid set (plan reference object, KB-sized). The audit-grade
+  * double-precision complement of [[NearestCells]] (whose float kernel is
+  * the ASSIGNMENT path): same argmin on unit-norm-trained centroids, but
+  * an arithmetic contract a SQL oracle can replay bit-exactly.
+  */
+case class NearestCellDistance(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  private lazy val cc: Array[Double] = centroids.map(DriftOps.selfDot)
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    DriftOps.nearestDist(v.asInstanceOf[ArrayData], centroids, cc)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refC = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val refCC = ctx.addReferenceObj("cc", cc, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expr.DriftOps.nearestDist($c, $refC, $refCC)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nearest_cell_dist"
+}
+
 /** Base for binary float-vector -> double expressions with static-call
   * codegen. Spark lacks native vector similarity kernels; higher-order
   * `aggregate`/`zip_with` equivalents run interpreted per element, which
@@ -230,6 +296,9 @@ object VectorFunctions {
   def nearestCells(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     GraftBridge.column(NearestCells(
       GraftBridge.expression(vec), centroids, nprobe))
+  def nearestCellDistance(vec: Column, centroids: Array[Array[Float]]): Column =
+    GraftBridge.column(NearestCellDistance(
+      GraftBridge.expression(vec), centroids))
   def bucketProbes(sig: Column, planes: Int): Column =
     GraftBridge.column(BucketProbes(GraftBridge.expression(sig), planes))
 }

@@ -783,11 +783,21 @@ object Dedup {
         explode(nearestCells(col("vec"), cents, nassign)).as("cell"))
       .write.mode("overwrite").parquet(s"$dir/assigned")
     v.write.mode("overwrite").parquet(s"$dir/vecs")
+    // training assignment-distance distribution: the reference point the
+    // drift audit ([[semanticDrift]]) compares appended increments
+    // against — "codebook drift is the rebuild trigger" needs a recorded
+    // baseline to be observable, not a comment. One corpus aggregate.
+    val trainStats = v
+      .select(graft.functions.expr.VectorFunctions
+        .nearestCellDistance(col("vec"), cents).getField("dist").as("dist"))
+      .agg(avg(col("dist")).as("mean"), count(lit(1)).as("n"))
+      .head()
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    Seq((nlist, nassign, seed)).toDF("nlist", "nassign", "seed")
+    Seq((nlist, nassign, seed, trainStats.getDouble(0), trainStats.getLong(1)))
+      .toDF("nlist", "nassign", "seed", "train_mean_dist", "train_n")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -930,6 +940,43 @@ object Dedup {
       dir, "assigned", segName)
     Segments.writePart(v, dir, "vecs", segName)
     Segments.commit(spark, dir, segName)
+  }
+
+  /** Quantizer DRIFT audit for a [[writeSemanticIndex]] directory: for
+    * each increment vector, its nearest stored centroid (double-precision
+    * argmin), the L2 distance, and that distance relative to the
+    * meta-recorded mean assignment distance of the TRAINING corpus
+    * (`drift` — ≈1 means the increment looks like the distribution the
+    * codebook was trained on; sustained ≫1 means the codebook no longer
+    * represents arriving data and the documented rebuild trigger for
+    * [[appendToSemanticIndex]]'s no-retrain append contract has fired).
+    *
+    * The arithmetic is the oracle-replayable composition
+    * `sqrt(max(dot(v,v) - 2*dot(v,c) + dot(c,c), 0))` ([[graft.functions
+    * .expr.NearestCellDistance]], sequential double folds) — distances
+    * are pure arithmetic over (vector, stored centroids), so a SQL oracle
+    * recomputes them bit-exactly from centroid literals the way q22/q32
+    * replay the hash kernels. The float-kernel assignment path
+    * ([[graft.functions.expr.NearestCells]]) stays the index's own
+    * assignment arithmetic; this is the monitoring statistic.
+    *
+    * Scale shape: centroids and the train mean are driver-resident KBs;
+    * the increment maps once through a codegen'd projection — no shuffle,
+    * no corpus read at all.
+    */
+  def semanticDrift(
+      spark: SparkSession, dir: String, increment: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val trainMean = meta.getAs[Double]("train_mean_dist")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+    ScaleOut(increment.select(col(idCol), col(vecCol).as("vec")))
+      .withColumn("nd",
+        graft.functions.expr.VectorFunctions.nearestCellDistance(col("vec"), cents))
+      .select(col(idCol), col("nd.cell").as("cell"),
+        round(col("nd.dist"), 6).as("dist"),
+        round(col("nd.dist") / lit(trainMean), 6).as("drift"))
   }
 
   /** Embedding near-dup pairs TOUCHING an increment — increment-vs-corpus

@@ -168,7 +168,7 @@ object DedupQueries extends QueryFamily {
   private def stagedSemanticIndexDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_sem_index",
       Seq(s"$dir/embeddings.parquet"),
-      s"full:8:3:42", "meta/_SUCCESS") { stage =>
+      s"full:8:3:42:drift", "meta/_SUCCESS") { stage =>
       Dedup.writeSemanticIndex(table(s, dir, "embeddings"), stage,
         nlist = 8, nassign = 3)
     }
@@ -179,7 +179,7 @@ object DedupQueries extends QueryFamily {
   private def stagedSemanticCorpusIndexDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_sem_index",
       Seq(s"$dir/embeddings.parquet"),
-      s"corpus$corpusSplit:8:3:42", "meta/_SUCCESS") { stage =>
+      s"corpus$corpusSplit:8:3:42:drift", "meta/_SUCCESS") { stage =>
       Dedup.writeSemanticIndex(
         table(s, dir, "embeddings").filter(col("vec_id") < corpusSplit),
         stage, nlist = 8, nassign = 3)
@@ -261,6 +261,19 @@ object DedupQueries extends QueryFamily {
           table(s, dir, "embeddings").filter(col("vec_id") >= corpusSplit),
           threshold = cosineThreshold)
         .orderBy("id_a", "id_b")),
+
+    // quantizer-drift audit: each increment vector's distance to its
+    // nearest STORED centroid, relative to the meta-recorded training
+    // mean — the observable form of the "codebook drift is the rebuild
+    // trigger" contract on [[Dedup.appendToSemanticIndex]]. The oracle is
+    // generated from the same staged quantizer state (see [[q96Sql]])
+    "q96_semantic_drift" -> ((s, dir) => {
+      val idx = stagedSemanticCorpusIndexDir(s, dir)
+      q96Oracle = Some(q96Sql(s, idx))
+      Dedup.semanticDrift(s, idx,
+          table(s, dir, "embeddings").filter(col("vec_id") >= corpusSplit))
+        .orderBy("vec_id")
+    }),
 
     // incremental ingest: documents with doc_id >= 250 arrive as the new
     // batch and dedupe against themselves plus the doc_id < 250 corpus's
@@ -647,7 +660,53 @@ object DedupQueries extends QueryFamily {
         WHERE ${cosineExpr("a", "b")} >= $cosineThreshold
         ORDER BY id_a, id_b"""
 
-  def oracleSql: Map[String, String] = Map(
+  /** q96's oracle is GENERATED from the staged quantizer state the query
+    * ran against: the stored centroids and recorded training mean become
+    * SQL literals, and the assignment distances are then pure arithmetic
+    * DuckDB recomputes independently — the q22/q32 hash-kernel pattern
+    * extended to learned state (pinned as constants, the computation
+    * verified). Captured when the query runs; the driver always runs the
+    * full query set before dumping oracle_sql.json, so the entry is
+    * present on every correctness run (a restricted dev dump that skips
+    * q96 falls back to the driver's rows-only check).
+    */
+  @volatile private var q96Oracle: Option[String] = None
+
+  /** Every double is emitted in exponent form (`0.5E0`): DuckDB types
+    * exponent literals DOUBLE directly, and `Double.toString` is the
+    * shortest round-trip representation, so the parsed constant is
+    * bit-identical to the engine's.
+    */
+  private def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.contains('E') || s.contains('e')) s else s + "E0"
+  }
+
+  private def q96Sql(s: SparkSession, idx: String): String = {
+    val trainMean = s.read.parquet(s"$idx/meta").head().getAs[Double]("train_mean_dist")
+    val rows = s.read.parquet(s"$idx/centroids").orderBy("cell").collect()
+      .map { r =>
+        val c = r.getSeq[Float](1).toArray
+        val cc = graft.functions.expr.DriftOps.selfDot(c)
+        s"(${r.getInt(0)}, CAST([${c.map(x => dlit(x.toDouble)).mkString(", ")}] AS DOUBLE[]), ${dlit(cc)})"
+      }.mkString(", ")
+    s"""WITH cents(cell, c, cc) AS (VALUES $rows),
+        d AS (
+          SELECT e.vec_id, c.cell,
+                 LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                   - 2 * LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.c) + c.cc AS d2
+          FROM embeddings e CROSS JOIN cents c
+          WHERE e.vec_id >= $corpusSplit),
+        m AS (SELECT vec_id, MIN(d2) AS md2 FROM d GROUP BY vec_id)
+        SELECT d.vec_id, MIN(d.cell) AS cell,
+               ROUND(SQRT(GREATEST(m.md2, 0)), 6) AS dist,
+               ROUND(SQRT(GREATEST(m.md2, 0)) / ${dlit(trainMean)}, 6) AS drift
+        FROM d JOIN m ON d.vec_id = m.vec_id AND d.d2 = m.md2
+        GROUP BY d.vec_id, m.md2
+        ORDER BY d.vec_id"""
+  }
+
+  def oracleSql: Map[String, String] = q96Oracle.map("q96_semantic_drift" -> _).toMap ++ Map(
     "q20_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents

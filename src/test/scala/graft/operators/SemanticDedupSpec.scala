@@ -169,6 +169,62 @@ class SemanticDedupSpec extends SparkTestBase {
     }), s"no pair against appended first-increment members: ${got.size} pairs")
   }
 
+  test("semanticDrift: planted drifted increment fires; in-distribution does not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_drift").toString
+    Dedup.writeSemanticIndex(corpus, dir, nlist = 4, nassign = 2)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    assert(meta.getAs[Double]("train_mean_dist") > 0.0)
+    assert(meta.getAs[Long]("train_n") === corpus.count())
+    val rnd = new scala.util.Random(99L)
+    // in-distribution: more members of the trained clusters; drifted: a
+    // vector 10x outside the training envelope (a new modality/scale —
+    // exactly what a no-retrain append must surface)
+    val inDist = corpus.limit(5)
+      .select(col("vec_id") + 5000L as "vec_id", col("embedding"))
+    val far = Seq((9000L, Array.fill(dim)((rnd.nextDouble() * 20 - 10).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val drift = Dedup.semanticDrift(spark, dir, inDist.unionByName(far))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (farCell, farDist, farDrift) = drift(9000L)
+    assert(farCell >= 0 && farCell < 4)
+    assert(farDist > 0.0)
+    assert(farDrift > 3.0, s"planted out-of-distribution vector must fire: $farDrift")
+    val inDrifts = drift.view.filterKeys(_ < 9000L).values.map(_._3)
+    assert(inDrifts.forall(d => d > 0.0 && d < 2.0),
+      s"in-distribution members must score near the train mean: ${inDrifts.toList}")
+  }
+
+  test("semanticDrift arithmetic == the declarative double fold (oracle contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_drift2").toString
+    Dedup.writeSemanticIndex(corpus, dir, nlist = 4, nassign = 2)
+    val trainMean = spark.read.parquet(s"$dir/meta").head().getAs[Double]("train_mean_dist")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+    val inc = corpus.limit(20)
+    val got = Dedup.semanticDrift(spark, dir, inc)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // reference: the same sqrt(vv - 2*vc + cc) sequential-double fold,
+    // computed independently — what the generated SQL oracle replays
+    inc.collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      val vv = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      val d2s = cents.map { c =>
+        var vc = 0.0
+        var k = 0
+        while (k < v.length) { vc += v(k).toDouble * c(k).toDouble; k += 1 }
+        vv - 2.0 * vc + graft.functions.expr.DriftOps.selfDot(c)
+      }
+      val best = d2s.indexOf(d2s.min)
+      val dist = math.sqrt(math.max(d2s.min, 0.0))
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) === ((best, r6(dist), r6(dist / trainMean))),
+        s"drift mismatch for vec $id")
+    }
+  }
+
   test("the incremental probe reads ONLY the index — never the corpus source") {
     val split = 90L
     val srcDir = java.nio.file.Files.createTempDirectory("graft_sem_src").toString + "/emb"
