@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -76,6 +77,79 @@ object UnigramLm {
       .crossJoin(broadcast(n)) // 1-row scalar, not a data-sized cross
       .select(col(idCol), col("n_tokens"),
         round(log(col("n")) - col("mean_ln_cf"), 6).as("nll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("nll"))
+  }
+
+  /** Per-document BIGRAM NLL with add-one (Laplace) smoothing — the next
+    * model up the CCNet ladder from [[scoreDocs]]: unigram MLE scores
+    * word-salad reorderings exactly like prose, a bigram model does not
+    * (gibberish pays through unseen transitions). Same surface and
+    * zero-token contract as [[scoreDocs]]: (idCol, n_tokens, nll 6dp),
+    * blank/whitespace docs emitted with n_tokens=0 and NULL nll.
+    *
+    * Model: every position scores its transition, the first against the
+    * BOS context `""` (never a real token — blank splits are filtered —
+    * so the sentinel cannot collide and n_positions == n_tokens):
+    *
+    *   p(cur | prev) = (bcf(prev, cur) + 1) / (ctx(prev) + V)
+    *
+    * with bcf the corpus bigram count, ctx(prev) = Σ_cur bcf(prev, cur)
+    * (so BOS's context mass is the doc count), and V the unigram
+    * vocabulary size — the standard add-one estimator, every transition
+    * seen or unseen gets positive mass.
+    *
+    * Scale shape mirrors [[scoreDocs]], with bigram keys: token
+    * adjacency comes from one `lag` window keyed by (doc, pos) — a
+    * per-document shuffle with no hot key, docs being bounded — and the
+    * Zipfian scoring joins split by frequency: the top-`headVocab`
+    * bigrams and contexts BROADCAST (bigram frequency is itself Zipfian
+    * — "of the" is the new "the"), only the near-uniform tails shuffle
+    * by their keys. The adjacency stream is pinned (feeds the bigram
+    * count and the scoring join); bcf is pinned (feeds head selection,
+    * the tail join, and the context aggregate, and is vocab²-bounded —
+    * corpus-size-independent). The closing doc-keyed aggregation
+    * map-side-combines as in the unigram.
+    */
+  def scoreDocsBigram(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      headVocab: Int = 1 << 16): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val tok = CacheScope.pin(
+      ScaleOut(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+        .filter(col("token") =!= ""),
+      StorageLevel.MEMORY_AND_DISK)
+    val bg = CacheScope.pin(
+      tok.select(col(idCol),
+        coalesce(lag(col("token"), 1).over(w), lit("")).as("prev"),
+        col("token").as("cur")),
+      StorageLevel.MEMORY_AND_DISK)
+    val bcf = CacheScope.pin(
+      bg.groupBy("prev", "cur").agg(count(lit(1)).as("bcf")),
+      StorageLevel.MEMORY_AND_DISK)
+    val ctx = bcf.groupBy("prev").agg(sum("bcf").as("ctx"))
+    val vRow = tok.agg(countDistinct(col("token")).cast("double").as("v"))
+    // Zipf head of the BIGRAM table: one broadcast join covers the bulk
+    // of transition rows; only head-miss rows shuffle by (prev, cur)
+    val headBg = bcf.orderBy(col("bcf").desc, col("prev"), col("cur")).limit(headVocab)
+    val tailBg = bcf.join(broadcast(headBg.select("prev", "cur")), Seq("prev", "cur"), "left_anti")
+    val bgJoined = bg.join(broadcast(headBg), Seq("prev", "cur"), "left")
+    val withBcf = bgJoined.filter(col("bcf").isNotNull).unionByName(
+      bgJoined.filter(col("bcf").isNull).drop("bcf")
+        .join(tailBg, Seq("prev", "cur")))
+    // same split for the CONTEXT counts, keyed by prev alone
+    val headCtx = ctx.orderBy(col("ctx").desc, col("prev")).limit(headVocab)
+    val tailCtx = ctx.join(broadcast(headCtx.select("prev")), Seq("prev"), "left_anti")
+    val ctxJoined = withBcf.join(broadcast(headCtx), Seq("prev"), "left")
+    val scored = ctxJoined.filter(col("ctx").isNotNull).unionByName(
+        ctxJoined.filter(col("ctx").isNull).drop("ctx").join(tailCtx, Seq("prev")))
+      .crossJoin(broadcast(vRow)) // 1-row scalar, not a data-sized cross
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("ctx") + col("v")) - log(col("bcf") + lit(1))).as("mean_nll"))
+      .select(col(idCol), col("n_tokens"), round(col("mean_nll"), 6).as("nll"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("nll"))

@@ -304,6 +304,13 @@ object TextQueries extends QueryFamily {
     // [[graft.operators.UnigramLm]]
     "q89_unigram_logprob" -> ((s, dir) =>
       graft.operators.UnigramLm.scoreDocs(table(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // bigram upgrade with add-one smoothing: transitions (incl. a BOS ""
+    // context) pay for being unseen — materially better at scoring
+    // gibberish than the unigram, same head/tail Zipf split execution
+    "q97_bigram_logprob" -> ((s, dir) =>
+      graft.operators.UnigramLm.scoreDocsBigram(table(s, dir, "documents"))
         .orderBy("doc_id"))
   )
 
@@ -486,6 +493,31 @@ object TextQueries extends QueryFamily {
                        ROUND(LN((SELECT n FROM n)) - AVG(LN(cf.cf)), 6) AS nll
                 FROM tok t JOIN cf USING (token)
                 GROUP BY t.doc_id)
+            SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, p.nll
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY doc_id""",
+      // bigram NLL with add-one smoothing: every position scores its
+      // transition, position 1 against the BOS '' context; p(cur|prev) =
+      // (bcf+1)/(ctx+V). LEFT JOIN keeps zero-token docs as (0, NULL)
+      "q97_bigram_logprob" ->
+        s"""WITH toks0 AS (SELECT doc_id, $toks AS t FROM documents),
+              tokpos AS (
+                SELECT doc_id, i AS pos, t[i] AS token
+                FROM toks0, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t))) AS i) u),
+              tok AS (SELECT * FROM tokpos WHERE token <> ''),
+              bg AS (
+                SELECT doc_id,
+                       COALESCE(LAG(token) OVER (PARTITION BY doc_id ORDER BY pos), '') AS prev,
+                       token AS cur
+                FROM tok),
+              bcf AS (SELECT prev, cur, COUNT(*) AS bcf FROM bg GROUP BY prev, cur),
+              ctx AS (SELECT prev, SUM(bcf) AS ctx FROM bcf GROUP BY prev),
+              v AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v FROM tok),
+              per AS (
+                SELECT b.doc_id, COUNT(*) AS n_tokens,
+                       ROUND(AVG(LN(ctx.ctx + (SELECT v FROM v)) - LN(bcf.bcf + 1)), 6) AS nll
+                FROM bg b JOIN bcf USING (prev, cur) JOIN ctx USING (prev)
+                GROUP BY b.doc_id)
             SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, p.nll
             FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY doc_id""",

@@ -60,6 +60,58 @@ class UnigramLmSpec extends SparkTestBase {
       s"head-vocab scoring join must be a broadcast hash join on token:\n$phys")
   }
 
+  private def bigramScores(rows: Seq[(Long, String)], hv: Int = 1 << 16): Map[Long, (Long, Double)] =
+    UnigramLm.scoreDocsBigram(rows.toDF("doc_id", "text"), headVocab = hv)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))))
+      .toMap
+
+  test("bigram: hand-computed NLL with BOS context and add-one smoothing") {
+    // corpus: "a b" / "a c". V=3 {a,b,c}. bcf: ("",a)=2, (a,b)=1, (a,c)=1;
+    // ctx: ""=2, a=2.
+    // doc1 = [ln((2+3)/(2+1)) + ln((2+3)/(1+1))]/2 ; doc2 same by symmetry
+    val got = bigramScores(Seq((1L, "a b"), (2L, "a c")))
+    val expected = (math.log(5.0 / 3.0) + math.log(5.0 / 2.0)) / 2
+    assert(got(1L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - expected) < 1e-6)
+    assert(math.abs(got(2L)._2 - expected) < 1e-6)
+  }
+
+  test("bigram catches scrambled word order where the unigram cannot") {
+    // 20 copies of ordered prose + one doc with the SAME unigram
+    // distribution in scrambled order: identical unigram NLL by
+    // construction, but its transitions are unseen and pay the
+    // add-one penalty under the bigram
+    val prose = "the cat sat on the mat"
+    val scrambled = "mat the on sat cat the"
+    val corpus = (1L to 20L).map(i => (i, prose)) :+ (100L, scrambled)
+    val uni = scores(corpus)
+    assert(math.abs(uni(100L)._2 - uni(1L)._2) < 1e-9,
+      "unigram is order-blind by construction")
+    val bi = bigramScores(corpus)
+    assert(bi(100L)._2 > bi(1L)._2 + 0.5,
+      s"scrambled ${bi(100L)._2} must score above prose ${bi(1L)._2} under bigram")
+  }
+
+  test("bigram head/tail split is pure execution strategy (forced tail == pure broadcast)") {
+    val rows = Seq((1L, "a a b c d"), (2L, "a b e f"), (3L, "c c g a"),
+      (4L, "h i j"), (5L, "a b c"), (6L, ""))
+    def run(hv: Int) = UnigramLm.scoreDocsBigram(rows.toDF("doc_id", "text"), headVocab = hv)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(run(2) === run(1 << 16))
+  }
+
+  test("bigram zero-token docs are emitted with n_tokens=0 and NULL nll") {
+    val rows = UnigramLm.scoreDocsBigram(
+        Seq((1L, "real text here"), (2L, ""), (3L, "   ")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(1).getLong(1) === 0L && rows(1).isNullAt(2))
+    assert(rows(2).getLong(1) === 0L && rows(2).isNullAt(2))
+    assert(rows(0).getLong(1) === 3L && !rows(0).isNullAt(2))
+  }
+
   test("zero-token docs are emitted with n_tokens=0 and NULL nll") {
     val rows = UnigramLm.scoreDocs(
         Seq((1L, "real text here"), (2L, ""), (3L, "   ")).toDF("doc_id", "text"))
