@@ -49,7 +49,12 @@ object Bench {
     // noop sink: full execution of every operator and projection without
     // write-side cost (a bare .count() lets Catalyst prune projections,
     // under-measuring expression-heavy queries)
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // failures are VISIBLE, not silent (r8 advice): NonFatal only — an
+    // OOM/thread-death must kill the run, not record a bogus time — the
+    // query is named on stderr, and the error set lands in the artifact
+    val errored = scala.collection.mutable.TreeSet.empty[String]
+    def run(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // plan + action under one CacheScope: operator-pinned blocks are
       // released at scope exit, so one query's cached intermediates can't
@@ -58,7 +63,10 @@ object Bench {
         graft.operators.CacheScope.scoped {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(e) =>
+        errored += name
+        System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // untimed settle between streaming runs: drain GC debt and give the
@@ -66,15 +74,23 @@ object Bench {
     def settle(): Unit = { System.gc(); Thread.sleep(1500) }
     // untimed warmup: a scan-join-agg over the largest table touches the
     // executor pool, parquet reader, broadcast machinery, and codegen
-    SparkEntry.queries.get("q01_revenue_by_nation").foreach(run)
+    SparkEntry.queries.get("q01_revenue_by_nation").foreach(fn => run("warmup", fn))
+    errored.clear() // the warmup is not a measured query
     // pre-build every per-source-state stage UNTIMED, reporting each
     // build's cost as its own metric: a cold stage (fresh tmpdir in the
     // driver container) otherwise lands on run 1 of whichever query
-    // touches it first — invisible contamination in the artifact (r7)
+    // touches it first — invisible contamination in the artifact (r7).
+    // A FAILED build is named in the artifact (r8 advice: a swallowed
+    // failure re-lands the real build cost on run 1 of the first query
+    // that touches the stage, with no signal) — NonFatal only.
+    val stageErrors = scala.collection.mutable.TreeSet.empty[String]
     val stageTimes = SparkEntry.stages.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try graft.operators.CacheScope.scoped { fn(spark, sfDir); () }
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        stageErrors += name
+        System.err.println(s"[bench] stage $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (streaming, batch) =
@@ -84,27 +100,38 @@ object Bench {
     // spread between runs is the contention signal (a clean machine runs
     // near-equal pairs; a loaded one shows wide, correlated spread)
     val results: Seq[(String, Seq[Double])] = (light ++ heavy).map { case (name, fn) =>
-      name -> Seq(run(fn), run(fn))
+      name -> Seq(run(name, fn), run(name, fn))
     } ++ streaming.map { case (name, fn) =>
-      name -> Seq({ settle(); run(fn) }, { settle(); run(fn) })
+      name -> Seq({ settle(); run(name, fn) }, { settle(); run(name, fn) })
     }
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jarr(names: Iterable[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = jmap(results.map { case (k, v) => k -> v.min.toString })
     val total = results.map(_._2.min).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // per-query raw runs (spread = contention visibility)
-    println(s"""{"metric":"runs","unit":"sec","runs":${
-      jmap(results.map { case (k, v) => k -> v.mkString("[", ",", "]") })},"sf":"$sfDir"}""")
+    val runsJson = s"""{"metric":"runs","unit":"sec","runs":${
+      jmap(results.map { case (k, v) => k -> v.mkString("[", ",", "]") })},"sf":"$sfDir","errors":${jarr(errored)}}"""
+    println(runsJson)
     // untimed stage-build cost, itemized — rebuilds show up HERE, not in
-    // a query's number
-    println(s"""{"metric":"stage_build","value":${stageTimes.map(_._2).sum},"unit":"sec","stages":${
-      jmap(stageTimes.map { case (k, v) => k -> v.toString })},"sf":"$sfDir"}""")
+    // a query's number; failed builds are NAMED, their near-zero time is
+    // not trustworthy
+    val stagesJson = s"""{"metric":"stage_build","value":${stageTimes.map(_._2).sum},"unit":"sec","stages":${
+      jmap(stageTimes.map { case (k, v) => k -> v.toString })},"stage_errors":${jarr(stageErrors)},"sf":"$sfDir"}"""
+    println(stagesJson)
     // short trailing summary line: harvesters that keep only the tail of
     // the output would otherwise truncate the front of the (long)
     // per-query line and lose the total. Distinct metric name so a
     // consumer that aggregates by metric can't double-count the total.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errored.size},"sf":"$sfDir"}""")
+    // the COMPLETE per-query artifact, committed to the tree each round:
+    // the driver's BENCH_r{N}.json tail-truncates the long runs line, so
+    // regressions were not diffable without re-measuring (r8 verdict #5)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}\n$runsJson\n$stagesJson\n""")
     spark.stop()
   }
 }
