@@ -37,6 +37,14 @@ object VectorOps {
     val na = norm(a); val nb = norm(b)
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
+
+  def sub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = a.getFloat(i) - b.getFloat(i); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Random-hyperplane LSH kernel: per-table sign-bit signatures computed in
@@ -262,6 +270,24 @@ abstract class FloatVectorBinary extends BinaryExpression {
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.expr.VectorOps.$kernelName($a, $b)")
 }
 
+/** vec_sub(a, b) -> array<float>: element-wise difference, length = the
+  * shorter input. The residual-coding kernel (IVF+PQ `by_residual`):
+  * corpus-sized encode passes must stay inside whole-stage codegen — a
+  * `zip_with` lambda is CodegenFallback in Spark 4 (interpreted per
+  * element).
+  */
+case class VectorSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.expr.VectorOps.sub($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_sub"
+}
+
 /** cosine(a, b) over array<float> columns. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends FloatVectorBinary {
@@ -289,6 +315,9 @@ object VectorFunctions {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  def vecSub(a: Column, b: Column): Column =
+    GraftBridge.column(VectorSub(
       GraftBridge.expression(a), GraftBridge.expression(b)))
   def hyperplaneSigs(vec: Column, planes: Int, tables: Int, dim: Int, seed: Long): Column =
     GraftBridge.column(HyperplaneSigs(

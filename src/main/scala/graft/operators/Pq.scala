@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.expr.PqFunctions.{pqAdcScore, pqAdcTable, pqEncode}
 import graft.functions.expr.VectorFunctions.{cosineSim, nearestCells}
+import graft.sources.Segments
 
 /** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
   * Nearest Neighbor Search", TPAMI 2011) — the ANN representation for
@@ -52,6 +53,13 @@ object Pq {
     val train = sample.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val seedRows = train.orderBy(xxhash64(col("id"), lit(seed))).limit(ksub)
       .collect().map(_.getSeq[Float](1).toArray)
+    // a short sample would train short codebooks while the index meta
+    // still promised ksub — every later searchIndex would then throw its
+    // books/meta require (and an EMPTY sample would crash adcSearch):
+    // fail at the cause with the actionable knobs, not at the symptom
+    require(seedRows.length >= ksub,
+      s"PQ codebook training needs >= ksub=$ksub sample vectors, got ${seedRows.length}: " +
+        "lower ksub (or sampleOneIn) to fit the corpus")
     var books = Array.tabulate(m)(j =>
       seedRows.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
     var it = 0
@@ -161,35 +169,95 @@ object Pq {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** (cell, centroid) frame for a coarse-quantizer matrix — the
+    * broadcastable join side of residual encoding/search.
+    */
+  private def centroidsDf(
+      spark: SparkSession, cents: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
+  /** The per-cell encode input: raw vectors (`by_residual=false`), or
+    * residuals v − ref(cell) via the codegen'd [[graft.functions
+    * .expr.VectorSub]] kernel and a broadcast reference join. The
+    * reference is the CELL MEAN, not the (unit-norm) assignment
+    * centroid: the coarse quantizer is spherical (dot-product cells over
+    * unit centroids), so subtracting a unit centroid from vectors of
+    * arbitrary norm would leave residuals ≈ the raw vectors and buy
+    * nothing — the mean is the reconstruction reference that actually
+    * cancels the between-cell displacement. Columns: (id, cell, evec).
+    */
+  private def encodeInput(
+      assigned: DataFrame, refs: Array[Array[Float]], byResidual: Boolean): DataFrame =
+    if (byResidual)
+      assigned.join(broadcast(centroidsDf(assigned.sparkSession, refs)), "cell")
+        .select(col("id"), col("cell"),
+          graft.functions.expr.VectorFunctions.vecSub(col("vec"), col("centroid")).as("evec"))
+    else assigned.select(col("id"), col("cell"), col("vec").as("evec"))
+
+  /** Per-cell MEAN vectors of an assigned corpus — the residual
+    * reconstruction reference (`dir/cellmeans`). One aggregate; the
+    * collected result is nlist x dim, corpus-size-independent. Empty
+    * cells keep the zero vector (their residual IS the raw vector).
+    */
+  private def cellMeans(assigned: DataFrame, nlist: Int, dim: Int): Array[Array[Float]] = {
+    val rows = assigned
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .collect()
+    val out = Array.fill(nlist)(new Array[Float](dim))
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getAs[Double]("m").toFloat)
+    out
+  }
+
   /** Persist the COMPOSED IVF+PQ index — the FAISS-standard shape for
     * ANN over a corpus whose floats cannot be the working set AND whose
     * size forbids even a flat code scan: a coarse [[Ivf]] quantizer
     * assigns every vector to one of `nlist` cells, PQ codes are written
     * PARTITIONED BY cell, and a search ADC-scans only the probed cells'
     * code files (partition pruning at the file listing, exactly
-    * [[Ivf.writeIndex]]'s trick, over rows 32× smaller). Codes are over
-    * RAW vectors, not per-cell residuals (the public `by_residual=false`
-    * IVFPQ variant): one global ADC table per query instead of one per
-    * probed cell — cheaper queries, slightly coarser codes, and at
-    * nprobe = nlist the search is EXACTLY the flat [[searchIndex]]
-    * (PqSpec pins the equality).
+    * [[Ivf.writeIndex]]'s trick, over rows 32× smaller).
+    *
+    * `byResidual` selects the coding domain (both public IVFPQ variants
+    * ship; PqSpec measures the recall trade at fixed m/ksub):
+    *
+    *   - `false` (default): codes over RAW vectors — one global ADC
+    *     table per query, cheapest queries, coarser codes (the codebooks
+    *     must span the whole space); at nprobe = nlist the search is
+    *     EXACTLY the flat [[searchIndex]] (PqSpec pins the equality).
+    *   - `true`: codes over v − mean(cell) (the reconstruction reference
+    *     is the CELL MEAN, stored in `dir/cellmeans` — see
+    *     [[encodeInput]] for why the unit assignment centroid would not
+    *     do) — the codebooks only span within-cell displacements, so the
+    *     same m/ksub budget quantizes much finer when data is clustered
+    *     (which is why IVF exists). For the inner-product metric the
+    *     score decomposes exactly: ⟨q,v̂⟩ = ⟨q,mean⟩ + ⟨q,r̂⟩, so a search
+    *     adds one per-(query, probed cell) scalar to the SAME
+    *     global-table ADC lookups — no per-cell table rebuild, query
+    *     cost within a dot product of the raw variant.
     *
     * Layout: `dir/codes` (cell=<c>/ partitioned; neighbor_id, codes),
     * `dir/vecs`, `dir/books`, `dir/centroids`, `dir/meta` (written LAST).
+    * Maintainable across ingests via [[appendToIvfPqIndex]].
     */
   def writeIvfPqIndex(
       corpus: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, m: Int = 8, ksub: Int = 16, nlist: Int = 16,
-      iters: Int = 3, seed: Long = 42L, sampleOneIn: Int = 1): Unit = {
+      iters: Int = 3, seed: Long = 42L, sampleOneIn: Int = 1,
+      byResidual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val cents = Ivf.trainCentroids(corpus, idCol, vecCol, nlist, iters, seed, sampleOneIn)
-    val books = trainCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters, seed, sampleOneIn)
     val dsub = dim / m
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    v.select(col("id").as("neighbor_id"),
-        pqEncode(col("vec"), books, dsub).as("codes"),
-        element_at(nearestCells(col("vec"), cents, 1), 1).as("cell"))
+    val assigned = v.withColumn("cell", element_at(nearestCells(col("vec"), cents, 1), 1))
+    val refs = if (byResidual) cellMeans(assigned, nlist, dim) else Array.empty[Array[Float]]
+    val enc = encodeInput(assigned, refs, byResidual)
+    val books = trainCodebooks(enc, "id", "evec", dim, m, ksub, iters, seed, sampleOneIn)
+    enc.select(col("id").as("neighbor_id"),
+        pqEncode(col("evec"), books, dsub).as("codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
     v.write.mode("overwrite").parquet(s"$dir/vecs")
     import spark.implicits._
@@ -197,12 +265,64 @@ object Pq {
       book.zipWithIndex.map { case (c, kk) => (j, kk, c.toSeq) }
     }.toSeq.toDF("j", "k", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/books")
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
+    if (byResidual)
+      centroidsDf(spark, refs)
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/cellmeans")
+    centroidsDf(spark, cents)
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    Seq((dim, m, ksub, nlist, seed)).toDF("dim", "m", "ksub", "nlist", "seed")
+    Seq((dim, m, ksub, nlist, seed, byResidual))
+      .toDF("dim", "m", "ksub", "nlist", "seed", "by_residual")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
+
+  /** Append an increment to a [[writeIvfPqIndex]] directory: assign to
+    * the STORED cells, encode with the STORED books (residual or raw,
+    * whichever the index was built with — nothing retrains; codebook
+    * drift across a long append history is the documented rebuild
+    * trigger, observable the same way as [[Dedup.semanticDrift]]), and
+    * commit codes + vecs as one [[Segments]] segment — the maintenance
+    * contract of the other three persisted indexes, completing the set.
+    */
+  def appendToIvfPqIndex(
+      increment: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seg: Option[String] = None): Unit = {
+    val spark = increment.sparkSession
+    val segName = seg.getOrElse(
+      "append-" + java.util.UUID.randomUUID().toString.take(8))
+    if (Segments.isCommitted(spark, dir, segName)) return
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val dim = meta.getAs[Int]("dim")
+    val m = meta.getAs[Int]("m")
+    val byResidual = meta.getAs[Boolean]("by_residual")
+    val dsub = dim / m
+    val books = readBooks(spark, dir, m)
+    val cents = readCentroids(spark, dir)
+    val v = increment.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val enc = encodeInput(
+      v.withColumn("cell", element_at(nearestCells(col("vec"), cents, 1), 1)),
+      if (byResidual) readCellMeans(spark, dir) else Array.empty, byResidual)
+    Segments.writePart(
+      enc.select(col("id").as("neighbor_id"),
+        pqEncode(col("evec"), books, dsub).as("codes"), col("cell")),
+      dir, "codes", segName, partitionBy = Seq("cell"))
+    Segments.writePart(v, dir, "vecs", segName)
+    Segments.commit(spark, dir, segName)
+  }
+
+  private def readBooks(
+      spark: SparkSession, dir: String, m: Int): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$dir/books").orderBy("j", "k").collect()
+    Array.tabulate(m)(j => rows.filter(_.getInt(0) == j).map(_.getSeq[Float](2).toArray))
+  }
+
+  private def readCentroids(spark: SparkSession, dir: String): Array[Array[Float]] =
+    spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+
+  private def readCellMeans(spark: SparkSession, dir: String): Array[Array[Float]] =
+    spark.read.parquet(s"$dir/cellmeans")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
 
   /** Top-k against a [[writeIvfPqIndex]] directory: probe each query's
     * `nprobe` nearest cells, push the union of probed cells as a static
@@ -219,18 +339,26 @@ object Pq {
     val dim = meta.getAs[Int]("dim")
     val m = meta.getAs[Int]("m")
     val ksub = meta.getAs[Int]("ksub")
+    val byResidual = meta.getAs[Boolean]("by_residual")
     val dsub = dim / m
-    val books: Array[Array[Array[Float]]] = {
-      val rows = spark.read.parquet(s"$dir/books").orderBy("j", "k").collect()
-      Array.tabulate(m)(j => rows.filter(_.getInt(0) == j).map(_.getSeq[Float](2).toArray))
-    }
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val books = readBooks(spark, dir, m)
+    val cents = readCentroids(spark, dir)
+    // residual scoring: v̂ = mean(cell) + r̂, so ⟨q,v̂⟩ = ⟨q,mean⟩ + ⟨q,r̂⟩
+    // EXACTLY — the per-(query, probed cell) constant ⟨q,mean⟩ rides the
+    // exploded probe rows and the ADC lookups stay one global table per
+    // query; raw scoring is the qc = 0 degenerate case of the same plan
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("cell", explode(nearestCells(col("qvec"), cents, nprobe)))
       .withColumn("table", pqAdcTable(col("qvec"), books, dsub))
+    val q =
+      if (byResidual)
+        q0.join(broadcast(centroidsDf(spark, readCellMeans(spark, dir))), "cell")
+          .withColumn("qc",
+            graft.functions.expr.VectorFunctions.dotProduct(col("qvec"), col("centroid")))
+          .drop("centroid")
+      else q0.withColumn("qc", lit(0.0))
     val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val codes = ScaleOut(spark.read.parquet(s"$dir/codes")
+    val codes = ScaleOut(Segments.readPart(spark, dir, "codes")
       .filter(col("cell").isin(probed.map(Int.box): _*)))
     // cell-keyed join (not a cross): a code row is scored only by the
     // queries probing ITS cell, and since a corpus row lives in exactly
@@ -241,14 +369,14 @@ object Pq {
         codes.join(broadcast(q),
             codes("cell") === q("cell") && col("neighbor_id") =!= col("query_id"))
           .select(col("query_id"), col("neighbor_id"),
-            pqAdcScore(col("codes"), col("table"), ksub).as("adc")),
+            (pqAdcScore(col("codes"), col("table"), ksub) + col("qc")).as("adc")),
         shortlistFactor * k, scoreCol = "adc")
       .select("query_id", "neighbor_id")
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
         "query_id")
     TopK.perQuery(
       short
-        .join(spark.read.parquet(s"$dir/vecs")
+        .join(Segments.readPart(spark, dir, "vecs")
           .select(col("id").as("neighbor_id"), col("vec").as("nvec")), "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
           cosineSim(col("qvec"), col("nvec")).as("cosine")),

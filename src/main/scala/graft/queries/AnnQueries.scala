@@ -71,7 +71,7 @@ object AnnQueries extends QueryFamily {
   private def stagedIvfPqIndexDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_ivfpq_index",
       Seq(s"$dir/embeddings.parquet"),
-      s"64:8:16:$nlist:42", "meta/_SUCCESS") { stage =>
+      s"64:8:16:$nlist:42:v2", "meta/_SUCCESS") { stage =>
       graft.operators.Pq.writeIvfPqIndex(table(s, dir, "embeddings"), stage,
         dim = 64, m = 8, ksub = 16, nlist = nlist, iters = 3, seed = 42L)
     }
