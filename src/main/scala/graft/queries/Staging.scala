@@ -75,8 +75,18 @@ object Staging {
       val name = p.getName
       try {
         if (name.contains(".build_")) {
-          // crashed build's scratch: collect once cold
-          if (System.currentTimeMillis() - st.getModificationTime > 3600 * 1000L)
+          // crashed build's scratch: collect once cold. Coldness is the
+          // NEWEST mtime anywhere under the dir, not the root's own — a
+          // live build streams files into nested parquet output dirs
+          // without ever touching the scratch root's mtime, and keying on
+          // the root would let a concurrent sweep delete an in-progress
+          // >1h build out from under its writer
+          def newestMtime(d: org.apache.hadoop.fs.Path): Long = {
+            val entries = fs.listStatus(d)
+            (st.getModificationTime +: entries.toSeq.map(e =>
+              if (e.isDirectory) newestMtime(e.getPath) else e.getModificationTime)).max
+          }
+          if (System.currentTimeMillis() - newestMtime(p) > 3600 * 1000L)
             fs.delete(p, true)
         } else if (p.toString != keep.toString && stageName.matches(name)) {
           val rec = new Path(p, "_sources")

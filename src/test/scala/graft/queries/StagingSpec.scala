@@ -122,6 +122,42 @@ class StagingSpec extends SparkTestBase {
       "live same-source/other-params stage must survive sibling sweeps")
   }
 
+  test("sweep keys .build_ coldness on the NEWEST nested mtime: a live build " +
+      "writing into nested dirs survives, a fully-cold crash is collected") {
+    val dir = tmpdir("graft_staging_livebuild")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
+    val prefix = s"graftsweeptest${System.nanoTime()}"
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    def mkScratch(tag: String): java.nio.file.Path = {
+      val p = tmp.resolve(s"${prefix}_0000000000000000.build_$tag")
+      java.nio.file.Files.createDirectories(p.resolve("out"))
+      java.nio.file.Files.writeString(p.resolve("out").resolve("part-0"), "x")
+      p
+    }
+    // live: root + intermediate dir look cold (a writer never touches
+    // them), but the nested part file was written moments ago
+    val live = mkScratch("live")
+    java.nio.file.Files.setLastModifiedTime(live.resolve("out"), old)
+    java.nio.file.Files.setLastModifiedTime(live, old)
+    // dead: every mtime is cold — a genuinely crashed build
+    val dead = mkScratch("dead")
+    java.nio.file.Files.setLastModifiedTime(dead.resolve("out").resolve("part-0"), old)
+    java.nio.file.Files.setLastModifiedTime(dead.resolve("out"), old)
+    java.nio.file.Files.setLastModifiedTime(dead, old)
+    // any dir() call with the prefix runs the sweep
+    Staging.dir(spark, prefix, Seq(s"$dir/t.parquet"), "p", "_M") { scratch =>
+      val sp = java.nio.file.Paths.get(scratch)
+      java.nio.file.Files.createDirectories(sp)
+      java.nio.file.Files.writeString(sp.resolve("_M"), "done")
+    }
+    assert(java.nio.file.Files.exists(live),
+      "a >1h build with fresh nested writes must NOT be swept out from under its writer")
+    assert(!java.nio.file.Files.exists(dead),
+      "a fully-cold crashed scratch must be collected")
+  }
+
   test("q43/q74's staged keep-list: consumers read the stage, not the text") {
     val dir = tmpdir("graft_staging_keeplist")
     // two near-dup docs + two singletons, written as the documents table
