@@ -311,8 +311,32 @@ object TextQueries extends QueryFamily {
     // gibberish than the unigram, same head/tail Zipf split execution
     "q97_bigram_logprob" -> ((s, dir) =>
       graft.operators.UnigramLm.scoreDocsBigram(table(s, dir, "documents"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // exact heavy hitters via the two-pass Misra–Gries candidate/verify
+    // shape ([[graft.operators.Freq]]): the sketch only PRUNES, so the
+    // result is exact and fully oracled despite the approximate pass
+    "q98_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Freq.exactHeavyHitters(
+        table(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .filter(col("token") =!= ""),
+        col("token"), phi = 0.02)),
+
+    // lexical retrieval twin of the ANN family ([[graft.operators.Bm25]]):
+    // fixed keyword query set, ranking on the rounded score through the
+    // bounded top-k aggregate
+    "q99_bm25_search" -> ((s, dir) =>
+      graft.operators.Bm25.search(table(s, dir, "documents"), bm25Queries, k = 10))
   )
+
+  /** Keyword query set for q99 — terms drawn from the synthetic corpus
+    * vocabulary so every query matches documents at every SF.
+    */
+  private val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "kq1" -> Seq("table", "scan", "filter"),
+    "kq2" -> Seq("stream", "window", "agg"),
+    "kq3" -> Seq("customer", "query", "big"))
 
   /** q32's DuckDB twin (see the oracleSql comment). Window hashes are
     * computed directly (coefficient join against a B-power table) rather
@@ -521,6 +545,48 @@ object TextQueries extends QueryFamily {
             SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, p.nll
             FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY doc_id""",
+      // exact heavy hitters: the oracle is the full exact count — the
+      // engine's MG pass only prunes candidates, never decides
+      "q98_heavy_hitters" ->
+        s"""WITH tok AS (
+                SELECT token FROM (SELECT UNNEST($toks) AS token FROM documents)
+                WHERE token <> ''),
+              n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok)
+            SELECT token AS item, COUNT(*) AS cnt FROM tok
+            GROUP BY token
+            HAVING COUNT(*) > 0.02 * (SELECT n FROM n)
+            ORDER BY cnt DESC, item""",
+      // BM25 (k1=1.2, b=0.75, Lucene idf). Arithmetic mirrors
+      // Bm25.search literal-for-literal (parenthesization included —
+      // double multiply is not associative); ranking is on the ROUNDED
+      // score with doc_id tiebreak, matching the bounded top-k order
+      "q99_bm25_search" -> {
+        val qvals = bm25Queries
+          .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }.mkString(", ")
+        val terms = bm25Queries.flatMap(_._2).distinct
+          .map("'" + _ + "'").mkString(", ")
+        s"""WITH dl AS (SELECT doc_id, CAST($nTokens AS BIGINT) AS dl FROM documents),
+              stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                               CAST(SUM(dl) AS DOUBLE) AS sumdl FROM dl),
+              tok AS (SELECT doc_id, UNNEST($toks) AS token FROM documents),
+              q(query_id, token) AS (VALUES $qvals),
+              tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                     FROM tok WHERE token IN ($terms) GROUP BY doc_id, token),
+              df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+              sc AS (SELECT q.query_id, tf.doc_id,
+                            ROUND(SUM(LN(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                              * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (s.sumdl / s.n))))), 6) AS score
+                     FROM tf JOIN q USING (token) JOIN df USING (token)
+                       JOIN dl USING (doc_id) CROSS JOIN stats s
+                     GROUP BY q.query_id, tf.doc_id),
+              rk AS (SELECT query_id, doc_id, score,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rnk
+                     FROM sc)
+            SELECT query_id, rnk AS "rank", doc_id, score FROM rk
+            WHERE rnk <= 10
+            ORDER BY query_id, "rank""""
+      },
       "q54_pack_sequences" ->
         s"""SELECT doc_id, lang, n_tokens,
                    CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin
