@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.expr._
+
+/** SQL surface for graft's custom Catalyst expressions — the idiomatic
+  * Spark extension point: add
+  * `spark.sql.extensions=graft.GraftExtensions` at session build and
+  * every kernel below is callable from `spark.sql(...)` exactly like a
+  * built-in, fully inside whole-stage codegen (these are compiled
+  * expressions, not UDFs). For a session built without the config,
+  * [[GraftExtensions.registerAll]] installs the same registry entries
+  * post-hoc.
+  *
+  * Scalar/structural parameters (k, seed, window, bits, …) must be
+  * integer literals — they parameterize the generated code. Learned-state
+  * expressions (NearestCells, PqEncode, …) are deliberately NOT here:
+  * their codebooks/centroids are runtime arrays with no SQL-literal
+  * form; they stay Column-API-only behind their operators.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type Description =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def litLong(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.size == n, s"$fn expects $n arguments, got ${args.size}")
+
+  private def d(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression): Description =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getCanonicalName, name),
+      builder)
+
+  /** Every registered function, name -> builder. */
+  val functions: Seq[Description] = Seq(
+    d("graft_simhash64", classOf[SimHash64]) { args =>
+      arity("graft_simhash64", args, 1); SimHash64(args.head)
+    },
+    d("graft_minhash", classOf[MinHashSignature]) { args =>
+      arity("graft_minhash", args, 3)
+      MinHashSignature(args.head,
+        litInt(args(1), "graft_minhash", "k"),
+        litLong(args(2), "graft_minhash", "seed"))
+    },
+    d("graft_rolling_fingerprint", classOf[RollingFingerprint]) { args =>
+      arity("graft_rolling_fingerprint", args, 2)
+      RollingFingerprint(args.head,
+        litInt(args(1), "graft_rolling_fingerprint", "window"))
+    },
+    d("graft_nfc", classOf[NfcNormalize]) { args =>
+      arity("graft_nfc", args, 1); NfcNormalize(args.head)
+    },
+    d("graft_shingles", classOf[ShingleSet]) { args =>
+      arity("graft_shingles", args, 2)
+      ShingleSet(args.head, litInt(args(1), "graft_shingles", "n"))
+    },
+    d("graft_shingle_window_hashes", classOf[ShingleWindowHashes]) { args =>
+      arity("graft_shingle_window_hashes", args, 2)
+      ShingleWindowHashes(args.head,
+        litInt(args(1), "graft_shingle_window_hashes", "n"))
+    },
+    d("graft_cosine", classOf[CosineSimilarity]) { args =>
+      arity("graft_cosine", args, 2); CosineSimilarity(args.head, args(1))
+    },
+    d("graft_dot", classOf[DotProduct]) { args =>
+      arity("graft_dot", args, 2); DotProduct(args.head, args(1))
+    },
+    d("graft_vec_sub", classOf[VectorSub]) { args =>
+      arity("graft_vec_sub", args, 2); VectorSub(args.head, args(1))
+    },
+    d("graft_hyperplane_sigs", classOf[HyperplaneSigs]) { args =>
+      arity("graft_hyperplane_sigs", args, 5)
+      HyperplaneSigs(args.head,
+        litInt(args(1), "graft_hyperplane_sigs", "planes"),
+        litInt(args(2), "graft_hyperplane_sigs", "tables"),
+        litInt(args(3), "graft_hyperplane_sigs", "dim"),
+        litLong(args(4), "graft_hyperplane_sigs", "seed"))
+    },
+    d("graft_bucket_probes", classOf[BucketProbes]) { args =>
+      arity("graft_bucket_probes", args, 2)
+      BucketProbes(args.head, litInt(args(1), "graft_bucket_probes", "planes"))
+    },
+    d("graft_zvalue", classOf[ZValue]) { args =>
+      arity("graft_zvalue", args, 3)
+      ZValue(args.head, args(1), litInt(args(2), "graft_zvalue", "bitsPer"))
+    },
+    // variadic: graft_zvalue_n(d1, ..., dn, bitsPer)
+    d("graft_zvalue_n", classOf[ZValueN]) { args =>
+      require(args.size >= 2,
+        s"graft_zvalue_n expects (d1, ..., dn, bitsPer), got ${args.size} args")
+      ZValueN(args.init, litInt(args.last, "graft_zvalue_n", "bitsPer"))
+    },
+    d("graft_string_prefix_key", classOf[StringPrefixKey]) { args =>
+      arity("graft_string_prefix_key", args, 1); StringPrefixKey(args.head)
+    },
+    // aggregates: the analyzer wraps a bare AggregateFunction returned
+    // from a registry builder in AggregateExpression (builtin pattern)
+    d("graft_bounded_topk", classOf[BoundedTopK]) { args =>
+      arity("graft_bounded_topk", args, 2)
+      BoundedTopK(args.head, litInt(args(1), "graft_bounded_topk", "k"))
+    },
+    d("graft_bounded_mink_str", classOf[BoundedMinKString]) { args =>
+      arity("graft_bounded_mink_str", args, 2)
+      BoundedMinKString(args.head, litInt(args(1), "graft_bounded_mink_str", "k"))
+    },
+    d("graft_mg_summary", classOf[MisraGriesSummary]) { args =>
+      arity("graft_mg_summary", args, 2)
+      MisraGriesSummary(args.head, litInt(args(1), "graft_mg_summary", "capacity"))
+    })
+
+  /** Install every registered function on an existing session. */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      GraftBridge.registerFunction(spark, ident, info, builder)
+    }
+}

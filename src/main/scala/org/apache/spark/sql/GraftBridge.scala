@@ -11,4 +11,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function description on an EXISTING session's
+    * registry — the post-hoc twin of `spark.sql.extensions`-time
+    * injection (see `graft.GraftExtensions`), for sessions built without
+    * the config (notebooks, tests). Same `private[sql]` altitude as the
+    * Column converters above; no other internals touched.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(ident, info, builder)
 }

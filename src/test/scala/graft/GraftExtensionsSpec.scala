@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+import graft.functions.expr.HashFunctions.{minhashSignature, rollingFingerprint, simhash64}
+import graft.functions.expr.VectorFunctions.cosineSim
+import graft.functions.expr.ZOrderFunctions.zValue
+
+/** The SQL registration surface: every builder in
+  * [[GraftExtensions.functions]] must produce the SAME expression the
+  * Column API produces (checked value-for-value through spark.sql), and
+  * non-literal structural args must fail loudly.
+  */
+class GraftExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val registered: Unit = GraftExtensions.registerAll(spark)
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "the quick brown fox jumps over the lazy cat")
+  ).toDF("doc_id", "text")
+
+  test("every function description registers and resolves") {
+    registered
+    for ((ident, _, _) <- GraftExtensions.functions) {
+      assert(spark.catalog.functionExists(ident.funcName),
+        s"${ident.funcName} did not register")
+    }
+  }
+
+  test("scalar kernels: SQL call == Column API call") {
+    registered
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+               graft_simhash64(split(text, ' ')) AS sh,
+               graft_minhash(split(text, ' '), 8, 42) AS mh,
+               graft_rolling_fingerprint(split(text, ' '), 3) AS fp,
+               graft_zvalue(doc_id, doc_id + 1, 8) AS z
+        FROM ext_docs ORDER BY doc_id""")
+    val viaCol = docs.select(col("doc_id"),
+        simhash64(split(col("text"), " ")).as("sh"),
+        minhashSignature(split(col("text"), " "), k = 8, seed = 42L).as("mh"),
+        rollingFingerprint(split(col("text"), " "), window = 3).as("fp"),
+        zValue(col("doc_id"), col("doc_id") + 1, bitsPer = 8).as("z"))
+      .orderBy("doc_id")
+    assert(viaSql.collect().toSeq == viaCol.collect().toSeq)
+  }
+
+  test("vector kernels through SQL") {
+    registered
+    val r = spark.sql(
+      """SELECT round(graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)), 6) AS c1,
+               round(graft_cosine(array(1.0F, 0.0F), array(0.0F, 1.0F)), 6) AS c0,
+               graft_dot(array(2.0F, 3.0F), array(4.0F, 5.0F)) AS d""").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+    assert(math.abs(r.getDouble(2) - 23.0) < 1e-9)
+    // parity with the Column API on real data
+    val a = array(lit(0.5f), lit(0.5f)); val b = array(lit(0.25f), lit(0.75f))
+    val viaCol = spark.range(1).select(cosineSim(a, b).as("c")).head().getDouble(0)
+    val viaSql = spark.sql(
+      "SELECT graft_cosine(array(0.5F, 0.5F), array(0.25F, 0.75F)) AS c")
+      .head().getDouble(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("aggregates work from SQL with GROUP BY (analyzer wraps the bare function)") {
+    registered
+    docs.createOrReplaceTempView("ext_docs")
+    val top = spark.sql(
+      """SELECT graft_bounded_topk(struct(CAST(doc_id AS DOUBLE), doc_id), 2) AS t
+        FROM ext_docs""").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getLong(1)) == Seq(3L, 2L)) // best-first by score desc
+    // 26 tokens, capacity 8: anything with freq > 26/9 ≈ 2.9 is
+    // guaranteed to survive — that's exactly "the" (freq 4)
+    val mg = spark.sql(
+      """SELECT graft_mg_summary(tok, 8) AS s
+        FROM (SELECT explode(split(text, ' ')) AS tok FROM ext_docs)""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.nonEmpty && mg.size <= 8)
+    assert(mg.map(_.getString(0)).contains("the"))
+  }
+
+  test("structural args must be integer literals — loud failure otherwise") {
+    registered
+    docs.createOrReplaceTempView("ext_docs")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_minhash(split(text, ' '), doc_id, 42) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("integer literal")
+      || Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
+  test("config-time injection path: the extensions class injects without error") {
+    // The shared test session predates the config, so exercise the
+    // injection API against a fresh SparkSessionExtensions directly —
+    // the same object Spark hands the class at session build.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw
+  }
+}
