@@ -408,6 +408,24 @@ object DedupQueries extends QueryFamily {
           compactEvery = 2)
         .orderBy("id_a", "id_b")),
 
+    // streaming SEMANTIC ingest dedup: the q90 cell-probe +
+    // segment-committed index append as one running operator
+    // ([[graft.streaming.SemanticIngestStream]]) — with this, all three
+    // persisted dedup indexes have the same continuously-running ingest
+    // shape. Drained output must equal the single-shot q90 answer (same
+    // exact-restricted oracle); compactEvery=2 proves probes are
+    // compaction-transparent mid-stream
+    "q100_dedup_ingest_stream_semantic" -> ((s, dir) =>
+      graft.streaming.SemanticIngestStream.ingest(
+          s, stagedEmbFeedDir(s, dir), embFeedSchema,
+          copiedIndexDir(s, stagedSemanticCorpusIndexDir(s, dir),
+            Scratch.freshDir(s, "q100idx", dir)),
+          Scratch.freshDir(s, "q100out", dir),
+          Scratch.freshDir(s, "q100ckpt", dir),
+          threshold = cosineThreshold, maxFilesPerTrigger = Some(1),
+          compactEvery = 2)
+        .orderBy("id_a", "id_b")),
+
     "q91_dedup_groups_incremental" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val merged = Dedup.incrementalKeepList(
@@ -778,6 +796,15 @@ object DedupQueries extends QueryFamily {
     // pair semantics, different candidate structure (k-means cells vs
     // hyperplane buckets) — both must land on the exact answer
     "q90_dedup_semantic_incremental" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(${cosineExpr("a", "b")}, 6) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ${cosineExpr("a", "b")} >= $cosineThreshold
+            AND (a.vec_id >= $corpusSplit OR b.vec_id >= $corpusSplit)
+          ORDER BY id_a, id_b""",
+    // the streamed semantic ingest must land on the identical
+    // single-shot q90 answer
+    "q100_dedup_ingest_stream_semantic" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  ROUND(${cosineExpr("a", "b")}, 6) AS cosine
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
