@@ -32,7 +32,41 @@ object ParityQueries extends QueryFamily {
   override def stages: Map[String, (SparkSession, String) => String] = Map(
     "orders_feed" -> (stagedOrdersFeedDir _),
     "orders_fact_feed" -> (stagedOrdersFactFeedDir _),
-    "scd2_dim" -> (stagedScd2DimDir _))
+    "scd2_dim" -> (stagedScd2DimDir _),
+    "revenue_mv" -> (stagedRevenueMvDir _))
+
+  /** The q01 star join for an arbitrary lineitem slice — shared by the
+    * materialized-view corpus state and its delta (q101).
+    */
+  private def revenueFacts(s: SparkSession, dir: String,
+      li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    li.join(table(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(table(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(org.apache.spark.sql.functions.broadcast(table(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+  }
+
+  private def revenueMvMeasures: Map[String, org.apache.spark.sql.Column] = Map(
+    "revenue_raw" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+    "n_items" -> lit(1L))
+
+  /** The CORPUS-side (l_orderkey % 4 != 0) revenue-by-nation aggregate
+    * STATE (unrounded sums — rounding happens at read, merging demands
+    * raw sums), built once per source state. The q101 delta merge never
+    * rescans this slice's facts.
+    */
+  private def stagedRevenueMvDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_revenue_mv",
+      Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet",
+        s"$dir/customer.parquet", s"$dir/nation.parquet"),
+      "corpus:mod4ne0", "_SUCCESS") { stage =>
+      graft.operators.MaterializedAgg.additiveState(
+          revenueFacts(s, dir,
+            table(s, dir, "lineitem").filter(col("l_orderkey") % 4 =!= 0)),
+          keys = Seq("n_name"), measures = revenueMvMeasures)
+        .write.mode("overwrite").parquet(stage)
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship: scan -> multi-join -> agg -> sort (SURVEY §7.1) ----
@@ -342,6 +376,25 @@ object ParityQueries extends QueryFamily {
         .orderBy($"doc_id")
     }),
 
+    // ---- incremental materialized-aggregate maintenance
+    //      ([[graft.operators.MaterializedAgg]]): the q01 revenue MV kept
+    //      current under a lineitem delta (l_orderkey % 4 == 0) by
+    //      aggregating the DELTA only and merging with the staged corpus
+    //      state — the corpus contributes its aggregate rows, never its
+    //      facts. Must equal the full recompute, so q01's oracle shape IS
+    //      the oracle. ----
+    "q101_mv_incremental_revenue" -> ((s, dir) => {
+      val deltaState = graft.operators.MaterializedAgg.additiveState(
+        revenueFacts(s, dir,
+          table(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)),
+        keys = Seq("n_name"), measures = revenueMvMeasures)
+      graft.operators.MaterializedAgg.mergeAdditive(
+          s.read.parquet(stagedRevenueMvDir(s, dir)), deltaState, keys = Seq("n_name"))
+        .select(col("n_name"), round(col("revenue_raw"), 2).as("revenue"),
+          col("n_items"))
+        .orderBy("n_name")
+    }),
+
     // ---- streaming facts enriched against the SCD2 dimension AS OF
     //      event time: the reference's fact-to-dim key resolution
     //      (src/etl_pipeline.py:260-262) upgraded to time-correct keys.
@@ -465,6 +518,16 @@ object ParityQueries extends QueryFamily {
 
   def oracleSql: Map[String, String] = Map(
     "q01_revenue_by_nation" ->
+      """SELECT n_name,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    // the incrementally-maintained MV must equal the full recompute —
+    // q01's aggregate over the WHOLE fact table is the oracle
+    "q101_mv_incremental_revenue" ->
       """SELECT n_name,
          ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
          COUNT(*) AS n_items
