@@ -128,6 +128,18 @@ object GraftExtensions {
     d("graft_mg_summary", classOf[MisraGriesSummary]) { args =>
       arity("graft_mg_summary", args, 2)
       MisraGriesSummary(args.head, litInt(args(1), "graft_mg_summary", "capacity"))
+    },
+    d("graft_hash64", classOf[Hash64]) { args =>
+      arity("graft_hash64", args, 1); Hash64(args.head)
+    },
+    d("graft_cms_buckets", classOf[CmsBuckets]) { args =>
+      arity("graft_cms_buckets", args, 3)
+      CmsBuckets(args.head,
+        litInt(args(1), "graft_cms_buckets", "d"),
+        litInt(args(2), "graft_cms_buckets", "logW"))
+    },
+    d("graft_nlz64", classOf[LeadingZeros64]) { args =>
+      arity("graft_nlz64", args, 1); LeadingZeros64(args.head)
     })
 
   /** Install every registered function on an existing session. */

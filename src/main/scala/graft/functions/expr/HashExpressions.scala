@@ -113,6 +113,51 @@ object TextHashOps {
     }
     min
   }
+
+  /** splitmix64 step — the same derivation [[minhash]] uses for its
+    * per-signature seeds, exposed for other fixed parameter families.
+    */
+  def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Count-Min row buckets for one item: bucket_i = low logW bits of
+    * (hash64(item) * A_i + B_i) mod 2^64 — a multiply-shift universal
+    * hash per row over the shared avalanched base hash. Arithmetic-only
+    * (wrapping 64-bit multiply/add, power-of-two width), so a SQL oracle
+    * replays it exactly via the HUGEINT mod-2^64 chain.
+    */
+  def cmsBuckets(s: UTF8String, d: Int, logW: Int): ArrayData = {
+    val x = hash64(s)
+    val mask = (1L << logW) - 1L
+    val out = new Array[Int](d)
+    var i = 0
+    while (i < d) {
+      out(i) = ((x * CmsParams.A(i) + CmsParams.B(i)) & mask).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Fixed per-row multipliers/offsets for the Count-Min sketch rows —
+  * splitmix64-derived, odd multipliers. Shared by the compiled
+  * [[CmsBuckets]] kernel and the DuckDB oracle generator (which splices
+  * the same values as HUGEINT literals), so both sides hash identically.
+  */
+object CmsParams {
+  val maxRows = 8
+  val A: Array[Long] =
+    Array.tabulate(maxRows)(i => TextHashOps.splitmix64(0x5eedL + i) | 1L)
+  val B: Array[Long] =
+    Array.tabulate(maxRows)(i => TextHashOps.splitmix64(0xb00b5L + i))
+
+  /** A(i)/B(i) as unsigned decimal strings for SQL literal splicing. */
+  def aU(i: Int): String = java.lang.Long.toUnsignedString(A(i))
+  def bU(i: Int): String = java.lang.Long.toUnsignedString(B(i))
 }
 
 /** simhash64(tokens: array<string>) -> long */
@@ -153,8 +198,63 @@ case class RollingFingerprint(child: Expression, window: Int)
   override def prettyName: String = "rolling_fingerprint"
 }
 
+/** hash64(s: string) -> long — the engine's FNV-1a+fmix64 scalar,
+  * exposed directly for sketch bucket derivations (CMS rows, HLL
+  * registers). Deterministic across JVMs and bit-replayable in SQL.
+  */
+case class Hash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.hash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.TextHashOps.hash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "hash64"
+}
+
+/** cms_buckets(item: string) -> array<int> of length d: the item's
+  * Count-Min bucket per sketch row (see [[TextHashOps.cmsBuckets]]).
+  */
+case class CmsBuckets(child: Expression, d: Int, logW: Int)
+    extends UnaryExpression {
+  require(d >= 1 && d <= CmsParams.maxRows, s"d must be in [1, ${CmsParams.maxRows}], got $d")
+  require(logW >= 1 && logW <= 30, s"logW must be in [1, 30], got $logW")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.cmsBuckets(v.asInstanceOf[UTF8String], d, logW)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextHashOps.cmsBuckets($c, $d, $logW)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "cms_buckets"
+}
+
+/** nlz64(x: long) -> int — number of leading zero bits (0..64). The HLL
+  * register rank needs an INTEGER-exact leading-zero count; the
+  * double-log route (`floor(log2(x))`) is libm-dependent in its last ulp
+  * and therefore not oracle-safe.
+  */
+case class LeadingZeros64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.numberOfLeadingZeros(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Long.numberOfLeadingZeros($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nlz64"
+}
+
 /** Column-API entry points for the hash expressions. */
 object HashFunctions {
+  def hash64(s: Column): Column =
+    GraftBridge.column(Hash64(GraftBridge.expression(s)))
+  def cmsBuckets(item: Column, d: Int, logW: Int): Column =
+    GraftBridge.column(CmsBuckets(GraftBridge.expression(item), d, logW))
+  def nlz64(x: Column): Column =
+    GraftBridge.column(LeadingZeros64(GraftBridge.expression(x)))
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
   def minhashSignature(shingles: Column, k: Int = 128, seed: Long = 42L): Column =

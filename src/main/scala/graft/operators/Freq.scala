@@ -2,8 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.expr.FreqFunctions.mgSummary
+import graft.functions.expr.HashFunctions.cmsBuckets
 
 /** Exact heavy hitters over an unbounded item stream in two bounded
   * passes — the canonical frequent-items shape for a corpus too large
@@ -60,5 +62,51 @@ object Freq {
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(phi) * lit(n.toDouble))
       .orderBy(col("cnt").desc, col("item"))
+  }
+
+  /** Count-Min heavy hitters (Cormode & Muthukrishnan 2005): items whose
+    * CMS ESTIMATE exceeds phi * n, as (item, est_cnt), estimate-descending
+    * then item. The one-sided error contract — est_cnt >= true count
+    * always, so the result is a SUPERSET of [[exactHeavyHitters]] at the
+    * same phi, with overshoot bounded by n·e/2^logW per row (d rows take
+    * the min).
+    *
+    * The 100 TB shape this buys over exact counting: the OCCURRENCE
+    * stream is never shuffled by item. Pass 1 folds it into a d·2^logW
+    * counter grid (partial aggregation reduces every partition to ≤ d·w
+    * rows before the exchange; w and d are constants). Pass 2 touches
+    * only the DISTINCT vocabulary — orders of magnitude smaller than the
+    * stream, and itself map-side-combinable — and joins it to the
+    * BROADCAST sketch. Nothing keyed by item ever carries a count of the
+    * full stream.
+    *
+    * Every step is integer arithmetic over the engine's avalanched hash
+    * ([[graft.functions.expr.TextHashOps.cmsBuckets]]), so unlike
+    * classical randomized sketches the whole query carries a bit-exact
+    * DuckDB oracle (the q22/q32 HUGEINT mod-2^64 replay, extended to the
+    * sketch family).
+    */
+  def cmsHeavyHitters(
+      rows: DataFrame, item: Column, phi: Double,
+      d: Int = 4, logW: Int = 10): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
+    val stream = rows.select(item.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .withColumn("bs", cmsBuckets(col("item"), d, logW))
+    // (row, bucket) counter grid — the sketch. Reused by the total-count
+    // action and the estimate join; d*2^logW rows at most.
+    val sketch = CacheScope.pin(
+      stream.select(posexplode(col("bs")).as(Seq("i", "bucket")))
+        .groupBy("i", "bucket").agg(count(lit(1)).as("cnt")),
+      StorageLevel.MEMORY_AND_DISK)
+    // every occurrence lands in exactly one bucket of row 0
+    val n = sketch.filter(col("i") === 0)
+      .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    stream.select(col("item"), col("bs")).distinct()
+      .select(col("item"), posexplode(col("bs")).as(Seq("i", "bucket")))
+      .join(broadcast(sketch), Seq("i", "bucket"))
+      .groupBy("item").agg(min("cnt").as("est_cnt"))
+      .filter(col("est_cnt") > lit(phi) * lit(n.toDouble))
+      .orderBy(col("est_cnt").desc, col("item"))
   }
 }

@@ -327,7 +327,19 @@ object TextQueries extends QueryFamily {
     // fixed keyword query set, ranking on the rounded score through the
     // bounded top-k aggregate
     "q99_bm25_search" -> ((s, dir) =>
-      graft.operators.Bm25.search(table(s, dir, "documents"), bm25Queries, k = 10))
+      graft.operators.Bm25.search(table(s, dir, "documents"), bm25Queries, k = 10)),
+
+    // Count-Min heavy hitters — the SKETCH sibling of q98: the token
+    // stream folds into a d x 2^logW counter grid (never shuffled by
+    // token), estimates touch only the distinct vocabulary against the
+    // broadcast sketch. Integer-only bucket arithmetic over the engine's
+    // hash64, so the sketch family carries a bit-exact oracle
+    "q103_heavy_hitters_cms" -> ((s, dir) =>
+      graft.operators.Freq.cmsHeavyHitters(
+        table(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .filter(col("token") =!= ""),
+        col("token"), phi = 0.02))
   )
 
   /** Keyword query set for q99 — terms drawn from the synthetic corpus
@@ -586,6 +598,39 @@ object TextQueries extends QueryFamily {
             SELECT query_id, rnk AS "rank", doc_id, score FROM rk
             WHERE rnk <= 10
             ORDER BY query_id, "rank""""
+      },
+      // CMS heavy hitters, replayed bit-exactly: vocab token hashes via
+      // the shared FNV-1a+fmix64 HUGEINT chain, then per-row buckets
+      // (x*A_i + B_i) low bits — 2^64 ≡ 0 (mod 2^logW), so the un-wrapped
+      // HUGEINT sum mod w equals the engine's wrapped-long masked value
+      "q103_heavy_hitters_cms" -> {
+        import graft.functions.expr.CmsParams
+        val d = 4
+        val w = 1 << 10
+        val bucketSelects = (0 until d).map { i =>
+          val prod = HashOracleSql.mulMod64("x", s"${CmsParams.aU(i)}::HUGEINT")
+          s"""SELECT token, $i AS i,
+                     (($prod) + ${CmsParams.bU(i)}::HUGEINT) % $w AS bucket
+              FROM vh"""
+        }.mkString("\n UNION ALL\n")
+        s"""WITH RECURSIVE
+              tok AS (
+                SELECT token FROM (SELECT UNNEST($toks) AS token FROM documents)
+                WHERE token <> ''),
+              tokh AS (
+                SELECT token, ROW_NUMBER() OVER () AS tid, HEX(ENCODE(token)) AS hx
+                FROM (SELECT DISTINCT token FROM tok)),
+              ${HashOracleSql.fnvFmixCtes},
+              vh AS (SELECT t.token, s.x FROM tokh t JOIN sig s USING (tid)),
+              vb AS ($bucketSelects),
+              occ AS (SELECT vb.i, vb.bucket, COUNT(*) AS cnt
+                      FROM tok JOIN vb USING (token) GROUP BY 1, 2),
+              n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+              est AS (SELECT vb.token, MIN(occ.cnt) AS est_cnt
+                      FROM vb JOIN occ USING (i, bucket) GROUP BY vb.token)
+            SELECT token AS item, est_cnt FROM est, n
+            WHERE est_cnt > 0.02 * n.n
+            ORDER BY est_cnt DESC, item"""
       },
       "q54_pack_sequences" ->
         s"""SELECT doc_id, lang, n_tokens,
