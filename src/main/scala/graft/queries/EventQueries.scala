@@ -179,6 +179,17 @@ object EventQueries extends QueryFamily {
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"))
         .orderBy("event_type")),
 
+    // the engine's OWN HyperLogLog ([[graft.operators.Hll]]): same
+    // constant-state scale shape as q60, but the estimate is built from
+    // integer arithmetic over the public hash64 — so unlike q60 it
+    // carries a FULL bit-exact oracle that replays registers, ranks, and
+    // both estimator branches in SQL
+    "q104_events_distinct_users_hll" -> ((s, dir) =>
+      graft.operators.Hll.approxCountDistinct(
+          graft.Tables.events(s, dir), "event_type", col("user_id"))
+        .withColumnRenamed("est", "n_users_hll")
+        .orderBy("event_type")),
+
     // bucketed RANGE JOIN: events assigned to the maintenance window
     // containing them (02:00-02:45 of each active day, derived from the
     // events' own distinct days so the oracle is closed-form). The
@@ -347,6 +358,53 @@ object EventQueries extends QueryFamily {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                 COUNT(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the engine's own HLL, replayed bit-exactly: registers from DISTINCT
+    // (group, value) hashes (max rank over occurrences == max over
+    // distinct values), rank via integer threshold comparisons (NOT
+    // floor(log2) — libm-unsafe), the indicator sum as exact HUGEINT, and
+    // the linear-counting branch from the SAME spliced double literals
+    // the engine's broadcast table uses
+    "q104_events_distinct_users_hll" -> {
+      import graft.operators.Hll
+      s"""WITH RECURSIVE
+            du AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+                   FROM events),
+            tokh AS (SELECT event_type, ROW_NUMBER() OVER () AS tid,
+                            HEX(ENCODE(u)) AS hx
+                     FROM du),
+            ${HashOracleSql.fnvFmixCtes},
+            hx2 AS (SELECT t.event_type, s.tid, s.x
+                    FROM tokh t JOIN sig s USING (tid)),
+            p2(b, t) AS (VALUES ${Hll.rankThresholdValues}),
+            pw(mj, v) AS (VALUES ${Hll.scaleValues}),
+            lntab(vempty, lc) AS (VALUES ${Hll.lnTableValues}),
+            rj AS (SELECT event_type, tid,
+                          CAST(x // ${(BigInt(1) << (64 - Hll.p)).toString}::HUGEINT AS INT) AS j,
+                          (x % ${(BigInt(1) << (64 - Hll.p)).toString}::HUGEINT)
+                            * ${1 << Hll.p} AS rest
+                   FROM hx2),
+            rho AS (SELECT r.event_type, r.tid, r.j,
+                           COALESCE(MIN(p.b), ${Hll.maxRho}) AS rho
+                    FROM rj r LEFT JOIN p2 p ON r.rest >= p.t
+                    GROUP BY r.event_type, r.tid, r.j),
+            regs AS (SELECT event_type, j, MAX(rho) AS mj
+                     FROM rho GROUP BY 1, 2),
+            agg AS (SELECT r.event_type, SUM(pw.v) AS sp, COUNT(*) AS nregs
+                    FROM regs r JOIN pw ON pw.mj = r.mj GROUP BY 1),
+            fin AS (SELECT event_type, (${Hll.m} - nregs) AS vempty,
+                           CAST(sp + (${Hll.m} - nregs)::HUGEINT
+                                  * ${(BigInt(1) << Hll.maxRho).toString}::HUGEINT
+                                AS DOUBLE) AS sd
+                    FROM agg),
+            est AS (SELECT f.event_type,
+                           CASE WHEN f.vempty > 0
+                                  AND ${Hll.dlit(Hll.kRaw)} / f.sd <= ${Hll.dlit(Hll.lcThreshold)}
+                                THEN l.lc
+                                ELSE ${Hll.dlit(Hll.kRaw)} / f.sd END AS e
+                    FROM fin f LEFT JOIN lntab l ON l.vempty = f.vempty)
+          SELECT event_type, ROUND(e, 4) AS n_users_hll
+          FROM est ORDER BY event_type"""
+    },
     // q36's append-mode window rule, then rank within each finalized window
     "q64_events_hourly_topk_stream" ->
       """WITH hourly AS (

@@ -36,4 +36,81 @@ class SketchSpec extends SparkTestBase {
       assert(err <= 0.06, s"$k exact=$n approx=${approx(k)}")
     }
   }
+
+  // ---- the engine's own oracle-exact HLL (q104) ------------------------
+
+  test("Hll matches a driver-side reference replay of the same pipeline") {
+    import graft.functions.expr.TextHashOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val ops = graft.operators.Hll
+    // mixed cardinalities so one group linear-counts and one uses raw
+    val rows = ((0 until 40).map(i => ("small", (i % 8).toLong)) ++
+      (0 until 6000).map(i => ("big", (i % 3000).toLong))).toDF("g", "v")
+    val got = ops.approxCountDistinct(rows, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    def reference(values: Seq[Long]): Double = {
+      val regs = new Array[Int](ops.m)
+      values.distinct.foreach { v =>
+        val x = TextHashOps.hash64(UTF8String.fromString(v.toString))
+        val j = (x >>> (64 - ops.p)).toInt
+        val rest = x << ops.p
+        val rho = if (rest == 0L) ops.maxRho
+          else java.lang.Long.numberOfLeadingZeros(rest) + 1
+        if (rho > regs(j)) regs(j) = rho
+      }
+      val sInt = regs.map(mj => BigInt(1) << (ops.maxRho - mj)).sum
+      val vEmpty = regs.count(_ == 0)
+      val eRaw = ops.kRaw / sInt.toDouble
+      val est = if (vEmpty > 0 && eRaw <= ops.lcThreshold) ops.lnEst(vEmpty) else eRaw
+      BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val smallRef = reference((0 until 40).map(_ % 8).map(_.toLong))
+    val bigRef = reference((0 until 6000).map(_ % 3000).map(_.toLong))
+    assert(got("small") == smallRef, s"small: ${got("small")} != $smallRef")
+    assert(got("big") == bigRef, s"big: ${got("big")} != $bigRef")
+    // and the branches actually differ: small via linear counting (few
+    // distinct -> mostly empty registers), big via the raw estimator
+    val vSmall = reference2V((0 until 8).map(_.toLong))
+    assert(smallRef ==
+      BigDecimal(ops.lnEst(vSmall)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "small group should take the linear-counting branch")
+  }
+
+  private def reference2V(distinct: Seq[Long]): Int = {
+    import graft.functions.expr.TextHashOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val ops = graft.operators.Hll
+    val regs = new Array[Int](ops.m)
+    distinct.foreach { v =>
+      val x = TextHashOps.hash64(UTF8String.fromString(v.toString))
+      val j = (x >>> (64 - ops.p)).toInt
+      val rest = x << ops.p
+      val rho = if (rest == 0L) ops.maxRho
+        else java.lang.Long.numberOfLeadingZeros(rest) + 1
+      if (rho > regs(j)) regs(j) = rho
+    }
+    regs.count(_ == 0)
+  }
+
+  test("Hll error stays within ~2 standard errors across cardinalities") {
+    val ops = graft.operators.Hll
+    // 1.04/sqrt(256) ~ 6.5% standard error; allow 2x
+    Seq(150, 1500, 20000).foreach { n =>
+      val df = (0 until n * 2).map(i => ("g", (i % n).toLong)).toDF("g", "v")
+      val est = ops.approxCountDistinct(df, "g", col("v")).head().getDouble(1)
+      val err = math.abs(est - n) / n
+      info(f"n=$n est=$est%.1f err=${err * 100}%.2f%%")
+      assert(err <= 0.13, s"n=$n est=$est err=$err")
+    }
+  }
+
+  test("Hll estimate is multiplicity-blind (stream vs distinct set)") {
+    val ops = graft.operators.Hll
+    val once = (0 until 500).map(i => ("g", i.toLong)).toDF("g", "v")
+    val heavy = (0 until 5000).map(i => ("g", (i % 500).toLong)).toDF("g", "v")
+    val a = ops.approxCountDistinct(once, "g", col("v")).head().getDouble(1)
+    val b = ops.approxCountDistinct(heavy, "g", col("v")).head().getDouble(1)
+    assert(a == b, s"estimate must depend only on the distinct set: $a vs $b")
+  }
 }
