@@ -339,7 +339,13 @@ object TextQueries extends QueryFamily {
         table(s, dir, "documents")
           .select(explode(tokens(col("text"))).as("token"))
           .filter(col("token") =!= ""),
-        col("token"), phi = 0.02))
+        col("token"), phi = 0.02)),
+
+    // per-column table profile ([[graft.operators.Profile]]): the
+    // trust-a-new-data-drop summary, one Expand-fused aggregation pass
+    "q105_profile_documents" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        table(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars")))
   )
 
   /** Keyword query set for q99 — terms drawn from the synthetic corpus
@@ -631,6 +637,21 @@ object TextQueries extends QueryFamily {
             SELECT token AS item, est_cnt FROM est, n
             WHERE est_cnt > 0.02 * n.n
             ORDER BY est_cnt DESC, item"""
+      },
+      // dtype literals mirror Spark's simpleString for the parquet schema
+      "q105_profile_documents" -> {
+        val colTypes = Seq(
+          "doc_id" -> "bigint", "lang" -> "string",
+          "source" -> "string", "n_chars" -> "bigint")
+        colTypes.map { case (c, t) =>
+          s"""SELECT '$c' AS "column", '$t' AS dtype,
+                     COUNT(*) AS n_rows,
+                     COUNT(*) - COUNT($c) AS n_nulls,
+                     COUNT(DISTINCT $c) AS n_distinct,
+                     CAST(MIN($c) AS VARCHAR) AS min_val,
+                     CAST(MAX($c) AS VARCHAR) AS max_val
+              FROM documents"""
+        }.mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
       },
       "q54_pack_sequences" ->
         s"""SELECT doc_id, lang, n_tokens,
