@@ -334,7 +334,8 @@ object Pq {
   def searchIvfPqIndex(
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nprobe: Int = 4, shortlistFactor: Int = 4): DataFrame = {
+      nprobe: Int = 4, shortlistFactor: Int = 4,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val dim = meta.getAs[Int]("dim")
     val m = meta.getAs[Int]("m")
@@ -365,12 +366,18 @@ object Pq {
     // one cell while a query's probes are distinct cells, (query, row)
     // candidates are already unique — no dedup needed. ADC shortlist +
     // exact re-rank follow the flat path's bounded-aggregate tail
-    val short = TopK.perQuery(
-        codes.join(broadcast(q),
-            codes("cell") === q("cell") && col("neighbor_id") =!= col("query_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            (pqAdcScore(col("codes"), col("table"), ksub) + col("qc")).as("adc")),
-        shortlistFactor * k, scoreCol = "adc")
+    val cand0 = codes.join(broadcast(q),
+        codes("cell") === q("cell") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (pqAdcScore(col("codes"), col("table"), ksub) + col("qc")).as("adc"))
+    // exclusion BEFORE ranking (not a post-filter): an excluded id must
+    // not occupy a shortlist slot a real neighbor should get — the
+    // ingest-replay contract (a replayed batch excludes its own already-
+    // appended vectors and must reproduce its pre-crash output exactly)
+    val cand = excludeIds.fold(cand0)(ex =>
+      cand0.join(broadcast(ex.select(col(idCol).as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti"))
+    val short = TopK.perQuery(cand, shortlistFactor * k, scoreCol = "adc")
       .select("query_id", "neighbor_id")
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
         "query_id")

@@ -198,8 +198,22 @@ object DedupQueries extends QueryFamily {
         stage, planes = 6, tables = 24)
     }
 
+  /** Build the CORPUS-side IVF+PQ index once per SOURCE STATE — the
+    * search target q102's streaming ANN ingest appends into (via a
+    * per-run copy).
+    */
+  private def stagedIvfPqCorpusIndexDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_ivfpq_index",
+      Seq(s"$dir/embeddings.parquet"),
+      s"corpus$corpusSplit:64:8:16:16:42", "meta/_SUCCESS") { stage =>
+      graft.operators.Pq.writeIvfPqIndex(
+        table(s, dir, "embeddings").filter(col("vec_id") < corpusSplit),
+        stage, dim = 64, m = 8, ksub = 16, nlist = 16, iters = 3, seed = 42L)
+    }
+
   override def stages: Map[String, (SparkSession, String) => String] = Map(
     "minhash_index" -> (stagedMinhashIndexDir _),
+    "ivfpq_index_corpus" -> (stagedIvfPqCorpusIndexDir _),
     "keeplist" -> (stagedKeepListDir _),
     "keeplist_corpus" -> (stagedCorpusKeepListDir _),
     "docs_feed" -> (stagedDocsFeedDir _),
@@ -425,6 +439,26 @@ object DedupQueries extends QueryFamily {
           threshold = cosineThreshold, maxFilesPerTrigger = Some(1),
           compactEvery = 2)
         .orderBy("id_a", "id_b")),
+
+    // streaming ANN ingest over the persisted IVF+PQ index
+    // ([[graft.streaming.AnnIngestStream]]): each embedding batch is
+    // searched against everything committed before it (top-k, probed-cell
+    // pruning, own ids excluded for replay idempotence), then appended
+    // with the STORED quantizers as one segment commit — all four
+    // persisted indexes now run as continuously-ingesting services.
+    // Rows-only (two learned quantizers, q39/q46/q93/q94 precedent);
+    // AnnIngestStreamSpec pins per-batch == single-shot search, replay,
+    // no-future-leakage, and compaction transparency
+    "q102_ann_ingest_stream_ivfpq" -> ((s, dir) =>
+      graft.streaming.AnnIngestStream.ingest(
+          s, stagedEmbFeedDir(s, dir), embFeedSchema,
+          copiedIndexDir(s, stagedIvfPqCorpusIndexDir(s, dir),
+            Scratch.freshDir(s, "q102idx", dir)),
+          Scratch.freshDir(s, "q102out", dir),
+          Scratch.freshDir(s, "q102ckpt", dir),
+          k = 5, nprobe = 4, maxFilesPerTrigger = Some(1),
+          compactEvery = 2)
+        .orderBy("query_id", "rank")),
 
     "q91_dedup_groups_incremental" -> ((s, dir) => {
       val docs = table(s, dir, "documents")

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+import graft.SparkTestBase
+import graft.operators.Pq
+import graft.sources.Segments
+
+/** [[AnnIngestStream]] — per-batch output equals a single-shot
+  * [[Pq.searchIvfPqIndex]] against the hand-appended prefix index, a
+  * later batch finds an earlier batch's vector (and NOT vice versa — the
+  * no-future-leakage direction), a post-commit replay rewrites identical
+  * output, and mid-stream compaction is search-transparent.
+  */
+class AnnIngestStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 64
+  private val k = 3
+  private val nprobe = 4
+
+  /** Unit vector at angle `t` in the (e{2p}, e{2p+1}) plane. */
+  private def a(plane: Int, t: Double): Seq[Float] = {
+    val v = new Array[Float](dim)
+    v(2 * plane) = math.cos(t).toFloat
+    v(2 * plane + 1) = math.sin(t).toFloat
+    v.toSeq
+  }
+
+  private def axis(i: Int): Seq[Float] = {
+    val v = new Array[Float](dim); v(i) = 1f; v.toSeq
+  }
+
+  private val feedSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+
+  // two 9-vector clusters (planes 0 and 1) + 2 background axes = 20
+  // corpus vectors, enough to train ksub=8 codebooks; cluster spread
+  // 0.02 rad so in-cluster cosines (~0.999+) dominate cross-cluster (0)
+  private lazy val corpus = (
+    (0 until 9).map(i => (i.toLong, a(0, 0.02 * i))) ++
+      (0 until 9).map(i => (10L + i, a(1, 0.02 * i))) ++
+      Seq((20L, axis(40)), (21L, axis(42)))
+  ).toDF("vec_id", "embedding")
+
+  // batch 0: near cluster A; batch 1: near cluster B; batch 2: angle
+  // 0.015 in plane 0 — closer to batch 0's vector 100 (d=0.005 rad) than
+  // to any corpus vector (d>=0.005 vs 0.02-grid... nearest corpus 0.005
+  // too at i=1? 0.02*1=0.02 -> d=0.005; tie-ish), so push 100 closer:
+  private val b0 = Seq((100L, a(0, 0.014)))
+  private val b1 = Seq((101L, a(1, 0.011)))
+  private val b2 = Seq((102L, a(0, 0.015))) // cos(0.001) to 100 — its top-1
+  private val batches = Seq(b0, b1, b2)
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_aingest_$tag").toString
+
+  private def freshIndex(): String = {
+    val dir = tmp("idx")
+    Pq.writeIvfPqIndex(corpus, dir, dim = dim, m = 8, ksub = 8, nlist = 4,
+      iters = 3, seed = 42L)
+    dir
+  }
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def search(dir: String, q: DataFrame): DataFrame =
+    Pq.searchIvfPqIndex(spark, dir, q, k, nprobe = nprobe,
+      excludeIds = Some(q.select("vec_id")))
+
+  test("per-batch stream output == single-shot search on the hand-appended prefix") {
+    val streamIdx = freshIndex()
+    val handIdx = freshIndex()
+    val feedDir = tmp("feed")
+    val outDir = tmp("out")
+    batches.foreach { b =>
+      b.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir)
+    }
+    AnnIngestStream.ingest(spark, feedDir, feedSchema, streamIdx, outDir,
+      tmp("ckpt"), k = k, nprobe = nprobe, maxFilesPerTrigger = Some(1))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val bdf = b.toDF("vec_id", "embedding")
+      val expected = rows(search(handIdx, bdf))
+      val got = rows(spark.read.parquet(s"$outDir/batch=$i"))
+      assert(got === expected, s"batch $i diverged from single-shot search")
+      Pq.appendToIvfPqIndex(bdf, handIdx, seg = Some(s"hand-$i"))
+    }
+  }
+
+  test("later batch finds the earlier batch's vector; no future leakage") {
+    val indexDir = freshIndex()
+    val outDir = tmp("out")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      AnnIngestStream.ingestBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        indexDir, outDir, k = k, nprobe = nprobe)
+    }
+    val byBatch = (0 until 3).map(i =>
+      spark.read.parquet(s"$outDir/batch=$i")
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    // batch 2's query 102 ranks batch 0's 100 first — only reachable
+    // through the batch-0 append
+    assert(byBatch(2).contains((102L, 100L, 1L)),
+      s"102 should top-rank 100, got ${byBatch(2).toSeq}")
+    // batch 0 ran before 102 existed: nothing from the future
+    assert(!byBatch(0).exists(_._2 == 102L), "batch 0 saw a future vector")
+    assert(!byBatch(0).exists(_._2 == 101L), "batch 0 saw a future vector")
+  }
+
+  test("post-commit batch replay rewrites identical output, no duplicate segment") {
+    val indexDir = freshIndex()
+    val outDir = tmp("out")
+    val bdf = b0.toDF("vec_id", "embedding")
+    AnnIngestStream.ingestBatch(bdf, 0L, indexDir, outDir, k = k, nprobe = nprobe)
+    val first = rows(spark.read.parquet(outDir).drop("batch"))
+    // checkpoint commit lost — the stream re-runs batch 0 against an
+    // index that already holds its rows; own-id exclusion keeps the
+    // neighbor set identical
+    AnnIngestStream.ingestBatch(bdf, 0L, indexDir, outDir, k = k, nprobe = nprobe)
+    assert(rows(spark.read.parquet(outDir).drop("batch")) === first)
+    assert(Segments.liveSegs(spark, indexDir) === Seq("batch-0"))
+  }
+
+  test("mid-stream compaction is search-transparent and bounds segments") {
+    val plain = freshIndex()
+    val compacted = freshIndex()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val bdf = b.toDF("vec_id", "embedding")
+      AnnIngestStream.ingestBatch(bdf, i.toLong, plain, tmp("o1"),
+        k = k, nprobe = nprobe)
+      AnnIngestStream.ingestBatch(bdf, i.toLong, compacted, tmp("o2"),
+        k = k, nprobe = nprobe, compactEvery = 2)
+    }
+    val probe = Seq((200L, a(0, 0.016))).toDF("vec_id", "embedding")
+    assert(rows(search(compacted, probe)) === rows(search(plain, probe)))
+    assert(Segments.liveSegs(spark, compacted).size
+      < Segments.liveSegs(spark, plain).size)
+    // the compacted index still answers through ingested vectors
+    val got = search(compacted, probe).select("neighbor_id")
+      .as[Long].collect().toSet
+    assert(got.contains(102L), s"compacted index lost an ingested vector: $got")
+  }
+}
