@@ -345,7 +345,34 @@ object TextQueries extends QueryFamily {
     // trust-a-new-data-drop summary, one Expand-fused aggregation pass
     "q105_profile_documents" -> ((s, dir) =>
       graft.operators.Profile.profile(
-        table(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars")))
+        table(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))),
+
+    // deterministic weighted sample without replacement
+    // ([[graft.operators.Sampling]], A-ES): fixed 100-doc budget, longer
+    // docs proportionally favored; hash-derived uniforms make it
+    // bit-reproducible, TakeOrderedAndProject keeps it k-capped
+    "q106_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        table(s, dir, "documents"), "doc_id", "n_chars", k = 100)),
+
+    // multi-level aggregation in ONE pass: per-(source, lang), per-source
+    // subtotals, and the grand total via ROLLUP's Expand — the OLAP
+    // report shape (NULL marks the rolled-up level, as in ANSI SQL)
+    "q107_rollup_source_lang" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
+
+    // long-to-wide PIVOT with an explicit value list (deterministic
+    // schema — Spark never scans for values, the oracle never guesses)
+    "q108_pivot_lang_counts" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("source"))
   )
 
   /** Keyword query set for q99 — terms drawn from the synthetic corpus
@@ -639,6 +666,36 @@ object TextQueries extends QueryFamily {
             ORDER BY est_cnt DESC, item"""
       },
       // dtype literals mirror Spark's simpleString for the parquet schema
+      // A-ES replayed: u from the top-53 hash bits exactly as the engine
+      // derives it (integer ops into an exactly-representable double);
+      // the single LN is the only per-engine libm call
+      "q106_weighted_sample" ->
+        s"""WITH RECURSIVE
+              tokh AS (SELECT doc_id, n_chars, ROW_NUMBER() OVER () AS tid,
+                              HEX(ENCODE(CAST(doc_id AS VARCHAR) || ':aes')) AS hx
+                       FROM documents WHERE n_chars > 0),
+              ${HashOracleSql.fnvFmixCtes},
+              keyed AS (SELECT t.doc_id, t.n_chars,
+                               LN(((s.x // 2048) + 1)::DOUBLE / 9007199254740992.0)
+                                 / CAST(t.n_chars AS DOUBLE) AS key
+                        FROM tokh t JOIN sig s USING (tid)),
+              sel AS (SELECT doc_id, n_chars, key FROM keyed
+                      ORDER BY key DESC, doc_id LIMIT 100)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                   ROUND(key, 6) AS key
+            FROM sel ORDER BY doc_id""",
+      "q107_rollup_source_lang" ->
+        """SELECT source, lang, COUNT(*) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           FROM documents GROUP BY ROLLUP(source, lang)
+           ORDER BY source NULLS FIRST, lang NULLS FIRST""",
+      "q108_pivot_lang_counts" -> {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val cols = langs.map(l =>
+          s"COUNT(*) FILTER (WHERE lang = '$l') AS $l").mkString(", ")
+        s"""SELECT source, $cols
+            FROM documents GROUP BY source ORDER BY source"""
+      },
       "q105_profile_documents" -> {
         val colTypes = Seq(
           "doc_id" -> "bigint", "lang" -> "string",
