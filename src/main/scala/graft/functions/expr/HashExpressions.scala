@@ -141,6 +141,21 @@ object TextHashOps {
     }
     new GenericArrayData(out)
   }
+
+  /** All-d-positions-set membership test against a packed bit set (see
+    * [[graft.functions.expr.BloomContains]]).
+    */
+  def bloomContains(s: UTF8String, bits: Array[Long], d: Int, logW: Int): Boolean = {
+    val x = hash64(s)
+    val mask = (1L << logW) - 1L
+    var i = 0
+    while (i < d) {
+      val pos = ((x * CmsParams.A(i) + CmsParams.B(i)) & mask).toInt
+      if ((bits(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** Fixed per-row multipliers/offsets for the Count-Min sketch rows —
@@ -231,6 +246,30 @@ case class CmsBuckets(child: Expression, d: Int, logW: Int)
   override def prettyName: String = "cms_buckets"
 }
 
+/** bloom_contains(item: string) -> boolean against a bound packed bit
+  * set: true iff ALL d of the item's CMS-row probe positions
+  * ([[TextHashOps.cmsBuckets]] — the same multiply-shift family) are
+  * set. The bit set rides the plan as a reference object (2^logW bits =
+  * 8 KB at logW 16), so the membership test is map-side with NO join or
+  * shuffle — the Bloom-gate deployment shape.
+  */
+case class BloomContains(child: Expression, bits: Array[Long], d: Int, logW: Int)
+    extends UnaryExpression {
+  require(bits.length == (1 << logW) / 64,
+    s"bit set must pack 2^$logW bits into ${(1 << logW) / 64} longs, got ${bits.length}")
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.bloomContains(v.asInstanceOf[UTF8String], bits, d, logW)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextHashOps.bloomContains($c, $ref, $d, $logW)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "bloom_contains"
+}
+
 /** nlz64(x: long) -> int — number of leading zero bits (0..64). The HLL
   * register rank needs an INTEGER-exact leading-zero count; the
   * double-log route (`floor(log2(x))`) is libm-dependent in its last ulp
@@ -253,6 +292,8 @@ object HashFunctions {
     GraftBridge.column(Hash64(GraftBridge.expression(s)))
   def cmsBuckets(item: Column, d: Int, logW: Int): Column =
     GraftBridge.column(CmsBuckets(GraftBridge.expression(item), d, logW))
+  def bloomContains(item: Column, bits: Array[Long], d: Int, logW: Int): Column =
+    GraftBridge.column(BloomContains(GraftBridge.expression(item), bits, d, logW))
   def nlz64(x: Column): Column =
     GraftBridge.column(LeadingZeros64(GraftBridge.expression(x)))
   def simhash64(tokens: Column): Column =

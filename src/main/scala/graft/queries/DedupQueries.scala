@@ -301,6 +301,32 @@ object DedupQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // Bloom membership gate in front of q50's exact verify
+    // ([[graft.operators.Bloom]]): the corpus folds into an 8 KB packed
+    // bit set riding the plan as a compiled-expression reference, each
+    // increment row answers "definitely new" MAP-SIDE (no join, no
+    // shuffle), and only maybe-members reach the exact fingerprint
+    // semi-join. Output keeps both verdicts so false positives are
+    // visible. Bit-exact oracle — the gate is the same integer
+    // multiply-shift family as q103
+    "q109_bloom_membership" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val fpCol = graft.functions.TextFunctions.contentFingerprint(col("text"))
+      val corpus = docs.filter(col("doc_id") < corpusSplit)
+      val bits = graft.operators.Bloom.build(corpus, fpCol)
+      val gated = graft.operators.Bloom.gate(
+        docs.filter(col("doc_id") >= corpusSplit)
+          .select(col("doc_id"), fpCol.as("fingerprint")),
+        col("fingerprint"), bits)
+      val verified = gated.filter(col("bloom_maybe"))
+        .join(Dedup.fingerprints(corpus), Seq("fingerprint"), "left_semi")
+        .select(col("doc_id"), lit(true).as("is_dup"))
+      gated.join(verified, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("bloom_maybe"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     // incremental NEAR-dup: the doc_id >= 250 batch probes the persisted
     // corpus index — its own shingling is the only kernel work; the
     // corpus contributes band buckets + hashed key sets, never text
@@ -619,7 +645,7 @@ object DedupQueries extends QueryFamily {
         toks AS (
           SELECT doc_id, UNNEST(STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ')) AS token
           FROM documents),
-        tokh AS (SELECT doc_id, ROW_NUMBER() OVER () AS tid, HEX(ENCODE(token)) AS hx FROM toks),
+        tokh AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id, token) AS tid, HEX(ENCODE(token)) AS hx FROM toks),
         ${HashOracleSql.fnvFmixCtes},
         pow2(b, p) AS (VALUES $pow2),
         votes AS (
@@ -766,6 +792,41 @@ object DedupQueries extends QueryFamily {
          ORDER BY keep_id""",
     // NOT EXISTS (not NOT IN): matches the null semantics of Spark's
     // left_anti should a fingerprint ever be null
+    // Bloom gate replayed bit-exactly: every distinct fingerprint hashes
+    // once through the shared FNV-1a+fmix64 chain, positions are the
+    // q103 multiply-shift buckets mod 2^16, set bits come from the
+    // corpus side, and a row is maybe iff all 4 of its position rows hit
+    "q109_bloom_membership" -> {
+      import graft.functions.expr.CmsParams
+      val posSelects = (0 until 4).map { i =>
+        val prod = HashOracleSql.mulMod64("x", s"${CmsParams.aU(i)}::HUGEINT")
+        s"""SELECT f, $i AS i,
+                   (($prod) + ${CmsParams.bU(i)}::HUGEINT) % 65536 AS pos
+            FROM fh"""
+      }.mkString("\n UNION ALL\n")
+      s"""WITH RECURSIVE
+            fp AS (SELECT doc_id,
+                          MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
+                   FROM documents),
+            cfp AS (SELECT DISTINCT f FROM fp WHERE doc_id < $corpusSplit),
+            ifp AS (SELECT doc_id, f FROM fp WHERE doc_id >= $corpusSplit),
+            allf AS (SELECT f FROM cfp UNION SELECT f FROM ifp),
+            tokh AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f) AS tid, HEX(ENCODE(f)) AS hx
+                     FROM allf),
+            ${HashOracleSql.fnvFmixCtes},
+            fh AS (SELECT t.f, s.x FROM tokh t JOIN sig s USING (tid)),
+            pb AS ($posSelects),
+            setpos AS (SELECT DISTINCT pos FROM pb JOIN cfp USING (f)),
+            hits AS (SELECT p.f, COUNT(*) AS nh
+                     FROM pb p JOIN setpos sp USING (pos) GROUP BY p.f),
+            gate AS (SELECT i.doc_id,
+                            COALESCE(h.nh, 0) = 4 AS bloom_maybe,
+                            i.f IN (SELECT f FROM cfp) AS exact_mem
+                     FROM ifp i LEFT JOIN hits h ON h.f = i.f)
+          SELECT doc_id, bloom_maybe,
+                 (bloom_maybe AND exact_mem) AS is_dup
+          FROM gate ORDER BY doc_id"""
+    },
     "q50_dedup_incremental" ->
       """WITH fp AS (
            SELECT doc_id,

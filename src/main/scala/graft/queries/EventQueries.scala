@@ -369,7 +369,7 @@ object EventQueries extends QueryFamily {
       s"""WITH RECURSIVE
             du AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
                    FROM events),
-            tokh AS (SELECT event_type, ROW_NUMBER() OVER () AS tid,
+            tokh AS (SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type, u) AS tid,
                             HEX(ENCODE(u)) AS hx
                      FROM du),
             ${HashOracleSql.fnvFmixCtes},

@@ -400,7 +400,7 @@ object TextQueries extends QueryFamily {
         tokpos AS (
           SELECT doc_id, i AS pos, t[i] AS token
           FROM toks0, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t))) AS i) u),
-        tokh AS (SELECT doc_id, pos, ROW_NUMBER() OVER () AS tid, HEX(ENCODE(token)) AS hx FROM tokpos),
+        tokh AS (SELECT doc_id, pos, ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS tid, HEX(ENCODE(token)) AS hx FROM tokpos),
         ${HashOracleSql.fnvFmixCtes},
         hs AS (SELECT t.doc_id, t.pos, s.x AS h FROM tokh t JOIN sig s USING (tid)),
         nn AS (SELECT doc_id, MAX(pos) AS n, LEAST($window, MAX(pos)) AS w FROM hs GROUP BY 1),
@@ -651,7 +651,7 @@ object TextQueries extends QueryFamily {
                 SELECT token FROM (SELECT UNNEST($toks) AS token FROM documents)
                 WHERE token <> ''),
               tokh AS (
-                SELECT token, ROW_NUMBER() OVER () AS tid, HEX(ENCODE(token)) AS hx
+                SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS tid, HEX(ENCODE(token)) AS hx
                 FROM (SELECT DISTINCT token FROM tok)),
               ${HashOracleSql.fnvFmixCtes},
               vh AS (SELECT t.token, s.x FROM tokh t JOIN sig s USING (tid)),
@@ -671,7 +671,7 @@ object TextQueries extends QueryFamily {
       // the single LN is the only per-engine libm call
       "q106_weighted_sample" ->
         s"""WITH RECURSIVE
-              tokh AS (SELECT doc_id, n_chars, ROW_NUMBER() OVER () AS tid,
+              tokh AS (SELECT doc_id, n_chars, ROW_NUMBER() OVER (ORDER BY doc_id) AS tid,
                               HEX(ENCODE(CAST(doc_id AS VARCHAR) || ':aes')) AS hx
                        FROM documents WHERE n_chars > 0),
               ${HashOracleSql.fnvFmixCtes},
