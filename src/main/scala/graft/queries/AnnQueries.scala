@@ -21,11 +21,14 @@ import graft.operators.{Ann, Ivf}
   * cos ≥ 0.95 neighbors, where LSH prunes ~240× (see
   * [[graft.operators.Ann]]'s parameter math).
   *
-  * q39 (IVF) is a rows-only check: its coarse quantizer is LEARNED from
-  * the data (spherical k-means), so no closed-form SQL twin exists, and
-  * on this clusterless corpus partial recall at nprobe < nlist is the
-  * documented trade — IvfSpec proves recall on planted clustered data
-  * and exact degeneration at nprobe = nlist.
+  * q39 (IVF) carries a GENERATED oracle (the q96 pattern): its coarse
+  * quantizer is LEARNED from the data (spherical k-means), so no
+  * closed-form SQL twin exists — instead the staged centroids are
+  * captured as SQL literals when the query runs, and DuckDB replays the
+  * assignment/probe/cosine/rank arithmetic bit-exactly. The oracle
+  * verifies the ALGORITHM against its learned state; recall vs exact
+  * top-k on clustered data (the operating regime) stays pinned by
+  * IvfSpec, including exact degeneration at nprobe = nlist.
   *
   * q46 is q39's DEPLOYMENT shape: the corpus written once as a
   * cell-partitioned parquet index ([[Ivf.writeIndex]], staged per source
@@ -99,15 +102,18 @@ object AnnQueries extends QueryFamily {
 
     "q39_ann_topk_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
+      ivfOracle = Some(ivfSql(s, stagedIndexDir(s, dir)))
       Ivf.ivfTopK(emb, emb.filter(col("vec_id") < nQueries), k,
           nlist = nlist, nprobe = nprobe)
         .orderBy("query_id", "rank")
     }),
 
     // build-once/query-many: search the PERSISTED cell-partitioned index;
-    // rows-only like q39 (learned quantizer), pinned equal to q39 by IvfSpec
+    // same generated oracle as q39 (IvfSpec additionally pins the two
+    // queries row-identical and the partition pruning)
     "q46_ann_topk_ivf_index" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
+      ivfOracle = Some(ivfSql(s, stagedIndexDir(s, dir)))
       Ivf.searchIndex(s, stagedIndexDir(s, dir),
           emb.filter(col("vec_id") < nQueries), k, nprobe = nprobe)
         .orderBy("query_id", "rank")
@@ -115,16 +121,17 @@ object AnnQueries extends QueryFamily {
 
     // PQ codes + ADC shortlist + exact re-rank against the persisted PQ
     // index: the corpus is scanned as m-byte CODE rows, floats join in
-    // only for the shortlist. Rows-only like q39/q46 and for the same
-    // structural reason: on this clusterless random corpus the
-    // quantization error of ANY learned code is comparable to the
-    // top-k-vs-background cosine gap (measured: ADC error σ ≈ 0.06 vs
-    // gaps of 0.1-0.15), so exact-top-k equality would require a
-    // near-brute shortlist and break on testdata regeneration. PqSpec
-    // proves exact equality with brute force on planted CLUSTERED data
-    // (the operating regime) and exact degeneration at full shortlist.
+    // only for the shortlist. The oracle is GENERATED from the staged
+    // codebooks (q96 pattern): DuckDB re-encodes the corpus, rebuilds the
+    // ADC tables, and replays shortlist + re-rank bit-exactly — it
+    // verifies THE ALGORITHM against its captured learned state, unlike
+    // the r8 negative result which compared the approximate answer to an
+    // exact-top-k oracle (brittle on this clusterless corpus; PqSpec
+    // still proves exact equality with brute force on planted CLUSTERED
+    // data, the operating regime).
     "q93_ann_topk_pq" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
+      pqOracle = Some(pqSql(s, stagedPqIndexDir(s, dir)))
       graft.operators.Pq.searchIndex(s, stagedPqIndexDir(s, dir),
           emb.filter(col("vec_id") < nQueries), k)
         .orderBy("query_id", "rank")
@@ -132,16 +139,181 @@ object AnnQueries extends QueryFamily {
 
     // the COMPOSED IVF+PQ deployment shape: probed-cell partition
     // pruning over 32x-smaller code rows, ADC within probed cells, exact
-    // re-rank. Rows-only like q39/q46/q93 (two learned quantizers);
-    // PqSpec pins nprobe=nlist == flat PQ, clustered-recall, and the
-    // partition-pruning plan shape
+    // re-rank. Generated oracle composes the q39 cell arithmetic with the
+    // q93 code arithmetic (both learned states captured from the staged
+    // index); PqSpec pins nprobe=nlist == flat PQ, clustered-recall, and
+    // the partition-pruning plan shape
     "q94_ann_topk_ivfpq" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
+      ivfpqOracle = Some(ivfpqSql(s, stagedIvfPqIndexDir(s, dir)))
       graft.operators.Pq.searchIvfPqIndex(s, stagedIvfPqIndexDir(s, dir),
           emb.filter(col("vec_id") < nQueries), k, nprobe = nprobe)
         .orderBy("query_id", "rank")
     })
   )
+
+  /** Generated oracles, captured from the staged learned state when the
+    * query runs (the q96 pattern — see [[DedupQueries]]): the centroids /
+    * codebooks the engine actually searched with become SQL literals, and
+    * the assignment, probe, ADC, and ranking arithmetic is then pure
+    * double-precision computation DuckDB replays bit-exactly. A
+    * restricted dev dump that skips these queries falls back to the
+    * driver's rows-only check.
+    */
+  @volatile private var ivfOracle: Option[String] = None
+  @volatile private var pqOracle: Option[String] = None
+  @volatile private var ivfpqOracle: Option[String] = None
+
+  import HashOracleSql.vlit
+
+  /** `cents(cell, c)` VALUES rows from a persisted centroid frame. */
+  private def centsValues(s: SparkSession, path: String): String =
+    s.read.parquet(path).orderBy("cell").collect()
+      .map(r => s"(${r.getInt(0)}, ${vlit(r.getSeq[Float](1).toArray)})")
+      .mkString(",\n          ")
+
+  /** Shared CTE prefix replaying the coarse quantizer: corpus cell
+    * assignment (argmax dot, ties to the lower cell — the
+    * [[graft.functions.expr.IvfOps]] contract) and each query's `nprobe`
+    * probe cells, from centroid literals.
+    */
+  private def cellCtes(cents: String): String =
+    s"""cents(cell, c) AS (VALUES $cents),
+        cellscore AS (
+          SELECT e.vec_id, t.cell,
+                 LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), t.c) AS s
+          FROM embeddings e CROSS JOIN cents t),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+            FROM cellscore) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+            FROM cellscore WHERE vec_id < $nQueries) WHERE rn <= $nprobe)"""
+
+  /** Final ranking tail shared by all four generated oracles: rank a
+    * `scored(query_id, neighbor_id, cos)` CTE by (cos DESC, neighbor_id),
+    * keep top-k, round at projection — [[graft.operators.TopK]] verbatim.
+    */
+  private def rankTail: String =
+    s"""ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+               ROUND(cos, 6) AS cosine
+        FROM ranked WHERE rank <= $k
+        ORDER BY query_id, rank"""
+
+  private def ivfSql(s: SparkSession, idx: String): String =
+    s"""WITH ${cellCtes(centsValues(s, s"$idx/centroids"))},
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id, ${cosineExpr("q", "e")} AS cos
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+          JOIN embeddings q ON q.vec_id = p.query_id
+          JOIN embeddings e ON e.vec_id = a.vec_id),
+        $rankTail"""
+
+  /** `books(j, k, c)` VALUES rows from a persisted PQ codebook frame. */
+  private def booksValues(s: SparkSession, path: String): String =
+    s.read.parquet(path).orderBy("j", "k").collect()
+      .map(r => s"(${r.getInt(0)}, ${r.getInt(1)}, ${vlit(r.getSeq[Float](2).toArray)})")
+      .mkString(",\n          ")
+
+  /** PQ arithmetic CTEs from codebook literals, replaying
+    * [[graft.functions.expr.PqOps]] term by term. The kernels accumulate
+    * ELEMENT-SEQUENTIALLY (`d += diff*diff`, `s += q[i]*c[i]`), so the
+    * SQL uses explicit left-associative term chains over array elements —
+    * NOT a dot-product expansion, whose fold order would differ.
+    * Yields `codes(vec_id, j, code)` (argmin L2, ties to the lower code)
+    * and `adct(query_id, j, k, ip)` (the per-query ADC table).
+    */
+  private def pqCtes(books: String, dsub: Int): String = {
+    val d2Chain = (0 until dsub).map { d =>
+      val diff = s"(CAST(e.embedding[b.j*$dsub + ${d + 1}] AS DOUBLE) - b.c[${d + 1}])"
+      s"$diff * $diff"
+    }.mkString("\n                 + ")
+    val ipChain = (0 until dsub).map { d =>
+      s"CAST(qv.embedding[b.j*$dsub + ${d + 1}] AS DOUBLE) * b.c[${d + 1}]"
+    }.mkString("\n                 + ")
+    s"""books(j, k, c) AS (VALUES $books),
+        encd AS (
+          SELECT e.vec_id, b.j, b.k,
+                 $d2Chain AS d2
+          FROM embeddings e CROSS JOIN books b),
+        codes AS (
+          SELECT vec_id, j, k AS code FROM (
+            SELECT vec_id, j, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, k) AS rn
+            FROM encd) WHERE rn = 1),
+        adct AS (
+          SELECT qv.vec_id AS query_id, b.j, b.k,
+                 $ipChain AS ip
+          FROM embeddings qv CROSS JOIN books b
+          WHERE qv.vec_id < $nQueries)"""
+  }
+
+  /** ADC score + shortlist + exact re-rank tail over a `cand(query_id,
+    * neighbor_id, j, ip)` relation: per-pair ADC sum in subspace order
+    * (the [[graft.functions.expr.PqOps.adcScore]] j-ascending fold),
+    * shortlist by (adc DESC, neighbor_id), exact cosine on the shortlist.
+    */
+  private def adcTail(m: Int, shortlist: Int): String = {
+    val sumChain = (1 to m).map(i => s"ips[$i]").mkString(" + ")
+    s"""adcs AS (
+          SELECT query_id, neighbor_id, $sumChain AS adc FROM (
+            SELECT query_id, neighbor_id, ARRAY_AGG(ip ORDER BY j) AS ips
+            FROM cand GROUP BY query_id, neighbor_id)),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc DESC, neighbor_id) AS rn
+            FROM adcs) WHERE rn <= $shortlist),
+        scored AS (
+          SELECT s.query_id, s.neighbor_id, ${cosineExpr("q", "e")} AS cos
+          FROM short s
+          JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings e ON e.vec_id = s.neighbor_id),
+        $rankTail"""
+  }
+
+  private def pqSql(s: SparkSession, idx: String): String = {
+    val meta = s.read.parquet(s"$idx/meta").head()
+    val m = meta.getAs[Int]("m")
+    val dsub = meta.getAs[Int]("dim") / m
+    s"""WITH ${pqCtes(booksValues(s, s"$idx/books"), dsub)},
+        cand AS (
+          SELECT t.query_id, c.vec_id AS neighbor_id, t.j, t.ip
+          FROM codes c JOIN adct t ON t.j = c.j AND t.k = c.code
+          WHERE c.vec_id <> t.query_id),
+        ${adcTail(m, 4 * k)}"""
+  }
+
+  /** IVF+PQ (raw coding, the staged q94 variant): q39's cell CTEs
+    * restrict q93's candidate pairs to (neighbor cell ∈ query's probes).
+    */
+  private def ivfpqSql(s: SparkSession, idx: String): String = {
+    val meta = s.read.parquet(s"$idx/meta").head()
+    require(!meta.getAs[Boolean]("by_residual"),
+      "generated q94 oracle covers the staged raw-coding variant")
+    val m = meta.getAs[Int]("m")
+    val dsub = meta.getAs[Int]("dim") / m
+    s"""WITH ${cellCtes(centsValues(s, s"$idx/centroids"))},
+        ${pqCtes(booksValues(s, s"$idx/books"), dsub)},
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id, t.j, t.ip
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+          JOIN codes c ON c.vec_id = a.vec_id
+          JOIN adct t ON t.query_id = p.query_id AND t.j = c.j AND t.k = c.code),
+        ${adcTail(m, 4 * k)}"""
+  }
 
   private def cosineExpr(a: String, b: String): String =
     s"""LIST_DOT_PRODUCT(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))
@@ -164,7 +336,11 @@ object AnnQueries extends QueryFamily {
           FROM ranked WHERE rank <= $k
           ORDER BY query_id, rank"""
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    ivfOracle.map(sql => Seq("q39_ann_topk_ivf" -> sql,
+        "q46_ann_topk_ivf_index" -> sql)).getOrElse(Nil).toMap ++
+    pqOracle.map("q93_ann_topk_pq" -> _).toMap ++
+    ivfpqOracle.map("q94_ann_topk_ivfpq" -> _).toMap ++ Map(
     "q26_ann_topk" -> topkSql,
     "q27_ann_topk_lsh" -> topkSql
   )

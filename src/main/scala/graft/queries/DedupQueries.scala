@@ -750,15 +750,7 @@ object DedupQueries extends QueryFamily {
     */
   @volatile private var q96Oracle: Option[String] = None
 
-  /** Every double is emitted in exponent form (`0.5E0`): DuckDB types
-    * exponent literals DOUBLE directly, and `Double.toString` is the
-    * shortest round-trip representation, so the parsed constant is
-    * bit-identical to the engine's.
-    */
-  private def dlit(x: Double): String = {
-    val s = x.toString
-    if (s.contains('E') || s.contains('e')) s else s + "E0"
-  }
+  private def dlit(x: Double): String = HashOracleSql.dlit(x)
 
   private def q96Sql(s: SparkSession, idx: String): String = {
     val trainMean = s.read.parquet(s"$idx/meta").head().getAs[Double]("train_mean_dist")

@@ -16,6 +16,22 @@ private[queries] object HashOracleSql {
   val M64 = "18446744073709551616" // 2^64
   val SIGN = "9223372036854775808" // 2^63
 
+  /** A double as a DuckDB literal that parses back bit-identical:
+    * `Double.toString` is the shortest round-trip representation, and an
+    * exponent suffix (`0.5E0`) makes DuckDB type it DOUBLE directly.
+    * The float→double path of every engine kernel makes captured FLOAT
+    * state (centroids, codebooks) exactly representable this way — the
+    * foundation of the GENERATED oracles (q96 and the ANN family).
+    */
+  def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.contains('E') || s.contains('e')) s else s + "E0"
+  }
+
+  /** `[..] AS DOUBLE[]` literal for a float vector (see [[dlit]]). */
+  def vlit(v: Array[Float]): String =
+    s"CAST([${v.map(x => dlit(x.toDouble)).mkString(", ")}] AS DOUBLE[])"
+
   /** `(expr) mod 2^64` reinterpreted as a signed BIGINT (two's
     * complement wrap) — how the engine's Long-typed results compare.
     */
