@@ -20,6 +20,21 @@ import org.apache.spark.sql.SparkSession
   * state-store maintenance threads, and GC pressure otherwise bleed into
   * whatever batch query runs next (round-3 verdict: q37 measured 7.8 s
   * sandwiched between q36/q38 vs 1.2 s in isolation).
+  *
+  * SELF-CERTIFICATION (round-9 verdict #1): the r9 driver artifact
+  * recorded 18.1 s for a query that re-measures at 3.3 s warm — machine
+  * contention in the driver's bench window, invisible in the artifact
+  * itself. Two defenses, both recorded IN the artifact so a reader can
+  * judge trust without re-measuring:
+  *   1. A fixed CPU-bound calibration probe (constant-size in-memory
+  *      hash-agg, zero I/O) runs after warmup and between the
+  *      light/heavy/streaming groups. Identical work every time — any
+  *      spread between its runs is machine load, not our code. If
+  *      max/min across probes exceeds 2x, the artifact carries
+  *      "contended": true and its numbers should not gate a regression.
+  *   2. Any query whose two timed runs spread >30% is re-run once more
+  *      (best-of-3): a transient contention spike on one run no longer
+  *      decides the recorded minimum on its own.
   */
 object Bench {
   /** Dedup/ANN queries pair-score candidates (the heavy tail); everything
@@ -72,6 +87,23 @@ object Bench {
     // untimed settle between streaming runs: drain GC debt and give the
     // state-store/checkpoint machinery a beat to quiesce
     def settle(): Unit = { System.gc(); Thread.sleep(1500) }
+    // fixed CPU-bound calibration probe: constant-size in-memory hash-agg
+    // across all cores, no I/O, no shuffle growth — identical work every
+    // invocation, so run-to-run spread measures MACHINE LOAD only
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, cpus.toInt)
+        .selectExpr("sum(xxhash64(id)) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // a query pair that disagrees >30% got hit by something external on
+    // one run — give it a tiebreaker so the recorded min is two-vote
+    def spreadResolve(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        pre: () => Unit,
+        runs: Seq[Double]): Seq[Double] =
+      if (runs.max / runs.min > 1.3) { pre(); runs :+ run(name, fn) } else runs
     // untimed warmup: a scan-join-agg over the largest table touches the
     // executor pool, parquet reader, broadcast machinery, and codegen
     SparkEntry.queries.get("q01_revenue_by_nation").foreach(fn => run("warmup", fn))
@@ -96,24 +128,38 @@ object Bench {
     val (streaming, batch) =
       SparkEntry.queries.toSeq.sortBy(_._1).partition(q => isStreaming(q._1))
     val (light, heavy) = batch.partition(q => !isHeavy(q._1))
-    // BOTH raw runs are kept: the min is the steady-state number, the
+    // ALL raw runs are kept: the min is the steady-state number, the
     // spread between runs is the contention signal (a clean machine runs
-    // near-equal pairs; a loaded one shows wide, correlated spread)
-    val results: Seq[(String, Seq[Double])] = (light ++ heavy).map { case (name, fn) =>
-      name -> Seq(run(name, fn), run(name, fn))
-    } ++ streaming.map { case (name, fn) =>
-      name -> Seq({ settle(); run(name, fn) }, { settle(); run(name, fn) })
+    // near-equal pairs; a loaded one shows wide, correlated spread).
+    // Calibration probes bracket each group; >30% pairs get a 3rd run.
+    val calibs = scala.collection.mutable.ArrayBuffer(calibrate())
+    val noPre = () => ()
+    val lightR = light.map { case (name, fn) =>
+      name -> spreadResolve(name, fn, noPre, Seq(run(name, fn), run(name, fn)))
     }
+    calibs += calibrate()
+    val heavyR = heavy.map { case (name, fn) =>
+      name -> spreadResolve(name, fn, noPre, Seq(run(name, fn), run(name, fn)))
+    }
+    calibs += calibrate()
+    val streamR = streaming.map { case (name, fn) =>
+      name -> spreadResolve(name, fn, () => settle(),
+        Seq({ settle(); run(name, fn) }, { settle(); run(name, fn) }))
+    }
+    calibs += calibrate()
+    val results: Seq[(String, Seq[Double])] = lightR ++ heavyR ++ streamR
+    val contended = calibs.max / calibs.min > 2.0
+    val calibJson = s"""{"values":${calibs.map(c => f"$c%.3f").mkString("[", ",", "]")},"contended":$contended}"""
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jarr(names: Iterable[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = jmap(results.map { case (k, v) => k -> v.min.toString })
     val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibJson}""")
     // per-query raw runs (spread = contention visibility)
     val runsJson = s"""{"metric":"runs","unit":"sec","runs":${
-      jmap(results.map { case (k, v) => k -> v.mkString("[", ",", "]") })},"sf":"$sfDir","errors":${jarr(errored)}}"""
+      jmap(results.map { case (k, v) => k -> v.mkString("[", ",", "]") })},"sf":"$sfDir","errors":${jarr(errored)},"calibration":$calibJson}"""
     println(runsJson)
     // untimed stage-build cost, itemized — rebuilds show up HERE, not in
     // a query's number; failed builds are NAMED, their near-zero time is
@@ -125,13 +171,13 @@ object Bench {
     // the output would otherwise truncate the front of the (long)
     // per-query line and lose the total. Distinct metric name so a
     // consumer that aggregates by metric can't double-count the total.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errored.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errored.size},"sf":"$sfDir","contended":$contended}""")
     // the COMPLETE per-query artifact, committed to the tree each round:
     // the driver's BENCH_r{N}.json tail-truncates the long runs line, so
     // regressions were not diffable without re-measuring (r8 verdict #5)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}\n$runsJson\n$stagesJson\n""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","calibration":$calibJson}\n$runsJson\n$stagesJson\n""")
     spark.stop()
   }
 }

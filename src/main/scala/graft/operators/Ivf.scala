@@ -161,6 +161,21 @@ object Ivf {
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3, seed: Long = 42L,
       sampleOneIn: Int = 1): DataFrame = {
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters, seed, sampleOneIn)
+    ivfTopKWithCentroids(corpus, queries, k, cents, idCol, vecCol, nprobe)
+  }
+
+  /** [[ivfTopK]] with a caller-supplied quantizer. Distributed float
+    * aggregation does not promise a bit-identical sum fold across
+    * sessions, so a caller that needs the EXACT centroids the search used
+    * (e.g. a generated oracle) trains once via [[trainCentroids]] and
+    * feeds the same matrix to both the search and the replay — rather
+    * than hoping two trainings agree to the last bit (r9 advice).
+    */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[Array[Float]],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nprobe: Int = 4): DataFrame = {
     val c = ScaleOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")))
       .withColumn("cell", element_at(nearestCells(col("cvec"), cents, 1), 1))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))

@@ -35,6 +35,9 @@ object Sampling {
   /** The k rows with the largest A-ES keys, as (idCol, weight, key
     * ROUND 6), ordered by id. Rows with weight <= 0 are excluded (zero
     * weight = never sampled; A-ES requires strictly positive weights).
+    * `weight` is reported in the column's ORIGINAL type — a long cast
+    * here would display fractional weights truncated while they still
+    * (correctly) influenced the key (r9 verdict watch-item).
     */
   def weightedSample(
       rows: DataFrame, idCol: String, weightCol: String, k: Int,
@@ -44,7 +47,7 @@ object Sampling {
     val u = (shiftrightunsigned(x, 11) + lit(1L)).cast("double") /
       lit((1L << 53).toDouble)
     rows.filter(col(weightCol) > 0)
-      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+      .select(col(idCol), col(weightCol).as("weight"),
         (log(u) / col(weightCol).cast("double")).as("_key"))
       .orderBy(col("_key").desc, col(idCol))
       .limit(k)

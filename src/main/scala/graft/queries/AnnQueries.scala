@@ -44,6 +44,11 @@ object AnnQueries extends QueryFamily {
   private val nQueries = 10 // query batch = vec_id < 10
   private val nlist = 16
   private val nprobe = 4
+  // ONE constant feeds both the engine call sites (q93/q94 pass it
+  // explicitly) and the generated oracles' shortlist arithmetic, so a
+  // future change to Pq.searchIndex's default cannot silently
+  // desynchronize oracle from engine (r9 advice)
+  private val shortlistFactor = 4
 
   /** Build the persisted IVF index once per SOURCE STATE of
     * embeddings.parquet ([[Staging]] contract; `centroids/_SUCCESS` is
@@ -100,20 +105,26 @@ object AnnQueries extends QueryFamily {
         .orderBy("query_id", "rank")
     }),
 
+    // the oracle replays the centroids THIS query trained (not the staged
+    // index's — distributed float aggregation does not promise two
+    // trainings bit-identical across sessions, r9 advice): train once,
+    // feed the same matrix to the search and the SQL literals
     "q39_ann_topk_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      ivfOracle = Some(ivfSql(s, stagedIndexDir(s, dir)))
-      Ivf.ivfTopK(emb, emb.filter(col("vec_id") < nQueries), k,
-          nlist = nlist, nprobe = nprobe)
+      val cents = Ivf.trainCentroids(emb, nlist = nlist, iters = 3, seed = 42L)
+      ivfOracle39 = Some(ivfSqlFromCents(centsValuesInMemory(cents)))
+      Ivf.ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < nQueries), k,
+          cents, nprobe = nprobe)
         .orderBy("query_id", "rank")
     }),
 
     // build-once/query-many: search the PERSISTED cell-partitioned index;
-    // same generated oracle as q39 (IvfSpec additionally pins the two
-    // queries row-identical and the partition pruning)
+    // its oracle replays the STAGED centroids — the learned state this
+    // query actually searches with (IvfSpec additionally pins q39/q46
+    // row-identical and the partition pruning)
     "q46_ann_topk_ivf_index" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      ivfOracle = Some(ivfSql(s, stagedIndexDir(s, dir)))
+      ivfOracle46 = Some(ivfSql(s, stagedIndexDir(s, dir)))
       Ivf.searchIndex(s, stagedIndexDir(s, dir),
           emb.filter(col("vec_id") < nQueries), k, nprobe = nprobe)
         .orderBy("query_id", "rank")
@@ -133,7 +144,8 @@ object AnnQueries extends QueryFamily {
       val emb = table(s, dir, "embeddings")
       pqOracle = Some(pqSql(s, stagedPqIndexDir(s, dir)))
       graft.operators.Pq.searchIndex(s, stagedPqIndexDir(s, dir),
-          emb.filter(col("vec_id") < nQueries), k)
+          emb.filter(col("vec_id") < nQueries), k,
+          shortlistFactor = shortlistFactor)
         .orderBy("query_id", "rank")
     }),
 
@@ -145,9 +157,14 @@ object AnnQueries extends QueryFamily {
     // the partition-pruning plan shape
     "q94_ann_topk_ivfpq" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      ivfpqOracle = Some(ivfpqSql(s, stagedIvfPqIndexDir(s, dir)))
+      // ivfpqSql returns None for a residual-staged index (the oracle
+      // covers raw coding only) — the query still RUNS and falls back to
+      // the driver's rows-only check, rather than throwing before the
+      // engine search (r9 advice)
+      ivfpqOracle = ivfpqSql(s, stagedIvfPqIndexDir(s, dir))
       graft.operators.Pq.searchIvfPqIndex(s, stagedIvfPqIndexDir(s, dir),
-          emb.filter(col("vec_id") < nQueries), k, nprobe = nprobe)
+          emb.filter(col("vec_id") < nQueries), k, nprobe = nprobe,
+          shortlistFactor = shortlistFactor)
         .orderBy("query_id", "rank")
     })
   )
@@ -160,7 +177,8 @@ object AnnQueries extends QueryFamily {
     * restricted dev dump that skips these queries falls back to the
     * driver's rows-only check.
     */
-  @volatile private var ivfOracle: Option[String] = None
+  @volatile private var ivfOracle39: Option[String] = None
+  @volatile private var ivfOracle46: Option[String] = None
   @volatile private var pqOracle: Option[String] = None
   @volatile private var ivfpqOracle: Option[String] = None
 
@@ -170,6 +188,14 @@ object AnnQueries extends QueryFamily {
   private def centsValues(s: SparkSession, path: String): String =
     s.read.parquet(path).orderBy("cell").collect()
       .map(r => s"(${r.getInt(0)}, ${vlit(r.getSeq[Float](1).toArray)})")
+      .mkString(",\n          ")
+
+  /** `cents(cell, c)` VALUES rows from an in-memory centroid matrix (the
+    * q39 path: the exact floats the query trained, no staged round-trip).
+    */
+  private def centsValuesInMemory(cents: Array[Array[Float]]): String =
+    cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${vlit(c)})" }
       .mkString(",\n          ")
 
   /** Shared CTE prefix replaying the coarse quantizer: corpus cell
@@ -210,7 +236,10 @@ object AnnQueries extends QueryFamily {
         ORDER BY query_id, rank"""
 
   private def ivfSql(s: SparkSession, idx: String): String =
-    s"""WITH ${cellCtes(centsValues(s, s"$idx/centroids"))},
+    ivfSqlFromCents(centsValues(s, s"$idx/centroids"))
+
+  private def ivfSqlFromCents(cents: String): String =
+    s"""WITH ${cellCtes(cents)},
         scored AS (
           SELECT p.query_id, a.vec_id AS neighbor_id, ${cosineExpr("q", "e")} AS cos
           FROM probes p
@@ -292,19 +321,22 @@ object AnnQueries extends QueryFamily {
           SELECT t.query_id, c.vec_id AS neighbor_id, t.j, t.ip
           FROM codes c JOIN adct t ON t.j = c.j AND t.k = c.code
           WHERE c.vec_id <> t.query_id),
-        ${adcTail(m, 4 * k)}"""
+        ${adcTail(m, shortlistFactor * k)}"""
   }
 
   /** IVF+PQ (raw coding, the staged q94 variant): q39's cell CTEs
     * restrict q93's candidate pairs to (neighbor cell ∈ query's probes).
+    * Returns None for a residual-staged index — the replay below encodes
+    * raw vectors, so emitting it would produce a FALSE failure; the query
+    * then falls back to the driver's rows-only check (r9 advice).
     */
-  private def ivfpqSql(s: SparkSession, idx: String): String = {
+  private def ivfpqSql(s: SparkSession, idx: String): Option[String] = {
     val meta = s.read.parquet(s"$idx/meta").head()
-    require(!meta.getAs[Boolean]("by_residual"),
-      "generated q94 oracle covers the staged raw-coding variant")
-    val m = meta.getAs[Int]("m")
-    val dsub = meta.getAs[Int]("dim") / m
-    s"""WITH ${cellCtes(centsValues(s, s"$idx/centroids"))},
+    if (meta.getAs[Boolean]("by_residual")) None
+    else {
+      val m = meta.getAs[Int]("m")
+      val dsub = meta.getAs[Int]("dim") / m
+      Some(s"""WITH ${cellCtes(centsValues(s, s"$idx/centroids"))},
         ${pqCtes(booksValues(s, s"$idx/books"), dsub)},
         cand AS (
           SELECT p.query_id, a.vec_id AS neighbor_id, t.j, t.ip
@@ -312,13 +344,22 @@ object AnnQueries extends QueryFamily {
           JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
           JOIN codes c ON c.vec_id = a.vec_id
           JOIN adct t ON t.query_id = p.query_id AND t.j = c.j AND t.k = c.code),
-        ${adcTail(m, 4 * k)}"""
+        ${adcTail(m, shortlistFactor * k)}""")
+    }
   }
 
-  private def cosineExpr(a: String, b: String): String =
-    s"""LIST_DOT_PRODUCT(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))
-        / (SQRT(LIST_DOT_PRODUCT(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[])))
-         * SQRT(LIST_DOT_PRODUCT(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))))"""
+  /** Cosine with the kernel's zero-norm guard: VectorOps.cosine returns
+    * 0.0 for a zero vector where bare SQL division would yield NULL/NaN
+    * (r9 advice — the guard keeps the oracle honest if testdata ever
+    * grows a zero embedding; today's rows are all nonzero).
+    */
+  private def cosineExpr(a: String, b: String): String = {
+    def n2(x: String) =
+      s"LIST_DOT_PRODUCT(CAST($x.embedding AS DOUBLE[]), CAST($x.embedding AS DOUBLE[]))"
+    s"""CASE WHEN ${n2(a)} = 0 OR ${n2(b)} = 0 THEN 0.0
+        ELSE LIST_DOT_PRODUCT(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))
+             / (SQRT(${n2(a)}) * SQRT(${n2(b)})) END"""
+  }
 
   private val topkSql: String =
       s"""WITH scored AS (
@@ -337,8 +378,8 @@ object AnnQueries extends QueryFamily {
           ORDER BY query_id, rank"""
 
   def oracleSql: Map[String, String] =
-    ivfOracle.map(sql => Seq("q39_ann_topk_ivf" -> sql,
-        "q46_ann_topk_ivf_index" -> sql)).getOrElse(Nil).toMap ++
+    ivfOracle39.map("q39_ann_topk_ivf" -> _).toMap ++
+    ivfOracle46.map("q46_ann_topk_ivf_index" -> _).toMap ++
     pqOracle.map("q93_ann_topk_pq" -> _).toMap ++
     ivfpqOracle.map("q94_ann_topk_ivfpq" -> _).toMap ++ Map(
     "q26_ann_topk" -> topkSql,

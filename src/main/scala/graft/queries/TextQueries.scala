@@ -681,7 +681,7 @@ object TextQueries extends QueryFamily {
                         FROM tokh t JOIN sig s USING (tid)),
               sel AS (SELECT doc_id, n_chars, key FROM keyed
                       ORDER BY key DESC, doc_id LIMIT 100)
-            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+            SELECT doc_id, n_chars AS weight,
                    ROUND(key, 6) AS key
             FROM sel ORDER BY doc_id""",
       "q107_rollup_source_lang" ->
