@@ -200,10 +200,13 @@ object AnnQueries extends QueryFamily {
 
   /** Shared CTE prefix replaying the coarse quantizer: corpus cell
     * assignment (argmax dot, ties to the lower cell — the
-    * [[graft.functions.expr.IvfOps]] contract) and each query's `nprobe`
-    * probe cells, from centroid literals.
+    * [[graft.functions.expr.IvfOps]] contract) and each query's `np`
+    * probe cells, from centroid literals. `queryPred` selects the query
+    * rows (default: the q26-family fixed batch).
     */
-  private def cellCtes(cents: String): String =
+  private def cellCtes(cents: String,
+      queryPred: String = s"vec_id < $nQueries",
+      np: Int = nprobe): String =
     s"""cents(cell, c) AS (VALUES $cents),
         cellscore AS (
           SELECT e.vec_id, t.cell,
@@ -218,13 +221,13 @@ object AnnQueries extends QueryFamily {
           SELECT vec_id AS query_id, cell FROM (
             SELECT vec_id, cell,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
-            FROM cellscore WHERE vec_id < $nQueries) WHERE rn <= $nprobe)"""
+            FROM cellscore WHERE $queryPred) WHERE rn <= $np)"""
 
-  /** Final ranking tail shared by all four generated oracles: rank a
+  /** Final ranking tail shared by all generated oracles: rank a
     * `scored(query_id, neighbor_id, cos)` CTE by (cos DESC, neighbor_id),
-    * keep top-k, round at projection — [[graft.operators.TopK]] verbatim.
+    * keep top-kk, round at projection — [[graft.operators.TopK]] verbatim.
     */
-  private def rankTail: String =
+  private def rankTail(kk: Int = k): String =
     s"""ranked AS (
           SELECT query_id, neighbor_id, cos,
                  ROW_NUMBER() OVER (PARTITION BY query_id
@@ -232,7 +235,7 @@ object AnnQueries extends QueryFamily {
           FROM scored)
         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
                ROUND(cos, 6) AS cosine
-        FROM ranked WHERE rank <= $k
+        FROM ranked WHERE rank <= $kk
         ORDER BY query_id, rank"""
 
   private def ivfSql(s: SparkSession, idx: String): String =
@@ -246,7 +249,7 @@ object AnnQueries extends QueryFamily {
           JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
           JOIN embeddings q ON q.vec_id = p.query_id
           JOIN embeddings e ON e.vec_id = a.vec_id),
-        $rankTail"""
+        ${rankTail()}"""
 
   /** `books(j, k, c)` VALUES rows from a persisted PQ codebook frame. */
   private def booksValues(s: SparkSession, path: String): String =
@@ -260,9 +263,11 @@ object AnnQueries extends QueryFamily {
     * SQL uses explicit left-associative term chains over array elements —
     * NOT a dot-product expansion, whose fold order would differ.
     * Yields `codes(vec_id, j, code)` (argmin L2, ties to the lower code)
-    * and `adct(query_id, j, k, ip)` (the per-query ADC table).
+    * and `adct(query_id, j, k, ip)` (the per-query ADC table; `queryPred`
+    * selects the query rows, alias `qv`).
     */
-  private def pqCtes(books: String, dsub: Int): String = {
+  private def pqCtes(books: String, dsub: Int,
+      queryPred: String = s"qv.vec_id < $nQueries"): String = {
     val d2Chain = (0 until dsub).map { d =>
       val diff = s"(CAST(e.embedding[b.j*$dsub + ${d + 1}] AS DOUBLE) - b.c[${d + 1}])"
       s"$diff * $diff"
@@ -284,7 +289,7 @@ object AnnQueries extends QueryFamily {
           SELECT qv.vec_id AS query_id, b.j, b.k,
                  $ipChain AS ip
           FROM embeddings qv CROSS JOIN books b
-          WHERE qv.vec_id < $nQueries)"""
+          WHERE $queryPred)"""
   }
 
   /** ADC score + shortlist + exact re-rank tail over a `cand(query_id,
@@ -292,7 +297,7 @@ object AnnQueries extends QueryFamily {
     * (the [[graft.functions.expr.PqOps.adcScore]] j-ascending fold),
     * shortlist by (adc DESC, neighbor_id), exact cosine on the shortlist.
     */
-  private def adcTail(m: Int, shortlist: Int): String = {
+  private def adcTail(m: Int, shortlist: Int, kk: Int = k): String = {
     val sumChain = (1 to m).map(i => s"ips[$i]").mkString(" + ")
     s"""adcs AS (
           SELECT query_id, neighbor_id, $sumChain AS adc FROM (
@@ -309,7 +314,7 @@ object AnnQueries extends QueryFamily {
           FROM short s
           JOIN embeddings q ON q.vec_id = s.query_id
           JOIN embeddings e ON e.vec_id = s.neighbor_id),
-        $rankTail"""
+        ${rankTail(kk)}"""
   }
 
   private def pqSql(s: SparkSession, idx: String): String = {
@@ -345,6 +350,47 @@ object AnnQueries extends QueryFamily {
           JOIN codes c ON c.vec_id = a.vec_id
           JOIN adct t ON t.query_id = p.query_id AND t.j = c.j AND t.k = c.code),
         ${adcTail(m, shortlistFactor * k)}""")
+    }
+  }
+
+  /** Generated oracle for the STREAMING ANN ingest (q102): replay every
+    * micro-batch's search in one statement. `memb` is the (vec_id →
+    * batch) assignment the stream's own file-source log recorded; a
+    * query in batch b sees corpus rows (vec_id < corpusSplit) plus feed
+    * rows committed in batches < b — exactly the search-first/
+    * append-second prefix contract of
+    * [[graft.streaming.AnnIngestStream]]. Appended codes are recomputed
+    * from the same codebook literals the engine's append used (encode is
+    * deterministic, quantizers never retrain on append), so one `codes`
+    * CTE covers corpus and feed alike. Raw-coding indexes only (None for
+    * residual — the q94 rule); self/own-batch exclusion is subsumed by
+    * the prefix restriction.
+    */
+  private[queries] def ivfpqIngestSql(
+      s: SparkSession, idx: String, memb: Seq[(Long, Long)],
+      corpusSplit: Long, kk: Int, np: Int,
+      shortlistFac: Int = shortlistFactor): Option[String] = {
+    val meta = s.read.parquet(s"$idx/meta").head()
+    if (meta.getAs[Boolean]("by_residual")) None
+    else {
+      val m = meta.getAs[Int]("m")
+      val dsub = meta.getAs[Int]("dim") / m
+      val membVals = memb.sorted
+        .map { case (v, b) => s"($v, $b)" }.mkString(",\n          ")
+      val queryPred = "vec_id IN (SELECT vec_id FROM memb)"
+      Some(s"""WITH memb(vec_id, batch) AS (VALUES $membVals),
+        ${cellCtes(centsValues(s, s"$idx/centroids"), queryPred, np)},
+        ${pqCtes(booksValues(s, s"$idx/books"), dsub, s"qv.$queryPred")},
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id, t.j, t.ip
+          FROM probes p
+          JOIN memb qm ON qm.vec_id = p.query_id
+          JOIN assign a ON a.cell = p.cell
+          LEFT JOIN memb nm ON nm.vec_id = a.vec_id
+          JOIN codes c ON c.vec_id = a.vec_id
+          JOIN adct t ON t.query_id = p.query_id AND t.j = c.j AND t.k = c.code
+          WHERE a.vec_id < $corpusSplit OR nm.batch < qm.batch),
+        ${adcTail(m, shortlistFac * kk, kk)}""")
     }
   }
 

@@ -472,19 +472,28 @@ object DedupQueries extends QueryFamily {
     // pruning, own ids excluded for replay idempotence), then appended
     // with the STORED quantizers as one segment commit — all four
     // persisted indexes now run as continuously-ingesting services.
-    // Rows-only (two learned quantizers, q39/q46/q93/q94 precedent);
-    // AnnIngestStreamSpec pins per-batch == single-shot search, replay,
+    // GENERATED oracle (the q94 pattern, extended per micro-batch):
+    // after the drain, the stream's own file-source log yields the
+    // (vec_id → batch) assignment, and DuckDB replays each batch's
+    // search against corpus + earlier batches from the staged quantizer
+    // literals ([[AnnQueries.ivfpqIngestSql]]). AnnIngestStreamSpec
+    // additionally pins per-batch == single-shot search, replay,
     // no-future-leakage, and compaction transparency
-    "q102_ann_ingest_stream_ivfpq" -> ((s, dir) =>
-      graft.streaming.AnnIngestStream.ingest(
+    "q102_ann_ingest_stream_ivfpq" -> ((s, dir) => {
+      val ckpt = Scratch.freshDir(s, "q102ckpt", dir)
+      val res = graft.streaming.AnnIngestStream.ingest(
           s, stagedEmbFeedDir(s, dir), embFeedSchema,
           copiedIndexDir(s, stagedIvfPqCorpusIndexDir(s, dir),
             Scratch.freshDir(s, "q102idx", dir)),
-          Scratch.freshDir(s, "q102out", dir),
-          Scratch.freshDir(s, "q102ckpt", dir),
+          Scratch.freshDir(s, "q102out", dir), ckpt,
           k = 5, nprobe = 4, maxFilesPerTrigger = Some(1),
           compactEvery = 2)
-        .orderBy("query_id", "rank")),
+        .orderBy("query_id", "rank")
+      q102Oracle = AnnQueries.ivfpqIngestSql(s,
+        stagedIvfPqCorpusIndexDir(s, dir), batchMembership(s, ckpt),
+        corpusSplit.toLong, kk = 5, np = 4)
+      res
+    }),
 
     "q91_dedup_groups_incremental" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
@@ -750,6 +759,38 @@ object DedupQueries extends QueryFamily {
     */
   @volatile private var q96Oracle: Option[String] = None
 
+  /** q102's oracle, captured when the query runs (same contract as
+    * [[q96Oracle]]): the batch membership comes from the stream's own
+    * file-source commit log ([[batchMembership]]) and the quantizer
+    * literals from the staged corpus index.
+    */
+  @volatile private var q102Oracle: Option[String] = None
+
+  /** The (vec_id → micro-batch) assignment a drained file-stream ingest
+    * actually used, read from the checkpoint's file-source log
+    * (`sources/0/<batchId>` — one entry per file the batch read; the
+    * AUTHORITATIVE record, present even for a query whose search
+    * returned no rows). Driver-side work is feed-sized by the ingest
+    * contract (the increment, not the corpus).
+    */
+  private def batchMembership(s: SparkSession, ckpt: String): Seq[(Long, Long)] = {
+    val srcDir = new org.apache.hadoop.fs.Path(s"$ckpt/sources/0")
+    val fs = srcDir.getFileSystem(s.sessionState.newHadoopConf())
+    val pathRe = """"path":"([^"]+)"""".r
+    fs.listStatus(srcDir).map(_.getPath)
+      .filter(_.getName.forall(_.isDigit)).toSeq
+      .flatMap { p =>
+        val in = fs.open(p)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val files = content.linesIterator
+          .flatMap(pathRe.findFirstMatchIn(_).map(_.group(1))).toSeq
+        s.read.parquet(files: _*).select("vec_id").collect()
+          .map(r => (r.getLong(0), p.getName.toLong))
+      }
+  }
+
   private def dlit(x: Double): String = HashOracleSql.dlit(x)
 
   private def q96Sql(s: SparkSession, idx: String): String = {
@@ -776,7 +817,9 @@ object DedupQueries extends QueryFamily {
         ORDER BY d.vec_id"""
   }
 
-  def oracleSql: Map[String, String] = q96Oracle.map("q96_semantic_drift" -> _).toMap ++ Map(
+  def oracleSql: Map[String, String] =
+    q96Oracle.map("q96_semantic_drift" -> _).toMap ++
+    q102Oracle.map("q102_ann_ingest_stream_ivfpq" -> _).toMap ++ Map(
     "q20_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents
