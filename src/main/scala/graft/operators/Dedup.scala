@@ -507,13 +507,29 @@ object Dedup {
     * Scale shape: each round is one join + one min-aggregate, both keyed
     * by vertex id; rounds needed = component diameter. Components built
     * from near-dup pair output are cliques or near-cliques (every member
-    * pairs with most others), so propagation converges in 1-2 rounds;
-    * `maxIters` bounds pathological chains (a chain of length > maxIters
-    * would need the large-star/small-star variant instead). Per round the
+    * pairs with most others), so propagation converges in 1-2 rounds.
+    * `maxIters` bounds the propagation phase; past it the operator does
+    * NOT abort — it switches to the alternating large-star/small-star
+    * contraction ([[starKeepList]], O(log^2 n) rounds regardless of
+    * diameter), so a chain-shaped component (serial near-dup drift at
+    * corpus scale) still yields the exact keep-list. Per round the
     * frontier is persisted and the previous one released — no lineage
     * blowup, bounded storage; the final frame's block follows the caller's
     * [[CacheScope]] (run the consuming action inside `CacheScope.scoped`).
     */
+  /** Rebase an iterative frame on its own RDD, cutting the accumulated
+    * logical plan. The propagation/contraction loops reference the
+    * previous round's frame more than once per round (join + union), so
+    * the LOGICAL plan doubles every round — by ~round 30 Catalyst's plan
+    * stringification alone (run on every cache registration) exhausts the
+    * heap, long before any data does. The RDD round-trip costs one row
+    * serde pass over a (id, label)-width frame per round and keeps the
+    * plan constant-size; the rebased frame still executes the underlying
+    * plan once because the caller pins it.
+    */
+  private def rebased(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def nearDupGroups(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
       maxIters: Int = 20): DataFrame = {
@@ -535,11 +551,11 @@ object Dedup {
     var it = 0
     while (!converged && it < maxIters) {
       // each vertex takes the min label over itself and its neighbors
-      val next = CacheScope.pin(
+      val next = CacheScope.pin(rebased(
         edges.join(labels, edges("dst") === labels("id"))
           .select(edges("src").as("id"), col("label"))
           .union(labels)
-          .groupBy("id").agg(min("label").as("label")),
+          .groupBy("id").agg(min("label").as("label"))),
         StorageLevel.MEMORY_AND_DISK)
       // isEmpty, not count(): the convergence test needs ANY changed
       // label, not how many — a non-final round stops at the first
@@ -551,15 +567,89 @@ object Dedup {
       labels = next
       it += 1
     }
-    // refuse to return a silently-wrong keep-list: a component with
-    // diameter > maxIters has unconverged labels
-    require(converged,
-      s"nearDupGroups did not converge in $maxIters rounds (labels still " +
-        "changing) — a component's diameter exceeds maxIters; raise it " +
-        "or pre-collapse with exactGroups")
-    // labels is materialized, so the edge list is no longer needed
+    // a component with diameter > maxIters has unconverged labels:
+    // finish with star contraction rather than returning them (or
+    // aborting) — rounds there scale with log of the diameter, not the
+    // diameter itself
+    val out =
+      if (converged) labels.select(col("id").as("member_id"), col("label").as("keep_id"))
+      else {
+        labels.unpersist()
+        starKeepList(edges)
+      }
+    // the result frame is materialized (convergence probe / star fixpoint
+    // probe), so the edge list is no longer needed
     edges.unpersist()
-    labels.select(col("id").as("member_id"), col("label").as("keep_id"))
+    out
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round re-roots every vertex's larger neighbors at its
+    * neighborhood minimum (large-star), then collapses its smaller
+    * neighbors onto that minimum (small-star). The edge set converges to
+    * one star per component rooted at the component's minimum id in
+    * O(log^2 n) rounds — independent of component DIAMETER, which is what
+    * defeats plain min-label propagation on chain-shaped components.
+    *
+    * Scale shape: both phases are a groupBy-min plus a re-keyed join
+    * projection over the current edge set, all keyed by vertex id; no
+    * phase materializes anything larger than the edge set itself, and the
+    * edge set only shrinks toward one row per non-root member. The
+    * fixpoint probe is an exact symmetric set difference (two `except`s)
+    * per round — rounds are few, and an inexact probe (count / checksum)
+    * could declare a wrong fixpoint.
+    *
+    * `edges` must hold BOTH orientations of each undirected pair
+    * (columns `src`, `dst`), the form [[nearDupGroups]] caches. Output
+    * follows the [[nearDupGroups]] contract: one (member_id, keep_id) row
+    * per vertex appearing in any pair, keep_id = component minimum.
+    */
+  private def starKeepList(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    // canonical child > parent orientation; the symmetric input holds
+    // both, so greatest/least on either orientation dedups to one row
+    var cur = CacheScope.pin(
+      edges.select(
+          greatest(col("src"), col("dst")).as("child"),
+          least(col("src"), col("dst")).as("parent"))
+        .filter(col("child") =!= col("parent")).distinct(),
+      StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: every vertex points its LARGER neighbors at the
+      // minimum of its closed neighborhood (needs the full neighborhood,
+      // so symmetrize the oriented set first)
+      val sym = cur.select(col("child").as("src"), col("parent").as("dst"))
+        .union(cur.select(col("parent").as("src"), col("child").as("dst")))
+      val lsMin = sym.groupBy("src").agg(least(min(col("dst")), col("src")).as("mn"))
+      val ls = sym.join(lsMin, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("child"), col("mn").as("parent"))
+        .filter(col("child") =!= col("parent")).distinct()
+      // small-star: every vertex re-parents its parents (all smaller)
+      // and itself onto the minimum parent
+      val ssMin = ls.groupBy("child").agg(min(col("parent")).as("mn"))
+      val next = CacheScope.pin(rebased(
+        ls.join(ssMin, "child")
+          .select(col("parent").as("child"), col("mn").as("parent"))
+          .union(ssMin.select(col("child"), col("mn").as("parent")))
+          .filter(col("child") =!= col("parent")).distinct()),
+        StorageLevel.MEMORY_AND_DISK)
+      converged = next.except(cur).union(cur.except(next)).isEmpty
+      cur.unpersist()
+      cur = next
+      round += 1
+    }
+    // log^2 bound makes this unreachable for any realistic edge set; keep
+    // the honest abort rather than a silently partial keep-list
+    require(converged,
+      s"star contraction did not reach a fixpoint in $maxRounds rounds")
+    // fixpoint: every edge is (member, component-min); roots complete the
+    // cover with self-rows
+    cur.select(col("child").as("member_id"), col("parent").as("keep_id"))
+      .unionByName(
+        cur.select(col("parent").as("member_id"), col("parent").as("keep_id")).distinct())
   }
 
   /** Incremental KEEP-LIST maintenance — the missing last step of the

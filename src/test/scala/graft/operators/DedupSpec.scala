@@ -102,6 +102,25 @@ class DedupSpec extends SparkTestBase {
       7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L))
   }
 
+  test("nearDupGroups: diameter-50 chain past maxIters converges via " +
+      "large-star/small-star fallback") {
+    // a 51-node path 0-1-2-...-50 (diameter 50) plus a clique {100,101,102}
+    // and a singleton pair {200,201}; maxIters=3 forces propagation to give
+    // up and the star contraction to finish — the result must equal both
+    // the expected min-labels and what full propagation computes
+    val chain = (0L until 50L).map(i => (i, i + 1))
+    val rest = Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L))
+    val pairs = (chain ++ rest).toDF("id_a", "id_b")
+    val viaFallback = scopedNoLeak(Dedup.nearDupGroups(pairs, maxIters = 3).collect())
+      .map(r => (r.getAs[Long]("member_id"), r.getAs[Long]("keep_id"))).toMap
+    val expected = ((0L to 50L).map(_ -> 0L) ++
+      Seq(100L -> 100L, 101L -> 100L, 102L -> 100L, 200L -> 200L, 201L -> 200L)).toMap
+    assert(viaFallback == expected)
+    val viaPropagation = scopedNoLeak(Dedup.nearDupGroups(pairs, maxIters = 60).collect())
+      .map(r => (r.getAs[Long]("member_id"), r.getAs[Long]("keep_id"))).toMap
+    assert(viaPropagation == expected)
+  }
+
   test("incrementalKeepList == from-scratch components, including an increment " +
       "doc BRIDGING two corpus components") {
     // corpus components: {0,1,2} (star around 0) and {5,6}; corpus pairs
