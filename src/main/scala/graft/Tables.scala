@@ -23,16 +23,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to map to TimestampType. Read nanos as long (session flag)
-    * and convert to microsecond TimestampType explicitly — the same
-    * truncation every µs-precision engine applies.
+  /** `events.ts` normalizes to microsecond TimestampType whatever the
+    * file carries. Generations of the driver testdata have written it two
+    * ways: parquet TIMESTAMP(NANOS) — which Spark 4 refuses to map to
+    * TimestampType, so it's read as a nanos long (session flag) and
+    * truncated to µs explicitly — and plain TIMESTAMP(MICROS), which
+    * loads as TIMESTAMP_NTZ and needs only the NTZ→instant cast (a
+    * reinterpretation under the session's UTC zone, not a shift).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    val ts = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    df.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

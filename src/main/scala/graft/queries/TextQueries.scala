@@ -107,6 +107,34 @@ object TextQueries extends QueryFamily {
           (col("pos") + 1).cast("long").as("rk"))
         .orderBy("lang", "rk")),
 
+    // C4/RefinedWeb-style PER-DOMAIN cap: no single domain may contribute
+    // more than k documents. The domain comes from each document's URL
+    // via the parse_url built-in (documents carries no URL column, so the
+    // URL is synthesized deterministically from source + doc_id — the
+    // oracle replays the host by the same construction); within a domain
+    // the kept set is the k smallest salted content-independent hashes,
+    // q75's fixed-k rule, so the result is reproducible across runs,
+    // engines, and cluster layouts. Ranked through the bounded MIN-k
+    // aggregate, not a domain-keyed rank window: map-side partials
+    // truncate at k, so the exchange moves <= k (hash, id) entries per
+    // (partition, domain) — never a domain's full row set, the property
+    // that matters when one domain is a third of a 100 TB crawl.
+    "q110_domain_cap" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          parse_url(
+            concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+              col("doc_id").cast("string")),
+            lit("HOST")).as("domain"),
+          md5(concat(col("doc_id").cast("string"), lit(":domcap"))).as("sk"))
+        .groupBy("domain")
+        .agg(graft.functions.expr.TopKFunctions.boundedMinKString(
+          col("sk"), col("doc_id"), 15).as("top"))
+        .select(col("domain"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("e.id").as("doc_id"), col("domain"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("domain", "rk")),
+
     // training-mixture resampling: per-source weights as data — ⌊w⌋/⌈w⌉
     // deterministic copies per doc ([[graft.operators.Mixture]]). src4 is
     // weighted 0 and src9 left unlisted: both must drop.
@@ -500,6 +528,19 @@ object TextQueries extends QueryFamily {
              FROM documents)
            WHERE rk <= 5
            ORDER BY lang, rk""",
+      // the host replayed by construction (source || '.example.com' —
+      // DuckDB has no parse_url); same salted-md5 fixed-k rank rule as q75
+      "q110_domain_cap" ->
+        """SELECT doc_id, domain, rk FROM (
+             SELECT doc_id, source || '.example.com' AS domain,
+                    CAST(ROW_NUMBER() OVER (
+                      PARTITION BY source
+                      ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':domcap'), doc_id)
+                      AS BIGINT) AS rk
+             FROM documents)
+           WHERE rk <= 15
+           ORDER BY domain, rk""",
+
       // same md5 hex-pair rule, CASE-encoded: base copies + one more when
       // the pair falls under the group's fractional threshold
       "q80_mixture_resample" ->

@@ -103,6 +103,32 @@ class PlanShapeSpec extends SparkTestBase {
         hashExchanges.mkString("\n"))
   }
 
+  test("q110 domain cap ranks through the bounded MIN-k aggregate and is " +
+      "layout-invariant (== window form over a differently-partitioned read)") {
+    assume(haveTestdata)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = q("q110_domain_cap")
+    // map-side truncation: the partial aggregate is the bounded MIN-k,
+    // so the exchange carries <= k entries per (partition, domain)
+    assert(initialPlan(df).contains("partial_bounded_mink_str"),
+      "expected the bounded MIN-k partial aggregate in q110's plan")
+    // the kept set equals the rank-window form computed over the same
+    // data read through a DIFFERENT partition layout — the cap rule is a
+    // pure function of (doc_id, salt), never of placement
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").repartition(7)
+    val w = Window.partitionBy("source").orderBy(col("sk"), col("doc_id"))
+    val expected = docs
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":domcap"))).as("sk"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 15)
+      .select(col("doc_id"),
+        concat(col("source"), lit(".example.com")).as("domain"), col("rk"))
+    assert(df.collect().map(_.toSeq).toSet ===
+      expected.collect().map(_.toSeq).toSet)
+  }
+
   test("q37 batch sessionization shuffles once by user_id") {
     assume(haveTestdata)
     val p = plan(q("q37_events_sessionize"))
