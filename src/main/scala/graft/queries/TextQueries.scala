@@ -135,6 +135,35 @@ object TextQueries extends QueryFamily {
           (col("pos") + 1).cast("long").as("rk"))
         .orderBy("domain", "rk")),
 
+    // REAL byte-pair encoding (q55's upgrade from vocabulary lookup to
+    // the learned-subword algorithm): merges are TRAINED from the corpus
+    // word-frequency table (top-N words by frequency reach the driver —
+    // a bounded, codebook-sized collect by contract), then applied
+    // distributed by a compiled greedy kernel with the merge table riding
+    // the plan as a reference object — no join, no shuffle, no per-row
+    // state. The oracle is GENERATED (the q39 pattern): the learned
+    // merges/vocab become SQL literals and DuckDB replays the exact
+    // (rank, leftmost)-greedy apply one recursion step per merge.
+    "q111_bpe_tokenize" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val wf = docs.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w")).limit(bpeTrainWords)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val model = graft.operators.Bpe.train(wf, numMerges = bpeNumMerges)
+      bpeOracle111 = Some(bpeSql(model))
+      docs
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"),
+          graft.functions.expr.BpeFunctions.bpeEncode(col("word"), model).as("p"))
+        .select(col("doc_id"), col("pos"), col("word"),
+          concat_ws(" ", col("p")).as("pieces"),
+          concat_ws(",",
+            graft.functions.expr.BpeFunctions.bpeIds(col("p"), model)
+              .cast("array<string>")).as("ids"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // training-mixture resampling: per-source weights as data — ⌊w⌋/⌈w⌉
     // deterministic copies per doc ([[graft.operators.Mixture]]). src4 is
     // weighted 0 and src9 left unlisted: both must drop.
@@ -445,6 +474,67 @@ object TextQueries extends QueryFamily {
         fp AS (SELECT doc_id, MIN(${HashOracleSql.wrapSigned("hw")}) AS fingerprint
                FROM wsum GROUP BY 1)
         SELECT doc_id, fingerprint FROM fp ORDER BY doc_id"""
+  }
+
+  // q111 BPE parameters: top-N training words (bounded driver collect)
+  // and merge-table size
+  private val bpeTrainWords = 256
+  private val bpeNumMerges = 50
+  // the merges/vocab are LEARNED, so q111's oracle is generated when the
+  // query runs (the AnnQueries q39 pattern: capture the learned state as
+  // SQL literals, replay the algorithm's arithmetic)
+  @volatile private var bpeOracle111: Option[String] = None
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB twin of the greedy BPE apply: one recursion step merges the
+    * LEFTMOST occurrence of the lowest-ranked adjacent pair (sentinel
+    * 1000000 = "pair not in the merge table"); a word's final state is
+    * its max-iteration row. Codepoint-based SUBSTRING mirrors the
+    * kernel's codepoint split; ARRAY_TO_STRING(NULL-on-empty) is
+    * COALESCEd to '' to match concat_ws.
+    */
+  private def bpeSql(model: graft.operators.Bpe.Model): String = {
+    val rankCase = model.merges.zipWithIndex.map { case ((l, r), i) =>
+      s"WHEN ${sqlStr(l)} || CHR(1) || ${sqlStr(r)} THEN $i"
+    }.mkString(" ")
+    val vocabCase = model.vocab.map { case (p, id) =>
+      s"WHEN ${sqlStr(p)} THEN $id"
+    }.mkString(" ")
+    s"""WITH RECURSIVE
+        words AS (
+          SELECT doc_id, UNNEST(t) AS word,
+                 UNNEST(GENERATE_SERIES(1, LEN(t))) - 1 AS pos
+          FROM (SELECT doc_id, $toks AS t FROM documents)),
+        enc AS (
+          SELECT doc_id, pos, word,
+                 LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(word)),
+                   i -> SUBSTRING(word, i, 1)) AS syms,
+                 0 AS it
+          FROM words
+          UNION ALL
+          SELECT doc_id, pos, word,
+                 syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:], it + 1
+          FROM (
+            SELECT doc_id, pos, word, syms, it,
+                   LIST_POSITION(rk, LIST_MIN(rk)) AS bi, LIST_MIN(rk) AS mn
+            FROM (
+              SELECT doc_id, pos, word, syms, it,
+                     LIST_TRANSFORM(GENERATE_SERIES(1, LEN(syms) - 1),
+                       i -> CASE syms[i] || CHR(1) || syms[i+1]
+                              $rankCase ELSE 1000000 END) AS rk
+              FROM enc)
+          ) WHERE mn < 1000000),
+        fin AS (
+          SELECT doc_id, pos, word, syms,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, pos ORDER BY it DESC) AS rn
+          FROM enc)
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, word,
+               COALESCE(ARRAY_TO_STRING(syms, ' '), '') AS pieces,
+               COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(syms, p ->
+                 CAST(CASE p $vocabCase ELSE 0 END AS VARCHAR)), ','), '') AS ids
+        FROM fin WHERE rn = 1
+        ORDER BY doc_id, pos"""
   }
 
   private val norm = """REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')"""
@@ -858,6 +948,6 @@ object TextQueries extends QueryFamily {
                    MAX(n_tokens) AS max_tokens
             FROM (SELECT lang, CAST($nTokens AS BIGINT) AS n_tokens FROM documents)
             GROUP BY lang ORDER BY lang"""
-    )
+    ) ++ bpeOracle111.map("q111_bpe_tokenize" -> _)
   }
 }
