@@ -356,6 +356,22 @@ object TextQueries extends QueryFamily {
           col("max_n_tokens").as("max_tokens"))
         .orderBy("lang")),
 
+    // q45's SKETCH sibling: mergeable bottom-k order-statistics sample
+    // over the public hash64 ([[graft.operators.QuantileSketch]]) —
+    // state k rows per group regardless of value cardinality (q45's
+    // count-histogram is exact but its state is the distinct-VALUE
+    // histogram; continuous measures at 100 TB need this bound instead).
+    // Membership is a pure function of the input set, so the whole
+    // sketch — sample AND rank arithmetic — replays bit-exactly in SQL.
+    "q112_token_percentiles_sketch" -> ((s, dir) =>
+      graft.operators.QuantileSketch.byGroup(
+          table(s, dir, "documents")
+            .select(col("lang"), col("doc_id"), tokenCountWs(col("text")).as("n_tokens")),
+          groupCols = Seq("lang"), idCol = "doc_id", valueCol = "n_tokens",
+          k = 64, salt = "q112",
+          ps = Seq("p50" -> 50, "p90" -> 90, "p99" -> 99))
+        .orderBy("lang")),
+
     // corpus-LM quality score (the CCNet filter shape): per-doc mean
     // -ln p(token) under the corpus's own unigram MLE — see
     // [[graft.operators.UnigramLm]]
@@ -947,7 +963,36 @@ object TextQueries extends QueryFamily {
                    ROUND(QUANTILE_CONT(n_tokens, 0.99), 6) AS p99,
                    MAX(n_tokens) AS max_tokens
             FROM (SELECT lang, CAST($nTokens AS BIGINT) AS n_tokens FROM documents)
-            GROUP BY lang ORDER BY lang"""
+            GROUP BY lang ORDER BY lang""",
+      // the sketch replayed whole: per-doc hash64 via the shared
+      // FNV-1a+fmix64 HUGEINT chain, bottom-64 per lang by unsigned hash
+      // (the engine ranks the same rows by %016x hex — identical order),
+      // then the integer ceil-rank pick over the sample's value order
+      "q112_token_percentiles_sketch" ->
+        s"""WITH RECURSIVE
+            tokh AS (SELECT doc_id AS tid,
+                            HEX(ENCODE('q112:' || CAST(doc_id AS VARCHAR))) AS hx
+                     FROM documents),
+            ${HashOracleSql.fnvFmixCtes},
+            vals AS (SELECT doc_id, lang, CAST($nTokens AS BIGINT) AS v FROM documents),
+            scored AS (SELECT d.lang, d.v, s.x
+                       FROM vals d JOIN sig s ON s.tid = d.doc_id),
+            ranked AS (SELECT lang, v,
+                              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x, v) AS rn,
+                              COUNT(*) OVER (PARTITION BY lang) AS n
+                       FROM scored),
+            samp AS (SELECT lang, n, v FROM ranked WHERE rn <= 64),
+            ordered AS (SELECT lang, n, v,
+                               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS vr,
+                               COUNT(*) OVER (PARTITION BY lang) AS kk
+                        FROM samp)
+            SELECT lang, CAST(n AS BIGINT) AS n, CAST(kk AS BIGINT) AS sample_n,
+                   MAX(CASE WHEN vr = (kk*50 + 99)//100 THEN v END) AS p50,
+                   MAX(CASE WHEN vr = (kk*90 + 99)//100 THEN v END) AS p90,
+                   MAX(CASE WHEN vr = (kk*99 + 99)//100 THEN v END) AS p99
+            FROM ordered
+            GROUP BY lang, n, kk
+            ORDER BY lang"""
     ) ++ bpeOracle111.map("q111_bpe_tokenize" -> _)
   }
 }
