@@ -113,15 +113,22 @@ object Dedup {
     * (id, n_sh, keys).
     */
   private def verifyJaccardHashed(
-      candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("keys").as("k_a")), "id_a")
+      candidates: DataFrame, sets: DataFrame, threshold: Double,
+      broadcastPairs: Boolean = false): DataFrame = {
+    // when the pair side is bounded (an increment probe), hint it through
+    // BOTH joins so the corpus-sized set side streams un-shuffled; the
+    // full-corpus paths keep the optimizer's choice (their pair side is
+    // output-bound, not batch-bound)
+    val hint = (df: DataFrame) => if (broadcastPairs) broadcast(df) else df
+    hint(hint(candidates)
+      .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("keys").as("k_a")), "id_a"))
       .join(sets.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("keys").as("k_b")), "id_b")
       .withColumn("n_common", size(array_intersect(col("k_a"), col("k_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
 
   /** Ground-truth near-dup pairs: exact Jaccard with candidates from
     * PREFIX FILTERING over an inverted shingle index — never a cross join,
@@ -340,11 +347,7 @@ object Dedup {
     val segName = seg.getOrElse(
       "append-" + java.util.UUID.randomUUID().toString.take(8))
     if (Segments.isCommitted(spark, dir, segName)) return
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val n = meta.getAs[Int]("n")
-    val numHashes = meta.getAs[Int]("num_hashes")
-    val bands = meta.getAs[Int]("bands")
-    val seed = meta.getAs[Long]("seed")
+    val (n, numHashes, bands, seed) = minhashMeta(spark, dir)
     val r = numHashes / bands
     CacheScope.scoped {
       val sets = CacheScope.pin(
@@ -378,19 +381,31 @@ object Dedup {
       spark: SparkSession, dir: String, increment: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val n = meta.getAs[Int]("n")
-    val numHashes = meta.getAs[Int]("num_hashes")
-    val bands = meta.getAs[Int]("bands")
-    val seed = meta.getAs[Long]("seed")
-    val r = numHashes / bands
+    val (n, numHashes, bands, seed) = minhashMeta(spark, dir)
     // the increment's shingle kernel feeds both its buckets and its
     // verification sets — persist so it runs once (caller's CacheScope)
     val incSets = CacheScope.pin(
       shingled(increment, idCol, textCol, n), StorageLevel.MEMORY_AND_DISK)
     val incBuckets = bandBuckets(
       incSets.select(col("id"), minhashSignature(col("shingles"), numHashes, seed).as("sig")),
-      bands, r)
+      bands, numHashes / bands)
+    incrementalPairsFromKernel(spark, dir, incSets, incBuckets, threshold)
+  }
+
+  private def minhashMeta(spark: SparkSession, dir: String): (Int, Int, Int, Long) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"),
+      meta.getAs[Int]("bands"), meta.getAs[Long]("seed"))
+  }
+
+  /** [[incrementalNearDupPairs]] past the kernel: probe the stored index
+    * with ALREADY-COMPUTED increment shingle sets and band buckets, so a
+    * caller that also needs them for an append (the streaming ingest)
+    * pays the text kernel once ([[minhashIngestBatch]]).
+    */
+  private def incrementalPairsFromKernel(
+      spark: SparkSession, dir: String, incSets: DataFrame,
+      incBuckets: DataFrame, threshold: Double): DataFrame = {
     // widened for the same reason as the q78 probe: candidate rows and
     // the partial-distinct above them materialize in the STREAMED side's
     // partitions, and a small corpus index read as 1-2 parquet splits
@@ -403,7 +418,14 @@ object Dedup {
     // broadcasts; the index is the big, streamed side.
     val probeSide = corpusBuckets.withColumn("corpus", lit(true))
       .unionByName(incBuckets.withColumn("corpus", lit(false)))
-    val candidates = incBuckets.as("a").join(probeSide.as("b"),
+    // increment-bounded sides carry explicit broadcast hints — the
+    // documented probe contract ("the batch broadcasts, the index
+    // streams") made physical: without them the optimizer's size
+    // estimates for computed frames pick sort-merge joins that shuffle
+    // the INDEX side on every micro-batch, and the per-batch wall-clock
+    // becomes exchange-count-bound (r9 q92 watch-item). Bucket rows are
+    // 3 longs × batch×bands; candidates are collision-bounded pairs.
+    val candidates = broadcast(incBuckets.as("a")).join(probeSide.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id") && (col("b.corpus") || col("a.id") < col("b.id")))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
@@ -414,8 +436,42 @@ object Dedup {
     val incKeys = hashedKeySets(incSets)
     val sets = incKeys.unionByName(
       Segments.readPart(spark, dir, "sets")
-        .join(incKeys.select("id"), Seq("id"), "left_anti"))
-    verifyJaccardHashed(candidates, sets, threshold)
+        .join(broadcast(incKeys.select("id")), Seq("id"), "left_anti"))
+    verifyJaccardHashed(candidates, sets, threshold, broadcastPairs = true)
+  }
+
+  /** One streaming-ingest micro-batch against a [[writeMinhashIndex]]
+    * directory, KERNEL-FUSED: the batch's shingle sets and band buckets
+    * are computed once and shared by the probe (whose result goes to
+    * `writePairs`) and the segment append — previously the text kernel
+    * (the dominant per-batch cost) ran twice, once in
+    * [[incrementalNearDupPairs]] and again in [[appendToMinhashIndex]],
+    * and the index meta was read twice. Contracts are unchanged: probe
+    * first, append second (each pair forms exactly once), the append
+    * skips whole when `segName` is already committed, and a replayed
+    * probe rewrites identical output (crash-replay idempotence,
+    * MinhashIngestStreamSpec).
+    */
+  def minhashIngestBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      segName: String, writePairs: DataFrame => Unit): Unit = CacheScope.scoped {
+    val (n, numHashes, bands, seed) = minhashMeta(spark, indexDir)
+    val incSets = CacheScope.pin(
+      shingled(batch, idCol, textCol, n), StorageLevel.MEMORY_AND_DISK)
+    val incBuckets = CacheScope.pin(
+      bandBuckets(
+        incSets.select(col("id"),
+          minhashSignature(col("shingles"), numHashes, seed).as("sig")),
+        bands, numHashes / bands),
+      StorageLevel.MEMORY_AND_DISK)
+    writePairs(
+      incrementalPairsFromKernel(spark, indexDir, incSets, incBuckets, threshold))
+    if (!Segments.isCommitted(spark, indexDir, segName)) {
+      Segments.writePart(incBuckets, indexDir, "buckets", segName)
+      Segments.writePart(hashedKeySets(incSets), indexDir, "sets", segName)
+      Segments.commit(spark, indexDir, segName)
+    }
   }
 
   /** Eval-set contamination probe: for each document of a (small) eval
@@ -991,11 +1047,7 @@ object Dedup {
     val segName = seg.getOrElse(
       "append-" + java.util.UUID.randomUUID().toString.take(8))
     if (Segments.isCommitted(spark, dir, segName)) return
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val planes = meta.getAs[Int]("planes")
-    val tables = meta.getAs[Int]("tables")
-    val dim = meta.getAs[Int]("dim")
-    val seed = meta.getAs[Long]("seed")
+    val (planes, tables, dim, seed) = embeddingMeta(spark, dir)
     val v = increment.select(col(idCol).as("id"), col(vecCol).as("vec"))
     Segments.writePart(
       Ann.withBuckets(v, "vec", planes, tables, dim, seed)
@@ -1098,14 +1150,29 @@ object Dedup {
       spark: SparkSession, dir: String, increment: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95, probeRadius: Int = 1): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val planes = meta.getAs[Int]("planes")
-    val tables = meta.getAs[Int]("tables")
-    val dim = meta.getAs[Int]("dim")
-    val seed = meta.getAs[Long]("seed")
+    val (planes, tables, dim, seed) = embeddingMeta(spark, dir)
     val inc = ScaleOut(increment.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val incBase = Ann.withBuckets(inc, "vec", planes, tables, dim, seed)
       .select("id", "table", "bucket")
+    embeddingPairsFromKernel(spark, dir, inc, incBase,
+      planes, tables, dim, seed, threshold, probeRadius)
+  }
+
+  private def embeddingMeta(spark: SparkSession, dir: String): (Int, Int, Int, Long) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
+      meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+  }
+
+  /** [[incrementalEmbeddingNearDupPairs]] past the radius-0 signatures:
+    * probe with an ALREADY-COMPUTED base bucket frame, so the streaming
+    * ingest ([[embeddingIngestBatch]]) shares it with the segment append
+    * instead of hashing the batch twice.
+    */
+  private def embeddingPairsFromKernel(
+      spark: SparkSession, dir: String, inc: DataFrame, incBase: DataFrame,
+      planes: Int, tables: Int, dim: Int, seed: Long,
+      threshold: Double, probeRadius: Int): DataFrame = {
     val incProbed = Ann.withBuckets(inc, "vec", planes, tables, dim, seed, probeRadius)
       .select("id", "table", "bucket")
     // base side = corpus buckets ∪ increment's radius-0 buckets; the
@@ -1132,5 +1199,32 @@ object Dedup {
       .withColumn("cosine", cosineSim(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** One streaming-ingest micro-batch against a [[writeEmbeddingIndex]]
+    * directory, KERNEL-FUSED like [[minhashIngestBatch]]: the batch's
+    * radius-0 bucket signatures are computed once and shared by the
+    * probe and the segment append, and the index meta is read once per
+    * batch instead of twice. Contracts unchanged (probe first, append
+    * second, committed segments skip whole — EmbeddingIngestStreamSpec).
+    */
+  def embeddingIngestBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, probeRadius: Int,
+      segName: String, writePairs: DataFrame => Unit): Unit = CacheScope.scoped {
+    val (planes, tables, dim, seed) = embeddingMeta(spark, indexDir)
+    val v = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val inc = ScaleOut(v)
+    val incBase = CacheScope.pin(
+      Ann.withBuckets(inc, "vec", planes, tables, dim, seed)
+        .select("id", "table", "bucket"),
+      StorageLevel.MEMORY_AND_DISK)
+    writePairs(embeddingPairsFromKernel(spark, indexDir, inc, incBase,
+      planes, tables, dim, seed, threshold, probeRadius))
+    if (!Segments.isCommitted(spark, indexDir, segName)) {
+      Segments.writePart(incBase, indexDir, "buckets", segName)
+      Segments.writePart(v, indexDir, "vecs", segName)
+      Segments.commit(spark, indexDir, segName)
+    }
   }
 }

@@ -42,18 +42,17 @@ object EmbeddingIngestStream {
       batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95, probeRadius: Int = 1,
-      compactEvery: Int = 0, compactTargetBytes: Long = 64L << 20): Unit =
-    graft.operators.CacheScope.scoped {
-      Dedup.incrementalEmbeddingNearDupPairs(batch.sparkSession, indexDir, batch,
-          idCol, vecCol, threshold, probeRadius)
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      Dedup.appendToEmbeddingIndex(batch, indexDir, idCol, vecCol,
-        seg = Some(s"batch-$batchId"))
-      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-        Segments.compact(batch.sparkSession, indexDir,
-          Seq("buckets" -> Nil, "vecs" -> Nil), compactTargetBytes)
-      ()
-    }
+      compactEvery: Int = 0, compactTargetBytes: Long = 64L << 20): Unit = {
+    // kernel-fused probe + append ([[Dedup.embeddingIngestBatch]]): the
+    // batch's radius-0 signatures are computed once for both
+    Dedup.embeddingIngestBatch(batch.sparkSession, indexDir, batch,
+      idCol, vecCol, threshold, probeRadius, segName = s"batch-$batchId",
+      writePairs =
+        _.write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Segments.compact(batch.sparkSession, indexDir,
+        Seq("buckets" -> Nil, "vecs" -> Nil), compactTargetBytes)
+  }
 
   /** Drain `feedDir` (parquet file stream of (idCol, vecCol) rows) into
     * `indexDir`, writing each batch's touching pairs to `outDir`.

@@ -69,18 +69,17 @@ object MinhashIngestStream {
       batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8,
-      compactEvery: Int = 0, compactTargetBytes: Long = 64L << 20): Unit =
-    graft.operators.CacheScope.scoped {
-      Dedup.incrementalNearDupPairs(batch.sparkSession, indexDir, batch,
-          idCol, textCol, threshold)
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      Dedup.appendToMinhashIndex(batch, indexDir, idCol, textCol,
-        seg = Some(s"batch-$batchId"))
-      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-        Segments.compact(batch.sparkSession, indexDir,
-          Seq("buckets" -> Nil, "sets" -> Nil), compactTargetBytes)
-      ()
-    }
+      compactEvery: Int = 0, compactTargetBytes: Long = 64L << 20): Unit = {
+    // kernel-fused probe + append ([[Dedup.minhashIngestBatch]]): the
+    // batch's shingle sets and buckets are computed once for both
+    Dedup.minhashIngestBatch(batch.sparkSession, indexDir, batch,
+      idCol, textCol, threshold, segName = s"batch-$batchId",
+      writePairs =
+        _.write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Segments.compact(batch.sparkSession, indexDir,
+        Seq("buckets" -> Nil, "sets" -> Nil), compactTargetBytes)
+  }
 
   /** Drain `feedDir` (parquet file stream; `maxFilesPerTrigger` controls
     * micro-batch granularity) into `indexDir`, writing each batch's
