@@ -372,6 +372,25 @@ object TextQueries extends QueryFamily {
           ps = Seq("p50" -> 50, "p90" -> 90, "p99" -> 99))
         .orderBy("lang")),
 
+    // q112's sketch maintained as STREAMING STATE ([[graft.streaming
+    // .SketchStream]]): the same bounded MIN-k aggregate runs inside a
+    // streaming groupBy in Complete mode over a 3-file drained feed. The
+    // sketch's merge law (bottom-k of a union == bottom-k of merged
+    // bottom-k's, membership a pure function of the input set) makes the
+    // drained state BIT-IDENTICAL to the single-shot batch sketch — q113
+    // shares q112's oracle verbatim, the strongest batch-boundary-
+    // invisibility statement a sketch can make.
+    "q113_token_percentiles_sketch_stream" -> ((s, dir) =>
+      graft.streaming.SketchStream.quantileSketchStreaming(
+          s, stagedDocsLangFeedDir(s, dir), docsLangFeedSchema,
+          Scratch.freshDir(s, "q113", dir),
+          groupCols = Seq("lang"), idCol = "doc_id", valueCol = "n_tokens",
+          k = 64, salt = "q112",
+          ps = Seq("p50" -> 50, "p90" -> 90, "p99" -> 99),
+          maxFilesPerTrigger = Some(1),
+          prep = _.withColumn("n_tokens", tokenCountWs(col("text"))))
+        .orderBy("lang")),
+
     // corpus-LM quality score (the CCNet filter shape): per-doc mean
     // -ln p(token) under the corpus's own unigram MLE — see
     // [[graft.operators.UnigramLm]]
@@ -491,6 +510,24 @@ object TextQueries extends QueryFamily {
                FROM wsum GROUP BY 1)
         SELECT doc_id, fingerprint FROM fp ORDER BY doc_id"""
   }
+
+  /** The documents table staged as a THREE-file (doc_id, lang, text)
+    * parquet feed, so q113's sketch stream drains >= 3 micro-batches
+    * under maxFilesPerTrigger=1 (the q92 feed pattern, plus the lang
+    * grouping column).
+    */
+  private def stagedDocsLangFeedDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_docs_lang_feed",
+      Seq(s"$dir/documents.parquet"), "files=3", "_SUCCESS") { stage =>
+      table(s, dir, "documents").select("doc_id", "lang", "text")
+        .repartition(3)
+        .write.mode("overwrite").parquet(stage)
+    }
+
+  private val docsLangFeedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
 
   // q111 BPE parameters: top-N training words (bounded driver collect)
   // and merge-table size
@@ -967,9 +1004,18 @@ object TextQueries extends QueryFamily {
       // the sketch replayed whole: per-doc hash64 via the shared
       // FNV-1a+fmix64 HUGEINT chain, bottom-64 per lang by unsigned hash
       // (the engine ranks the same rows by %016x hex — identical order),
-      // then the integer ceil-rank pick over the sample's value order
-      "q112_token_percentiles_sketch" ->
-        s"""WITH RECURSIVE
+      // then the integer ceil-rank pick over the sample's value order.
+      // q113 (the STREAMING drain of the same sketch) shares it verbatim:
+      // the merge law makes the drained state equal the batch sketch.
+      "q112_token_percentiles_sketch" -> sketchSql,
+      "q113_token_percentiles_sketch_stream" -> sketchSql
+    ) ++ bpeOracle111.map("q111_bpe_tokenize" -> _)
+  }
+
+  /** See the q112 oracle comment in [[oracleSql]]. */
+  private lazy val sketchSql: String = {
+    val nTokens = s"CASE WHEN LENGTH($norm) = 0 THEN 0 ELSE LEN($toks) END"
+    s"""WITH RECURSIVE
             tokh AS (SELECT doc_id AS tid,
                             HEX(ENCODE('q112:' || CAST(doc_id AS VARCHAR))) AS hx
                      FROM documents),
@@ -993,6 +1039,5 @@ object TextQueries extends QueryFamily {
             FROM ordered
             GROUP BY lang, n, kk
             ORDER BY lang"""
-    ) ++ bpeOracle111.map("q111_bpe_tokenize" -> _)
   }
 }

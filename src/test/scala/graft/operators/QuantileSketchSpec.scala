@@ -56,6 +56,24 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(out.getAs[Long]("p99") == 40L)
   }
 
+  test("streaming drain (complete-mode state) == single-shot batch sketch") {
+    val tmp = java.nio.file.Files.createTempDirectory("qsketch").toString
+    val feed = s"$tmp/feed"
+    // 3 files -> 3 micro-batches under maxFilesPerTrigger=1
+    big.repartition(3).write.parquet(feed)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val streamed = graft.streaming.SketchStream.quantileSketchStreaming(
+        spark, feed, schema, s"$tmp/out", Seq("g"), "id", "v", k, "s", ps,
+        maxFilesPerTrigger = Some(1))
+      .collect().head.toSeq
+    val batch = QuantileSketch.byGroup(big, Seq("g"), "id", "v", k, "s", ps)
+      .collect().head.toSeq
+    assert(streamed == batch)
+  }
+
   test("sample is partitioning-invariant and ranks through the bounded MIN-k partial") {
     val plan = QuantileSketch.sample(big, Seq("g"), "id", "v", k, "s")
       .queryExecution.executedPlan.toString
