@@ -92,8 +92,11 @@ object Bench {
     // invocation, so run-to-run spread measures MACHINE LOAD only
     def calibrate(): Double = {
       val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 20M full-range 64-bit hashes overflows
+      // a long, which under ANSI mode (Spark 4 default) is a task-killing
+      // SparkArithmeticException — the probe must be arithmetic-safe
       spark.range(0L, 20000000L, 1L, cpus.toInt)
-        .selectExpr("sum(xxhash64(id)) AS s")
+        .selectExpr("bit_xor(xxhash64(id)) AS s")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

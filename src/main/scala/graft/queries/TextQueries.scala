@@ -391,6 +391,30 @@ object TextQueries extends QueryFamily {
           prep = _.withColumn("n_tokens", tokenCountWs(col("text"))))
         .orderBy("lang")),
 
+    // CCNet's final step (Wenzek et al. 2020): bucket the corpus
+    // head/middle/tail by corpus-LM score terciles. Composes q97's
+    // bigram NLL (engine-identical at 6 dp, scaled to integer
+    // micro-nats) with q112's bottom-k sketch for the thresholds — the
+    // scale-honest alternative to a global NTILE window, whose single
+    // ordered partition is exactly what a 100 TB corpus cannot do. The
+    // thresholds broadcast; the bucket assignment is map-side.
+    "q114_ccnet_buckets" -> ((s, dir) => {
+      val scored = graft.operators.UnigramLm.scoreDocsBigram(table(s, dir, "documents"))
+        .filter(col("nll").isNotNull)
+        .select(col("doc_id"),
+          expr("cast(round(nll * 1000000, 0) as long)").as("score"))
+      val thr = graft.operators.QuantileSketch.byGroup(
+          scored, Seq.empty, "doc_id", "score", 64, "q114",
+          Seq("t1" -> 33, "t2" -> 67))
+        .select("t1", "t2")
+      scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("score"),
+          when(col("score") <= col("t1"), "head")
+            .when(col("score") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // corpus-LM quality score (the CCNet filter shape): per-doc mean
     // -ln p(token) under the corpus's own unigram MLE — see
     // [[graft.operators.UnigramLm]]
@@ -753,27 +777,39 @@ object TextQueries extends QueryFamily {
       // transition, position 1 against the BOS '' context; p(cur|prev) =
       // (bcf+1)/(ctx+V). LEFT JOIN keeps zero-token docs as (0, NULL)
       "q97_bigram_logprob" ->
-        s"""WITH toks0 AS (SELECT doc_id, $toks AS t FROM documents),
-              tokpos AS (
-                SELECT doc_id, i AS pos, t[i] AS token
-                FROM toks0, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t))) AS i) u),
-              tok AS (SELECT * FROM tokpos WHERE token <> ''),
-              bg AS (
-                SELECT doc_id,
-                       COALESCE(LAG(token) OVER (PARTITION BY doc_id ORDER BY pos), '') AS prev,
-                       token AS cur
-                FROM tok),
-              bcf AS (SELECT prev, cur, COUNT(*) AS bcf FROM bg GROUP BY prev, cur),
-              ctx AS (SELECT prev, SUM(bcf) AS ctx FROM bcf GROUP BY prev),
-              v AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v FROM tok),
-              per AS (
-                SELECT b.doc_id, COUNT(*) AS n_tokens,
-                       ROUND(AVG(LN(ctx.ctx + (SELECT v FROM v)) - LN(bcf.bcf + 1)), 6) AS nll
-                FROM bg b JOIN bcf USING (prev, cur) JOIN ctx USING (prev)
-                GROUP BY b.doc_id)
+        s"""WITH $bigramNllCtes
             SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, p.nll
             FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY doc_id""",
+      // CCNet buckets: q97's per-doc nll (engine-identical at 6 dp)
+      // scaled to integer micro-nats, tercile thresholds from the q112
+      // bottom-k sketch (same hash chain, salt q114), bucket by CASE
+      "q114_ccnet_buckets" ->
+        s"""WITH RECURSIVE $bigramNllCtes,
+              scored AS (
+                SELECT doc_id, CAST(ROUND(nll * 1000000, 0) AS BIGINT) AS score
+                FROM per WHERE nll IS NOT NULL),
+              tokh AS (SELECT doc_id AS tid,
+                              HEX(ENCODE('q114:' || CAST(doc_id AS VARCHAR))) AS hx
+                       FROM scored),
+              ${HashOracleSql.fnvFmixCtes},
+              ranked AS (
+                SELECT s2.doc_id, s2.score,
+                       ROW_NUMBER() OVER (ORDER BY g.x, s2.score) AS rn
+                FROM scored s2 JOIN sig g ON g.tid = s2.doc_id),
+              samp AS (SELECT score FROM ranked WHERE rn <= 64),
+              ordered AS (SELECT score, ROW_NUMBER() OVER (ORDER BY score) AS vr,
+                                 COUNT(*) OVER () AS kk
+                          FROM samp),
+              thr AS (SELECT MAX(CASE WHEN vr = (kk*33 + 99)//100 THEN score END) AS t1,
+                             MAX(CASE WHEN vr = (kk*67 + 99)//100 THEN score END) AS t2
+                      FROM ordered)
+            SELECT s.doc_id, s.score,
+                   CASE WHEN s.score <= t.t1 THEN 'head'
+                        WHEN s.score <= t.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s CROSS JOIN thr t
+            ORDER BY s.doc_id""",
       // exact heavy hitters: the oracle is the full exact count — the
       // engine's MG pass only prunes candidates, never decides
       "q98_heavy_hitters" ->
@@ -1011,6 +1047,29 @@ object TextQueries extends QueryFamily {
       "q113_token_percentiles_sketch_stream" -> sketchSql
     ) ++ bpeOracle111.map("q111_bpe_tokenize" -> _)
   }
+
+  /** q97's CTE chain (documents -> per-doc bigram NLL), shared with the
+    * q114 bucket oracle so the score formula cannot drift between them.
+    */
+  private lazy val bigramNllCtes: String =
+    s"""toks0 AS (SELECT doc_id, $toks AS t FROM documents),
+              tokpos AS (
+                SELECT doc_id, i AS pos, t[i] AS token
+                FROM toks0, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t))) AS i) u),
+              tok AS (SELECT * FROM tokpos WHERE token <> ''),
+              bg AS (
+                SELECT doc_id,
+                       COALESCE(LAG(token) OVER (PARTITION BY doc_id ORDER BY pos), '') AS prev,
+                       token AS cur
+                FROM tok),
+              bcf AS (SELECT prev, cur, COUNT(*) AS bcf FROM bg GROUP BY prev, cur),
+              ctx AS (SELECT prev, SUM(bcf) AS ctx FROM bcf GROUP BY prev),
+              v AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v FROM tok),
+              per AS (
+                SELECT b.doc_id, COUNT(*) AS n_tokens,
+                       ROUND(AVG(LN(ctx.ctx + (SELECT v FROM v)) - LN(bcf.bcf + 1)), 6) AS nll
+                FROM bg b JOIN bcf USING (prev, cur) JOIN ctx USING (prev)
+                GROUP BY b.doc_id)"""
 
   /** See the q112 oracle comment in [[oracleSql]]. */
   private lazy val sketchSql: String = {
