@@ -973,13 +973,32 @@ object Dedup {
       spark: SparkSession, dir: String, increment: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val nassign = meta.getAs[Int]("nassign")
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+    val (nassign, cents) = semanticCentroids(spark, dir)
     val inc = ScaleOut(increment.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val incCells = inc.select(col("id"),
       explode(nearestCells(col("vec"), cents, nassign)).as("cell"))
+    semanticPairsFromKernel(spark, dir, inc, incCells, threshold)
+  }
+
+  /** Index meta + the driver-side centroid matrix (codebook-sized by
+    * contract) — read ONCE per call site; the streaming ingest batch
+    * previously collected the centroids twice per micro-batch.
+    */
+  private def semanticCentroids(
+      spark: SparkSession, dir: String): (Int, Array[Array[Float]]) = {
+    val nassign = spark.read.parquet(s"$dir/meta").head().getAs[Int]("nassign")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+    (nassign, cents)
+  }
+
+  /** [[incrementalSemanticNearDupPairs]] past the cell assignment: probe
+    * with ALREADY-COMPUTED increment cells, shared with the append by
+    * [[semanticIngestBatch]].
+    */
+  private def semanticPairsFromKernel(
+      spark: SparkSession, dir: String, inc: DataFrame, incCells: DataFrame,
+      threshold: Double): DataFrame = {
     // base side = corpus assignments ∪ increment's own (same pair
     // semantics as the LSH probe: inc-vs-corpus in either id order,
     // inc-vs-inc deduped by id order); the increment side broadcasts,
@@ -1002,6 +1021,32 @@ object Dedup {
       .withColumn("cosine", cosineSim(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** One streaming-ingest micro-batch against a [[writeSemanticIndex]]
+    * directory, KERNEL-FUSED like [[minhashIngestBatch]]: the batch's
+    * cell assignments are computed once and shared by the probe and the
+    * segment append, and the meta/centroid driver reads happen once per
+    * batch instead of twice. Contracts unchanged (probe first, append
+    * second, committed segments skip whole — SemanticIngestStreamSpec).
+    */
+  def semanticIngestBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      segName: String, writePairs: DataFrame => Unit): Unit = CacheScope.scoped {
+    val (nassign, cents) = semanticCentroids(spark, indexDir)
+    val v = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val assigned = CacheScope.pin(
+      v.select(col("id"), col("vec"),
+        explode(nearestCells(col("vec"), cents, nassign)).as("cell")),
+      StorageLevel.MEMORY_AND_DISK)
+    writePairs(semanticPairsFromKernel(spark, indexDir, ScaleOut(v),
+      assigned.select("id", "cell"), threshold))
+    if (!Segments.isCommitted(spark, indexDir, segName)) {
+      Segments.writePart(assigned, indexDir, "assigned", segName)
+      Segments.writePart(v, indexDir, "vecs", segName)
+      Segments.commit(spark, indexDir, segName)
+    }
   }
 
   /** Persist a hyperplane-LSH near-dup index for an embedding corpus:

@@ -518,6 +518,21 @@ object DedupQueries extends QueryFamily {
       docs.join(groups, docs("doc_id") === groups("member_id"), "left")
         .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
         .orderBy("doc_id")
+    }),
+
+    // the large-star/small-star contraction ITSELF under the gate: a
+    // planted 50-long chain per 50-id block (diameter 49) with
+    // maxIters=3 forces min-label propagation to hand off to the star
+    // fallback — real near-dup components are near-cliques that converge
+    // in 2 rounds, so without a planted chain the gate would never
+    // execute the O(log d) path it relies on for adversarial chains.
+    // Every id collapses to its block minimum: a closed-form oracle.
+    "q115_dedup_groups_chain" -> ((s, dir) => {
+      val pairs = table(s, dir, "documents")
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .filter(expr("id_a div 50") === expr("id_b div 50"))
+      graft.operators.Dedup.nearDupGroups(pairs, maxIters = 3)
+        .orderBy("member_id")
     })
   )
 
@@ -891,6 +906,11 @@ object DedupQueries extends QueryFamily {
           WHERE id_a >= $corpusSplit OR id_b >= $corpusSplit
           ORDER BY id_a, id_b""",
     "q43_dedup_groups" -> groupsSql,
+    // chain components have a closed-form answer: the block minimum
+    "q115_dedup_groups_chain" ->
+      """SELECT doc_id AS member_id, (doc_id // 50) * 50 AS keep_id
+         FROM documents
+         ORDER BY member_id""",
     // the incremental merge must land on the identical from-scratch
     // closure — strongest possible check for the star-edge equivalence
     "q91_dedup_groups_incremental" -> groupsSql,

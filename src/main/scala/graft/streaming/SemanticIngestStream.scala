@@ -44,18 +44,18 @@ object SemanticIngestStream {
       batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95,
-      compactEvery: Int = 0, compactTargetBytes: Long = 64L << 20): Unit =
-    graft.operators.CacheScope.scoped {
-      Dedup.incrementalSemanticNearDupPairs(batch.sparkSession, indexDir, batch,
-          idCol, vecCol, threshold)
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      Dedup.appendToSemanticIndex(batch, indexDir, idCol, vecCol,
-        seg = Some(s"batch-$batchId"))
-      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-        Segments.compact(batch.sparkSession, indexDir,
-          Seq("assigned" -> Nil, "vecs" -> Nil), compactTargetBytes)
-      ()
-    }
+      compactEvery: Int = 0, compactTargetBytes: Long = 64L << 20): Unit = {
+    // kernel-fused probe + append ([[Dedup.semanticIngestBatch]]): the
+    // batch's cell assignments and the driver-side centroid read are
+    // computed once for both
+    Dedup.semanticIngestBatch(batch.sparkSession, indexDir, batch,
+      idCol, vecCol, threshold, segName = s"batch-$batchId",
+      writePairs =
+        _.write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Segments.compact(batch.sparkSession, indexDir,
+        Seq("assigned" -> Nil, "vecs" -> Nil), compactTargetBytes)
+  }
 
   /** Drain `feedDir` (parquet file stream of (idCol, vecCol) rows) into
     * `indexDir`, writing each batch's touching pairs to `outDir`.
