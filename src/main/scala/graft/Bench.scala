@@ -135,6 +135,10 @@ object Bench {
     // spread between runs is the contention signal (a clean machine runs
     // near-equal pairs; a loaded one shows wide, correlated spread).
     // Calibration probes bracket each group; >30% pairs get a 3rd run.
+    // The probe's own FIRST execution pays its plan's codegen/JIT — an
+    // inherent one-off that would read as a 2-3x "contention" spread —
+    // so warm it once untimed before the recorded runs.
+    calibrate()
     val calibs = scala.collection.mutable.ArrayBuffer(calibrate())
     val noPre = () => ()
     val lightR = light.map { case (name, fn) =>
