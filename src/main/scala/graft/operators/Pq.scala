@@ -288,26 +288,55 @@ object Pq {
       idCol: String = "vec_id", vecCol: String = "embedding",
       seg: Option[String] = None): Unit = {
     val spark = increment.sparkSession
+    appendToIvfPqIndexWith(loadIvfPqState(spark, dir), increment, dir, idCol, vecCol, seg)
+  }
+
+  /** [[appendToIvfPqIndex]] with ALREADY-LOADED quantizer state, so the
+    * streaming ingest shares one driver read per batch with the search
+    * ([[ivfPqIngestBatch]]).
+    */
+  def appendToIvfPqIndexWith(
+      st: IvfPqState, increment: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seg: Option[String] = None): Unit = {
+    val spark = increment.sparkSession
     val segName = seg.getOrElse(
       "append-" + java.util.UUID.randomUUID().toString.take(8))
     if (Segments.isCommitted(spark, dir, segName)) return
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val dim = meta.getAs[Int]("dim")
-    val m = meta.getAs[Int]("m")
-    val byResidual = meta.getAs[Boolean]("by_residual")
-    val dsub = dim / m
-    val books = readBooks(spark, dir, m)
-    val cents = readCentroids(spark, dir)
     val v = increment.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val enc = encodeInput(
-      v.withColumn("cell", element_at(nearestCells(col("vec"), cents, 1), 1)),
-      if (byResidual) readCellMeans(spark, dir) else Array.empty, byResidual)
+      v.withColumn("cell", element_at(nearestCells(col("vec"), st.cents, 1), 1)),
+      st.cellMeans, st.byResidual)
     Segments.writePart(
       enc.select(col("id").as("neighbor_id"),
-        pqEncode(col("evec"), books, dsub).as("codes"), col("cell")),
+        pqEncode(col("evec"), st.books, st.dsub).as("codes"), col("cell")),
       dir, "codes", segName, partitionBy = Seq("cell"))
     Segments.writePart(v, dir, "vecs", segName)
     Segments.commit(spark, dir, segName)
+  }
+
+  /** Driver-resident quantizer state of a [[writeIvfPqIndex]] directory —
+    * codebook-sized by contract (books m×ksub×dsub floats, centroids
+    * nlist×dim, cell means only when residual coding is on). The
+    * quantizers are immutable after the build (appends encode with the
+    * STORED quantizers; compaction rewrites codes/vecs, never
+    * books/meta), so state loaded once is valid for a whole ingest batch.
+    */
+  final case class IvfPqState(
+      dim: Int, m: Int, ksub: Int, byResidual: Boolean,
+      books: Array[Array[Array[Float]]], cents: Array[Array[Float]],
+      cellMeans: Array[Array[Float]]) {
+    def dsub: Int = dim / m
+  }
+
+  def loadIvfPqState(spark: SparkSession, dir: String): IvfPqState = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val m = meta.getAs[Int]("m")
+    val byResidual = meta.getAs[Boolean]("by_residual")
+    IvfPqState(
+      meta.getAs[Int]("dim"), m, meta.getAs[Int]("ksub"), byResidual,
+      readBooks(spark, dir, m), readCentroids(spark, dir),
+      if (byResidual) readCellMeans(spark, dir) else Array.empty)
   }
 
   private def readBooks(
@@ -335,15 +364,22 @@ object Pq {
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nprobe: Int = 4, shortlistFactor: Int = 4,
+      excludeIds: Option[DataFrame] = None): DataFrame =
+    searchIvfPqIndexWith(loadIvfPqState(spark, dir), spark, dir, queries, k,
+      idCol, vecCol, nprobe, shortlistFactor, excludeIds)
+
+  /** [[searchIvfPqIndex]] with ALREADY-LOADED quantizer state (see
+    * [[ivfPqIngestBatch]]).
+    */
+  def searchIvfPqIndexWith(
+      st: IvfPqState, spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      nprobe: Int = 4, shortlistFactor: Int = 4,
       excludeIds: Option[DataFrame] = None): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val dim = meta.getAs[Int]("dim")
-    val m = meta.getAs[Int]("m")
-    val ksub = meta.getAs[Int]("ksub")
-    val byResidual = meta.getAs[Boolean]("by_residual")
-    val dsub = dim / m
-    val books = readBooks(spark, dir, m)
-    val cents = readCentroids(spark, dir)
+    val ksub = st.ksub
+    val dsub = st.dsub
+    val books = st.books
+    val cents = st.cents
     // residual scoring: v̂ = mean(cell) + r̂, so ⟨q,v̂⟩ = ⟨q,mean⟩ + ⟨q,r̂⟩
     // EXACTLY — the per-(query, probed cell) constant ⟨q,mean⟩ rides the
     // exploded probe rows and the ADC lookups stay one global table per
@@ -352,8 +388,8 @@ object Pq {
       .withColumn("cell", explode(nearestCells(col("qvec"), cents, nprobe)))
       .withColumn("table", pqAdcTable(col("qvec"), books, dsub))
     val q =
-      if (byResidual)
-        q0.join(broadcast(centroidsDf(spark, readCellMeans(spark, dir))), "cell")
+      if (st.byResidual)
+        q0.join(broadcast(centroidsDf(spark, st.cellMeans)), "cell")
           .withColumn("qc",
             graft.functions.expr.VectorFunctions.dotProduct(col("qvec"), col("centroid")))
           .drop("centroid")

@@ -55,11 +55,15 @@ object AnnIngestStream {
       k: Int = 5, nprobe: Int = 4,
       compactEvery: Int = 0, compactTargetBytes: Long = 64L << 20): Unit =
     graft.operators.CacheScope.scoped {
-      Pq.searchIvfPqIndex(batch.sparkSession, indexDir, batch, k,
+      // quantizer state (meta/books/centroids/cell-means driver reads) is
+      // loaded ONCE and shared by search and append — it is immutable
+      // after the build, and each call previously re-collected it
+      val st = Pq.loadIvfPqState(batch.sparkSession, indexDir)
+      Pq.searchIvfPqIndexWith(st, batch.sparkSession, indexDir, batch, k,
           idCol, vecCol, nprobe,
           excludeIds = Some(batch.select(col(idCol))))
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      Pq.appendToIvfPqIndex(batch, indexDir, idCol, vecCol,
+      Pq.appendToIvfPqIndexWith(st, batch, indexDir, idCol, vecCol,
         seg = Some(s"batch-$batchId"))
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
         Segments.compact(batch.sparkSession, indexDir,
