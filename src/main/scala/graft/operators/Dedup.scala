@@ -670,6 +670,7 @@ object Dedup {
           least(col("src"), col("dst")).as("parent"))
         .filter(col("child") =!= col("parent")).distinct(),
       StorageLevel.MEMORY_AND_DISK)
+    var nCur = cur.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -692,9 +693,15 @@ object Dedup {
           .union(ssMin.select(col("child"), col("mn").as("parent")))
           .filter(col("child") =!= col("parent")).distinct()),
         StorageLevel.MEMORY_AND_DISK)
-      converged = next.except(cur).union(cur.except(next)).isEmpty
+      // exact fixpoint probe, cheapest-first: both sides are DISTINCT
+      // sets, so equal counts + (next \ cur) empty IS set equality —
+      // and counts strictly shrink on most contraction rounds, making
+      // the count pair the only probe cost until the final rounds
+      val nNext = next.count()
+      converged = nNext == nCur && next.except(cur).isEmpty
       cur.unpersist()
       cur = next
+      nCur = nNext
       round += 1
     }
     // log^2 bound makes this unreachable for any realistic edge set; keep
