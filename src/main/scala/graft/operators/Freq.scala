@@ -88,21 +88,39 @@ object Freq {
     */
   def cmsHeavyHitters(
       rows: DataFrame, item: Column, phi: Double,
-      d: Int = 4, logW: Int = 10): DataFrame = {
-    require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
-    val stream = rows.select(item.cast("string").as("item"))
+      d: Int = 4, logW: Int = 10): DataFrame =
+    cmsHeavyHittersFromGrid(cmsGrid(rows, item, d, logW), rows, item, phi, d, logW)
+
+  /** The d×2^logW occurrence counter grid — the CMS state itself.
+    * Counters merge by SUM, so the grid is a mergeable sketch: per-
+    * partition partials combine losslessly, and the same aggregation run
+    * as STREAMING state (complete mode) drains to the identical grid —
+    * the basis of q116's shared oracle.
+    */
+  def cmsGrid(rows: DataFrame, item: Column, d: Int = 4, logW: Int = 10): DataFrame =
+    rows.select(item.cast("string").as("item"))
       .filter(col("item").isNotNull)
       .withColumn("bs", cmsBuckets(col("item"), d, logW))
-    // (row, bucket) counter grid — the sketch. Reused by the total-count
-    // action and the estimate join; d*2^logW rows at most.
-    val sketch = CacheScope.pin(
-      stream.select(posexplode(col("bs")).as(Seq("i", "bucket")))
-        .groupBy("i", "bucket").agg(count(lit(1)).as("cnt")),
-      StorageLevel.MEMORY_AND_DISK)
+      .select(posexplode(col("bs")).as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Heavy-hitter readout over an ALREADY-BUILT counter grid: estimates
+    * touch only the distinct candidate vocabulary against the broadcast
+    * sketch ([[cmsHeavyHitters]]'s pass 2, decoupled so a streamed-in
+    * grid answers the same question).
+    */
+  def cmsHeavyHittersFromGrid(
+      grid: DataFrame, candidates: DataFrame, item: Column, phi: Double,
+      d: Int = 4, logW: Int = 10): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
+    val sketch = CacheScope.pin(grid, StorageLevel.MEMORY_AND_DISK)
     // every occurrence lands in exactly one bucket of row 0
     val n = sketch.filter(col("i") === 0)
       .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
-    stream.select(col("item"), col("bs")).distinct()
+    candidates.select(item.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .withColumn("bs", cmsBuckets(col("item"), d, logW))
+      .distinct()
       .select(col("item"), posexplode(col("bs")).as(Seq("i", "bucket")))
       .join(broadcast(sketch), Seq("i", "bucket"))
       .groupBy("item").agg(min("cnt").as("est_cnt"))

@@ -415,6 +415,20 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // q103's CMS grid maintained as STREAMING state ([[graft.streaming
+    // .SketchStream.cmsHeavyHittersStreaming]]): counters merge by sum,
+    // so the drained complete-mode grid equals the batch grid exactly
+    // and the heavy-hitter readout (batch, against the drained state)
+    // reproduces q103 bit-for-bit — sketch maintenance and readout
+    // decoupled the way a production heavy-hitters service runs.
+    "q116_heavy_hitters_cms_stream" -> ((s, dir) =>
+      graft.streaming.SketchStream.cmsHeavyHittersStreaming(
+        s, stagedDocsLangFeedDir(s, dir), docsLangFeedSchema,
+        Scratch.freshDir(s, "q116", dir),
+        items = df => df.select(explode(tokens(col("text"))).as("item"))
+          .filter(col("item") =!= ""),
+        phi = 0.02, maxFilesPerTrigger = Some(1))),
+
     // corpus-LM quality score (the CCNet filter shape): per-doc mean
     // -ln p(token) under the corpus's own unigram MLE — see
     // [[graft.operators.UnigramLm]]
@@ -855,36 +869,11 @@ object TextQueries extends QueryFamily {
       // CMS heavy hitters, replayed bit-exactly: vocab token hashes via
       // the shared FNV-1a+fmix64 HUGEINT chain, then per-row buckets
       // (x*A_i + B_i) low bits — 2^64 ≡ 0 (mod 2^logW), so the un-wrapped
-      // HUGEINT sum mod w equals the engine's wrapped-long masked value
-      "q103_heavy_hitters_cms" -> {
-        import graft.functions.expr.CmsParams
-        val d = 4
-        val w = 1 << 10
-        val bucketSelects = (0 until d).map { i =>
-          val prod = HashOracleSql.mulMod64("x", s"${CmsParams.aU(i)}::HUGEINT")
-          s"""SELECT token, $i AS i,
-                     (($prod) + ${CmsParams.bU(i)}::HUGEINT) % $w AS bucket
-              FROM vh"""
-        }.mkString("\n UNION ALL\n")
-        s"""WITH RECURSIVE
-              tok AS (
-                SELECT token FROM (SELECT UNNEST($toks) AS token FROM documents)
-                WHERE token <> ''),
-              tokh AS (
-                SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS tid, HEX(ENCODE(token)) AS hx
-                FROM (SELECT DISTINCT token FROM tok)),
-              ${HashOracleSql.fnvFmixCtes},
-              vh AS (SELECT t.token, s.x FROM tokh t JOIN sig s USING (tid)),
-              vb AS ($bucketSelects),
-              occ AS (SELECT vb.i, vb.bucket, COUNT(*) AS cnt
-                      FROM tok JOIN vb USING (token) GROUP BY 1, 2),
-              n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
-              est AS (SELECT vb.token, MIN(occ.cnt) AS est_cnt
-                      FROM vb JOIN occ USING (i, bucket) GROUP BY vb.token)
-            SELECT token AS item, est_cnt FROM est, n
-            WHERE est_cnt > 0.02 * n.n
-            ORDER BY est_cnt DESC, item"""
-      },
+      // HUGEINT sum mod w equals the engine's wrapped-long masked value.
+      // q116 (the grid maintained as STREAMING state, counters merge by
+      // sum) shares it verbatim.
+      "q103_heavy_hitters_cms" -> cmsSql,
+      "q116_heavy_hitters_cms_stream" -> cmsSql,
       // dtype literals mirror Spark's simpleString for the parquet schema
       // A-ES replayed: u from the top-53 hash bits exactly as the engine
       // derives it (integer ops into an exactly-representable double);
@@ -1070,6 +1059,37 @@ object TextQueries extends QueryFamily {
                        ROUND(AVG(LN(ctx.ctx + (SELECT v FROM v)) - LN(bcf.bcf + 1)), 6) AS nll
                 FROM bg b JOIN bcf USING (prev, cur) JOIN ctx USING (prev)
                 GROUP BY b.doc_id)"""
+
+  /** See the q103 oracle comment in [[oracleSql]]. */
+  private lazy val cmsSql: String = {
+    import graft.functions.expr.CmsParams
+    val d = 4
+    val w = 1 << 10
+    val bucketSelects = (0 until d).map { i =>
+      val prod = HashOracleSql.mulMod64("x", s"${CmsParams.aU(i)}::HUGEINT")
+      s"""SELECT token, $i AS i,
+                 (($prod) + ${CmsParams.bU(i)}::HUGEINT) % $w AS bucket
+          FROM vh"""
+    }.mkString("\n UNION ALL\n")
+    s"""WITH RECURSIVE
+          tok AS (
+            SELECT token FROM (SELECT UNNEST($toks) AS token FROM documents)
+            WHERE token <> ''),
+          tokh AS (
+            SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS tid, HEX(ENCODE(token)) AS hx
+            FROM (SELECT DISTINCT token FROM tok)),
+          ${HashOracleSql.fnvFmixCtes},
+          vh AS (SELECT t.token, s.x FROM tokh t JOIN sig s USING (tid)),
+          vb AS ($bucketSelects),
+          occ AS (SELECT vb.i, vb.bucket, COUNT(*) AS cnt
+                  FROM tok JOIN vb USING (token) GROUP BY 1, 2),
+          n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+          est AS (SELECT vb.token, MIN(occ.cnt) AS est_cnt
+                  FROM vb JOIN occ USING (i, bucket) GROUP BY vb.token)
+        SELECT token AS item, est_cnt FROM est, n
+        WHERE est_cnt > 0.02 * n.n
+        ORDER BY est_cnt DESC, item"""
+  }
 
   /** See the q112 oracle comment in [[oracleSql]]. */
   private lazy val sketchSql: String = {

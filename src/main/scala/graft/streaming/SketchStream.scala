@@ -55,4 +55,39 @@ object SketchStream {
     q.awaitTermination()
     QuantileSketch.quantiles(spark.read.parquet(s"$outDir/state"), groupCols, ps)
   }
+
+  /** The Count-Min counter grid ([[graft.operators.Freq.cmsGrid]]) as
+    * streaming state — counters merge by SUM, so the drained
+    * complete-mode state equals the batch grid exactly, and the
+    * heavy-hitter READOUT then runs as a batch question against the
+    * drained grid plus the feed's candidate vocabulary. Sketch
+    * maintenance and readout are decoupled the way a production
+    * heavy-hitters service runs: the stream keeps the state current,
+    * consumers query it. Shares q103's bit-exact oracle verbatim
+    * (q116).
+    */
+  def cmsHeavyHittersStreaming(
+      spark: SparkSession, feedDir: String, feedSchema: StructType,
+      outDir: String, items: DataFrame => DataFrame, phi: Double,
+      d: Int = 4, logW: Int = 10,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    var reader = spark.readStream.schema(feedSchema)
+    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+    val grid = graft.operators.Freq.cmsGrid(
+      items(reader.parquet(feedDir)), col("item"), d, logW)
+    val q = grid.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/state")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Freq.cmsHeavyHittersFromGrid(
+      spark.read.parquet(s"$outDir/state"),
+      items(spark.read.parquet(feedDir)), col("item"), phi, d, logW)
+  }
 }

@@ -142,4 +142,22 @@ class FreqSpec extends SparkTestBase {
     assert(violFrac <= 2 * math.exp(-4.0),
       s"fraction over the n*e/w bound $violFrac exceeds 2*e^-d")
   }
+
+  test("streaming CMS grid (complete-mode state) drains to the batch answer") {
+    val tmp = java.nio.file.Files.createTempDirectory("cmsstream").toString
+    val feed = s"$tmp/feed"
+    stream.repartition(3).write.parquet(feed) // 3 files -> 3 micro-batches
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType)))
+    val streamed = graft.streaming.SketchStream.cmsHeavyHittersStreaming(
+        spark, feed, schema, s"$tmp/out",
+        items = df => df.select(col("token").as("item")),
+        phi = 0.05, maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = Freq.cmsHeavyHitters(stream, col("token"), phi = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
