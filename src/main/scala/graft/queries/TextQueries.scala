@@ -399,10 +399,15 @@ object TextQueries extends QueryFamily {
     // ordered partition is exactly what a 100 TB corpus cannot do. The
     // thresholds broadcast; the bucket assignment is map-side.
     "q114_ccnet_buckets" -> ((s, dir) => {
-      val scored = graft.operators.UnigramLm.scoreDocsBigram(table(s, dir, "documents"))
-        .filter(col("nll").isNotNull)
-        .select(col("doc_id"),
-          expr("cast(round(nll * 1000000, 0) as long)").as("score"))
+      // pinned: the LM scoring feeds BOTH the threshold sketch and the
+      // final bucket assignment — unpinned it would run the whole q97
+      // scoring plan twice
+      val scored = graft.operators.CacheScope.pin(
+        graft.operators.UnigramLm.scoreDocsBigram(table(s, dir, "documents"))
+          .filter(col("nll").isNotNull)
+          .select(col("doc_id"),
+            expr("cast(round(nll * 1000000, 0) as long)").as("score")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val thr = graft.operators.QuantileSketch.byGroup(
           scored, Seq.empty, "doc_id", "score", 64, "q114",
           Seq("t1" -> 33, "t2" -> 67))
