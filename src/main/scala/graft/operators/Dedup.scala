@@ -389,7 +389,27 @@ object Dedup {
     val incBuckets = bandBuckets(
       incSets.select(col("id"), minhashSignature(col("shingles"), numHashes, seed).as("sig")),
       bands, numHashes / bands)
-    incrementalPairsFromKernel(spark, dir, incSets, incBuckets, threshold)
+    incrementalPairsFromKernel(spark, dir, incSets, incBuckets, threshold,
+      hinted = fitsBroadcast(increment))
+  }
+
+  /** True when `frame`'s optimizer size estimate fits under the session's
+    * `autoBroadcastJoinThreshold` — the same budget the optimizer applies
+    * before choosing a broadcast join on its own. The incremental probe
+    * uses this to decide whether its increment-bounded sides may carry
+    * explicit broadcast hints: `incrementalNearDupPairs` is a public API
+    * with CALLER-sized increments, and an unconditional hint would turn
+    * an oversized batch (or a collision-heavy one, whose verify frames
+    * carry full hashed shingle-key arrays) into a driver OOM where the
+    * un-hinted plan merely degrades to shuffle joins. Stats-only: reads
+    * the optimized plan's `sizeInBytes`, launches no job. The estimate is
+    * taken on the RAW increment frame — shingle-key payloads grow with
+    * text size, so input bytes are a sound (conservative) proxy for every
+    * broadcast side derived from it.
+    */
+  private def fitsBroadcast(frame: DataFrame): Boolean = {
+    val limit = frame.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    limit > 0 && frame.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(limit)
   }
 
   private def minhashMeta(spark: SparkSession, dir: String): (Int, Int, Int, Long) = {
@@ -401,11 +421,16 @@ object Dedup {
   /** [[incrementalNearDupPairs]] past the kernel: probe the stored index
     * with ALREADY-COMPUTED increment shingle sets and band buckets, so a
     * caller that also needs them for an append (the streaming ingest)
-    * pays the text kernel once ([[minhashIngestBatch]]).
+    * pays the text kernel once ([[minhashIngestBatch]]). `hinted` carries
+    * the [[fitsBroadcast]] verdict on the raw increment: when false, every
+    * explicit broadcast hint on an increment-bounded side is dropped and
+    * the optimizer chooses the join strategy (shuffle degradation instead
+    * of a broadcast-memory failure).
     */
   private def incrementalPairsFromKernel(
       spark: SparkSession, dir: String, incSets: DataFrame,
-      incBuckets: DataFrame, threshold: Double): DataFrame = {
+      incBuckets: DataFrame, threshold: Double, hinted: Boolean): DataFrame = {
+    val hint = (df: DataFrame) => if (hinted) broadcast(df) else df
     // widened for the same reason as the q78 probe: candidate rows and
     // the partial-distinct above them materialize in the STREAMED side's
     // partitions, and a small corpus index read as 1-2 parquet splits
@@ -418,14 +443,15 @@ object Dedup {
     // broadcasts; the index is the big, streamed side.
     val probeSide = corpusBuckets.withColumn("corpus", lit(true))
       .unionByName(incBuckets.withColumn("corpus", lit(false)))
-    // increment-bounded sides carry explicit broadcast hints — the
-    // documented probe contract ("the batch broadcasts, the index
-    // streams") made physical: without them the optimizer's size
-    // estimates for computed frames pick sort-merge joins that shuffle
-    // the INDEX side on every micro-batch, and the per-batch wall-clock
-    // becomes exchange-count-bound (r9 q92 watch-item). Bucket rows are
+    // increment-bounded sides carry explicit broadcast hints (when the
+    // increment fits the broadcast budget) — the documented probe
+    // contract ("the batch broadcasts, the index streams") made physical:
+    // without them the optimizer's size estimates for computed frames
+    // pick sort-merge joins that shuffle the INDEX side on every
+    // micro-batch, and the per-batch wall-clock becomes
+    // exchange-count-bound (r9 q92 watch-item). Bucket rows are
     // 3 longs × batch×bands; candidates are collision-bounded pairs.
-    val candidates = broadcast(incBuckets.as("a")).join(probeSide.as("b"),
+    val candidates = hint(incBuckets.as("a")).join(probeSide.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id") && (col("b.corpus") || col("a.id") < col("b.id")))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
@@ -436,8 +462,8 @@ object Dedup {
     val incKeys = hashedKeySets(incSets)
     val sets = incKeys.unionByName(
       Segments.readPart(spark, dir, "sets")
-        .join(broadcast(incKeys.select("id")), Seq("id"), "left_anti"))
-    verifyJaccardHashed(candidates, sets, threshold, broadcastPairs = true)
+        .join(hint(incKeys.select("id")), Seq("id"), "left_anti"))
+    verifyJaccardHashed(candidates, sets, threshold, broadcastPairs = hinted)
   }
 
   /** One streaming-ingest micro-batch against a [[writeMinhashIndex]]
@@ -466,7 +492,8 @@ object Dedup {
         bands, numHashes / bands),
       StorageLevel.MEMORY_AND_DISK)
     writePairs(
-      incrementalPairsFromKernel(spark, indexDir, incSets, incBuckets, threshold))
+      incrementalPairsFromKernel(spark, indexDir, incSets, incBuckets, threshold,
+        hinted = fitsBroadcast(batch)))
     if (!Segments.isCommitted(spark, indexDir, segName)) {
       Segments.writePart(incBuckets, indexDir, "buckets", segName)
       Segments.writePart(hashedKeySets(incSets), indexDir, "sets", segName)

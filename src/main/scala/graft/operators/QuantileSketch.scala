@@ -70,9 +70,14 @@ object QuantileSketch {
     val withVals = sampled
       .withColumn("sample_n", size(col("smp")).cast("long"))
       .withColumn("vals", array_sort(expr("transform(smp, x -> x.id)")))
+    // guard the rank pick: an EMPTY sample (a group whose every value was
+    // null) makes the ceiling rank 0, and element_at(vals, 0) is a runtime
+    // error under ANSI ("array index starts at 1") — degenerate groups
+    // must yield null quantiles, not a task-killing exception
     val pCols = ps.map { case (name, p) =>
-      element_at(col("vals"),
-        expr(s"cast((sample_n * $p + 99) div 100 as int)")).as(name)
+      when(col("sample_n") > 0,
+        element_at(col("vals"),
+          expr(s"cast((sample_n * $p + 99) div 100 as int)"))).as(name)
     }
     withVals.select(groupCols.map(col) ++ Seq(col("n"), col("sample_n")) ++ pCols: _*)
   }

@@ -528,9 +528,16 @@ object DedupQueries extends QueryFamily {
     // execute the O(log d) path it relies on for adversarial chains.
     // Every id collapses to its block minimum: a closed-form oracle.
     "q115_dedup_groups_chain" -> ((s, dir) => {
-      val pairs = table(s, dir, "documents")
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      // semi-join the successor back against the real id set: `doc_id + 1`
+      // is only an edge endpoint when that document EXISTS, so the planted
+      // chain never manufactures a phantom vertex when max(doc_id)+1 lands
+      // inside the final block (the closed-form oracle ranges over
+      // `documents` rows only)
+      val pairs = ids
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
         .filter(expr("id_a div 50") === expr("id_b div 50"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
       graft.operators.Dedup.nearDupGroups(pairs, maxIters = 3)
         .orderBy("member_id")
     })

@@ -82,6 +82,35 @@ class MinhashIndexSpec extends SparkTestBase {
     assert(!indexCols.contains("text"))
   }
 
+  test("oversized increments drop the broadcast hints but keep the answer") {
+    // the probe's broadcast hints are gated on the session's broadcast
+    // budget: an increment whose size estimate exceeds it must fall back
+    // to the optimizer-chosen (shuffle-degradable) plan rather than force
+    // a broadcast that can exhaust driver memory — and the answer must
+    // not change. Budget 0 disables broadcasting entirely, so any
+    // BroadcastExchange in the probe plan would prove the hint was forced.
+    val dir = buildIndex(corpus)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val (plan, rows) = scopedNoLeak {
+        val frame = Dedup.incrementalNearDupPairs(spark, dir, increment, threshold = 0.5)
+        (frame.queryExecution.executedPlan.toString,
+          frame.orderBy("id_a", "id_b").collect())
+      }
+      assert(!plan.contains("BroadcastExchange"),
+        "broadcast hint survived a disabled broadcast budget")
+      val inc = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      spark.conf.set(key, saved)
+      val hinted = scopedNoLeak(
+        Dedup.incrementalNearDupPairs(spark, dir, increment, threshold = 0.5)
+          .orderBy("id_a", "id_b").collect())
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(inc == hinted, s"gated plan changed the answer: $inc vs $hinted")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("probe parameters come from the index meta, surviving non-default builds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mh_index").toString
     Dedup.writeMinhashIndex(corpus, dir, numHashes = 64, bands = 16, seed = 7L)

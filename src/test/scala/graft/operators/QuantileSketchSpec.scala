@@ -74,6 +74,18 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("all-null group yields null quantiles, not an ANSI element_at(0) error") {
+    // a group whose every value is null produces an EMPTY bottom-k sample
+    // (sample_n = 0); the rank pick must guard to null instead of
+    // evaluating element_at(vals, 0) — a runtime error under ANSI mode
+    val nulls = Seq(("g", 1L, Option.empty[Long]), ("g", 2L, Option.empty[Long]))
+      .toDF("g", "id", "v")
+    val out = QuantileSketch.byGroup(nulls, Seq("g"), "id", "v", k, "s", ps)
+      .collect().head
+    assert(out.getAs[Long]("n") == 2L && out.getAs[Long]("sample_n") == 0L)
+    for ((name, _) <- ps) assert(out.isNullAt(out.fieldIndex(name)))
+  }
+
   test("sample is partitioning-invariant and ranks through the bounded MIN-k partial") {
     val plan = QuantileSketch.sample(big, Seq("g"), "id", "v", k, "s")
       .queryExecution.executedPlan.toString
