@@ -595,7 +595,17 @@ object Dedup {
     * NOT abort — it switches to the alternating large-star/small-star
     * contraction ([[starKeepList]], O(log^2 n) rounds regardless of
     * diameter), so a chain-shaped component (serial near-dup drift at
-    * corpus scale) still yields the exact keep-list. Per round the
+    * corpus scale) still yields the exact keep-list. The handoff is also
+    * taken EARLY: the convergence probe's changed-label count is free to
+    * keep, and when it fails to halve for three consecutive rounds the
+    * component set is shrinking arithmetically (the chain signature —
+    * label fronts advancing one hop per round), so propagation stops
+    * there instead of burning the rest of `maxIters` in linear-progress
+    * rounds before the O(log^2) path engages. Clique-shaped inputs
+    * converge before the window ever fills, so the early exit costs the
+    * common case nothing. `roundProbe` (round index, changed-label
+    * count) observes each propagation round — ops logging and the
+    * handoff spec's hook; default no-op. Per round the
     * frontier is persisted and the previous one released — no lineage
     * blowup, bounded storage; the final frame's block follows the caller's
     * [[CacheScope]] (run the consuming action inside `CacheScope.scoped`).
@@ -615,7 +625,7 @@ object Dedup {
 
   def nearDupGroups(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, roundProbe: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val e = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
     // pinned to the caller's scope as well: an exception mid-propagation
     // (e.g. the convergence guard) must not strand the blocks
@@ -631,8 +641,11 @@ object Dedup {
         .agg(least(min(col("dst")), col("src")).as("label")),
       StorageLevel.MEMORY_AND_DISK)
     var converged = false
+    var handOff = false
     var it = 0
-    while (!converged && it < maxIters) {
+    var prevChanged = Long.MaxValue
+    var slowRounds = 0
+    while (!converged && !handOff && it < maxIters) {
       // each vertex takes the min label over itself and its neighbors
       val next = CacheScope.pin(rebased(
         edges.join(labels, edges("dst") === labels("id"))
@@ -640,20 +653,32 @@ object Dedup {
           .union(labels)
           .groupBy("id").agg(min("label").as("label"))),
         StorageLevel.MEMORY_AND_DISK)
-      // isEmpty, not count(): the convergence test needs ANY changed
-      // label, not how many — a non-final round stops at the first
-      // change instead of scanning every partition (one fewer full job
-      // per round; only the final, convergent round pays the full scan)
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).isEmpty
+      // exact changed-label count: convergence is count == 0, and the
+      // count doubles as the chain detector — when it stops HALVING for
+      // three consecutive rounds, progress is arithmetic (a label front
+      // crawling a chain one hop per round), and the star contraction's
+      // O(log^2 n) rounds beat any remaining linear crawl, so hand off
+      // now instead of at maxIters. (A count() scans every partition
+      // where the previous isEmpty probe could stop early, but non-final
+      // rounds already pay join+agg over the same frame; the count is
+      // marginal and buys the early exit.)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      converged = changed == 0L
+      if (!converged) {
+        slowRounds = if (changed * 2 > prevChanged) slowRounds + 1 else 0
+        handOff = slowRounds >= 3
+      }
+      prevChanged = changed
+      roundProbe(it, changed)
       labels.unpersist()
       labels = next
       it += 1
     }
-    // a component with diameter > maxIters has unconverged labels:
-    // finish with star contraction rather than returning them (or
-    // aborting) — rounds there scale with log of the diameter, not the
-    // diameter itself
+    // a component with diameter > maxIters (or one the chain detector
+    // flagged) has unconverged labels: finish with star contraction
+    // rather than returning them (or aborting) — rounds there scale with
+    // log of the diameter, not the diameter itself
     val out =
       if (converged) labels.select(col("id").as("member_id"), col("label").as("keep_id"))
       else {

@@ -121,6 +121,35 @@ class DedupSpec extends SparkTestBase {
     assert(viaPropagation == expected)
   }
 
+  test("nearDupGroups: chain hands off to star contraction EARLY, " +
+      "not after burning all of maxIters") {
+    // a diameter-50 chain at the DEFAULT maxIters=20: the changed-label
+    // count declines arithmetically (one hop per round), so the chain
+    // detector (no halving for 3 consecutive rounds) must stop
+    // propagation well before round 10 and let star contraction finish —
+    // the difference between "has a fallback" and "uses it well"
+    val chain = (0L until 50L).map(i => (i, i + 1))
+    val pairs = chain.toDF("id_a", "id_b")
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val groups = scopedNoLeak(
+      Dedup.nearDupGroups(pairs, maxIters = 20,
+          roundProbe = (r, c) => rounds += ((r, c))).collect())
+      .map(r => (r.getAs[Long]("member_id"), r.getAs[Long]("keep_id"))).toMap
+    assert(rounds.size < 10,
+      s"propagation burned ${rounds.size} rounds before handing off: $rounds")
+    assert(rounds.last._2 > 0L, "expected a handoff, but propagation converged")
+    assert(groups == (0L to 50L).map(_ -> 0L).toMap)
+    // and a clique still converges inside the detector window (no handoff)
+    val cliqueRounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val clique = scopedNoLeak(
+      Dedup.nearDupGroups(
+          Seq((7L, 8L), (7L, 9L), (8L, 9L)).toDF("id_a", "id_b"),
+          roundProbe = (r, c) => cliqueRounds += ((r, c))).collect())
+      .map(r => (r.getAs[Long]("member_id"), r.getAs[Long]("keep_id"))).toMap
+    assert(cliqueRounds.last._2 == 0L, "clique must converge, not hand off")
+    assert(clique == Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("incrementalKeepList == from-scratch components, including an increment " +
       "doc BRIDGING two corpus components") {
     // corpus components: {0,1,2} (star around 0) and {5,6}; corpus pairs
