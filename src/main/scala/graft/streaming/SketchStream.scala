@@ -60,23 +60,60 @@ object SketchStream {
     * streaming state — counters merge by SUM, so the drained
     * complete-mode state equals the batch grid exactly, and the
     * heavy-hitter READOUT then runs as a batch question against the
-    * drained grid plus the feed's candidate vocabulary. Sketch
-    * maintenance and readout are decoupled the way a production
-    * heavy-hitters service runs: the stream keeps the state current,
-    * consumers query it. Shares q103's bit-exact oracle verbatim
-    * (q116).
+    * drained state alone. Sketch maintenance and readout are decoupled
+    * the way a production heavy-hitters service runs: the stream keeps
+    * the state current, consumers query it. Shares q103's bit-exact
+    * oracle verbatim (q116).
+    *
+    * The CANDIDATE VOCABULARY is maintained ALONGSIDE the grid, inside
+    * the same streaming aggregation (vocab rows ride the grid's groupBy
+    * under sentinel bucket coordinates, `item` carrying the token —
+    * structured streaming allows one aggregation per query, and the
+    * union-keyed groupBy keeps it at one). Two things follow:
+    *
+    *  - the readout NEVER re-reads the feed — it joins drained-grid ×
+    *    drained-vocabulary, so files landing after the drain cannot
+    *    yield candidates whose occurrences are absent from the grid (the
+    *    static-feed race of the previous feed-rescan readout is gone:
+    *    both halves of the state derive from exactly the drained file
+    *    set), and a second full feed pass is saved at scale;
+    *  - the candidate state is the DISTINCT vocabulary — a pure set
+    *    function of the input, so it drains bit-identically regardless
+    *    of batch boundaries, keeping the shared oracle exact. A
+    *    Misra–Gries summary would hold fewer entries, but its retention
+    *    set is merge-order-dependent and only superset-guaranteed above
+    *    n/(capacity+1) — restricting the readout to it can drop
+    *    CMS-overshoot items that the batch answer (and oracle) include.
+    *    Scale cost matches the batch readout, whose pass 2 already
+    *    shuffles the distinct vocabulary (map-side combined, orders of
+    *    magnitude smaller than the occurrence stream); the incidental
+    *    per-item counts the groupBy produces are DISCARDED at readout so
+    *    the answer stays the grid's one-sided estimate.
     */
   def cmsHeavyHittersStreaming(
       spark: SparkSession, feedDir: String, feedSchema: StructType,
       outDir: String, items: DataFrame => DataFrame, phi: Double,
       d: Int = 4, logW: Int = 10,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions._
+    import graft.functions.expr.HashFunctions.cmsBuckets
     var reader = spark.readStream.schema(feedSchema)
     maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
-    val grid = graft.operators.Freq.cmsGrid(
-      items(reader.parquet(feedDir)), col("item"), d, logW)
-    val q = grid.writeStream
+    // one source node referenced by both state halves: a self-union
+    // shares the stream's offsets, so grid and vocabulary always cover
+    // the same drained file set
+    val occurrences = items(reader.parquet(feedDir))
+      .select(col("item").cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val gridRows = occurrences
+      .withColumn("bs", cmsBuckets(col("item"), d, logW))
+      .select(posexplode(col("bs")).as(Seq("i", "bucket")))
+      .select(col("i"), col("bucket"), lit(null).cast("string").as("item"))
+    val vocabRows = occurrences
+      .select(lit(-1).as("i"), lit(-1).as("bucket"), col("item"))
+    val state = gridRows.unionByName(vocabRows)
+      .groupBy("i", "bucket", "item").agg(count(lit(1)).as("cnt"))
+    val q = state.writeStream
       .outputMode(OutputMode.Complete)
       .foreachBatch { (b: DataFrame, _: Long) =>
         b.write.mode("overwrite").parquet(s"$outDir/state")
@@ -86,8 +123,10 @@ object SketchStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val drained = spark.read.parquet(s"$outDir/state")
     graft.operators.Freq.cmsHeavyHittersFromGrid(
-      spark.read.parquet(s"$outDir/state"),
-      items(spark.read.parquet(feedDir)), col("item"), phi, d, logW)
+      drained.filter(col("item").isNull).select("i", "bucket", "cnt"),
+      drained.filter(col("item").isNotNull).select("item"),
+      col("item"), phi, d, logW)
   }
 }

@@ -160,4 +160,41 @@ class FreqSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming CMS readout never re-reads the feed (candidates ride the state)") {
+    // the candidate vocabulary is maintained ALONGSIDE the grid inside
+    // the one streaming aggregation, so the readout's input files must
+    // all sit under the drained state dir — a feed file landing after
+    // the drain can neither appear as a candidate nor be missing from
+    // the grid (the decoupled-readout race is structural, not assumed
+    // away by a static-feed contract)
+    val tmp = java.nio.file.Files.createTempDirectory("cmsstate").toString
+    val feed = s"$tmp/feed"
+    stream.repartition(2).write.parquet(feed)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType)))
+    // capture the readout FRAME by re-deriving it the way the streaming
+    // readout does: drain first, then rebuild the same join
+    graft.streaming.SketchStream.cmsHeavyHittersStreaming(
+      spark, feed, schema, s"$tmp/out",
+      items = df => df.select(col("token").as("item")),
+      phi = 0.05, maxFilesPerTrigger = Some(1))
+    val drained = spark.read.parquet(s"$tmp/out/state")
+    val readout = Freq.cmsHeavyHittersFromGrid(
+      drained.filter(col("item").isNull).select("i", "bucket", "cnt"),
+      drained.filter(col("item").isNotNull).select("item"),
+      col("item"), 0.05)
+    val files = readout.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/out/state")),
+      s"readout reads outside the drained state: ${files.filterNot(_.contains("/out/state")).take(3).toSeq}")
+    assert(!files.exists(_.contains("/feed")), "readout re-reads the feed")
+    // and the drained vocabulary IS the feed's distinct token set
+    val vocab = drained.filter(col("item").isNotNull).select("item")
+      .collect().map(_.getString(0)).toSet
+    val expected = stream.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(vocab == expected)
+  }
 }
