@@ -261,6 +261,23 @@ object TextQueries extends QueryFamily {
           Seq(col("x"), col("y"), col("w")), 8))
         .orderBy("doc_id")),
 
+    // WARC crawl-archive scan ([[graft.sources.Warc]]): the documents
+    // table staged as a member-per-record gzip WARC archive (the Common
+    // Crawl layout) plus one planted TRUNCATED file, read back through
+    // the record parser — url, HTTP status, and the response body must
+    // round-trip byte-exactly, and the truncated record must surface in
+    // the corrupt audit, NOT here (the oracle ranges over documents
+    // only, so any leak of it would hash-mismatch)
+    "q117_warc_scan" -> ((s, dir) => {
+      val recs = graft.sources.Warc.read(s, stagedWarcDir(s, dir))
+      graft.sources.Warc.validResponses(recs)
+        .select(col("url"),
+          col("http_status").cast("long").as("http_status"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("payload").cast("string").as("text"))
+        .orderBy("url")
+    }),
+
     // HTML-to-text: the corpus is plain text, so (like q52's PII) the
     // query wraps each row in a deterministic HTML shell — style/script
     // blocks, tags, and entities — and the extraction must recover the
@@ -567,6 +584,28 @@ object TextQueries extends QueryFamily {
         .write.mode("overwrite").parquet(stage)
     }
 
+  /** The documents table re-emitted as a THREE-file WARC crawl archive
+    * (one gzip member per response record, the Common Crawl layout) plus
+    * one deliberately TRUNCATED file — q117's input. Built once per
+    * source state like every stage; the writer runs on executors (one
+    * file per partition, no driver collect).
+    */
+  private def stagedWarcDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_warc",
+      Seq(s"$dir/documents.parquet"), "files=3+trunc", "_STAGED") { stage =>
+      graft.sources.Warc.writeResponses(
+        table(s, dir, "documents")
+          .select(
+            concat(lit("https://"), col("source"), lit("/doc/"), col("doc_id")).as("url"),
+            encode(coalesce(col("text"), lit("")), "UTF-8").as("body"))
+          .repartition(3),
+        stage)
+      graft.sources.Warc.writeTruncatedFixture(s, stage)
+      // completion marker, created LAST per the Staging contract
+      val p = new org.apache.hadoop.fs.Path(stage, "_STAGED")
+      p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true).close()
+    }
+
   private val docsLangFeedSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
@@ -672,6 +711,15 @@ object TextQueries extends QueryFamily {
       "q31_fingerprint_md5" ->
         s"""SELECT doc_id, MD5($norm) AS fingerprint
             FROM documents ORDER BY doc_id""",
+      // q117 round-trips documents -> WARC response records -> parser;
+      // the oracle rebuilds the same (url, status, body) view straight
+      // from the table — the planted truncated record must NOT appear
+      "q117_warc_scan" ->
+        """SELECT 'https://' || source || '/doc/' || doc_id AS url,
+                  CAST(200 AS BIGINT) AS http_status,
+                  OCTET_LENGTH(ENCODE(COALESCE(text, ''))) AS n_bytes,
+                  COALESCE(text, '') AS text
+           FROM documents ORDER BY url""",
       // q32's FULL twin: DuckDB recomputes the winnowing fingerprint
       // bit-exactly — per-token FNV-1a+fmix64 via the shared
       // HashOracleSql chain, then every width-w window's polynomial hash
