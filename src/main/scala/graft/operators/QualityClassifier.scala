@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions.normText
+import graft.functions.expr.ClassifierFunctions.charGramBuckets
+
+/** Trained LINEAR quality classifier — the fastText shape (Joulin et al.
+  * 2017) that sits one rung above the corpus-LM filters on the CCNet
+  * quality ladder (q89/q97/q114 score against the corpus itself; this
+  * scores against LABELED examples): mean-pooled hashed char-n-gram
+  * features, a logistic output, and a weight vector small enough to ride
+  * every executor's plan as a literal.
+  *
+  * Training = distributed sufficient statistics + driver-side updates,
+  * the [[Bpe]] cost-model family:
+  *
+  *  - init: one aggregate of per-bucket class mass -> Naive-Bayes
+  *    log-count-ratio weights (the NBSVM init of Wang & Manning 2012) +
+  *    the class-prior bias;
+  *  - refine: `iters` rounds of batch logistic-regression gradient
+  *    descent, each round ONE doc-keyed aggregate (scores under the
+  *    current weights, which ride the plan as a literal array) and ONE
+  *    bucket-keyed aggregate (the gradient); only `dim` gradient rows
+  *    reach the driver per round — never a document, never a feature
+  *    matrix.
+  *
+  * Scale shape: the per-(doc, bucket) feature rows are computed once by
+  * the compiled [[graft.functions.expr.CharGramBuckets]] kernel and
+  * PINNED for all rounds; exchanges are keyed by doc id (bounded by the
+  * corpus) and bucket (bounded by `dim`), both map-side combined. No
+  * all-pairs surface, no data-sized collect.
+  *
+  * Inference is bit-replayable (the q39/q111 generated-oracle pattern):
+  * trained weights QUANTIZE to integer micro-units, so a document's
+  * logit numerator `bias_u * n_grams + sum(w_u[bucket])` is EXACT
+  * integer arithmetic — order-independent, partitioning-independent —
+  * and the keep/drop decision (logit >= 0) involves no floating point
+  * at all. The reported probability pays one double division and one
+  * libm `exp` (the sigmoid), the same single-libm-call contract as
+  * q106's LN, with the same documented last-ulp risk confined to the
+  * rounded 6-dp score column.
+  */
+object QualityClassifier {
+
+  /** Micro-quantized linear model; `weightsMicro(b)` = 1e6 × the weight
+    * of hash bucket b.
+    */
+  final case class Model(weightsMicro: Array[Long], biasMicro: Long, n: Int, dim: Int)
+
+  /** Mean-pooled hashed features: one (id, y, b, x) row per document ×
+    * touched bucket, x = gram count in bucket / total grams.
+    */
+  private def features(
+      docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+      n: Int, dim: Int): DataFrame =
+    docs.select(col(idCol).as("id"), col(labelCol).cast("boolean").as("y"),
+        explode(charGramBuckets(normText(col(textCol)), n, dim)).as("b"))
+      .groupBy("id", "y", "b").agg(count(lit(1)).as("cnt"))
+      .withColumn("x",
+        col("cnt").cast("double") / sum("cnt").over(Window.partitionBy("id")))
+      .select("id", "y", "b", "x")
+
+  /** Train on `docs` with boolean labels in `labelCol`. `dim` must be a
+    * power of two (bucket = low hash bits, see the kernel doc).
+    */
+  def train(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      labelCol: String = "y", n: Int = 3, dim: Int = 1024,
+      iters: Int = 6, lr: Double = 4.0): Model = CacheScope.scoped {
+    require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+    val feats = CacheScope.pin(
+      features(docs, idCol, textCol, labelCol, n, dim),
+      StorageLevel.MEMORY_AND_DISK)
+
+    // ---- init: NB log-count-ratio over per-bucket class mass + prior
+    val classMass = feats.groupBy("b").agg(
+        sum(when(col("y"), col("x")).otherwise(0.0)).as("pos"),
+        sum(when(!col("y"), col("x")).otherwise(0.0)).as("neg"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val counts = docs.agg(
+      sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("np"),
+      count(lit(1)).as("nd")).head()
+    val nPos = counts.getLong(0).toDouble
+    val nDocs = counts.getLong(1).toDouble
+    val nNeg = nDocs - nPos
+    require(nPos > 0 && nNeg > 0, "training needs both classes present")
+    val alpha = 0.1 // add-alpha smoothing on fractional gram mass
+    val posTot = classMass.map(_._2).sum + alpha * dim
+    val negTot = classMass.map(_._3).sum + alpha * dim
+    val w = Array.fill(dim)(math.log(alpha / posTot) - math.log(alpha / negTot))
+    classMass.foreach { case (b, p, ng) =>
+      w(b) = math.log((p + alpha) / posTot) - math.log((ng + alpha) / negTot)
+    }
+    var bias = math.log(nPos / nNeg)
+
+    // ---- refine: batch GD, one score pass + one gradient pass per round
+    for (_ <- 1 to iters) {
+      val wLit = typedLit(w.toSeq)
+      val err = feats
+        .groupBy("id", "y")
+        .agg(sum(col("x") * element_at(wLit, col("b") + 1)).as("dot"))
+        .select(col("id"),
+          (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("dot"))))
+            - when(col("y"), 1.0).otherwise(0.0)).as("err"))
+      val grad = feats.join(err, "id")
+        .groupBy("b").agg(sum(col("x") * col("err")).as("g"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      val gBias = err.agg(coalesce(sum("err"), lit(0.0))).head().getDouble(0)
+      grad.foreach { case (b, g) => w(b) -= lr * g / nDocs }
+      bias -= lr * gBias / nDocs
+    }
+
+    Model(w.map(x => math.round(x * 1e6)), math.round(bias * 1e6), n, dim)
+  }
+
+  /** Persist a trained model (weights + meta parquet) so scoring runs —
+    * and repeated bench/verify invocations — reuse one training per
+    * corpus state (the production train-once/score-many shape; the
+    * staging contract is the caller's, e.g. [[graft.queries.Staging]]).
+    * `meta` is written LAST, so `meta/_SUCCESS` is a valid completion
+    * marker.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    model.weightsMicro.zipWithIndex.toSeq.map { case (w, b) => (b, w) }
+      .toDF("b", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
+    Seq((model.biasMicro, model.n, model.dim)).toDF("bias_micro", "n", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val dim = meta.getAs[Int]("dim")
+    val ws = new Array[Long](dim)
+    spark.read.parquet(s"$dir/weights").collect()
+      .foreach(r => ws(r.getAs[Int]("b")) = r.getAs[Long]("w"))
+    Model(ws, meta.getAs[Long]("bias_micro"), meta.getAs[Int]("n"), dim)
+  }
+
+  /** Score `docs` under a trained model: (idCol, score, keep), ordered by
+    * nothing (caller sorts). `score` = 6-dp sigmoid of the mean-pooled
+    * logit; `keep` = logit >= 0, decided in EXACT integer micro-units
+    * (`bias_u * n_grams + sum(w_u) >= 0` — the sigmoid is monotone, so
+    * this is score >= 0.5 with no float in the decision). Documents with
+    * fewer than n codepoints carry zero grams: their logit is the bias
+    * alone.
+    */
+  def score(
+      docs: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wLit = typedLit(model.weightsMicro.toSeq)
+    docs
+      .select(col(idCol).as("id"),
+        explode_outer(charGramBuckets(normText(col(textCol)), model.n, model.dim)).as("b"))
+      .groupBy("id")
+      .agg(sum(element_at(wLit, col("b") + 1)).as("dot"),
+        count(col("b")).as("ng"))
+      .select(col("id").as(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-(
+          (lit(model.biasMicro.toDouble) +
+            when(col("ng") > 0, col("dot").cast("double") / col("ng").cast("double"))
+              .otherwise(0.0)) / lit(1e6)))), 6).as("score"),
+        ((lit(model.biasMicro) * when(col("ng") > 0, col("ng")).otherwise(1L)
+          + coalesce(col("dot"), lit(0L))) >= 0).as("keep"))
+  }
+}

@@ -164,6 +164,23 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id", "pos")
     }),
 
+    // trained LINEAR quality classifier (fastText shape, Joulin 2017;
+    // NBSVM init + distributed-gradient logistic refine — see
+    // [[graft.operators.QualityClassifier]]): the labeled-example rung
+    // of the CCNet quality ladder above q89/q97/q114's corpus-LM
+    // scores. Labels here are lang='en' (the canonical fastText langid
+    // task); weights quantize to integer micro-units and ride the plan
+    // as literals, so the keep/drop decision is EXACT integer
+    // arithmetic and the oracle (GENERATED, q39/q111 pattern) replays
+    // the whole scoring pass — the sigmoid's one EXP is the single
+    // libm call, the q106-LN contract
+    "q118_quality_classifier" -> ((s, dir) => {
+      val model = graft.operators.QualityClassifier.load(s, stagedClfModelDir(s, dir))
+      clfOracle118 = Some(clfSql(model))
+      graft.operators.QualityClassifier.score(table(s, dir, "documents"), model)
+        .orderBy("doc_id")
+    }),
+
     // training-mixture resampling: per-source weights as data — ⌊w⌋/⌈w⌉
     // deterministic copies per doc ([[graft.operators.Mixture]]). src4 is
     // weighted 0 and src9 left unlisted: both must drop.
@@ -606,6 +623,25 @@ object TextQueries extends QueryFamily {
       p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true).close()
     }
 
+  /** q118's trained classifier model, staged once per corpus state
+    * (train-once/score-many: training is `iters` distributed passes, so
+    * repeated bench/verify runs must reuse it, not retrain).
+    */
+  private def stagedClfModelDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_clf_model",
+      Seq(s"$dir/documents.parquet"), "n3:dim1024:it6:lr4:y=en", "meta/_SUCCESS") { stage =>
+      graft.operators.QualityClassifier.save(s,
+        graft.operators.QualityClassifier.train(
+          table(s, dir, "documents").withColumn("y", col("lang") === "en"),
+          labelCol = "y"),
+        stage)
+    }
+
+  override def stages: Map[String, (SparkSession, String) => String] = Map(
+    "clf_model" -> (stagedClfModelDir _),
+    "docs_lang_feed" -> (stagedDocsLangFeedDir _),
+    "warc_archive" -> (stagedWarcDir _))
+
   private val docsLangFeedSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
@@ -619,6 +655,42 @@ object TextQueries extends QueryFamily {
   // query runs (the AnnQueries q39 pattern: capture the learned state as
   // SQL literals, replay the algorithm's arithmetic)
   @volatile private var bpeOracle111: Option[String] = None
+  // q118's oracle is likewise generated at query time (learned weights
+  // as SQL literals)
+  @volatile private var clfOracle118: Option[String] = None
+
+  /** DuckDB twin of the quality-classifier SCORING pass (training stays
+    * engine-side; its output — the micro-quantized weights — are spliced
+    * as literals, the q39/q111 generated-oracle pattern): char n-grams by
+    * codepoint SUBSTR, bucket = hash mod dim via the shared HUGEINT
+    * chain (dim a power of two, so unsigned mod == the kernel's low-bit
+    * mask), integer micro-unit logit, the one EXP inside ROUND(...,6).
+    */
+  private def clfSql(model: graft.operators.QualityClassifier.Model): String = {
+    val n = model.n
+    s"""WITH RECURSIVE
+        nrm AS (SELECT doc_id, $norm AS t FROM documents),
+        grams AS (
+          SELECT doc_id, i, SUBSTR(t, i, $n) AS gm
+          FROM nrm, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${n - 1})) AS i) u
+          WHERE LEN(t) >= $n),
+        tokh AS (SELECT doc_id * 1000000 + i AS tid, doc_id, HEX(ENCODE(gm)) AS hx
+                 FROM grams),
+        ${HashOracleSql.fnvFmixCtes},
+        bkt AS (SELECT t.doc_id, CAST(s.x % ${model.dim} AS INT) AS b
+                FROM sig s JOIN tokh t USING (tid)),
+        wt AS (SELECT [${model.weightsMicro.mkString(", ")}]::BIGINT[] AS ws),
+        dots AS (SELECT doc_id, SUM(ws[b + 1]) AS dot, COUNT(*) AS ng
+                 FROM bkt CROSS JOIN wt GROUP BY 1),
+        agg AS (SELECT d.doc_id, COALESCE(t.dot, 0) AS dot, COALESCE(t.ng, 0) AS ng
+                FROM documents d LEFT JOIN dots t USING (doc_id))
+        SELECT doc_id,
+               ROUND(1.0 / (1.0 + EXP(-((CAST(${model.biasMicro} AS DOUBLE)
+                   + CASE WHEN ng > 0 THEN CAST(dot AS DOUBLE) / CAST(ng AS DOUBLE)
+                          ELSE 0.0 END) / 1000000.0))), 6) AS score,
+               (${model.biasMicro} * CASE WHEN ng > 0 THEN ng ELSE 1 END + dot) >= 0 AS keep
+        FROM agg ORDER BY doc_id"""
+  }
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -1087,7 +1159,8 @@ object TextQueries extends QueryFamily {
       // the merge law makes the drained state equal the batch sketch.
       "q112_token_percentiles_sketch" -> sketchSql,
       "q113_token_percentiles_sketch_stream" -> sketchSql
-    ) ++ bpeOracle111.map("q111_bpe_tokenize" -> _)
+    ) ++ bpeOracle111.map("q111_bpe_tokenize" -> _) ++
+      clfOracle118.map("q118_quality_classifier" -> _)
   }
 
   /** q97's CTE chain (documents -> per-doc bigram NLL), shared with the
