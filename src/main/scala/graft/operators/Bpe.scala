@@ -120,6 +120,90 @@ object Bpe {
     Model(merges.toSeq, alphabet)
   }
 
+  /** DISTRIBUTED merge training — [[train]]'s twin for vocabularies too
+    * large for the driver-side top-N contract: the (word, freq) table
+    * stays distributed for the whole run; per merge round exactly ONE
+    * pair-count aggregate executes (flatMap adjacent pairs ->
+    * reduceByKey, map-side combined so the exchange carries distinct
+    * pairs per partition, never the occurrence stream) and only the
+    * ARGMAX pair — one row, ranked (count DESC, pair ASC) through
+    * `takeOrdered(1)` so each partition forwards a single candidate —
+    * reaches the driver. The chosen merge then rewrites the symbol
+    * arrays in place (a map, no shuffle).
+    *
+    * Cost model: `numMerges` rounds × (one pair-count aggregate + one
+    * partition-local materialization pass); driver traffic is one pair
+    * per round plus the alphabet once. The symbol-array RDD is
+    * persisted and swapped each round (the [[Dedup]] iterative-frontier
+    * pattern) so round k never recomputes rounds 1..k-1; RDD iteration
+    * is deliberate here — 50 rounds of per-row array rewriting through
+    * Catalyst would stack 50 plan layers for no optimizer benefit.
+    *
+    * Determinism and EXACT equivalence with [[train]] on the same input
+    * (BpeSpec): counts are exact longs, the argmax ordering is
+    * identical, and the per-round rewrite applies the same
+    * left-to-right non-overlap rule, so the learned `Model` — merges,
+    * ranks, alphabet, ids — is equal element-for-element regardless of
+    * partitioning.
+    */
+  def trainDistributed(
+      wordFreqs: org.apache.spark.sql.DataFrame, numMerges: Int,
+      wordCol: String = "w", freqCol: String = "f"): Model = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.storage.StorageLevel
+    val sc = wordFreqs.sparkSession.sparkContext
+    var words = wordFreqs
+      .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+      .rdd.map(r => (codepoints(r.getString(0)), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // alphabet-sized collect (the codebook contract)
+    val alphabet = words.flatMap(_._1).distinct().collect().sorted.toSeq
+    val merges = mutable.ArrayBuffer[(String, String)]()
+    val ord: Ordering[((String, String), Long)] =
+      Ordering.by { case ((l, r), c) => (-c, l, r) }
+    var exhausted = false
+    var m = 0
+    while (m < numMerges && !exhausted) {
+      val top = words.flatMap { case (syms, f) =>
+        (0 until syms.length - 1).iterator.map(i => ((syms(i), syms(i + 1)), f))
+      }.reduceByKey(_ + _).takeOrdered(1)(ord)
+      if (top.isEmpty) exhausted = true
+      else {
+        val best = top.head._1
+        merges += best
+        val next = words.map { case (syms, f) => (mergePair(syms, best), f) }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent round
+        words.unpersist()
+        words = next
+      }
+      m += 1
+    }
+    words.unpersist()
+    Model(merges.toSeq, alphabet)
+  }
+
+  /** One training round's rewrite: merge every LEFT-TO-RIGHT
+    * non-overlapping occurrence of `best` — the exact rule [[train]]'s
+    * in-place loop applies (merging at i and resuming at the next index
+    * is skip-two over the original array; the merged output symbol can
+    * never recreate the same pair, so the two formulations coincide).
+    */
+  private def mergePair(syms: Array[String], best: (String, String)): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+        out += best._1 + best._2
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
   /** Reference encoder (the kernel's spec twin): repeatedly merge the
     * leftmost occurrence of the lowest-ranked adjacent pair until no
     * adjacent pair is in the merge table.

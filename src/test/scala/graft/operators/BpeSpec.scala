@@ -31,6 +31,30 @@ class BpeSpec extends SparkTestBase {
     assert(m1 == m2)
   }
 
+  test("trainDistributed == driver trainer exactly, on the gate corpus's word table") {
+    // the real corpus shape: word frequencies aggregated from documents
+    // text, NOT the toy fixture — merges, alphabet, vocab, and ids must
+    // be equal element-for-element, and partitioning must not matter
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wf = docs
+      .select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val driver = Bpe.train(
+      wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, numMerges = 30)
+    val dist1 = Bpe.trainDistributed(wf.repartition(1), numMerges = 30)
+    val dist16 = Bpe.trainDistributed(wf.repartition(16), numMerges = 30)
+    assert(dist1 == driver, "single-partition distributed training diverged from the driver trainer")
+    assert(dist16 == driver, "16-partition distributed training diverged from the driver trainer")
+    assert(dist1.vocab == driver.vocab && dist1.alphabet == driver.alphabet)
+  }
+
+  test("trainDistributed matches the driver trainer on the tie-break fixture too") {
+    val wf = corpus.toDF("w", "f")
+    val m = Bpe.trainDistributed(wf.repartition(3), numMerges = 3)
+    assert(m == Bpe.train(corpus, 3))
+  }
+
   test("encode applies merges in rank order; pieces concatenate back to the word") {
     val m = Bpe.train(corpus, 3)
     assert(Bpe.encode("abcab", m.ranks).toSeq == Seq("abc", "ab"))
