@@ -412,11 +412,22 @@ object Dedup {
     limit > 0 && frame.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(limit)
   }
 
-  private def minhashMeta(spark: SparkSession, dir: String): (Int, Int, Int, Long) = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"),
-      meta.getAs[Int]("bands"), meta.getAs[Long]("seed"))
-  }
+  /** Index meta, MEMOIZED per directory: the meta row is written once at
+    * index build and never mutated (appends add segments, not meta), so a
+    * streaming ingest's per-batch probes must not re-launch a one-row
+    * parquet job per micro-batch for it. Key is the raw dir string — a
+    * rebuilt index lands in a fresh staging/temp dir by the engine's
+    * staging contract, so stale entries cannot alias.
+    */
+  private val minhashMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, Long)]()
+
+  private def minhashMeta(spark: SparkSession, dir: String): (Int, Int, Int, Long) =
+    minhashMetaCache.computeIfAbsent(dir, { d =>
+      val meta = spark.read.parquet(s"$d/meta").head()
+      (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"),
+        meta.getAs[Int]("bands"), meta.getAs[Long]("seed"))
+    })
 
   /** [[incrementalNearDupPairs]] past the kernel: probe the stored index
     * with ALREADY-COMPUTED increment shingle sets and band buckets, so a
@@ -1040,16 +1051,23 @@ object Dedup {
   }
 
   /** Index meta + the driver-side centroid matrix (codebook-sized by
-    * contract) — read ONCE per call site; the streaming ingest batch
-    * previously collected the centroids twice per micro-batch.
+    * contract) — MEMOIZED per directory like [[minhashMeta]]: quantizer
+    * state is trained at index build and never retrained on append
+    * (codebook drift is the documented rebuild trigger), so a streaming
+    * ingest's micro-batches must not re-launch the meta + centroid jobs
+    * every trigger.
     */
+  private val semanticCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Array[Array[Float]])]()
+
   private def semanticCentroids(
-      spark: SparkSession, dir: String): (Int, Array[Array[Float]]) = {
-    val nassign = spark.read.parquet(s"$dir/meta").head().getAs[Int]("nassign")
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
-    (nassign, cents)
-  }
+      spark: SparkSession, dir: String): (Int, Array[Array[Float]]) =
+    semanticCentroidCache.computeIfAbsent(dir, { d =>
+      val nassign = spark.read.parquet(s"$d/meta").head().getAs[Int]("nassign")
+      val cents = spark.read.parquet(s"$d/centroids")
+        .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+      (nassign, cents)
+    })
 
   /** [[incrementalSemanticNearDupPairs]] past the cell assignment: probe
     * with ALREADY-COMPUTED increment cells, shared with the append by
@@ -1262,11 +1280,19 @@ object Dedup {
       planes, tables, dim, seed, threshold, probeRadius)
   }
 
-  private def embeddingMeta(spark: SparkSession, dir: String): (Int, Int, Int, Long) = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
-      meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
-  }
+  /** Memoized like [[minhashMeta]] (written once at build, immutable
+    * under appends — the streaming ingest must not pay a per-batch
+    * one-row parquet job for it).
+    */
+  private val embeddingMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, Long)]()
+
+  private def embeddingMeta(spark: SparkSession, dir: String): (Int, Int, Int, Long) =
+    embeddingMetaCache.computeIfAbsent(dir, { d =>
+      val meta = spark.read.parquet(s"$d/meta").head()
+      (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
+        meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    })
 
   /** [[incrementalEmbeddingNearDupPairs]] past the radius-0 signatures:
     * probe with an ALREADY-COMPUTED base bucket frame, so the streaming

@@ -53,12 +53,15 @@ object AnnIngestStream {
       batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       k: Int = 5, nprobe: Int = 4,
-      compactEvery: Int = 0, compactTargetBytes: Long = 64L << 20): Unit =
+      compactEvery: Int = 0, compactTargetBytes: Long = 64L << 20,
+      state: Option[Pq.IvfPqState] = None): Unit =
     graft.operators.CacheScope.scoped {
       // quantizer state (meta/books/centroids/cell-means driver reads) is
       // loaded ONCE and shared by search and append — it is immutable
-      // after the build, and each call previously re-collected it
-      val st = Pq.loadIvfPqState(batch.sparkSession, indexDir)
+      // after the build (appends never retrain), and each call previously
+      // re-collected it; a draining stream loads it once per STREAM and
+      // passes it here, so per-batch cost carries no quantizer reads at all
+      val st = state.getOrElse(Pq.loadIvfPqState(batch.sparkSession, indexDir))
       Pq.searchIvfPqIndexWith(st, batch.sparkSession, indexDir, batch, k,
           idCol, vecCol, nprobe,
           excludeIds = Some(batch.select(col(idCol))))
@@ -84,11 +87,13 @@ object AnnIngestStream {
       compactEvery: Int = 0, compactTargetBytes: Long = 64L << 20): DataFrame = {
     var reader = spark.readStream.schema(feedSchema)
     maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+    // immutable after the index build — load once for the whole drain
+    val st = Pq.loadIvfPqState(spark, indexDir)
     val query = reader.parquet(feedDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, indexDir, outDir, idCol, vecCol,
-          k, nprobe, compactEvery, compactTargetBytes)
+          k, nprobe, compactEvery, compactTargetBytes, state = Some(st))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
