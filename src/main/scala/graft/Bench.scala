@@ -35,22 +35,37 @@ import org.apache.spark.sql.SparkSession
   *   2. Any query whose two timed runs spread >30% is re-run once more
   *      (best-of-3): a transient contention spike on one run no longer
   *      decides the recorded minimum on its own.
+  *
+  * CONTENDED-WINDOW HANDLING (round-10 verdict #5): before the timed
+  * groups start, calibration-probe PAIRS retry with a 10 s sleep until a
+  * pair agrees within 30% (up to 4 sleeps) — a transient start-window
+  * burst is waited out instead of poisoning the whole artifact. If the
+  * bracketing probes still declare the window contended at the end, the
+  * 10 widest-spread queries (>200 ms min — sub-that spreads are noise)
+  * each get one more run, and the artifact carries
+  * `rerun_advised: true` + the rerun list, so the driver artifact stays
+  * usable even in the end-of-round load window while flagging that the
+  * uncontended BENCH_LOCAL sibling is the authoritative record.
   */
 object Bench {
   /** Dedup/ANN queries pair-score candidates (the heavy tail); everything
     * else is scan-agg-join shaped. Heavy family runs last.
     */
-  private def isHeavy(name: String): Boolean =
+  private def isHeavy(name: String): Boolean = {
+    val id = name.takeWhile(_ != '_')
     (name >= "q20" && name < "q28") ||
-      name.startsWith("q39") || name.startsWith("q43") || name.startsWith("q70") ||
-      name.startsWith("q74") || name.startsWith("q76") || name.startsWith("q78") ||
-      name.startsWith("q82") || name.startsWith("q84") || name.startsWith("q85") ||
-      name.startsWith("q86") || name.startsWith("q90") || name.startsWith("q91")
+      Set("q39", "q43", "q70", "q74", "q76", "q78", "q82", "q84", "q85",
+        "q86", "q90", "q91", "q115").contains(id)
+  }
 
-  /** Micro-batch Structured Streaming queries (checkpointed sinks). */
+  /** Micro-batch Structured Streaming queries (checkpointed sinks).
+    * Matched on the full query id, not a 3-char prefix — "q102".take(3)
+    * is "q10", which silently dropped every 3-digit streaming query
+    * (q100/q102/q113/q116) into the light group without its settle.
+    */
   private def isStreaming(name: String): Boolean =
-    Set("q36", "q38", "q44", "q47", "q49", "q57", "q64", "q83", "q92", "q95")
-      .contains(name.take(3))
+    Set("q36", "q38", "q44", "q47", "q49", "q57", "q64", "q83", "q92", "q95",
+      "q100", "q102", "q113", "q116").contains(name.takeWhile(_ != '_'))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,7 +154,22 @@ object Bench {
     // inherent one-off that would read as a 2-3x "contention" spread —
     // so warm it once untimed before the recorded runs.
     calibrate()
-    val calibs = scala.collection.mutable.ArrayBuffer(calibrate())
+    // SETTLE-BEFORE-MEASURE (round-10 verdict #1/#5): the driver's bench
+    // window lands during end-of-round load bursts; starting the timed
+    // groups inside one poisons every number. Probe pairs retry with a
+    // 10 s sleep until a pair agrees within 30% (up to 4 sleeps) — a
+    // burst that passes costs ~40 s of waiting instead of a contended
+    // artifact; one that persists is recorded as such and handled by the
+    // post-pass rerun below.
+    var settleTries = 0
+    var pair = (calibrate(), calibrate())
+    while (math.max(pair._1, pair._2) / math.min(pair._1, pair._2) > 1.3
+        && settleTries < 4) {
+      Thread.sleep(10000L)
+      settleTries += 1
+      pair = (calibrate(), calibrate())
+    }
+    val calibs = scala.collection.mutable.ArrayBuffer(math.min(pair._1, pair._2))
     val noPre = () => ()
     val lightR = light.map { case (name, fn) =>
       name -> spreadResolve(name, fn, noPre, Seq(run(name, fn), run(name, fn)))
@@ -154,13 +184,39 @@ object Bench {
         Seq({ settle(); run(name, fn) }, { settle(); run(name, fn) }))
     }
     calibs += calibrate()
-    val results: Seq[(String, Seq[Double])] = lightR ++ heavyR ++ streamR
+    val firstPass: Seq[(String, Seq[Double])] = lightR ++ heavyR ++ streamR
     val contended = calibs.max / calibs.min > 2.0
-    val calibJson = s"""{"values":${calibs.map(c => f"$c%.3f").mkString("[", ",", "]")},"contended":$contended}"""
+    // CONTENDED-WINDOW SALVAGE (round-10 verdict #5): when the probes say
+    // the window was contended despite the settle retries, the artifact
+    // must still carry usable numbers — give the 10 widest-spread queries
+    // one more run each (their recorded min was most likely decided by a
+    // load spike, not the engine) and mark the artifact rerun_advised so
+    // a reader knows the uncontended sibling (BENCH_LOCAL) is the
+    // authoritative regression record.
+    val rerunNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results: Seq[(String, Seq[Double])] =
+      if (!contended) firstPass
+      else {
+        val worst = firstPass
+          .filter(_._2.min > 0.2) // spread on a sub-200ms query is noise, not load
+          .sortBy { case (_, v) => -(v.max / v.min) }
+          .take(10).map(_._1).toSet
+        val patched = firstPass.map { case (name, v) =>
+          if (!worst(name)) name -> v
+          else {
+            rerunNames += name
+            if (isStreaming(name)) settle()
+            name -> (v :+ run(name, SparkEntry.queries(name)))
+          }
+        }
+        calibs += calibrate()
+        patched
+      }
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jarr(names: Iterable[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibJson = s"""{"values":${calibs.map(c => f"$c%.3f").mkString("[", ",", "]")},"contended":$contended,"settle_tries":$settleTries,"rerun_advised":$contended,"contention_rerun":${jarr(rerunNames)}}"""
     val qs = jmap(results.map { case (k, v) => k -> v.min.toString })
     val total = results.map(_._2.min).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibJson}""")
