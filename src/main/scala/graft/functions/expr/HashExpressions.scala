@@ -114,6 +114,26 @@ object TextHashOps {
     min
   }
 
+  /** Element-wise xxhash64 (seed 42 — the SQL builtin's single-string
+    * form, same as [[ShingleOps.shingleWindowHashes]]'s per-window hash)
+    * over a string array, one kernel call per row. Null elements (never
+    * produced by the shingle kernels) hash to 0L so the output array
+    * stays containsNull = false.
+    */
+  def xxhash64Array(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) 0L
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** splitmix64 step — the same derivation [[minhash]] uses for its
     * per-signature seeds, exposed for other fixed parameter families.
     */
@@ -197,6 +217,27 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     defineCodeGen(ctx, ev, c => s"graft.functions.expr.TextHashOps.minhash($c, $k, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "minhash_sig"
+}
+
+/** xxhash64_array(arr: array<string>) -> array<long>: element-wise
+  * `xxhash64` (seed 42 — bit-identical to the SQL builtin on a single
+  * string argument, the [[ShingleOps.shingleWindowHashes]] precedent).
+  * Exists so the dedup verification-key derivation is a per-row ARRAY MAP
+  * inside whole-stage codegen: the previous explode + groupBy +
+  * collect_list formulation re-shuffled every shingle key by doc id on
+  * every index build AND every incremental probe batch — an id-keyed
+  * exchange of the entire key population that carried zero information
+  * (the keys were already grouped by row before the explode).
+  */
+case class XxHash64Array(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.xxhash64Array(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.TextHashOps.xxhash64Array($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "xxhash64_array"
 }
 
 /** rolling_fingerprint(tokens: array<string>) -> long (winnowing min). */
@@ -302,4 +343,6 @@ object HashFunctions {
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k, seed))
   def rollingFingerprint(tokens: Column, window: Int = 5): Column =
     GraftBridge.column(RollingFingerprint(GraftBridge.expression(tokens), window))
+  def xxhash64Array(arr: Column): Column =
+    GraftBridge.column(XxHash64Array(GraftBridge.expression(arr)))
 }

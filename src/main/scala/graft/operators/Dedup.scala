@@ -274,12 +274,23 @@ object Dedup {
   /** Per-doc (id, n_sh, hashed-shingle-key array) — the verification-side
     * shape of the near-dup index: 8-byte keys, never the text. Docs with
     * zero shingles drop out (they cannot be in a qualifying pair).
+    *
+    * A per-row ARRAY MAP (compiled [[graft.functions.expr.XxHash64Array]]
+    * kernel), NOT explode + groupBy + collect_list: the rows arrive
+    * already grouped, so the former id-keyed exchange of the whole key
+    * population — paid on every index build and every incremental probe
+    * micro-batch — carried zero information. Key VALUES are unchanged
+    * (the SQL `xxhash64` builtin's single-string form, seed 42), so
+    * stored indexes and the Jaccard arithmetic are unaffected; only the
+    * within-array order differs (first-occurrence instead of shuffle
+    * arrival), which nothing consumes — verification is
+    * `array_intersect`/size arithmetic.
     */
   private def hashedKeySets(sets: DataFrame): DataFrame =
     sets
-      .select(col("id"), size(col("shingles")).as("n_sh"), explode(col("shingles")).as("sh"))
-      .groupBy("id")
-      .agg(first("n_sh").as("n_sh"), collect_list(xxhash64(col("sh"))).as("keys"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"), size(col("shingles")).cast("int").as("n_sh"),
+        graft.functions.expr.HashFunctions.xxhash64Array(col("shingles")).as("keys"))
 
   /** Persist a MinHash-LSH near-dup index for a corpus: band buckets
     * (`dir/buckets`: id, band, bucket), hashed shingle-key sets
