@@ -175,4 +175,41 @@ object TextFunctions {
 
   /** Exact-dup content fingerprint: md5 of the normalized text. */
   def contentFingerprint(c: Column): Column = md5(normText(c))
+
+  /** Crawl-curation URL canonicalization — the normalize-before-dedup
+    * step that runs in front of per-domain caps (q110) and URL-keyed
+    * exact dedup, so `HTTP://WWW.X.COM:80/a/?utm_source=f&b=2&a=1#top`
+    * and `http://www.x.com/a?a=1&b=2` collapse to one key:
+    *
+    *   - scheme and host LOWERCASE (case-insensitive by RFC 3986); the
+    *     PATH keeps its case (case-sensitive by the same RFC);
+    *   - default ports stripped (`:80` for http, `:443` for https);
+    *   - trailing-slash runs stripped from the path;
+    *   - the fragment dropped (never sent to the server);
+    *   - tracking parameters removed (`utm_*`, `fbclid`, `gclid`,
+    *     `ref` — the C4/CCNet-era link-decoration set);
+    *   - surviving query parameters SORTED (order is almost always
+    *     semantically irrelevant and is the largest accidental-dup
+    *     source after tracking params).
+    *
+    * Built from built-ins only (regexp extracts + array ops), every step
+    * replayable with the SAME regexes in the DuckDB oracle — no UDF, no
+    * java.net.URI (whose parsing behavior an oracle cannot mirror).
+    */
+  def canonicalUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val qs = regexp_extract(u, "\\?([^#]*)", 1)
+    val keep = array_sort(filter(split(qs, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)")))
+    val query = when(size(keep) > 0, concat(lit("?"), concat_ws("&", keep)))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, query)
+  }
 }

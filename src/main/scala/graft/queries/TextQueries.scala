@@ -164,6 +164,36 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id", "pos")
     }),
 
+    // URL canonicalization ([[graft.functions.TextFunctions
+    // .canonicalUrl]]) — the normalize-before-dedup step in front of the
+    // per-domain cap (q110): scheme/host lowercase, default-port strip,
+    // trailing-slash collapse, fragment drop, tracking-param removal,
+    // query-param sort. The corpus carries no URL column, so a MESSY url
+    // is synthesized deterministically per row (five variants by
+    // doc_id % 5 — mixed case, default ports, tracking params, dup-order
+    // params, trailing slashes, fragments; the q52-PII injection
+    // pattern), and the oracle builds the same url and replays every
+    // canonicalization step with the same regexes
+    "q119_url_canonicalize" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val v = pmod(col("doc_id"), lit(5))
+      val dirty =
+        when(v === 0, concat(lit("HTTP://WWW."), col("source"),
+          lit(".Example.COM:80/Docs/"), id, lit("/?utm_source=feed&b=2&a=1#top")))
+        .when(v === 1, concat(lit("https://www."), col("source"),
+          lit(".example.com:443/docs/"), id))
+        .when(v === 2, concat(lit("https://Www."), col("source"),
+          lit(".Example.Com/docs/"), id, lit("?z=9&fbclid=abc&a=1")))
+        .when(v === 3, concat(lit("http://www."), col("source"),
+          lit(".example.com/docs/"), id, lit("///")))
+        .otherwise(concat(lit("HtTpS://WWW."), col("source"),
+          lit(".EXAMPLE.com:443/DOCS/"), id, lit("?gclid=1&ref=tw#frag")))
+      table(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("url_raw"),
+          canonicalUrl(dirty).as("url_canon"))
+        .orderBy("doc_id")
+    }),
+
     // trained LINEAR quality classifier (fastText shape, Joulin 2017;
     // NBSVM init + distributed-gradient logistic refine — see
     // [[graft.operators.QualityClassifier]]): the labeled-example rung
@@ -623,6 +653,42 @@ object TextQueries extends QueryFamily {
       p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true).close()
     }
 
+  /** q119's DuckDB twin: the same deterministic messy-URL synthesis, then
+    * every canonicalization step of
+    * [[graft.functions.TextFunctions.canonicalUrl]] with the SAME
+    * regexes (list ops via LIST_FILTER/LIST_SORT, empty-query handling
+    * via the same LEN guard).
+    */
+  private lazy val urlCanonSql: String = {
+    val dirty = """CASE doc_id % 5
+        WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Docs/' || doc_id || '/?utm_source=feed&b=2&a=1#top'
+        WHEN 1 THEN 'https://www.' || source || '.example.com:443/docs/' || doc_id
+        WHEN 2 THEN 'https://Www.' || source || '.Example.Com/docs/' || doc_id || '?z=9&fbclid=abc&a=1'
+        WHEN 3 THEN 'http://www.' || source || '.example.com/docs/' || doc_id || '///'
+        ELSE 'HtTpS://WWW.' || source || '.EXAMPLE.com:443/DOCS/' || doc_id || '?gclid=1&ref=tw#frag'
+        END"""
+    s"""WITH raw AS (SELECT doc_id, $dirty AS u FROM documents),
+        parts AS (
+          SELECT doc_id, u,
+            LOWER(REGEXP_EXTRACT(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            LOWER(REGEXP_EXTRACT(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+            REGEXP_REPLACE(REGEXP_EXTRACT(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS path,
+            REGEXP_EXTRACT(u, '\\?([^#]*)', 1) AS qs
+          FROM raw),
+        kept AS (
+          SELECT *, LIST_SORT(LIST_FILTER(STRING_SPLIT(qs, '&'),
+              p -> p <> '' AND NOT REGEXP_MATCHES(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$$)'))) AS keep
+          FROM parts)
+        SELECT doc_id, u AS url_raw,
+          scheme || '://' ||
+          CASE WHEN scheme = 'http' THEN REGEXP_REPLACE(auth, ':80$$', '')
+               WHEN scheme = 'https' THEN REGEXP_REPLACE(auth, ':443$$', '')
+               ELSE auth END ||
+          path ||
+          CASE WHEN LEN(keep) > 0 THEN '?' || ARRAY_TO_STRING(keep, '&') ELSE '' END AS url_canon
+        FROM kept ORDER BY doc_id"""
+  }
+
   /** q118's trained classifier model, staged once per corpus state
     * (train-once/score-many: training is `iters` distributed passes, so
     * repeated bench/verify runs must reuse it, not retrain).
@@ -783,6 +849,7 @@ object TextQueries extends QueryFamily {
       "q31_fingerprint_md5" ->
         s"""SELECT doc_id, MD5($norm) AS fingerprint
             FROM documents ORDER BY doc_id""",
+      "q119_url_canonicalize" -> urlCanonSql,
       // q117 round-trips documents -> WARC response records -> parser;
       // the oracle rebuilds the same (url, status, body) view straight
       // from the table — the planted truncated record must NOT appear

@@ -96,4 +96,27 @@ class TextFunctionsSpec extends SparkTestBase {
     // &amp;lt; decodes to the LITERAL &lt;, not to < (amp decodes last)
     assert(one[String](stripHtml($"t"), "x &amp;lt; y") == "x &lt; y")
   }
+
+  test("canonicalUrl: case, ports, slashes, fragments, tracking params, param order") {
+    def canon(s: String): String = one[String](canonicalUrl($"t"), s)
+    // the two URLs a crawler must treat as ONE document
+    assert(canon("HTTP://WWW.X.COM:80/a/?utm_source=f&b=2&a=1#top") ==
+      "http://www.x.com/a?a=1&b=2")
+    assert(canon("http://www.x.com/a?a=1&b=2") == "http://www.x.com/a?a=1&b=2")
+    // scheme/host lowercase; PATH case preserved (case-sensitive by RFC)
+    assert(canon("HtTpS://WWW.X.com/DOCS/Page") == "https://www.x.com/DOCS/Page")
+    // default port strips only for the matching scheme
+    assert(canon("https://x.com:443/a") == "https://x.com/a")
+    assert(canon("https://x.com:80/a") == "https://x.com:80/a")
+    assert(canon("http://x.com:8080/a") == "http://x.com:8080/a")
+    // trailing-slash runs collapse; root collapses to bare authority
+    assert(canon("http://x.com/docs///") == "http://x.com/docs")
+    assert(canon("http://x.com/") == "http://x.com")
+    // tracking params go, the rest sort; all-tracking queries vanish
+    assert(canon("https://x.com/p?z=9&fbclid=abc&a=1") == "https://x.com/p?a=1&z=9")
+    assert(canon("https://x.com/p?gclid=1&ref=tw#frag") == "https://x.com/p")
+    // `ref` strips bare or valued, but `refresh` is NOT a tracking param
+    assert(canon("https://x.com/p?ref&b=1") == "https://x.com/p?b=1")
+    assert(canon("https://x.com/p?refresh=1") == "https://x.com/p?refresh=1")
+  }
 }
