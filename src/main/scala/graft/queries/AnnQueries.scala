@@ -112,7 +112,7 @@ object AnnQueries extends QueryFamily {
     "q39_ann_topk_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val cents = Ivf.trainCentroids(emb, nlist = nlist, iters = 3, seed = 42L)
-      ivfOracle39 = Some(ivfSqlFromCents(centsValuesInMemory(cents)))
+      ivfOracle39 = Some(capturedOracle(ivfSqlFromCents(centsValuesInMemory(cents))))
       Ivf.ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < nQueries), k,
           cents, nprobe = nprobe)
         .orderBy("query_id", "rank")
@@ -124,7 +124,7 @@ object AnnQueries extends QueryFamily {
     // row-identical and the partition pruning)
     "q46_ann_topk_ivf_index" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      ivfOracle46 = Some(ivfSql(s, stagedIndexDir(s, dir)))
+      ivfOracle46 = Some(capturedOracle(ivfSql(s, stagedIndexDir(s, dir))))
       Ivf.searchIndex(s, stagedIndexDir(s, dir),
           emb.filter(col("vec_id") < nQueries), k, nprobe = nprobe)
         .orderBy("query_id", "rank")
@@ -142,7 +142,7 @@ object AnnQueries extends QueryFamily {
     // data, the operating regime).
     "q93_ann_topk_pq" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      pqOracle = Some(pqSql(s, stagedPqIndexDir(s, dir)))
+      pqOracle = Some(capturedOracle(pqSql(s, stagedPqIndexDir(s, dir))))
       graft.operators.Pq.searchIndex(s, stagedPqIndexDir(s, dir),
           emb.filter(col("vec_id") < nQueries), k,
           shortlistFactor = shortlistFactor)
@@ -161,7 +161,7 @@ object AnnQueries extends QueryFamily {
       // covers raw coding only) — the query still RUNS and falls back to
       // the driver's rows-only check, rather than throwing before the
       // engine search (r9 advice)
-      ivfpqOracle = ivfpqSql(s, stagedIvfPqIndexDir(s, dir))
+      ivfpqOracle = Some(capturedOracle(ivfpqSql(s, stagedIvfPqIndexDir(s, dir))))
       graft.operators.Pq.searchIvfPqIndex(s, stagedIvfPqIndexDir(s, dir),
           emb.filter(col("vec_id") < nQueries), k, nprobe = nprobe,
           shortlistFactor = shortlistFactor)
@@ -177,10 +177,10 @@ object AnnQueries extends QueryFamily {
     * restricted dev dump that skips these queries falls back to the
     * driver's rows-only check.
     */
-  @volatile private var ivfOracle39: Option[String] = None
-  @volatile private var ivfOracle46: Option[String] = None
-  @volatile private var pqOracle: Option[String] = None
-  @volatile private var ivfpqOracle: Option[String] = None
+  @volatile private var ivfOracle39: Option[() => String] = None
+  @volatile private var ivfOracle46: Option[() => String] = None
+  @volatile private var pqOracle: Option[() => String] = None
+  @volatile private var ivfpqOracle: Option[() => Option[String]] = None
 
   import HashOracleSql.vlit
 
@@ -424,10 +424,10 @@ object AnnQueries extends QueryFamily {
           ORDER BY query_id, rank"""
 
   def oracleSql: Map[String, String] =
-    ivfOracle39.map("q39_ann_topk_ivf" -> _).toMap ++
-    ivfOracle46.map("q46_ann_topk_ivf_index" -> _).toMap ++
-    pqOracle.map("q93_ann_topk_pq" -> _).toMap ++
-    ivfpqOracle.map("q94_ann_topk_ivfpq" -> _).toMap ++ Map(
+    ivfOracle39.map(f => "q39_ann_topk_ivf" -> f()).toMap ++
+    ivfOracle46.map(f => "q46_ann_topk_ivf_index" -> f()).toMap ++
+    pqOracle.map(f => "q93_ann_topk_pq" -> f()).toMap ++
+    ivfpqOracle.flatMap(f => f()).map("q94_ann_topk_ivfpq" -> _).toMap ++ Map(
     "q26_ann_topk" -> topkSql,
     "q27_ann_topk_lsh" -> topkSql
   )

@@ -283,7 +283,7 @@ object DedupQueries extends QueryFamily {
     // generated from the same staged quantizer state (see [[q96Sql]])
     "q96_semantic_drift" -> ((s, dir) => {
       val idx = stagedSemanticCorpusIndexDir(s, dir)
-      q96Oracle = Some(q96Sql(s, idx))
+      q96Oracle = Some(capturedOracle(q96Sql(s, idx)))
       Dedup.semanticDrift(s, idx,
           table(s, dir, "embeddings").filter(col("vec_id") >= corpusSplit))
         .orderBy("vec_id")
@@ -489,9 +489,9 @@ object DedupQueries extends QueryFamily {
           k = 5, nprobe = 4, maxFilesPerTrigger = Some(1),
           compactEvery = 2)
         .orderBy("query_id", "rank")
-      q102Oracle = AnnQueries.ivfpqIngestSql(s,
+      q102Oracle = Some(capturedOracle(AnnQueries.ivfpqIngestSql(s,
         stagedIvfPqCorpusIndexDir(s, dir), batchMembership(s, ckpt),
-        corpusSplit.toLong, kk = 5, np = 4)
+        corpusSplit.toLong, kk = 5, np = 4)))
       res
     }),
 
@@ -779,14 +779,14 @@ object DedupQueries extends QueryFamily {
     * present on every correctness run (a restricted dev dump that skips
     * q96 falls back to the driver's rows-only check).
     */
-  @volatile private var q96Oracle: Option[String] = None
+  @volatile private var q96Oracle: Option[() => String] = None
 
   /** q102's oracle, captured when the query runs (same contract as
     * [[q96Oracle]]): the batch membership comes from the stream's own
     * file-source commit log ([[batchMembership]]) and the quantizer
     * literals from the staged corpus index.
     */
-  @volatile private var q102Oracle: Option[String] = None
+  @volatile private var q102Oracle: Option[() => Option[String]] = None
 
   /** The (vec_id → micro-batch) assignment a drained file-stream ingest
     * actually used, read from the checkpoint's file-source log
@@ -840,8 +840,8 @@ object DedupQueries extends QueryFamily {
   }
 
   def oracleSql: Map[String, String] =
-    q96Oracle.map("q96_semantic_drift" -> _).toMap ++
-    q102Oracle.map("q102_ann_ingest_stream_ivfpq" -> _).toMap ++ Map(
+    q96Oracle.map(f => "q96_semantic_drift" -> f()).toMap ++
+    q102Oracle.flatMap(f => f()).map("q102_ann_ingest_stream_ivfpq" -> _).toMap ++ Map(
     "q20_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents

@@ -7,6 +7,21 @@ trait QueryFamily {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracleSql: Map[String, String]
 
+  /** Defer a CAPTURED oracle's generation out of the timed query run:
+    * queries whose oracle embeds learned/run state (staged quantizer
+    * literals, a stream's commit log) capture a memoized thunk instead
+    * of the built SQL, and [[oracleSql]] forces it on access. Verify —
+    * the only consumer — dumps oracles AFTER the queries run, so the
+    * generation cost (driver reads of staged state; for q102 a replay of
+    * the commit log) lands in the dump, not in the benched query
+    * wall-clock where it isn't engine work. Memoized so repeated
+    * [[oracleSql]] access (specs, the dump) pays it once.
+    */
+  protected final def capturedOracle[A](f: => A): () => A = {
+    lazy val v = f
+    () => v
+  }
+
   /** Named stage builders — derived artifacts this family builds once
     * per source state ([[Staging]] contract) and shares across queries.
     * Bench pre-builds them UNTIMED and reports their cost as its own

@@ -151,7 +151,7 @@ object TextQueries extends QueryFamily {
         .orderBy(col("f").desc, col("w")).limit(bpeTrainWords)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val model = graft.operators.Bpe.train(wf, numMerges = bpeNumMerges)
-      bpeOracle111 = Some(bpeSql(model))
+      bpeOracle111 = Some(capturedOracle(bpeSql(model)))
       docs
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"),
@@ -206,7 +206,7 @@ object TextQueries extends QueryFamily {
     // libm call, the q106-LN contract
     "q118_quality_classifier" -> ((s, dir) => {
       val model = graft.operators.QualityClassifier.load(s, stagedClfModelDir(s, dir))
-      clfOracle118 = Some(clfSql(model))
+      clfOracle118 = Some(capturedOracle(clfSql(model)))
       graft.operators.QualityClassifier.score(table(s, dir, "documents"), model)
         .orderBy("doc_id")
     }),
@@ -720,10 +720,10 @@ object TextQueries extends QueryFamily {
   // the merges/vocab are LEARNED, so q111's oracle is generated when the
   // query runs (the AnnQueries q39 pattern: capture the learned state as
   // SQL literals, replay the algorithm's arithmetic)
-  @volatile private var bpeOracle111: Option[String] = None
+  @volatile private var bpeOracle111: Option[() => String] = None
   // q118's oracle is likewise generated at query time (learned weights
   // as SQL literals)
-  @volatile private var clfOracle118: Option[String] = None
+  @volatile private var clfOracle118: Option[() => String] = None
 
   /** DuckDB twin of the quality-classifier SCORING pass (training stays
     * engine-side; its output — the micro-quantized weights — are spliced
@@ -1226,8 +1226,8 @@ object TextQueries extends QueryFamily {
       // the merge law makes the drained state equal the batch sketch.
       "q112_token_percentiles_sketch" -> sketchSql,
       "q113_token_percentiles_sketch_stream" -> sketchSql
-    ) ++ bpeOracle111.map("q111_bpe_tokenize" -> _) ++
-      clfOracle118.map("q118_quality_classifier" -> _)
+    ) ++ bpeOracle111.map(f => "q111_bpe_tokenize" -> f()) ++
+      clfOracle118.map(f => "q118_quality_classifier" -> f())
   }
 
   /** q97's CTE chain (documents -> per-doc bigram NLL), shared with the
