@@ -69,7 +69,7 @@ object SketchStream {
     * the same streaming aggregation (vocab rows ride the grid's groupBy
     * under sentinel bucket coordinates, `item` carrying the token —
     * structured streaming allows one aggregation per query, and the
-    * union-keyed groupBy keeps it at one). Two things follow:
+    * shared groupBy keeps it at one). Two things follow:
     *
     *  - the readout NEVER re-reads the feed — it joins drained-grid ×
     *    drained-vocabulary, so files landing after the drain cannot
@@ -99,19 +99,22 @@ object SketchStream {
     import graft.functions.expr.HashFunctions.cmsBuckets
     var reader = spark.readStream.schema(feedSchema)
     maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
-    // one source node referenced by both state halves: a self-union
-    // shares the stream's offsets, so grid and vocabulary always cover
-    // the same drained file set
+    // ONE pass over the feed for both state halves: each occurrence
+    // emits its d grid coordinates plus one sentinel vocabulary row from
+    // a single posexplode over (buckets ++ sentinel) — a self-union of
+    // the source would share the stream's offsets too, but it scans and
+    // re-tokenizes every micro-batch's files twice; appending the
+    // sentinel to the bucket array keeps the per-batch feed work single
     val occurrences = items(reader.parquet(feedDir))
       .select(col("item").cast("string").as("item"))
       .filter(col("item").isNotNull)
-    val gridRows = occurrences
+    val state = occurrences
       .withColumn("bs", cmsBuckets(col("item"), d, logW))
-      .select(posexplode(col("bs")).as(Seq("i", "bucket")))
-      .select(col("i"), col("bucket"), lit(null).cast("string").as("item"))
-    val vocabRows = occurrences
-      .select(lit(-1).as("i"), lit(-1).as("bucket"), col("item"))
-    val state = gridRows.unionByName(vocabRows)
+      .select(col("item"), posexplode(concat(col("bs"), array(lit(-1)))))
+      .select(
+        when(col("pos") < d, col("pos")).otherwise(lit(-1)).as("i"),
+        when(col("pos") < d, col("col")).otherwise(lit(-1)).as("bucket"),
+        when(col("pos") < d, lit(null).cast("string")).otherwise(col("item")).as("item"))
       .groupBy("i", "bucket", "item").agg(count(lit(1)).as("cnt"))
     val q = state.writeStream
       .outputMode(OutputMode.Complete)
