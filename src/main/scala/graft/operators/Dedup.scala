@@ -642,8 +642,10 @@ object Dedup {
     * plan constant-size; the rebased frame still executes the underlying
     * plan once because the caller pins it.
     */
-  private def rebased(df: DataFrame): DataFrame =
+  private[operators] def rebasedFrame(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  private def rebased(df: DataFrame): DataFrame = rebasedFrame(df)
 
   def nearDupGroups(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",

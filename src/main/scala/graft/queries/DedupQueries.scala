@@ -540,8 +540,83 @@ object DedupQueries extends QueryFamily {
         .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
       graft.operators.Dedup.nearDupGroups(pairs, maxIters = 3)
         .orderBy("member_id")
+    }),
+
+    // link-graph centrality over a deterministic synthetic web graph
+    // ([[graft.operators.PageRank]]): two multiplicative-hash link rules
+    // plus a block-hub rule (every doc links its 50-block's root — the
+    // skew shape of real link graphs) over the documents id space, then
+    // `prIters` rounds of fixed-iteration PageRank in integer
+    // micro-units. Integer truncation makes every quantity exact and
+    // order-free, so the whole ITERATIVE computation replays bit-exactly
+    // in the oracle's recursive CTE — the q43-family determinism
+    // contract extended to numeric iteration. Successor rules semi-join
+    // back against the real id set (the q115 phantom-vertex lesson)
+    "q120_link_pagerank" -> ((s, dir) => {
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      // the modulus is the id-space size, a driver scalar (bounded: one
+      // max, not data); the SAME expression the oracle computes
+      val m = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 3) % m,
+            (col("doc_id") * 13 + 11) % m,
+            col("doc_id") - (col("doc_id") % 50))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      graft.operators.PageRank.integerPageRank(edges, iters = prIters)
+        .orderBy("id")
     })
   )
+
+  // q120 PageRank rounds: enough for hub ranks to separate, few enough
+  // that the recursive oracle stays cheap
+  private val prIters = 6
+
+  /** q120's DuckDB twin. Same deterministic edge synthesis (modulus =
+    * max id + 1, successor rules semi-joined to real ids), then the
+    * integer recurrence as a recursive CTE over (iter, id, pr). Every
+    * vertex carries a self pseudo-edge (outdeg NULL, contributing 0) so
+    * vertices without in-edges survive each round while the recursive
+    * arm references `pr` exactly once.
+    */
+  private val pagerankSql: String = {
+    val scale = 1000000000000L
+    s"""WITH RECURSIVE
+        ids AS (SELECT doc_id FROM documents),
+        mm AS (SELECT MAX(doc_id) + 1 AS m FROM ids),
+        raw AS (
+          SELECT doc_id AS src,
+                 UNNEST([(doc_id * 7 + 3) % m,
+                         (doc_id * 13 + 11) % m,
+                         doc_id - doc_id % 50]) AS dst
+          FROM ids CROSS JOIN mm),
+        edges AS (
+          SELECT DISTINCT src, dst FROM raw
+          WHERE src <> dst AND dst IN (SELECT doc_id FROM ids)),
+        verts AS (
+          SELECT DISTINCT id
+          FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        e2 AS (
+          SELECT e.src, e.dst, od.outdeg FROM edges e JOIN od USING (src)
+          UNION ALL
+          SELECT id, id, NULL FROM verts),
+        consts AS (
+          SELECT ($scale // COUNT(*)) AS init,
+                 (($scale // COUNT(*)) * 15) // 100 AS tel
+          FROM verts),
+        pr(iter, id, pr) AS (
+          SELECT 0, v.id, c.init FROM verts v CROSS JOIN consts c
+          UNION ALL
+          SELECT p.iter + 1, e.dst,
+                 c.tel + (85 * SUM(CASE WHEN e.outdeg IS NULL THEN 0
+                                        ELSE p.pr // e.outdeg END)) // 100
+          FROM pr p JOIN e2 e ON e.src = p.id CROSS JOIN consts c
+          WHERE p.iter < $prIters
+          GROUP BY p.iter, e.dst, c.tel)
+        SELECT id, pr FROM pr WHERE iter = $prIters ORDER BY id"""
+  }
 
   /** Exact-Jaccard pair CTEs (shared by the pair oracles and q43's
     * connected-components closure). Yields a `jpairs(id_a, id_b,
@@ -918,6 +993,13 @@ object DedupQueries extends QueryFamily {
       """SELECT doc_id AS member_id, (doc_id // 50) * 50 AS keep_id
          FROM documents
          ORDER BY member_id""",
+    // fixed-iteration integer PageRank replayed as a recursive CTE: the
+    // same edge synthesis, then each round folds the previous round's
+    // rank rows through the (edges + per-vertex self pseudo-edge) set —
+    // the self rows keep no-in-edge vertices alive so the recursion
+    // references the CTE exactly once. All arithmetic is truncated
+    // non-negative integer division, so Spark and DuckDB agree bit-wise
+    "q120_link_pagerank" -> pagerankSql,
     // the incremental merge must land on the identical from-scratch
     // closure — strongest possible check for the star-edge equivalence
     "q91_dedup_groups_incremental" -> groupsSql,
