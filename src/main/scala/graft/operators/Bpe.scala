@@ -183,6 +183,34 @@ object Bpe {
     Model(merges.toSeq, alphabet)
   }
 
+  /** Persist a learned model (merges in rank order + alphabet) so a
+    * full-vocabulary distributed training runs once per corpus state
+    * and scoring queries reuse it (the train-once/score-many shape,
+    * [[graft.operators.QualityClassifier.save]]'s contract). `meta` is
+    * written LAST so `meta/_SUCCESS` is a valid completion marker.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "l", "r")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    model.alphabet.zipWithIndex.map { case (a, i) => (i, a) }
+      .toDF("idx", "sym")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/alphabet")
+    Seq((model.merges.size, model.alphabet.size)).toDF("n_merges", "n_alphabet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val merges = spark.read.parquet(s"$dir/merges").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("l"), r.getAs[String]("r")))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    val alphabet = spark.read.parquet(s"$dir/alphabet").collect()
+      .map(r => (r.getAs[Int]("idx"), r.getAs[String]("sym")))
+      .sortBy(_._1).map(_._2).toSeq
+    Model(merges, alphabet)
+  }
+
   /** One training round's rewrite: merge every LEFT-TO-RIGHT
     * non-overlapping occurrence of `best` — the exact rule [[train]]'s
     * in-place loop applies (merging at i and resuming at the next index

@@ -164,6 +164,33 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id", "pos")
     }),
 
+    // q111's tokenizer driven by the DISTRIBUTED-trained model
+    // ([[graft.operators.Bpe.trainDistributed]]): merges learned from
+    // the FULL word-frequency table — thousands of words that never
+    // reach the driver, one map-side-combined pair-count aggregate per
+    // round, only the argmax pair collected — instead of q111's bounded
+    // top-256 driver contract. The model STAGES per corpus state
+    // (train-once/tokenize-many); the apply kernel and the generated
+    // recursive-CTE oracle are q111's verbatim, fed the staged merges,
+    // so the gate proves the distributed trainer's learned state drives
+    // a query bit-exactly (BpeSpec separately pins trainDistributed ==
+    // train element-for-element on a shared input)
+    "q121_bpe_tokenize_distributed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = graft.operators.Bpe.load(s, stagedBpeModelDir(s, dir))
+      bpeOracle121 = Some(capturedOracle(bpeSql(model)))
+      docs
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"),
+          graft.functions.expr.BpeFunctions.bpeEncode(col("word"), model).as("p"))
+        .select(col("doc_id"), col("pos"), col("word"),
+          concat_ws(" ", col("p")).as("pieces"),
+          concat_ws(",",
+            graft.functions.expr.BpeFunctions.bpeIds(col("p"), model)
+              .cast("array<string>")).as("ids"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // URL canonicalization ([[graft.functions.TextFunctions
     // .canonicalUrl]]) — the normalize-before-dedup step in front of the
     // per-domain cap (q110): scheme/host lowercase, default-port strip,
@@ -689,6 +716,23 @@ object TextQueries extends QueryFamily {
         FROM kept ORDER BY doc_id"""
   }
 
+  /** q121's DISTRIBUTED-trained BPE model, staged once per corpus state:
+    * the full word-frequency table (no top-N cap, words never collected)
+    * through [[graft.operators.Bpe.trainDistributed]] — `bpeNumMerges`
+    * rounds of one map-side-combined pair-count aggregate each, argmax
+    * pair to the driver per round (the documented cost model).
+    */
+  private def stagedBpeModelDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_bpe_model_dist",
+      Seq(s"$dir/documents.parquet"), s"full:m$bpeNumMerges", "meta/_SUCCESS") { stage =>
+      val wf = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      graft.operators.Bpe.save(s,
+        graft.operators.Bpe.trainDistributed(wf, numMerges = bpeNumMerges), stage)
+    }
+
   /** q118's trained classifier model, staged once per corpus state
     * (train-once/score-many: training is `iters` distributed passes, so
     * repeated bench/verify runs must reuse it, not retrain).
@@ -704,6 +748,7 @@ object TextQueries extends QueryFamily {
     }
 
   override def stages: Map[String, (SparkSession, String) => String] = Map(
+    "bpe_model_dist" -> (stagedBpeModelDir _),
     "clf_model" -> (stagedClfModelDir _),
     "docs_lang_feed" -> (stagedDocsLangFeedDir _),
     "warc_archive" -> (stagedWarcDir _))
@@ -721,6 +766,7 @@ object TextQueries extends QueryFamily {
   // query runs (the AnnQueries q39 pattern: capture the learned state as
   // SQL literals, replay the algorithm's arithmetic)
   @volatile private var bpeOracle111: Option[() => String] = None
+  @volatile private var bpeOracle121: Option[() => String] = None
   // q118's oracle is likewise generated at query time (learned weights
   // as SQL literals)
   @volatile private var clfOracle118: Option[() => String] = None
@@ -1227,6 +1273,7 @@ object TextQueries extends QueryFamily {
       "q112_token_percentiles_sketch" -> sketchSql,
       "q113_token_percentiles_sketch_stream" -> sketchSql
     ) ++ bpeOracle111.map(f => "q111_bpe_tokenize" -> f()) ++
+      bpeOracle121.map(f => "q121_bpe_tokenize_distributed" -> f()) ++
       clfOracle118.map(f => "q118_quality_classifier" -> f())
   }
 

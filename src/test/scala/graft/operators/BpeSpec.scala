@@ -55,6 +55,15 @@ class BpeSpec extends SparkTestBase {
     assert(m == Bpe.train(corpus, 3))
   }
 
+  test("save/load round-trips a model exactly (merges in rank order, ids stable)") {
+    val m = Bpe.train(corpus, 3)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString
+    Bpe.save(spark, m, dir)
+    val back = Bpe.load(spark, dir)
+    assert(back == m)
+    assert(back.vocab == m.vocab && back.alphabet == m.alphabet)
+  }
+
   test("encode applies merges in rank order; pieces concatenate back to the word") {
     val m = Bpe.train(corpus, 3)
     assert(Bpe.encode("abcab", m.ranks).toSeq == Seq("abc", "ab"))
