@@ -221,6 +221,67 @@ object Dedup {
     verifyJaccardHashed(candidates, sets, threshold)
   }
 
+  /** Directed CONTAINMENT pairs (Broder's containment, the resemblance
+    * measure's asymmetric sibling): C(a,b) = |a∩b| / |a| over distinct
+    * word n-gram shingles — "how much of a is inside b". This catches
+    * what Jaccard structurally cannot: an excerpt, quote, or syndicated
+    * fragment buried in a much larger document scores C ≈ 1 while
+    * J = |a|/|b| stays far below any dedup threshold. Output is one
+    * DIRECTED row (id_a, id_b, containment) per ordered pair with
+    * C(a,b) >= threshold; a pair of identical docs yields both
+    * directions, which is the semantics a containment audit wants.
+    *
+    * Candidates come from the SAME rarity-ordered prefix filter as
+    * [[ngramJaccardPairs]], adapted to the asymmetric bound: C(a,b) >= t
+    * gives |a∩b| >= ⌈t·|a|⌉, so if none of a's first
+    * |a| − ⌈t·|a|⌉ + 1 rarest shingles were common, all common shingles
+    * would sit among a's last ⌈t·|a|⌉ − 1 — contradiction. Hence joining
+    * a's PREFIX against the FULL inverted list (containment puts no
+    * prefix bound on the CONTAINING side — b may be arbitrarily large)
+    * is a superset of all qualifying pairs, exact with no recall cap.
+    * The size guard |b| >= ⌈t·|a|⌉ (|a∩b| <= |b|) prunes cross-size
+    * noise. Rare-first prefix ordering keeps boilerplate shingles out of
+    * prefixes, so the full-list join side stays low-df except where a
+    * genuinely large containing cluster makes the output itself large.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — 8-byte shingle
+    * hash join keys, kernel persisted and evaluated once, verification
+    * on hashed-key arrays bounded by one document's shingle count.
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val inv = CacheScope.pin(
+      shingled(docs, idCol, textCol, n)
+        .select(col("id"), size(col("shingles")).as("n_sh"),
+          explode(col("shingles")).as("sh"))
+        .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("shkey")),
+      StorageLevel.MEMORY_AND_DISK)
+    val dfreq = inv.groupBy("shkey").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    val keyed = inv.join(dfreq, Seq("shkey"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
+    val ranked = keyed.withColumn("pos", row_number().over(
+      Window.partitionBy("id").orderBy(col("df"), col("shkey"))))
+    val prefix = ranked
+      .filter(col("pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select("id", "n_sh", "shkey")
+    val candidates = prefix.as("a").join(ranked.as("b"),
+        col("a.shkey") === col("b.shkey") && col("a.id") =!= col("b.id") &&
+          col("b.n_sh") >= ceil(lit(threshold) * col("a.n_sh") - lit(1e-9)))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = ranked.groupBy("id")
+      .agg(first(col("n_sh")).as("n_sh"), collect_list(col("shkey")).as("keys"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("keys").as("k_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("keys").as("k_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("k_a"), col("k_b"))).cast("long"))
+      .withColumn("containment", col("n_common").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+  }
+
   /** MinHash+LSH near-dup pairs: k-hash signatures, b bands of r rows
     * (k = b*r); docs colliding in any band become candidates; candidates
     * are verified with exact Jaccard so output quality equals the exact

@@ -244,6 +244,17 @@ object DedupQueries extends QueryFamily {
           n = shingleN, threshold = jaccardThreshold)
         .orderBy("id_a", "id_b")),
 
+    // DIRECTED containment pairs ([[graft.operators.Dedup
+    // .containmentPairs]]): C(a,b) = |a∩b|/|a| — the excerpt/quote/
+    // syndication detector Jaccard structurally misses (a fragment
+    // inside a much larger doc has J = |a|/|b| ≈ 0 but C ≈ 1). Same
+    // rarity-prefix candidate generation, asymmetric bound (prefix on
+    // the contained side only, full list on the containing side)
+    "q122_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(table(s, dir, "documents"),
+          n = shingleN, threshold = jaccardThreshold)
+        .orderBy("id_a", "id_b")),
+
     "q24_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(table(s, dir, "embeddings"),
           threshold = cosineThreshold)
@@ -974,6 +985,21 @@ object DedupQueries extends QueryFamily {
     "q21_dedup_minhash_lsh" -> jaccardSql,
     "q22_dedup_simhash" -> simhashSql(maxHamming = 3),
     "q23_dedup_ngram_jaccard" -> jaccardSql,
+    // directed containment: same shingle CTEs, asymmetric denominator,
+    // both orientations of a qualifying pair
+    "q122_dedup_containment" ->
+      s"""WITH $toksCte,
+          ${shingleCte("sh", shingleN)},
+          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b,
+                 ROUND(n_common::DOUBLE / sa.n_sh, 6) AS containment
+          FROM common JOIN sizes sa ON sa.doc_id = id_a
+          WHERE n_common::DOUBLE / sa.n_sh >= $jaccardThreshold
+          ORDER BY id_a, id_b""",
     // exact Jaccard over the FULL document set, restricted to pairs with
     // at least one increment member — corpus-vs-corpus pairs excluded
     "q70_dedup_incremental_minhash" ->

@@ -25,8 +25,10 @@ object ProfileQ102Batch {
     }
     val idxStage = graft.SparkEntry.stages("ivfpq_index_corpus")(spark, sfDir)
     val feedDir = graft.SparkEntry.stages("emb_feed")(spark, sfDir)
-    val feedFiles = new java.io.File(feedDir).listFiles()
-      .filter(f => f.getName.endsWith(".parquet")).map(_.toString).sorted
+    val feedPath = new org.apache.hadoop.fs.Path(feedDir)
+    val feedFiles = feedPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(feedPath).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).sorted
     (1 to 3).foreach { run =>
       println(s"[pqb] --- run $run ---")
       val scratch = s"/tmp/pqb-$run-${System.nanoTime()}"

@@ -67,6 +67,49 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.forall(p => p._1 < m && p._2 < m))
   }
 
+  test("containmentPairs: a planted excerpt scores C = 1.0 where Jaccard sees nothing") {
+    // doc 11 is a verbatim fragment of the much larger doc 10: every
+    // shingle of 11 is in 10, but the shared shingles are a small
+    // fraction of 10's — J ≈ 8/40 far below threshold, C(11,10) = 1.0
+    val big = (0 until 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 until 20).map(i => s"w$i").mkString(" ")
+    val df = Seq((10L, big), (11L, excerpt), (12L, "unrelated stuff about other things entirely")).toDF("doc_id", "text")
+    val cont = scopedNoLeak(Dedup.containmentPairs(df, threshold = 0.8).collect())
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont == Set((11L, 10L, 1.0)), s"got $cont")
+    val jac = scopedNoLeak(Dedup.ngramJaccardPairs(df, threshold = 0.8).collect())
+    assert(jac.isEmpty, "Jaccard must NOT pair the excerpt with its container")
+  }
+
+  test("containmentPairs == all-pairs brute force (exactness of the asymmetric prefix)") {
+    // mixed corpus: exact dups, near dups, an excerpt, noise — every
+    // DIRECTED pair the brute-force containment finds must come back
+    val base = docs
+    val withExcerpt = base.union(Seq(
+      (6L, "quick brown fox jumps over the lazy dog"),
+      (7L, "executors during wide transformations like join")).toDF("doc_id", "text"))
+    val t = 0.7
+    val got = scopedNoLeak(Dedup.containmentPairs(withExcerpt, threshold = t)
+      .orderBy("id_a", "id_b").collect())
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // brute force on the same shingle definition
+    val sh = scopedNoLeak(
+      withExcerpt.select(col("doc_id"),
+          graft.functions.TextFunctions.shingleSet(col("text"), 3).as("sh"))
+        .collect())
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val brute = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if a != b && sa.nonEmpty
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= t
+    } yield (a, b, math.rint(c * 1e6) / 1e6)).sortBy(p => (p._1, p._2))
+    assert(got == brute, s"engine $got vs brute $brute")
+    // asymmetry: the excerpt direction is present, the reverse is not
+    assert(got.exists(p => p._1 == 6L && p._2 == 0L))
+    assert(!got.exists(p => p._1 == 0L && p._2 == 6L))
+  }
+
   test("minhashLshPairs reproduces the exact operator's pairs") {
     val exact = scopedNoLeak(
       Dedup.ngramJaccardPairs(docs, threshold = 0.5).orderBy("id_a", "id_b")
