@@ -84,12 +84,42 @@ object AnnQueries extends QueryFamily {
         dim = 64, m = 8, ksub = 16, nlist = nlist, iters = 3, seed = 42L)
     }
 
+  /** q123's PCA model, staged per corpus state (train-once/project-many:
+    * two treeAggregate passes + a driver-side 64×64 eigendecomposition —
+    * repeated bench/verify runs must not retrain).
+    */
+  private def stagedPcaModelDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_pca_model",
+      Seq(s"$dir/embeddings.parquet"),
+      s"k$pcaK:v1", "meta/_SUCCESS") { stage =>
+      graft.operators.Pca.save(s,
+        graft.operators.Pca.train(table(s, dir, "embeddings"), k = pcaK), stage)
+    }
+
+  private val pcaK = 8
+
   override def stages: Map[String, (SparkSession, String) => String] = Map(
     "ivf_index" -> (stagedIndexDir _),
     "pq_index" -> (stagedPqIndexDir _),
-    "ivfpq_index" -> (stagedIvfPqIndexDir _))
+    "ivfpq_index" -> (stagedIvfPqIndexDir _),
+    "pca_model" -> (stagedPcaModelDir _))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // embedding dimensionality reduction ([[graft.operators.Pca]]):
+    // project every corpus vector onto the staged top-k principal axes —
+    // the SemDeDup-class preprocessing step in front of the semantic
+    // cells (q87) and IVF quantizers. Projection is k codegen'd
+    // dot-product kernels per row plus literal constants, zero shuffle;
+    // the GENERATED oracle (q39 pattern) replays the staged components
+    // as LIST_DOT_PRODUCT literals, verifying the projection algebra
+    // bit-exactly (eigenvectors of floating sums are NOT cross-engine
+    // reproducible — the staged literals are)
+    "q123_embedding_pca" -> ((s, dir) => {
+      val model = graft.operators.Pca.load(s, stagedPcaModelDir(s, dir))
+      pcaOracle123 = Some(capturedOracle(pcaSql(model)))
+      graft.operators.Pca.project(table(s, dir, "embeddings"), model)
+        .orderBy("vec_id")
+    }),
     "q26_ann_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < nQueries), k)
@@ -178,6 +208,23 @@ object AnnQueries extends QueryFamily {
     * driver's rows-only check.
     */
   @volatile private var ivfOracle39: Option[() => String] = None
+  @volatile private var pcaOracle123: Option[() => String] = None
+
+  /** q123's generated oracle: staged float components as exact double
+    * literals, per-component constant folded in, 6-dp round — the
+    * LIST_DOT_PRODUCT fold is the dot kernel's (sequential double
+    * accumulation), the equality the cosine family already pins.
+    */
+  private def pcaSql(model: graft.operators.Pca.Model): String = {
+    val dlit = HashOracleSql.dlit _
+    val cols = model.components.zipWithIndex.map { case (c, j) =>
+      val arr = c.map(x => dlit(x.toDouble)).mkString(", ")
+      s"ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), [$arr]) - ${dlit(model.meanConsts(j))}, 6) AS p$j"
+    }.mkString(",\n             ")
+    s"""SELECT vec_id,
+             $cols
+        FROM embeddings ORDER BY vec_id"""
+  }
   @volatile private var ivfOracle46: Option[() => String] = None
   @volatile private var pqOracle: Option[() => String] = None
   @volatile private var ivfpqOracle: Option[() => Option[String]] = None
@@ -425,6 +472,7 @@ object AnnQueries extends QueryFamily {
 
   def oracleSql: Map[String, String] =
     ivfOracle39.map(f => "q39_ann_topk_ivf" -> f()).toMap ++
+    pcaOracle123.map(f => "q123_embedding_pca" -> f()).toMap ++
     ivfOracle46.map(f => "q46_ann_topk_ivf_index" -> f()).toMap ++
     pqOracle.map(f => "q93_ann_topk_pq" -> f()).toMap ++
     ivfpqOracle.flatMap(f => f()).map("q94_ann_topk_ivfpq" -> _).toMap ++ Map(
