@@ -35,6 +35,18 @@ object TextQueries extends QueryFamily {
           qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Gopher-style rule filter ([[graft.operators.Gopher]]) — the cheap
+    // first rung of the quality ladder (before q89/q97/q114's corpus-LM
+    // scores and q118's trained classifier): auditable word-level
+    // metrics + a composite keep verdict, one scan, zero shuffle. Word
+    // bounds at the query site fit THIS corpus's ~25-word documents
+    // (operator defaults carry the published 50..100k bounds);
+    // minStopwords=1 because the synthetic vocabulary is technical
+    "q124_gopher_rules" -> ((s, dir) =>
+      graft.operators.Gopher.metrics(table(s, dir, "documents"),
+          minWords = 10, minStopwords = 1)
+        .orderBy("doc_id")),
+
     "q30_text_tokens" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(
@@ -887,6 +899,43 @@ object TextQueries extends QueryFamily {
                         + GREATEST(0.0, 1.0 - ($punct) * 4.0)
                         + LEAST(($stopRatio) * 5.0, 1.0)) / 3.0, 6) AS quality
             FROM documents ORDER BY doc_id""",
+      // Gopher word-level rules: every metric recomputed from the same
+      // normalized text; the verdict compares the ROUNDED metrics (the
+      // engine contract — keep is a pure function of reported values).
+      // ' ' || norm gives every word exactly one leading space, so one
+      // non-overlapping regexp pass counts letter-bearing words
+      // identically under RE2 and Java regex; LIST_CONTAINS(toks, w) ==
+      // the engine's padded-substring presence test
+      "q124_gopher_rules" -> {
+        val stopPresent = graft.operators.Gopher.stopwords
+          .map(w => s"CAST(LIST_CONTAINS($toks, '$w') AS INT)").mkString(" + ")
+        s"""WITH m AS (
+              SELECT doc_id,
+                     CAST($nTokens AS BIGINT) AS n_words,
+                     LENGTH($norm) AS n_chars,
+                     CAST(LEN(REGEXP_EXTRACT_ALL(' ' || $norm, ' [^ ]*[a-z]')) AS BIGINT) AS alpha_words,
+                     CAST(LEN(REGEXP_EXTRACT_ALL(text, '#|\\.\\.\\.')) AS BIGINT) AS symbols,
+                     CAST($stopPresent AS BIGINT) AS stop_present
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_words,
+                     ROUND(CASE WHEN n_words = 0 THEN 0.0
+                       ELSE (n_chars - n_words + 1)::DOUBLE / n_words END, 6) AS mean_word_len,
+                     ROUND(CASE WHEN n_words = 0 THEN 0.0
+                       ELSE alpha_words::DOUBLE / n_words END, 6) AS alpha_word_frac,
+                     ROUND(CASE WHEN n_words = 0 THEN 0.0
+                       ELSE symbols::DOUBLE / n_words END, 6) AS symbol_word_ratio,
+                     stop_present
+              FROM m)
+            SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+                   symbol_word_ratio, stop_present,
+                   (n_words >= 10 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_word_ratio <= 0.1
+                    AND alpha_word_frac >= 0.8
+                    AND stop_present >= 1) AS keep
+            FROM r ORDER BY doc_id"""
+      },
       "q30_text_tokens" ->
         s"""SELECT doc_id,
                    CAST($nTokens AS BIGINT) AS n_ws_tokens,
