@@ -173,6 +173,43 @@ object TextFunctions {
     }
   }
 
+  /** Unicode SCRIPT classes for script detection (the mC4-family
+    * curation step script ID — distinct from [[langId]]: script is a
+    * property of the writing system, language of the vocabulary; a
+    * Russian and a Bulgarian doc share Cyrillic). BMP ranges only, so
+    * the char count is identical under UTF-16 units (Spark `length`)
+    * and codepoints (DuckDB `LENGTH`). Order is the deterministic
+    * tie-break priority.
+    */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "a-zA-Z",
+    "cyrillic" -> "Ѐ-ӿ",
+    "greek" -> "Ͱ-Ͽ",
+    "arabic" -> "؀-ۿ",
+    "cjk" -> "一-鿿",
+    "hangul" -> "가-힣")
+
+  /** Per-class character counts: one codegen'd regexp_replace per class
+    * (count = chars removed), map-side, zero shuffle.
+    */
+  def scriptCounts(c: Column): Seq[(String, Column)] =
+    scriptRanges.map { case (name, range) =>
+      name -> (length(c) - length(regexp_replace(c, s"[$range]", "")))
+        .cast("long")
+    }
+
+  /** Dominant script of the text — argmax of [[scriptCounts]], first
+    * class in [[scriptRanges]] order on ties, 'und' when no class
+    * character occurs.
+    */
+  def dominantScript(c: Column): Column = {
+    val counts = scriptCounts(c)
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und")) { case ((name, n), acc) =>
+      when(n === best && best > 0, lit(name)).otherwise(acc)
+    }
+  }
+
   /** Exact-dup content fingerprint: md5 of the normalized text. */
   def contentFingerprint(c: Column): Column = md5(normText(c))
 

@@ -47,6 +47,25 @@ object TextQueries extends QueryFamily {
           minWords = 10, minStopwords = 1)
         .orderBy("doc_id")),
 
+    // Unicode script detection ([[graft.functions.TextFunctions
+    // .dominantScript]]) — the mC4-family script-ID step, distinct from
+    // q28's language ID (script is the writing system, language the
+    // vocabulary). The corpus is ASCII, so mixed-script text is
+    // SYNTHESIZED deterministically per row (the q119 pattern): four of
+    // five residue classes truncate the latin body and append a
+    // repeated native-script phrase, so dominance actually varies and
+    // every range is exercised. BMP-only ranges keep Spark's UTF-16
+    // length and DuckDB's codepoint LENGTH equal
+    "q125_text_script" -> ((s, dir) => {
+      val t2 = scriptMixedText(col("doc_id"), col("text"))
+      val counts = graft.functions.TextFunctions.scriptCounts(t2)
+        .map { case (name, c) => c.as(s"n_$name") }
+      table(s, dir, "documents")
+        .select((col("doc_id") +: counts :+
+          graft.functions.TextFunctions.dominantScript(t2).as("script")): _*)
+        .orderBy("doc_id")
+    }),
+
     "q30_text_tokens" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(
@@ -868,6 +887,27 @@ object TextQueries extends QueryFamily {
         ORDER BY doc_id, pos"""
   }
 
+  /** q125's deterministic mixed-script synthesis: residue 0 keeps the
+    * latin body; residues 1-4 truncate it to 20 chars and append a
+    * repeated native-script phrase (Cyrillic/Greek/CJK/Arabic), so the
+    * dominant script varies across rows. ONE constant list feeds the
+    * Spark expression and the oracle SQL.
+    */
+  private val scriptPhrases: Seq[String] = Seq(
+    "", // residue 0: latin only
+    " данные поток система модель обучение корпус фильтр качество",
+    " δεδομένα ροή σύστημα μοντέλο εκπαίδευση σώμα κειμένων",
+    " 数据 流 系统 模型 训练 语料 过滤 质量 去重 索引",
+    " بيانات تدفق نظام نموذج تدريب مدونة تصفية جودة")
+
+  private def scriptMixedText(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = (docId % 5).cast("int")
+    when(m === 0, text).otherwise(
+      concat(substring(text, 1, 20),
+        repeat(element_at(typedlit(scriptPhrases), m + 1), 3)))
+  }
+
   private val norm = """REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')"""
   private val toks = s"STRING_SPLIT($norm, ' ')"
   private def markerCount(words: Seq[String]): String =
@@ -899,6 +939,31 @@ object TextQueries extends QueryFamily {
                         + GREATEST(0.0, 1.0 - ($punct) * 4.0)
                         + LEAST(($stopRatio) * 5.0, 1.0)) / 3.0, 6) AS quality
             FROM documents ORDER BY doc_id""",
+      // Unicode script detection over the same deterministic synthesis:
+      // per-class counts by removal (LENGTH diff), argmax with the
+      // shared priority order, first-wins ties, 'und' on zero
+      "q125_text_script" -> {
+        val phraseCase = scriptPhrases.zipWithIndex.drop(1)
+          .map { case (p, i) => s"WHEN $i THEN ${sqlStr(p)}" }.mkString(" ")
+        val t2 = s"""CASE WHEN doc_id % 5 = 0 THEN text
+          ELSE SUBSTR(text, 1, 20) || REPEAT(CASE doc_id % 5 $phraseCase END, 3) END"""
+        val ranges = graft.functions.TextFunctions.scriptRanges
+        val countCols = ranges.map { case (name, r) =>
+          s"CAST(LENGTH(t2) - LENGTH(REGEXP_REPLACE(t2, '[$r]', '', 'g')) AS BIGINT) AS n_$name"
+        }.mkString(",\n                   ")
+        val best = s"GREATEST(${ranges.map { case (n, _) => s"n_$n" }.mkString(", ")})"
+        val scriptCase = ranges.reverse.foldLeft("'und'") { case (acc, (n, _)) =>
+          s"CASE WHEN n_$n = best AND best > 0 THEN '$n' ELSE $acc END"
+        }
+        s"""WITH t AS (SELECT doc_id, $t2 AS t2 FROM documents),
+            c AS (SELECT doc_id,
+                   $countCols
+                  FROM t),
+            b AS (SELECT *, $best AS best FROM c)
+            SELECT doc_id, ${ranges.map { case (n, _) => s"n_$n" }.mkString(", ")},
+                   $scriptCase AS script
+            FROM b ORDER BY doc_id"""
+      },
       // Gopher word-level rules: every metric recomputed from the same
       // normalized text; the verdict compares the ROUNDED metrics (the
       // engine contract — keep is a pure function of reported values).

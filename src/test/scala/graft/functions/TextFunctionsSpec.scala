@@ -119,4 +119,28 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(canon("https://x.com/p?ref&b=1") == "https://x.com/p?b=1")
     assert(canon("https://x.com/p?refresh=1") == "https://x.com/p?refresh=1")
   }
+
+  test("scriptCounts: per-class character counts over mixed-script text") {
+    val mixed = "abc \u0434\u0430\u043d\u043d\u044b\u0435 \u03b4\u03b5\u03b4 \u4e00\u4e8c \u0628\u064a \uac00\uac01"
+    val counts = Seq(mixed).toDF("t")
+      .select(scriptCounts(org.apache.spark.sql.functions.col("t"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .head()
+    val byName = scriptRanges.map(_._1).zipWithIndex
+      .map { case (n, i) => n -> counts.getLong(i) }.toMap
+    assert(byName == Map("latin" -> 3L, "cyrillic" -> 6L, "greek" -> 3L,
+      "arabic" -> 2L, "cjk" -> 2L, "hangul" -> 2L), s"got $byName")
+  }
+
+  test("dominantScript: argmax with first-in-order tie-break, und on none") {
+    assert(one[String](dominantScript(org.apache.spark.sql.functions.col("t")),
+      "hello \u043c\u0438\u0440") == "latin") // 5 latin > 3 cyrillic
+    assert(one[String](dominantScript(org.apache.spark.sql.functions.col("t")),
+      "hi \u043f\u0440\u0438\u0432\u0435\u0442") == "cyrillic")
+    // tie (2 latin, 2 cyrillic) -> latin, the first class in order
+    assert(one[String](dominantScript(org.apache.spark.sql.functions.col("t")),
+      "ab \u0434\u0430") == "latin")
+    assert(one[String](dominantScript(org.apache.spark.sql.functions.col("t")),
+      "1234 !?") == "und")
+  }
 }
