@@ -494,6 +494,35 @@ object TextQueries extends QueryFamily {
           ps = Seq("p50" -> 50, "p90" -> 90, "p99" -> 99))
         .orderBy("lang")),
 
+    // KMV distinct sketch ([[graft.operators.Kmv]]): per-lang distinct
+    // token count estimated from the k smallest DISTINCT hashes — the
+    // third distinct-count rung (exact q59-family / HLL q104 / KMV),
+    // and the only one whose sketches support set-operation estimates.
+    // Exchanges carry <= k distinct hex entries per (partition, lang)
+    // via the dedup-in-buffer bounded aggregate, even under
+    // all-distinct input
+    "q126_kmv_distinct_tokens" -> ((s, dir) =>
+      graft.operators.Kmv.distinctEstimate(
+          graft.operators.Kmv.sketch(langTokens(s, dir),
+            groupCols = Seq("lang"), valueCol = "token",
+            k = kmvK, salt = "kmv"),
+          k = kmvK)
+        .select("lang", "sample_n", "est_distinct")
+        .orderBy("lang")),
+
+    // KMV's set-operation payoff: pairwise vocabulary Jaccard between
+    // langs from the SAME sketches — pure array arithmetic on the
+    // retained hashes (k smallest of the union, count present in both),
+    // group-cardinality-sized, the estimate HLL structurally cannot
+    // give without inclusion-exclusion error stacking
+    "q127_kmv_jaccard_langs" -> ((s, dir) =>
+      graft.operators.Kmv.jaccardBetweenGroups(
+          graft.operators.Kmv.sketch(langTokens(s, dir),
+            groupCols = Seq("lang"), valueCol = "token",
+            k = kmvK, salt = "kmv"),
+          groupCol = "lang", k = kmvK)
+        .orderBy("g_a", "g_b")),
+
     // q112's sketch maintained as STREAMING STATE ([[graft.streaming
     // .SketchStream]]): the same bounded MIN-k aggregate runs inside a
     // streaming groupBy in Complete mode over a 3-file drained feed. The
@@ -886,6 +915,20 @@ object TextQueries extends QueryFamily {
         FROM fin WHERE rn = 1
         ORDER BY doc_id, pos"""
   }
+
+  // q126/q127 KMV parameters
+  private val kmvK = 64
+
+  /** (lang, shingle) rows — the KMV queries' shared input shape: word
+    * 3-grams give each lang a few-thousand-element value set at the
+    * verify SF, so the threshold-estimator branch (distinct > k) and
+    * the between-group overlap are actually exercised (plain tokens
+    * top out at ~31 distinct per lang — all-exact, no estimation).
+    */
+  private def langTokens(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "documents")
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.shingleSet(col("text"), 3)).as("token"))
 
   /** q125's deterministic mixed-script synthesis: residue 0 keeps the
     * latin body; residues 1-4 truncate it to 20 chars and append a
@@ -1385,7 +1428,9 @@ object TextQueries extends QueryFamily {
       // q113 (the STREAMING drain of the same sketch) shares it verbatim:
       // the merge law makes the drained state equal the batch sketch.
       "q112_token_percentiles_sketch" -> sketchSql,
-      "q113_token_percentiles_sketch_stream" -> sketchSql
+      "q113_token_percentiles_sketch_stream" -> sketchSql,
+      "q126_kmv_distinct_tokens" -> kmvDistinctSql,
+      "q127_kmv_jaccard_langs" -> kmvJaccardSql
     ) ++ bpeOracle111.map(f => "q111_bpe_tokenize" -> f()) ++
       bpeOracle121.map(f => "q121_bpe_tokenize_distributed" -> f()) ++
       clfOracle118.map(f => "q118_quality_classifier" -> f())
@@ -1446,6 +1491,72 @@ object TextQueries extends QueryFamily {
   }
 
   /** See the q112 oracle comment in [[oracleSql]]. */
+  /** Shared KMV CTEs: distinct (lang, token) pairs, each DISTINCT token
+    * hashed once through the public chain, per-lang k smallest distinct
+    * hashes (ORDER BY x == the engine's hex-string order). Yields
+    * `samp(lang, cnt, x, rn)` with rn <= kmvK and cnt = the lang's full
+    * distinct-hash count.
+    */
+  private lazy val kmvCtes: String =
+    s"""lt AS (SELECT DISTINCT lang, g AS token FROM (
+                 SELECT tt.lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                 FROM (SELECT lang, $toks AS t FROM documents) tt,
+                      LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS i) u)),
+        dt AS (SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS tid FROM (SELECT DISTINCT token FROM lt)),
+        tokh AS (SELECT tid, HEX(ENCODE('kmv:' || token)) AS hx FROM dt),
+        ${HashOracleSql.fnvFmixCtes},
+        lx AS (SELECT DISTINCT l.lang, s.x
+               FROM lt l JOIN dt d ON d.token = l.token JOIN sig s ON s.tid = d.tid),
+        ranked AS (SELECT lang, x,
+                          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x) AS rn,
+                          COUNT(*) OVER (PARTITION BY lang) AS cnt
+                   FROM lx),
+        samp AS (SELECT lang, cnt, x, rn FROM ranked WHERE rn <= $kmvK)"""
+
+  /** q126: the KMV threshold estimator replayed with the same IEEE
+    * double operations — one exactly-representable product literal, one
+    * division, floor, clamp — so the BIGINT estimate is bit-identical.
+    */
+  private lazy val kmvDistinctSql: String = {
+    val prod = HashOracleSql.dlit((kmvK - 1).toDouble * graft.operators.Kmv.TwoTo64)
+    s"""WITH RECURSIVE
+        $kmvCtes
+        SELECT lang,
+               CAST(LEAST(cnt, $kmvK) AS BIGINT) AS sample_n,
+               CAST(CASE WHEN cnt < $kmvK THEN cnt
+                 ELSE FLOOR(LEAST($prod / (MAX(CASE WHEN rn = $kmvK THEN x END)::DOUBLE + 1.0),
+                                  4611686018427387904::DOUBLE)) END AS BIGINT) AS est_distinct
+        FROM samp
+        GROUP BY lang, cnt
+        ORDER BY lang"""
+  }
+
+  /** q127: the set-operation rule on the same samples — per lang pair,
+    * the k smallest of the union of the two samples, counting members
+    * present in both.
+    */
+  private lazy val kmvJaccardSql: String =
+    s"""WITH RECURSIVE
+        $kmvCtes,
+        langs AS (SELECT DISTINCT lang FROM samp),
+        pr AS (SELECT a.lang AS g_a, b.lang AS g_b
+               FROM langs a JOIN langs b ON a.lang < b.lang),
+        ux AS (SELECT p.g_a, p.g_b, s.x,
+                      MAX(CASE WHEN s.lang = p.g_a THEN 1 ELSE 0 END) AS in_a,
+                      MAX(CASE WHEN s.lang = p.g_b THEN 1 ELSE 0 END) AS in_b
+               FROM pr p JOIN samp s ON s.lang IN (p.g_a, p.g_b)
+               GROUP BY p.g_a, p.g_b, s.x),
+        ranked2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g_a, g_b ORDER BY x) AS ur
+                    FROM ux),
+        usmp AS (SELECT * FROM ranked2 WHERE ur <= $kmvK)
+        SELECT g_a, g_b,
+               CAST(COUNT(*) AS BIGINT) AS sample_union,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+               ROUND(SUM(in_a * in_b)::DOUBLE / COUNT(*), 6) AS jaccard_est
+        FROM usmp
+        GROUP BY g_a, g_b
+        ORDER BY g_a, g_b"""
+
   private lazy val sketchSql: String = {
     val nTokens = s"CASE WHEN LENGTH($norm) = 0 THEN 0 ELSE LEN($toks) END"
     s"""WITH RECURSIVE
