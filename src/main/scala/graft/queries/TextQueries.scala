@@ -523,6 +523,26 @@ object TextQueries extends QueryFamily {
           groupCol = "lang", k = kmvK)
         .orderBy("g_a", "g_b")),
 
+    // q126's KMV sketch as STREAMING STATE ([[graft.streaming
+    // .SketchStream.kmvDistinctStreaming]]): the dedup-in-buffer
+    // aggregate folds each drained micro-batch into per-lang
+    // k-smallest-distinct-hash state; membership is a pure set
+    // function, so the drained state is bit-identical to the batch
+    // sketch and q128 shares q126's oracle VERBATIM — all three
+    // mergeable sketch families (bottom-k q113, CMS q116, KMV) now run
+    // as continuously-maintained streaming services
+    "q128_kmv_distinct_stream" -> ((s, dir) =>
+      graft.streaming.SketchStream.kmvDistinctStreaming(
+          s, stagedDocsLangFeedDir(s, dir), docsLangFeedSchema,
+          Scratch.freshDir(s, "q128", dir),
+          groupCols = Seq("lang"), valueCol = "token", k = kmvK, salt = "kmv",
+          maxFilesPerTrigger = Some(1),
+          prep = df => df.select(col("lang"),
+            explode(graft.functions.TextFunctions.shingleSet(col("text"), 3))
+              .as("token")))
+        .select("lang", "sample_n", "est_distinct")
+        .orderBy("lang")),
+
     // q112's sketch maintained as STREAMING STATE ([[graft.streaming
     // .SketchStream]]): the same bounded MIN-k aggregate runs inside a
     // streaming groupBy in Complete mode over a 3-file drained feed. The
@@ -1430,6 +1450,7 @@ object TextQueries extends QueryFamily {
       "q112_token_percentiles_sketch" -> sketchSql,
       "q113_token_percentiles_sketch_stream" -> sketchSql,
       "q126_kmv_distinct_tokens" -> kmvDistinctSql,
+      "q128_kmv_distinct_stream" -> kmvDistinctSql,
       "q127_kmv_jaccard_langs" -> kmvJaccardSql
     ) ++ bpeOracle111.map(f => "q111_bpe_tokenize" -> f()) ++
       bpeOracle121.map(f => "q121_bpe_tokenize_distributed" -> f()) ++

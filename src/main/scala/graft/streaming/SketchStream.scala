@@ -56,6 +56,44 @@ object SketchStream {
     QuantileSketch.quantiles(spark.read.parquet(s"$outDir/state"), groupCols, ps)
   }
 
+  /** The KMV distinct sketch ([[graft.operators.Kmv]]) as streaming
+    * state — the third mergeable sketch family run as a
+    * continuously-maintained service (with the bottom-k sample q113 and
+    * the CMS grid q116): the dedup-in-buffer bounded aggregate
+    * ([[graft.functions.expr.DistinctMinKString]]) folds each
+    * micro-batch into per-group k-smallest-distinct-hash state in
+    * Complete mode. Membership is a pure function of the value SET —
+    * bottom-k-distinct of a union equals bottom-k-distinct of merged
+    * samples — so the drained state is BIT-IDENTICAL to the single-shot
+    * batch sketch and q128 shares q126's oracle verbatim. State per
+    * group is <= k hex strings; map-side partials truncate at k
+    * DISTINCT entries before the state-store exchange.
+    */
+  def kmvDistinctStreaming(
+      spark: SparkSession, feedDir: String, feedSchema: StructType,
+      outDir: String, groupCols: Seq[String], valueCol: String,
+      k: Int, salt: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      prep: DataFrame => DataFrame = identity): DataFrame = {
+    import org.apache.spark.sql.functions._
+    var reader = spark.readStream.schema(feedSchema)
+    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+    val stream = prep(reader.parquet(feedDir))
+    val state = graft.operators.Kmv.sketch(stream, groupCols, valueCol, k, salt)
+    val q = state.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/state")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Kmv.distinctEstimate(
+      spark.read.parquet(s"$outDir/state"), k)
+  }
+
   /** The Count-Min counter grid ([[graft.operators.Freq.cmsGrid]]) as
     * streaming state — counters merge by SUM, so the drained
     * complete-mode state equals the batch grid exactly, and the

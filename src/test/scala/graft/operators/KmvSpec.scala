@@ -49,6 +49,25 @@ class KmvSpec extends SparkTestBase {
     assert(est > 12000 && est < 28000, s"estimate $est far from 20000")
   }
 
+  test("streaming drain == batch sketch over a 3-batch feed (pure set function)") {
+    val dir = java.nio.file.Files.createTempDirectory("kmv-stream").toString
+    val rows = (0 until 900).map(i => (s"g${i % 2}", s"tok${i % 300}"))
+    val df = rows.toDF("g", "v")
+    df.repartition(3).write.parquet(s"$dir/feed")
+    val schema = df.schema
+    val streamed = graft.streaming.SketchStream.kmvDistinctStreaming(
+        spark, s"$dir/feed", schema, s"$dir/out",
+        groupCols = Seq("g"), valueCol = "v", k = 16, salt = "t",
+        maxFilesPerTrigger = Some(1))
+      .select("g", "sample_n", "est_distinct")
+      .orderBy("g").collect().toSeq
+    val batch = Kmv.distinctEstimate(
+        Kmv.sketch(df, Seq("g"), "v", k = 16, salt = "t"), k = 16)
+      .select("g", "sample_n", "est_distinct")
+      .orderBy("g").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("jaccard estimate tracks true overlap and is exact for identical groups") {
     val shared = (0 until 3000).map(i => s"s$i")
     val aOnly = (0 until 1000).map(i => s"a$i")
