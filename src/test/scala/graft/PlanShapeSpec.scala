@@ -129,6 +129,39 @@ class PlanShapeSpec extends SparkTestBase {
       expected.collect().map(_.toSeq).toSet)
   }
 
+  test("q123 PCA projection is scan-shaped: no exchange, no aggregate before the sort") {
+    assume(haveTestdata)
+    // projection = k dot-product kernels per row with literal constants;
+    // the ONLY exchange allowed is the final presentation-order sort
+    val p = plan(q("q123_embedding_pca"))
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange ") && !l.contains("rangepartitioning"))
+      .toSeq
+    assert(exchanges.isEmpty,
+      s"PCA projection must not shuffle:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("Aggregate"), "PCA projection must not aggregate")
+  }
+
+  test("q124 Gopher rules are scan-shaped: one pass, no exchange before the sort") {
+    assume(haveTestdata)
+    val p = plan(q("q124_gopher_rules"))
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange ") && !l.contains("rangepartitioning"))
+      .toSeq
+    assert(exchanges.isEmpty,
+      s"Gopher metrics must not shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q126 KMV sketch truncates map-side: the partial DISTINCT-min-k " +
+      "aggregate is in the plan") {
+    assume(haveTestdata)
+    // the scale claim: exchanges carry <= k DISTINCT hex entries per
+    // (partition, lang), because the partial phase is the dedup-in-buffer
+    // bounded aggregate, not a plain collect
+    assert(initialPlan(q("q126_kmv_distinct_tokens")).contains("partial_distinct_mink"),
+      "expected the partial distinct-min-k aggregate in q126's plan")
+  }
+
   test("q37 batch sessionization shuffles once by user_id") {
     assume(haveTestdata)
     val p = plan(q("q37_events_sessionize"))
