@@ -24,6 +24,12 @@ import org.apache.spark.sql.types._
   * bottom-k sample, membership is a pure function of the input SET —
   * duplicates, partitioning, and merge order are invisible — which is
   * what lets the whole sketch replay bit-exactly in SQL.
+  *
+  * ORDERING CONTRACT: Java `String` lexicographic order (UTF-16 code
+  * units). On ASCII inputs — the KMV use feeds %016x hash hex — this
+  * coincides with byte order, codepoint order, and the hash's unsigned
+  * numeric order; callers feeding non-BMP strings should know UTF-16
+  * order diverges from codepoint order there.
   */
 final class DistinctMinKBuffer(val k: Int) {
   val set = new java.util.TreeSet[String]()

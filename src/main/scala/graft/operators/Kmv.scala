@@ -83,7 +83,12 @@ object Kmv {
     * J(a, b) = |union-sample ∩ S_a ∩ S_b| / |union-sample| — the
     * standard KMV set-operation rule. Output (g_a, g_b, sample_union,
     * n_both, jaccard_est), jaccard 6 dp. The pair join is
-    * group-cardinality-sized (sketch rows), never data-sized.
+    * group-cardinality-sized (sketch rows), never data-sized — right
+    * for the compare-a-handful-of-cohorts question this answers
+    * (languages, sources, snapshots). All-pairs over MILLIONS of groups
+    * is a different problem: pre-filter candidate pairs (e.g. by a
+    * shared-minimum-hash bucket join over the sketches, the LSH trick
+    * applied to the samples themselves) before calling this.
     */
   def jaccardBetweenGroups(sketched: DataFrame, groupCol: String, k: Int): DataFrame = {
     val a = sketched.select(col(groupCol).as("g_a"), col("sk").as("sk_a"))
