@@ -55,7 +55,7 @@ object Bench {
     val id = name.takeWhile(_ != '_')
     (name >= "q20" && name < "q28") ||
       Set("q39", "q43", "q70", "q74", "q76", "q78", "q82", "q84", "q85",
-        "q86", "q90", "q91", "q115").contains(id)
+        "q86", "q90", "q91", "q115", "q120", "q122").contains(id)
   }
 
   /** Micro-batch Structured Streaming queries (checkpointed sinks).
@@ -65,7 +65,7 @@ object Bench {
     */
   private def isStreaming(name: String): Boolean =
     Set("q36", "q38", "q44", "q47", "q49", "q57", "q64", "q83", "q92", "q95",
-      "q100", "q102", "q113", "q116").contains(name.takeWhile(_ != '_'))
+      "q100", "q102", "q113", "q116", "q128").contains(name.takeWhile(_ != '_'))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
