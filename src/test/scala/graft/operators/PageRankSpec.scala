@@ -76,6 +76,18 @@ class PageRankSpec extends SparkTestBase {
     assert(empty.columns.toSeq == Seq("id", "pr"))
   }
 
+  test("matches the reference on the q120 synthesis shape at 5k vertices") {
+    // the gate query's own edge rules (two multiplicative-hash links +
+    // block hub), at a scale where partitioning and merge order would
+    // surface any non-determinism in the integer recurrence
+    val m = 5000L
+    val edges = (0L until m).flatMap { id =>
+      Seq((id * 7 + 3) % m, (id * 13 + 11) % m, id - id % 50)
+        .filter(_ != id).map(dst => (id, dst))
+    }
+    assert(run(edges, 6, parts = 32) == reference(edges, 6))
+  }
+
   test("duplicate edges collapse (multigraph input does not double-count)") {
     val once = run(Seq((1L, 2L), (2L, 1L)), 4)
     val dup = run(Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 1L), (1L, 2L)), 4)
