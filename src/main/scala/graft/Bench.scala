@@ -169,21 +169,28 @@ object Bench {
       settleTries += 1
       pair = (calibrate(), calibrate())
     }
+    // every calibration POINT is a settled min-of-pair, exactly like the
+    // first: a single un-settled sample taken right after a query group
+    // carries that group's GC debt and JIT state, and min-of-two is
+    // biased low vs one draw — mixing the two shapes made the first
+    // point read 2-3x faster than the rest on a QUIET machine, flagging
+    // contention that was really probe-methodology skew
+    def calibPoint(): Double = { settle(); math.min(calibrate(), calibrate()) }
     val calibs = scala.collection.mutable.ArrayBuffer(math.min(pair._1, pair._2))
     val noPre = () => ()
     val lightR = light.map { case (name, fn) =>
       name -> spreadResolve(name, fn, noPre, Seq(run(name, fn), run(name, fn)))
     }
-    calibs += calibrate()
+    calibs += calibPoint()
     val heavyR = heavy.map { case (name, fn) =>
       name -> spreadResolve(name, fn, noPre, Seq(run(name, fn), run(name, fn)))
     }
-    calibs += calibrate()
+    calibs += calibPoint()
     val streamR = streaming.map { case (name, fn) =>
       name -> spreadResolve(name, fn, () => settle(),
         Seq({ settle(); run(name, fn) }, { settle(); run(name, fn) }))
     }
-    calibs += calibrate()
+    calibs += calibPoint()
     val firstPass: Seq[(String, Seq[Double])] = lightR ++ heavyR ++ streamR
     val contended = calibs.max / calibs.min > 2.0
     // CONTENDED-WINDOW SALVAGE (round-10 verdict #5): when the probes say
@@ -209,7 +216,7 @@ object Bench {
             name -> (v :+ run(name, SparkEntry.queries(name)))
           }
         }
-        calibs += calibrate()
+        calibs += calibPoint()
         patched
       }
     def jmap(entries: Seq[(String, String)]): String =
