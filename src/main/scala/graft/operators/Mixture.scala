@@ -24,6 +24,38 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** TEMPERATURE mixture at τ = 1/2: weights DERIVED from the corpus's
+    * own group sizes, w_g = sqrt(n_g / n_max) snapped down to 1/256
+    * granularity (clamped to >= 1/256 so no non-empty group vanishes),
+    * then [[resample]] — the multilingual/mixture sampling rule
+    * (the (p_g)^τ family of mT5/XLM-R) that up-weights small groups
+    * toward parity without letting any group dominate.
+    *
+    * τ = 1/2 exactly — not a parameter — because IEEE sqrt is CORRECTLY
+    * ROUNDED: division, sqrt, the power-of-two scale by 256, and floor
+    * all produce identical bits on every IEEE engine, so the derived
+    * mixture itself hash-compares. General τ goes through `pow`, which
+    * libms round differently in the last ulp — a near-boundary group
+    * would flap across the 1/256 snap; for arbitrary τ, compute weights
+    * upstream and call [[resample]] directly.
+    *
+    * The group-count collect is group-cardinality-sized by the mixture
+    * contract (a mixture IS a per-group weight table).
+    */
+  def sqrtTemperatureResample(
+      docs: DataFrame, groupCol: String = "source", idCol: String = "doc_id",
+      salt: String = "mix"): DataFrame = {
+    val counts = docs.groupBy(groupCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "temperature mixture needs at least one group")
+    val nMax = counts.map(_._2).max
+    val weights = counts.map { case (g, n) =>
+      val k = math.max(1L, math.floor(math.sqrt(n.toDouble / nMax) * 256).toLong)
+      g -> k / 256.0
+    }.toMap
+    resample(docs, weights, groupCol, idCol, salt)
+  }
+
   def resample(
       docs: DataFrame, weights: Map[String, Double],
       groupCol: String = "source", idCol: String = "doc_id",

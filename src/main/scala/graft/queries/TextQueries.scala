@@ -269,6 +269,22 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // TEMPERATURE mixture (τ = 1/2, the mT5/XLM-R sampling family):
+    // weights DERIVED from the corpus's own per-source counts,
+    // w = sqrt(n_g/n_max) snapped down to 1/256 (>= 1/256 floor) — IEEE
+    // sqrt is correctly rounded, so unlike general pow-τ the derivation
+    // itself hash-compares ([[graft.operators.Mixture
+    // .sqrtTemperatureResample]]). Grouped by LANG — the corpus's one
+    // genuinely skewed dimension (sources are uniform by construction),
+    // and the operator's actual multilingual use — so the fractional
+    // snap and hex-pair paths are exercised, not degenerate w = 1
+    "q129_mixture_temperature" -> ((s, dir) =>
+      graft.operators.Mixture.sqrtTemperatureResample(
+          table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          groupCol = "lang", salt = "mixT")
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")),
+
     // training-mixture resampling: per-source weights as data — ⌊w⌋/⌈w⌉
     // deterministic copies per doc ([[graft.operators.Mixture]]). src4 is
     // weighted 0 and src9 left unlisted: both must drop.
@@ -1160,6 +1176,25 @@ object TextQueries extends QueryFamily {
            SELECT doc_id, source, CAST(c AS BIGINT) AS copy
            FROM n, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, n_copies)) AS c) u
            WHERE n_copies > 0
+           ORDER BY doc_id, copy""",
+      // temperature mixture: counts -> sqrt -> power-of-two scale ->
+      // floor -> the same md5 hex-pair rule; every step identically
+      // rounded on both engines
+      "q129_mixture_temperature" ->
+        """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+           mx AS (SELECT MAX(n) AS nmax FROM c),
+           w AS (SELECT lang,
+                        GREATEST(CAST(FLOOR(SQRT(n::DOUBLE / nmax) * 256) AS BIGINT), 1) AS k
+                 FROM c CROSS JOIN mx),
+           nn AS (SELECT d.doc_id, d.lang,
+                         (k // 256) + CASE WHEN k % 256 > 0
+                               AND SUBSTR(MD5(CAST(d.doc_id AS VARCHAR) || ':mixT'), 1, 2)
+                                   <= printf('%02x', k % 256 - 1)
+                             THEN 1 ELSE 0 END AS ncop
+                  FROM documents d JOIN w USING (lang))
+           SELECT doc_id, lang, CAST(c AS BIGINT) AS copy
+           FROM nn, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, ncop)) AS c) u
+           WHERE ncop > 0
            ORDER BY doc_id, copy""",
       "q81_distinctive_terms" ->
         s"""WITH tok AS (SELECT doc_id, UNNEST($toks) AS token FROM documents),

@@ -57,4 +57,40 @@ class MixtureSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("sqrt-temperature: derived weights match the closed form; dominant group keeps 1.0") {
+    // skewed groups: big 160 docs, mid 90, small 10 -> k = 256,
+    // floor(sqrt(90/160)*256) = 192, floor(sqrt(10/160)*256) = 64
+    val skewed = ((0L until 160L).map(i => (i, "big")) ++
+      (1000L until 1090L).map(i => (i, "mid")) ++
+      (2000L until 2010L).map(i => (i, "small"))).toDF("doc_id", "g")
+    val out = Mixture.sqrtTemperatureResample(skewed, groupCol = "g", salt = "ts")
+    val perGroup = out.groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the dominant group resamples at exactly weight 1.0: every doc once
+    assert(perGroup("big") == 160L)
+    // others match resample() under the closed-form snapped weights
+    val expected = Mixture.resample(skewed,
+      Map("big" -> 1.0, "mid" -> 192.0 / 256, "small" -> 64.0 / 256),
+      groupCol = "g", salt = "ts")
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup == expected)
+    // kept fraction sits near the weight (the hex-pair rule's 1/256 law)
+    assert(math.abs(perGroup("mid") / 90.0 - 0.75) < 0.15)
+  }
+
+  test("sqrt-temperature: a vanishing group clamps to 1/256, never to zero") {
+    val skewed = ((0L until 200L).map(i => (i, "big")) ++
+      Seq((9000L, "tiny"))).toDF("doc_id", "g")
+    // w_tiny = sqrt(1/200) ~ 0.0707 -> k = 18, but the CLAMP only binds
+    // below 1/256; either way the group must remain eligible
+    val w = Mixture.sqrtTemperatureResample(skewed, groupCol = "g", salt = "ts2")
+    // eligibility, not luck: with k = 18 the single doc keeps iff its
+    // hex pair <= '11'; assert the rule, not the draw — recompute it
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("9000:ts2".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    val kept = w.filter(col("g") === "tiny").count()
+    assert(kept == (if (h <= "11") 1L else 0L))
+  }
 }
