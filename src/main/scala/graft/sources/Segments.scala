@@ -167,4 +167,63 @@ object Segments {
     }
     live.size
   }
+
+  /** GARBAGE-COLLECT crash debris the commit protocol makes invisible
+    * but not free: (a) data dirs of segments that were WRITTEN but never
+    * committed — a crash between [[writePart]] and [[commit]] leaves
+    * them consuming space forever, since no reader or [[compact]] ever
+    * references them; (b) data dirs of SUPERSEDED segments whose
+    * best-effort delete in [[compact]] failed; (c) stale `.tmp_` marker
+    * scratch files from crashed commits.
+    *
+    * `horizonMs` protects the single writer's IN-FLIGHT segment: an
+    * uncommitted dir (or scratch marker) is only removed when its
+    * modification time is older than the horizon, which must exceed the
+    * longest write-to-commit window the ingest can experience (an hour
+    * dwarfs any real micro-batch; superseded dirs need no horizon —
+    * their markers prove no reader can list them). Run it from the
+    * directory's owning writer between batches, like [[compact]].
+    *
+    * Driver-side filesystem walk only (no Spark jobs) — cost is the
+    * directory listing. Returns the removed paths relative to `dir`.
+    */
+  def vacuum(spark: SparkSession, dir: String,
+      horizonMs: Long = 60L * 60 * 1000): Seq[String] = {
+    val (fs, root) = fsFor(spark, dir)
+    val segsRoot = new Path(root, "segs")
+    if (!fs.exists(segsRoot)) return Nil
+    val ms = markers(fs, root)
+    val committed = ms.map(_._1).toSet
+    val dead = ms.flatMap(_._2).toSet
+    val cutoff = System.currentTimeMillis() - horizonMs
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(segsRoot).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName != "_commits")
+      .foreach { partSt =>
+        fs.listStatus(partSt.getPath).toSeq.filter(_.isDirectory).foreach { segSt =>
+          val name = segSt.getPath.getName
+          val drop = dead.contains(name) ||
+            (!committed.contains(name) && segSt.getModificationTime < cutoff)
+          if (drop) {
+            try {
+              if (fs.delete(segSt.getPath, true))
+                removed += s"segs/${partSt.getPath.getName}/$name"
+            } catch { case _: java.io.IOException => () }
+          }
+        }
+      }
+    val commits = commitsPath(root)
+    if (fs.exists(commits)) {
+      fs.listStatus(commits).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp_") &&
+          st.getModificationTime < cutoff)
+        .foreach { st =>
+          try {
+            if (fs.delete(st.getPath, false))
+              removed += s"segs/_commits/${st.getPath.getName}"
+          } catch { case _: java.io.IOException => () }
+        }
+    }
+    removed.toSeq
+  }
 }

@@ -105,4 +105,46 @@ class SegmentsSpec extends SparkTestBase {
     Segments.compact(spark, dir, Seq("data" -> Seq("cell")))
     assert(cells() === before)
   }
+
+  test("vacuum removes aged crash debris and superseded leftovers, never live data") {
+    val dir = tmp("vac")
+    writeBase(dir)
+    // two committed segments, then compact so both become superseded;
+    // plant a leftover data dir for one of them (compact's best-effort
+    // delete "failed")
+    Segments.writePart(Seq((3L, "c")).toDF("id", "v"), dir, "data", "s1")
+    Segments.commit(spark, dir, "s1")
+    Segments.writePart(Seq((4L, "d")).toDF("id", "v"), dir, "data", "s2")
+    Segments.commit(spark, dir, "s2")
+    Segments.compact(spark, dir, Seq("data" -> Nil))
+    val leftover = new java.io.File(s"$dir/segs/data/s1")
+    leftover.mkdirs()
+    new java.io.File(leftover, "orphan.parquet").createNewFile()
+    // crash debris: written, never committed
+    Segments.writePart(Seq((9L, "x")).toDF("id", "v"), dir, "data", "crashed")
+    // stale scratch marker from a crashed commit
+    val scratch = new java.io.File(s"$dir/segs/_commits/.tmp_crashed")
+    scratch.createNewFile()
+    val before = rows(dir, "data")
+    // horizon 0: everything aged counts as stale immediately
+    val removed = Segments.vacuum(spark, dir, horizonMs = 0L).toSet
+    assert(removed.contains("segs/data/s1"), s"superseded leftover not removed: $removed")
+    assert(removed.contains("segs/data/crashed"), s"crash debris not removed: $removed")
+    assert(removed.contains("segs/_commits/.tmp_crashed"), s"scratch marker not removed: $removed")
+    // the live compacted segment and the base are untouched; readers
+    // see exactly what they saw before
+    assert(rows(dir, "data") === before)
+    assert(new java.io.File(s"$dir/segs/data/compact-2").exists())
+  }
+
+  test("vacuum's horizon protects an in-flight uncommitted segment") {
+    val dir = tmp("vach")
+    writeBase(dir)
+    Segments.writePart(Seq((9L, "x")).toDF("id", "v"), dir, "data", "inflight")
+    val removed = Segments.vacuum(spark, dir, horizonMs = 60L * 60 * 1000)
+    assert(removed.isEmpty, s"fresh in-flight segment must survive: $removed")
+    // the writer then commits it and the rows appear as normal
+    Segments.commit(spark, dir, "inflight")
+    assert(rows(dir, "data").contains((9L, "x")))
+  }
 }
