@@ -686,6 +686,20 @@ object TextQueries extends QueryFamily {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
 
+    // full CUBE over (source, lang) — every grouping set at once
+    // (per-pair, per-source, per-lang, grand total), completing the
+    // grouping family beside q107's ROLLUP and q108's PIVOT: one Expand
+    // + one aggregation, the same map-side-combined shape. The ordering
+    // key disambiguates which NULLs are subtotal markers via GROUPING()
+    // masks, so rows hash-stably even if a data value were NULL
+    "q130_cube_source_lang" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .cube("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          grouping_id().as("gmask"))
+        .orderBy(col("gmask"), col("source").asc_nulls_first,
+          col("lang").asc_nulls_first)),
+
     // long-to-wide PIVOT with an explicit value list (deterministic
     // schema — Spark never scans for values, the oracle never guesses)
     "q108_pivot_lang_counts" -> ((s, dir) =>
@@ -1348,6 +1362,12 @@ object TextQueries extends QueryFamily {
                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
            FROM documents GROUP BY ROLLUP(source, lang)
            ORDER BY source NULLS FIRST, lang NULLS FIRST""",
+      "q130_cube_source_lang" ->
+        """SELECT source, lang, COUNT(*) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gmask
+           FROM documents GROUP BY CUBE(source, lang)
+           ORDER BY gmask, source NULLS FIRST, lang NULLS FIRST""",
       "q108_pivot_lang_counts" -> {
         val langs = Seq("de", "en", "es", "fr", "zh")
         val cols = langs.map(l =>
