@@ -224,9 +224,16 @@ object Bench {
     def jarr(names: Iterable[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibJson = s"""{"values":${calibs.map(c => f"$c%.3f").mkString("[", ",", "]")},"contended":$contended,"settle_tries":$settleTries,"rerun_advised":$contended,"contention_rerun":${jarr(rerunNames)}}"""
-    val qs = jmap(results.map { case (k, v) => k -> v.min.toString })
+    // per-query minima at 3 dp: the COMPLETE record in ~3 KB, so it
+    // survives a tail-truncating capture (see the ordering note below)
+    val qs = jmap(results.map { case (k, v) => k -> f"${v.min}%.3f" })
     val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibJson}""")
+    // LINE ORDER MATTERS (round-11 verdict #5): the driver's capture
+    // keeps only the TAIL of stdout, and the r11 artifact retained ~10
+    // of 128 queries' runs ("parsed": null). The truncatable long lines
+    // (raw runs) print FIRST; the one COMPLETE compact line — total +
+    // every per-query minimum + calibration — prints LAST, so the
+    // artifact is parseable per-query no matter where truncation cuts.
     // per-query raw runs (spread = contention visibility)
     val runsJson = s"""{"metric":"runs","unit":"sec","runs":${
       jmap(results.map { case (k, v) => k -> v.mkString("[", ",", "]") })},"sf":"$sfDir","errors":${jarr(errored)},"calibration":$calibJson}"""
@@ -237,17 +244,26 @@ object Bench {
     val stagesJson = s"""{"metric":"stage_build","value":${stageTimes.map(_._2).sum},"unit":"sec","stages":${
       jmap(stageTimes.map { case (k, v) => k -> v.toString })},"stage_errors":${jarr(stageErrors)},"sf":"$sfDir"}"""
     println(stagesJson)
-    // short trailing summary line: harvesters that keep only the tail of
-    // the output would otherwise truncate the front of the (long)
-    // per-query line and lose the total. Distinct metric name so a
-    // consumer that aggregates by metric can't double-count the total.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errored.size},"sf":"$sfDir","contended":$contended}""")
+    // the final, self-contained line (the driver contract's "ONE JSON
+    // line"): total + per-query minima + counts + calibration, compact
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":${errored.size},"sf":"$sfDir","calibration":$calibJson}""")
     // the COMPLETE per-query artifact, committed to the tree each round:
     // the driver's BENCH_r{N}.json tail-truncates the long runs line, so
     // regressions were not diffable without re-measuring (r8 verdict #5)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","calibration":$calibJson}\n$runsJson\n$stagesJson\n""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","calibration":$calibJson}\n$runsJson\n$stagesJson\n""")
+    // cross-round regression history: one (round-tagged) JSONL row per
+    // bench run with the per-query minima — r9/r10/r11 local artifacts
+    // each had a different shape, so cross-round comparisons needed one
+    // parser per round (round-11 verdict #7). Appended, never rewritten.
+    sys.env.get("SPARK_GRAFT_BENCH_ROUND").foreach { round =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        s"""{"round":"$round","total":${f"$total%.3f"},"n_queries":${results.size},"contended":$contended,"sf":"$sfDir","queries":$qs}\n""",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     spark.stop()
   }
 }

@@ -46,7 +46,16 @@ object Mixture {
       docs: DataFrame, groupCol: String = "source", idCol: String = "doc_id",
       salt: String = "mix"): DataFrame = {
     val counts = docs.groupBy(groupCol).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      .map { r =>
+        // fail fast, not silently: a null key would become a null-keyed
+        // weight that resample's equi-join can never match, so every row
+        // of that group would vanish — contradicting the documented
+        // guarantee that no non-empty group drops below the 1/256 floor
+        require(!r.isNullAt(0),
+          s"temperature mixture: '$groupCol' contains NULL — a mixture " +
+            "group needs a non-null key; filter or coalesce upstream")
+        r.getString(0) -> r.getLong(1)
+      }
     require(counts.nonEmpty, "temperature mixture needs at least one group")
     val nMax = counts.map(_._2).max
     val weights = counts.map { case (g, n) =>

@@ -55,8 +55,12 @@ object Pca {
   def train(
       vectors: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    // two aggregate passes (mean, then mean-centered covariance) read
+    // `rows` — persist so the parquet scan + row decode run once, not
+    // per pass; freed before the driver-side eigendecomposition
     val rows = vectors.select(col(vecCol)).rdd
       .map(_.getSeq[Float](0).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (sum, n) = rows.treeAggregate((null: Array[Double], 0L))(
       seqOp = { case ((acc, c), v) =>
         val a = if (acc == null) new Array[Double](v.length) else acc
@@ -99,6 +103,7 @@ object Pca {
           while (i < a.length) { a(i) += b(i); i += 1 }
           a
       })
+    rows.unpersist(blocking = false)
     val m = breeze.linalg.DenseMatrix.create(dim, dim, cov.map(_ / n))
     val es = breeze.linalg.eigSym(m)
     // eigSym: ascending eigenvalues — take the top k, descending

@@ -27,6 +27,22 @@ import graft.operators.QuantileSketch
   */
 object SketchStream {
 
+  /** Read the drained state, or an EMPTY frame of the state's schema
+    * when no micro-batch ever fired: an empty feed directory under
+    * AvailableNow triggers zero batches, so foreachBatch never writes
+    * `$outDir/state` and a bare read would throw. An empty sketch (zero
+    * groups) is the correct drained answer for an empty feed.
+    */
+  private def drainedState(
+      spark: SparkSession, outDir: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/state")
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      spark.read.parquet(s"$outDir/state")
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   def quantileSketchStreaming(
       spark: SparkSession, feedDir: String, feedSchema: StructType,
       outDir: String, groupCols: Seq[String], idCol: String, valueCol: String,
@@ -53,7 +69,7 @@ object SketchStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    QuantileSketch.quantiles(spark.read.parquet(s"$outDir/state"), groupCols, ps)
+    QuantileSketch.quantiles(drainedState(spark, outDir, state.schema), groupCols, ps)
   }
 
   /** The KMV distinct sketch ([[graft.operators.Kmv]]) as streaming
@@ -91,7 +107,7 @@ object SketchStream {
       .start()
     q.awaitTermination()
     graft.operators.Kmv.distinctEstimate(
-      spark.read.parquet(s"$outDir/state"), k)
+      drainedState(spark, outDir, state.schema), k)
   }
 
   /** The Count-Min counter grid ([[graft.operators.Freq.cmsGrid]]) as
@@ -164,7 +180,7 @@ object SketchStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val drained = spark.read.parquet(s"$outDir/state")
+    val drained = drainedState(spark, outDir, state.schema)
     graft.operators.Freq.cmsHeavyHittersFromGrid(
       drained.filter(col("item").isNull).select("i", "bucket", "cnt"),
       drained.filter(col("item").isNotNull).select("item"),

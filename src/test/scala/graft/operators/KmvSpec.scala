@@ -68,6 +68,19 @@ class KmvSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming drain over an EMPTY feed returns an empty sketch, not a throw") {
+    // an empty feed dir fires zero AvailableNow batches, so foreachBatch
+    // never writes the state path — the readback must degrade to the
+    // empty sketch (zero groups), not an AnalysisException
+    val dir = java.nio.file.Files.createTempDirectory("kmv-empty").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/feed"))
+    val schema = Seq(("g", "v")).toDF("g", "v").schema
+    val out = graft.streaming.SketchStream.kmvDistinctStreaming(
+      spark, s"$dir/feed", schema, s"$dir/out",
+      groupCols = Seq("g"), valueCol = "v", k = 16, salt = "t")
+    assert(out.count() == 0L)
+  }
+
   test("jaccard estimate tracks true overlap and is exact for identical groups") {
     val shared = (0 until 3000).map(i => s"s$i")
     val aOnly = (0 until 1000).map(i => s"a$i")
