@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def families: Seq[QueryFamily] = Seq(
     ParityQueries, DedupQueries, AnnQueries, TextQueries,
-    MultimodalQueries, EventQueries)
+    MultimodalQueries, EventQueries, MaterializeQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -168,4 +168,35 @@ object QualityClassifier {
         ((lit(model.biasMicro) * when(col("ng") > 0, col("ng")).otherwise(1L)
           + coalesce(col("dot"), lit(0L))) >= 0).as("keep"))
   }
+
+  /** Keep decision at a caller-chosen OPERATING POINT: keep iff the doc
+    * has gram evidence AND its mean gram weight clears `thetaMicro` —
+    * `dot >= thetaMicro * ng` in exact integer micro-unit arithmetic
+    * (the sigmoid is monotone, so this is a score threshold with no
+    * float in the decision). [[score]]'s `keep` is the fixed 0.5 point
+    * (logit >= 0); a real deployment tunes the threshold on held-out
+    * data, and on a weakly-separated corpus the 0.5 point can be
+    * degenerate (keep-none or keep-all) while the RELATIVE ordering
+    * still discriminates — the q131 pipeline's case. Zero-gram docs
+    * (shorter than n codepoints) carry no evidence and are dropped.
+    */
+  def keepAt(
+      docs: DataFrame, model: Model, thetaMicro: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wLit = typedLit(model.weightsMicro.toSeq)
+    docs
+      .select(col(idCol).as("id"),
+        explode_outer(charGramBuckets(normText(col(textCol)), model.n, model.dim)).as("b"))
+      .groupBy("id")
+      .agg(sum(element_at(wLit, col("b") + 1)).as("dot"),
+        count(col("b")).as("ng"))
+      .select(col("id").as(idCol),
+        // decimal(38,0): exact integer compare that cannot hit ANSI
+        // long-overflow for any (theta, gram count) a caller picks —
+        // theta * ng in plain longs would be a task-killing exception
+        (col("ng") > 0 &&
+          coalesce(col("dot"), lit(0L)).cast("decimal(38,0)") >=
+            lit(thetaMicro).cast("decimal(38,0)") * col("ng").cast("decimal(38,0)"))
+          .as("keep"))
+  }
 }

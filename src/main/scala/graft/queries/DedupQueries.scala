@@ -27,7 +27,7 @@ object DedupQueries extends QueryFamily {
 
   private val shingleN = 3
   private val contaminationN = 5 // longer n-grams for the q76 leakage probe
-  private val spanK = 8 // min repeated-span width; ~50 at corpus scale, scaled to 10-99-token testdata docs
+  private[queries] val spanK = 8 // min repeated-span width; ~50 at corpus scale, scaled to 10-99-token testdata docs
   private val jaccardThreshold = 0.8
   private val cosineThreshold = 0.5 // testdata embeddings are near-orthogonal; demo threshold
   private val corpusSplit = 250 // doc_id < split = corpus, >= split = increment (q50/q70/q78)
@@ -139,7 +139,7 @@ object DedupQueries extends QueryFamily {
     * marker). Carries `source` so the per-source boilerplate audit (q85)
     * shares the same stage as the global audit (q82).
     */
-  private def stagedSpanIndexDir(s: SparkSession, dir: String): String =
+  private[queries] def stagedSpanIndexDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_span_index",
       Seq(s"$dir/documents.parquet"),
       s"full:$spanK:source:v2", "meta/_SUCCESS") { stage =>
@@ -809,7 +809,7 @@ object DedupQueries extends QueryFamily {
     * to a `keeps(doc_id, keep_id)` relation: representative = min id,
     * singletons keep themselves. Shared by q43 and q74.
     */
-  private val groupsCtes: String =
+  private[queries] val groupsCtes: String =
     s"""$jaccardCtes,
         edges AS (
           SELECT id_a AS src, id_b AS dst FROM jpairs

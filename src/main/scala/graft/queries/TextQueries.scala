@@ -233,19 +233,7 @@ object TextQueries extends QueryFamily {
     // pattern), and the oracle builds the same url and replays every
     // canonicalization step with the same regexes
     "q119_url_canonicalize" -> ((s, dir) => {
-      val id = col("doc_id").cast("string")
-      val v = pmod(col("doc_id"), lit(5))
-      val dirty =
-        when(v === 0, concat(lit("HTTP://WWW."), col("source"),
-          lit(".Example.COM:80/Docs/"), id, lit("/?utm_source=feed&b=2&a=1#top")))
-        .when(v === 1, concat(lit("https://www."), col("source"),
-          lit(".example.com:443/docs/"), id))
-        .when(v === 2, concat(lit("https://Www."), col("source"),
-          lit(".Example.Com/docs/"), id, lit("?z=9&fbclid=abc&a=1")))
-        .when(v === 3, concat(lit("http://www."), col("source"),
-          lit(".example.com/docs/"), id, lit("///")))
-        .otherwise(concat(lit("HtTpS://WWW."), col("source"),
-          lit(".EXAMPLE.com:443/DOCS/"), id, lit("?gclid=1&ref=tw#frag")))
+      val dirty = dirtyUrl(col("doc_id"), col("source"))
       table(s, dir, "documents")
         .select(col("doc_id"), dirty.as("url_raw"),
           canonicalUrl(dirty).as("url_canon"))
@@ -796,35 +784,65 @@ object TextQueries extends QueryFamily {
     * regexes (list ops via LIST_FILTER/LIST_SORT, empty-query handling
     * via the same LEN guard).
     */
-  private lazy val urlCanonSql: String = {
-    val dirty = """CASE doc_id % 5
+  /** q119's deterministic messy-URL synthesis (Spark side), shared with
+    * the q131 composed pipeline; [[dirtyUrlSqlExpr]] is its SQL twin —
+    * the two must stay variant-for-variant identical.
+    */
+  private[queries] def dirtyUrl(docId: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val id = docId.cast("string")
+    val v = pmod(docId, lit(5))
+    when(v === 0, concat(lit("HTTP://WWW."), source,
+        lit(".Example.COM:80/Docs/"), id, lit("/?utm_source=feed&b=2&a=1#top")))
+      .when(v === 1, concat(lit("https://www."), source,
+        lit(".example.com:443/docs/"), id))
+      .when(v === 2, concat(lit("https://Www."), source,
+        lit(".Example.Com/docs/"), id, lit("?z=9&fbclid=abc&a=1")))
+      .when(v === 3, concat(lit("http://www."), source,
+        lit(".example.com/docs/"), id, lit("///")))
+      .otherwise(concat(lit("HtTpS://WWW."), source,
+        lit(".EXAMPLE.com:443/DOCS/"), id, lit("?gclid=1&ref=tw#frag")))
+  }
+
+  private[queries] val dirtyUrlSqlExpr: String = """CASE doc_id % 5
         WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Docs/' || doc_id || '/?utm_source=feed&b=2&a=1#top'
         WHEN 1 THEN 'https://www.' || source || '.example.com:443/docs/' || doc_id
         WHEN 2 THEN 'https://Www.' || source || '.Example.Com/docs/' || doc_id || '?z=9&fbclid=abc&a=1'
         WHEN 3 THEN 'http://www.' || source || '.example.com/docs/' || doc_id || '///'
         ELSE 'HtTpS://WWW.' || source || '.EXAMPLE.com:443/DOCS/' || doc_id || '?gclid=1&ref=tw#frag'
         END"""
-    s"""WITH raw AS (SELECT doc_id, $dirty AS u FROM documents),
-        parts AS (
+
+  /** The q119 canonicalization as a CTE chain over any `(doc_id, source)`
+    * relation, ending at `urlc(doc_id, url_raw, url_canon)` — shared by
+    * the q119 oracle and the q131 composed-pipeline oracle (prefixed
+    * names so the composition has no CTE collisions).
+    */
+  private[queries] def urlCanonCtes(from: String): String =
+    s"""uraw AS (SELECT doc_id, $dirtyUrlSqlExpr AS u FROM $from),
+        uparts AS (
           SELECT doc_id, u,
             LOWER(REGEXP_EXTRACT(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
             LOWER(REGEXP_EXTRACT(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
             REGEXP_REPLACE(REGEXP_EXTRACT(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS path,
             REGEXP_EXTRACT(u, '\\?([^#]*)', 1) AS qs
-          FROM raw),
-        kept AS (
+          FROM uraw),
+        ukept AS (
           SELECT *, LIST_SORT(LIST_FILTER(STRING_SPLIT(qs, '&'),
               p -> p <> '' AND NOT REGEXP_MATCHES(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$$)'))) AS keep
-          FROM parts)
-        SELECT doc_id, u AS url_raw,
-          scheme || '://' ||
-          CASE WHEN scheme = 'http' THEN REGEXP_REPLACE(auth, ':80$$', '')
-               WHEN scheme = 'https' THEN REGEXP_REPLACE(auth, ':443$$', '')
-               ELSE auth END ||
-          path ||
-          CASE WHEN LEN(keep) > 0 THEN '?' || ARRAY_TO_STRING(keep, '&') ELSE '' END AS url_canon
-        FROM kept ORDER BY doc_id"""
-  }
+          FROM uparts),
+        urlc AS (
+          SELECT doc_id, u AS url_raw,
+            scheme || '://' ||
+            CASE WHEN scheme = 'http' THEN REGEXP_REPLACE(auth, ':80$$', '')
+                 WHEN scheme = 'https' THEN REGEXP_REPLACE(auth, ':443$$', '')
+                 ELSE auth END ||
+            path ||
+            CASE WHEN LEN(keep) > 0 THEN '?' || ARRAY_TO_STRING(keep, '&') ELSE '' END AS url_canon
+          FROM ukept)"""
+
+  private lazy val urlCanonSql: String =
+    s"""WITH ${urlCanonCtes("documents")}
+        SELECT doc_id, url_raw, url_canon FROM urlc ORDER BY doc_id"""
 
   /** q121's DISTRIBUTED-trained BPE model, staged once per corpus state:
     * the full word-frequency table (no top-N cap, words never collected)
@@ -832,7 +850,7 @@ object TextQueries extends QueryFamily {
     * rounds of one map-side-combined pair-count aggregate each, argmax
     * pair to the driver per round (the documented cost model).
     */
-  private def stagedBpeModelDir(s: SparkSession, dir: String): String =
+  private[queries] def stagedBpeModelDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_bpe_model_dist",
       Seq(s"$dir/documents.parquet"), s"full:m$bpeNumMerges", "meta/_SUCCESS") { stage =>
       val wf = table(s, dir, "documents")
@@ -847,7 +865,7 @@ object TextQueries extends QueryFamily {
     * (train-once/score-many: training is `iters` distributed passes, so
     * repeated bench/verify runs must reuse it, not retrain).
     */
-  private def stagedClfModelDir(s: SparkSession, dir: String): String =
+  private[queries] def stagedClfModelDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_clf_model",
       Seq(s"$dir/documents.parquet"), "n3:dim1024:it6:lr4:y=en", "meta/_SUCCESS") { stage =>
       graft.operators.QualityClassifier.save(s,
@@ -888,10 +906,17 @@ object TextQueries extends QueryFamily {
     * chain (dim a power of two, so unsigned mod == the kernel's low-bit
     * mask), integer micro-unit logit, the one EXP inside ROUND(...,6).
     */
-  private def clfSql(model: graft.operators.QualityClassifier.Model): String = {
+  /** The classifier SCORING chain over any `(doc_id, text)` relation,
+    * ending at `cagg(doc_id, dot, ng)` — shared by the q118 oracle and
+    * the q131 composed-pipeline oracle. Splices [[HashOracleSql
+    * .fnvFmixCtes]], which may appear ONCE per statement (fixed CTE
+    * names over `tokh`), so a composed statement may contain exactly one
+    * hash-chain consumer — here, the char-gram bucketing.
+    */
+  private[queries] def clfCtes(
+      model: graft.operators.QualityClassifier.Model, from: String): String = {
     val n = model.n
-    s"""WITH RECURSIVE
-        nrm AS (SELECT doc_id, $norm AS t FROM documents),
+    s"""nrm AS (SELECT doc_id, $norm AS t FROM $from),
         grams AS (
           SELECT doc_id, i, SUBSTR(t, i, $n) AS gm
           FROM nrm, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${n - 1})) AS i) u
@@ -904,17 +929,26 @@ object TextQueries extends QueryFamily {
         wt AS (SELECT [${model.weightsMicro.mkString(", ")}]::BIGINT[] AS ws),
         dots AS (SELECT doc_id, SUM(ws[b + 1]) AS dot, COUNT(*) AS ng
                  FROM bkt CROSS JOIN wt GROUP BY 1),
-        agg AS (SELECT d.doc_id, COALESCE(t.dot, 0) AS dot, COALESCE(t.ng, 0) AS ng
-                FROM documents d LEFT JOIN dots t USING (doc_id))
+        cagg AS (SELECT d.doc_id, COALESCE(t.dot, 0) AS dot, COALESCE(t.ng, 0) AS ng
+                 FROM $from d LEFT JOIN dots t USING (doc_id))"""
+  }
+
+  /** The exact integer keep decision over `cagg`'s columns. */
+  private[queries] def clfKeepSql(
+      model: graft.operators.QualityClassifier.Model): String =
+    s"(${model.biasMicro} * CASE WHEN ng > 0 THEN ng ELSE 1 END + dot) >= 0"
+
+  private def clfSql(model: graft.operators.QualityClassifier.Model): String =
+    s"""WITH RECURSIVE
+        ${clfCtes(model, "documents")}
         SELECT doc_id,
                ROUND(1.0 / (1.0 + EXP(-((CAST(${model.biasMicro} AS DOUBLE)
                    + CASE WHEN ng > 0 THEN CAST(dot AS DOUBLE) / CAST(ng AS DOUBLE)
                           ELSE 0.0 END) / 1000000.0))), 6) AS score,
-               (${model.biasMicro} * CASE WHEN ng > 0 THEN ng ELSE 1 END + dot) >= 0 AS keep
-        FROM agg ORDER BY doc_id"""
-  }
+               ${clfKeepSql(model)} AS keep
+        FROM cagg ORDER BY doc_id"""
 
-  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+  private[queries] def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** DuckDB twin of the greedy BPE apply: one recursion step merges the
     * LEFTMOST occurrence of the lowest-ranked adjacent pair (sentinel
@@ -923,10 +957,16 @@ object TextQueries extends QueryFamily {
     * kernel's codepoint split; ARRAY_TO_STRING(NULL-on-empty) is
     * COALESCEd to '' to match concat_ws.
     */
-  private def bpeSql(model: graft.operators.Bpe.Model): String = {
-    val rankCase = model.merges.zipWithIndex.map { case ((l, r), i) =>
+  /** (adjacent pair -> merge rank) CASE body, shared by the q111/q121
+    * oracles and the q131 composed pipeline's piece-count recursion.
+    */
+  private[queries] def bpeRankCase(model: graft.operators.Bpe.Model): String =
+    model.merges.zipWithIndex.map { case ((l, r), i) =>
       s"WHEN ${sqlStr(l)} || CHR(1) || ${sqlStr(r)} THEN $i"
     }.mkString(" ")
+
+  private def bpeSql(model: graft.operators.Bpe.Model): String = {
+    val rankCase = bpeRankCase(model)
     val vocabCase = model.vocab.map { case (p, id) =>
       s"WHEN ${sqlStr(p)} THEN $id"
     }.mkString(" ")
@@ -1001,10 +1041,50 @@ object TextQueries extends QueryFamily {
         repeat(element_at(typedlit(scriptPhrases), m + 1), 3)))
   }
 
-  private val norm = """REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')"""
-  private val toks = s"STRING_SPLIT($norm, ' ')"
+  private[queries] val norm = """REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')"""
+  private[queries] val toks = s"STRING_SPLIT($norm, ' ')"
+  private[queries] val nTokensSql = s"CASE WHEN LENGTH($norm) = 0 THEN 0 ELSE LEN($toks) END"
   private def markerCount(words: Seq[String]): String =
     s"LEN(LIST_FILTER($toks, x -> LIST_CONTAINS([${words.map("'" + _ + "'").mkString(",")}], x)))"
+
+  /** The q124 Gopher rule chain over any `(doc_id, text)` relation,
+    * ending at `gr(doc_id, n_words, mean_word_len, alpha_word_frac,
+    * symbol_word_ratio, stop_present)` — shared by the q124 oracle and
+    * the q131 composed-pipeline oracle. The verdict ([[gopherKeepSql]])
+    * compares the ROUNDED metrics, the engine contract.
+    */
+  private[queries] def gopherRuleCtes(from: String): String = {
+    val stopPresent = graft.operators.Gopher.stopwords
+      .map(w => s"CAST(LIST_CONTAINS($toks, '$w') AS INT)").mkString(" + ")
+    s"""gm AS (
+          SELECT doc_id,
+                 CAST($nTokensSql AS BIGINT) AS n_words,
+                 LENGTH($norm) AS n_chars,
+                 CAST(LEN(REGEXP_EXTRACT_ALL(' ' || $norm, ' [^ ]*[a-z]')) AS BIGINT) AS alpha_words,
+                 CAST(LEN(REGEXP_EXTRACT_ALL(text, '#|\\.\\.\\.')) AS BIGINT) AS symbols,
+                 CAST($stopPresent AS BIGINT) AS stop_present
+          FROM $from),
+        gr AS (
+          SELECT doc_id, n_words,
+                 ROUND(CASE WHEN n_words = 0 THEN 0.0
+                   ELSE (n_chars - n_words + 1)::DOUBLE / n_words END, 6) AS mean_word_len,
+                 ROUND(CASE WHEN n_words = 0 THEN 0.0
+                   ELSE alpha_words::DOUBLE / n_words END, 6) AS alpha_word_frac,
+                 ROUND(CASE WHEN n_words = 0 THEN 0.0
+                   ELSE symbols::DOUBLE / n_words END, 6) AS symbol_word_ratio,
+                 stop_present
+          FROM gm)"""
+  }
+
+  /** The q124-site keep verdict over `gr`'s columns (word bounds fit the
+    * ~25-word synthetic documents; see the q124 query comment).
+    */
+  private[queries] val gopherKeepSql: String =
+    """(n_words >= 10 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND alpha_word_frac >= 0.8
+        AND stop_present >= 1)"""
 
   def oracleSql: Map[String, String] = {
     val counts = langMarkers.map { case (lang, words) => lang -> markerCount(words) }
@@ -1064,36 +1144,12 @@ object TextQueries extends QueryFamily {
       // non-overlapping regexp pass counts letter-bearing words
       // identically under RE2 and Java regex; LIST_CONTAINS(toks, w) ==
       // the engine's padded-substring presence test
-      "q124_gopher_rules" -> {
-        val stopPresent = graft.operators.Gopher.stopwords
-          .map(w => s"CAST(LIST_CONTAINS($toks, '$w') AS INT)").mkString(" + ")
-        s"""WITH m AS (
-              SELECT doc_id,
-                     CAST($nTokens AS BIGINT) AS n_words,
-                     LENGTH($norm) AS n_chars,
-                     CAST(LEN(REGEXP_EXTRACT_ALL(' ' || $norm, ' [^ ]*[a-z]')) AS BIGINT) AS alpha_words,
-                     CAST(LEN(REGEXP_EXTRACT_ALL(text, '#|\\.\\.\\.')) AS BIGINT) AS symbols,
-                     CAST($stopPresent AS BIGINT) AS stop_present
-              FROM documents),
-            r AS (
-              SELECT doc_id, n_words,
-                     ROUND(CASE WHEN n_words = 0 THEN 0.0
-                       ELSE (n_chars - n_words + 1)::DOUBLE / n_words END, 6) AS mean_word_len,
-                     ROUND(CASE WHEN n_words = 0 THEN 0.0
-                       ELSE alpha_words::DOUBLE / n_words END, 6) AS alpha_word_frac,
-                     ROUND(CASE WHEN n_words = 0 THEN 0.0
-                       ELSE symbols::DOUBLE / n_words END, 6) AS symbol_word_ratio,
-                     stop_present
-              FROM m)
+      "q124_gopher_rules" ->
+        s"""WITH ${gopherRuleCtes("documents")}
             SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
                    symbol_word_ratio, stop_present,
-                   (n_words >= 10 AND n_words <= 100000
-                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                    AND symbol_word_ratio <= 0.1
-                    AND alpha_word_frac >= 0.8
-                    AND stop_present >= 1) AS keep
-            FROM r ORDER BY doc_id"""
-      },
+                   $gopherKeepSql AS keep
+            FROM gr ORDER BY doc_id""",
       "q30_text_tokens" ->
         s"""SELECT doc_id,
                    CAST($nTokens AS BIGINT) AS n_ws_tokens,

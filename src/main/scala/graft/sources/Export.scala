@@ -25,12 +25,49 @@ object Export {
       df: DataFrame, dir: String, shards: Int, keyCol: String,
       sortCols: Seq[String] = Nil): Unit = {
     require(shards >= 1, "shards must be >= 1")
+    writeShardedBy(df, dir, shards,
+      pmod(xxhash64(col(keyCol)), lit(shards.toLong)),
+      if (sortCols.isEmpty) Seq(keyCol) else sortCols)
+  }
+
+  /** [[writeSharded]] with a caller-computed shard rule (any
+    * deterministic pure function of row content — e.g. [[md5Shard]]
+    * when the membership must replay outside the JVM). Same layout and
+    * reproducibility contract: membership is content-addressed, never a
+    * function of partition layout, cluster size, or run order.
+    */
+  def writeShardedBy(
+      df: DataFrame, dir: String, shards: Int,
+      shardCol: org.apache.spark.sql.Column, sortCols: Seq[String]): Unit = {
+    require(shards >= 1, "shards must be >= 1")
     require(!df.columns.contains("shard"), "'shard' column name is reserved")
-    val order = if (sortCols.isEmpty) Seq(keyCol) else sortCols
-    df.withColumn("shard", pmod(xxhash64(col(keyCol)), lit(shards.toLong)))
+    require(sortCols.nonEmpty, "sortCols must pin the in-file row order")
+    df.withColumn("shard", shardCol)
       .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard") +: order.map(col): _*)
+      .sortWithinPartitions(col("shard") +: sortCols.map(col): _*)
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
+  /** Content-addressed shard rule that replays OUTSIDE the JVM: the
+    * first md5 hex byte of the UTF-8 key modulo `shards`. xxhash64 (the
+    * [[writeSharded]] default) has no cross-engine twin, so an export
+    * whose shard membership must be independently recomputable (an
+    * oracle, a non-JVM loader) keys on md5 — the salted-md5 family the
+    * sampling/mixture operators already use for engine-portable
+    * determinism. One hex byte = 256 buckets folding onto `shards`.
+    */
+  def md5Shard(key: org.apache.spark.sql.Column, shards: Int): org.apache.spark.sql.Column = {
+    require(shards >= 1 && shards <= 256, "md5Shard folds one hex byte: shards in [1, 256]")
+    pmod(conv(substring(md5(encode(key, "UTF-8")), 1, 2), 16, 10).cast("long"),
+      lit(shards.toLong))
+  }
+
+  /** Local twin of [[md5Shard]] for loaders/tests (no Spark job). */
+  def md5ShardOf(key: String, shards: Int): Int = {
+    require(shards >= 1 && shards <= 256, "md5Shard folds one hex byte: shards in [1, 256]")
+    val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      key.getBytes(java.nio.charset.StandardCharsets.UTF_8)).substring(0, 2)
+    math.floorMod(Integer.parseInt(hex, 16), shards)
   }
 
   /** The shard a key lands in — for loaders/tests to locate rows.

@@ -90,6 +90,37 @@ class QualityClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("keepAt: operating-point threshold is exact and monotone; zero-gram docs drop") {
+    val model = QualityClassifier.train(labeled, labelCol = "y")
+    val docs = labeled.select("doc_id", "text")
+    // theta low enough -> every doc with grams kept; high enough -> none
+    val all = QualityClassifier.keepAt(docs, model, Long.MinValue / 4)
+    assert(all.filter(col("keep")).count() == docs.count())
+    val none = QualityClassifier.keepAt(docs, model, Long.MaxValue / 4)
+    assert(none.filter(col("keep")).count() == 0)
+    // keep == (dot >= theta * ng) recomputed independently per doc
+    val theta = 0L
+    val kept = QualityClassifier.keepAt(docs, model, theta)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val manual = QualityClassifier.score(docs, model) // score >= 0.5 <=> mean dot >= -bias
+    // cross-check against the integer parts via a direct recomputation
+    val parts = docs
+      .select(col("doc_id"),
+        explode_outer(graft.functions.expr.ClassifierFunctions.charGramBuckets(
+          graft.functions.TextFunctions.normText(col("text")), model.n, model.dim)).as("b"))
+      .groupBy("doc_id")
+      .agg(sum(element_at(typedLit(model.weightsMicro.toSeq), col("b") + 1)).as("dot"),
+        count(col("b")).as("ng"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2) > 0 && r.getLong(1) >= theta * r.getLong(2))).toMap
+    assert(kept == parts)
+    assert(manual.count() == kept.size) // same doc coverage, no drops
+    // zero-gram doc: present with keep = false
+    val zg = QualityClassifier.keepAt(
+      Seq((9L, "ab")).toDF("doc_id", "text"), model, Long.MinValue / 4)
+    assert(zg.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq == Seq((9L, false)))
+  }
+
   test("training refuses single-class input") {
     val oneClass = (0 until 5).map(i => (i.toLong, goodText(i), true)).toDF("doc_id", "text", "y")
     intercept[IllegalArgumentException] {

@@ -39,6 +39,26 @@ class ExportSpec extends SparkTestBase {
     }
   }
 
+  test("md5 shard rule: layout-invariant membership, local twin agrees") {
+    // the engine-portable shard rule the q131 materialization exports
+    // under: membership must be a pure function of the key — identical
+    // across input layouts — and the local (no-job) twin must agree
+    // with the column form
+    val keyed = data.withColumn("k", concat(col("id").cast("string"), lit(":x")))
+    val d1 = java.nio.file.Files.createTempDirectory("graft_export").resolve("a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_export").resolve("b").toString
+    Export.writeShardedBy(keyed, d1, 8, Export.md5Shard(col("k"), 8), Seq("id"))
+    Export.writeShardedBy(keyed.repartition(13), d2, 8, Export.md5Shard(col("k"), 8), Seq("id"))
+    def membership(dir: String) = spark.read.parquet(dir)
+      .select(col("k"), col("shard")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    val m1 = membership(d1)
+    assert(m1 == membership(d2))
+    Seq("0:x", "42:x", "9999:x").foreach { k =>
+      assert(m1(k) == Export.md5ShardOf(k, 8), s"key $k")
+    }
+  }
+
   test("rows inside each file are sort-ordered, not arrival-ordered") {
     val dir = java.nio.file.Files.createTempDirectory("graft_export").resolve("t").toString
     Export.writeSharded(data.repartition(17), dir, shards = 4, keyCol = "id")
