@@ -82,6 +82,31 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual difference-hash over a REAL-PNG binary column: decode
+    * pixels ([[PngCodec.decode]] — Inflater + full filter
+    * reconstruction), box-downsample luminance to 9x8, 64-bit dHash
+    * ([[PngCodec.dhash64]]). Output (idCol, dhash); rows whose payload
+    * is not a decodable non-interlaced 8-bit PNG (or whose dims don't
+    * tile the 9x8 grid) are DROPPED — perceptual hashing without pixels
+    * is meaningless, and a corrupt payload must degrade, not kill the
+    * task. Same mapPartitions shape as the metadata decoders (genuinely
+    * imperative per-row byte work, the documented escape hatch).
+    */
+  def imageDhash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          PngCodec.decode(bytes).flatMap(PngCodec.dhash64)
+            .map(h => Row(r.getLong(0), h))
+        }
+      }(enc)
+  }
+
   /** Audio metadata schema produced by [[decodeAudioMeta]]. */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType, nullable = false),

@@ -642,11 +642,29 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val w = 64 / bands
     val sketches = ScaleOut(docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"), simhash64(tokens(col("text"))).as("sk"))
-    val banded = sketches.select(col("id"), col("sk"),
+    hammingPairs64(sketches, maxHamming, bands)
+  }
+
+  /** Banded Hamming near-dup pairs over PRECOMPUTED 64-bit sketches
+    * `(idCol, skCol)` — the pigeonhole band/verify tail shared by
+    * SimHash (q22, text sketches) and the perceptual image dHash (q132,
+    * pixel sketches): candidates from equality on one of `bands`
+    * equal-width bit-bands, verified with an exact popcount. The
+    * pigeonhole bound makes banding LOSSLESS at maxHamming <= bands-1 —
+    * there the result equals all-pairs popcount without the all-pairs
+    * surface (the q22/q132 gate settings); above that bound candidates
+    * must still share a band, so the operator is deliberately
+    * approximate (higher-recall radii trade completeness for the same
+    * bounded candidate surface).
+    */
+  def hammingPairs64(
+      sketches: DataFrame, maxHamming: Int, bands: Int,
+      idCol: String = "id", skCol: String = "sk"): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val w = 64 / bands
+    val banded = sketches.select(col(idCol).as("id"), col(skCol).as("sk"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("piece",
         expr(s"shiftrightunsigned(sk, band * $w)").bitwiseAND(lit((1L << w) - 1)))

@@ -49,8 +49,77 @@ object MultimodalQueries extends QueryFamily {
       val meta = Multimodal.decodeImageMeta(bin, "doc_id", "payload")
       Multimodal.sampleFrames(meta, "doc_id", stride = 2)
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // PIXEL-level perceptual image near-dup (dHash + pigeonhole-banded
+    // Hamming, the q22 tail over pixel sketches): deterministic
+    // grayscale images are synthesized per doc_id (planted near-dup
+    // quads: same base pattern b = doc_id/4, one box-cell perturbed per
+    // variant, <= 2 dHash bits each, so same-quad pairs land within
+    // hamming 4), ENCODED as real PNGs with the scanline filter type
+    // CYCLING 0-4 — then the query runs on the ENCODED BYTES: Inflater
+    // decode + all five filter reconstructions + box-downsample + dHash
+    // must all be bit-perfect or the closed-form oracle (which computes
+    // the same hash from the synthesis arithmetic, never touching PNG)
+    // hash-mismatches. The encode->decode round-trip IS the gate.
+    "q132_image_dhash_neardup" -> ((s, dir) => {
+      val pngs = synthPngs(s, table(s, dir, "documents").select(col("doc_id")))
+      val sk = Multimodal.imageDhash(pngs, "doc_id", "png")
+      graft.operators.Dedup.hammingPairs64(
+          sk, maxHamming = 4, bands = 8, idCol = "doc_id", skCol = "dhash")
+        .orderBy("id_a", "id_b")
     })
   )
+
+  // q132 synthesis geometry: 18x16 gray -> 2x2 box mean -> the 9x8 dHash
+  // grid. Base value stays < 181 and the perturbation adds 36, so no
+  // mod-256 wrap anywhere — every step replays as plain BIGINT SQL.
+  private val imgW = 18
+  private val imgH = 16
+
+  /** Deterministic pixel function, the oracle's twin: base pattern from
+    * b = doc_id/4, variant v = doc_id%4 adds +36 to the four pixels of
+    * ONE downsampled cell (x//2 = 2v, y//2 = v+2) — flipping at most
+    * the two dHash comparisons that touch that cell.
+    */
+  private def synthPixels(docId: Long): Array[Byte] = {
+    val b = docId / 4
+    val v = docId % 4
+    val px = new Array[Byte](imgW * imgH)
+    var y = 0
+    while (y < imgH) {
+      var x = 0
+      while (x < imgW) {
+        val base = (x * 73L + y * 151L + b * 97L + x * (y + 3L) * ((b % 7) + 1) +
+          x * x * 5L * ((b % 11) + 1) + y * y * 3L * ((b % 13) + 1)) % 181
+        val pert = if (v > 0 && x / 2 == v * 2 && y / 2 == v + 2) 36L else 0L
+        px(y * imgW + x) = (base + pert).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** (doc_id, png): each doc's synthesized pixels encoded as a REAL
+    * grayscale PNG, scanline filter cycling 0-4 by row so the decoder's
+    * every reconstruction branch sits on the gated path.
+    */
+  private def synthPngs(s: SparkSession, ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("png", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    ids.select(col("doc_id").cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(
+            id, graft.multimodal.PngCodec.encodeGray(imgW, imgH, synthPixels(id)))
+        }
+      }(enc)
+  }
 
   // the decode stub in SQL: width = 1 + first_byte % 64, height = 1 +
   // last_byte % 64, n_frames = 1 + byte_len % 8, format by first_byte % 3
@@ -98,6 +167,47 @@ object MultimodalQueries extends QueryFamily {
           FROM ($stub) ORDER BY doc_id""",
     "q34_multimodal_frames" ->
       s"""SELECT doc_id, CAST(UNNEST(GENERATE_SERIES(0, n_frames - 1, 2)) AS BIGINT) AS frame_idx
-          FROM ($stub) ORDER BY doc_id, frame_idx"""
+          FROM ($stub) ORDER BY doc_id, frame_idx""",
+    // q132's closed-form twin: the dHash recomputed from the synthesis
+    // ARITHMETIC alone (pixels -> 2x2 box mean -> adjacent-compare bits
+    // -> HUGEINT sum -> signed wrap), never touching PNG bytes — so the
+    // engine's encode->Inflate->defilter->downsample->hash chain must be
+    // bit-perfect to match. Brute-force all-pairs popcount equals the
+    // engine's banding exactly (pigeonhole-lossless at hamming<=7 with
+    // 8-bit bands).
+    "q132_image_dhash_neardup" -> {
+      val pow2 = (0 until 64)
+        .map(k => s"($k, ${BigInt(1) << k}::HUGEINT)").mkString(", ")
+      s"""WITH g AS (SELECT doc_id, doc_id // 4 AS b, doc_id % 4 AS v FROM documents),
+          pix AS (
+            SELECT doc_id,
+                   x, y,
+                   (x*73 + y*151 + b*97 + x*(y+3)*((b % 7) + 1) + x*x*5*((b % 11) + 1) + y*y*3*((b % 13) + 1)) % 181
+                     + CASE WHEN v > 0 AND x // 2 = v * 2 AND y // 2 = v + 2
+                            THEN 36 ELSE 0 END AS gval
+            FROM g,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, ${imgW - 1})) AS x) ux,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, ${imgH - 1})) AS y) uy),
+          cells AS (
+            SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(gval) // 4 AS p
+            FROM pix GROUP BY 1, 2, 3),
+          pow2(k, pw) AS (VALUES $pow2),
+          bits AS (
+            SELECT a.doc_id, a.cy * 8 + a.cx AS k
+            FROM cells a JOIN cells b2
+              ON b2.doc_id = a.doc_id AND b2.cy = a.cy AND b2.cx = a.cx + 1
+            WHERE a.cx < 8 AND b2.p > a.p),
+          dhu AS (
+            SELECT g.doc_id, COALESCE(SUM(t.pw), 0::HUGEINT) AS hu
+            FROM g LEFT JOIN (SELECT doc_id, pw FROM bits JOIN pow2 USING (k)) t
+              ON t.doc_id = g.doc_id
+            GROUP BY g.doc_id),
+          dh AS (SELECT doc_id, ${HashOracleSql.wrapSigned("hu")} AS sk FROM dhu)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+          FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sk, b.sk)) <= 4
+          ORDER BY id_a, id_b"""
+    }
   )
 }

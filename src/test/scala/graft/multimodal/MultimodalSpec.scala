@@ -263,4 +263,59 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(!frames.contains(1L) && frames.contains(2L))
   }
+
+  test("PngCodec: gray encode -> decode round-trips under every filter type") {
+    val w = 11; val h = 10 // odd width: filter byte offsets exercise bpp=1 edges
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 251).toByte)
+    // one fixed filter per image: each of the five reconstruction
+    // branches must independently reproduce the pixels bit-for-bit
+    (0 to 4).foreach { ft =>
+      val png = PngCodec.encodeGray(w, h, px, _ => ft)
+      val img = PngCodec.decode(png).getOrElse(fail(s"decode failed, filter $ft"))
+      assert(img.width == w && img.height == h && img.channels == 1)
+      assert(img.pixels.toSeq == px.toSeq, s"filter $ft")
+    }
+    // and the cycling form (the q132 gate shape)
+    val img = PngCodec.decode(PngCodec.encodeGray(w, h, px)).get
+    assert(img.pixels.toSeq == px.toSeq)
+  }
+
+  test("PngCodec: RGB encode -> decode round-trips; luminance is the integer formula") {
+    val w = 6; val h = 5
+    val px = Array.tabulate(w * h * 3)(i => ((i * 53 + 7) % 256).toByte)
+    val img = PngCodec.decode(PngCodec.encodeRgb(w, h, px)).get
+    assert(img.channels == 3 && img.pixels.toSeq == px.toSeq)
+    val r = px(0) & 0xff; val g = px(1) & 0xff; val b = px(2) & 0xff
+    assert(img.gray(0, 0) == ((77 * r + 150 * g + 29 * b) >> 8))
+  }
+
+  test("PngCodec: truncated IDAT and foreign bytes degrade to None, never throw") {
+    val png = PngCodec.encodeGray(8, 8, new Array[Byte](64))
+    assert(PngCodec.decode(png.take(png.length - 20)).isEmpty)
+    assert(PngCodec.decode("not a png at all".getBytes("UTF-8")).isEmpty)
+    assert(PngCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("PngCodec: dHash matches a hand-computed tiny case") {
+    // 18x16 image, constant rows except cell (0,0) brighter than (1,0):
+    // all adjacent-compare bits are 0 except where we plant an increase
+    val w = 18; val h = 16
+    val px = new Array[Byte](w * h)
+    // cell (cx=3, cy=2) = original x in [6,7], y in [4,5] set to 100;
+    // everything else 10 -> p(3,2)=100 > p(2,2)=10 sets bit k=2*8+2 (the
+    // compare at x=2); p(4,2)=10 < p(3,2) leaves bit k=2*8+3 clear
+    for (y <- 4 to 5; x <- 6 to 7) px(y * w + x) = 100.toByte
+    for (i <- px.indices if px(i) == 0) px(i) = 10.toByte
+    val img = PngCodec.decode(PngCodec.encodeGray(w, h, px)).get
+    val dh = PngCodec.dhash64(img).get
+    assert(dh == (1L << (2 * 8 + 2)), s"got ${dh.toBinaryString}")
+  }
+
+  test("imageDhash drops undecodable payloads and hashes real PNGs") {
+    val good = PngCodec.encodeGray(18, 16, Array.tabulate(18 * 16)(i => (i % 180).toByte))
+    val rows = Seq((1L, good), (2L, "junk".getBytes("UTF-8")))
+      .toDF("id", "png")
+    val out = Multimodal.imageDhash(rows, "id", "png").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
