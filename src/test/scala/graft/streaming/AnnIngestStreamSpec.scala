@@ -144,4 +144,23 @@ class AnnIngestStreamSpec extends SparkTestBase {
       .as[Long].collect().toSet
     assert(got.contains(102L), s"compacted index lost an ingested vector: $got")
   }
+  test("job budget: the 3-batch compacting drain stays within the pinned job count") {
+    val indexDir = freshIndex()
+    val feedDir = tmp("feed")
+    batches.foreach { b =>
+      b.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir)
+    }
+    val jobs = JobBudget.count(spark) {
+      AnnIngestStream.ingest(spark, feedDir, feedSchema, indexDir, tmp("out"),
+        tmp("ckpt"), k = k, nprobe = nprobe, maxFilesPerTrigger = Some(1),
+        compactEvery = 2)
+        .collect()
+      ()
+    }
+    info(s"ann ingest drain jobs = $jobs")
+    // measured 63 on two consecutive runs (stable); budget = measured
+    // + 6 == the "+2 jobs/batch over 3 batches" drift bound
+    assert(jobs <= 69, s"per-batch job overhead crept: $jobs jobs for a 3-batch drain (budget 69)")
+  }
 }

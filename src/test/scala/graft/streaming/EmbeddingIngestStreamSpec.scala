@@ -105,4 +105,23 @@ class EmbeddingIngestStreamSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).drop("batch")
       .collect().map(_.toSeq).toSet === oneShotRows)
   }
+  test("job budget: the 3-batch drain stays within the pinned job count") {
+    val indexDir = freshIndex()
+    val feedDir = tmp("feed")
+    inc.foreach { v =>
+      Seq(v).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir)
+    }
+    val jobs = JobBudget.count(spark) {
+      EmbeddingIngestStream.ingest(
+        spark, feedDir, feedSchema, indexDir, tmp("out"), tmp("ckpt"),
+        threshold = 0.95, maxFilesPerTrigger = Some(1), compactEvery = 2)
+        .collect()
+      ()
+    }
+    info(s"embedding ingest drain jobs = $jobs")
+    // measured 61 on two consecutive runs (stable); budget = measured
+    // + 6 == the "+2 jobs/batch over 3 batches" drift bound
+    assert(jobs <= 67, s"per-batch job overhead crept: $jobs jobs for a 3-batch drain (budget 67)")
+  }
 }

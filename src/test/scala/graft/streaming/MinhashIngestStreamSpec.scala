@@ -170,4 +170,28 @@ class MinhashIngestStreamSpec extends SparkTestBase {
     assert(Segments.liveSegs(spark, indexDir).size === 1,
       s"live segments not bounded: ${Segments.liveSegs(spark, indexDir)}")
   }
+  test("job budget: the 3-batch compacting drain stays within the pinned job count") {
+    // structural guard on per-batch overhead (r11 verdict: wall-clock
+    // targets flap with load; the job count does not): budget = the
+    // measured count of the current implementation + headroom for < 2
+    // jobs/batch of drift. A failure here means per-batch work crept
+    // back in (a reintroduced driver job, a doubled probe pass).
+    val indexDir = freshIndex()
+    val feedDir = tmp("feed")
+    inc.foreach { doc =>
+      Seq(doc).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(feedDir)
+    }
+    val jobs = JobBudget.count(spark) {
+      MinhashIngestStream.ingest(
+        spark, feedDir, feedSchema, indexDir, tmp("out"), tmp("ckpt"),
+        threshold = 0.8, maxFilesPerTrigger = Some(1), compactEvery = 2)
+        .collect()
+      ()
+    }
+    info(s"minhash ingest drain jobs = $jobs")
+    // measured 66 on two consecutive runs (stable); budget = measured
+    // + 6 == the "+2 jobs/batch over 3 batches" drift bound
+    assert(jobs <= 72, s"per-batch job overhead crept: $jobs jobs for a 3-batch drain (budget 72)")
+  }
 }
