@@ -387,6 +387,21 @@ object TextQueries extends QueryFamily {
         .orderBy("url")
     }),
 
+    // ORC columnar source (the other first-class Hadoop columnar
+    // format; Spark ships the reader/writer — no extra dependency):
+    // documents staged as a 3-file doc_id-sorted ORC dataset, read back
+    // through a filtered, projected scan. The VALUE of the gate is the
+    // format's scan contract, pinned by PlanShapeSpec: the lang/n_chars
+    // predicates reach the ORC reader as PushedFilters (min/max stripe
+    // + row-group skipping at scale) and ReadSchema carries only the
+    // four selected columns — same pushdown story as the parquet scans,
+    // proven on the second format.
+    "q133_orc_scan" -> ((s, dir) =>
+      s.read.orc(stagedOrcDir(s, dir))
+        .filter(col("lang") === "en" && col("n_chars") >= 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .orderBy("doc_id")),
+
     // HTML-to-text: the corpus is plain text, so (like q52's PII) the
     // query wraps each row in a deterministic HTML shell — style/script
     // blocks, tags, and entities — and the extraction must recover the
@@ -875,10 +890,26 @@ object TextQueries extends QueryFamily {
         stage)
     }
 
+  /** The documents table staged as a 3-file doc_id-sorted ORC dataset —
+    * q133's input (the q117 WARC staging pattern on the other columnar
+    * format). Sorting by doc_id gives the stripes disjoint doc_id
+    * min/max ranges, the layout ORC's predicate pushdown skips on.
+    */
+  private[queries] def stagedOrcDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_docs_orc",
+      Seq(s"$dir/documents.parquet"), "files=3:sort=doc_id", "_SUCCESS") { stage =>
+      table(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars", "text")
+        .repartition(3)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").orc(stage)
+    }
+
   override def stages: Map[String, (SparkSession, String) => String] = Map(
     "bpe_model_dist" -> (stagedBpeModelDir _),
     "clf_model" -> (stagedClfModelDir _),
     "docs_lang_feed" -> (stagedDocsLangFeedDir _),
+    "docs_orc" -> (stagedOrcDir _),
     "warc_archive" -> (stagedWarcDir _))
 
   private val docsLangFeedSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -1162,6 +1193,14 @@ object TextQueries extends QueryFamily {
       // q117 round-trips documents -> WARC response records -> parser;
       // the oracle rebuilds the same (url, status, body) view straight
       // from the table — the planted truncated record must NOT appear
+      // q133 round-trips documents -> sorted ORC -> filtered/projected
+      // scan; the oracle is the same restriction straight off the table
+      // (any ORC encode/decode defect surfaces as a value mismatch)
+      "q133_orc_scan" ->
+        """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text
+           FROM documents
+           WHERE lang = 'en' AND n_chars >= 200
+           ORDER BY doc_id""",
       "q117_warc_scan" ->
         """SELECT 'https://' || source || '/doc/' || doc_id AS url,
                   CAST(200 AS BIGINT) AS http_status,

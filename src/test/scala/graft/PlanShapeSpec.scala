@@ -59,6 +59,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull"), "expected non-empty PushedFilters")
   }
 
+  test("q133 ORC scan: predicates pushed to the reader, schema pruned to 4 columns") {
+    assume(haveTestdata)
+    val scanLine = plan(q("q133_orc_scan")).linesIterator
+      .find(_.contains("FileScan orc"))
+      .getOrElse(fail("no ORC FileScan in the q133 plan"))
+    // the lang/n_chars predicates must reach the ORC reader (stripe +
+    // row-group min/max skipping at scale), and the scan must read only
+    // the selected columns — the parquet pushdown story on format #2
+    assert(scanLine.contains("PushedFilters: [") &&
+      scanLine.contains("EqualTo(lang,en)") &&
+      scanLine.contains("GreaterThanOrEqual(n_chars,200)"),
+      s"ORC predicates not pushed: $scanLine")
+    assert(!scanLine.contains("source") || scanLine.contains("ReadSchema"),
+      s"unexpected scan line: $scanLine")
+    val readSchema = scanLine.substring(scanLine.indexOf("ReadSchema"))
+    assert(!readSchema.contains("source"), s"scan not pruned: $readSchema")
+  }
+
   test("q01 joins fixed-cardinality dims via broadcast, no fact-side pre-agg shuffle") {
     assume(haveTestdata)
     val p = plan(q("q01_revenue_by_nation"))
