@@ -154,4 +154,87 @@ object UnigramLm {
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("nll"))
   }
+
+  /** Per-document INTERPOLATED KNESER-NEY bigram NLL — the rung above
+    * [[scoreDocsBigram]]'s add-one estimator (Kneser & Ney 1995; the
+    * smoothing KenLM — CCNet's actual scorer — uses, here at bigram
+    * order with a fixed absolute discount):
+    *
+    *   p(cur | prev) = max(bcf − d, 0)/ctx(prev)
+    *                   + (d · N1+(prev,·)/ctx(prev)) · (N1+(·,cur)/B)
+    *
+    * with N1+(prev,·) the distinct continuations of prev, N1+(·,cur)
+    * the distinct contexts cur follows (the CONTINUATION count — "how
+    * many kinds of places does this word appear after", the insight
+    * that separates KN from Katz backoff), and B the number of distinct
+    * bigram types. Add-one gives every unseen transition the same mass
+    * regardless of the word; KN's continuation probability makes a
+    * versatile word cheap and a fixed-collocation word ("Francisco")
+    * expensive outside its collocation. Same surface and zero-token
+    * contract as the siblings: (idCol, n_tokens, nll 6dp), NULL nll for
+    * blank docs. `discount` defaults to the standard 0.75 (exactly
+    * representable, so the arithmetic replays bit-identically in an
+    * oracle).
+    *
+    * Scale shape — ONE key improvement over [[scoreDocsBigram]]: every
+    * KN ingredient (ctx, both N1+ tables, B) is a pure function of the
+    * bigram-count table, so the per-pair log-probability PRECOMPUTES on
+    * that vocab²-bounded model table — the corpus-sized occurrence
+    * stream pays exactly one (prev, cur) → lnp lookup join, split
+    * Zipf-head/tail like the siblings (the head broadcast ordered by
+    * pair frequency, so it covers the same occurrence mass).
+    */
+  def scoreDocsKneserNey(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      headVocab: Int = 1 << 16, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "absolute discount in (0, 1)")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val tok = CacheScope.pin(
+      ScaleOut(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+        .filter(col("token") =!= ""),
+      StorageLevel.MEMORY_AND_DISK)
+    val bg = CacheScope.pin(
+      tok.select(col(idCol),
+        coalesce(lag(col("token"), 1).over(w), lit("")).as("prev"),
+        col("token").as("cur")),
+      StorageLevel.MEMORY_AND_DISK)
+    val bcf = CacheScope.pin(
+      bg.groupBy("prev", "cur").agg(count(lit(1)).as("bcf")),
+      StorageLevel.MEMORY_AND_DISK)
+    // model-table aggregates: context mass + distinct-continuation count
+    // in ONE prev-keyed pass; continuation counts cur-keyed; B scalar
+    val ctxN1p = bcf.groupBy("prev")
+      .agg(sum("bcf").as("ctx"), count(lit(1)).as("n1p"))
+    val n1c = bcf.groupBy("cur").agg(count(lit(1)).as("n1c"))
+    val btRow = bcf.agg(count(lit(1)).cast("double").as("bt"))
+    // per-pair KN log-prob, precomputed on the model table (joins here
+    // are vocab²-bounded, never corpus-sized); expression tree written
+    // to match the oracle's SQL op-for-op so the doubles are identical
+    val pairLnp = CacheScope.pin(
+      bcf.join(ctxN1p, Seq("prev"))
+        .join(n1c, Seq("cur"))
+        .crossJoin(broadcast(btRow)) // 1-row scalar
+        .select(col("prev"), col("cur"), col("bcf"),
+          log(greatest(col("bcf") - lit(discount), lit(0.0)) / col("ctx")
+            + ((lit(discount) * col("n1p")) / col("ctx"))
+              * (col("n1c") / col("bt"))).as("lnp")),
+      StorageLevel.MEMORY_AND_DISK)
+    // the occurrence stream's ONLY model join: Zipf head (by pair
+    // frequency) broadcasts, tail shuffles by (prev, cur)
+    val headP = pairLnp.orderBy(col("bcf").desc, col("prev"), col("cur"))
+      .limit(headVocab).select("prev", "cur", "lnp")
+    val tailP = pairLnp.select("prev", "cur", "lnp")
+      .join(broadcast(headP.select("prev", "cur")), Seq("prev", "cur"), "left_anti")
+    val joined = bg.join(broadcast(headP), Seq("prev", "cur"), "left")
+    val scored = joined.filter(col("lnp").isNotNull).unionByName(
+        joined.filter(col("lnp").isNull).drop("lnp")
+          .join(tailP, Seq("prev", "cur")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), avg(-col("lnp")).as("mean_nll"))
+      .select(col(idCol), col("n_tokens"), round(col("mean_nll"), 6).as("nll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("nll"))
+  }
 }

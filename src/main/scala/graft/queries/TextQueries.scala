@@ -638,6 +638,15 @@ object TextQueries extends QueryFamily {
       graft.operators.UnigramLm.scoreDocsBigram(table(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // the Kneser-Ney rung above q97 (the smoothing KenLM — CCNet's
+    // actual scorer — uses): absolute discount + continuation-count
+    // interpolation, per-pair log-prob precomputed on the vocab²-bounded
+    // model table so the corpus stream pays one lookup join — see
+    // [[graft.operators.UnigramLm.scoreDocsKneserNey]]
+    "q134_kneser_ney_logprob" -> ((s, dir) =>
+      graft.operators.UnigramLm.scoreDocsKneserNey(table(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // exact heavy hitters via the two-pass Misra–Gries candidate/verify
     // shape ([[graft.operators.Freq]]): the sketch only PRUNES, so the
     // result is exact and fully oracled despite the approximate pass
@@ -1353,6 +1362,31 @@ object TextQueries extends QueryFamily {
         s"""WITH $bigramNllCtes
             SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, p.nll
             FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY doc_id""",
+      // interpolated Kneser-Ney over the same bigram counts: every KN
+      // ingredient is an integer aggregate of bcf; the per-pair
+      // probability expression is written op-for-op like the engine's
+      // (GREATEST/divisions/product/sum in the same tree), so the
+      // doubles agree and the 6-dp per-doc mean hash-compares (the q97
+      // discipline)
+      "q134_kneser_ney_logprob" ->
+        s"""WITH $bigramNllCtes,
+            kctx AS (SELECT prev, SUM(bcf) AS kx, COUNT(*) AS n1p FROM bcf GROUP BY prev),
+            kn1c AS (SELECT cur, COUNT(*) AS n1c FROM bcf GROUP BY cur),
+            kb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bt FROM bcf),
+            pairn AS (
+              SELECT b.prev, b.cur,
+                     LN(GREATEST(b.bcf - 0.75, 0.0) / kctx.kx
+                        + ((0.75 * kctx.n1p) / kctx.kx)
+                          * (kn1c.n1c / (SELECT bt FROM kb))) AS lnp
+              FROM bcf b JOIN kctx USING (prev) JOIN kn1c USING (cur)),
+            kper AS (
+              SELECT g.doc_id, COUNT(*) AS n_tokens,
+                     ROUND(AVG(-p.lnp), 6) AS nll
+              FROM bg g JOIN pairn p USING (prev, cur)
+              GROUP BY g.doc_id)
+            SELECT d.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens, k.nll
+            FROM documents d LEFT JOIN kper k USING (doc_id)
             ORDER BY doc_id""",
       // CCNet buckets: q97's per-doc nll (engine-identical at 6 dp)
       // scaled to integer micro-nats, tercile thresholds from the q112

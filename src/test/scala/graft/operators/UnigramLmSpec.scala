@@ -112,6 +112,88 @@ class UnigramLmSpec extends SparkTestBase {
     assert(rows(0).getLong(1) === 3L && !rows(0).isNullAt(2))
   }
 
+  /** Independent interpolated-KN reference over collected counts. */
+  private def knReference(
+      rows: Seq[(Long, String)], d: Double = 0.75): Map[Long, (Long, Double)] = {
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val bigrams = rows.flatMap { case (id, t) =>
+      val ts = toks(t)
+      ts.zip("" +: ts).map { case (cur, prev) => (id, prev, cur) }
+    }
+    val bcf = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toDouble).toMap
+    val ctx = bcf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1p = bcf.groupBy(_._1._1).view.mapValues(_.size.toDouble).toMap
+    val n1c = bcf.groupBy(_._1._2).view.mapValues(_.size.toDouble).toMap
+    val bt = bcf.size.toDouble
+    rows.map { case (id, t) =>
+      val ts = toks(t)
+      if (ts.isEmpty) id -> ((0L, Double.NaN))
+      else {
+        val nll = ts.zip("" +: ts).map { case (cur, prev) =>
+          val p = math.max(bcf((prev, cur)) - d, 0.0) / ctx(prev) +
+            (d * n1p(prev) / ctx(prev)) * (n1c(cur) / bt)
+          -math.log(p)
+        }
+        id -> ((ts.size.toLong, nll.sum / nll.size))
+      }
+    }.toMap
+  }
+
+  test("kneser-ney matches an independent reference on a mixed corpus") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "san francisco is far from here"),
+      (4L, "a cat and a dog and a bird"), (5L, "the cat sat"))
+    val got = UnigramLm.scoreDocsKneserNey(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ref = knReference(rows)
+    rows.foreach { case (id, _) =>
+      assert(got(id)._1 == ref(id)._1, s"n_tokens doc $id")
+      assert(math.abs(got(id)._2 - ref(id)._2) < 1e-6,
+        s"doc $id: got ${got(id)._2} vs ref ${ref(id)._2}")
+    }
+  }
+
+  test("kneser-ney continuation insight: versatile continuation beats " +
+      "fixed collocation at equal bigram count") {
+    // 'b' follows 4 distinct contexts; 'z' follows only 'q'. The pairs
+    // (x b) and (q z) each occur once with ctx(x)=ctx(q), so add-one
+    // scores them EQUAL — KN's continuation count must make the
+    // versatile 'b' strictly cheaper than the collocation-bound 'z'.
+    val rows = Seq(
+      (1L, "u b"), (2L, "v b"), (3L, "w b"),
+      (4L, "x b"), (5L, "q z"))
+    val kn = UnigramLm.scoreDocsKneserNey(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(4L) < kn(5L),
+      s"versatile-continuation doc ${kn(4L)} should beat collocation doc ${kn(5L)}")
+    val addOne = UnigramLm.scoreDocsBigram(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(addOne(4L) == addOne(5L),
+      "add-one cannot distinguish these by construction — if it can, the fixture broke")
+  }
+
+  test("kneser-ney head/tail split is pure execution strategy (forced tail == broadcast)") {
+    val rows = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat here"),
+      (3L, "a cat and a dog"))
+    val a = UnigramLm.scoreDocsKneserNey(rows.toDF("doc_id", "text"), headVocab = 2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = UnigramLm.scoreDocsKneserNey(rows.toDF("doc_id", "text"), headVocab = 1 << 16)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("kneser-ney zero-token docs are emitted with n_tokens=0 and NULL nll") {
+    val rows = UnigramLm.scoreDocsKneserNey(
+        Seq((1L, "real text here"), (2L, ""), (3L, "   ")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(1).getLong(1) === 0L && rows(1).isNullAt(2))
+    assert(rows(2).getLong(1) === 0L && rows(2).isNullAt(2))
+    assert(rows(0).getLong(1) === 3L && !rows(0).isNullAt(2))
+  }
+
   test("zero-token docs are emitted with n_tokens=0 and NULL nll") {
     val rows = UnigramLm.scoreDocs(
         Seq((1L, "real text here"), (2L, ""), (3L, "   ")).toDF("doc_id", "text"))
