@@ -402,6 +402,21 @@ object TextQueries extends QueryFamily {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
         .orderBy("doc_id")),
 
+    // Avro row-format source (q133's sibling on the other side of the
+    // row/columnar divide; Spark ships the Avro jars but not the
+    // `spark-avro` DataSource, so graft.sources.Avro builds the source
+    // from the public Avro machinery). documents staged as a 3-file
+    // deflate Avro dataset, read back through a PRUNED READER SCHEMA —
+    // the `source`/`text` columns are skipped at decode, the honest
+    // row-format analogue of column pruning; predicates stay
+    // post-decode (row format — a pipeline needing pushdown converts to
+    // parquet/ORC first, which is exactly the q133 pairing).
+    "q135_avro_scan" -> ((s, dir) =>
+      graft.sources.Avro.read(s, stagedAvroDir(s, dir), avroDocsSchema,
+          columns = Seq("doc_id", "lang", "n_chars"))
+        .filter(col("lang") === "en" && col("n_chars") >= 200)
+        .orderBy("doc_id")),
+
     // HTML-to-text: the corpus is plain text, so (like q52's PII) the
     // query wraps each row in a deterministic HTML shell — style/script
     // blocks, tags, and entities — and the extraction must recover the
@@ -914,9 +929,31 @@ object TextQueries extends QueryFamily {
         .write.mode("overwrite").orc(stage)
     }
 
+  private[queries] val avroDocsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+  /** The documents table staged as a 3-file doc_id-sorted Avro dataset —
+    * q135's input (the q133 staging pattern on the row format).
+    */
+  private[queries] def stagedAvroDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_docs_avro",
+      Seq(s"$dir/documents.parquet"), "files=3:sort=doc_id:v1", "_SUCCESS") { stage =>
+      graft.sources.Avro.write(
+        table(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars", "text")
+          .repartition(3)
+          .sortWithinPartitions("doc_id"),
+        stage)
+    }
+
   override def stages: Map[String, (SparkSession, String) => String] = Map(
     "bpe_model_dist" -> (stagedBpeModelDir _),
     "clf_model" -> (stagedClfModelDir _),
+    "docs_avro" -> (stagedAvroDir _),
     "docs_lang_feed" -> (stagedDocsLangFeedDir _),
     "docs_orc" -> (stagedOrcDir _),
     "warc_archive" -> (stagedWarcDir _))
@@ -1207,6 +1244,15 @@ object TextQueries extends QueryFamily {
       // (any ORC encode/decode defect surfaces as a value mismatch)
       "q133_orc_scan" ->
         """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text
+           FROM documents
+           WHERE lang = 'en' AND n_chars >= 200
+           ORDER BY doc_id""",
+      // q135 round-trips documents -> deflate Avro container files ->
+      // pruned-reader-schema scan; the oracle is the same restriction
+      // straight off the table (any Avro encode/decode/resolution defect
+      // surfaces as a value mismatch)
+      "q135_avro_scan" ->
+        """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
            FROM documents
            WHERE lang = 'en' AND n_chars >= 200
            ORDER BY doc_id""",
