@@ -107,6 +107,33 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual envelope-hash over a REAL-WAV binary column — the audio
+    * twin of [[imageDhash]]: decode PCM16 samples ([[WavCodec
+    * .decodePcm16]] — strict chunk walk + sample contract), 65-frame
+    * energy envelope, 64-bit difference hash ([[WavCodec
+    * .envelopeHash64]]). Output (idCol, ahash); rows whose payload is
+    * not a decodable MONO PCM16 WAV (or whose length doesn't tile 65
+    * frames) are DROPPED — same degrade-don't-kill contract as the
+    * image path (multi-channel audio needs a downmix policy the hash
+    * must not invent silently).
+    */
+  def audioEnvelopeHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          WavCodec.decodePcm16(bytes)
+            .filter(_.channels == 1)
+            .flatMap(a => WavCodec.envelopeHash64(a.samples))
+            .map(h => Row(r.getLong(0), h))
+        }
+      }(enc)
+  }
+
   /** Audio metadata schema produced by [[decodeAudioMeta]]. */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType, nullable = false),

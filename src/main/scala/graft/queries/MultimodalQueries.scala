@@ -68,6 +68,24 @@ object MultimodalQueries extends QueryFamily {
       graft.operators.Dedup.hammingPairs64(
           sk, maxHamming = 4, bands = 8, idCol = "doc_id", skCol = "dhash")
         .orderBy("id_a", "id_b")
+    }),
+
+    // SAMPLE-level perceptual audio near-dup — q132's audio twin, same
+    // planted-quad gate on the other modality: deterministic PCM16
+    // waveforms per doc_id (base magnitude sequence from b = doc_id/4,
+    // variant v boosts ONE envelope frame, touching <= 2 envelope-hash
+    // bits; the SIGN of every sample alternates by t, so a decoder that
+    // misreads signed little-endian shifts every magnitude), ENCODED as
+    // real RIFF/WAVE bytes — the query then runs on the ENCODED BYTES:
+    // chunk walk + PCM16 decode + 65-frame energy envelope + difference
+    // hash must be bit-perfect or the closed-form oracle (same
+    // arithmetic, never touching WAV bytes) hash-mismatches.
+    "q136_audio_envelope_neardup" -> ((s, dir) => {
+      val wavs = synthWavs(s, table(s, dir, "documents").select(col("doc_id")))
+      val sk = Multimodal.audioEnvelopeHash(wavs, "doc_id", "wav")
+      graft.operators.Dedup.hammingPairs64(
+          sk, maxHamming = 4, bands = 8, idCol = "doc_id", skCol = "ahash")
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -117,6 +135,57 @@ object MultimodalQueries extends QueryFamily {
           val id = r.getLong(0)
           org.apache.spark.sql.Row(
             id, graft.multimodal.PngCodec.encodeGray(imgW, imgH, synthPixels(id)))
+        }
+      }(enc)
+  }
+
+  // q136 synthesis geometry: 65 envelope frames x 8 samples = 520
+  // samples per doc. Magnitudes stay < 12289 + 1500 (the NTT prime keeps
+  // the mod SQL-exact and the boost keeps |sample| far below 2^15, so no
+  // 16-bit clipping anywhere) — every step replays as plain BIGINT SQL.
+  private val audioFrames = 65
+  private val audioFrameLen = 8
+  private val audioMod = 12289L
+  private val audioBoost = 1500L
+
+  /** Deterministic magnitude function, the oracle's twin: base sequence
+    * from b = doc_id/4 (quadratic-in-t with b-dependent coefficients, so
+    * cross-base envelopes don't stay near-linear-similar — the q132
+    * lesson), variant v = doc_id%4 boosts every sample of ONE frame
+    * (t/8 = 5v), moving only that frame's energy — flipping at most the
+    * two difference-hash bits that touch it.
+    */
+  private def synthMagnitude(docId: Long, t: Int): Long = {
+    val b = docId / 4
+    val v = docId % 4
+    val base = (t * (73L + (b * b) % 127) + b * 151L + (t % 17) * ((b % 7) + 1) * 29L +
+      t.toLong * t * (3L + (b * (b + 5)) % 113)) % audioMod
+    if (v > 0 && t / audioFrameLen == v * 5) base + audioBoost else base
+  }
+
+  /** (doc_id, wav): each doc's synthesized samples encoded as a REAL
+    * mono PCM16 WAV; sample t carries magnitude synthMagnitude with sign
+    * (-1)^t, so the signed little-endian decode is on the gated path
+    * while the envelope (sum of magnitudes) stays sign-free for the
+    * oracle.
+    */
+  private def synthWavs(s: SparkSession, ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("wav", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val n = audioFrames * audioFrameLen
+    ids.select(col("doc_id").cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val samples = Array.tabulate(n) { t =>
+            val m = synthMagnitude(id, t)
+            (if (t % 2 == 0) m else -m).toShort
+          }
+          org.apache.spark.sql.Row(
+            id, graft.multimodal.WavCodec.encodePcm16(16000, 1, samples))
         }
       }(enc)
   }
@@ -206,6 +275,44 @@ object MultimodalQueries extends QueryFamily {
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
           FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sk, b.sk)) <= 4
+          ORDER BY id_a, id_b"""
+    },
+    // q136's closed-form twin: the envelope hash recomputed from the
+    // synthesis ARITHMETIC alone (magnitudes -> 8-sample frame energy
+    // -> adjacent-compare bits -> HUGEINT sum -> signed wrap), never
+    // touching WAV bytes — so the engine's RIFF walk + signed-LE PCM16
+    // decode + envelope + hash chain must be bit-perfect to match.
+    "q136_audio_envelope_neardup" -> {
+      val pow2 = (0 until 64)
+        .map(k => s"($k, ${BigInt(1) << k}::HUGEINT)").mkString(", ")
+      val nSamples = audioFrames * audioFrameLen
+      s"""WITH g AS (SELECT doc_id, doc_id // 4 AS b, doc_id % 4 AS v FROM documents),
+          mag AS (
+            SELECT doc_id, t,
+                   (t*(73 + (b*b) % 127) + b*151 + (t % 17)*((b % 7) + 1)*29 + t*t*(3 + (b*(b+5)) % 113)) % $audioMod
+                     + CASE WHEN v > 0 AND t // $audioFrameLen = v * 5
+                            THEN $audioBoost ELSE 0 END AS m
+            FROM g,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, ${nSamples - 1})) AS t) ut),
+          frames AS (
+            SELECT doc_id, t // $audioFrameLen AS f, SUM(m) AS e
+            FROM mag GROUP BY 1, 2),
+          pow2(k, pw) AS (VALUES $pow2),
+          bits AS (
+            SELECT a.doc_id, a.f AS k
+            FROM frames a JOIN frames b2
+              ON b2.doc_id = a.doc_id AND b2.f = a.f + 1
+            WHERE a.f < 64 AND b2.e > a.e),
+          ahu AS (
+            SELECT g.doc_id, COALESCE(SUM(t.pw), 0::HUGEINT) AS hu
+            FROM g LEFT JOIN (SELECT doc_id, pw FROM bits JOIN pow2 USING (k)) t
+              ON t.doc_id = g.doc_id
+            GROUP BY g.doc_id),
+          ah AS (SELECT doc_id, ${HashOracleSql.wrapSigned("hu")} AS sk FROM ahu)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+          FROM ah a JOIN ah b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sk, b.sk)) <= 4
           ORDER BY id_a, id_b"""
     }

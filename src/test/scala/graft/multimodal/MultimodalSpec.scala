@@ -318,4 +318,21 @@ class MultimodalSpec extends SparkTestBase {
     val out = Multimodal.imageDhash(rows, "id", "png").collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("audioEnvelopeHash hashes real mono WAVs; drops stereo, ragged-length, and junk") {
+    val mono = WavCodec.encodePcm16(16000, 1,
+      Array.tabulate(65 * 4)(t => ((t * 211) % 4000).toShort))
+    val stereo = WavCodec.encodePcm16(16000, 2,
+      Array.tabulate(65 * 4)(t => ((t * 211) % 4000).toShort))
+    val ragged = WavCodec.encodePcm16(16000, 1,
+      Array.tabulate(64)(t => (t * 3).toShort)) // 64 !| 65
+    val rows = Seq((1L, mono), (2L, stereo), (3L, ragged),
+      (4L, "junk".getBytes("UTF-8"))).toDF("id", "wav")
+    val out = Multimodal.audioEnvelopeHash(rows, "id", "wav").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    // the surviving hash equals the codec-level hash of the same samples
+    val expected = WavCodec.decodePcm16(mono)
+      .flatMap(a => WavCodec.envelopeHash64(a.samples)).get
+    assert(out.head.getLong(1) == expected)
+  }
 }
