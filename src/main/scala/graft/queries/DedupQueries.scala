@@ -255,6 +255,19 @@ object DedupQueries extends QueryFamily {
           n = shingleN, threshold = jaccardThreshold)
         .orderBy("id_a", "id_b")),
 
+    // CHARACTER-edit-distance entity resolution ([[graft.operators.Er
+    // .editDistancePairs]]): FastSS deletion-signature blocking + exact
+    // levenshtein verify over customer names — the fuzzy-match family
+    // the shingle/minhash operators don't cover (one typo in a short
+    // identifier is one unit of distance regardless of how many
+    // shingles it perturbs). The TPC-H name shape gives the gate real
+    // structure: two names are distance 1 iff their 9-digit suffixes
+    // differ in exactly one position.
+    "q137_er_name_pairs" -> ((s, dir) =>
+      graft.operators.Er.editDistancePairs(
+          table(s, dir, "customer"), idCol = "c_custkey", strCol = "c_name")
+        .orderBy("id_a", "id_b")),
+
     "q24_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(table(s, dir, "embeddings"),
           threshold = cosineThreshold)
@@ -999,6 +1012,23 @@ object DedupQueries extends QueryFamily {
                  ROUND(n_common::DOUBLE / sa.n_sh, 6) AS containment
           FROM common JOIN sizes sa ON sa.doc_id = id_a
           WHERE n_common::DOUBLE / sa.n_sh >= $jaccardThreshold
+          ORDER BY id_a, id_b""",
+    // q137's twin mirrors the ENGINE'S OWN blocking (deletion
+    // signatures -> signature equi-join -> levenshtein verify ->
+    // distinct) because the naive all-pairs levenshtein over 15k names
+    // is quadratic in DuckDB too; the blocking is exact (zero false
+    // negatives at d=1), so this equals the brute-force answer
+    "q137_er_name_pairs" ->
+      """WITH s AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+          sigs AS (
+            SELECT id, nm,
+                   SUBSTR(nm, 1, del) || SUBSTR(nm, del + 2) AS sig
+            FROM s,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, LENGTH(nm))) AS del) u)
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+          FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id
+          WHERE levenshtein(a.nm, b.nm) <= 1
           ORDER BY id_a, id_b""",
     // exact Jaccard over the FULL document set, restricted to pairs with
     // at least one increment member — corpus-vs-corpus pairs excluded
