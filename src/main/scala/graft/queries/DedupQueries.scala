@@ -590,6 +590,29 @@ object DedupQueries extends QueryFamily {
         .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
       graft.operators.PageRank.integerPageRank(edges, iters = prIters)
         .orderBy("id")
+    }),
+
+    // per-vertex triangle counts ([[graft.operators.Triangles]]) over a
+    // deterministic link graph with PLANTED triangle structure: a
+    // successor chain (u -> u+1) + the q120 block-hub rule (u -> its
+    // 50-block root) guarantees {u, u+1, hub} triangles inside every
+    // block, and a multiplicative-hash rule adds the irregular tail.
+    // Degree-ordered orientation (compact-forward) makes the wedge join
+    // skew-proof: the 50-degree hubs orient INWARD, so they fan out
+    // almost nothing. Successor rules semi-join back against the real
+    // id set (the q115 phantom-vertex lesson).
+    "q138_link_triangles" -> ((s, dir) => {
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val m = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            col("doc_id") + 1,
+            col("doc_id") - (col("doc_id") % 50),
+            (col("doc_id") * 7 + 3) % m)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      graft.operators.Triangles.vertexTriangles(edges)
+        .orderBy("id")
     })
   )
 
@@ -641,6 +664,57 @@ object DedupQueries extends QueryFamily {
           GROUP BY p.iter, e.dst, c.tel)
         SELECT id, pr FROM pr WHERE iter = $prIters ORDER BY id"""
   }
+
+  /** q138's DuckDB twin: the SAME edge synthesis shape as q120 (chain +
+    * block-hub + hash rule, semi-joined to real ids), then the SAME
+    * compact-forward orientation the engine runs — degree-ordered keys
+    * `degree·2^32 + id`, wedge join on the apex, closing-edge join —
+    * so every intermediate is integer-exact and the per-vertex counts
+    * hash-compare.
+    */
+  private val trianglesSql: String =
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+        mm AS (SELECT MAX(doc_id) + 1 AS m FROM ids),
+        raw AS (
+          -- LATERAL, not UNNEST-in-SELECT: DuckDB 1.0's binder ICEs on
+          -- the SELECT-list form under a DISTINCT + IN-subquery consumer
+          -- ("Failed to bind column reference dst"); the lateral form
+          -- plans clean and is the same row set
+          SELECT doc_id AS src, u.dst
+          FROM ids CROSS JOIN mm,
+          LATERAL (SELECT UNNEST([doc_id + 1,
+                                  doc_id - doc_id % 50,
+                                  (doc_id * 7 + 3) % m]) AS dst) u),
+        dedges AS (
+          SELECT DISTINCT src, dst FROM raw
+          WHERE src <> dst AND dst IN (SELECT doc_id FROM ids)),
+        und AS (
+          SELECT DISTINCT src, dst
+          FROM (SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges)),
+        deg AS (SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src),
+        adj AS (
+          SELECT u.src AS u, u.dst AS v,
+                 dv.degree * 4294967296 + dv.id AS kv
+          FROM und u
+          JOIN deg du ON du.id = u.src
+          JOIN deg dv ON dv.id = u.dst
+          WHERE du.degree * 4294967296 + du.id < dv.degree * 4294967296 + dv.id),
+        wedge AS (
+          SELECT x.u, x.v, y.v AS w
+          FROM adj x JOIN adj y ON y.u = x.u AND x.kv < y.kv),
+        tri AS (
+          SELECT wd.u, wd.v, wd.w
+          FROM wedge wd JOIN adj c ON c.u = wd.v AND c.v = wd.w),
+        cnt AS (
+          SELECT id, COUNT(*) AS n_tri
+          FROM (SELECT u AS id FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri)
+          GROUP BY id)
+        SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
+        FROM deg d LEFT JOIN cnt c USING (id)
+        ORDER BY d.id"""
 
   /** Exact-Jaccard pair CTEs (shared by the pair oracles and q43's
     * connected-components closure). Yields a `jpairs(id_a, id_b,
@@ -1056,6 +1130,7 @@ object DedupQueries extends QueryFamily {
     // references the CTE exactly once. All arithmetic is truncated
     // non-negative integer division, so Spark and DuckDB agree bit-wise
     "q120_link_pagerank" -> pagerankSql,
+    "q138_link_triangles" -> trianglesSql,
     // the incremental merge must land on the identical from-scratch
     // closure — strongest possible check for the star-edge equivalence
     "q91_dedup_groups_incremental" -> groupsSql,
