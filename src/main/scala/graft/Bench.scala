@@ -55,7 +55,8 @@ object Bench {
     val id = name.takeWhile(_ != '_')
     (name >= "q20" && name < "q28") ||
       Set("q39", "q43", "q70", "q74", "q76", "q78", "q82", "q84", "q85",
-        "q86", "q90", "q91", "q115", "q120", "q122", "q131").contains(id)
+        "q86", "q90", "q91", "q115", "q120", "q122", "q131",
+        "q137", "q138", "q139").contains(id)
   }
 
   /** Micro-batch Structured Streaming queries (checkpointed sinks).

@@ -613,8 +613,56 @@ object DedupQueries extends QueryFamily {
         .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
       graft.operators.Triangles.vertexTriangles(edges)
         .orderBy("id")
+    }),
+
+    // k-core peel ([[graft.operators.KCore]]) over the q138 link graph
+    // densified with a planted NUCLEUS — each block's first 12 members
+    // close a C12(2,5) circulant (banded paths always unravel under
+    // peeling, so a surviving core needs cycles) — the dense-nucleus
+    // extractor (link farms survive high k, honest tail pages peel
+    // away). Synchronous peeling: remove every sub-k vertex at once,
+    // recompute surviving degrees, repeat to the fixpoint (here: tails
+    // peel, stragglers peel, confirm — three materialized rounds, so
+    // the multi-round machinery is on the gated path; KCoreSpec pins a
+    // long 9-round cascade at spec scale). The oracle unrolls the same
+    // peel a fixed generous round count and takes the settled table,
+    // exact because the peel is monotone (any R past convergence
+    // yields the identical fixpoint).
+    "q139_link_kcore" -> ((s, dir) => {
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val m = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+      // q138's chain+hub+hash rules PLUS two in-head circulant wraps
+      // (each block's first 12 members close a C12(2,5) cycle): banded
+      // paths always unravel under peeling (k above the bandwidth eats
+      // the segment end-in), so a graph with a SURVIVING core needs
+      // cycles — the heads + their hub are the planted nucleus (120
+      // vertices at 10 blocks), and the tails cascade away over ~9
+      // rounds, putting the multi-round machinery on the gated path
+      val off = col("doc_id") % 50
+      val root = col("doc_id") - off
+      val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            col("doc_id") + 1,
+            root,
+            (col("doc_id") * 7 + 3) % m,
+            when(off < 12, root + (off + 2) % 12).otherwise(col("doc_id")),
+            when(off < 12, root + (off + 5) % 12).otherwise(col("doc_id"))))
+            .as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      graft.operators.KCore.kCore(edges, k = kCoreK)
+        .orderBy("id")
     })
   )
+
+  // q139 peel threshold: the in-head circulant + hub nucleus sustains
+  // degree >= 6, the tails sit at 4-5, so the core is the planted 12
+  // heads per block and the peel settles in 2 rounds + the confirming
+  // round. k=5 would run the same nucleus through a ~12-round tail
+  // cascade — correct (KCoreSpec pins a long cascade at spec scale) but
+  // each materialization round costs ~1.2 s of fixed stage overhead at
+  // sf0.1 (the q115 iterative floor), so the GATE uses the short peel
+  private val kCoreK = 6
 
   // q120 PageRank rounds: enough for hub ranks to separate, few enough
   // that the recursive oracle stays cheap
@@ -672,8 +720,12 @@ object DedupQueries extends QueryFamily {
     * so every intermediate is integer-exact and the per-vertex counts
     * hash-compare.
     */
-  private val trianglesSql: String =
-    s"""WITH ids AS (SELECT doc_id FROM documents),
+  /** The q138/q139 deterministic link graph as DuckDB CTEs, up to its
+    * symmetric undirected closure `und(src, dst)`; `rules` is the
+    * per-vertex successor list spliced into the UNNEST.
+    */
+  private def linkGraphUndCtes(rules: String): String =
+    s"""ids AS (SELECT doc_id FROM documents),
         mm AS (SELECT MAX(doc_id) + 1 AS m FROM ids),
         raw AS (
           -- LATERAL, not UNNEST-in-SELECT: DuckDB 1.0's binder ICEs on
@@ -682,15 +734,21 @@ object DedupQueries extends QueryFamily {
           -- plans clean and is the same row set
           SELECT doc_id AS src, u.dst
           FROM ids CROSS JOIN mm,
-          LATERAL (SELECT UNNEST([doc_id + 1,
-                                  doc_id - doc_id % 50,
-                                  (doc_id * 7 + 3) % m]) AS dst) u),
+          LATERAL (SELECT UNNEST([$rules]) AS dst) u),
         dedges AS (
           SELECT DISTINCT src, dst FROM raw
           WHERE src <> dst AND dst IN (SELECT doc_id FROM ids)),
         und AS (
           SELECT DISTINCT src, dst
-          FROM (SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges)),
+          FROM (SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges))"""
+
+  private val chainHubHashRules: String =
+    """doc_id + 1,
+       doc_id - doc_id % 50,
+       (doc_id * 7 + 3) % m"""
+
+  private val trianglesSql: String =
+    s"""WITH ${linkGraphUndCtes(chainHubHashRules)},
         deg AS (SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src),
         adj AS (
           SELECT u.src AS u, u.dst AS v,
@@ -715,6 +773,44 @@ object DedupQueries extends QueryFamily {
                CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
         FROM deg d LEFT JOIN cnt c USING (id)
         ORDER BY d.id"""
+
+  /** q139's DuckDB twin: the synchronous peel UNROLLED a fixed generous
+    * round count (non-recursive CTEs, since each round references its
+    * predecessor twice — once for each edge endpoint — which a
+    * recursive CTE's single-reference rule cannot express). Exact
+    * because the peel is monotone: once the surviving set stops
+    * changing, every later round reproduces it, so any unroll depth at
+    * or past convergence yields the identical fixpoint (the engine
+    * asserts its own convergence; KCoreSpec pins the gate graph's round
+    * count well inside the unroll).
+    */
+  private val kcoreSql: String = {
+    val rounds = 16
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    // reference, and each round references its predecessor twice — the
+    // same exponential plan-doubling the engine's RDD rebase prevents;
+    // without it the unrolled peel expands 2^rounds scans of documents
+    val peel = (0 until rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+            SELECT u.src AS id, COUNT(*) AS dg
+            FROM und u JOIN s$r a ON a.id = u.src JOIN s$r b ON b.id = u.dst
+            GROUP BY u.src),
+          s${r + 1} AS MATERIALIZED (SELECT id FROM d$r WHERE dg >= $kCoreK)"""
+    }.mkString(",\n          ")
+    val kcoreRules = chainHubHashRules + """,
+       CASE WHEN doc_id % 50 < 12
+            THEN doc_id - doc_id % 50 + (doc_id % 50 + 2) % 12
+            ELSE doc_id END,
+       CASE WHEN doc_id % 50 < 12
+            THEN doc_id - doc_id % 50 + (doc_id % 50 + 5) % 12
+            ELSE doc_id END"""
+    s"""WITH ${linkGraphUndCtes(kcoreRules)},
+        s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),
+        $peel
+        SELECT id, CAST(dg AS BIGINT) AS core_deg
+        FROM d${rounds - 1} WHERE dg >= $kCoreK
+        ORDER BY id"""
+  }
 
   /** Exact-Jaccard pair CTEs (shared by the pair oracles and q43's
     * connected-components closure). Yields a `jpairs(id_a, id_b,
@@ -1131,6 +1227,7 @@ object DedupQueries extends QueryFamily {
     // non-negative integer division, so Spark and DuckDB agree bit-wise
     "q120_link_pagerank" -> pagerankSql,
     "q138_link_triangles" -> trianglesSql,
+    "q139_link_kcore" -> kcoreSql,
     // the incremental merge must land on the identical from-scratch
     // closure — strongest possible check for the star-edge equivalence
     "q91_dedup_groups_incremental" -> groupsSql,
