@@ -180,6 +180,28 @@ class PlanShapeSpec extends SparkTestBase {
       "expected the partial distinct-min-k aggregate in q126's plan")
   }
 
+  test("q137 ER self-join is keyed on the signature, never a cartesian") {
+    assume(haveTestdata)
+    val p = initialPlan(q("q137_er_name_pairs"))
+    // the FastSS blocking claim: candidates come from a signature
+    // equi-join (broadcast at this SF, sort-merge at scale); an
+    // optimizer/stats regression that degenerates it to an all-pairs
+    // nested loop fails here, not at 100 TB
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ER candidate join degenerated to all-pairs")
+    assert(p.contains("sig"), "expected the signature column in the join plan")
+  }
+
+  test("q138 triangle joins stay keyed: no cartesian in wedge or closing join") {
+    assume(haveTestdata)
+    // (q139's returned frame is a post-peel aggregate over a rebased RDD
+    // — its per-round join shapes live in KCore and are not visible in
+    // the final plan, so the peel is covered by KCoreSpec instead)
+    val p = initialPlan(q("q138_link_triangles"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "triangle joins degenerated to all-pairs")
+  }
+
   test("q37 batch sessionization shuffles once by user_id") {
     assume(haveTestdata)
     val p = plan(q("q37_events_sessionize"))
