@@ -230,6 +230,25 @@ object DedupQueries extends QueryFamily {
         .select(col("keep_id"), col("n_copies"))
         .orderBy("keep_id")),
 
+    // CCNet paragraph dedup ([[graft.operators.ParagraphDedup]]):
+    // corpus-wide keep-first removal of duplicated normalized lines —
+    // the delimiter-structured sibling of the token-window span family
+    // (q82-q86). The corpus text is single-line, so the gate wraps each
+    // doc in deterministic paragraph structure (the q52/q63 injection
+    // pattern): a per-source shared header (kept only in that source's
+    // globally first doc), the doc's own text (drops exactly where q20
+    // found exact dups), and one global footer (kept once corpus-wide)
+    "q140_paragraph_dedup" -> ((s, dir) => {
+      val dirty = concat(
+        lit("Shared header for "), col("source"), lit("\n"),
+        col("text"), lit("\n"),
+        lit("shared global footer"))
+      graft.operators.ParagraphDedup.stripDuplicatedParagraphs(
+          table(s, dir, "documents").select(col("doc_id"), dirty.as("dirty")),
+          "doc_id", "dirty")
+        .orderBy("doc_id")
+    }),
+
     "q21_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(table(s, dir, "documents"),
           n = shingleN, threshold = jaccardThreshold)
@@ -1116,6 +1135,37 @@ object DedupQueries extends QueryFamily {
          FROM documents
          GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))
          ORDER BY keep_id""",
+    // q140's twin: the same split -> normalize -> global-first ->
+    // keep-first -> reassemble chain; first-occurrence keys are the
+    // same packed doc_id*1e6+pos integers, and STRING_AGG(... ORDER BY
+    // pos) replays the engine's sorted reassembly
+    "q140_paragraph_dedup" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  'Shared header for ' || source || chr(10) || text ||
+                    chr(10) || 'shared global footer' AS dirty
+           FROM documents),
+         sp AS (SELECT doc_id, STRING_SPLIT(dirty, chr(10)) AS l FROM d),
+         pars AS (
+           SELECT doc_id, i - 1 AS pos, l[i] AS par,
+                  MD5(LOWER(TRIM(l[i]))) AS h,
+                  doc_id * 1000000 + (i - 1) AS occ
+           FROM sp,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(l))) AS i) u),
+         fst AS (SELECT h, MIN(occ) AS first_occ FROM pars GROUP BY h),
+         kept AS (
+           SELECT p.doc_id, p.pos, p.par
+           FROM pars p JOIN fst f ON f.h = p.h AND p.occ = f.first_occ),
+         tot AS (SELECT doc_id, COUNT(*) AS n_pars FROM pars GROUP BY doc_id),
+         ka AS (
+           SELECT doc_id, COUNT(*) AS n_kept,
+                  STRING_AGG(par, chr(10) ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(t.n_pars AS BIGINT) AS n_pars,
+                CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                COALESCE(k.clean_text, '') AS clean_text
+         FROM tot t LEFT JOIN ka k USING (doc_id)
+         ORDER BY t.doc_id""",
     // NOT EXISTS (not NOT IN): matches the null semantics of Spark's
     // left_anti should a fingerprint ever be null
     // Bloom gate replayed bit-exactly: every distinct fingerprint hashes
