@@ -417,6 +417,56 @@ object TextQueries extends QueryFamily {
         .filter(col("lang") === "en" && col("n_chars") >= 200)
         .orderBy("doc_id")),
 
+    // robots.txt governance ([[graft.operators.Robots]]): which fetched
+    // URLs was the crawler ALLOWED to take — RFC 9309 parse + longest-
+    // match/allow-on-tie evaluation, the crawl-compliance step beside
+    // the WARC source. Per-source robots BODIES are synthesized
+    // deterministically (three policy shapes by source number: a
+    // graftbot+otherbot group shadowing a catch-all, a *-only group
+    // with comments/no-op rules/extensions, and an allowlist shape) and
+    // PARSED by the engine; the oracle rebuilds the effective rule set
+    // from the synthesis arithmetic alone — any parser or precedence
+    // defect surfaces as a decision mismatch (the q132 chain-gate
+    // pattern on policy text).
+    "q141_robots_governance" -> ((s, dir) => {
+      val n = substring(col("source"), 4, 10).cast("int")
+      val body = when(n % 3 === 0, concat(
+          lit("# synthetic robots for "), col("source"), lit("\n" +
+            "User-agent: graftbot\n" +
+            "User-agent: otherbot\n" +
+            "Disallow: /private/\n" +
+            "Allow: /private/doc/\n" +
+            "Disallow: /tmp/\n" +
+            "Crawl-delay: 5\n" +
+            "\n" +
+            "User-agent: *\n" +
+            "Disallow: /\n")))
+        .when(n % 3 === 1, lit(
+          "# only a wildcard group here\n" +
+            "User-agent: *\n" +
+            "Disallow: /private/\n" +
+            "Disallow:\n" +
+            "Sitemap: https://example.invalid/sitemap.xml\n"))
+        .otherwise(lit(
+          "User-agent: graftbot\n" +
+            "Allow: /doc/\n" +
+            "Disallow: /\n"))
+      val robots = table(s, dir, "documents").select(col("source")).distinct()
+        .select(col("source").as("domain"), body.as("robots_txt"))
+      val rules = graft.operators.Robots.parseRules(robots, "domain", "robots_txt")
+      val urls = table(s, dir, "documents").select(col("doc_id"),
+        col("source").as("domain"),
+        concat(
+          when(col("doc_id") % 4 === 0, lit("/doc/"))
+            .when(col("doc_id") % 4 === 1, lit("/private/doc/"))
+            .when(col("doc_id") % 4 === 2, lit("/tmp/doc/"))
+            .otherwise(lit("/public/doc/")),
+          col("doc_id")).as("path"))
+      graft.operators.Robots.evaluate(urls, rules, "graftbot",
+          idCol = "doc_id", domainCol = "domain", pathCol = "path")
+        .orderBy("doc_id")
+    }),
+
     // HTML-to-text: the corpus is plain text, so (like q52's PII) the
     // query wraps each row in a deterministic HTML shell — style/script
     // blocks, tags, and entities — and the extraction must recover the
@@ -1256,6 +1306,47 @@ object TextQueries extends QueryFamily {
            FROM documents
            WHERE lang = 'en' AND n_chars >= 200
            ORDER BY doc_id""",
+      // q141's twin rebuilds the EFFECTIVE graftbot rule set straight
+      // from the synthesis arithmetic (group selection pre-applied: the
+      // exact-agent group shadows '*', empty Disallow is a no-op) and
+      // replays longest-match/allow-on-tie as one max over
+      // length*2+allow-bit — the engine must parse the policy TEXT to
+      // the same place
+      "q141_robots_governance" ->
+        """WITH srcs AS (
+             SELECT DISTINCT source, CAST(SUBSTR(source, 4) AS INT) AS n
+             FROM documents),
+           rules AS (
+             SELECT source, v.allow, v.path
+             FROM srcs, (VALUES (FALSE, '/private/'), (TRUE, '/private/doc/'),
+                                (FALSE, '/tmp/')) v(allow, path)
+             WHERE n % 3 = 0
+             UNION ALL
+             SELECT source, FALSE, '/private/' FROM srcs WHERE n % 3 = 1
+             UNION ALL
+             SELECT source, v.allow, v.path
+             FROM srcs, (VALUES (TRUE, '/doc/'), (FALSE, '/')) v(allow, path)
+             WHERE n % 3 = 2),
+           urls AS (
+             SELECT doc_id, source AS domain,
+                    CASE doc_id % 4
+                      WHEN 0 THEN '/doc/' || doc_id
+                      WHEN 1 THEN '/private/doc/' || doc_id
+                      WHEN 2 THEN '/tmp/doc/' || doc_id
+                      ELSE '/public/doc/' || doc_id END AS path
+             FROM documents),
+           m AS (
+             SELECT u.doc_id, u.domain, u.path,
+                    MAX(CASE WHEN r.path IS NOT NULL
+                              AND STARTS_WITH(u.path, r.path)
+                             THEN LENGTH(r.path) * 2 +
+                                  CASE WHEN r.allow THEN 1 ELSE 0 END END) AS best
+             FROM urls u LEFT JOIN rules r ON r.source = u.domain
+             GROUP BY 1, 2, 3)
+           SELECT doc_id, domain, path,
+                  COALESCE(best % 2 = 1, TRUE) AS allowed,
+                  CAST(COALESCE(best // 2, 0) AS BIGINT) AS rule_len
+           FROM m ORDER BY doc_id""",
       "q117_warc_scan" ->
         """SELECT 'https://' || source || '/doc/' || doc_id AS url,
                   CAST(200 AS BIGINT) AS http_status,
