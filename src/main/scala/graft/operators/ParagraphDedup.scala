@@ -47,11 +47,12 @@ object ParagraphDedup {
     * `clean_text` = surviving paragraphs rejoined with `sep` in
     * original order ("" when nothing survives).
     */
-  def stripDuplicatedParagraphs(
-      df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n"): DataFrame = {
-    val keyed = ScaleOut(df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
-    val pars = keyed
+  /** (id, pos, par, h, occ) per paragraph: normalized-form md5 key and
+    * the packed first-occurrence ordering key.
+    */
+  def paragraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame =
+    ScaleOut(df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
       .select(col("id"), posexplode(split(col("t"), java.util.regex.Pattern.quote(sep))))
       .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("par"),
         md5(encode(lower(trim(col("col"))), "UTF-8")).as("h"))
@@ -60,8 +61,19 @@ object ParagraphDedup {
         .otherwise(raise_error(lit(
           s"ParagraphDedup: paragraph position >= $PosBase")).cast("boolean")))
       .withColumn("occ", col("id") * PosBase + col("pos"))
-    val first = pars.groupBy("h").agg(min(col("occ")).as("first_occ"))
-    val kept = pars.join(first, "h").filter(col("occ") === col("first_occ"))
+
+  /** Per normalized paragraph: the globally first occurrence key — the
+    * corpus-side state an incremental consumer persists.
+    */
+  def firstOccurrences(pars: DataFrame): DataFrame =
+    pars.groupBy("h").agg(min(col("occ")).as("first_occ"))
+
+  /** Reassemble surviving paragraph rows (id, pos, par) into the
+    * per-document output contract, re-attaching rows whose every
+    * paragraph dropped (n_kept = 0, clean_text = "").
+    */
+  private def reassemble(pars: DataFrame, kept: DataFrame, idCol: String,
+      sep: String): DataFrame = {
     val totals = pars.groupBy("id").agg(count(lit(1)).as("n_pars"))
     val keptAgg = kept.groupBy("id").agg(
       count(lit(1)).as("n_kept"),
@@ -72,5 +84,43 @@ object ParagraphDedup {
       .select(col("id").as(idCol), col("n_pars"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def stripDuplicatedParagraphs(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val pars = paragraphs(df, idCol, textCol, sep)
+    val kept = pars.join(firstOccurrences(pars), "h")
+      .filter(col("occ") === col("first_occ"))
+    reassemble(pars, kept, idCol, sep)
+  }
+
+  /** Incremental maintenance: strip an INCREMENT against a persisted
+    * corpus first-occurrence table ([[firstOccurrences]] of the corpus,
+    * columns (h, first_occ)) without re-reading the corpus. A paragraph
+    * occurrence in the increment survives iff it is the first
+    * occurrence across corpus ∪ increment — i.e. its normalized form is
+    * absent from the corpus state AND it is the increment's own first.
+    * Equals the from-scratch [[stripDuplicatedParagraphs]] over
+    * corpus ∪ increment restricted to increment rows, provided corpus
+    * keys precede increment keys (the append-only id contract the
+    * incremental dedup family assumes); ParagraphDedupSpec pins the
+    * equality including the general min-merge when they don't.
+    *
+    * Scale shape: the corpus contributes its STATE (one row per
+    * distinct paragraph), never a re-scan; the join is keyed on the
+    * paragraph hash.
+    */
+  def stripIncrement(incDf: DataFrame, corpusFirst: DataFrame,
+      idCol: String, textCol: String, sep: String = "\n"): DataFrame = {
+    val pars = paragraphs(incDf, idCol, textCol, sep)
+    val incFirst = firstOccurrences(pars)
+      .select(col("h"), col("first_occ").as("inc_first"))
+    val kept = pars.join(incFirst, "h")
+      .join(corpusFirst.select(col("h"), col("first_occ").as("corp_first")),
+        Seq("h"), "left")
+      .filter(col("occ") === least(
+        coalesce(col("corp_first"), col("inc_first")), col("inc_first")))
+    reassemble(pars, kept, idCol, sep)
   }
 }

@@ -222,7 +222,32 @@ object DedupQueries extends QueryFamily {
     "span_index_corpus" -> (stagedSpanCorpusIndexDir _),
     "emb_index" -> (stagedEmbeddingIndexDir _),
     "sem_index_full" -> (stagedSemanticIndexDir _),
-    "sem_index_corpus" -> (stagedSemanticCorpusIndexDir _))
+    "sem_index_corpus" -> (stagedSemanticCorpusIndexDir _),
+    "par_first" -> (stagedParFirstDir _))
+
+  /** q140/q142 paragraph-structure injection (the corpus text is
+    * single-line): per-source shared header + own text + global footer.
+    */
+  private val parDirty = concat(
+    lit("Shared header for "), col("source"), lit("\n"),
+    col("text"), lit("\n"),
+    lit("shared global footer"))
+
+  /** The CORPUS half's paragraph first-occurrence table, staged per
+    * source state — q142's input ([[graft.operators.ParagraphDedup
+    * .firstOccurrences]]; one row per distinct normalized paragraph).
+    */
+  private[queries] def stagedParFirstDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_par_first",
+      Seq(s"$dir/documents.parquet"), s"split=$corpusSplit:v1", "_SUCCESS") { stage =>
+      graft.operators.ParagraphDedup.firstOccurrences(
+        graft.operators.ParagraphDedup.paragraphs(
+          table(s, dir, "documents")
+            .filter(col("doc_id") < corpusSplit)
+            .select(col("doc_id"), parDirty.as("dirty")),
+          "doc_id", "dirty"))
+        .write.mode("overwrite").parquet(stage)
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> ((s, dir) =>
@@ -238,14 +263,26 @@ object DedupQueries extends QueryFamily {
     // pattern): a per-source shared header (kept only in that source's
     // globally first doc), the doc's own text (drops exactly where q20
     // found exact dups), and one global footer (kept once corpus-wide)
-    "q140_paragraph_dedup" -> ((s, dir) => {
-      val dirty = concat(
-        lit("Shared header for "), col("source"), lit("\n"),
-        col("text"), lit("\n"),
-        lit("shared global footer"))
+    "q140_paragraph_dedup" -> ((s, dir) =>
       graft.operators.ParagraphDedup.stripDuplicatedParagraphs(
-          table(s, dir, "documents").select(col("doc_id"), dirty.as("dirty")),
+          table(s, dir, "documents").select(col("doc_id"), parDirty.as("dirty")),
           "doc_id", "dirty")
+        .orderBy("doc_id")),
+
+    // incremental maintenance for q140 (the q50/q70/q91 discipline
+    // applied to the paragraph family): the corpus's paragraph
+    // first-occurrence table STAGES per source state; the increment
+    // strips against that state — one row per distinct corpus
+    // paragraph, never a corpus re-scan — and must land on the exact
+    // from-scratch q140 answer restricted to increment docs (the
+    // oracle IS that restriction)
+    "q142_paragraph_dedup_incremental" -> ((s, dir) => {
+      val inc = table(s, dir, "documents")
+        .filter(col("doc_id") >= corpusSplit)
+        .select(col("doc_id"), parDirty.as("dirty"))
+      val corpusFirst = s.read.parquet(stagedParFirstDir(s, dir))
+      graft.operators.ParagraphDedup.stripIncrement(
+          inc, corpusFirst, "doc_id", "dirty")
         .orderBy("doc_id")
     }),
 
@@ -739,6 +776,39 @@ object DedupQueries extends QueryFamily {
     * so every intermediate is integer-exact and the per-vertex counts
     * hash-compare.
     */
+  /** q140/q142's shared DuckDB chain (split → normalize → global-first
+    * → keep-first → reassemble); `where` restricts the OUTPUT rows
+    * (q142: increment docs only) while keep-first stays global.
+    */
+  private def paragraphDedupSql(where: String): String =
+    s"""WITH d AS (
+           SELECT doc_id,
+                  'Shared header for ' || source || chr(10) || text ||
+                    chr(10) || 'shared global footer' AS dirty
+           FROM documents),
+         sp AS (SELECT doc_id, STRING_SPLIT(dirty, chr(10)) AS l FROM d),
+         pars AS (
+           SELECT doc_id, i - 1 AS pos, l[i] AS par,
+                  MD5(LOWER(TRIM(l[i]))) AS h,
+                  doc_id * 1000000 + (i - 1) AS occ
+           FROM sp,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(l))) AS i) u),
+         fst AS (SELECT h, MIN(occ) AS first_occ FROM pars GROUP BY h),
+         kept AS (
+           SELECT p.doc_id, p.pos, p.par
+           FROM pars p JOIN fst f ON f.h = p.h AND p.occ = f.first_occ),
+         tot AS (SELECT doc_id, COUNT(*) AS n_pars FROM pars GROUP BY doc_id),
+         ka AS (
+           SELECT doc_id, COUNT(*) AS n_kept,
+                  STRING_AGG(par, chr(10) ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(t.n_pars AS BIGINT) AS n_pars,
+                CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                COALESCE(k.clean_text, '') AS clean_text
+         FROM tot t LEFT JOIN ka k USING (doc_id)
+         WHERE $where
+         ORDER BY t.doc_id"""
+
   /** The q138/q139 deterministic link graph as DuckDB CTEs, up to its
     * symmetric undirected closure `und(src, dst)`; `rules` is the
     * per-vertex successor list spliced into the UNNEST.
@@ -1139,33 +1209,12 @@ object DedupQueries extends QueryFamily {
     // keep-first -> reassemble chain; first-occurrence keys are the
     // same packed doc_id*1e6+pos integers, and STRING_AGG(... ORDER BY
     // pos) replays the engine's sorted reassembly
-    "q140_paragraph_dedup" ->
-      """WITH d AS (
-           SELECT doc_id,
-                  'Shared header for ' || source || chr(10) || text ||
-                    chr(10) || 'shared global footer' AS dirty
-           FROM documents),
-         sp AS (SELECT doc_id, STRING_SPLIT(dirty, chr(10)) AS l FROM d),
-         pars AS (
-           SELECT doc_id, i - 1 AS pos, l[i] AS par,
-                  MD5(LOWER(TRIM(l[i]))) AS h,
-                  doc_id * 1000000 + (i - 1) AS occ
-           FROM sp,
-           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(l))) AS i) u),
-         fst AS (SELECT h, MIN(occ) AS first_occ FROM pars GROUP BY h),
-         kept AS (
-           SELECT p.doc_id, p.pos, p.par
-           FROM pars p JOIN fst f ON f.h = p.h AND p.occ = f.first_occ),
-         tot AS (SELECT doc_id, COUNT(*) AS n_pars FROM pars GROUP BY doc_id),
-         ka AS (
-           SELECT doc_id, COUNT(*) AS n_kept,
-                  STRING_AGG(par, chr(10) ORDER BY pos) AS clean_text
-           FROM kept GROUP BY doc_id)
-         SELECT t.doc_id, CAST(t.n_pars AS BIGINT) AS n_pars,
-                CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
-                COALESCE(k.clean_text, '') AS clean_text
-         FROM tot t LEFT JOIN ka k USING (doc_id)
-         ORDER BY t.doc_id""",
+    "q140_paragraph_dedup" -> paragraphDedupSql("TRUE"),
+    // q142 equals the from-scratch computation restricted to increment
+    // docs — the oracle IS that restriction, so the staged-state merge
+    // has to reproduce global keep-first exactly
+    "q142_paragraph_dedup_incremental" ->
+      paragraphDedupSql(s"t.doc_id >= $corpusSplit"),
     // NOT EXISTS (not NOT IN): matches the null semantics of Spark's
     // left_anti should a fingerprint ever be null
     // Bloom gate replayed bit-exactly: every distinct fingerprint hashes

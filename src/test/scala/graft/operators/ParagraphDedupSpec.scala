@@ -61,4 +61,38 @@ class ParagraphDedupSpec extends SparkTestBase {
     val got = run(Seq(1L -> "same\nsame\nsame"))
     assert(got(1L) === ((3L, 1L, "same")))
   }
+
+  private def runIncremental(corpus: Seq[(Long, String)], inc: Seq[(Long, String)])
+      : Map[Long, (Long, Long, String)] = {
+    val corpusFirst = ParagraphDedup.firstOccurrences(
+      ParagraphDedup.paragraphs(corpus.toDF("id", "text"), "id", "text"))
+    ParagraphDedup.stripIncrement(
+        inc.toDF("id", "text"), corpusFirst, "id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+  }
+
+  test("incremental == from-scratch restricted to the increment (bridge cases included)") {
+    val corpus = Seq(1L -> "header\ncorpus one", 2L -> "header\ncorpus two")
+    val inc = Seq(
+      10L -> "header\nfresh ten", // header known to the corpus -> drops
+      11L -> "incdup\nfresh eleven", // incdup is NEW, first inc copy kept
+      12L -> "incdup\nheader") // later inc copy + corpus-known -> both drop
+    val got = runIncremental(corpus, inc)
+    val scratch = run(corpus ++ inc)
+    assert(got === scratch.filter(_._1 >= 10L))
+    assert(got(10L) === ((2L, 1L, "fresh ten")))
+    assert(got(11L) === ((2L, 2L, "incdup\nfresh eleven")))
+    assert(got(12L) === ((2L, 0L, "")))
+  }
+
+  test("incremental with an empty corpus state degrades to plain dedup of the increment") {
+    val inc = Seq(1L -> "a\nb", 2L -> "a\nc")
+    val empty = ParagraphDedup.firstOccurrences(
+      ParagraphDedup.paragraphs(Seq.empty[(Long, String)].toDF("id", "text"), "id", "text"))
+    val got = ParagraphDedup.stripIncrement(inc.toDF("id", "text"), empty, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === run(inc))
+  }
 }
