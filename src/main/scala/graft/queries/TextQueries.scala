@@ -417,6 +417,25 @@ object TextQueries extends QueryFamily {
         .filter(col("lang") === "en" && col("n_chars") >= 200)
         .orderBy("doc_id")),
 
+    // rendezvous (HRW) resharding ([[graft.sources.Export
+    // .rendezvousShard]]): the ELASTIC counterpart of the md5Shard rule
+    // q131 exports with — grow the shard count n -> n+1 and only the
+    // keys whose per-shard weight argmax lands on the NEWCOMER move
+    // (~1/(n+1) of keys; a moved key can move only TO the new shard,
+    // since its old shards' weights are unchanged). The gate computes
+    // both assignments per key and the moved flag; the oracle replays
+    // the salted-md5 weights and ARG_MAX in SQL, so the minimal-
+    // movement property is hash-checked key-for-key, not sampled.
+    "q143_rendezvous_reshard" -> ((s, dir) => {
+      val key = concat(col("source"), lit("/"), col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.sources.Export.rendezvousShard(key, 8).cast("long").as("shard_8"),
+          graft.sources.Export.rendezvousShard(key, 9).cast("long").as("shard_9"))
+        .withColumn("moved", col("shard_8") =!= col("shard_9"))
+        .orderBy("doc_id")
+    }),
+
     // robots.txt governance ([[graft.operators.Robots]]): which fetched
     // URLs was the crawler ALLOWED to take — RFC 9309 parse + longest-
     // match/allow-on-tie evaluation, the crawl-compliance step beside
@@ -1305,6 +1324,25 @@ object TextQueries extends QueryFamily {
         """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
            FROM documents
            WHERE lang = 'en' AND n_chars >= 200
+           ORDER BY doc_id""",
+      // q143's twin: the same salted-md5 60-bit weights (15 hex chars
+      // via the '0x' cast) and the same argmax, per key per shard count
+      "q143_rendezvous_reshard" ->
+        """WITH k AS (
+             SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) AS key
+             FROM documents),
+           w AS (
+             SELECT doc_id, s,
+                    CAST(('0x' || SUBSTR(MD5(key || '#' || s), 1, 15)) AS BIGINT) AS wt
+             FROM k,
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 8)) AS s) u),
+           a8 AS (SELECT doc_id, ARG_MAX(s, wt) AS shard_8 FROM w WHERE s < 8 GROUP BY doc_id),
+           a9 AS (SELECT doc_id, ARG_MAX(s, wt) AS shard_9 FROM w GROUP BY doc_id)
+           SELECT doc_id,
+                  CAST(shard_8 AS BIGINT) AS shard_8,
+                  CAST(shard_9 AS BIGINT) AS shard_9,
+                  shard_8 <> shard_9 AS moved
+           FROM a8 JOIN a9 USING (doc_id)
            ORDER BY doc_id""",
       // q141's twin rebuilds the EFFECTIVE graftbot rule set straight
       // from the synthesis arithmetic (group selection pre-applied: the

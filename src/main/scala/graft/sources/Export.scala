@@ -70,6 +70,44 @@ object Export {
     math.floorMod(Integer.parseInt(hex, 16), shards)
   }
 
+  /** Rendezvous (highest-random-weight) shard rule — the ELASTIC
+    * counterpart of [[md5Shard]]: where pmod reshuffles ~all keys when
+    * the shard count changes, rendezvous hashing moves ONLY the keys
+    * whose per-shard weight argmax lands on a new shard — provably
+    * ~1/(n+1) of keys when growing n → n+1, and a moved key can move
+    * only TO the new shard (its weights for the old shards are
+    * unchanged, so a changed argmax must be the newcomer). That is the
+    * property a petabyte shard store needs to grow without a rewrite.
+    *
+    * Weight(key, s) = the first 15 md5 hex chars of `key#s` as a 60-bit
+    * integer — the salted-md5 determinism family, so the rule replays
+    * in any engine (the [[md5ShardOf]] portability argument). Built-in
+    * expressions only; `shards` is policy-sized, so the per-key
+    * argmax is a transform over a small literal array.
+    */
+  def rendezvousShard(key: org.apache.spark.sql.Column, shards: Int): org.apache.spark.sql.Column = {
+    require(shards >= 1 && shards <= 4096, "rendezvousShard: shards in [1, 4096]")
+    val weights = sequence(lit(0), lit(shards - 1))
+    aggregate(
+      transform(weights, s => struct(
+        conv(substring(md5(encode(concat(key, lit("#"), s.cast("string")), "UTF-8")),
+          1, 15), 16, 10).cast("long").as("w"),
+        s.as("shard"))),
+      struct(lit(-1L).as("w"), lit(-1).as("shard")),
+      (best, cur) => when(cur.getField("w") > best.getField("w"), cur).otherwise(best))
+      .getField("shard")
+  }
+
+  /** Local twin of [[rendezvousShard]] for loaders/tests (no Spark job). */
+  def rendezvousShardOf(key: String, shards: Int): Int = {
+    require(shards >= 1 && shards <= 4096, "rendezvousShard: shards in [1, 4096]")
+    (0 until shards).maxBy { s =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          s"$key#$s".getBytes(java.nio.charset.StandardCharsets.UTF_8)).substring(0, 15), 16)
+    }
+  }
+
   /** The shard a key lands in — for loaders/tests to locate rows.
     * Evaluated LOCALLY (Catalyst literal eval, no Spark job: a loader
     * resolving N keys must not pay N job round-trips) and TYPED: xxhash64

@@ -66,4 +66,24 @@ class ExportSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(shard0 == shard0.sorted, "rows not sorted within the shard file")
   }
+
+  test("rendezvous resharding: column == local twin; n->n+1 moves only TO the new shard") {
+    val keys = (0 until 400).map(i => s"key:$i")
+    val df = keys.toDF("k")
+      .select(col("k"),
+        Export.rendezvousShard(col("k"), 8).as("s8"),
+        Export.rendezvousShard(col("k"), 9).as("s9"))
+    val got = df.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    got.foreach { case (k, s8, s9) =>
+      assert(s8 == Export.rendezvousShardOf(k, 8), s"column/twin mismatch at $k (n=8)")
+      assert(s9 == Export.rendezvousShardOf(k, 9), s"column/twin mismatch at $k (n=9)")
+      // the HRW minimal-movement law: a changed assignment must be the newcomer
+      if (s8 != s9) assert(s9 == 8, s"$k moved to $s9, not the new shard")
+    }
+    val moved = got.count { case (_, s8, s9) => s8 != s9 }
+    // E[moved] = 400/9 ≈ 44; a generous band still catches a broken rule
+    assert(moved > 15 && moved < 100, s"implausible movement count $moved")
+    // balance: every shard of the 9-way split is populated
+    assert(got.map(_._3).distinct.sorted.toSeq == (0 until 9).toSeq)
+  }
 }
