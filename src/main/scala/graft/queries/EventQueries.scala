@@ -303,7 +303,22 @@ object EventQueries extends QueryFamily {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           col("n_events"), round(col("sum_value"), 2).as("sum_value"))
         .orderBy("user_id", "session_start")
-    })
+    }),
+
+    // minute-grid OHLC resample + date-spine gap fill: open/close are
+    // order-selections (ts, event_id tie-break), the spine densifies
+    // every minute of each type's span, empty minutes carry the close
+    // forward (LOCF). All values selected, never combined — bit-exact
+    "q144_events_ohlc_gapfill" -> ((s, dir) =>
+      graft.operators.Resample.ohlcGapFill(
+          graft.Tables.events(s, dir),
+          groupCol = "event_type", tsCol = "ts", idCol = "event_id",
+          valueCol = "value", bucketSeconds = 60L)
+        .select(col("event_type"),
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n_events"), col("is_gap"))
+        .orderBy("event_type", "bucket_ts"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -533,7 +548,39 @@ object EventQueries extends QueryFamily {
          GROUP BY DATE_TRUNC('hour', ts), c_mktsegment
          HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR
                   <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
-         ORDER BY window_start, segment"""
+         ORDER BY window_start, segment""",
+    // OHLC selections via the same (ts, id)-ordered row_number rule;
+    // spine via generate_series; LOCF via last_value IGNORE NULLS
+    "q144_events_ohlc_gapfill" ->
+      """WITH b AS (
+           SELECT event_type, DATE_TRUNC('minute', ts) AS bucket_ts, value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('minute', ts)
+                    ORDER BY ts, event_id) AS rn_a,
+                  ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('minute', ts)
+                    ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM events),
+         ohlc AS (
+           SELECT event_type, bucket_ts,
+                  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                  MAX(value) AS high, MIN(value) AS low,
+                  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                  COUNT(*) AS n_events
+           FROM b GROUP BY 1, 2),
+         spine AS (
+           SELECT event_type,
+                  UNNEST(GENERATE_SERIES(MIN(bucket_ts), MAX(bucket_ts),
+                                         INTERVAL 1 MINUTE)) AS bucket_ts
+           FROM ohlc GROUP BY event_type)
+         SELECT s.event_type,
+                STRFTIME(s.bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                o.open, o.high, o.low,
+                LAST_VALUE(o.close IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+                CAST(COALESCE(o.n_events, 0) AS BIGINT) AS n_events,
+                (o.bucket_ts IS NULL) AS is_gap
+         FROM spine s LEFT JOIN ohlc o USING (event_type, bucket_ts)
+         ORDER BY s.event_type, s.bucket_ts"""
   )
 
   private lazy val sessionizeStreamSql: String =
