@@ -222,6 +222,38 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id", "pos")
     }),
 
+    // unigram-LM (SentencePiece-family) Viterbi tokenization
+    // ([[graft.operators.UnigramTokenizer]]): the tokenizer-family rung
+    // above q111/q121's BPE — pieces carry integer micro-nat
+    // log-probs, each word takes the segmentation maximizing their sum
+    // (tie → shortest final piece). The gate segments the corpus's
+    // distinct words PLUS their adjacent-pair compounds (prev||cur —
+    // ~30× more distinct inputs whose best split into learned pieces
+    // is nontrivial, the q119 synthesize-from-corpus pattern); the
+    // model stages per corpus state and its scores splice into a
+    // generated recursive-CTE oracle that replays the DP arithmetic
+    "q145_unigram_tokenize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val model = graft.operators.UnigramTokenizer.load(s, stagedUnigramModelDir(s, dir))
+      unigramOracle145 = Some(capturedOracle(unigramSql(model)))
+      val tok = table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+        .filter(col("token") =!= "")
+      val compounds = tok
+        .withColumn("prev",
+          lag(col("token"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("prev").isNotNull)
+        .select(concat(col("prev"), col("token")).as("word"))
+      tok.select(col("token").as("word")).unionByName(compounds)
+        .filter(length(col("word")) <= graft.operators.UnigramTokenizer.maxWordLen)
+        .groupBy("word").agg(count(lit(1)).as("n_w"))
+        .select(col("word"), col("n_w"),
+          graft.functions.expr.UnigramFunctions.unigramSegment(col("word"), model).as("t"))
+        .select(col("word"), col("n_w"), col("t.score_micro").as("score_micro"),
+          col("t.n_pieces").cast("long").as("n_pieces"), col("t.seg").as("seg"))
+        .orderBy("word")
+    }),
+
     // URL canonicalization ([[graft.functions.TextFunctions
     // .canonicalUrl]]) — the normalize-before-dedup step in front of the
     // per-domain cap (q110): scheme/host lowercase, default-port strip,
@@ -1019,8 +1051,24 @@ object TextQueries extends QueryFamily {
         stage)
     }
 
+  /** q145's unigram model, staged once per corpus state (the
+    * [[stagedBpeModelDir]] contract): pieces learned from the corpus
+    * word-frequency table — singles all kept, multis top-V by count.
+    */
+  private[queries] def stagedUnigramModelDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_unigram_model",
+      Seq(s"$dir/documents.parquet"), "L4:min2:v256", "meta/_SUCCESS") { stage =>
+      val wf = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      graft.operators.UnigramTokenizer.save(s,
+        graft.operators.UnigramTokenizer.train(wf), stage)
+    }
+
   override def stages: Map[String, (SparkSession, String) => String] = Map(
     "bpe_model_dist" -> (stagedBpeModelDir _),
+    "unigram_model" -> (stagedUnigramModelDir _),
     "clf_model" -> (stagedClfModelDir _),
     "docs_avro" -> (stagedAvroDir _),
     "docs_lang_feed" -> (stagedDocsLangFeedDir _),
@@ -1044,6 +1092,72 @@ object TextQueries extends QueryFamily {
   // q118's oracle is likewise generated at query time (learned weights
   // as SQL literals)
   @volatile private var clfOracle118: Option[() => String] = None
+  // q145's oracle splices the staged unigram model's integer scores
+  @volatile private var unigramOracle145: Option[() => String] = None
+
+  /** DuckDB twin of the unigram Viterbi tokenization (q145): the staged
+    * model's (piece, micro-nat score) rows as literals, the word set
+    * (tokens ∪ adjacent compounds) rebuilt from the same chain, and the
+    * DP replayed as a recursive CTE — per position the best predecessor
+    * is max((v + SHIFT)·64 + j), the arithmetic encoding of "highest
+    * score, ties to the largest split point" (valid because words are
+    * capped at [[graft.operators.UnigramTokenizer.maxWordLen]] < 64).
+    */
+  private def unigramSql(model: graft.operators.UnigramTokenizer.Model): String = {
+    val L = model.maxPieceLen
+    val shift = 1L << 40
+    val maxW = graft.operators.UnigramTokenizer.maxWordLen
+    val vocabVals = model.pieces
+      .map { case (p, sc) => s"('${p.replace("'", "''")}', ${sc}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH RECURSIVE
+       toks0 AS (SELECT doc_id, $toks AS t FROM documents),
+       tokpos AS (SELECT doc_id, i AS pos, t[i] AS token
+                  FROM toks0, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t))) AS i) u),
+       tok AS (SELECT * FROM tokpos WHERE token <> ''),
+       pr AS (SELECT doc_id,
+                     LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+                     token AS cur
+              FROM tok),
+       allw AS (SELECT token AS w FROM tok
+                UNION ALL
+                SELECT prev || cur AS w FROM pr WHERE prev IS NOT NULL),
+       ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM allw
+              WHERE LEN(w) <= $maxW GROUP BY w),
+       vocab(p, sc) AS (SELECT * FROM (VALUES $vocabVals) v(p, sc)),
+       pos AS (SELECT w, UNNEST(GENERATE_SERIES(1, LEN(w))) AS i FROM ws),
+       cand AS (SELECT w, i,
+                       UNNEST(GENERATE_SERIES(GREATEST(i - $L, 0), i - 1)) AS j
+                FROM pos),
+       edges AS (
+         SELECT c.w, c.j, c.i,
+                CASE WHEN c.i - c.j = 1 THEN COALESCE(v.sc, ${model.unkMicro})
+                     ELSE v.sc END AS sc
+         FROM cand c LEFT JOIN vocab v ON v.p = SUBSTR(c.w, c.j + 1, c.i - c.j)
+         WHERE NOT (c.i - c.j > 1 AND v.sc IS NULL)),
+       dp AS (
+         SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS vs, [''] AS segs FROM ws
+         UNION ALL
+         SELECT w, i,
+                LIST_APPEND(vs, (key // 64) - $shift) AS vs,
+                LIST_APPEND(segs,
+                  CASE WHEN (key % 64) = 0 THEN ''
+                       ELSE segs[CAST(key % 64 AS INT) + 1] || ' ' END
+                    || SUBSTR(w, CAST(key % 64 AS INT) + 1,
+                              i - CAST(key % 64 AS INT))) AS segs
+         FROM (
+           SELECT d.w, d.i + 1 AS i, d.vs AS vs, d.segs AS segs,
+                  (SELECT MAX((d.vs[e.j + 1] + e.sc + $shift) * 64 + e.j)
+                   FROM edges e WHERE e.w = d.w AND e.i = d.i + 1) AS key
+           FROM dp d WHERE d.i < LEN(d.w)) t)
+       SELECT d.w AS word, ws.n_w,
+              d.vs[LEN(d.w) + 1] AS score_micro,
+              CAST(LEN(STRING_SPLIT(d.segs[LEN(d.w) + 1], ' ')) AS BIGINT) AS n_pieces,
+              d.segs[LEN(d.w) + 1] AS seg
+       FROM dp d JOIN ws ON ws.w = d.w
+       WHERE d.i = LEN(d.w)
+       ORDER BY word"""
+  }
 
   /** DuckDB twin of the quality-classifier SCORING pass (training stays
     * engine-side; its output — the micro-quantized weights — are spliced
@@ -1813,7 +1927,8 @@ object TextQueries extends QueryFamily {
       "q127_kmv_jaccard_langs" -> kmvJaccardSql
     ) ++ bpeOracle111.map(f => "q111_bpe_tokenize" -> f()) ++
       bpeOracle121.map(f => "q121_bpe_tokenize_distributed" -> f()) ++
-      clfOracle118.map(f => "q118_quality_classifier" -> f())
+      clfOracle118.map(f => "q118_quality_classifier" -> f()) ++
+      unigramOracle145.map(f => "q145_unigram_tokenize" -> f())
   }
 
   /** q97's CTE chain (documents -> per-doc bigram NLL), shared with the
