@@ -254,6 +254,45 @@ object TextQueries extends QueryFamily {
         .orderBy("word")
     }),
 
+    // semi-structured JSON round-trip gate: each doc serializes a
+    // NESTED payload (scalar + struct + array-of-struct + array, a
+    // planted escape-needing token — quote/backslash) with `to_json`,
+    // parses it back with `from_json` under an explicit DDL schema,
+    // and re-derives aggregates from the PARSED values (dotted struct
+    // access, JSONPath via get_json_object, array folds). The oracle
+    // recomputes every output from the base columns alone (q132's
+    // closed-form codec-gate rule), so any escape/parse/schema defect
+    // in the encode→decode chain is a value mismatch
+    "q146_json_roundtrip" -> ((s, dir) => {
+      val schema = "id BIGINT, meta STRUCT<lang: STRING, src: STRING, len: BIGINT>, " +
+        "toks ARRAY<STRUCT<t: STRING, n: BIGINT>>, scores ARRAY<BIGINT>"
+      val first5 = slice(filter(tokens(col("text")), x => x =!= lit("")), 1, 5)
+      val toksJson = transform(first5, (x, i) => struct(
+        concat(x, when(i === 0, lit("\"q\\")).otherwise(lit(""))).as("t"),
+        length(x).cast("long").as("n")))
+      val js = to_json(struct(
+        col("doc_id").as("id"),
+        struct(col("lang").as("lang"), col("source").as("src"),
+          col("n_chars").as("len")).as("meta"),
+        toksJson.as("toks"),
+        array(pmod(col("doc_id"), lit(7L)), pmod(col("doc_id"), lit(11L)),
+          pmod(col("doc_id"), lit(13L))).as("scores")))
+      table(s, dir, "documents")
+        .select(col("doc_id"), js.as("js"))
+        .select(col("doc_id"), col("js"),
+          from_json(col("js"), schema, Map.empty[String, String]).as("p"))
+        .select(col("doc_id"),
+          col("p.meta.lang").as("lang_rt"),
+          get_json_object(col("js"), "$.meta.src").as("src_path"),
+          size(col("p.toks")).cast("long").as("n_toks"),
+          coalesce(aggregate(col("p.toks"), lit(0L),
+            (acc, x) => acc + x.getField("n")), lit(0L)).as("sum_n"),
+          coalesce(aggregate(col("p.toks"), lit(0L),
+            (acc, x) => acc + length(x.getField("t"))), lit(0L)).as("sum_tok_len"),
+          aggregate(col("p.scores"), lit(0L), (acc, x) => acc + x).as("sum_scores"))
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization ([[graft.functions.TextFunctions
     // .canonicalUrl]]) — the normalize-before-dedup step in front of the
     // per-domain cap (q110): scheme/host lowercase, default-port strip,
@@ -1924,7 +1963,22 @@ object TextQueries extends QueryFamily {
       "q113_token_percentiles_sketch_stream" -> sketchSql,
       "q126_kmv_distinct_tokens" -> kmvDistinctSql,
       "q128_kmv_distinct_stream" -> kmvDistinctSql,
-      "q127_kmv_jaccard_langs" -> kmvJaccardSql
+      "q127_kmv_jaccard_langs" -> kmvJaccardSql,
+      // closed-form twin of the JSON round-trip: every output re-derived
+      // from the base columns (the engine's encode→decode chain is the
+      // thing under test; suffix len 3 = the planted '"q\' escape token)
+      "q146_json_roundtrip" ->
+        s"""WITH f5 AS (
+              SELECT doc_id, lang, source,
+                     LIST_FILTER($toks, x -> x <> '')[1:5] AS ts
+              FROM documents)
+            SELECT doc_id, lang AS lang_rt, source AS src_path,
+                   CAST(LEN(ts) AS BIGINT) AS n_toks,
+                   CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(ts, x -> LEN(x))), 0) AS BIGINT) AS sum_n,
+                   CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(ts, x -> LEN(x))), 0)
+                        + CASE WHEN LEN(ts) >= 1 THEN 3 ELSE 0 END AS BIGINT) AS sum_tok_len,
+                   CAST(doc_id % 7 + doc_id % 11 + doc_id % 13 AS BIGINT) AS sum_scores
+            FROM f5 ORDER BY doc_id"""
     ) ++ bpeOracle111.map(f => "q111_bpe_tokenize" -> f()) ++
       bpeOracle121.map(f => "q121_bpe_tokenize_distributed" -> f()) ++
       clfOracle118.map(f => "q118_quality_classifier" -> f()) ++
