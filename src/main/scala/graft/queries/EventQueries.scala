@@ -318,7 +318,22 @@ object EventQueries extends QueryFamily {
           date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
           col("open"), col("high"), col("low"), col("close"),
           col("n_events"), col("is_gap"))
-        .orderBy("event_type", "bucket_ts"))
+        .orderBy("event_type", "bucket_ts")),
+
+    // HOPPING (sliding) windows — q35's tumbling sibling: 1-hour
+    // windows every 15 minutes, so each event lands in exactly
+    // duration/hop = 4 window instances. Spark plans the multi-window
+    // explode before the hash aggregate; the shuffle carries ×4 rows
+    // by design (the semantics, not a defect) and partial aggregation
+    // still combines map-side per (window, type)
+    "q147_events_hopping_window" -> ((s, dir) =>
+      graft.Tables.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -580,7 +595,18 @@ object EventQueries extends QueryFamily {
                 CAST(COALESCE(o.n_events, 0) AS BIGINT) AS n_events,
                 (o.bucket_ts IS NULL) AS is_gap
          FROM spine s LEFT JOIN ohlc o USING (event_type, bucket_ts)
-         ORDER BY s.event_type, s.bucket_ts"""
+         ORDER BY s.event_type, s.bucket_ts""",
+    // each event belongs to the 4 hop-aligned windows ending at or
+    // after it: starts = floor(epoch/900)·900 − k·900, k = 0..3
+    // (hop divides duration, so membership is exactly 4 — Spark's
+    // epoch-aligned window rule replayed arithmetically)
+    "q147_events_hopping_window" ->
+      """SELECT STRFTIME(TIMESTAMP '1970-01-01 00:00:00'
+                  + TO_SECONDS((CAST(FLOOR(EPOCH(ts)/900) AS BIGINT) - k.k) * 900),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+         FROM events, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k) k
+         GROUP BY 1, 2 ORDER BY window_start, event_type"""
   )
 
   private lazy val sessionizeStreamSql: String =
