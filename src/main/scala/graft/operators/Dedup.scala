@@ -321,6 +321,41 @@ object Dedup {
     verifyJaccard(candidates, sets, threshold)
   }
 
+  /** CROSS-SET MinHash-LSH near-dup pairs — fuzzy DECONTAMINATION (the
+    * GPT-3/Llama-report shape): which TRAIN documents are near-dups of
+    * an EVAL document, so they can be dropped before training. Same
+    * banded candidate generation and exact-Jaccard verification as
+    * [[minhashLshPairs]], but the band-bucket join runs eval ACROSS
+    * train — neither side ever self-pairs, and the candidate surface is
+    * |eval buckets| × colliding train buckets, not corpus². The eval
+    * side is typically policy-sized (benchmark suites), so its bucket
+    * and set frames broadcast; train contributes only colliding rows.
+    *
+    * Output: (id_a = eval id, id_b = train id, jaccard). Id spaces must
+    * be disjoint across the two inputs (the caller's contract — the
+    * verification join unions the shingle-set frames).
+    */
+  def minhashLshCrossPairs(
+      evalDocs: DataFrame, trainDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val setsE = CacheScope.pin(
+      shingled(evalDocs, idCol, textCol, n), StorageLevel.MEMORY_AND_DISK)
+    val setsT = CacheScope.pin(
+      shingled(trainDocs, idCol, textCol, n), StorageLevel.MEMORY_AND_DISK)
+    def bucketsOf(sets: DataFrame) = bandBuckets(
+      sets.select(col("id"), minhashSignature(col("shingles"), numHashes, seed).as("sig")),
+      bands, r)
+    val candidates = bucketsOf(setsE).as("a").join(bucketsOf(setsT).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, setsE.unionByName(setsT), threshold)
+  }
+
   /** One row per (id, band): bucket = xxhash64(band, that band's
     * signature slice). One definition shared by the in-memory pair path
     * and the persisted-index path, so an increment probing a stored index

@@ -295,6 +295,26 @@ object DedupQueries extends QueryFamily {
       Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
+    // fuzzy eval-train DECONTAMINATION ([[Dedup.minhashLshCrossPairs]]):
+    // the eval set is synthesized as PLANTED leaks — every doc_id ≡ 7
+    // (mod 10) re-enters at id+1e6 with its first token dropped (one
+    // missing leading shingle, J = (S−1)/S ≥ 0.8 on any doc with ≥ 5
+    // distinct shingles) — so the gate checks the cross-set band join
+    // finds every leak and the exact verify scores it; train-train and
+    // eval-eval pairs are structurally impossible in the output
+    "q148_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evals = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ",
+            slice(graft.functions.TextFunctions.tokens(col("text")), 2, Int.MaxValue))
+            .as("text"))
+      Dedup.minhashLshCrossPairs(evals, docs,
+          n = shingleN, threshold = jaccardThreshold)
+        .select(col("id_a").as("eval_id"), col("id_b").as("train_id"), col("jaccard"))
+        .orderBy("eval_id", "train_id")
+    }),
+
     "q23_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(table(s, dir, "documents"),
           n = shingleN, threshold = jaccardThreshold)
@@ -1267,6 +1287,31 @@ object DedupQueries extends QueryFamily {
     "q21_dedup_minhash_lsh" -> jaccardSql,
     "q22_dedup_simhash" -> simhashSql(maxHamming = 3),
     "q23_dedup_ngram_jaccard" -> jaccardSql,
+    // cross-set exact Jaccard over the same planted-leak construction:
+    // eval = (doc_id ≡ 7 mod 10) at id+1e6 with the first token dropped
+    "q148_decontaminate_fuzzy" ->
+      s"""WITH tr AS (
+            SELECT doc_id,
+                   STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t
+            FROM documents),
+          ev AS (SELECT doc_id + 1000000 AS doc_id, t[2:] AS t
+                 FROM tr WHERE doc_id % 10 = 7),
+          shtr AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                   FROM tr, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS i) u
+                   WHERE LEN(t) >= 3),
+          shev AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                   FROM ev, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS i) u
+                   WHERE LEN(t) >= 3),
+          na AS (SELECT doc_id, COUNT(*) AS n FROM shev GROUP BY 1),
+          nb AS (SELECT doc_id, COUNT(*) AS n FROM shtr GROUP BY 1),
+          ix AS (SELECT e.doc_id AS eval_id, r.doc_id AS train_id, COUNT(*) AS c
+                 FROM shev e JOIN shtr r ON e.sh = r.sh GROUP BY 1, 2),
+          j AS (SELECT ix.eval_id, ix.train_id,
+                       ix.c / (na.n + nb.n - ix.c) AS jacc
+                FROM ix JOIN na ON na.doc_id = ix.eval_id
+                        JOIN nb ON nb.doc_id = ix.train_id)
+          SELECT eval_id, train_id, ROUND(jacc, 6) AS jaccard FROM j
+          WHERE jacc >= $jaccardThreshold ORDER BY eval_id, train_id""",
     // directed containment: same shingle CTEs, asymmetric denominator,
     // both orientations of a qualifying pair
     "q122_dedup_containment" ->
