@@ -333,7 +333,34 @@ object EventQueries extends QueryFamily {
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+
+    // per-type OLS trend (the regr_slope/regr_intercept analytics op)
+    // in EXACT integer sums: the float aggregates are shuffle-order-
+    // dependent, so instead x = whole seconds since 2024-01-01 (bounded
+    // re-centering for headroom), y = centi-units, and the five
+    // sufficient statistics (n, Σx, Σy, Σx², Σxy) accumulate as exact
+    // longs (map-side combinable, one shuffle of 5 numbers per group;
+    // bounds: |x| ≤ 2.6e6 over the feed's 31 days, so Σx² fits a long
+    // to ~1e6 rows/group and the decimal(38) combination to ~1e24).
+    // Only the final slope/intercept touch doubles, through the same
+    // expression shape the oracle replays — bit-identical
+    "q149_events_trend_ols" -> ((s, dir) => {
+      val base = graft.Tables.events(s, dir).select(col("event_type"),
+        (unix_seconds(col("ts").cast("timestamp")) - lit(1704067200L)).as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+      val agg = base.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      val d = (c: String) => col(c).cast("decimal(38,0)")
+      val num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+      val den = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+      agg.select(col("event_type"), col("n").as("n_events"),
+          round((num / den) * lit(864.0), 6).as("slope_per_day"),
+          round((col("sy").cast("double") - (num / den) * col("sx").cast("double"))
+            / col("n").cast("double") / lit(100.0), 6).as("intercept"))
+        .orderBy("event_type")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -606,7 +633,30 @@ object EventQueries extends QueryFamily {
                   '%Y-%m-%d %H:%M:%S') AS window_start,
               event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
          FROM events, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k) k
-         GROUP BY 1, 2 ORDER BY window_start, event_type"""
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // same sufficient statistics in HUGEINT, same double-expression
+    // shape for the two outputs (x via integer-micros floor division —
+    // EPOCH()'s double loses sub-second precision at 2024 epochs)
+    "q149_events_trend_ols" ->
+      """WITH b AS (
+           SELECT event_type,
+                  (EPOCH_US(ts) // 1000000) - 1704067200 AS x,
+                  CAST(ROUND(value * 100) AS BIGINT) AS y
+           FROM events),
+         a AS (
+           SELECT event_type, COUNT(*) AS n,
+                  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy
+           FROM b GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_events,
+                ROUND((CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                      * 864.0, 6) AS slope_per_day,
+                ROUND((CAST(sy AS DOUBLE)
+                       - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) / 100.0, 6) AS intercept
+         FROM a ORDER BY event_type"""
   )
 
   private lazy val sessionizeStreamSql: String =
