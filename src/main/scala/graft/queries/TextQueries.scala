@@ -867,6 +867,21 @@ object TextQueries extends QueryFamily {
         .orderBy(col("gmask"), col("source").asc_nulls_first,
           col("lang").asc_nulls_first)),
 
+    // EXPLICIT grouping sets — the arbitrary-set member of the grouping
+    // family that neither ROLLUP (q107) nor CUBE (q130) expresses:
+    // ((source, lang), (source), (lang)) = the cube minus its grand
+    // total, the usual "both one-dimensional reports plus the detail"
+    // request. Same single Expand + one map-side-combined aggregation
+    "q150_grouping_sets" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")), Seq(col("lang"))),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          grouping_id().as("gmask"))
+        .orderBy(col("gmask"), col("source").asc_nulls_first,
+          col("lang").asc_nulls_first)),
+
     // long-to-wide PIVOT with an explicit value list (deterministic
     // schema — Spark never scans for values, the oracle never guesses)
     "q108_pivot_lang_counts" -> ((s, dir) =>
@@ -1824,6 +1839,13 @@ object TextQueries extends QueryFamily {
                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                   CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gmask
            FROM documents GROUP BY CUBE(source, lang)
+           ORDER BY gmask, source NULLS FIRST, lang NULLS FIRST""",
+      "q150_grouping_sets" ->
+        """SELECT source, lang, COUNT(*) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gmask
+           FROM documents
+           GROUP BY GROUPING SETS ((source, lang), (source), (lang))
            ORDER BY gmask, source NULLS FIRST, lang NULLS FIRST""",
       "q108_pivot_lang_counts" -> {
         val langs = Seq("de", "en", "es", "fr", "zh")
