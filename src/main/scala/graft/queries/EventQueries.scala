@@ -335,6 +335,15 @@ object EventQueries extends QueryFamily {
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    // q147 under true Structured Streaming: watermark + append mode,
+    // emission per window INSTANCE (q36's rule applied at 4× instance
+    // density). Shares q147's membership arithmetic; the oracle adds
+    // the append-mode HAVING clause
+    "q151_events_hopping_stream" -> ((s, dir) =>
+      withStreamShuffle(s)(EventStreams.hoppingByTypeStreaming(
+          s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q151", dir)))
+        .orderBy("window_start", "event_type")),
+
     // per-type OLS trend (the regr_slope/regr_intercept analytics op)
     // in EXACT integer sums: the float aggregates are shuffle-order-
     // dependent, so instead x = whole seconds since 2024-01-01 (bounded
@@ -634,6 +643,20 @@ object EventQueries extends QueryFamily {
               event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
          FROM events, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k) k
          GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // hopping membership arithmetic + the q36 append-mode rule: a
+    // window INSTANCE emits iff its end <= final watermark
+    "q151_events_hopping_stream" ->
+      """WITH w AS (
+           SELECT TIMESTAMP '1970-01-01 00:00:00'
+                    + TO_SECONDS((CAST(FLOOR(EPOCH(ts)/900) AS BIGINT) - k.k) * 900) AS ws,
+                  event_type, value
+           FROM events, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k) k)
+         SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+         FROM w
+         GROUP BY ws, event_type
+         HAVING ws + INTERVAL 1 HOUR <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+         ORDER BY window_start, event_type""",
     // same sufficient statistics in HUGEINT, same double-expression
     // shape for the two outputs (x via integer-micros floor division —
     // EPOCH()'s double loses sub-second precision at 2024 epochs)

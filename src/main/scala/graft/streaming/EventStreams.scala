@@ -68,6 +68,41 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** HOPPING-window streaming twin (q147's sliding semantics under a
+    * watermark): identical machinery to [[hourlyByTypeStreaming]] with a
+    * slide — Spark expands each event to its duration/slide window
+    * instances BEFORE the stateful aggregation, so state size is
+    * (windows held back by the watermark) × groups, ×4 instances of the
+    * tumbling case; append-mode emission is per window INSTANCE (an
+    * instance closes when the watermark passes its end, exactly the
+    * tumbling rule the oracle's HAVING clause replays).
+    */
+  def hoppingByTypeStreaming(
+      spark: SparkSession, eventsDir: String, outDir: String,
+      delay: String = "10 minutes"): DataFrame = {
+    val stream = spark.readStream.schema(eventSchema).parquet(eventsDir)
+    val agg = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(StructType(Seq(
+        StructField("window_start", StringType), StructField("event_type", StringType),
+        StructField("n_events", LongType), StructField("sum_value", DoubleType))))
+      .parquet(outDir)
+  }
+
   /** Stream-static enrichment + tumbling aggregate: events joined to a
     * STATIC dimension (key `dimKey`, enrichment column `segCol`, exposed
     * as `segment`) before the hourly window aggregation — the standard
