@@ -867,6 +867,14 @@ object TextQueries extends QueryFamily {
         .orderBy(col("gmask"), col("source").asc_nulls_first,
           col("lang").asc_nulls_first)),
 
+    // all-pairs TF-IDF cosine top-k ([[graft.operators.Apss]]): the
+    // corpus-driven "related documents" ranking beside query-driven
+    // BM25 (q99) — integer tf·idf weights over shingle dimensions, one
+    // inverted-index self-join, exact top-3 per doc
+    "q152_tfidf_cosine_topk" -> ((s, dir) =>
+      graft.operators.Apss.tfidfCosineTopK(table(s, dir, "documents"))
+        .orderBy("doc_id", "sim_rank")),
+
     // EXPLICIT grouping sets — the arbitrary-set member of the grouping
     // family that neither ROLLUP (q107) nor CUBE (q130) expresses:
     // ((source, lang), (source), (lang)) = the cube minus its grand
@@ -1840,6 +1848,37 @@ object TextQueries extends QueryFamily {
                   CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gmask
            FROM documents GROUP BY CUBE(source, lang)
            ORDER BY gmask, source NULLS FIRST, lang NULLS FIRST""",
+      // same integer weights, same inverted-index join, same final
+      // three-IEEE-operation cosine; rank on the UNROUNDED double
+      "q152_tfidf_cosine_topk" ->
+        s"""WITH toks0 AS (SELECT doc_id, $toks AS t FROM documents),
+            shp AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh,
+                     COUNT(*) AS tf
+              FROM toks0, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS i) u
+              WHERE LEN(t) >= 3
+              GROUP BY 1, 2),
+            dfq AS (SELECT sh, COUNT(*) AS df FROM shp GROUP BY sh),
+            wv AS (SELECT doc_id, shp.sh,
+                          tf * CAST(ROUND(1000000.0 / df) AS BIGINT) AS w
+                   FROM shp JOIN dfq USING (sh)),
+            nrm AS (SELECT doc_id, SUM(w * w) AS n2 FROM wv GROUP BY doc_id),
+            dt AS (SELECT a.doc_id AS ia, b.doc_id AS ib, SUM(a.w * b.w) AS dot
+                   FROM wv a JOIN wv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            sym AS (SELECT ia, ib, dot FROM dt
+                    UNION ALL SELECT ib, ia, dot FROM dt),
+            cosv AS (SELECT ia, ib,
+                            CAST(dot AS DOUBLE)
+                              / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS c
+                     FROM sym JOIN nrm na ON na.doc_id = ia
+                              JOIN nrm nb ON nb.doc_id = ib),
+            rk AS (SELECT ia, ib, c,
+                          ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c DESC, ib) AS rn
+                   FROM cosv)
+            SELECT ia AS doc_id, CAST(rn AS BIGINT) AS sim_rank, ib AS sim_id,
+                   ROUND(c, 6) AS cosine
+            FROM rk WHERE rn <= 3 ORDER BY doc_id, sim_rank""",
       "q150_grouping_sets" ->
         """SELECT source, lang, COUNT(*) AS n_docs,
                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
