@@ -91,6 +91,38 @@ object TextFunctions {
   def matchCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 
+  /** The common UTF-8-read-as-Windows-1252 DOUBLE-ENCODING artifacts
+    * ("mojibake") and their repairs — the ftfy-class encoding-repair
+    * step of web-corpus curation. The patterns are mutually disjoint
+    * (three-char â€x artifacts with distinct final chars — the x of
+    * U+2019/2014/201C/201D includes an INVISIBLE U+009D — and two-char
+    * Ãx artifacts), and every one is a regex-metacharacter-free
+    * literal, so the identical chain runs under Java regex and RE2
+    * (the DuckDB oracle's engine) in any order; the order is pinned
+    * anyway as part of the replay contract.
+    */
+  val mojibakePairs: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€”" -> "—", "â€œ" -> "“", "â€" -> "”",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¼" -> "ü", "Ã±" -> "ñ", "Ã¯" -> "ï",
+    "Ã¶" -> "ö", "Ã§" -> "ç")
+
+  /** Count of mojibake artifacts present (the detector — a corpus
+    * health metric and the repair trigger).
+    */
+  def mojibakeCount(c: Column): Column =
+    mojibakePairs.map { case (bad, _) => matchCount(c, bad) }
+      .reduce(_ + _)
+
+  /** Repair by replacing every artifact with its decoded character —
+    * sequential literal replaces in the pinned [[mojibakePairs]] order
+    * (longest-prefix-first makes the order-insensitive in practice,
+    * but the order is still part of the contract the oracle replays).
+    */
+  def fixMojibake(c: Column): Column =
+    mojibakePairs.foldLeft(c) { case (acc, (bad, good)) =>
+      regexp_replace(acc, bad, good)
+    }
+
   /** HTML-to-text extraction for web-scrape curation: script/style blocks
     * dropped whole, remaining tags stripped, the common entities decoded
     * (`&amp;` last so `&amp;lt;` does not double-decode), whitespace

@@ -867,6 +867,28 @@ object TextQueries extends QueryFamily {
         .orderBy(col("gmask"), col("source").asc_nulls_first,
           col("lang").asc_nulls_first)),
 
+    // encoding-damage repair (the ftfy-class curation step): mojibake
+    // artifacts are INJECTED deterministically (doc_id ≡ 1 mod 6 —
+    // the q52/q119 synthesize-from-corpus pattern; a varying repeat of
+    // Ã© plus one of each â€x artifact incl. the invisible-U+009D
+    // form), detected by [[graft.functions.TextFunctions
+    // .mojibakeCount]] and repaired by [[graft.functions.TextFunctions
+    // .fixMojibake]]; the oracle builds the same dirty text and replays
+    // the same literal-replace chain, so any divergence in Unicode
+    // regex handling or replace order is a value mismatch
+    "q153_mojibake_repair" -> ((s, dir) => {
+      val dirty = mojibakeDirty
+      table(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          mojibakeCount(col("dirty")).as("n_moji"),
+          (mojibakeCount(col("dirty")) > 0).as("changed"),
+          length(col("dirty")).cast("long").as("n_dirty"),
+          length(fixMojibake(col("dirty"))).cast("long").as("n_fixed"),
+          md5(fixMojibake(col("dirty")).cast("binary")).as("fixed_fp"))
+        .orderBy("doc_id")
+    }),
+
     // all-pairs TF-IDF cosine top-k ([[graft.operators.Apss]]): the
     // corpus-driven "related documents" ranking beside query-driven
     // BM25 (q99) — integer tf·idf weights over shingle dimensions, one
@@ -990,6 +1012,50 @@ object TextQueries extends QueryFamily {
     * the q131 composed pipeline; [[dirtyUrlSqlExpr]] is its SQL twin —
     * the two must stay variant-for-variant identical.
     */
+  /** q153's planted encoding damage, built FROM [[graft.functions
+    * .TextFunctions.mojibakePairs]] (indices pinned) so the injection
+    * and the repair table cannot drift: a doc_id-varying repeat of Ã©
+    * plus one of each â€x artifact and two Ãx artifacts.
+    */
+  private[queries] lazy val mojibakeTail: String = {
+    val bad = graft.functions.TextFunctions.mojibakePairs.map(_._1)
+    s" don${bad(0)}t ${bad(1)} ${bad(2)}na${bad(7)}ve${bad(3)} ${bad(6)}u"
+  }
+
+  private[queries] def mojibakeDirty: org.apache.spark.sql.Column = {
+    val acute = graft.functions.TextFunctions.mojibakePairs(4)._1
+    when(pmod(col("doc_id"), lit(6)) === 1,
+      concat(col("text"), lit(" caf"),
+        expr(s"repeat('$acute', CAST(1 + doc_id % 3 AS INT))"),
+        lit(mojibakeTail)))
+      .otherwise(col("text"))
+  }
+
+  /** The same construction and replace chain as DuckDB SQL. */
+  private[queries] lazy val mojibakeSql: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val acute = graft.functions.TextFunctions.mojibakePairs(4)._1
+    val dirty =
+      s"""CASE WHEN doc_id % 6 = 1
+            THEN text || ' caf' || REPEAT(${q(acute)}, CAST(1 + doc_id % 3 AS INT)) || ${q(mojibakeTail)}
+            ELSE text END"""
+    val nMoji = graft.functions.TextFunctions.mojibakePairs
+      .map { case (bad, _) => s"LEN(REGEXP_EXTRACT_ALL(dirty, ${q(bad)}))" }
+      .mkString(" + ")
+    val fixed = graft.functions.TextFunctions.mojibakePairs
+      .foldLeft("dirty") { case (acc, (bad, good)) =>
+        s"REGEXP_REPLACE($acc, ${q(bad)}, ${q(good)}, 'g')"
+      }
+    s"""WITH d AS (SELECT doc_id, $dirty AS dirty FROM documents)
+        SELECT doc_id,
+               CAST($nMoji AS BIGINT) AS n_moji,
+               ($nMoji > 0) AS changed,
+               CAST(LEN(dirty) AS BIGINT) AS n_dirty,
+               CAST(LEN($fixed) AS BIGINT) AS n_fixed,
+               MD5($fixed) AS fixed_fp
+        FROM d ORDER BY doc_id"""
+  }
+
   private[queries] def dirtyUrl(docId: org.apache.spark.sql.Column,
       source: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val id = docId.cast("string")
@@ -1848,6 +1914,7 @@ object TextQueries extends QueryFamily {
                   CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gmask
            FROM documents GROUP BY CUBE(source, lang)
            ORDER BY gmask, source NULLS FIRST, lang NULLS FIRST""",
+      "q153_mojibake_repair" -> mojibakeSql,
       // same integer weights, same inverted-index join, same final
       // three-IEEE-operation cosine; rank on the UNROUNDED double
       "q152_tfidf_cosine_topk" ->
