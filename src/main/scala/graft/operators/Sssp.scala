@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-source BFS hop distance ("seed depth"): for every vertex, the
+  * number of hops to the NEAREST of a seed set over the undirected
+  * closure of the link graph — the fifth distributed-graph primitive
+  * beside components, PageRank, triangles, and k-core. In crawl
+  * curation this is the classic "distance from the seed list" quality
+  * prior (pages far from any trusted seed are likelier spam — the
+  * harmonic-centrality/TrustRank family's cheap integer cousin), and
+  * multi-source is the production shape: one pass serves the whole
+  * seed list, not one traversal per seed.
+  *
+  * Reference scope: the reference has no graph surface; extension.
+  *
+  * Algorithm: frontier BFS with synchronous rounds. Round r settles
+  * exactly the vertices at depth r (neighbors of the frontier not yet
+  * settled), so rounds = graph eccentricity of the seed set — small on
+  * link graphs (hub + shortcut edges give expander-like diameters; the
+  * gate graph settles in ~5). Hop distances are integers: the result
+  * is bit-exact, no float convergence question.
+  *
+  * Scale shape per round: one frontier-edge join keyed on the vertex
+  * (frontier-sized × degree), one distinct, one anti-join against the
+  * settled set — all exchanges bounded by the edge set; the one driver
+  * scalar per round is the new-frontier count (count == 0 IS
+  * convergence — the q139 probe discipline). Frontier and settled
+  * frames are RDD-rebased each round ([[Dedup]] lesson) and pinned to
+  * the active [[CacheScope]]. Unreachable vertices are absent from the
+  * output (their depth is undefined, not infinite-as-a-sentinel).
+  */
+object Sssp {
+
+  /** (id, depth) for every vertex reachable from `seeds` (column `id`)
+    * over the undirected closure of `edges` (directed (src, dst) rows;
+    * self-loops dropped). `maxRounds` is an honest abort bound.
+    */
+  def seedDepth(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 64,
+      roundProbe: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = CacheScope.pin(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      StorageLevel.MEMORY_AND_DISK)
+    var settled = CacheScope.pin(Dedup.rebasedFrame(
+        seeds.select(col("id").cast("long").as("id"), lit(0L).as("depth")).distinct()),
+      StorageLevel.MEMORY_AND_DISK)
+    var frontier = settled
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = CacheScope.pin(Dedup.rebasedFrame(
+          frontier.join(und, frontier("id") === und("src"))
+            .select(und("dst").as("id")).distinct()
+            .join(settled, Seq("id"), "left_anti")
+            .select(col("id"), lit(round + 1L).as("depth"))),
+        StorageLevel.MEMORY_AND_DISK)
+      val n = next.count()
+      roundProbe(round, n)
+      if (n == 0L) {
+        next.unpersist()
+        converged = true
+      } else {
+        // the new settled stays LAZY until the next round's count; the
+        // old settled's blocks back its lineage, so nothing unpersists
+        // mid-loop — rounds are eccentricity-bounded (~6 here) and every
+        // pin is vertex-set-sized, released at CacheScope exit
+        settled = CacheScope.pin(Dedup.rebasedFrame(
+          settled.unionByName(next)), StorageLevel.MEMORY_AND_DISK)
+        frontier = next
+      }
+      round += 1
+    }
+    require(converged, s"BFS did not converge in $maxRounds rounds")
+    settled
+  }
+}

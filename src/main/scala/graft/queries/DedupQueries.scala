@@ -728,6 +728,28 @@ object DedupQueries extends QueryFamily {
         .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
       graft.operators.KCore.kCore(edges, k = kCoreK)
         .orderBy("id")
+    }),
+
+    // multi-source BFS seed depth ([[graft.operators.Sssp]]) over the
+    // q138 chain+hub+hash link graph: hops to the nearest of the seed
+    // pages (doc_id ≡ 0 mod 500 — the "trusted seed list" prior of
+    // crawl curation). The hash shortcuts give the graph an
+    // expander-like diameter, so the frontier settles in ~5 rounds at
+    // every SF; depths are integers, the result bit-exact
+    "q154_link_seed_depth" -> ((s, dir) => {
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val m = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            col("doc_id") + 1,
+            col("doc_id") - (col("doc_id") % 50),
+            (col("doc_id") * 7 + 3) % m)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val seeds = ids.filter(pmod(col("doc_id"), lit(500)) === 0)
+        .select(col("doc_id").as("id"))
+      graft.operators.Sssp.seedDepth(edges, seeds)
+        .orderBy("id")
     })
   )
 
@@ -1372,6 +1394,20 @@ object DedupQueries extends QueryFamily {
     "q120_link_pagerank" -> pagerankSql,
     "q138_link_triangles" -> trianglesSql,
     "q139_link_kcore" -> kcoreSql,
+    // BFS as a capped recursive CTE: UNION dedups (id, d) pairs so the
+    // recursion is bounded by V × cap even through cycles; MIN(d) at
+    // the end is the hop distance, exact because cap 20 is far past the
+    // measured seed-set eccentricity (5 at both gate SFs)
+    "q154_link_seed_depth" ->
+      s"""WITH RECURSIVE ${linkGraphUndCtes(chainHubHashRules)},
+          reach(id, d) AS (
+            SELECT doc_id, 0 FROM ids WHERE doc_id % 500 = 0
+            UNION
+            SELECT e.dst, r.d + 1
+            FROM reach r JOIN und e ON e.src = r.id
+            WHERE r.d < 20)
+          SELECT id, CAST(MIN(d) AS BIGINT) AS depth
+          FROM reach GROUP BY id ORDER BY id""",
     // the incremental merge must land on the identical from-scratch
     // closure — strongest possible check for the star-edge equivalence
     "q91_dedup_groups_incremental" -> groupsSql,
