@@ -344,6 +344,29 @@ object EventQueries extends QueryFamily {
           s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q151", dir)))
         .orderBy("window_start", "event_type")),
 
+    // per-user event-type TRANSITION matrix (the Markov-chain view of
+    // user journeys — the funnel's (q66) unordered sibling): each
+    // user's events in (ts, id) order yield consecutive-type pairs;
+    // counts are exact, probabilities one 6dp division at the edge.
+    // One shuffle for the per-user window, one for the pair counts;
+    // the row-probability join is against a type-cardinality frame
+    "q155_events_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val cnt = pairs
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("from_type").agg(sum("n").as("tot"))
+      cnt.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // per-type OLS trend (the regr_slope/regr_intercept analytics op)
     // in EXACT integer sums: the float aggregates are shuffle-order-
     // dependent, so instead x = whole seconds since 2024-01-01 (bounded
@@ -354,22 +377,20 @@ object EventQueries extends QueryFamily {
     // to ~1e6 rows/group and the decimal(38) combination to ~1e24).
     // Only the final slope/intercept touch doubles, through the same
     // expression shape the oracle replays — bit-identical
-    "q149_events_trend_ols" -> ((s, dir) => {
-      val base = graft.Tables.events(s, dir).select(col("event_type"),
-        (unix_seconds(col("ts").cast("timestamp")) - lit(1704067200L)).as("x"),
-        round(col("value") * 100).cast("long").as("y"))
-      val agg = base.groupBy("event_type").agg(
-        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
-      val d = (c: String) => col(c).cast("decimal(38,0)")
-      val num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
-      val den = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
-      agg.select(col("event_type"), col("n").as("n_events"),
-          round((num / den) * lit(864.0), 6).as("slope_per_day"),
-          round((col("sy").cast("double") - (num / den) * col("sx").cast("double"))
-            / col("n").cast("double") / lit(100.0), 6).as("intercept"))
-        .orderBy("event_type")
-    })
+    "q149_events_trend_ols" -> ((s, dir) =>
+      graft.operators.TrendOls.finish(graft.operators.TrendOls.sufficientStats(
+        graft.operators.TrendOls.base(graft.Tables.events(s, dir))))),
+
+    // q149's sufficient statistics as STREAMING STATE (the q113/q116/
+    // q128 mergeable-state family): long sums merge by SUM, so the
+    // drained complete-mode state equals the batch statistics and the
+    // finished result shares q149's oracle VERBATIM — batch-boundary
+    // invisibility stated as hash equality
+    "q156_events_trend_stream" -> ((s, dir) =>
+      withStreamShuffle(s)(graft.streaming.SketchStream.olsTrendStreaming(
+          s, stagedEventsDir(s, dir), EventStreams.eventSchema,
+          Scratch.freshDir(s, "q156", dir)))
+        .orderBy("event_type"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -643,6 +664,20 @@ object EventQueries extends QueryFamily {
               event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
          FROM events, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k) k
          GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q155_events_transitions" ->
+      """WITH p AS (
+           SELECT user_id, event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         c AS (
+           SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+           FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n,
+                ROUND(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+         FROM c JOIN t USING (from_type)
+         ORDER BY from_type, to_type""",
     // hopping membership arithmetic + the q36 append-mode rule: a
     // window INSTANCE emits iff its end <= final watermark
     "q151_events_hopping_stream" ->
@@ -660,7 +695,14 @@ object EventQueries extends QueryFamily {
     // same sufficient statistics in HUGEINT, same double-expression
     // shape for the two outputs (x via integer-micros floor division —
     // EPOCH()'s double loses sub-second precision at 2024 epochs)
-    "q149_events_trend_ols" ->
+    "q149_events_trend_ols" -> trendOlsSql,
+    // the drained mergeable state equals the batch statistics, so the
+    // streaming drain shares q149's oracle VERBATIM (the q113 rule)
+    "q156_events_trend_stream" -> trendOlsSql
+  )
+
+  /** See the q149 oracle comment; shared verbatim by q156. */
+  private lazy val trendOlsSql: String =
       """WITH b AS (
            SELECT event_type,
                   (EPOCH_US(ts) // 1000000) - 1704067200 AS x,
@@ -680,7 +722,6 @@ object EventQueries extends QueryFamily {
                          * CAST(sx AS DOUBLE))
                       / CAST(n AS DOUBLE) / 100.0, 6) AS intercept
          FROM a ORDER BY event_type"""
-  )
 
   private lazy val sessionizeStreamSql: String =
     s"""WITH flagged AS (

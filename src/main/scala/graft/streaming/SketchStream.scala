@@ -110,6 +110,37 @@ object SketchStream {
       drainedState(spark, outDir, state.schema), k)
   }
 
+  /** q149's exact-OLS sufficient statistics ([[graft.operators
+    * .TrendOls]]) as streaming state — the fourth mergeable-state
+    * family member (bottom-k q113, CMS q116, KMV q128): the five long
+    * sums (n, Σx, Σy, Σx², Σxy) merge by SUM, so the drained
+    * complete-mode state equals the single-shot batch statistics
+    * EXACTLY and the finished regression shares q149's oracle verbatim.
+    * State per group is five longs — the smallest state of the family;
+    * the trend over an unbounded event stream is maintained without
+    * ever re-reading it.
+    */
+  def olsTrendStreaming(
+      spark: SparkSession, feedDir: String, feedSchema: StructType,
+      outDir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var reader = spark.readStream.schema(feedSchema)
+    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+    val stream = reader.parquet(feedDir)
+    val state = graft.operators.TrendOls.sufficientStats(
+      graft.operators.TrendOls.base(stream))
+    val q = state.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/state")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.TrendOls.finish(drainedState(spark, outDir, state.schema))
+  }
+
   /** The Count-Min counter grid ([[graft.operators.Freq.cmsGrid]]) as
     * streaming state — counters merge by SUM, so the drained
     * complete-mode state equals the batch grid exactly, and the
