@@ -105,6 +105,42 @@ object AnnQueries extends QueryFamily {
     "pca_model" -> (stagedPcaModelDir _))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-vector INT8 scalar quantization (the FAISS SQ8 storage shape
+    // beside q93's product quantization): code_i = round((x_i − min) /
+    // (max − min) · 255) — 4× smaller embedding storage with the
+    // codes' sum, position-weighted sum, and max reconstruction error
+    // as the gate. All arithmetic is fixed-shape IEEE double over
+    // float32 inputs (selections + one division chain), so the oracle
+    // replays it bit-exactly; map-side per row, zero shuffle.
+    // Constant vectors (max == min) code to 0 with zero error
+    "q157_embedding_sq8" -> ((s, dir) => {
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      // min/max HOISTED to their own projection: referenced inside the
+      // per-element lambdas below, the array_min/array_max expressions
+      // would otherwise inline and re-scan the vector per element —
+      // O(dim²) per row, measured 3.4 s vs 0.5 s at sf0.1
+      val staged = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"),
+          d(array_min(col("embedding"))).as("mn"),
+          d(array_max(col("embedding"))).as("mx"))
+      val mn = col("mn")
+      val mx = col("mx")
+      val codes = transform(col("v"), xx =>
+        when(mx === mn, lit(0L))
+          .otherwise(round((d(xx) - mn) / (mx - mn) * 255).cast("long")))
+      staged
+        .withColumn("codes", codes)
+        .select(col("vec_id"),
+          size(col("v")).cast("long").as("n_dims"),
+          aggregate(col("codes"), lit(0L), _ + _).as("code_sum"),
+          aggregate(transform(col("codes"), (cc, i) => (i + 1).cast("long") * cc),
+            lit(0L), _ + _).as("code_wsum"),
+          round(mn, 6).as("vmin"), round(mx, 6).as("vmax"),
+          round(array_max(zip_with(col("v"), col("codes"), (xx, cc) =>
+            abs(d(xx) - (mn + cc * ((mx - mn) / 255))))), 6).as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     // embedding dimensionality reduction ([[graft.operators.Pca]]):
     // project every corpus vector onto the staged top-k principal axes —
     // the SemDeDup-class preprocessing step in front of the semantic
@@ -477,6 +513,26 @@ object AnnQueries extends QueryFamily {
     pqOracle.map(f => "q93_ann_topk_pq" -> f()).toMap ++
     ivfpqOracle.flatMap(f => f()).map("q94_ann_topk_ivfpq" -> _).toMap ++ Map(
     "q26_ann_topk" -> topkSql,
-    "q27_ann_topk_lsh" -> topkSql
+    "q27_ann_topk_lsh" -> topkSql,
+    // identical fixed-shape double chain over per-(vec, dim) rows
+    "q157_embedding_sq8" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         dims AS (
+           SELECT vec_id, i, CAST(v[i] AS DOUBLE) AS x
+           FROM e, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(v))) AS i) u),
+         st AS (SELECT vec_id, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS nd
+                FROM dims GROUP BY 1),
+         c AS (
+           SELECT d.vec_id, d.i, d.x, st.mn, st.mx, st.nd,
+                  CASE WHEN st.mx = st.mn THEN 0
+                       ELSE CAST(ROUND((d.x - st.mn) / (st.mx - st.mn) * 255) AS BIGINT)
+                  END AS code
+           FROM dims d JOIN st USING (vec_id))
+         SELECT vec_id, CAST(MAX(nd) AS BIGINT) AS n_dims,
+                CAST(SUM(code) AS BIGINT) AS code_sum,
+                CAST(SUM(i * code) AS BIGINT) AS code_wsum,
+                ROUND(MAX(mn), 6) AS vmin, ROUND(MAX(mx), 6) AS vmax,
+                ROUND(MAX(ABS(x - (mn + code * ((mx - mn) / 255)))), 6) AS max_err
+         FROM c GROUP BY vec_id ORDER BY vec_id"""
   )
 }
