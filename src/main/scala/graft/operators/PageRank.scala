@@ -115,4 +115,74 @@ object PageRank {
     // frame; the caller's CacheScope releases everything at scope exit
     pr
   }
+
+  /** PERSONALIZED PageRank (the TrustRank/seed-biased family): teleport
+    * mass lands ONLY on the seed set — pr_0 = (scale div |S|) on seeds
+    * and 0 elsewhere, and each round adds the seed teleport instead of
+    * the uniform one, so rank flows OUT from the seeds and a vertex's
+    * score measures its link-proximity to trusted pages (the crawl-
+    * prioritization and spam-demotion signal beside [[integerPageRank]]'s
+    * global centrality and [[Sssp.seedDepth]]'s hop metric). Identical
+    * integer micro-unit discipline and per-round exchange pattern; the
+    * only structural delta is the seed-conditional teleport (one extra
+    * left join per round against the seed frame — seed-set-sized, and
+    * broadcastable when the seed list is policy-sized, the usual case).
+    * Seeds outside the graph are ignored (semi-join); at least one must
+    * remain.
+    */
+  def integerPersonalizedPageRank(
+      edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000000000L,
+      alphaNum: Long = 85, alphaDen: Long = 100): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(alphaNum >= 0 && alphaNum <= alphaDen && alphaDen > 0,
+      "damping must be a fraction in [0, 1]")
+    val e = CacheScope.pin(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .distinct(),
+      StorageLevel.MEMORY_AND_DISK)
+    val verts = CacheScope.pin(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct(),
+      StorageLevel.MEMORY_AND_DISK)
+    val s = CacheScope.pin(
+      seeds.select(col("id").cast("long").as("id")).distinct()
+        .join(verts, Seq("id"), "left_semi")
+        .withColumn("__seed", lit(1)),
+      StorageLevel.MEMORY_AND_DISK)
+    val ns = s.count()
+    require(ns > 0L, "personalized PageRank needs >= 1 seed present in the graph")
+    val init = scale / ns
+    val teleport = (init * (alphaDen - alphaNum)) / alphaDen
+    val eOut = CacheScope.pin(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"),
+      StorageLevel.MEMORY_AND_DISK)
+    var pr = CacheScope.pin(
+      verts.join(s, Seq("id"), "left")
+        .select(col("id"),
+          when(col("__seed").isNotNull, lit(init)).otherwise(lit(0L)).as("pr")),
+      StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    while (it < iters) {
+      val in = eOut.join(pr, eOut("src") === pr("id"))
+        .select(eOut("dst").as("id"),
+          expr("pr div outdeg").as("contrib"))
+        .groupBy("id").agg(sum(col("contrib")).as("acc"))
+      val next = CacheScope.pin(Dedup.rebasedFrame(
+        verts.join(in, Seq("id"), "left")
+          .join(s, Seq("id"), "left")
+          .select(col("id"),
+            (when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L)) +
+              expr(s"($alphaNum * coalesce(acc, 0L)) div $alphaDen")).as("pr"))),
+        StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      pr.unpersist()
+      pr = next
+      it += 1
+    }
+    eOut.unpersist()
+    pr
+  }
 }

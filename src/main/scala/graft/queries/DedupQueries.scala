@@ -750,6 +750,29 @@ object DedupQueries extends QueryFamily {
         .select(col("doc_id").as("id"))
       graft.operators.Sssp.seedDepth(edges, seeds)
         .orderBy("id")
+    }),
+
+    // PERSONALIZED PageRank from the SAME trusted-seed list as q154
+    // ([[graft.operators.PageRank.integerPersonalizedPageRank]]) over
+    // the q120 link graph: the TrustRank-family diffusion twin of the
+    // hop metric — teleport lands only on seeds, rank measures
+    // link-proximity to them, integers end-to-end so the iterative
+    // vector hash-compares (the q120 discipline)
+    "q158_link_pagerank_personalized" -> ((s, dir) => {
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val m = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 3) % m,
+            (col("doc_id") * 13 + 11) % m,
+            col("doc_id") - (col("doc_id") % 50))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val seeds = ids.filter(pmod(col("doc_id"), lit(500)) === 0)
+        .select(col("doc_id").as("id"))
+      graft.operators.PageRank.integerPersonalizedPageRank(
+          edges, seeds, iters = prIters)
+        .orderBy("id")
     })
   )
 
@@ -805,6 +828,50 @@ object DedupQueries extends QueryFamily {
           SELECT p.iter + 1, e.dst,
                  c.tel + (85 * SUM(CASE WHEN e.outdeg IS NULL THEN 0
                                         ELSE p.pr // e.outdeg END)) // 100
+          FROM pr p JOIN e2 e ON e.src = p.id CROSS JOIN consts c
+          WHERE p.iter < $prIters
+          GROUP BY p.iter, e.dst, c.tel)
+        SELECT id, pr FROM pr WHERE iter = $prIters ORDER BY id"""
+  }
+
+  /** q158's twin: q120's unrolled chain with the two PPR deltas — init
+    * mass on seeds only, teleport CASE-gated to seeds (|S| replaces n
+    * in the constants).
+    */
+  private val pprSql: String = {
+    val scale = 1000000000000L
+    s"""WITH RECURSIVE
+        ids AS (SELECT doc_id FROM documents),
+        mm AS (SELECT MAX(doc_id) + 1 AS m FROM ids),
+        raw AS (
+          SELECT doc_id AS src,
+                 UNNEST([(doc_id * 7 + 3) % m,
+                         (doc_id * 13 + 11) % m,
+                         doc_id - doc_id % 50]) AS dst
+          FROM ids CROSS JOIN mm),
+        edges AS (
+          SELECT DISTINCT src, dst FROM raw
+          WHERE src <> dst AND dst IN (SELECT doc_id FROM ids)),
+        verts AS (
+          SELECT DISTINCT id
+          FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        e2 AS (
+          SELECT e.src, e.dst, od.outdeg FROM edges e JOIN od USING (src)
+          UNION ALL
+          SELECT id, id, NULL FROM verts),
+        consts AS (
+          SELECT ($scale // COUNT(*)) AS init,
+                 (($scale // COUNT(*)) * 15) // 100 AS tel
+          FROM verts WHERE id % 500 = 0),
+        pr(iter, id, pr) AS (
+          SELECT 0, v.id, CASE WHEN v.id % 500 = 0 THEN c.init ELSE 0 END
+          FROM verts v CROSS JOIN consts c
+          UNION ALL
+          SELECT p.iter + 1, e.dst,
+                 CASE WHEN e.dst % 500 = 0 THEN c.tel ELSE 0 END
+                   + (85 * SUM(CASE WHEN e.outdeg IS NULL THEN 0
+                                    ELSE p.pr // e.outdeg END)) // 100
           FROM pr p JOIN e2 e ON e.src = p.id CROSS JOIN consts c
           WHERE p.iter < $prIters
           GROUP BY p.iter, e.dst, c.tel)
@@ -1392,6 +1459,7 @@ object DedupQueries extends QueryFamily {
     // references the CTE exactly once. All arithmetic is truncated
     // non-negative integer division, so Spark and DuckDB agree bit-wise
     "q120_link_pagerank" -> pagerankSql,
+    "q158_link_pagerank_personalized" -> pprSql,
     "q138_link_triangles" -> trianglesSql,
     "q139_link_kcore" -> kcoreSql,
     // BFS as a capped recursive CTE: UNION dedups (id, d) pairs so the

@@ -93,4 +93,46 @@ class PageRankSpec extends SparkTestBase {
     val dup = run(Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 1L), (1L, 2L)), 4)
     assert(once == dup)
   }
+
+  /** In-memory reference of the PERSONALIZED recurrence (q158). */
+  private def referencePpr(
+      edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+      scale: Long = Scale, aNum: Long = 85, aDen: Long = 100): Map[Long, Long] = {
+    val e = edges.distinct
+    val verts = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val s = seeds.intersect(verts.toSet)
+    val init = scale / s.size
+    val teleport = (init * (aDen - aNum)) / aDen
+    val outdeg = e.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    var pr = verts.map(v => v -> (if (s(v)) init else 0L)).toMap
+    (0 until iters).foreach { _ =>
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (u, _) => pr(u) / outdeg(u) }.sum
+      }
+      pr = verts.map(v =>
+        v -> ((if (s(v)) teleport else 0L) + (aNum * in.getOrElse(v, 0L)) / aDen)).toMap
+    }
+    pr
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int): Map[Long, Long] =
+    CacheScope.scoped {
+      PageRank.integerPersonalizedPageRank(
+          edges.toDF("src", "dst").repartition(4), seeds.toDF("id"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+  test("personalized: matches the seed-teleport reference; rank decays with distance") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L), (0L, 2L))
+    val got = runPpr(edges, Seq(0L), 5)
+    assert(got == referencePpr(edges, Set(0L), 5))
+    // rank is seed-proximity-biased: the seed outranks everything,
+    // its direct successors outrank the far side of the cycle
+    assert(got(0L) > got(1L) && got(1L) > got(3L))
+  }
+
+  test("personalized: off-graph seeds are ignored, mass splits across present ones") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    assert(runPpr(edges, Seq(1L, 99L), 3) == referencePpr(edges, Set(1L), 3))
+  }
 }
