@@ -107,6 +107,39 @@ object Multimodal {
       }(enc)
   }
 
+  /** Bilinear-resize checksum over a REAL-PNG binary column (q159):
+    * decode, [[PngCodec.resizeBilinear]] to (outW, outH), and emit the
+    * resized image's positional checksums — sum and (k+1)-weighted sum
+    * of the output pixels, which pin every output value AND its
+    * position. Undecodable payloads drop (the [[imageDhash]] degrade
+    * contract). Output: (idCol, out_w, out_h, pix_sum, pix_wsum).
+    */
+  def imageResizeStats(
+      df: DataFrame, idCol: String, binCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("out_w", LongType, nullable = false),
+      StructField("out_h", LongType, nullable = false),
+      StructField("pix_sum", LongType, nullable = false),
+      StructField("pix_wsum", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          PngCodec.decode(bytes).map { img =>
+            val px = PngCodec.resizeBilinear(img, outW, outH)
+            var s = 0L
+            var ws = 0L
+            var k = 0
+            while (k < px.length) { s += px(k); ws += (k + 1L) * px(k); k += 1 }
+            Row(r.getLong(0), outW.toLong, outH.toLong, s, ws)
+          }
+        }
+      }(enc)
+  }
+
   /** Perceptual envelope-hash over a REAL-WAV binary column — the audio
     * twin of [[imageDhash]]: decode PCM16 samples ([[WavCodec
     * .decodePcm16]] — strict chunk walk + sample contract), 65-frame

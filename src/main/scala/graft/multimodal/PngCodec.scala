@@ -203,6 +203,49 @@ object PngCodec {
     os.write(cb, 0, 4)
   }
 
+  /** FIXED-POINT bilinear resize to an arbitrary grid — the "true
+    * resampling" [[dhash64]]'s box grid cannot do (general thumbnails,
+    * model-input normalization). Half-pixel-center source mapping
+    * (sx = (dx+0.5)·W/outW − 0.5, the standard convention) carried in
+    * integer MICROS: every coordinate, fraction, and the 4-tap blend
+    * are exact long arithmetic with floor division, so the result is
+    * bit-reproducible and the closed-form oracle replays it as plain
+    * BIGINT SQL (the [[dhash64]] discipline extended to interpolation).
+    * Edge taps clamp to the border (the replicate rule). Luminance
+    * only, row-major.
+    */
+  def resizeBilinear(img: Image, outW: Int, outH: Int): Array[Int] = {
+    require(outW > 0 && outH > 0, "target dims must be positive")
+    val S = 1000000L
+    val out = new Array[Int](outW * outH)
+    var dy = 0
+    while (dy < outH) {
+      val symRaw = (2L * dy + 1L) * img.height * S / (2L * outH) - S / 2
+      val sym = if (symRaw < 0L) 0L else symRaw
+      var y0 = (sym / S).toInt
+      if (y0 > img.height - 1) y0 = img.height - 1
+      val fy = sym - y0 * S
+      val y1 = math.min(y0 + 1, img.height - 1)
+      var dx = 0
+      while (dx < outW) {
+        val sxmRaw = (2L * dx + 1L) * img.width * S / (2L * outW) - S / 2
+        val sxm = if (sxmRaw < 0L) 0L else sxmRaw
+        var x0 = (sxm / S).toInt
+        if (x0 > img.width - 1) x0 = img.width - 1
+        val fx = sxm - x0 * S
+        val x1 = math.min(x0 + 1, img.width - 1)
+        val p = ((S - fx) * (S - fy) * img.gray(x0, y0) +
+          fx * (S - fy) * img.gray(x1, y0) +
+          (S - fx) * fy * img.gray(x0, y1) +
+          fx * fy * img.gray(x1, y1)) / (S * S)
+        out(dy * outW + dx) = p.toInt
+        dx += 1
+      }
+      dy += 1
+    }
+    out
+  }
+
   /** Perceptual difference hash (dHash) of a decoded image: box-average
     * the luminance down to 9x8 (integer floor arithmetic — replayable),
     * then bit k = y*8+x is set iff cell(x+1, y) > cell(x, y). 64 bits in

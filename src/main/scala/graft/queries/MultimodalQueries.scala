@@ -70,6 +70,18 @@ object MultimodalQueries extends QueryFamily {
         .orderBy("id_a", "id_b")
     }),
 
+    // fixed-point BILINEAR resize on the q132 encoded PNGs — the "true
+    // resampling" member of the multimodal plumbing (decode /
+    // feature-extract / RESIZE / frame-sample): every coordinate and
+    // the 4-tap blend in integer micros with floor division, so the
+    // whole encode→decode→interpolate chain is gated bit-exactly
+    // through positional checksums by a closed-form oracle
+    "q159_image_resize_bilinear" -> ((s, dir) => {
+      val pngs = synthPngs(s, table(s, dir, "documents").select(col("doc_id")))
+      Multimodal.imageResizeStats(pngs, "doc_id", "png", outW = 10, outH = 7)
+        .orderBy("doc_id")
+    }),
+
     // SAMPLE-level perceptual audio near-dup — q132's audio twin, same
     // planted-quad gate on the other modality: deterministic PCM16
     // waveforms per doc_id (base magnitude sequence from b = doc_id/4,
@@ -278,6 +290,55 @@ object MultimodalQueries extends QueryFamily {
           WHERE bit_count(xor(a.sk, b.sk)) <= 4
           ORDER BY id_a, id_b"""
     },
+    // q159's closed-form twin: the resize replayed from the synthesis
+    // arithmetic alone (same pix CTE as q132; micro-unit source
+    // mapping, border clamps, 4-tap blend, floor divisions) — never
+    // touching PNG bytes, so the engine's decode + interpolation chain
+    // must be bit-perfect to match
+    "q159_image_resize_bilinear" ->
+      s"""WITH g AS (SELECT doc_id, doc_id // 4 AS b, doc_id % 4 AS v FROM documents),
+          pix AS (
+            SELECT doc_id,
+                   x, y,
+                   (x*73 + y*151 + b*97 + x*(y+3)*((b % 7) + 1) + x*x*5*((b % 11) + 1) + y*y*3*((b % 13) + 1)) % 181
+                     + CASE WHEN v > 0 AND x // 2 = v * 2 AND y // 2 = v + 2
+                            THEN 36 ELSE 0 END AS gval
+            FROM g,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, ${imgW - 1})) AS x) ux,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, ${imgH - 1})) AS y) uy),
+          tgt AS (
+            SELECT doc_id, dx, dy
+            FROM g,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS dx) ux,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 6)) AS dy) uy),
+          m AS (
+            SELECT doc_id, dx, dy,
+                   GREATEST((2*dx + 1) * $imgW * 1000000 // 20 - 500000, 0) AS sxm,
+                   GREATEST((2*dy + 1) * $imgH * 1000000 // 14 - 500000, 0) AS sym
+            FROM tgt),
+          c AS (
+            SELECT m.*, LEAST(sxm // 1000000, ${imgW - 1}) AS x0,
+                   LEAST(sym // 1000000, ${imgH - 1}) AS y0
+            FROM m),
+          f AS (
+            SELECT c.*, sxm - x0 * 1000000 AS fx, sym - y0 * 1000000 AS fy,
+                   LEAST(x0 + 1, ${imgW - 1}) AS x1, LEAST(y0 + 1, ${imgH - 1}) AS y1
+            FROM c),
+          o AS (
+            SELECT f.doc_id, f.dy * 10 + f.dx AS k,
+                   ((1000000 - fx) * (1000000 - fy) * p00.gval
+                    + fx * (1000000 - fy) * p10.gval
+                    + (1000000 - fx) * fy * p01.gval
+                    + fx * fy * p11.gval) // 1000000000000 AS p
+            FROM f
+            JOIN pix p00 ON p00.doc_id = f.doc_id AND p00.x = f.x0 AND p00.y = f.y0
+            JOIN pix p10 ON p10.doc_id = f.doc_id AND p10.x = f.x1 AND p10.y = f.y0
+            JOIN pix p01 ON p01.doc_id = f.doc_id AND p01.x = f.x0 AND p01.y = f.y1
+            JOIN pix p11 ON p11.doc_id = f.doc_id AND p11.x = f.x1 AND p11.y = f.y1)
+          SELECT doc_id, CAST(10 AS BIGINT) AS out_w, CAST(7 AS BIGINT) AS out_h,
+                 CAST(SUM(p) AS BIGINT) AS pix_sum,
+                 CAST(SUM((k + 1) * p) AS BIGINT) AS pix_wsum
+          FROM o GROUP BY doc_id ORDER BY doc_id""",
     // q136's closed-form twin: the envelope hash recomputed from the
     // synthesis ARITHMETIC alone (magnitudes -> 8-sample frame energy
     // -> adjacent-compare bits -> HUGEINT sum -> signed wrap), never
