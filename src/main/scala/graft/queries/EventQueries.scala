@@ -335,6 +335,30 @@ object EventQueries extends QueryFamily {
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    // the ranked-analytics window-function suite in ONE pass: ntile /
+    // percent_rank / cume_dist / lag / lead / running sum over the same
+    // (event_type, (ts, id)) window — one exchange serves every
+    // function. The running sum accumulates INTEGER cents (a running
+    // double would be frame-order-associative and engine-divergent);
+    // ratios round 6dp at the edge
+    "q161_events_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.Tables.events(s, dir)
+        .select(col("event_type"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("value"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_type"), col("event_id"),
+          row_number().over(w).cast("long").as("rn"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          lag(col("value"), 1).over(w).as("prev_v"),
+          lead(col("value"), 1).over(w).as("next_v"),
+          round(sum(col("cents")).over(frame) / lit(100.0), 2).as("run_sum"))
+        .orderBy("event_type", "rn")
+    }),
+
     // q147 under true Structured Streaming: watermark + append mode,
     // emission per window INSTANCE (q36's rule applied at 4× instance
     // density). Shares q147's membership arithmetic; the oracle adds
@@ -664,6 +688,21 @@ object EventQueries extends QueryFamily {
               event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
          FROM events, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k) k
          GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q161_events_window_suite" ->
+      """SELECT event_type, event_id,
+                ROW_NUMBER() OVER w AS rn,
+                CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+                ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                ROUND(CUME_DIST() OVER w, 6) AS cume,
+                LAG(value) OVER w AS prev_v,
+                LEAD(value) OVER w AS next_v,
+                ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      / 100.0, 2) AS run_sum
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+         ORDER BY event_type, rn""",
     "q155_events_transitions" ->
       """WITH p AS (
            SELECT user_id, event_type,

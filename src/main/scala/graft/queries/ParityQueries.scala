@@ -278,6 +278,50 @@ object ParityQueries extends QueryFamily {
     //      FIXED-cardinality (25/5 rows at any SF) -> explicit broadcast;
     //      part/supplier scale with the data -> left to AQE (broadcast
     //      while small, shuffle join at 100 TB). ----
+    // TPC-H Q3 shape (shipping priority): selective filters on all
+    // three inputs BEFORE the joins (pushdown-friendly), customer side
+    // broadcast, revenue in EXACT integer 1e-4-dollar units so the
+    // aggregate is shuffle-order-independent (the q149 discipline —
+    // `sum(price*(1-disc))` on doubles cannot hash-compare), one 6dp…
+    // 2dp division at the edge; top-10 by (revenue DESC, key)
+    "q160_shipping_priority" -> ((s, dir) => {
+      import s.implicits._
+      val cut = lit("1995-03-15").cast("timestamp")
+      val c = table(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val o = table(s, dir, "orders")
+        .filter($"o_orderdate".cast("timestamp") < cut)
+      val li = table(s, dir, "lineitem")
+        .filter($"l_shipdate".cast("timestamp") > cut)
+      val revMicro = round($"l_extendedprice" * 100).cast("long") *
+        (lit(100L) - round($"l_discount" * 100).cast("long"))
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum(revMicro).as("rm"))
+        .select($"l_orderkey",
+          round($"rm" / lit(10000.0), 2).as("revenue"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+          $"o_orderpriority")
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    // market-basket co-purchase pairs (the A-priori support-counting
+    // first pass): distinct parts per order, within-order self-join
+    // a < b (candidate surface Σ_order |parts|² — order-bounded, never
+    // corpus²), support counted across orders, floor applied
+    "q163_part_copurchase" -> ((s, dir) => {
+      import s.implicits._
+      val op = table(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter($"support" >= 2)
+        .orderBy($"support".desc, $"part_a", $"part_b")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -623,6 +667,26 @@ object ParityQueries extends QueryFamily {
                 CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS BIGINT) AS is_open
          FROM (SELECT DISTINCT o_orderstatus FROM orders)
          ORDER BY status_key""",
+    "q160_shipping_priority" ->
+      """SELECT l_orderkey,
+                ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                      / 10000.0, 2) AS revenue,
+                STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q163_part_copurchase" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+         SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
+         FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ORDER BY support DESC, part_a, part_b""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

@@ -867,6 +867,26 @@ object TextQueries extends QueryFamily {
         .orderBy(col("gmask"), col("source").asc_nulls_first,
           col("lang").asc_nulls_first)),
 
+    // bag-semantics SET OPERATIONS over the en/de token multisets:
+    // INTERSECT ALL (min multiplicity), EXCEPT ALL (clamped
+    // difference), and their DISTINCT forms in one tagged result —
+    // the SQL set-operator surface exercised as data, not just parsed
+    "q162_token_set_ops" -> ((s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val en = tok.filter(col("lang") === "en").select("token")
+      val de = tok.filter(col("lang") === "de").select("token")
+      def tag(df: DataFrame, op: String) =
+        df.groupBy("token").agg(count(lit(1)).as("n")).withColumn("op", lit(op))
+      tag(en.intersectAll(de), "intersect_all")
+        .unionByName(tag(en.exceptAll(de), "except_all"))
+        .unionByName(tag(en.intersect(de), "intersect"))
+        .unionByName(tag(en.except(de), "except"))
+        .select(col("op"), col("token"), col("n"))
+        .orderBy("op", "token")
+    }),
+
     // encoding-damage repair (the ftfy-class curation step): mojibake
     // artifacts are INJECTED deterministically (doc_id ≡ 1 mod 6 —
     // the q52/q119 synthesize-from-corpus pattern; a varying repeat of
@@ -1915,6 +1935,24 @@ object TextQueries extends QueryFamily {
            FROM documents GROUP BY CUBE(source, lang)
            ORDER BY gmask, source NULLS FIRST, lang NULLS FIRST""",
       "q153_mojibake_repair" -> mojibakeSql,
+      "q162_token_set_ops" ->
+        s"""WITH tok AS (SELECT lang, UNNEST($toks) AS token FROM documents),
+            tk AS (SELECT lang, token FROM tok WHERE token <> ''),
+            en AS (SELECT token FROM tk WHERE lang = 'en'),
+            de AS (SELECT token FROM tk WHERE lang = 'de')
+            SELECT op, token, CAST(n AS BIGINT) AS n FROM (
+              SELECT 'intersect_all' AS op, token, COUNT(*) AS n
+              FROM (SELECT * FROM en INTERSECT ALL SELECT * FROM de) GROUP BY 2
+              UNION ALL
+              SELECT 'except_all', token, COUNT(*)
+              FROM (SELECT * FROM en EXCEPT ALL SELECT * FROM de) GROUP BY 2
+              UNION ALL
+              SELECT 'intersect', token, COUNT(*)
+              FROM (SELECT * FROM en INTERSECT SELECT * FROM de) GROUP BY 2
+              UNION ALL
+              SELECT 'except', token, COUNT(*)
+              FROM (SELECT * FROM en EXCEPT SELECT * FROM de) GROUP BY 2)
+            ORDER BY op, token""",
       // same integer weights, same inverted-index join, same final
       // three-IEEE-operation cosine; rank on the UNROUNDED double
       "q152_tfidf_cosine_topk" ->
