@@ -225,6 +225,32 @@ object EventQueries extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // trailing-window ROLLING DISTINCT — the window shape Spark's
+    // RANGE frames cannot express (count_distinct over a moving frame
+    // is unsupported): per event, distinct users among ALL events in
+    // the inclusive trailing hour. Expressed as the q58 bucketed
+    // point-in-interval range join (each event spans [ts−1h, ts], each
+    // contributes its own point; candidates meet in exactly one
+    // bucket) feeding one exact count_distinct — pair surface is
+    // events × window-occupancy, never events²
+    "q164_events_rolling_distinct" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"), col("user_id"))
+      // anchor on purchases: the fraud-review shape ("how many distinct
+      // users were active in the hour before this purchase") — and the
+      // anchor set bounds the pair surface at |purchases| × occupancy
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("a_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"), col("ts").as("w_end"))
+      val points = ev.select(col("ts").as("p_ts"), col("user_id"))
+      graft.operators.RangeJoin.pointInInterval(
+          points, "p_ts", intervals, "w_start", "w_end", bucketSeconds = 900L)
+        .groupBy(col("a_id").as("event_id"))
+        .agg(count_distinct(col("user_id")).as("n_users_hour"))
+        .orderBy("event_id")
+    }),
+
     // backward AS-OF join: each purchase attributed to the user's most
     // recent click at-or-before it (clicks pre-aggregated per (user, ts)
     // to satisfy the operator's — and DuckDB ASOF's — uniqueness
@@ -285,6 +311,14 @@ object EventQueries extends QueryFamily {
       withStreamShuffle(s)(EventStreams.attributionStreaming(
           s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q49", dir), windowMinutes = 60))
         .orderBy("event_id", "click_id")),
+
+    // LEFT OUTER stream-stream interval join (q49's outer sibling):
+    // unmatched purchases emit null-click rows only once the watermark
+    // proves their window closed; the rest never emit
+    "q165_events_attribution_outer_stream" -> ((s, dir) =>
+      withStreamShuffle(s)(EventStreams.attributionOuterStreaming(
+          s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q165", dir), windowMinutes = 60))
+        .orderBy(col("event_id"), col("click_id").asc_nulls_first)),
 
     // streaming ingest dedup: event_id uniqueness repaired with bounded
     // (watermark-horizon) state; the driver feed has unique ids, so the
@@ -622,6 +656,42 @@ object EventQueries extends QueryFamily {
           AND p.user_id = c.user_id
           AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts
          ORDER BY p.event_id, click_id""",
+    // matched pairs emit unconditionally; an unmatched purchase emits
+    // (null click columns) iff its ts is below the GLOBAL watermark —
+    // the MIN of the two branch watermarks, each branch tracking its
+    // own max event time (the `click_ts <= ts` bound means a purchase
+    // below the click watermark can never gain a future match, so
+    // eviction needs no window lag; sf0.01's dense tail pins the
+    // boundary: 22:46 emits, nothing above 22:54:57 = min-branch-max −
+    // 30min does)
+    "q165_events_attribution_outer_stream" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events),
+         wm AS (SELECT LEAST(
+                  (SELECT MAX(ts) FROM e WHERE event_type = 'click'),
+                  (SELECT MAX(ts) FROM e WHERE event_type = 'purchase'))
+                - INTERVAL 30 MINUTE AS w),
+         m AS (
+           SELECT p.event_id, p.user_id, p.ts,
+                  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+           FROM e p JOIN e c
+             ON p.event_type = 'purchase' AND c.event_type = 'click'
+            AND p.user_id = c.user_id
+            AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts),
+         u AS (
+           SELECT p.event_id, p.user_id, p.ts,
+                  NULL::BIGINT AS click_id, NULL::TIMESTAMP AS click_ts,
+                  NULL::DOUBLE AS click_value
+           FROM e p
+           WHERE p.event_type = 'purchase'
+             AND p.ts < (SELECT w FROM wm)
+             AND NOT EXISTS (SELECT 1 FROM m WHERE m.event_id = p.event_id))
+         SELECT event_id, user_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                click_id, STRFTIME(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                click_value
+         FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+         ORDER BY event_id, click_id NULLS FIRST""",
     // the tolerance is applied POST-match (DuckDB ASOF has no tolerance
     // clause): the backward match stands, but stale matches null out
     "q69_asof_tolerance" ->
@@ -688,6 +758,12 @@ object EventQueries extends QueryFamily {
               event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
          FROM events, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k) k
          GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q164_events_rolling_distinct" ->
+      """SELECT a.event_id, COUNT(DISTINCT b.user_id) AS n_users_hour
+         FROM events a JOIN events b
+           ON b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+         WHERE a.event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
     "q161_events_window_suite" ->
       """SELECT event_type, event_id,
                 ROW_NUMBER() OVER w AS rn,

@@ -222,6 +222,47 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** LEFT OUTER stream-stream interval join — q49's outer sibling and
+    * the harder streaming milestone: matched pairs emit as they join,
+    * but an UNMATCHED purchase can only emit (with null click columns)
+    * once the click watermark proves no future match exists — the
+    * condition caps click_ts at the purchase's ts, so eviction fires
+    * when the watermark passes it (Spark's no-data final batch under
+    * AvailableNow performs that flush). Purchases still above the final
+    * watermark emit nothing: their window is not provably closed — the
+    * append-mode rule the oracle encodes (the q36 HAVING discipline
+    * applied to outer-join null emission).
+    */
+  def attributionOuterStreaming(
+      spark: SparkSession, eventsDir: String, outDir: String,
+      windowMinutes: Int, delay: String = "30 minutes"): DataFrame = {
+    val src = spark.readStream.schema(eventSchema).parquet(eventsDir)
+    val (purchases, clicks) = attributionSides(src, delay)
+    val joined = purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+          col("click_ts") <= col("ts"),
+        "left_outer")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("click_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("click_value"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", StringType), StructField("click_id", LongType),
+        StructField("click_ts", StringType), StructField("click_value", DoubleType))))
+      .parquet(outDir)
+  }
+
   /** Streaming exact dedup by event_id with BOUNDED state — the
     * feed-repair operator: at-least-once sources re-deliver, and ingest
     * must drop the re-deliveries. `dropDuplicatesWithinWatermark` keeps a
