@@ -322,6 +322,21 @@ object ParityQueries extends QueryFamily {
         .orderBy($"support".desc, $"part_a", $"part_b")
     }),
 
+    // ---- spatial grid proximity join: deterministic integer (x, y)
+    //      positions derived from the customer key, all pairs within
+    //      Euclidean 1500 via the 3×3-cell bucketed equi-join
+    //      ([[graft.operators.SpatialJoin]]) — never a cartesian. ----
+    "q166_customer_proximity" -> ((s, dir) => {
+      import s.implicits._
+      val pts = table(s, dir, "customer").select(
+        $"c_custkey".cast("long").as("id"),
+        ($"c_custkey".cast("long") * 7919L % 100000L).as("x"),
+        ($"c_custkey".cast("long") * 104729L % 100000L).as("y"))
+      graft.operators.SpatialJoin.proximityPairs(pts, "id", "x", "y", maxDist = 1500L)
+        .withColumnRenamed("id_a", "cust_a").withColumnRenamed("id_b", "cust_b")
+        .orderBy($"cust_a", $"cust_b")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -687,6 +702,19 @@ object ParityQueries extends QueryFamily {
          FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
          GROUP BY 1, 2 HAVING COUNT(*) >= 2
          ORDER BY support DESC, part_a, part_b""",
+    "q166_customer_proximity" ->
+      """WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                             (CAST(c_custkey AS BIGINT) * 7919) % 100000 AS x,
+                             (CAST(c_custkey AS BIGINT) * 104729) % 100000 AS y
+                      FROM customer)
+         SELECT a.id AS cust_a, b.id AS cust_b,
+                (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist_sq
+         FROM pts a JOIN pts b
+           ON a.id < b.id
+          AND b.x BETWEEN a.x - 1500 AND a.x + 1500
+          AND b.y BETWEEN a.y - 1500 AND a.y + 1500
+         WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2250000
+         ORDER BY cust_a, cust_b""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
