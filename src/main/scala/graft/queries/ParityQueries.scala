@@ -337,6 +337,43 @@ object ParityQueries extends QueryFamily {
         .orderBy($"cust_a", $"cust_b")
     }),
 
+    // ---- incremental JOIN-view maintenance: orders/lineitem split at a
+    //      date cutoff into corpus + delta; the maintained view (old agg
+    //      state merged with the delta-join's re-aggregation,
+    //      [[graft.operators.JoinViewMaint]] + [[graft.operators
+    //      .MaterializedAgg]]) must equal the from-scratch join+agg the
+    //      oracle computes. Measures in exact integer units (centi-qty,
+    //      1e-4-dollar revenue) so merge == rebuild bit-for-bit. ----
+    "q167_join_view_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val cut = lit("1997-01-01").cast("timestamp")
+      val o = table(s, dir, "orders")
+        .select($"o_orderkey".as("ok"), $"o_orderpriority", $"o_orderdate")
+      val li = table(s, dir, "lineitem").select($"l_orderkey".as("ok"),
+        $"l_returnflag",
+        round($"l_quantity" * 100).cast("long").as("qc"),
+        (round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rm"),
+        $"l_shipdate")
+      val oOld = o.filter($"o_orderdate".cast("timestamp") < cut).drop("o_orderdate")
+      val oNew = o.filter($"o_orderdate".cast("timestamp") >= cut).drop("o_orderdate")
+      val liOld = li.filter($"l_shipdate".cast("timestamp") < cut).drop("l_shipdate")
+      val liNew = li.filter($"l_shipdate".cast("timestamp") >= cut).drop("l_shipdate")
+      val keys = Seq("o_orderpriority", "l_returnflag")
+      val measures = Map(
+        "n_items" -> lit(1L), "qty_c" -> col("qc"), "rev_m" -> col("rm"))
+      val state = graft.operators.MaterializedAgg.additiveState(
+        oOld.join(liOld, Seq("ok")), keys, measures)
+      val delta = graft.operators.JoinViewMaint.joinDelta(
+        oOld, oNew, liOld, liNew, Seq("ok"))
+      val maintained = graft.operators.MaterializedAgg.mergeAdditive(
+        state, graft.operators.MaterializedAgg.additiveState(delta, keys, measures), keys)
+      maintained.select($"o_orderpriority", $"l_returnflag", $"n_items",
+          round($"qty_c" / 100.0, 2).as("qty"),
+          round($"rev_m" / 10000.0, 2).as("revenue"))
+        .orderBy($"o_orderpriority", $"l_returnflag")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -715,6 +752,16 @@ object ParityQueries extends QueryFamily {
           AND b.y BETWEEN a.y - 1500 AND a.y + 1500
          WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2250000
          ORDER BY cust_a, cust_b""",
+    "q167_join_view_maintenance" ->
+      """SELECT o_orderpriority, l_returnflag,
+                CAST(COUNT(*) AS BIGINT) AS n_items,
+                ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS qty,
+                ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                      / 10000.0, 2) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority, l_returnflag
+         ORDER BY o_orderpriority, l_returnflag""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
