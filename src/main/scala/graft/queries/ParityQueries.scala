@@ -374,6 +374,32 @@ object ParityQueries extends QueryFamily {
         .orderBy($"o_orderpriority", $"l_returnflag")
     }),
 
+    // ---- CDC MERGE: the orders feed read as an upsert/delete log over
+    //      a per-customer current-state snapshot, applied last-writer-
+    //      wins ([[graft.operators.Cdc]]). Deterministic op rule
+    //      (o_orderkey % 23 → delete), a planted insert branch for keys
+    //      the snapshot lacks, and untouched keys (o_custkey % 5 == 0
+    //      never logged) passing through unchanged. ----
+    "q168_cdc_merge" -> ((s, dir) => {
+      import s.implicits._
+      val snapshot = table(s, dir, "customer").select(
+        $"c_custkey".cast("long").as("k"),
+        lit("BASE").as("status"), lit("NONE").as("priority"))
+      val o = table(s, dir, "orders")
+      val baseLog = o.filter($"o_custkey" % 5 =!= 0).select(
+        $"o_custkey".cast("long").as("k"),
+        when($"o_orderkey" % 23 === 0, "D").otherwise("U").as("op"),
+        $"o_orderstatus".as("status"), $"o_orderpriority".as("priority"),
+        $"o_orderdate".as("ts"), $"o_orderkey".cast("long").as("seq"))
+      val insertLog = o.filter($"o_orderkey" % 101 === 0).select(
+        ($"o_custkey".cast("long") + 1000000L).as("k"), lit("U").as("op"),
+        $"o_orderstatus".as("status"), $"o_orderpriority".as("priority"),
+        $"o_orderdate".as("ts"), $"o_orderkey".cast("long").as("seq"))
+      graft.operators.Cdc.applyLog(snapshot, baseLog.unionByName(insertLog),
+          keyCols = Seq("k"), orderCols = Seq("ts", "seq"))
+        .orderBy($"k")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -762,6 +788,29 @@ object ParityQueries extends QueryFamily {
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority, l_returnflag
          ORDER BY o_orderpriority, l_returnflag""",
+    "q168_cdc_merge" ->
+      """WITH log AS (
+           SELECT CAST(o_custkey AS BIGINT) AS k,
+                  CASE WHEN o_orderkey % 23 = 0 THEN 'D' ELSE 'U' END AS op,
+                  o_orderstatus AS status, o_orderpriority AS priority,
+                  o_orderdate AS ts, CAST(o_orderkey AS BIGINT) AS seq
+           FROM orders WHERE o_custkey % 5 <> 0
+           UNION ALL
+           SELECT CAST(o_custkey AS BIGINT) + 1000000, 'U',
+                  o_orderstatus, o_orderpriority, o_orderdate,
+                  CAST(o_orderkey AS BIGINT)
+           FROM orders WHERE o_orderkey % 101 = 0),
+         win AS (
+           SELECT * FROM (
+             SELECT log.*, ROW_NUMBER() OVER
+               (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn FROM log)
+           WHERE rn = 1)
+         SELECT CAST(c_custkey AS BIGINT) AS k, 'BASE' AS status, 'NONE' AS priority
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM win w WHERE w.k = customer.c_custkey)
+         UNION ALL
+         SELECT k, status, priority FROM win WHERE op = 'U'
+         ORDER BY k""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
