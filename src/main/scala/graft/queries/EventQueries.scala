@@ -251,6 +251,21 @@ object EventQueries extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // sweep-line peak concurrency: every event opens a 30-minute lease
+    // [ts, ts+30m); per hour, the max number of simultaneously open
+    // leases at event boundaries — the distributed two-phase prefix sum
+    // ([[graft.operators.SweepLine]]: within-bucket running sums + one
+    // #buckets-sized carry window), never a global single-partition sort
+    "q169_events_peak_concurrency" -> ((s, dir) => {
+      val iv = graft.Tables.events(s, dir).select(
+        col("ts").cast("timestamp").as("s"),
+        (col("ts").cast("timestamp") + expr("INTERVAL 30 MINUTES")).as("e"))
+      graft.operators.SweepLine.peakConcurrency(iv, "s", "e", bucketSeconds = 3600L)
+        .select(date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+          col("peak"))
+        .orderBy("bucket_start")
+    }),
+
     // backward AS-OF join: each purchase attributed to the user's most
     // recent click at-or-before it (clicks pre-aggregated per (user, ts)
     // to satisfy the operator's — and DuckDB ASOF's — uniqueness
@@ -764,6 +779,16 @@ object EventQueries extends QueryFamily {
            ON b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
          WHERE a.event_type = 'purchase'
          GROUP BY 1 ORDER BY 1""",
+    // half-open leases; exact (t, d) peers collapse under the default
+    // RANGE frame on both engines, so the tie arithmetic is identical
+    "q169_events_peak_concurrency" ->
+      """WITH iv AS (SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+         pts AS (SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+                 UNION ALL SELECT e, CAST(-1 AS BIGINT) FROM iv),
+         r AS (SELECT t, d, SUM(d) OVER (ORDER BY t, d) AS run FROM pts)
+         SELECT STRFTIME(DATE_TRUNC('hour', t), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                CAST(MAX(run) AS BIGINT) AS peak
+         FROM r GROUP BY 1 ORDER BY bucket_start""",
     "q161_events_window_suite" ->
       """SELECT event_type, event_id,
                 ROW_NUMBER() OVER w AS rn,
