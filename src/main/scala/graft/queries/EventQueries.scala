@@ -266,6 +266,21 @@ object EventQueries extends QueryFamily {
         .orderBy("bucket_start")
     }),
 
+    // robust median/MAD outlier gate over integer cents, with planted
+    // 50× spikes (event_id % 37) riding the natural heavy tail — all
+    // arithmetic integer ([[graft.operators.RobustStats]]: med2/dev2/
+    // mad4 doubling trick), so the k=3 decision is bit-exact
+    "q170_value_outliers_mad" -> ((s, dir) => {
+      val v = graft.Tables.events(s, dir).select(
+        col("event_id"), col("event_type"),
+        (round(col("value") * 100).cast("long") *
+          when(col("event_id") % 37 === 0, 50L).otherwise(1L)).as("vc"))
+      graft.operators.RobustStats.madOutliers(v, Seq("event_type"), "vc", k = 3L)
+        .select(col("event_id"), col("event_type"), col("vc").as("value_c"),
+          col("dev2"), col("med2"), col("mad4"))
+        .orderBy("event_id")
+    }),
+
     // backward AS-OF join: each purchase attributed to the user's most
     // recent click at-or-before it (clicks pre-aggregated per (user, ts)
     // to satisfy the operator's — and DuckDB ASOF's — uniqueness
@@ -789,6 +804,32 @@ object EventQueries extends QueryFamily {
          SELECT STRFTIME(DATE_TRUNC('hour', t), '%Y-%m-%d %H:%M:%S') AS bucket_start,
                 CAST(MAX(run) AS BIGINT) AS peak
          FROM r GROUP BY 1 ORDER BY bucket_start""",
+    "q170_value_outliers_mad" ->
+      """WITH v AS (
+           SELECT event_id, event_type AS g,
+                  CAST(ROUND(value*100) AS BIGINT)
+                    * (CASE WHEN event_id % 37 = 0 THEN 50 ELSE 1 END) AS vc
+           FROM events),
+         c AS (SELECT g, vc, cnt,
+                      SUM(cnt) OVER (PARTITION BY g ORDER BY vc) AS cum,
+                      SUM(cnt) OVER (PARTITION BY g) AS n
+               FROM (SELECT g, vc, COUNT(*) AS cnt FROM v GROUP BY 1,2)),
+         m AS (SELECT g, MIN(vc) FILTER (WHERE cum > FLOOR(0.5*(n-1))) +
+                        MIN(vc) FILTER (WHERE cum > CEIL(0.5*(n-1))) AS med2
+               FROM c GROUP BY g),
+         d AS (SELECT v.event_id, v.g, v.vc, ABS(2*v.vc - m.med2) AS dev2, m.med2
+               FROM v JOIN m ON v.g = m.g),
+         c2 AS (SELECT g, dev2, cnt,
+                       SUM(cnt) OVER (PARTITION BY g ORDER BY dev2) AS cum,
+                       SUM(cnt) OVER (PARTITION BY g) AS n
+                FROM (SELECT g, dev2, COUNT(*) AS cnt FROM d GROUP BY 1,2)),
+         m2 AS (SELECT g, MIN(dev2) FILTER (WHERE cum > FLOOR(0.5*(n-1))) +
+                        MIN(dev2) FILTER (WHERE cum > CEIL(0.5*(n-1))) AS mad4
+                FROM c2 GROUP BY g)
+         SELECT d.event_id, d.g AS event_type, d.vc AS value_c, d.dev2, d.med2, m2.mad4
+         FROM d JOIN m2 ON d.g = m2.g
+         WHERE 2*d.dev2 > 3*m2.mad4
+         ORDER BY event_id""",
     "q161_events_window_suite" ->
       """SELECT event_type, event_id,
                 ROW_NUMBER() OVER w AS rn,
