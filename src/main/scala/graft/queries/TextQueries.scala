@@ -887,6 +887,36 @@ object TextQueries extends QueryFamily {
         .orderBy("op", "token")
     }),
 
+    // positional phrase search: the corpus's top-3 bigrams (data-derived,
+    // so the gate survives testdata regeneration) matched as EXACT
+    // consecutive pairs through the alignment join ([[graft.operators
+    // .PhraseSearch]]); per (phrase, doc) occurrence counts
+    "q171_phrase_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val post = graft.operators.CacheScope.pin(
+        graft.operators.PhraseSearch.postings(table(s, dir, "documents")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // bigram derivation via the same pos+1 self-join the search uses
+      // (A/B'd vs a per-doc lead window in the same session: the join
+      // form measured 2.47 s vs 2.89 s at sf0.1 — the window's per-doc
+      // sort costs more than the second hash-join side)
+      val bg = post.as("a").join(post.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .groupBy(col("a.token").as("w0"), col("b.token").as("w1"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = bg.withColumn("phrase_id",
+          row_number().over(Window.orderBy(col("cnt").desc, col("w0"), col("w1")))
+            .cast("long"))
+        .filter(col("phrase_id") <= 3)
+      val phrases = top.select(col("phrase_id"), lit(0L).as("offset"), col("w0").as("term"))
+        .unionByName(top.select(col("phrase_id"), lit(1L).as("offset"), col("w1").as("term")))
+      graft.operators.PhraseSearch.occurrences(post, phrases)
+        .groupBy("phrase_id", "doc_id").agg(count(lit(1)).as("n_occ"))
+        .join(broadcast(top.select("phrase_id", "w0", "w1")), Seq("phrase_id"))
+        .select(col("phrase_id"), col("w0"), col("w1"), col("doc_id"), col("n_occ"))
+        .orderBy("phrase_id", "doc_id")
+    }),
+
     // encoding-damage repair (the ftfy-class curation step): mojibake
     // artifacts are INJECTED deterministically (doc_id ≡ 1 mod 6 —
     // the q52/q119 synthesize-from-corpus pattern; a varying repeat of
@@ -1935,6 +1965,26 @@ object TextQueries extends QueryFamily {
            FROM documents GROUP BY CUBE(source, lang)
            ORDER BY gmask, source NULLS FIRST, lang NULLS FIRST""",
       "q153_mojibake_repair" -> mojibakeSql,
+      "q171_phrase_search" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS arr FROM documents),
+            tok AS (SELECT doc_id, i-1 AS pos, arr[i] AS token
+                    FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(arr))) AS i) t
+                    WHERE arr[i] <> ''),
+            bg AS (SELECT a.token AS w0, b.token AS w1, COUNT(*) AS cnt
+                   FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   GROUP BY 1, 2),
+            top AS (SELECT w0, w1,
+                           ROW_NUMBER() OVER (ORDER BY cnt DESC, w0, w1) AS phrase_id
+                    FROM bg QUALIFY phrase_id <= 3),
+            occ AS (SELECT t.phrase_id, a.doc_id, COUNT(*) AS n_occ
+                    FROM top t
+                    JOIN tok a ON a.token = t.w0
+                    JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                               AND b.token = t.w1
+                    GROUP BY 1, 2)
+            SELECT o.phrase_id, t.w0, t.w1, o.doc_id, o.n_occ
+            FROM occ o JOIN top t USING (phrase_id)
+            ORDER BY phrase_id, doc_id""",
       "q162_token_set_ops" ->
         s"""WITH tok AS (SELECT lang, UNNEST($toks) AS token FROM documents),
             tk AS (SELECT lang, token FROM tok WHERE token <> ''),
