@@ -668,6 +668,26 @@ object DedupQueries extends QueryFamily {
         .orderBy("id")
     }),
 
+    // HITS hubs & authorities ([[graft.operators.Hits]]) in integer
+    // arithmetic over a deterministic link graph with 25-block sinks
+    // (high authority) and multiplicative-hash pointers (hub mass) —
+    // q120's bit-exact-iteration contract on the mutually-recursive
+    // centrality; L∞ rescale each half-step keeps every quantity an
+    // exact integer (DECIMAL(38,0) intermediate, the ANSI-overflow trap)
+    "q172_link_hits" -> ((s, dir) => {
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val m = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 17 + 5) % m,
+            (col("doc_id") * 29 + 7) % m,
+            col("doc_id") - (col("doc_id") % 25))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      graft.operators.Hits.integerHits(edges, iters = hitsIters)
+        .orderBy("id")
+    }),
+
     // per-vertex triangle counts ([[graft.operators.Triangles]]) over a
     // deterministic link graph with PLANTED triangle structure: a
     // successor chain (u -> u+1) + the q120 block-hub rule (u -> its
@@ -788,6 +808,60 @@ object DedupQueries extends QueryFamily {
   // q120 PageRank rounds: enough for hub ranks to separate, few enough
   // that the recursive oracle stays cheap
   private val prIters = 6
+
+  // q172 HITS rounds: each round is TWO half-steps (auth then hub) with
+  // their own exchanges and normalizations — 3 rounds separate the
+  // planted sink/hub structure while keeping the iterative floor paid
+  // (the q139 per-round-cost lesson) at ~6 materialized steps
+  private val hitsIters = 3
+
+  /** q172's DuckDB twin — the HITS half-steps UNROLLED (a per-round MAX
+    * normalization is two passes over the same round's frame, which a
+    * recursive CTE's single-reference arm cannot express), iterative
+    * CTEs MATERIALIZED per the q139 plan-doubling lesson. HUGEINT `//`
+    * (floor) equals the engine's DECIMAL `div` (truncate) because every
+    * quantity is non-negative.
+    */
+  private val hitsSql: String = {
+    val scale = 1000000000L
+    def norm(t: Int, p: String, raw: String, mx: String, out: String) =
+      s"""$raw AS MATERIALIZED (
+            SELECT e.${if (out.startsWith("a")) "dst" else "src"} AS id, SUM(p.s) AS raw
+            FROM edges e JOIN $p p ON e.${if (out.startsWith("a")) "src" else "dst"} = p.id
+            GROUP BY 1),
+          $mx AS (SELECT MAX(raw) AS mx FROM $raw),
+          $out AS MATERIALIZED (
+            SELECT v.id, CASE WHEN m.mx IS NULL OR m.mx <= 0 THEN 0
+                              ELSE (COALESCE(r.raw, 0)::HUGEINT * $scale) // m.mx END AS s
+            FROM verts v LEFT JOIN $raw r ON v.id = r.id CROSS JOIN $mx m)"""
+    val rounds = (1 to hitsIters).map { t =>
+      val prevHub = if (t == 1) "h0" else s"h${t - 1}"
+      norm(t, prevHub, s"ar$t", s"am$t", s"a$t") + ",\n" +
+        norm(t, s"a$t", s"hr$t", s"hm$t", s"h$t")
+    }.mkString(",\n")
+    s"""WITH
+        ids AS (SELECT doc_id FROM documents),
+        mm AS (SELECT MAX(doc_id) + 1 AS m FROM ids),
+        raw0 AS (
+          SELECT doc_id AS src,
+                 UNNEST([(doc_id * 17 + 5) % m,
+                         (doc_id * 29 + 7) % m,
+                         doc_id - doc_id % 25]) AS dst
+          FROM ids CROSS JOIN mm),
+        edges AS (
+          SELECT DISTINCT src, dst FROM raw0
+          WHERE src <> dst AND dst IN (SELECT doc_id FROM ids)),
+        verts AS (
+          SELECT DISTINCT id
+          FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+        h0 AS (SELECT id, CAST($scale AS HUGEINT) AS s FROM verts),
+        $rounds
+        SELECT v.id, CAST(h.s AS BIGINT) AS hub, CAST(a.s AS BIGINT) AS auth
+        FROM verts v
+        JOIN h$hitsIters h ON v.id = h.id
+        JOIN a$hitsIters a ON v.id = a.id
+        ORDER BY v.id"""
+  }
 
   /** q120's DuckDB twin. Same deterministic edge synthesis (modulus =
     * max id + 1, successor rules semi-joined to real ids), then the
@@ -1460,6 +1534,7 @@ object DedupQueries extends QueryFamily {
     // non-negative integer division, so Spark and DuckDB agree bit-wise
     "q120_link_pagerank" -> pagerankSql,
     "q158_link_pagerank_personalized" -> pprSql,
+    "q172_link_hits" -> hitsSql,
     "q138_link_triangles" -> trianglesSql,
     "q139_link_kcore" -> kcoreSql,
     // BFS as a capped recursive CTE: UNION dedups (id, d) pairs so the
