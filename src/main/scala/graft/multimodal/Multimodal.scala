@@ -167,6 +167,40 @@ object Multimodal {
       }(enc)
   }
 
+  /** Linear-resample checksum over a REAL-WAV binary column (q173) —
+    * the audio twin of [[imageResizeStats]]: decode mono PCM16
+    * ([[WavCodec.decodePcm16]]), [[WavCodec.resampleLinear]] by l/m,
+    * and emit the resampled stream's positional checksums — count, sum
+    * and (k+1)-weighted sum, pinning every output value AND position.
+    * Undecodable / non-mono payloads drop (the degrade contract).
+    * Output: (idCol, n_out, samp_sum, samp_wsum).
+    */
+  def audioResampleStats(df: DataFrame, idCol: String, binCol: String,
+      l: Int, m: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_out", LongType, nullable = false),
+      StructField("samp_sum", LongType, nullable = false),
+      StructField("samp_wsum", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          WavCodec.decodePcm16(bytes)
+            .filter(_.channels == 1)
+            .map { a =>
+              val out = WavCodec.resampleLinear(a.samples, l, m)
+              var s = 0L
+              var ws = 0L
+              var k = 0
+              while (k < out.length) { s += out(k); ws += (k + 1L) * out(k); k += 1 }
+              Row(r.getLong(0), out.length.toLong, s, ws)
+            }
+        }
+      }(enc)
+  }
+
   /** Audio metadata schema produced by [[decodeAudioMeta]]. */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType, nullable = false),

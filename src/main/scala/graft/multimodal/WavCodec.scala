@@ -105,6 +105,42 @@ object WavCodec {
     out
   }
 
+  /** Fixed-point LINEAR resample by the rational factor l/m (out rate =
+    * in rate · l/m): output sample k reads source position k·m/l — idx =
+    * (k·m) div l, frac = (k·m) mod l — and blends the two neighbors with
+    * integer weights. The blend runs on the +32768-OFFSET unsigned value
+    * and subtracts the offset after the division: the offset term is
+    * divisible by l, so this computes FLOOR of the true blend even for
+    * negative samples (a direct signed `/` would truncate toward zero —
+    * the engine/oracle divergence this offset exists to kill; pinned by
+    * WavCodecSpec). Output length: every k with k·m ≤ (n−1)·l, i.e.
+    * ((n−1)·l) div m + 1 — first and last input samples are preserved
+    * exactly, no extrapolation past the ends.
+    */
+  def resampleLinear(samples: Array[Short], l: Int, m: Int): Array[Short] = {
+    require(l > 0 && m > 0, "positive rational factor l/m")
+    if (samples.isEmpty) return Array.emptyShortArray
+    val n = samples.length
+    val outLen = (((n - 1).toLong * l) / m).toInt + 1
+    val out = new Array[Short](outLen)
+    var k = 0
+    while (k < outLen) {
+      val pos = k.toLong * m
+      val idx = (pos / l).toInt
+      val frac = (pos % l).toInt
+      val v =
+        if (frac == 0) samples(idx).toLong
+        else {
+          val s0 = samples(idx) + 32768L
+          val s1 = samples(idx + 1) + 32768L
+          (s0 * (l - frac) + s1 * frac) / l - 32768L
+        }
+      out(k) = v.toShort
+      k += 1
+    }
+    out
+  }
+
   /** 64-bit envelope DIFFERENCE hash — the audio analogue of
     * [[PngCodec.dhash64]]: the sample stream splits into 65 equal
     * frames, each frame's energy is the integer sum of sample

@@ -98,6 +98,20 @@ object MultimodalQueries extends QueryFamily {
       graft.operators.Dedup.hammingPairs64(
           sk, maxHamming = 4, bands = 8, idCol = "doc_id", skCol = "ahash")
         .orderBy("id_a", "id_b")
+    }),
+
+    // fixed-point linear audio RESAMPLE (2/3 rate) on the q136 encoded
+    // WAV bytes — q159's audio twin: RIFF walk + signed-LE PCM16 decode
+    // + the offset-floor blend must all be bit-perfect for the
+    // closed-form oracle (same arithmetic from the synthesis formula,
+    // never touching WAV bytes) to match the positional checksums.
+    // The SIGNED samples are the point: the +32768 offset blend
+    // computes floor (not truncate-toward-zero) on negatives, exactly
+    // like the oracle's HUGEINT // division
+    "q173_audio_resample" -> ((s, dir) => {
+      val wavs = synthWavs(s, table(s, dir, "documents").select(col("doc_id")))
+      Multimodal.audioResampleStats(wavs, "doc_id", "wav", l = 2, m = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -376,6 +390,39 @@ object MultimodalQueries extends QueryFamily {
           FROM ah a JOIN ah b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sk, b.sk)) <= 4
           ORDER BY id_a, id_b"""
+    },
+    // q173's closed-form twin: SIGNED samples from the synthesis
+    // arithmetic, the same idx/frac mapping and the same offset-floor
+    // blend as HUGEINT `//` — never touching WAV bytes
+    "q173_audio_resample" -> {
+      val nSamples = audioFrames * audioFrameLen
+      val outLen = ((nSamples - 1) * 2) / 3 + 1
+      s"""WITH g AS (SELECT doc_id, doc_id // 4 AS b, doc_id % 4 AS v FROM documents),
+          samp AS (
+            SELECT doc_id, t,
+                   (CASE WHEN t % 2 = 0 THEN 1 ELSE -1 END) *
+                   ((t*(73 + (b*b) % 127) + b*151 + (t % 17)*((b % 7) + 1)*29 + t*t*(3 + (b*(b+5)) % 113)) % $audioMod
+                     + CASE WHEN v > 0 AND t // $audioFrameLen = v * 5
+                            THEN $audioBoost ELSE 0 END) AS s
+            FROM g,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, ${nSamples - 1})) AS t) ut),
+          o AS (
+            SELECT doc_id, k, (k * 3) // 2 AS idx, (k * 3) % 2 AS frac
+            FROM g,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, ${outLen - 1})) AS k) uk),
+          r AS (
+            SELECT o.doc_id, o.k,
+                   CASE WHEN o.frac = 0 THEN s0.s
+                        ELSE ((s0.s + 32768) * (2 - o.frac)
+                              + (s1.s + 32768) * o.frac) // 2 - 32768
+                   END AS outv
+            FROM o
+            JOIN samp s0 ON s0.doc_id = o.doc_id AND s0.t = o.idx
+            LEFT JOIN samp s1 ON s1.doc_id = o.doc_id AND s1.t = o.idx + 1)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_out,
+                 CAST(SUM(outv) AS BIGINT) AS samp_sum,
+                 CAST(SUM((k + 1) * outv) AS BIGINT) AS samp_wsum
+          FROM r GROUP BY doc_id ORDER BY doc_id"""
     }
   )
 }

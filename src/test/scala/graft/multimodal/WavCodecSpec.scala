@@ -75,4 +75,35 @@ class WavCodecSpec extends AnyFunSuite {
     // all frames equal -> no bit set
     assert(WavCodec.envelopeHash64(s) === Some(0L))
   }
+
+  test("resample: identity factor returns the input verbatim") {
+    val s = Array[Short](5, -7, 100, -32768, 32767)
+    assert(WavCodec.resampleLinear(s, 1, 1).toSeq === s.toSeq)
+  }
+
+  test("resample: 2x upsample hits exact midpoints; endpoints preserved") {
+    val s = Array[Short](0, 100, 50)
+    // out positions: 0, 0.5, 1, 1.5, 2
+    assert(WavCodec.resampleLinear(s, 2, 1).toSeq === Seq[Short](0, 50, 100, 75, 50))
+  }
+
+  test("resample: negative midpoint uses FLOOR, not truncate-toward-zero") {
+    val s = Array[Short](-3, -2)
+    // true midpoint -2.5: floor = -3 (a signed / would give -2)
+    assert(WavCodec.resampleLinear(s, 2, 1).toSeq === Seq[Short](-3, -3, -2))
+  }
+
+  test("resample: 2/3 downsample length formula and sampled positions") {
+    val s = Array.tabulate[Short](520)(t => (t % 1000).toShort)
+    val out = WavCodec.resampleLinear(s, 2, 3)
+    assert(out.length === (519 * 2) / 3 + 1)
+    // k=2 reads pos 3 exactly; k=1 reads pos 1.5 = midpoint of s(1), s(2)
+    assert(out(2) === s(3))
+    assert(out(1) === ((s(1) + s(2)) / 2).toShort)
+    assert(out(out.length - 1) === s(519))
+  }
+
+  test("resample: empty input stays empty") {
+    assert(WavCodec.resampleLinear(Array.empty[Short], 3, 2).isEmpty)
+  }
 }
