@@ -400,6 +400,21 @@ object ParityQueries extends QueryFamily {
         .orderBy($"k")
     }),
 
+    // ---- A-priori level 3: frequent part TRIPLES enumerated through
+    //      the frequent pairs ([[graft.operators.Apriori]]) — the
+    //      pruning is exact by monotonicity, so the oracle brute-forces
+    //      all triples and must agree. ----
+    "q174_part_copurchase_triples" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Apriori.frequentTriples(
+          table(s, dir, "lineitem")
+            .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")),
+          basketCol = "ok", itemCol = "pk", minSupport = 2L)
+        .select($"item_a".as("part_a"), $"item_b".as("part_b"),
+          $"item_c".as("part_c"), $"support")
+        .orderBy($"support".desc, $"part_a", $"part_b", $"part_c")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -811,6 +826,14 @@ object ParityQueries extends QueryFamily {
          UNION ALL
          SELECT k, status, priority FROM win WHERE op = 'U'
          ORDER BY k""",
+    "q174_part_copurchase_triples" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+         SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS support
+         FROM op a
+         JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+         JOIN op c ON b.ok = c.ok AND b.pk < c.pk
+         GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+         ORDER BY support DESC, part_a, part_b, part_c""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
