@@ -415,6 +415,35 @@ object ParityQueries extends QueryFamily {
         .orderBy($"support".desc, $"part_a", $"part_b", $"part_c")
     }),
 
+    // ---- Bloom RUNTIME-FILTER join (semi-join reduction): the
+    //      selective orders side folds into an 8/16 KB-scale bit set
+    //      ([[graft.operators.Bloom]]) that gates the FACT scan
+    //      map-side BEFORE the join exchange — at 100 TB the dim side
+    //      no longer fits a broadcast and this is the shape that keeps
+    //      ~80% of fact rows out of the shuffle (definitely-not-member
+    //      rows never leave their scan task). The exact join then
+    //      removes the bounded false-positive sliver, so the result
+    //      equals the plain join and the oracle is plain SQL. The
+    //      SHUFFLE_HASH hints pin the large-dim (non-broadcast)
+    //      deployment plan the gate exists for. ----
+    "q175_bloom_filtered_join" -> ((s, dir) => {
+      import s.implicits._
+      val sel = table(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+        .select($"o_orderkey", $"o_orderpriority")
+      val bits = graft.operators.Bloom.build(sel, col("o_orderkey"), d = 4, logW = 20)
+      val li = table(s, dir, "lineitem").select($"l_orderkey",
+        (round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rm"))
+      val gated = graft.operators.Bloom.gate(li, col("l_orderkey"), bits, d = 4, logW = 20)
+        .filter($"bloom_maybe").drop("bloom_maybe")
+      gated.hint("SHUFFLE_HASH")
+        .join(sel.hint("SHUFFLE_HASH"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum($"rm") / 10000.0, 2).as("revenue"))
+        .orderBy($"o_orderpriority")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -834,6 +863,14 @@ object ParityQueries extends QueryFamily {
          JOIN op c ON b.ok = c.ok AND b.pk < c.pk
          GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
          ORDER BY support DESC, part_a, part_b, part_c""",
+    "q175_bloom_filtered_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+                ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                      / 10000.0, 2) AS revenue
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 400000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
