@@ -281,6 +281,24 @@ object EventQueries extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // distributed CUSUM change-point detection ([[graft.operators
+    // .Cusum]]): a level shift PLANTED into the error stream
+    // (+400.00 after Jan 21) must raise alarms there and nowhere else —
+    // the closed form C_t − min(0, min C_j) runs as two bucketed
+    // two-phase prefix scans, never a per-group single-partition sort
+    "q176_value_cusum_alarms" -> ((s, dir) => {
+      val x = graft.Tables.events(s, dir).select(
+        col("event_id"), col("event_type"), col("ts"),
+        (round(col("value") * 100).cast("long") +
+          when(col("event_type") === "error" &&
+            col("ts").cast("timestamp") >= lit("2024-01-21").cast("timestamp"), 40000L)
+            .otherwise(0L)).as("vc"))
+      graft.operators.Cusum.alarms(x, Seq("event_type"), "ts", "event_id",
+          "vc", k = 12000L, threshold = 200000L, bucketSeconds = 3600L)
+        .select(col("event_id"), col("event_type"), col("cusum"))
+        .orderBy("event_id")
+    }),
+
     // backward AS-OF join: each purchase attributed to the user's most
     // recent click at-or-before it (clicks pre-aggregated per (user, ts)
     // to satisfy the operator's — and DuckDB ASOF's — uniqueness
@@ -829,6 +847,20 @@ object EventQueries extends QueryFamily {
          SELECT d.event_id, d.g AS event_type, d.vc AS value_c, d.dev2, d.med2, m2.mad4
          FROM d JOIN m2 ON d.g = m2.g
          WHERE 2*d.dev2 > 3*m2.mad4
+         ORDER BY event_id""",
+    "q176_value_cusum_alarms" ->
+      """WITH x AS (
+           SELECT event_id, event_type AS g, ts,
+                  CAST(ROUND(value*100) AS BIGINT)
+                    + CASE WHEN event_type = 'error' AND ts >= TIMESTAMP '2024-01-21'
+                           THEN 40000 ELSE 0 END
+                    - 12000 AS d
+           FROM events),
+         c1 AS (SELECT *, SUM(d) OVER (PARTITION BY g ORDER BY ts, event_id) AS S FROM x),
+         c2 AS (SELECT *, MIN(S) OVER (PARTITION BY g ORDER BY ts, event_id) AS rmin FROM c1)
+         SELECT event_id, g AS event_type,
+                CAST(S - LEAST(0, rmin) AS BIGINT) AS cusum
+         FROM c2 WHERE S - LEAST(0, rmin) > 200000
          ORDER BY event_id""",
     "q161_events_window_suite" ->
       """SELECT event_type, event_id,
