@@ -444,6 +444,21 @@ object ParityQueries extends QueryFamily {
         .orderBy($"o_orderpriority")
     }),
 
+    // ---- value-based decile report: orders bucketed by their own
+    //      rounded-dollar price distribution ([[graft.operators
+    //      .QuantileBucket]] — NTILE semantics without a global sort;
+    //      ties share a bucket), then per-decile totals. ----
+    "q177_order_price_deciles" -> ((s, dir) => {
+      import s.implicits._
+      val o = table(s, dir, "orders").select(
+        $"o_orderkey", round($"o_totalprice").cast("long").as("price_d"))
+      graft.operators.QuantileBucket.assignByDistribution(o, "price_d", nBuckets = 10)
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_orders"), sum($"price_d").as("sum_dollars"),
+          min($"price_d").as("min_dollars"), max($"price_d").as("max_dollars"))
+        .orderBy($"bucket")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -871,6 +886,24 @@ object ParityQueries extends QueryFamily {
          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          WHERE o_totalprice > 400000
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q177_order_price_deciles" -> {
+      val bounds = (1 to 9)
+        .map(d => s"MIN(pv) FILTER (WHERE cum * 10 >= $d * n) AS b$d").mkString(", ")
+      val cases = (1 to 9)
+        .map(d => s"CASE WHEN price_d > b$d THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH v AS (SELECT o_orderkey, CAST(ROUND(o_totalprice) AS BIGINT) AS price_d
+                     FROM orders),
+          h AS (SELECT price_d AS pv, COUNT(*) AS cnt FROM v GROUP BY 1),
+          c AS (SELECT pv, cnt, SUM(cnt) OVER (ORDER BY pv) AS cum,
+                       SUM(cnt) OVER () AS n FROM h),
+          b AS (SELECT $bounds FROM c),
+          a AS (SELECT price_d, 1 + $cases AS bucket FROM v CROSS JOIN b)
+          SELECT CAST(bucket AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(price_d) AS BIGINT) AS sum_dollars,
+                 MIN(price_d) AS min_dollars, MAX(price_d) AS max_dollars
+          FROM a GROUP BY 1 ORDER BY 1"""
+    },
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
