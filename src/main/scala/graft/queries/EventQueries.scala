@@ -52,6 +52,20 @@ object EventQueries extends QueryFamily {
   }
 
   /** The matching oracle CTEs (ts cast to micros — see the q48 note). */
+  // q178/q179 twin oracle: per-term floor decay at the fixed horizon;
+  // epoch_us keeps microsecond timestamps integer (EPOCH() is a double)
+  private val decayScoreSql: String =
+    """WITH x AS (
+         SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS vc,
+                GREATEST((epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts))
+                           // 3600000000, 0) AS age
+         FROM events)
+       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CASE WHEN age < 63
+                            THEN vc // (CAST(1 AS BIGINT) << age)
+                            ELSE 0 END) AS BIGINT) AS score
+       FROM x GROUP BY 1 ORDER BY 1"""
+
   private val asofCtes: String =
     """purchases AS (
          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
@@ -496,7 +510,29 @@ object EventQueries extends QueryFamily {
       withStreamShuffle(s)(graft.streaming.SketchStream.olsTrendStreaming(
           s, stagedEventsDir(s, dir), EventStreams.eventSchema,
           Scratch.freshDir(s, "q156", dir)))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // time-decayed engagement score ([[graft.operators.DecayScore]]):
+    // per-TERM integer floor decay (halved per hour of age at a FIXED
+    // horizon) makes the sum exact, order-free and MERGEABLE — one
+    // map-side projection + one user-keyed map-side-combined sum
+    "q178_user_decay_score" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir).select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      graft.operators.DecayScore.aggregate(
+          graft.operators.DecayScore.contributions(ev, horizon = "2024-02-01"))
+        .orderBy("user_id")
+    }),
+
+    // the same aggregate as STREAMING STATE (the q113/q116/q128/q156
+    // mergeable-state family, member five): fixed horizon ⇒ each
+    // contribution is batch-independent, so the drained complete-mode
+    // state shares q178's oracle VERBATIM
+    "q179_user_decay_score_stream" -> ((s, dir) =>
+      withStreamShuffle(s)(graft.streaming.SketchStream.decayScoreStreaming(
+          s, stagedEventsDir(s, dir), EventStreams.eventSchema,
+          Scratch.freshDir(s, "q179", dir), horizon = "2024-02-01"))
+        .orderBy("user_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -848,6 +884,8 @@ object EventQueries extends QueryFamily {
          FROM d JOIN m2 ON d.g = m2.g
          WHERE 2*d.dev2 > 3*m2.mad4
          ORDER BY event_id""",
+    "q178_user_decay_score" -> decayScoreSql,
+    "q179_user_decay_score_stream" -> decayScoreSql,
     "q176_value_cusum_alarms" ->
       """WITH x AS (
            SELECT event_id, event_type AS g, ts,

@@ -141,6 +141,38 @@ object SketchStream {
     graft.operators.TrendOls.finish(drainedState(spark, outDir, state.schema))
   }
 
+  /** [[graft.operators.DecayScore]] as streaming state (q179) — the
+    * FIFTH mergeable-state family member: the per-term floor makes each
+    * event's decayed contribution a pure function of the event and the
+    * FIXED horizon, so partial sums merge by SUM and the drained
+    * complete-mode state equals the batch aggregate verbatim.
+    */
+  def decayScoreStreaming(
+      spark: SparkSession, feedDir: String, feedSchema: StructType,
+      outDir: String, horizon: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var reader = spark.readStream.schema(feedSchema)
+    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+    val stream = reader.parquet(feedDir)
+    import org.apache.spark.sql.functions._
+    val state = graft.operators.DecayScore.aggregate(
+      graft.operators.DecayScore.contributions(
+        stream.select(col("user_id"),
+          col("ts"), round(col("value") * 100).cast("long").as("vc")),
+        horizon))
+    val q = state.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/state")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drainedState(spark, outDir, state.schema)
+  }
+
   /** The Count-Min counter grid ([[graft.operators.Freq.cmsGrid]]) as
     * streaming state — counters merge by SUM, so the drained
     * complete-mode state equals the batch grid exactly, and the
