@@ -459,6 +459,18 @@ object ParityQueries extends QueryFamily {
         .orderBy($"bucket")
     }),
 
+    // ---- 2-D skyline: the (size, price) Pareto frontier of parts via
+    //      the per-x min-y table + exclusive prefix-min
+    //      ([[graft.operators.Skyline]]) — never all-pairs. ----
+    "q180_part_skyline" -> ((s, dir) => {
+      import s.implicits._
+      val p = table(s, dir, "part").select($"p_partkey",
+        $"p_size".cast("long").as("p_size"),
+        round($"p_retailprice" * 100).cast("long").as("price_c"))
+      graft.operators.Skyline.skyline2d(p, "p_size", "price_c")
+        .orderBy($"p_partkey")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -904,6 +916,17 @@ object ParityQueries extends QueryFamily {
                  MIN(price_d) AS min_dollars, MAX(price_d) AS max_dollars
           FROM a GROUP BY 1 ORDER BY 1"""
     },
+    "q180_part_skyline" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+                    FROM part)
+         SELECT a.p_partkey, a.p_size, a.price_c
+         FROM p a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p b
+           WHERE b.p_size <= a.p_size AND b.price_c <= a.price_c
+             AND (b.p_size < a.p_size OR b.price_c < a.price_c))
+         ORDER BY a.p_partkey""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
