@@ -344,6 +344,45 @@ object DedupQueries extends QueryFamily {
           table(s, dir, "customer"), idCol = "c_custkey", strCol = "c_name")
         .orderBy("id_a", "id_b")),
 
+    // Fellegi–Sunter record-linkage scoring (1969) on top of q137's
+    // FastSS blocking: a deterministic DIRTY-DUPLICATE table (even keys
+    // get a copy; k%3 a letter typo in the digit region, k%7 a nation
+    // shift, k%5 a balance-band shift) is matched against the base —
+    // candidates = names within edit distance 1 (zero false negatives),
+    // then INTEGER log-odds field weights (name exact/fuzzy, nation,
+    // band) sum to a score classified match / possible / non_match.
+    // All-integer scoring ⇒ bit-exact verdicts
+    "q181_er_match_scoring" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val k = col("c_custkey")
+      val band = floor(col("c_acctbal") / 1000).cast("long")
+      val left = c.select(k.as("lid"), col("c_name").as("lname"),
+        col("c_nationkey").as("lnation"), band.as("lband"))
+      val typoName = concat(
+        col("c_name").substr(lit(1), (lit(9) + k % 9).cast("int")),
+        expr("char(cast(65 + c_custkey % 26 as int))"),
+        col("c_name").substr((lit(11) + k % 9).cast("int"), lit(64)))
+      val right = c.filter(k % 2 === 0).select(
+        (k + 1000000L).as("rid"),
+        when(k % 3 === 0, typoName).otherwise(col("c_name")).as("rname"),
+        ((col("c_nationkey") + when(k % 7 === 0, 1L).otherwise(0L)) % 25).as("rnation"),
+        (band + when(k % 5 === 0, 1L).otherwise(0L)).as("rband"))
+      val u = left.select(col("lid").as("id"), col("lname").as("nm"))
+        .unionByName(right.select(col("rid").as("id"), col("rname").as("nm")))
+      val cand = graft.operators.Er.editDistancePairs(u, "id", "nm")
+        .filter(col("id_a") < 1000000L && col("id_b") >= 1000000L)
+      val score =
+        when(col("lname") === col("rname"), 40L).otherwise(30L) +
+          when(col("lnation") === col("rnation"), 12L).otherwise(-15L) +
+          when(col("lband") === col("rband"), 8L).otherwise(-5L)
+      cand.join(left, col("id_a") === col("lid"))
+        .join(right, col("id_b") === col("rid"))
+        .select(col("lid"), col("rid"), score.as("score"),
+          when(score >= 45, "match").when(score >= 20, "possible")
+            .otherwise("non_match").as("verdict"))
+        .orderBy("lid", "rid")
+    }),
+
     "q24_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(table(s, dir, "embeddings"),
           threshold = cosineThreshold)
@@ -1535,6 +1574,35 @@ object DedupQueries extends QueryFamily {
     "q120_link_pagerank" -> pagerankSql,
     "q158_link_pagerank_personalized" -> pprSql,
     "q172_link_hits" -> hitsSql,
+    // brute-force levenshtein blocking is EQUIVALENT to the engine's
+    // FastSS signatures at d=1 (zero false negatives, exact verify)
+    "q181_er_match_scoring" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name, c_nationkey,
+                              CAST(FLOOR(c_acctbal/1000) AS BIGINT) AS band
+                       FROM customer),
+         l AS (SELECT k AS lid, c_name AS lname, c_nationkey AS lnation,
+                      band AS lband FROM base),
+         r AS (SELECT k + 1000000 AS rid,
+                      CASE WHEN k % 3 = 0
+                           THEN SUBSTR(c_name, 1, CAST(9 + k % 9 AS INT))
+                                || CHR(CAST(65 + k % 26 AS INT))
+                                || SUBSTR(c_name, CAST(11 + k % 9 AS INT))
+                           ELSE c_name END AS rname,
+                      (c_nationkey + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) % 25 AS rnation,
+                      band + CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS rband
+               FROM base WHERE k % 2 = 0),
+         cand AS (SELECT lid, rid, lname, rname, lnation, rnation, lband, rband
+                  FROM l JOIN r ON levenshtein(lname, rname) <= 1),
+         sc AS (SELECT lid, rid,
+                       CASE WHEN lname = rname THEN 40 ELSE 30 END +
+                       CASE WHEN lnation = rnation THEN 12 ELSE -15 END +
+                       CASE WHEN lband = rband THEN 8 ELSE -5 END AS score
+                FROM cand)
+         SELECT lid, rid, CAST(score AS BIGINT) AS score,
+                CASE WHEN score >= 45 THEN 'match'
+                     WHEN score >= 20 THEN 'possible'
+                     ELSE 'non_match' END AS verdict
+         FROM sc ORDER BY lid, rid""",
     "q138_link_triangles" -> trianglesSql,
     "q139_link_kcore" -> kcoreSql,
     // BFS as a capped recursive CTE: UNION dedups (id, d) pairs so the
