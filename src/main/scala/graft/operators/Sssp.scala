@@ -78,4 +78,59 @@ object Sssp {
     require(converged, s"BFS did not converge in $maxRounds rounds")
     settled
   }
+
+  /** WEIGHTED multi-source shortest distance — distributed Bellman–Ford
+    * with synchronous relaxation rounds over integer edge weights (the
+    * seventh graph primitive; [[seedDepth]] is the unit-weight special
+    * case). A high-weight shortcut now loses to a longer cheap path —
+    * the distinction hop depth cannot make.
+    *
+    * Per round: one dist⋈edge join, one map-side-combined min keyed by
+    * destination, one full-outer merge with `least`, and ONE driver
+    * scalar (the improved-vertex count; 0 IS convergence — relaxation
+    * is monotone, so a round that improves nothing never will again).
+    * Rounds ≤ the hop diameter of the shortest-path forest; frames
+    * RDD-rebased and CacheScope-pinned per the iterative contract.
+    * Integer weights (required > 0, fail-fast) make every distance
+    * bit-exact. Unreachable vertices are absent.
+    */
+  def weightedSeedDist(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        when(col("w") > 0, col("w").cast("long"))
+          .otherwise(raise_error(lit("weightedSeedDist: weights must be positive")))
+          .as("w"))
+      .filter(col("src") =!= col("dst"))
+    val und = CacheScope.pin(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .groupBy("src", "dst").agg(min("w").as("w")),
+      StorageLevel.MEMORY_AND_DISK)
+    var dist = CacheScope.pin(Dedup.rebasedFrame(
+        seeds.select(col("id").cast("long").as("id"), lit(0L).as("d")).distinct()),
+      StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val cand = dist.join(und, dist("id") === und("src"))
+        .select(und("dst").as("id"), (dist("d") + und("w")).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+      // ONE materialization per round: the improved-count action forces
+      // the pinned merge, which then serves as next round's dist (the
+      // flag column rides along and is projected away at the join)
+      val merged = CacheScope.pin(Dedup.rebasedFrame(
+          dist.select(col("id"), col("d")).join(cand, Seq("id"), "full_outer")
+            .select(col("id"), least(col("d"), col("nd")).as("d"),
+              (col("d").isNull || (col("nd").isNotNull && col("nd") < col("d")))
+                .as("improved"))),
+        StorageLevel.MEMORY_AND_DISK)
+      val changed = merged.filter(col("improved")).count()
+      dist.unpersist()
+      dist = merged
+      if (changed == 0L) converged = true
+      round += 1
+    }
+    require(converged, s"Bellman-Ford did not converge in $maxRounds rounds")
+    dist.select(col("id"), col("d"))
+  }
 }

@@ -811,6 +811,29 @@ object DedupQueries extends QueryFamily {
         .orderBy("id")
     }),
 
+    // WEIGHTED shortest distance from the q154 seed list — distributed
+    // Bellman–Ford ([[graft.operators.Sssp.weightedSeedDist]]) over the
+    // same link graph with deterministic integer weights
+    // w = 1 + (src·7 + dst·13) % 7: a heavy shortcut now loses to a
+    // longer cheap path, the distinction hop depth (q154) cannot make
+    "q182_link_weighted_dist" -> ((s, dir) => {
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val m = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            col("doc_id") + 1,
+            col("doc_id") - (col("doc_id") % 50),
+            (col("doc_id") * 7 + 3) % m)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+        .withColumn("w", lit(1L) + (col("src") * 7 + col("dst") * 13) % 7)
+      val seeds = ids.filter(pmod(col("doc_id"), lit(500)) === 0)
+        .select(col("doc_id").as("id"))
+      graft.operators.Sssp.weightedSeedDist(edges, seeds)
+        .withColumnRenamed("d", "dist")
+        .orderBy("id")
+    }),
+
     // PERSONALIZED PageRank from the SAME trusted-seed list as q154
     // ([[graft.operators.PageRank.integerPersonalizedPageRank]]) over
     // the q120 link graph: the TrustRank-family diffusion twin of the
@@ -1619,6 +1642,26 @@ object DedupQueries extends QueryFamily {
             WHERE r.d < 20)
           SELECT id, CAST(MIN(d) AS BIGINT) AS depth
           FROM reach GROUP BY id ORDER BY id""",
+    // weighted twin: und carries the ORIGINAL directed edge's weight on
+    // both orientations (min per pair — the engine's symmetrize rule);
+    // cap 100 ≫ max shortest distance (weights ≤ 7 × hop ecc ~8), and
+    // every path step adds ≥ 1 so the recursion is depth-bounded
+    "q182_link_weighted_dist" ->
+      s"""WITH RECURSIVE ${linkGraphUndCtes(chainHubHashRules)},
+          undw AS (
+            SELECT src, dst, MIN(w) AS w FROM (
+              SELECT src, dst, 1 + (src*7 + dst*13) % 7 AS w FROM dedges
+              UNION ALL
+              SELECT dst, src, 1 + (src*7 + dst*13) % 7 FROM dedges)
+            GROUP BY 1, 2),
+          walk(id, d) AS (
+            SELECT doc_id, CAST(0 AS BIGINT) FROM ids WHERE doc_id % 500 = 0
+            UNION
+            SELECT e.dst, wk.d + e.w
+            FROM walk wk JOIN undw e ON e.src = wk.id
+            WHERE wk.d + e.w < 100)
+          SELECT id, CAST(MIN(d) AS BIGINT) AS dist
+          FROM walk GROUP BY id ORDER BY id""",
     // the incremental merge must land on the identical from-scratch
     // closure — strongest possible check for the star-edge equivalence
     "q91_dedup_groups_incremental" -> groupsSql,

@@ -45,4 +45,52 @@ class SsspSpec extends SparkTestBase {
     // depths from 0: frontier sizes 2 (1,5), 3 (2,4,6), 1 (3), then 0
     assert(counts.toSeq == Seq(2L, 3L, 1L, 0L))
   }
+
+  private def runW(edges: Seq[(Long, Long, Long)], seeds: Seq[Long]): Map[Long, Long] =
+    Sssp.weightedSeedDist(edges.toDF("src", "dst", "w"),
+        seeds.toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("weighted: a heavy shortcut loses to a longer cheap path") {
+    // 0 -10-> 3 direct, but 0-1-2-3 costs 3
+    val edges = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+    assert(runW(edges, Seq(0L)) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("weighted: undirected closure takes the min weight over both orientations") {
+    val edges = Seq((0L, 1L, 5L), (1L, 0L, 2L))
+    assert(runW(edges, Seq(0L)) === Map(0L -> 0L, 1L -> 2L))
+  }
+
+  test("weighted: matches driver-side Dijkstra on an irregular graph") {
+    val n = 40L
+    val edges = (0L until n).flatMap { u =>
+      Seq((u, (u + 1) % n), (u, (u * 7 + 3) % n), (u, u - u % 10))
+    }.filter(e => e._1 != e._2).distinct
+      .map { case (s, d) => (s, d, 1L + (s * 7 + d * 13) % 7) }
+    val seeds = Seq(0L, 17L)
+    // reference: Dijkstra over the undirected min-weight closure
+    val und = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+      .groupBy(e => (e._1, e._2)).map { case ((s, d), es) => (s, d, es.map(_._3).min) }
+    val adj = und.groupBy(_._1).map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    val distRef = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    val pq = scala.collection.mutable.PriorityQueue(seeds.map(s => (0L, s)): _*)(
+      Ordering.by[(Long, Long), Long](-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (distRef(u) == d) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+        if (distRef.get(v).forall(_ > d + w)) { distRef(v) = d + w; pq.enqueue((d + w, v)) }
+      }
+    }
+    assert(runW(edges, seeds) === distRef.toMap)
+  }
+
+  test("weighted: non-positive weight fails fast") {
+    val ex = intercept[Exception] {
+      runW(Seq((0L, 1L, 0L)), Seq(0L))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("weightedSeedDist")))
+  }
 }
