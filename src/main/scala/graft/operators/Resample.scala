@@ -85,4 +85,76 @@ object Resample {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         col("n_events").isNull.as("is_gap"))
   }
+
+  /** LINEAR-INTERPOLATION gap fill — [[ohlcGapFill]]'s straight-line
+    * sibling: an empty bucket between two observed closes takes the
+    * value on the line between them, in INTEGER units with floor
+    * division, so the fill is bit-exact. The blend runs on
+    * +2^31-OFFSET values (offset·span divisible by span), which makes
+    * the truncating `div` compute FLOOR even when the series moves
+    * DOWN across the gap (next < prev ⇒ negative numerator — a direct
+    * signed division would truncate toward zero; the q173 lesson).
+    * Contract: |values| < 2^31.
+    *
+    * The spine starts and ends at observed buckets per group, so every
+    * gap row has BOTH neighbors — no extrapolation case exists.
+    *
+    * Scale shape: identical to [[ohlcGapFill]] — one (group, bucket)
+    * exchange for the closes, then spine-sized windows only (two
+    * passes: one ascending for the previous observation, one
+    * descending-frame for the next).
+    */
+  def linearGapFill(
+      events: DataFrame, groupCol: String, tsCol: String, idCol: String,
+      valueCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val Off = 1L << 31
+    val bucket = timestamp_seconds(
+      floor(unix_seconds(col(tsCol).cast("timestamp")) / bucketSeconds) * bucketSeconds)
+    val base = events.select(
+      col(groupCol), bucket.as("bucket_ts"),
+      col(tsCol).cast("timestamp").as("__ts"), col(idCol).as("__id"),
+      col(valueCol).as("__v"))
+    val desc = Window.partitionBy(col(groupCol), col("bucket_ts"))
+      .orderBy(col("__ts").desc, col("__id").desc)
+    val closes = base
+      .withColumn("__rnd", row_number().over(desc))
+      .groupBy(col(groupCol), col("bucket_ts"))
+      .agg(max(when(col("__rnd") === 1, col("__v"))).as("__close"),
+        count(lit(1)).as("n_events"))
+    val spine = closes
+      .groupBy(col(groupCol))
+      .agg(min(col("bucket_ts")).as("__lo"), max(col("bucket_ts")).as("__hi"))
+      .select(col(groupCol), explode(
+        sequence(col("__lo"), col("__hi"),
+          expr(s"INTERVAL $bucketSeconds SECOND"))).as("bucket_ts"))
+    // BOTH fills are running (UNBOUNDED PRECEDING) frames — the "next"
+    // observation comes from a DESCENDING-order running last, because
+    // Spark evaluates an UNBOUNDED FOLLOWING frame by re-aggregating
+    // from every row to the partition end: O(rows²) per partition
+    // (measured as a multi-minute hang on a 43k-row spine)
+    val wPrev = Window.partitionBy(col(groupCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(groupCol)).orderBy(col("bucket_ts").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val obsTs = when(col("__close").isNotNull, col("bucket_ts"))
+    spine
+      .join(closes, Seq(groupCol, "bucket_ts"), "left")
+      .withColumn("__pv", last(col("__close"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pt", last(obsTs, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", last(col("__close"), ignoreNulls = true).over(wNext))
+      .withColumn("__nt", last(obsTs, ignoreNulls = true).over(wNext))
+      .withColumn("__i", expr(
+        s"(unix_seconds(bucket_ts) - unix_seconds(__pt)) div $bucketSeconds"))
+      .withColumn("__len", expr(
+        s"(unix_seconds(__nt) - unix_seconds(__pt)) div $bucketSeconds"))
+      .select(
+        col(groupCol), col("bucket_ts"),
+        when(col("__close").isNotNull, col("__close"))
+          .otherwise(expr(
+            s"((__pv + $Off) * (__len - __i) + (__nv + $Off) * __i) div __len - $Off"))
+          .as("value_i"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("__close").isNull.as("is_gap"))
+  }
 }

@@ -295,6 +295,23 @@ object EventQueries extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // q144's straight-line sibling: gap minutes take the value on the
+    // line between the neighboring observed closes, in integer cents
+    // with the offset-floor blend ([[graft.operators.Resample
+    // .linearGapFill]] — floor stays exact when the series moves down
+    // across the gap, the q173 signed-division lesson)
+    "q183_events_linear_gapfill" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir).select(
+        col("event_id"), col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      graft.operators.Resample.linearGapFill(
+          ev, "event_type", "ts", "event_id", "vc", bucketSeconds = 60L)
+        .select(col("event_type"),
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+          col("value_i"), col("n_events"), col("is_gap"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
     // distributed CUSUM change-point detection ([[graft.operators
     // .Cusum]]): a level shift PLANTED into the error stream
     // (+400.00 after Jan 21) must raise alarms there and nowhere else —
@@ -884,6 +901,49 @@ object EventQueries extends QueryFamily {
          FROM d JOIN m2 ON d.g = m2.g
          WHERE 2*d.dev2 > 3*m2.mad4
          ORDER BY event_id""",
+    "q183_events_linear_gapfill" ->
+      """WITH b AS (
+           SELECT event_type, DATE_TRUNC('minute', ts) AS bucket_ts,
+                  CAST(ROUND(value*100) AS BIGINT) AS vc,
+                  ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('minute', ts)
+                    ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM events),
+         closes AS (
+           SELECT event_type, bucket_ts,
+                  MAX(CASE WHEN rn_d = 1 THEN vc END) AS close,
+                  COUNT(*) AS n_events
+           FROM b GROUP BY 1, 2),
+         spine AS (
+           SELECT event_type,
+                  UNNEST(GENERATE_SERIES(MIN(bucket_ts), MAX(bucket_ts),
+                                         INTERVAL 1 MINUTE)) AS bucket_ts
+           FROM closes GROUP BY event_type),
+         j AS (SELECT s.event_type, s.bucket_ts, c.close, c.n_events
+               FROM spine s LEFT JOIN closes c USING (event_type, bucket_ts)),
+         w AS (
+           SELECT *,
+             LAST_VALUE(close IGNORE NULLS) OVER (PARTITION BY event_type
+               ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN close IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             FIRST_VALUE(close IGNORE NULLS) OVER (PARTITION BY event_type
+               ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN close IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM j),
+         g AS (
+           SELECT *, (epoch_us(bucket_ts) - epoch_us(pt)) // 60000000 AS i,
+                  (epoch_us(nt) - epoch_us(pt)) // 60000000 AS len
+           FROM w)
+         SELECT event_type, STRFTIME(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                CAST(CASE WHEN close IS NOT NULL THEN close
+                     ELSE ((pv + 2147483648) * (len - i) + (nv + 2147483648) * i)
+                          // len - 2147483648 END AS BIGINT) AS value_i,
+                CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+                (close IS NULL) AS is_gap
+         FROM g ORDER BY event_type, bucket_ts""",
     "q178_user_decay_score" -> decayScoreSql,
     "q179_user_decay_score_stream" -> decayScoreSql,
     "q176_value_cusum_alarms" ->

@@ -917,6 +917,28 @@ object TextQueries extends QueryFamily {
         .orderBy("phrase_id", "doc_id")
     }),
 
+    // per-doc KEYWORD extraction: top-3 tokens by integer tf·idf (the
+    // q81/q152 linear-idf micro-unit discipline) with a deterministic
+    // (weight desc, token) tie-break — the per-doc window shuffles on
+    // doc_id (bounded partitions), weights integer so ranking is exact
+    "q184_doc_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = table(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = tf.join(df, Seq("token"))
+        .select(col("doc_id"), col("token"),
+          (col("tf") * round(lit(1000000.0) / col("df")).cast("long")).as("w"))
+      w.withColumn("rank",
+          row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("w").desc, col("token"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("w"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // encoding-damage repair (the ftfy-class curation step): mojibake
     // artifacts are INJECTED deterministically (doc_id ≡ 1 mod 6 —
     // the q52/q119 synthesize-from-corpus pattern; a varying repeat of
@@ -1965,6 +1987,22 @@ object TextQueries extends QueryFamily {
            FROM documents GROUP BY CUBE(source, lang)
            ORDER BY gmask, source NULLS FIRST, lang NULLS FIRST""",
       "q153_mojibake_repair" -> mojibakeSql,
+      "q184_doc_keywords" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS arr FROM documents),
+            tok AS (SELECT doc_id, arr[i] AS token
+                    FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(arr))) AS i) t
+                    WHERE arr[i] <> ''),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            idf AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            w AS (SELECT tf.doc_id, tf.token,
+                         tf.tf * CAST(ROUND(1000000.0 / idf.df) AS BIGINT) AS w
+                  FROM tf JOIN idf USING (token)),
+            r AS (SELECT doc_id, token, w,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY w DESC, token) AS rank
+                  FROM w)
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, w
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
       "q171_phrase_search" ->
         s"""WITH d AS (SELECT doc_id, $toks AS arr FROM documents),
             tok AS (SELECT doc_id, i-1 AS pos, arr[i] AS token

@@ -68,4 +68,38 @@ class ResampleSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$plan")
   }
+
+  private def linFill(rows: Seq[(Long, String, String, Long)]): Seq[(String, Long, Boolean)] =
+    Resample.linearGapFill(
+        rows.map { case (id, g, t, v) => (id, g, ts(t), v) }
+          .toDF("event_id", "g", "ts", "v"),
+        "g", "ts", "event_id", "v", 60L)
+      .orderBy("g", "bucket_ts")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("bucket_ts").toString,
+        r.getAs[Long]("value_i"), r.getAs[Boolean]("is_gap"))).toSeq
+
+  test("linear fill: straight line across a gap, exact division") {
+    val rows = Seq(
+      (1L, "g", "2024-01-01 00:00:30", 100L),
+      (2L, "g", "2024-01-01 00:03:10", 400L))
+    // closes at minute 0 (100) and minute 3 (400): gaps at 1, 2 -> 200, 300
+    assert(linFill(rows).map(r => (r._2, r._3)) ===
+      Seq((100L, false), (200L, true), (300L, true), (400L, false)))
+  }
+
+  test("linear fill: downward series floors (not truncates) the blend") {
+    val rows = Seq(
+      (1L, "g", "2024-01-01 00:00:00", 0L),
+      (2L, "g", "2024-01-01 00:02:00", -5L))
+    // line 0 -> -5 over 2 steps: midpoint -2.5 floors to -3
+    assert(linFill(rows).map(_._2) === Seq(0L, -3L, -5L))
+  }
+
+  test("linear fill: last event in a bucket is the close that anchors the line") {
+    val rows = Seq(
+      (1L, "g", "2024-01-01 00:00:10", 999L),
+      (2L, "g", "2024-01-01 00:00:50", 10L), // close of minute 0
+      (3L, "g", "2024-01-01 00:02:00", 40L))
+    assert(linFill(rows).map(_._2) === Seq(10L, 25L, 40L))
+  }
 }
