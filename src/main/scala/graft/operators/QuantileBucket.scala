@@ -30,10 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object QuantileBucket {
 
-  /** Adds `bucket` (1..nBuckets) to `df` by the distribution of its own
-    * `valueCol` (integer-valued, non-null). */
-  def assignByDistribution(
-      df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+  /** The 1-row discrete-quantile bounds frame (`__b1`..`__b{k-1}`) of
+    * `df`'s `valueCol` distribution — separable so a REFERENCE
+    * population's bounds can bucket a different population (the drift
+    * comparison, q185).
+    */
+  def bounds(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, "need at least 2 buckets")
     val hist = df.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
@@ -46,12 +48,25 @@ object QuantileBucket {
       min(when(col("__cum") * nBuckets >= lit(d.toLong) * col("__n"), col("__v")))
         .as(s"__b$d")
     }
-    val bounds = cum.agg(boundAggs.head, boundAggs.tail: _*)
+    cum.agg(boundAggs.head, boundAggs.tail: _*)
+  }
+
+  /** Adds `bucket` (1..nBuckets) to `df` by the given 1-row `boundsDf`
+    * (broadcast; assignment is map-side). */
+  def assignWithBounds(
+      df: DataFrame, valueCol: String, boundsDf: DataFrame,
+      nBuckets: Int): DataFrame = {
     val bucketExpr = (1 until nBuckets)
       .map(d => when(col(valueCol) > col(s"__b$d"), 1L).otherwise(0L))
       .reduce(_ + _) + 1L
-    df.crossJoin(broadcast(bounds)) // 1-row bounds, not a data-sized cross
+    df.crossJoin(broadcast(boundsDf)) // 1-row bounds, not a data-sized cross
       .withColumn("bucket", bucketExpr)
       .drop((1 until nBuckets).map(d => s"__b$d"): _*)
   }
+
+  /** Adds `bucket` (1..nBuckets) to `df` by the distribution of its own
+    * `valueCol` (integer-valued, non-null). */
+  def assignByDistribution(
+      df: DataFrame, valueCol: String, nBuckets: Int): DataFrame =
+    assignWithBounds(df, valueCol, bounds(df, valueCol, nBuckets), nBuckets)
 }

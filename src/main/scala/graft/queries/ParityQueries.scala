@@ -471,6 +471,35 @@ object ParityQueries extends QueryFamily {
         .orderBy($"p_partkey")
     }),
 
+    // ---- distribution DRIFT between cohorts (population stability
+    //      index): the REFERENCE cohort's decile bounds
+    //      ([[graft.operators.QuantileBucket.bounds]]) bucket BOTH
+    //      cohorts, per-bucket Laplace-smoothed shares feed the PSI
+    //      contribution (p_ref − p_cur)·ln(p_ref/p_cur). Contributions
+    //      are emitted PER BUCKET (each a fixed IEEE expression of
+    //      integers, 6dp) — never summed across buckets in-engine,
+    //      which would be shuffle-order-dependent. ----
+    "q185_order_drift_psi" -> ((s, dir) => {
+      import s.implicits._
+      val cut = lit("1997-01-01").cast("timestamp")
+      val o = table(s, dir, "orders").select(
+        round($"o_totalprice").cast("long").as("price_d"),
+        ($"o_orderdate".cast("timestamp") < cut).as("is_ref"))
+      val b = graft.operators.QuantileBucket.bounds(o.filter($"is_ref"), "price_d", 10)
+      val counts = graft.operators.QuantileBucket
+        .assignWithBounds(o, "price_d", b, 10)
+        .groupBy($"bucket")
+        .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"))
+      val tot = counts.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
+      val pRef = ($"n_ref" + 1).cast("double") / ($"t_ref" + 10)
+      val pCur = ($"n_cur" + 1).cast("double") / ($"t_cur" + 10)
+      counts.crossJoin(broadcast(tot)) // 1-row totals
+        .select($"bucket", $"n_ref", $"n_cur",
+          round((pRef - pCur) * log(pRef / pCur), 6).as("psi_contrib"))
+        .orderBy($"bucket")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -927,6 +956,33 @@ object ParityQueries extends QueryFamily {
            WHERE b.p_size <= a.p_size AND b.price_c <= a.price_c
              AND (b.p_size < a.p_size OR b.price_c < a.price_c))
          ORDER BY a.p_partkey""",
+    "q185_order_drift_psi" -> {
+      val bounds = (1 to 9)
+        .map(d => s"MIN(pv) FILTER (WHERE cum * 10 >= $d * n) AS b$d").mkString(", ")
+      val cases = (1 to 9)
+        .map(d => s"CASE WHEN price_d > b$d THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH v AS (SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS price_d,
+                            (o_orderdate < TIMESTAMP '1997-01-01') AS is_ref
+                     FROM orders),
+          h AS (SELECT price_d AS pv, COUNT(*) AS cnt FROM v WHERE is_ref GROUP BY 1),
+          c AS (SELECT pv, cnt, SUM(cnt) OVER (ORDER BY pv) AS cum,
+                       SUM(cnt) OVER () AS n FROM h),
+          b AS (SELECT $bounds FROM c),
+          a AS (SELECT is_ref, 1 + $cases AS bucket FROM v CROSS JOIN b),
+          k AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+                       CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                       CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+                FROM a GROUP BY 1),
+          t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                       CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM k)
+          SELECT bucket, n_ref, n_cur,
+                 ROUND((CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10)
+                        - CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10))
+                       * LN((CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))
+                            / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10))), 6)
+                   AS psi_contrib
+          FROM k CROSS JOIN t ORDER BY bucket"""
+    },
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
