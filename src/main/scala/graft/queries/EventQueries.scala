@@ -312,6 +312,24 @@ object EventQueries extends QueryFamily {
         .orderBy("event_type", "bucket_ts")
     }),
 
+    // length-3 journey mining: q155's Markov transitions extended to
+    // ordered per-user TRIGRAM paths — one per-user window (two leads
+    // share its exchange), one map-side-combined path count, top-20
+    // with a full deterministic tie-break
+    "q186_events_top_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      graft.Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("a"))
+        .withColumn("b", lead(col("a"), 1).over(w))
+        .withColumn("c", lead(col("a"), 2).over(w))
+        .filter(col("c").isNotNull)
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+        .limit(20)
+    }),
+
     // distributed CUSUM change-point detection ([[graft.operators
     // .Cusum]]): a level shift PLANTED into the error stream
     // (+400.00 after Jan 21) must raise alarms there and nowhere else —
@@ -944,6 +962,15 @@ object EventQueries extends QueryFamily {
                 CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
                 (close IS NULL) AS is_gap
          FROM g ORDER BY event_type, bucket_ts""",
+    "q186_events_top_paths" ->
+      """WITH p AS (
+           SELECT event_type AS a,
+                  LEAD(event_type, 1) OVER w AS b,
+                  LEAD(event_type, 2) OVER w AS c
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT a, b, c, COUNT(*) AS n FROM p WHERE c IS NOT NULL
+         GROUP BY 1, 2, 3 ORDER BY n DESC, a, b, c LIMIT 20""",
     "q178_user_decay_score" -> decayScoreSql,
     "q179_user_decay_score_stream" -> decayScoreSql,
     "q176_value_cusum_alarms" ->
