@@ -500,6 +500,38 @@ object ParityQueries extends QueryFamily {
         .orderBy($"bucket")
     }),
 
+    // ---- BITEMPORAL as-of: the orders feed as a two-axis history
+    //      (valid time = order date; transaction time = when we LEARNED
+    //      it, arriving o_orderkey%30 days late) — "what did we believe
+    //      at tx time T the state at valid time V was": per report
+    //      point, filter both axes then arg-max per key on
+    //      (valid_from, tx_from, seq), the correction-aware rule the
+    //      single-axis SCD2 (q77) cannot express. One key-partitioned
+    //      window per report over the filtered log. ----
+    "q187_bitemporal_asof" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val log = table(s, dir, "orders").select(
+        $"o_custkey".as("k"),
+        $"o_orderdate".cast("timestamp").as("valid_from"),
+        timestamp_seconds(unix_seconds($"o_orderdate".cast("timestamp")) +
+          ($"o_orderkey" % 30) * 86400L).as("tx_from"),
+        $"o_orderkey".as("seq"), $"o_orderstatus".as("status"))
+      val reports = Seq(
+        ("r1", "1997-06-01", "1997-01-01"),
+        ("r2", "1998-06-01", "1998-06-01"))
+      val w = Window.partitionBy("k")
+        .orderBy($"valid_from".desc, $"tx_from".desc, $"seq".desc)
+      reports.map { case (rid, ttx, tv) =>
+        log.filter($"tx_from" <= lit(ttx).cast("timestamp") &&
+            $"valid_from" <= lit(tv).cast("timestamp"))
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select(lit(rid).as("report"), $"k",
+            date_format($"valid_from", "yyyy-MM-dd").as("valid_from"),
+            date_format($"tx_from", "yyyy-MM-dd").as("tx_from"), $"status")
+      }.reduce(_ unionByName _).orderBy("report", "k")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -982,6 +1014,27 @@ object ParityQueries extends QueryFamily {
                             / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10))), 6)
                    AS psi_contrib
           FROM k CROSS JOIN t ORDER BY bucket"""
+    },
+    "q187_bitemporal_asof" -> {
+      def one(rid: String, ttx: String, tv: String) =
+        s"""SELECT '$rid' AS report, k,
+                   STRFTIME(valid_from, '%Y-%m-%d') AS valid_from,
+                   STRFTIME(tx_from, '%Y-%m-%d') AS tx_from, status
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                    ORDER BY valid_from DESC, tx_from DESC, seq DESC) AS rn
+                  FROM log
+                  WHERE tx_from <= TIMESTAMP '$ttx'
+                    AND valid_from <= TIMESTAMP '$tv')
+            WHERE rn = 1"""
+      s"""WITH log AS (
+            SELECT o_custkey AS k, o_orderdate AS valid_from,
+                   o_orderdate + TO_SECONDS((o_orderkey % 30) * 86400) AS tx_from,
+                   o_orderkey AS seq, o_orderstatus AS status
+            FROM orders)
+          ${one("r1", "1997-06-01", "1997-01-01")}
+          UNION ALL
+          ${one("r2", "1998-06-01", "1998-06-01")}
+          ORDER BY report, k"""
     },
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
