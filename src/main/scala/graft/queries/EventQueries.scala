@@ -330,6 +330,27 @@ object EventQueries extends QueryFamily {
         .limit(20)
     }),
 
+    // per-user behavioral DIVERSITY: Shannon entropy of the event-type
+    // mix in integer MICRO-NATS — H = ln(N) − Σ n·ln(n)/N, with every
+    // ln() frozen to round(ln·1e6) per TERM before the sum, so the
+    // cross-partition aggregation is an exact order-free long sum (a
+    // raw double Σ n·ln(n) would merge partials in shuffle order — the
+    // q149 divergence this representation kills)
+    "q188_user_type_entropy" -> ((s, dir) => {
+      val counts = graft.Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val lnMicro = round(log(col("n").cast("double")) * 1e6).cast("long")
+      counts.groupBy(col("user_id"))
+        .agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_types"),
+          sum(col("n") * lnMicro).as("snl"))
+        .select(col("user_id"), col("total"), col("n_types"),
+          (round(log(col("total").cast("double")) * 1e6).cast("long") -
+            expr("snl div total")).as("entropy_micro"))
+        .orderBy("user_id")
+    }),
+
     // distributed CUSUM change-point detection ([[graft.operators
     // .Cusum]]): a level shift PLANTED into the error stream
     // (+400.00 after Jan 21) must raise alarms there and nowhere else —
@@ -962,6 +983,18 @@ object EventQueries extends QueryFamily {
                 CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
                 (close IS NULL) AS is_gap
          FROM g ORDER BY event_type, bucket_ts""",
+    "q188_user_type_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+         u AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS total,
+                      CAST(COUNT(*) AS BIGINT) AS n_types,
+                      CAST(SUM(n * CAST(ROUND(LN(CAST(n AS DOUBLE)) * 1e6) AS BIGINT))
+                           AS BIGINT) AS snl
+               FROM c GROUP BY 1)
+         SELECT user_id, total, n_types,
+                CAST(ROUND(LN(CAST(total AS DOUBLE)) * 1e6) AS BIGINT)
+                  - snl // total AS entropy_micro
+         FROM u ORDER BY user_id""",
     "q186_events_top_paths" ->
       """WITH p AS (
            SELECT event_type AS a,
