@@ -939,6 +939,36 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id", "rank")
     }),
 
+    // COLLOCATION extraction by pointwise mutual information: adjacent
+    // bigrams with count ≥ 5 ranked by PMI = ln(p(ab)/(p(a)p(b))),
+    // computed per row as ONE fixed IEEE expression frozen to integer
+    // micro-nats (no cross-row double sums anywhere); corpus totals
+    // ride as a 1-row broadcast
+    "q189_collocations_pmi" -> ((s, dir) => {
+      val post = graft.operators.CacheScope.pin(
+        graft.operators.PhraseSearch.postings(table(s, dir, "documents")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uni = graft.operators.CacheScope.pin(
+        post.groupBy(col("token")).agg(count(lit(1)).as("u")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bg = post.as("a").join(post.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .groupBy(col("a.token").as("w0"), col("b.token").as("w1"))
+        .agg(count(lit(1)).as("bcnt"))
+      val tot = uni.agg(sum(col("u")).as("tu")).crossJoin(
+        bg.agg(sum(col("bcnt")).as("tb")))
+      val pmiMicro = round(log(
+        (col("bcnt").cast("double") * col("tu") * col("tu")) /
+          (col("tb").cast("double") * col("ua") * col("ub"))) * 1e6).cast("long")
+      bg.filter(col("bcnt") >= 5)
+        .join(uni.select(col("token").as("w0"), col("u").as("ua")), Seq("w0"))
+        .join(uni.select(col("token").as("w1"), col("u").as("ub")), Seq("w1"))
+        .crossJoin(broadcast(tot)) // 1-row corpus totals
+        .select(col("w0"), col("w1"), col("bcnt"), pmiMicro.as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w0"), col("w1"))
+        .limit(20)
+    }),
+
     // encoding-damage repair (the ftfy-class curation step): mojibake
     // artifacts are INJECTED deterministically (doc_id ≡ 1 mod 6 —
     // the q52/q119 synthesize-from-corpus pattern; a varying repeat of
@@ -2003,6 +2033,27 @@ object TextQueries extends QueryFamily {
                   FROM w)
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, w
             FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+      "q189_collocations_pmi" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS arr FROM documents),
+            tok AS (SELECT doc_id, i-1 AS pos, arr[i] AS token
+                    FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(arr))) AS i) t
+                    WHERE arr[i] <> ''),
+            uni AS (SELECT token, COUNT(*) AS u FROM tok GROUP BY 1),
+            bg AS (SELECT a.token AS w0, b.token AS w1, COUNT(*) AS bcnt
+                   FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   GROUP BY 1, 2),
+            tot AS (SELECT (SELECT CAST(SUM(u) AS BIGINT) FROM uni) AS tu,
+                           (SELECT CAST(SUM(bcnt) AS BIGINT) FROM bg) AS tb)
+            SELECT w0, w1, bcnt,
+                   CAST(ROUND(LN((CAST(bcnt AS DOUBLE) * tu * tu)
+                                 / (CAST(tb AS DOUBLE) * ua.u * ub.u)) * 1e6)
+                        AS BIGINT) AS pmi_micro
+            FROM bg
+            JOIN uni ua ON ua.token = bg.w0
+            JOIN uni ub ON ub.token = bg.w1
+            CROSS JOIN tot
+            WHERE bcnt >= 5
+            ORDER BY pmi_micro DESC, w0, w1 LIMIT 20""",
       "q171_phrase_search" ->
         s"""WITH d AS (SELECT doc_id, $toks AS arr FROM documents),
             tok AS (SELECT doc_id, i-1 AS pos, arr[i] AS token
