@@ -532,6 +532,34 @@ object ParityQueries extends QueryFamily {
       }.reduce(_ unionByName _).orderBy("report", "k")
     }),
 
+    // ---- per-group GINI coefficient WITHOUT a global sort: the rank
+    //      sum Σ(2i−n−1)·x_i collapses per DISTINCT value to
+    //      v·c·(2·cumBefore + c − n) over the (group, value) histogram
+    //      (ranks of a tie block are consecutive — the closed form sums
+    //      them exactly), so one histogram aggregation + one cum window
+    //      over it replaces the ranking; the final division is one IEEE
+    //      expression per group frozen to micro-units. ----
+    "q190_priority_price_gini" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val v = table(s, dir, "orders").select($"o_orderpriority".as("g"),
+        round($"o_totalprice" * 100).cast("long").as("vc"))
+      val hist = v.groupBy($"g", $"vc").agg(count(lit(1)).as("cnt"))
+      val wg = Window.partitionBy("g").orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cumb", sum($"cnt").over(wg) - $"cnt")
+        .withColumn("n", sum($"cnt").over(Window.partitionBy("g")))
+        .withColumn("tv", sum($"vc" * $"cnt").over(Window.partitionBy("g")))
+      cum.groupBy($"g")
+        .agg(max($"n").as("n"), max($"tv").as("tv"),
+          sum($"vc" * $"cnt" * (lit(2) * $"cumb" + $"cnt" - $"n")).as("s"))
+        .select($"g".as("o_orderpriority"), $"n".as("n_orders"),
+          round($"s".cast("double") * 1e6 /
+            ($"n".cast("double") * $"tv")).cast("long").as("gini_micro"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -1036,6 +1064,23 @@ object ParityQueries extends QueryFamily {
           ${one("r2", "1998-06-01", "1998-06-01")}
           ORDER BY report, k"""
     },
+    "q190_priority_price_gini" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+                           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS vc
+                    FROM orders),
+         h AS (SELECT g, vc, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+         c AS (SELECT g, vc, cnt,
+                      SUM(cnt) OVER (PARTITION BY g ORDER BY vc) - cnt AS cumb,
+                      SUM(cnt) OVER (PARTITION BY g) AS n,
+                      SUM(vc * cnt) OVER (PARTITION BY g) AS tv
+               FROM h),
+         a AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(tv) AS BIGINT) AS tv,
+                      CAST(SUM(vc * cnt * (2 * cumb + cnt - n)) AS BIGINT) AS s
+               FROM c GROUP BY g)
+         SELECT g AS o_orderpriority, n AS n_orders,
+                CAST(ROUND(CAST(s AS DOUBLE) * 1e6
+                           / (CAST(n AS DOUBLE) * tv)) AS BIGINT) AS gini_micro
+         FROM a ORDER BY o_orderpriority""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
