@@ -560,6 +560,31 @@ object ParityQueries extends QueryFamily {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- WEIGHTED discrete quantiles (quantity-weighted price
+    //      p25/median/p75 per return flag): the q177 histogram/cum
+    //      machinery with WEIGHTS — bound_p = smallest value whose
+    //      cumulative weight covers fraction p, division-free
+    //      (cum·den ≥ p_num·total), all integer ⇒ bit-exact. ----
+    "q191_weighted_price_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val v = table(s, dir, "lineitem").select($"l_returnflag".as("g"),
+        round($"l_extendedprice" * 100).cast("long").as("vc"),
+        round($"l_quantity" * 100).cast("long").as("w"))
+      val hist = v.groupBy($"g", $"vc").agg(sum($"w").as("w"))
+      val cum = hist
+        .withColumn("cw", sum($"w").over(Window.partitionBy("g").orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw", sum($"w").over(Window.partitionBy("g")))
+      cum.groupBy($"g")
+        .agg(max($"tw").as("w_total"),
+          min(when($"cw" * 4 >= $"tw", $"vc")).as("wp25"),
+          min(when($"cw" * 2 >= $"tw", $"vc")).as("wmedian"),
+          min(when($"cw" * 4 >= $"tw" * 3, $"vc")).as("wp75"))
+        .select($"g".as("l_returnflag"), $"w_total", $"wp25", $"wmedian", $"wp75")
+        .orderBy("l_returnflag")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -1081,6 +1106,21 @@ object ParityQueries extends QueryFamily {
                 CAST(ROUND(CAST(s AS DOUBLE) * 1e6
                            / (CAST(n AS DOUBLE) * tv)) AS BIGINT) AS gini_micro
          FROM a ORDER BY o_orderpriority""",
+    "q191_weighted_price_quantiles" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+                           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS vc,
+                           CAST(ROUND(l_quantity * 100) AS BIGINT) AS w
+                    FROM lineitem),
+         h AS (SELECT g, vc, SUM(w) AS w FROM v GROUP BY 1, 2),
+         c AS (SELECT g, vc,
+                      SUM(w) OVER (PARTITION BY g ORDER BY vc) AS cw,
+                      SUM(w) OVER (PARTITION BY g) AS tw
+               FROM h)
+         SELECT g AS l_returnflag, CAST(MAX(tw) AS BIGINT) AS w_total,
+                MIN(vc) FILTER (WHERE cw * 4 >= tw) AS wp25,
+                MIN(vc) FILTER (WHERE cw * 2 >= tw) AS wmedian,
+                MIN(vc) FILTER (WHERE cw * 4 >= tw * 3) AS wp75
+         FROM c GROUP BY g ORDER BY l_returnflag""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
