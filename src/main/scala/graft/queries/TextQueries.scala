@@ -969,6 +969,26 @@ object TextQueries extends QueryFamily {
         .limit(20)
     }),
 
+    // hierarchical URL PATH-TREE rollup (the crawl-budget table): a
+    // deterministic URL per doc rolls up to (host), (host, seg1) and
+    // (host, seg1, seg2) levels in ONE Expand pass (GROUPING SETS over
+    // the derived hierarchy), GROUPING() masks disambiguating the
+    // levels — the per-prefix page counts a frontier scheduler budgets
+    // against
+    "q192_url_path_rollup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val u = table(s, dir, "documents").select(id,
+        concat(lit("h"), (id % 7).cast("string"), lit(".example.com")).as("host"),
+        concat(lit("s"), (id % 5).cast("string")).as("seg1"),
+        concat(lit("t"), (id % 11).cast("string")).as("seg2"))
+      u.rollup(col("host"), col("seg1"), col("seg2"))
+        .agg(count(lit(1)).as("n_pages"), grouping_id().cast("long").as("gmask"))
+        .filter(col("gmask") < 7) // drop the grand total; keep the 3 tree levels
+        .select(col("host"), col("seg1"), col("seg2"), col("n_pages"), col("gmask"))
+        .orderBy(col("gmask"), col("host"),
+          col("seg1").asc_nulls_first, col("seg2").asc_nulls_first)
+    }),
+
     // encoding-damage repair (the ftfy-class curation step): mojibake
     // artifacts are INJECTED deterministically (doc_id ≡ 1 mod 6 —
     // the q52/q119 synthesize-from-corpus pattern; a varying repeat of
@@ -2033,6 +2053,19 @@ object TextQueries extends QueryFamily {
                   FROM w)
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, w
             FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+      "q192_url_path_rollup" ->
+        """WITH u AS (
+             SELECT doc_id,
+                    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+                    's' || CAST(doc_id % 5 AS VARCHAR) AS seg1,
+                    't' || CAST(doc_id % 11 AS VARCHAR) AS seg2
+             FROM documents)
+           SELECT host, seg1, seg2, COUNT(*) AS n_pages,
+                  CAST(GROUPING(host) * 4 + GROUPING(seg1) * 2
+                       + GROUPING(seg2) AS BIGINT) AS gmask
+           FROM u GROUP BY ROLLUP (host, seg1, seg2)
+           HAVING GROUPING(host) * 4 + GROUPING(seg1) * 2 + GROUPING(seg2) < 7
+           ORDER BY gmask, host, seg1 NULLS FIRST, seg2 NULLS FIRST""",
       "q189_collocations_pmi" ->
         s"""WITH d AS (SELECT doc_id, $toks AS arr FROM documents),
             tok AS (SELECT doc_id, i-1 AS pos, arr[i] AS token
