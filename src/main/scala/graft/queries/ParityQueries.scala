@@ -585,6 +585,33 @@ object ParityQueries extends QueryFamily {
         .orderBy("l_returnflag")
     }),
 
+    // ---- k-ANONYMITY audit (privacy gate before export): group sizes
+    //      over the quasi-identifier tuple (nation, segment, balance
+    //      band); classes below k=5 are re-identification risks — the
+    //      audit reports every risky class and the suppression totals,
+    //      one map-side-combined aggregation end to end. ----
+    "q193_k_anonymity_audit" -> ((s, dir) => {
+      import s.implicits._
+      val k = 5L
+      val qi = table(s, dir, "customer").select(
+        $"c_nationkey".as("nation"), $"c_mktsegment".as("segment"),
+        floor($"c_acctbal" / 2000).cast("long").as("bal_band"))
+      val classes = qi.groupBy($"nation", $"segment", $"bal_band")
+        .agg(count(lit(1)).as("n"))
+      val risky = classes.filter($"n" < k)
+        .select($"nation", $"segment", $"bal_band", $"n")
+      val summary = classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum(when($"n" < k, 1L).otherwise(0L)).as("n_risky_classes"),
+        sum(when($"n" < k, $"n").otherwise(0L)).as("n_suppressed_rows"))
+      // one result frame: the summary row (sentinel keys) + risky classes
+      summary.select(lit(-1L).as("nation"), lit("__SUMMARY__").as("segment"),
+          $"n_classes".as("bal_band"), ($"n_risky_classes" * 1000000L +
+            $"n_suppressed_rows").as("n"))
+        .unionByName(risky)
+        .orderBy($"nation", $"segment", $"bal_band")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -1121,6 +1148,21 @@ object ParityQueries extends QueryFamily {
                 MIN(vc) FILTER (WHERE cw * 2 >= tw) AS wmedian,
                 MIN(vc) FILTER (WHERE cw * 4 >= tw * 3) AS wp75
          FROM c GROUP BY g ORDER BY l_returnflag""",
+    "q193_k_anonymity_audit" ->
+      """WITH qi AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+                            CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band
+                     FROM customer),
+         cl AS (SELECT nation, segment, bal_band, COUNT(*) AS n
+                FROM qi GROUP BY 1, 2, 3)
+         SELECT CAST(-1 AS BIGINT) AS nation, '__SUMMARY__' AS segment,
+                CAST(COUNT(*) AS BIGINT) AS bal_band,
+                CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) * 1000000
+                     + SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n
+         FROM cl
+         UNION ALL
+         SELECT nation, segment, bal_band, CAST(n AS BIGINT)
+         FROM cl WHERE n < 5
+         ORDER BY nation, segment, bal_band""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
