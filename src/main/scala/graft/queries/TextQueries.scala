@@ -989,6 +989,29 @@ object TextQueries extends QueryFamily {
           col("seg1").asc_nulls_first, col("seg2").asc_nulls_first)
     }),
 
+    // chi-square INDEPENDENCE scan over the (source × lang) contingency
+    // table: per-cell contribution (O·N − rT·cT)² / (rT·cT·N) — each a
+    // single fixed IEEE expression of exact integer marginals, frozen
+    // to micro-units per CELL (the q188 representation; no cross-cell
+    // double sum) — the over/under-representation audit a corpus
+    // balance check runs
+    "q194_source_lang_chi2" -> ((s, dir) => {
+      val cells = table(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val rT = cells.groupBy("source").agg(sum(col("o")).as("rt"))
+      val cT = cells.groupBy("lang").agg(sum(col("o")).as("ct"))
+      val n = cells.agg(sum(col("o")).as("n"))
+      val dev = col("o") * col("n") - col("rt") * col("ct")
+      cells.join(broadcast(rT), Seq("source"))
+        .join(broadcast(cT), Seq("lang"))
+        .crossJoin(broadcast(n)) // 1-row total
+        .select(col("source"), col("lang"), col("o"), col("rt"), col("ct"),
+          round((dev.cast("double") * dev.cast("double")) /
+            (col("rt").cast("double") * col("ct") * col("n")) * 1e6)
+            .cast("long").as("chi2_micro"))
+        .orderBy("source", "lang")
+    }),
+
     // encoding-damage repair (the ftfy-class curation step): mojibake
     // artifacts are INJECTED deterministically (doc_id ≡ 1 mod 6 —
     // the q52/q119 synthesize-from-corpus pattern; a varying repeat of
@@ -2053,6 +2076,19 @@ object TextQueries extends QueryFamily {
                   FROM w)
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, w
             FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+      "q194_source_lang_chi2" ->
+        """WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+                          FROM documents GROUP BY 1, 2),
+           r AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+           c AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+           t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+           SELECT source, lang, o, rt, ct,
+                  CAST(ROUND((CAST(o * n - rt * ct AS DOUBLE)
+                              * CAST(o * n - rt * ct AS DOUBLE))
+                             / (CAST(rt AS DOUBLE) * ct * n) * 1e6) AS BIGINT)
+                    AS chi2_micro
+           FROM cells JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t
+           ORDER BY source, lang""",
       "q192_url_path_rollup" ->
         """WITH u AS (
              SELECT doc_id,
