@@ -1012,6 +1012,32 @@ object TextQueries extends QueryFamily {
         .orderBy("source", "lang")
     }),
 
+    // SQUARE-ROOT (Neyman-style) stratified allocation: stratum quotas
+    // ∝ √N_h — the allocation that beats proportional when per-stratum
+    // variance is similar — with √ frozen to integer micro-units per
+    // stratum (sqrt is correctly-rounded IEEE; the SUM over strata is
+    // then an exact long), quota = round-half-up in pure integers, and
+    // the q75 deterministic hash-rank rule selecting members
+    "q195_neyman_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 20L
+      val ids = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val counts = ids.groupBy(col("lang")).agg(count(lit(1)).as("nh"))
+        .withColumn("sm", round(sqrt(col("nh").cast("double")) * 1e6).cast("long"))
+      val denom = counts.agg(sum(col("sm")).as("d"))
+      val quotas = counts.crossJoin(broadcast(denom)) // 1-row scalar
+        .select(col("lang"), col("nh"),
+          expr(s"($k * sm * 2 + d) div (d * 2)").as("quota"))
+      val rk = row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":neyman"))),
+          col("doc_id"))).cast("long")
+      ids.withColumn("rk", rk)
+        .join(broadcast(quotas), Seq("lang"))
+        .filter(col("rk") <= col("quota"))
+        .select(col("lang"), col("nh"), col("quota"), col("doc_id"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
     // encoding-damage repair (the ftfy-class curation step): mojibake
     // artifacts are INJECTED deterministically (doc_id ≡ 1 mod 6 —
     // the q52/q119 synthesize-from-corpus pattern; a varying repeat of
@@ -2076,6 +2102,21 @@ object TextQueries extends QueryFamily {
                   FROM w)
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, w
             FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+      "q195_neyman_sample" ->
+        """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nh,
+                             CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS sm
+                      FROM documents GROUP BY 1),
+           d AS (SELECT CAST(SUM(sm) AS BIGINT) AS d FROM c),
+           q AS (SELECT lang, nh, (20 * sm * 2 + d.d) // (d.d * 2) AS quota
+                 FROM c CROSS JOIN d),
+           r AS (SELECT doc_id, lang,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':neyman'), doc_id)
+                          AS BIGINT) AS rk
+                 FROM documents)
+           SELECT r.lang, q.nh, CAST(q.quota AS BIGINT) AS quota, r.doc_id, r.rk
+           FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+           ORDER BY lang, rk""",
       "q194_source_lang_chi2" ->
         """WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
                           FROM documents GROUP BY 1, 2),
