@@ -351,6 +351,29 @@ object EventQueries extends QueryFamily {
         .orderBy("user_id")
     }),
 
+    // rolling 7-day ACTIVE USERS (WAU-per-day): each (day, user)
+    // presence covers the 7 report days it contributes to — a bounded
+    // ×7 explode + one exact distinct, never a per-day rescan of the
+    // corpus (the q164 bucket discipline on the day grid); report days
+    // clipped to the observed span so no partial-coverage edge rows
+    "q196_rolling_wau" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(to_date(col("ts").cast("timestamp")).as("d"), col("user_id"))
+        .distinct()
+      val span = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      ev.withColumn("report_day",
+          explode(sequence(col("d"), date_add(col("d"), 6))))
+        .select(col("report_day"), col("user_id")).distinct()
+        .crossJoin(broadcast(span)) // 1-row span
+        .filter(col("report_day") >= date_add(col("lo"), 6) &&
+          col("report_day") <= col("hi"))
+        .groupBy(col("report_day"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+        .select(date_format(col("report_day"), "yyyy-MM-dd").as("report_day"),
+          col("wau"))
+        .orderBy("report_day")
+    }),
+
     // distributed CUSUM change-point detection ([[graft.operators
     // .Cusum]]): a level shift PLANTED into the error stream
     // (+400.00 after Jan 21) must raise alarms there and nowhere else —
@@ -983,6 +1006,16 @@ object EventQueries extends QueryFamily {
                 CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
                 (close IS NULL) AS is_gap
          FROM g ORDER BY event_type, bucket_ts""",
+    "q196_rolling_wau" ->
+      """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         s AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM p),
+         cov AS (SELECT DISTINCT d + CAST(k AS INTEGER) AS report_day, user_id
+                 FROM p, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 6)) AS k) u)
+         SELECT STRFTIME(report_day, '%Y-%m-%d') AS report_day,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+         FROM cov CROSS JOIN s
+         WHERE report_day >= lo + 6 AND report_day <= hi
+         GROUP BY report_day ORDER BY report_day""",
     "q188_user_type_entropy" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
                     FROM events GROUP BY 1, 2),
