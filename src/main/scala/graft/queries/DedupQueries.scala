@@ -659,6 +659,30 @@ object DedupQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // canonical-KEEPER selection over the q43 clusters: the pipeline
+    // step ABOVE the keep-list — instead of keep-first (min id), each
+    // cluster's keeper is its best member by an explicit quality rule
+    // (n_chars desc, doc_id asc), and every member maps to it. One
+    // cluster-keyed window for the arg-max + one cluster-keyed join
+    // back; cluster count scales with docs, so the keeper table is
+    // NOT broadcast
+    "q197_dedup_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val groups = s.read.parquet(stagedKeepListDir(s, dir))
+      val labeled = docs.join(groups, docs("doc_id") === groups("member_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("keep_id"), col("doc_id")).as("cluster"))
+      val w = Window.partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id"))
+      val canon = labeled.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("canon_id"),
+          col("n_chars").as("canon_n_chars"))
+      labeled.join(canon, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("canon_id"), col("canon_n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // the large-star/small-star contraction ITSELF under the gate: a
     // planted 50-long chain per 50-id block (diameter 49) with
     // maxIters=3 forces min-label propagation to hand off to the star
@@ -1345,6 +1369,23 @@ object DedupQueries extends QueryFamily {
     s"""WITH RECURSIVE $groupsCtes
         SELECT doc_id, keep_id FROM keeps ORDER BY doc_id"""
 
+  /** q197: the q43 closure + per-cluster arg-max keeper by
+    * (n_chars desc, doc_id).
+    */
+  private val canonicalSql: String =
+    s"""WITH RECURSIVE $groupsCtes,
+        lab AS (
+          SELECT k.doc_id, d.n_chars, k.keep_id AS cluster
+          FROM keeps k JOIN documents d ON d.doc_id = k.doc_id),
+        can AS (
+          SELECT cluster, doc_id AS canon_id, n_chars AS canon_n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY cluster
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM lab)
+        SELECT l.doc_id, l.cluster, c.canon_id, c.canon_n_chars
+        FROM lab l JOIN (SELECT * FROM can WHERE rn = 1) c USING (cluster)
+        ORDER BY l.doc_id"""
+
   /** q74: 12/2/2-sixteenths split on the first hex char of md5(keep_id) —
     * the exact rule [[Dedup.leakageSafeSplit]] computes.
     */
@@ -1583,6 +1624,7 @@ object DedupQueries extends QueryFamily {
           WHERE id_a >= $corpusSplit OR id_b >= $corpusSplit
           ORDER BY id_a, id_b""",
     "q43_dedup_groups" -> groupsSql,
+    "q197_dedup_canonical" -> canonicalSql,
     // chain components have a closed-form answer: the block minimum
     "q115_dedup_groups_chain" ->
       """SELECT doc_id AS member_id, (doc_id // 50) * 50 AS keep_id
