@@ -612,6 +612,26 @@ object ParityQueries extends QueryFamily {
         .orderBy($"nation", $"segment", $"bal_band")
     }),
 
+    // ---- supplier LEAD-TIME SLA report: ship lag in whole days per
+    //      supplier nation ([[graft.operators.ExactPercentiles]] over
+    //      the bounded day domain — p50/p90/p99 exact). ----
+    "q198_leadtime_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      val lag = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(table(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(table(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .select($"n_name",
+          datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date"))
+            .cast("long").as("lag_days"))
+      graft.operators.ExactPercentiles.byGroup(lag,
+          groupCols = Seq("n_name"), valueCol = "lag_days",
+          ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .select($"n_name", $"p50", $"p90", $"p99",
+          $"max_lag_days".as("max_days"), $"n_lag_days".as("n_items"))
+        .orderBy("n_name")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -1163,6 +1183,22 @@ object ParityQueries extends QueryFamily {
          SELECT nation, segment, bal_band, CAST(n AS BIGINT)
          FROM cl WHERE n < 5
          ORDER BY nation, segment, bal_band""",
+    "q198_leadtime_percentiles" ->
+      """WITH lag AS (
+           SELECT n_name,
+                  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey)
+         SELECT n_name,
+                ROUND(QUANTILE_CONT(lag_days, 0.5), 6) AS p50,
+                ROUND(QUANTILE_CONT(lag_days, 0.9), 6) AS p90,
+                ROUND(QUANTILE_CONT(lag_days, 0.99), 6) AS p99,
+                MAX(lag_days) AS max_days,
+                CAST(COUNT(lag_days) AS BIGINT) AS n_items
+         FROM lag GROUP BY n_name ORDER BY n_name""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
