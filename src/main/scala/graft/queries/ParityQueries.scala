@@ -632,6 +632,26 @@ object ParityQueries extends QueryFamily {
         .orderBy("n_name")
     }),
 
+    // ---- referential-integrity AUDIT: orders with o_orderkey % 97 = 0
+    //      play deleted (tombstoned) parents; the audit reports every
+    //      orphaned lineitem group (left-anti join, fact side streamed,
+    //      surviving-parent set probed) plus a summary sentinel row —
+    //      the FK check a warehouse load gate runs. ----
+    "q199_orphan_audit" -> ((s, dir) => {
+      import s.implicits._
+      val live = table(s, dir, "orders").filter($"o_orderkey" % 97 =!= 0)
+        .select($"o_orderkey")
+      val orphans = table(s, dir, "lineitem")
+        .join(live, $"l_orderkey" === $"o_orderkey", "left_anti")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round($"l_quantity" * 100).cast("long")).as("qty_c"))
+      orphans.agg(count(lit(1)).as("k"), coalesce(sum($"n_lines"), lit(0L)).as("t"))
+        .select(lit(-1L).as("l_orderkey"), $"k".as("n_lines"), $"t".as("qty_c"))
+        .unionByName(orphans)
+        .orderBy($"l_orderkey")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -1199,6 +1219,21 @@ object ParityQueries extends QueryFamily {
                 MAX(lag_days) AS max_days,
                 CAST(COUNT(lag_days) AS BIGINT) AS n_items
          FROM lag GROUP BY n_name ORDER BY n_name""",
+    "q199_orphan_audit" ->
+      """WITH orph AS (
+           SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+           FROM lineitem
+           WHERE l_orderkey NOT IN (
+             SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)
+           GROUP BY 1)
+         SELECT CAST(-1 AS BIGINT) AS l_orderkey,
+                CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(COALESCE(SUM(n_lines), 0) AS BIGINT) AS qty_c
+         FROM orph
+         UNION ALL
+         SELECT l_orderkey, n_lines, qty_c FROM orph
+         ORDER BY l_orderkey""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
