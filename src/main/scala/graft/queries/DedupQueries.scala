@@ -683,6 +683,33 @@ object DedupQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // corpus SCORECARD (q200): the one-frame health report a curation
+    // run publishes — size, token mass, language/source spread, and the
+    // dedup closure's cluster structure, every metric an exact integer;
+    // each source aggregates once, results union as (metric, value)
+    "q200_corpus_scorecard" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCountWs(col("text"))).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"))
+      val groups = s.read.parquet(stagedKeepListDir(s, dir))
+      val labeled = docs.select(col("doc_id"))
+        .join(groups, col("doc_id") === col("member_id"), "left")
+        .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
+      val dd = labeled.agg(
+        count_distinct(col("keep_id")).as("n_clusters"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dup_members"))
+      def rows(df: org.apache.spark.sql.DataFrame, ms: Seq[String]) =
+        ms.map(m => df.select(lit(m).as("metric"), col(m).cast("long").as("value")))
+          .reduce(_ unionByName _)
+      rows(base, Seq("n_docs", "n_tokens", "n_chars", "n_langs", "n_sources"))
+        .unionByName(rows(dd, Seq("n_clusters", "n_dup_members")))
+        .orderBy("metric")
+    }),
+
     // the large-star/small-star contraction ITSELF under the gate: a
     // planted 50-long chain per 50-id block (diameter 49) with
     // maxIters=3 forces min-label propagation to hand off to the star
@@ -1369,6 +1396,32 @@ object DedupQueries extends QueryFamily {
     s"""WITH RECURSIVE $groupsCtes
         SELECT doc_id, keep_id FROM keeps ORDER BY doc_id"""
 
+  /** q200: exact integer corpus metrics + the q43 closure's cluster
+    * structure as one (metric, value) frame.
+    */
+  private val scorecardSql: String =
+    s"""WITH RECURSIVE $groupsCtes,
+        base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(${TextQueries.nTokensSql}) AS BIGINT) AS n_tokens,
+                 CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+          FROM documents),
+        dd AS (
+          SELECT CAST(COUNT(DISTINCT keep_id) AS BIGINT) AS n_clusters,
+                 CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_members
+          FROM keeps)
+        SELECT 'n_docs' AS metric, n_docs AS value FROM base
+        UNION ALL SELECT 'n_tokens', n_tokens FROM base
+        UNION ALL SELECT 'n_chars', n_chars FROM base
+        UNION ALL SELECT 'n_langs', n_langs FROM base
+        UNION ALL SELECT 'n_sources', n_sources FROM base
+        UNION ALL SELECT 'n_clusters', n_clusters FROM dd
+        UNION ALL SELECT 'n_dup_members', n_dup_members FROM dd
+        ORDER BY metric"""
+
   /** q197: the q43 closure + per-cluster arg-max keeper by
     * (n_chars desc, doc_id).
     */
@@ -1625,6 +1678,7 @@ object DedupQueries extends QueryFamily {
           ORDER BY id_a, id_b""",
     "q43_dedup_groups" -> groupsSql,
     "q197_dedup_canonical" -> canonicalSql,
+    "q200_corpus_scorecard" -> scorecardSql,
     // chain components have a closed-form answer: the block minimum
     "q115_dedup_groups_chain" ->
       """SELECT doc_id AS member_id, (doc_id // 50) * 50 AS keep_id
