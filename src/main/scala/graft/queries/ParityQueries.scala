@@ -652,6 +652,32 @@ object ParityQueries extends QueryFamily {
         .orderBy($"l_orderkey")
     }),
 
+    // ---- market-SHARE SHIFT report: nation revenue share within each
+    //      year (integer micro-units via exact revenue sums + one div)
+    //      and the year-over-year share delta per nation (lag window
+    //      over the nations×years frame — policy-sized, corpus never
+    //      re-windowed). ----
+    "q201_nation_share_shift" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val revMicro = round($"l_extendedprice" * 100).cast("long") *
+        (lit(100L) - round($"l_discount" * 100).cast("long"))
+      val base = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(table(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(table(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", year($"o_orderdate".cast("timestamp")).cast("long").as("yr"))
+        .agg(sum(revMicro).as("rm"))
+      val wy = Window.partitionBy("yr")
+      val wn = Window.partitionBy("n_name").orderBy("yr")
+      base
+        .withColumn("share_micro", expr("rm * 1000000 div sum(rm) over (partition by yr)"))
+        .withColumn("delta_micro",
+          $"share_micro" - lag($"share_micro", 1).over(wn))
+        .select($"n_name", $"yr", $"share_micro", $"delta_micro")
+        .orderBy("n_name", "yr")
+    }),
+
     "q17_part_supplier_region" -> ((s, dir) => {
       import s.implicits._
       val li = table(s, dir, "lineitem")
@@ -1234,6 +1260,26 @@ object ParityQueries extends QueryFamily {
          UNION ALL
          SELECT l_orderkey, n_lines, qty_c FROM orph
          ORDER BY l_orderkey""",
+    "q201_nation_share_shift" ->
+      """WITH base AS (
+           SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+                  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS rm
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         sh AS (
+           SELECT n_name, yr,
+                  CAST((rm * 1000000) // SUM(rm) OVER (PARTITION BY yr)
+                       AS BIGINT) AS share_micro
+           FROM base)
+         SELECT n_name, yr, share_micro,
+                share_micro - LAG(share_micro, 1) OVER (
+                  PARTITION BY n_name ORDER BY yr) AS delta_micro
+         FROM sh ORDER BY n_name, yr""",
     "q17_part_supplier_region" ->
       """SELECT r_name, p_brand,
                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
