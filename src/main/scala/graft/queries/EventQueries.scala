@@ -374,6 +374,41 @@ object EventQueries extends QueryFamily {
         .orderBy("report_day")
     }),
 
+    // MULTI-TOUCH attribution (q48's as-of is last-touch; this splits):
+    // each purchase's value divides EVENLY in integer cents across the
+    // user's clicks in the trailing hour, remainder to the latest click
+    // — credit conservation is exact (Σ credits == value_c, spec'd by
+    // the oracle's arithmetic). Candidates meet through the q58/q164
+    // bucketed range join, never events²
+    "q202_multitouch_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"), col("user_id"),
+          round(col("value") * 100).cast("long").as("vc"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("puser"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"),
+          col("ts").as("w_end"), col("vc"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cuser"),
+          col("ts").as("cts"))
+      val pairs = graft.operators.RangeJoin.pointInInterval(
+          clicks, "cts", purchases, "w_start", "w_end", bucketSeconds = 900L)
+        .filter(col("cuser") === col("puser"))
+      val wp = Window.partitionBy("pid")
+      val credited = pairs
+        .withColumn("n", count(lit(1)).over(wp))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("pid").orderBy(col("cts").desc, col("cid").desc)))
+        .select(col("cid"),
+          (expr("vc div n") +
+            when(col("rn") === 1, col("vc") % col("n")).otherwise(0L)).as("credit"))
+      credited.groupBy(col("cid").as("click_id"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("credit")).as("credit_c"))
+        .orderBy("click_id")
+    }),
+
     // distributed CUSUM change-point detection ([[graft.operators
     // .Cusum]]): a level shift PLANTED into the error stream
     // (+400.00 after Jan 21) must raise alarms there and nowhere else —
@@ -1006,6 +1041,26 @@ object EventQueries extends QueryFamily {
                 CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
                 (close IS NULL) AS is_gap
          FROM g ORDER BY event_type, bucket_ts""",
+    "q202_multitouch_attribution" ->
+      """WITH pur AS (SELECT event_id AS pid, user_id, ts,
+                             CAST(ROUND(value*100) AS BIGINT) AS vc
+                      FROM events WHERE event_type = 'purchase'),
+         clk AS (SELECT event_id AS cid, user_id, ts
+                 FROM events WHERE event_type = 'click'),
+         pairs AS (
+           SELECT p.pid, p.vc, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY p.pid
+                    ORDER BY c.ts DESC, c.cid DESC) AS rn,
+                  COUNT(*) OVER (PARTITION BY p.pid) AS n
+           FROM pur p JOIN clk c
+             ON c.user_id = p.user_id
+            AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts),
+         cr AS (SELECT cid, vc // n
+                       + CASE WHEN rn = 1 THEN vc % n ELSE 0 END AS credit
+                FROM pairs)
+         SELECT cid AS click_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                CAST(SUM(credit) AS BIGINT) AS credit_c
+         FROM cr GROUP BY 1 ORDER BY 1""",
     "q196_rolling_wau" ->
       """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
          s AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM p),
