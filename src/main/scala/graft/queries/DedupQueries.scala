@@ -710,6 +710,43 @@ object DedupQueries extends QueryFamily {
         .orderBy("metric")
     }),
 
+    // BIPARTITENESS test — the EIGHTH graph primitive, composed from
+    // two existing ones: components (min-label closure) give each
+    // block's seed, multi-source BFS gives hop depths from it, and an
+    // edge whose endpoints share depth PARITY certifies an odd cycle.
+    // The gate graph plants disjoint 12-blocks: every block a C12
+    // cycle (even ⇒ bipartite), even-indexed blocks add one chord
+    // forming a triangle (⇒ not bipartite) — both verdicts occur
+    "q203_link_bipartite" -> ((s, dir) => {
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val nxt = d - (d % 12) + (d % 12 + 1) % 12
+      val chord = when(d % 12 === 0 && expr("(doc_id div 12) % 2") === 0, d + 2)
+      val edges = ids.select(d.as("src"), explode(array(nxt, chord)).as("dst"))
+        .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+        .join(ids.select(d.as("dst")), Seq("dst"), "left_semi")
+      val comp = graft.operators.Dedup.nearDupGroups(
+        edges.select(col("src").as("id_a"), col("dst").as("id_b")))
+      val depth = graft.operators.Sssp.seedDepth(edges,
+        comp.select(col("keep_id").as("id")).distinct())
+      val und = edges.select("src", "dst")
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().filter(col("src") < col("dst"))
+      val conflicts = und
+        .join(depth.select(col("id").as("src"), col("depth").as("ds")), Seq("src"))
+        .join(depth.select(col("id").as("dst"), col("depth").as("dd")), Seq("dst"))
+        .filter((col("ds") + col("dd")) % 2 === 0)
+        .join(comp.select(col("member_id").as("src"), col("keep_id").as("comp")),
+          Seq("src"))
+        .groupBy("comp").agg(count(lit(1)).as("n_conflicts"))
+      comp.groupBy(col("keep_id").as("comp")).agg(count(lit(1)).as("n_vertices"))
+        .join(conflicts, Seq("comp"), "left")
+        .select(col("comp"), col("n_vertices"),
+          coalesce(col("n_conflicts"), lit(0L)).as("n_conflicts"),
+          (coalesce(col("n_conflicts"), lit(0L)) === 0L).as("bipartite"))
+        .orderBy("comp")
+    }),
+
     // the large-star/small-star contraction ITSELF under the gate: a
     // planted 50-long chain per 50-id block (diameter 49) with
     // maxIters=3 forces min-label propagation to hand off to the star
@@ -1396,6 +1433,51 @@ object DedupQueries extends QueryFamily {
     s"""WITH RECURSIVE $groupsCtes
         SELECT doc_id, keep_id FROM keeps ORDER BY doc_id"""
 
+  /** q203's twin: min-label reachability components + capped BFS depths
+    * + the parity-conflict count, all over the planted block graph.
+    */
+  private val bipartiteSql: String =
+    s"""WITH RECURSIVE
+        ids AS (SELECT doc_id FROM documents),
+        raw AS (
+          SELECT doc_id AS src, u.dst
+          FROM ids,
+          LATERAL (SELECT UNNEST([
+            doc_id - doc_id % 12 + (doc_id % 12 + 1) % 12,
+            CASE WHEN doc_id % 12 = 0 AND (doc_id // 12) % 2 = 0
+                 THEN doc_id + 2 END]) AS dst) u),
+        dedges AS (
+          SELECT DISTINCT src, dst FROM raw
+          WHERE dst IS NOT NULL AND src <> dst
+            AND dst IN (SELECT doc_id FROM ids)),
+        und AS (
+          SELECT DISTINCT src, dst
+          FROM (SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges)),
+        reach(id, lab) AS (
+          SELECT DISTINCT src, src FROM und
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN und e ON e.src = r.id),
+        comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        walk(id, dth) AS (
+          SELECT id, CAST(0 AS BIGINT) FROM comp WHERE id = comp
+          UNION
+          SELECT e.dst, w.dth + 1 FROM walk w JOIN und e ON e.src = w.id
+          WHERE w.dth < 25),
+        dep AS (SELECT id, MIN(dth) AS d FROM walk GROUP BY id),
+        confl AS (
+          SELECT c.comp, COUNT(*) AS n_conflicts
+          FROM und e
+          JOIN dep a ON a.id = e.src
+          JOIN dep b ON b.id = e.dst
+          JOIN comp c ON c.id = e.src
+          WHERE e.src < e.dst AND (a.d + b.d) % 2 = 0
+          GROUP BY 1)
+        SELECT c.comp, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+               CAST(COALESCE(MAX(f.n_conflicts), 0) AS BIGINT) AS n_conflicts,
+               COALESCE(MAX(f.n_conflicts), 0) = 0 AS bipartite
+        FROM comp c LEFT JOIN confl f ON f.comp = c.comp
+        GROUP BY c.comp ORDER BY c.comp"""
+
   /** q200: exact integer corpus metrics + the q43 closure's cluster
     * structure as one (metric, value) frame.
     */
@@ -1679,6 +1761,7 @@ object DedupQueries extends QueryFamily {
     "q43_dedup_groups" -> groupsSql,
     "q197_dedup_canonical" -> canonicalSql,
     "q200_corpus_scorecard" -> scorecardSql,
+    "q203_link_bipartite" -> bipartiteSql,
     // chain components have a closed-form answer: the block minimum
     "q115_dedup_groups_chain" ->
       """SELECT doc_id AS member_id, (doc_id // 50) * 50 AS keep_id
