@@ -52,6 +52,36 @@ object EventQueries extends QueryFamily {
   }
 
   /** The matching oracle CTEs (ts cast to micros — see the q48 note). */
+  // q204/q205 oracle: the token-bucket recurrence unrolled per user by
+  // row number in a recursive CTE (single reference per step). The
+  // streaming form appends the engine's emission rule with its exact
+  // ms-truncated watermark arithmetic.
+  private def rateLimitSql(streamFilter: Boolean): String = {
+    val filt = if (streamFilter)
+      """WHERE tus2 <= ((SELECT MAX(epoch_us(ts)) FROM events) // 1000
+                        - 1800000) * 1000"""
+    else ""
+    s"""WITH RECURSIVE ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+          FROM events),
+        st(user_id, rn, level, last_us, event_id, allowed) AS (
+          SELECT user_id, rn, CAST(1000000 AS BIGINT), tus, event_id, TRUE
+          FROM ev WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.rn,
+             CASE WHEN LEAST(2000000, s.level + (e.tus - s.last_us) // 21600) >= 1000000
+                  THEN LEAST(2000000, s.level + (e.tus - s.last_us) // 21600) - 1000000
+                  ELSE LEAST(2000000, s.level + (e.tus - s.last_us) // 21600) END,
+             e.tus, e.event_id,
+             LEAST(2000000, s.level + (e.tus - s.last_us) // 21600) >= 1000000
+          FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        SELECT event_id, user_id, allowed, CAST(level AS BIGINT) AS level_after
+        FROM (SELECT st.*, last_us AS tus2 FROM st) $filt
+        ORDER BY event_id"""
+  }
+
   // q178/q179 twin oracle: per-term floor decay at the fixed horizon;
   // epoch_us keeps microsecond timestamps integer (EPOCH() is a double)
   private val decayScoreSql: String =
@@ -408,6 +438,33 @@ object EventQueries extends QueryFamily {
         .agg(count(lit(1)).as("n_purchases"), sum(col("credit")).as("credit_c"))
         .orderBy("click_id")
     }),
+
+    // TOKEN-BUCKET rate limiting, batch form: capacity 2 tokens, cost 1
+    // per event, refill 1 token / 6 h, all in integer micro-tokens —
+    // the recurrence is NONLINEAR (each decision feeds the next level),
+    // the canonical ordered per-key stateful fold
+    "q204_rate_limit" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      EventStreams.rateLimit(ev, capacityMicro = 2000000L,
+          refillDivUs = 21600L, costMicro = 1000000L).toDF()
+        .orderBy("event_id")
+    }),
+
+    // the STREAMING twin (q38's custom-state discipline applied to an
+    // order-critical recurrence): state buffers the watermark-
+    // uncertified tail and folds only certified events, so emitted
+    // decisions are final and batch-identical; events above the final
+    // watermark stay unemitted and the oracle replicates the engine's
+    // ms-truncated watermark arithmetic exactly
+    "q205_rate_limit_stream" -> ((s, dir) =>
+      withStreamShuffle(s)(EventStreams.rateLimitStreaming(
+          s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q205", dir),
+          capacityMicro = 2000000L, refillDivUs = 21600L, costMicro = 1000000L))
+        .orderBy("event_id")),
 
     // distributed CUSUM change-point detection ([[graft.operators
     // .Cusum]]): a level shift PLANTED into the error stream
@@ -1041,6 +1098,8 @@ object EventQueries extends QueryFamily {
                 CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
                 (close IS NULL) AS is_gap
          FROM g ORDER BY event_type, bucket_ts""",
+    "q204_rate_limit" -> rateLimitSql(streamFilter = false),
+    "q205_rate_limit_stream" -> rateLimitSql(streamFilter = true),
     "q202_multitouch_attribution" ->
       """WITH pur AS (SELECT event_id AS pid, user_id, ts,
                              CAST(ROUND(value*100) AS BIGINT) AS vc

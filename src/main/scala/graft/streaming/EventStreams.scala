@@ -448,6 +448,118 @@ object EventStreams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
+  case class PendEvent(id: Long, tsUs: Long)
+  case class BucketState(levelMicro: Long, lastUs: Long, pending: Seq[PendEvent])
+  case class RateDecision(event_id: Long, user_id: Long,
+      allowed: Boolean, level_after: Long)
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+
+  /** The token-bucket recurrence over one user's time-ordered events:
+    * refill = Δt_us div refillDivUs micro-tokens (clamped at capacity),
+    * an event passes iff the level covers `costMicro` and only then
+    * draws it down. NONLINEAR (the decision feeds back into the level),
+    * so unlike the CUSUM closed form this cannot become a prefix scan —
+    * it is the canonical case for ordered per-key stateful execution.
+    */
+  private def bucketFold(levelMicro0: Long, lastUs0: Long,
+      events: Seq[PendEvent], capacityMicro: Long, refillDivUs: Long,
+      costMicro: Long, user: Long): (Long, Long, Seq[RateDecision]) = {
+    var level = levelMicro0
+    var last = lastUs0
+    val out = events.sortBy(p => (p.tsUs, p.id)).map { p =>
+      val refill = if (last == Long.MinValue) 0L else (p.tsUs - last) / refillDivUs
+      level = math.min(capacityMicro, level + refill)
+      val allowed = level >= costMicro
+      if (allowed) level -= costMicro
+      last = p.tsUs
+      RateDecision(p.id, user, allowed, level)
+    }
+    (level, last, out)
+  }
+
+  /** BATCH token-bucket rate limiting (q204): the full per-user
+    * recurrence over (ts, id)-ordered events. Scale shape: one
+    * user-keyed exchange; the per-user fold is inherently sequential
+    * (each decision feeds the next level), bounded by the per-user
+    * event count — the streaming form (q205) is the unbounded-history
+    * deployment shape, holding only (level, last_ts) + the
+    * watermark-uncertified tail.
+    */
+  def rateLimit(events: Dataset[Event], capacityMicro: Long,
+      refillDivUs: Long, costMicro: Long): Dataset[RateDecision] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (user, rows) =>
+      val pend = rows.map(e => PendEvent(e.event_id, micros(e.ts))).toSeq
+      bucketFold(capacityMicro, Long.MinValue, pend,
+        capacityMicro, refillDivUs, costMicro, user)._3.iterator
+    }
+  }
+
+  /** STREAMING token-bucket rate limiting (q205) — the ordered-replay
+    * pattern: the recurrence is order-critical and non-commutative, so
+    * state buffers the watermark-UNcertified event tail and folds only
+    * events at-or-below the watermark (their order can no longer
+    * change). Decisions for certified events are final and identical
+    * to the batch twin's; events above the final watermark stay
+    * unemitted (the q165 emission rule — the oracle replicates the
+    * engine's ms-truncated watermark arithmetic exactly). State per
+    * user = (level, last_ts) + the bounded uncertified tail.
+    */
+  def rateLimitStream(events: Dataset[Event], capacityMicro: Long,
+      refillDivUs: Long, costMicro: Long): Dataset[RateDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BucketState, RateDecision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[BucketState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(BucketState(capacityMicro, Long.MinValue, Seq.empty))
+          val pend = st.pending ++ rows.map(e => PendEvent(e.event_id, micros(e.ts)))
+          val (ripe, wait) = pend.partition(_.tsUs <= wmUs)
+          val (level, last, out) = bucketFold(st.levelMicro, st.lastUs, ripe,
+            capacityMicro, refillDivUs, costMicro, user)
+          state.update(BucketState(level, last, wait))
+          if (wait.nonEmpty) {
+            // fire as soon as the watermark can certify the earliest
+            // pending event (strict < firing rule ⇒ park 1 ms before),
+            // clamped strictly above the current watermark
+            state.setTimeoutTimestamp(
+              math.max(wait.map(_.tsUs / 1000L).min - 1,
+                state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
+  /** Run [[rateLimitStream]] with Trigger.AvailableNow against a parquet
+    * feed and read back the decisions.
+    */
+  def rateLimitStreaming(
+      spark: SparkSession, eventsDir: String, outDir: String,
+      capacityMicro: Long, refillDivUs: Long, costMicro: Long): DataFrame = {
+    import spark.implicits._
+    val events = spark.readStream.schema(eventSchema).parquet(eventsDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = rateLimitStream(events, capacityMicro, refillDivUs, costMicro).toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[RateDecision].schema)
+      .parquet(outDir)
+  }
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class OpenSessions(sessions: Seq[SessionState])
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
