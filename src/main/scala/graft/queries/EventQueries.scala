@@ -82,6 +82,24 @@ object EventQueries extends QueryFamily {
         ORDER BY event_id"""
   }
 
+  // q206/q207 shared grid: the engine's zero-filled (type, day-index,
+  // count) spine over the global day span ([[graft.operators.Acf
+  // .dailyCountSpine]]); GENERATE_SERIES over dates yields timestamps,
+  // DATE - DATE is integer days
+  private val daySpineCtes: String =
+    """cnts AS (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+                FROM events GROUP BY 1, 2),
+       bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM cnts),
+       spine AS (SELECT t.event_type, CAST(u.d AS DATE) AS d, b.lo
+                 FROM (SELECT DISTINCT event_type FROM cnts) t
+                 CROSS JOIN bounds b,
+                 LATERAL (SELECT UNNEST(GENERATE_SERIES(b.lo, b.hi,
+                   INTERVAL 1 DAY)) AS d) u),
+       grid AS (SELECT s.event_type, CAST(s.d - s.lo AS BIGINT) AS i,
+                       CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+                FROM spine s LEFT JOIN cnts c
+                  ON c.event_type = s.event_type AND c.d = s.d)"""
+
   // q178/q179 twin oracle: per-term floor decay at the fixed horizon;
   // epoch_us keeps microsecond timestamps integer (EPOCH() is a double)
   private val decayScoreSql: String =
@@ -465,6 +483,28 @@ object EventQueries extends QueryFamily {
           s, stagedEventsDir(s, dir), Scratch.freshDir(s, "q205", dir),
           capacityMicro = 2000000L, refillDivUs = 21600L, costMicro = 1000000L))
         .orderBy("event_id")),
+
+    // integer AUTOCORRELATION of the daily event-count series per type
+    // ([[graft.operators.Acf]]): zero-filled global day grid, floored-
+    // mean deviations, lag 1..7 coefficients in micro-units — the
+    // corpus pays ONE (type, day) count aggregate; everything after is
+    // spine-sized (5 types x 30 days)
+    "q206_events_acf" -> ((s, dir) =>
+      graft.operators.Acf.dailyCountAcf(
+          graft.Tables.events(s, dir), keyCol = "event_type", tsCol = "ts",
+          maxLag = 7)
+        .orderBy("event_type", "lag")),
+
+    // Holt double exponential smoothing forecast ([[graft.operators
+    // .HoltWinters]]): level+trend fold over the same zero-filled
+    // spine, alpha=1/5 beta=1/10 as exact integer floor arithmetic,
+    // 7-day forecast per type — the ordered fold runs on the POLICY-
+    // SIZED spine, so the sequential step never scales with corpus size
+    "q207_events_forecast" -> ((s, dir) =>
+      graft.operators.HoltWinters.dailyCountForecast(
+          graft.Tables.events(s, dir), keyCol = "event_type", tsCol = "ts",
+          horizon = 7)
+        .orderBy("event_type", "h")),
 
     // distributed CUSUM change-point detection ([[graft.operators
     // .Cusum]]): a level shift PLANTED into the error stream
@@ -1100,6 +1140,68 @@ object EventQueries extends QueryFamily {
          FROM g ORDER BY event_type, bucket_ts""",
     "q204_rate_limit" -> rateLimitSql(streamFilter = false),
     "q205_rate_limit_stream" -> rateLimitSql(streamFilter = true),
+    // q206: same zero-filled grid, floored-mean deviations, offset
+    // floor-div — every value exact BIGINT (SUMs cast down from
+    // DuckDB's HUGEINT)
+    "q206_events_acf" ->
+      s"""WITH $daySpineCtes,
+          st AS (SELECT event_type, COUNT(*) AS n,
+                        CAST(SUM(c) // COUNT(*) AS BIGINT) AS mu
+                 FROM grid GROUP BY 1),
+          dev AS (SELECT g.event_type, g.i, g.c - st.mu AS dv, st.n
+                  FROM grid g JOIN st USING (event_type)),
+          den AS (SELECT event_type, CAST(SUM(dv*dv) AS BIGINT) AS den,
+                         MAX(n) AS n
+                  FROM dev GROUP BY 1),
+          num AS (SELECT a.event_type, l.lag,
+                         CAST(SUM(a.dv*b.dv) AS BIGINT) AS num
+                  FROM dev a
+                  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1,7)) AS lag) l
+                  JOIN dev b ON b.event_type = a.event_type
+                            AND b.i = a.i + l.lag
+                  GROUP BY 1, 2)
+          SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+                 CAST(d.n AS BIGINT) AS n_days,
+                 CASE WHEN d.den = 0 THEN NULL
+                      ELSE (n.num*1000000 + 2000000*d.den) // d.den
+                           - 2000000 END AS acf_micro
+          FROM num n JOIN den d USING (event_type)
+          ORDER BY event_type, lag""",
+    // q207: the engine's fold replayed one row-number step per type;
+    // DuckDB's // floors negatives exactly like Math.floorDiv
+    "q207_events_forecast" ->
+      s"""WITH RECURSIVE $daySpineCtes,
+          idx AS (SELECT event_type, i, c * 1000000 AS y,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY i) AS rn
+                  FROM grid),
+          st(event_type, rn, l, b) AS (
+            SELECT a.event_type, CAST(1 AS BIGINT), a.y, b2.y - a.y
+            FROM idx a JOIN idx b2 ON b2.event_type = a.event_type
+                                  AND b2.rn = 2
+            WHERE a.rn = 1
+            UNION ALL
+            -- DuckDB integer // truncates toward zero; the engine's
+            -- Math.floorDiv floors. +K*divisor offsets keep dividends
+            -- positive so truncation IS floor (the q173 rule)
+            SELECT s.event_type, s.rn + 1,
+                   (e.y + 4*(s.l + s.b) + 5000000000000000) // 5
+                     - 1000000000000000,
+                   (((e.y + 4*(s.l + s.b) + 5000000000000000) // 5
+                      - 1000000000000000) - s.l + 9*s.b
+                    + 10000000000000000) // 10 - 1000000000000000
+            FROM st s JOIN idx e ON e.event_type = s.event_type
+                                AND e.rn = s.rn + 1),
+          fin AS (SELECT event_type, l, b FROM st s
+                  WHERE rn = (SELECT MAX(rn) FROM idx i
+                              WHERE i.event_type = s.event_type))
+          SELECT f.event_type, CAST(h.h AS BIGINT) AS h,
+                 CAST(f.l + h.h * f.b AS BIGINT) AS forecast_micro,
+                 CAST(f.l AS BIGINT) AS level_micro,
+                 CAST(f.b AS BIGINT) AS trend_micro
+          FROM fin f
+          CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1,7)) AS h) h
+          ORDER BY event_type, h""",
     "q202_multitouch_attribution" ->
       """WITH pur AS (SELECT event_id AS pid, user_id, ts,
                              CAST(ROUND(value*100) AS BIGINT) AS vc
