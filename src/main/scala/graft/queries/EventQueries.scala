@@ -100,7 +100,36 @@ object EventQueries extends QueryFamily {
                 FROM spine s LEFT JOIN cnts c
                   ON c.event_type = s.event_type AND c.d = s.d)"""
 
+  // q208 oracle: the same greedy-bound containment algebra — support
+  // via first/last bounds, e2 = earliest-after, a-priori prune
+  private val seqPatternsSql: String =
+    """WITH occ AS (
+         SELECT user_id AS u, event_type AS t,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS p
+         FROM events),
+       fl AS (SELECT u, t, MIN(p) AS f, MAX(p) AS l FROM occ GROUP BY 1, 2),
+       th AS (SELECT (COUNT(DISTINCT u) * 5 + 99) // 100 AS th FROM occ),
+       s2 AS (SELECT a.t AS a, b.t AS b, COUNT(*) AS support
+              FROM fl a JOIN fl b ON b.u = a.u AND b.l > a.f
+              GROUP BY 1, 2),
+       f2 AS (SELECT a, b, support FROM s2, th WHERE support >= th),
+       e2 AS (SELECT o.u, a.t AS a, o.t AS b, MIN(o.p) AS e
+              FROM occ o JOIN fl a ON a.u = o.u AND o.p > a.f
+              GROUP BY 1, 2, 3),
+       s3 AS (SELECT e2.a, e2.b, c.t AS c, COUNT(*) AS support
+              FROM e2
+              JOIN (SELECT a, b FROM f2) pf USING (a, b)
+              JOIN fl c ON c.u = e2.u AND c.l > e2.e
+              GROUP BY 1, 2, 3)
+       SELECT a, b, '' AS c, CAST(support AS BIGINT) AS support FROM f2
+       UNION ALL
+       SELECT a, b, c, CAST(support AS BIGINT) AS support
+       FROM s3, th WHERE support >= th
+       ORDER BY a, b, c"""
+
   // q178/q179 twin oracle: per-term floor decay at the fixed horizon;
+
   // epoch_us keeps microsecond timestamps integer (EPOCH() is a double)
   private val decayScoreSql: String =
     """WITH x AS (
@@ -505,6 +534,18 @@ object EventQueries extends QueryFamily {
           graft.Tables.events(s, dir), keyCol = "event_type", tsCol = "ts",
           horizon = 7)
         .orderBy("event_type", "h")),
+
+    // GSP-style SEQUENTIAL pattern mining ([[graft.operators
+    // .SeqPatterns]]): gapped length-2/3 type subsequences contained by
+    // >= 5% of users, decided by greedy first/last/earliest-after
+    // occurrence bounds (exact) — never a positional self-join; the
+    // a-priori prefix prune gates the length-3 support join
+    "q208_events_seq_patterns" -> ((s, dir) =>
+      graft.operators.SeqPatterns.frequentSequences(
+          graft.Tables.events(s, dir), userCol = "user_id",
+          typeCol = "event_type", tsCol = "ts", tieCol = "event_id",
+          minSupportPct = 5)
+        .orderBy("a", "b", "c")),
 
     // distributed CUSUM change-point detection ([[graft.operators
     // .Cusum]]): a level shift PLANTED into the error stream
@@ -1140,6 +1181,7 @@ object EventQueries extends QueryFamily {
          FROM g ORDER BY event_type, bucket_ts""",
     "q204_rate_limit" -> rateLimitSql(streamFilter = false),
     "q205_rate_limit_stream" -> rateLimitSql(streamFilter = true),
+    "q208_events_seq_patterns" -> seqPatternsSql,
     // q206: same zero-filled grid, floored-mean deviations, offset
     // floor-div — every value exact BIGINT (SUMs cast down from
     // DuckDB's HUGEINT)
