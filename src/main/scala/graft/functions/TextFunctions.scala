@@ -117,6 +117,20 @@ object TextFunctions {
     * sequential literal replaces in the pinned [[mojibakePairs]] order
     * (longest-prefix-first makes the order-insensitive in practice,
     * but the order is still part of the contract the oracle replays).
+    *
+    * KNOWN LIMITATION (documented, not defended): the chain is not
+    * idempotent under adversarial nesting — replacement OUTPUT can
+    * recombine with a leftover prefix into a new artifact. Example:
+    * "â€" immediately followed by the "â€" artifact — replacing
+    * the latter with '”' synthesizes "â€”" (the em-dash
+    * artifact) AFTER that rule has already run, leaving it unrepaired.
+    * No finite replace chain is idempotent here (every pass can nest
+    * one level deeper), so the contract is exactly ONE pass; the
+    * DuckDB oracle replays the identical chain in the identical order,
+    * so engine/oracle parity holds on every input including these.
+    * Real-world mojibake comes from ONE mis-decode (UTF-8 read as
+    * cp1252), which never produces the nested shape; a corpus where it
+    * matters should iterate [[mojibakeCount]] → repair to fixpoint.
     */
   def fixMojibake(c: Column): Column =
     mojibakePairs.foldLeft(c) { case (acc, (bad, good)) =>

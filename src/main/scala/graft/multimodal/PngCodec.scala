@@ -54,6 +54,11 @@ object PngCodec {
       val colorType = u8(png, 25)
       val interlace = u8(png, 28)
       if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      // IHDR bytes 26-27: compression method and filter method, both
+      // REQUIRED to be 0 (ISO 15948 §11.2.2) — a nonzero filter method
+      // would be reconstructed with the wrong filter semantics, so it
+      // must degrade to None like every other out-of-envelope payload
+      if (u8(png, 26) != 0 || u8(png, 27) != 0) return None
       val channels = colorType match {
         case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
         case _ => return None // palette (3) needs PLTE handling — stub path

@@ -135,10 +135,13 @@ object Robots {
       col(domainCol).as("domain"), col(pathCol).as("upath"))
     val matched = u.join(broadcast(compiled), Seq("domain"), "left")
       .withColumn("hit", expr("rx IS NOT NULL AND upath RLIKE rx"))
-      // winner key: pattern length * 2 + allow bit — longest match
-      // first, Allow wins length ties, so ONE max-aggregate decides
+      // winner key: pattern OCTET length * 2 + allow bit — longest match
+      // first, Allow wins length ties, so ONE max-aggregate decides.
+      // RFC 9309 §2.2.2 specificity is the octet count of the path
+      // pattern, so multi-byte UTF-8 characters count per byte, not per
+      // codepoint (char length would mis-rank non-ASCII patterns)
       .withColumn("rank",
-        when(col("hit"), length(col("path")) * 2 +
+        when(col("hit"), octet_length(col("path")) * 2 +
           when(col("allow"), 1).otherwise(0)).otherwise(lit(null)))
     matched.groupBy(col("uid"), col("domain"), col("upath"))
       .agg(max(col("rank")).as("best"))

@@ -1761,8 +1761,9 @@ object TextQueries extends QueryFamily {
       // from the synthesis arithmetic (group selection pre-applied: the
       // exact-agent group shadows '*', empty Disallow is a no-op) and
       // replays longest-match/allow-on-tie as one max over
-      // length*2+allow-bit — the engine must parse the policy TEXT to
-      // the same place
+      // octet_length*2+allow-bit (RFC 9309 specificity is octets, and
+      // the engine ranks the same way) — the engine must parse the
+      // policy TEXT to the same place
       "q141_robots_governance" ->
         """WITH srcs AS (
              SELECT DISTINCT source, CAST(SUBSTR(source, 4) AS INT) AS n
@@ -1790,7 +1791,7 @@ object TextQueries extends QueryFamily {
              SELECT u.doc_id, u.domain, u.path,
                     MAX(CASE WHEN r.path IS NOT NULL
                               AND STARTS_WITH(u.path, r.path)
-                             THEN LENGTH(r.path) * 2 +
+                             THEN OCTET_LENGTH(ENCODE(r.path)) * 2 +
                                   CASE WHEN r.allow THEN 1 ELSE 0 END END) AS best
              FROM urls u LEFT JOIN rules r ON r.source = u.domain
              GROUP BY 1, 2, 3)

@@ -39,6 +39,22 @@ class MojibakeSpec extends SparkTestBase {
     assert(out.forall(r => r.getBoolean(0) && r.getLong(1) == 0L))
   }
 
+  test("documented limitation: adversarial nesting can recombine into a fresh artifact") {
+    // 'â€' + the ''-terminated artifact: replacing the latter
+    // with '”' synthesizes the em-dash artifact 'â€”' AFTER its rule
+    // already ran — ONE pass leaves exactly one artifact behind (the
+    // fixMojibake scaladoc's pinned contract; the oracle replays the
+    // identical chain so parity holds even here), and a second pass
+    // clears this instance.
+    val nested = "â€" + mojibakePairs(3)._1
+    val df = Seq(nested).toDF("s")
+    val r = df.select(
+      mojibakeCount(fixMojibake(col("s"))).as("after_one"),
+      mojibakeCount(fixMojibake(fixMojibake(col("s")))).as("after_two")).collect()(0)
+    assert(r.getLong(0) == 1L, "one pass must leave the recombined em-dash artifact")
+    assert(r.getLong(1) == 0L)
+  }
+
   test("repair is idempotent") {
     val dirty = s"caf${mojibakePairs(4)._1} don${mojibakePairs(0)._1}t"
     val df = Seq(dirty).toDF("s")

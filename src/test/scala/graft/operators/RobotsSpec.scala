@@ -86,6 +86,19 @@ class RobotsSpec extends SparkTestBase {
     assert(got("/private/")._1 === true)
   }
 
+  test("specificity is OCTET length (RFC 9309): multi-byte chars count per byte") {
+    // Both rules match '/é/x'. Allow '/é/' is 3 chars but 4 UTF-8
+    // octets; Disallow '/*/x' is 4 chars = 4 octets. Char-length
+    // ranking would DISALLOW (4*2=8 beats 3*2+1=7); octet ranking
+    // ties the lengths at 4 and the Allow bit wins (9 > 8). rule_len
+    // must also report octets, not codepoints.
+    val got = decide(
+      "User-agent: graftbot\nDisallow: /*/x\nAllow: /é/\n",
+      Seq("/é/x", "/a/x"))
+    assert(got("/é/x") === ((true, 4L)))
+    assert(got("/a/x") === ((false, 4L))) // only the wildcard matches
+  }
+
   test("a domain with no rules at all allows everything by default") {
     val rules = Robots.parseRules(
       Seq(("other", "User-agent: *\nDisallow: /\n")).toDF("domain", "robots_txt"),
