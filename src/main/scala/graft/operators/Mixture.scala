@@ -44,7 +44,18 @@ object Mixture {
     */
   def sqrtTemperatureResample(
       docs: DataFrame, groupCol: String = "source", idCol: String = "doc_id",
-      salt: String = "mix"): DataFrame = {
+      salt: String = "mix"): DataFrame =
+    resample(docs, sqrtTemperatureWeights(docs, groupCol), groupCol, idCol, salt)
+
+  /** The τ = 1/2 weight table alone (w_g = sqrt(n_g / n_max) snapped
+    * down to 1/256, clamped to >= 1/256) — for callers that derive the
+    * weights from one population but apply them to another (an
+    * incremental run derives from corpus+increment counts, resamples
+    * only the increment). The collect is group-cardinality-sized by the
+    * mixture contract.
+    */
+  def sqrtTemperatureWeights(
+      docs: DataFrame, groupCol: String = "source"): Map[String, Double] = {
     val counts = docs.groupBy(groupCol).count().collect()
       .map { r =>
         // fail fast, not silently: a null key would become a null-keyed
@@ -58,14 +69,31 @@ object Mixture {
       }
     require(counts.nonEmpty, "temperature mixture needs at least one group")
     val nMax = counts.map(_._2).max
-    val weights = counts.map { case (g, n) =>
+    counts.map { case (g, n) =>
       val k = math.max(1L, math.floor(math.sqrt(n.toDouble / nMax) * 256).toLong)
       g -> k / 256.0
     }.toMap
-    resample(docs, weights, groupCol, idCol, salt)
   }
 
   def resample(
+      docs: DataFrame, weights: Map[String, Double],
+      groupCol: String = "source", idCol: String = "doc_id",
+      salt: String = "mix"): DataFrame =
+    copyCounts(docs, weights, groupCol, idCol, salt)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("n_copies")
+
+  /** Per-document copy COUNT under the md5 hex-pair rule, without the
+    * explode: the input columns plus `n_copies` (possibly 0; rows of
+    * groups absent from `weights` are dropped, matching [[resample]]).
+    * For consumers that need Σ f(doc) · n_copies (an incremental run's
+    * per-group offsets) the count aggregates directly — materializing
+    * up-to-⌈w⌉ copy rows per document first would be pure shuffle
+    * weight. [[resample]] is exactly this + the explode, so the two can
+    * never disagree on the rule.
+    */
+  def copyCounts(
       docs: DataFrame, weights: Map[String, Double],
       groupCol: String = "source", idCol: String = "doc_id",
       salt: String = "mix"): DataFrame = {
@@ -88,11 +116,9 @@ object Mixture {
     docs.join(broadcast(params), Seq(groupCol))
       .withColumn("_h", substring(
         md5(encode(concat(col(idCol).cast("string"), lit(":" + salt)), "UTF-8")), 1, 2))
-      .withColumn("_n",
+      .withColumn("n_copies",
         col("_base") + when(col("_thr").isNotNull && col("_h") <= col("_thr"), 1L)
           .otherwise(0L))
-      .filter(col("_n") > 0)
-      .withColumn("copy", explode(sequence(lit(1L), col("_n"))))
-      .drop("_base", "_thr", "_h", "_n")
+      .drop("_base", "_thr", "_h")
   }
 }

@@ -277,6 +277,58 @@ object Spans {
       .join(rep, Seq("h"))
       .filter(col("id") =!= col("min_id"))
       .select("id", "pos")
+    stripByHits(docs, hits, k, idCol, textCol)
+  }
+
+  /** INCREMENTAL strip against a corpus span index: each increment
+    * document loses every occurrence of a window that is repeated across
+    * corpus+increment and whose owner (global min id over BOTH sides) is
+    * a different document — exactly [[stripRepeatedSpans]] over the
+    * combined corpus with the output restricted to increment rows, paid
+    * for with increment-kernel work plus one stored-df probe. The corpus
+    * contributes only its stored (hash, df, min_id) aggregate — its text
+    * never re-tokenizes, the corollary of the [[incrementalSpanCoverage]]
+    * audit for the transform half.
+    *
+    * Scale shape: the increment's window pass is pinned (feeds its own
+    * df, the owner resolution, and the strip); the corpus df scan is
+    * restricted to the increment's hashes through a broadcast semi-join
+    * (increment-sized), so the stored aggregate streams shuffle-free.
+    */
+  def stripIncrement(
+      spark: SparkSession, dir: String, increment: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "a span repeated in fewer than 2 docs is not repeated")
+    val k = spark.read.parquet(s"$dir/meta").head().getAs[Int]("k")
+    val doc = CacheScope.pin(
+      windowPass(increment, idCol, textCol, k), StorageLevel.MEMORY_AND_DISK)
+    // the exploded windows feed BOTH the increment df and the hit join
+    val win = CacheScope.pin(explodeWindows(doc), StorageLevel.MEMORY_AND_DISK)
+    val incDf = win.groupBy("h")
+      .agg(countDistinct(col("id")).as("inc_nd"), min(col("id")).as("inc_min"))
+    val corpusDf = spark.read.parquet(s"$dir/df")
+      .join(broadcast(incDf.select("h")), Seq("h"))
+    // repeated across the union; owner = min id over both sides (no
+    // assumption that corpus ids precede increment ids)
+    val rep = incDf.join(corpusDf, Seq("h"), "left")
+      .filter(col("inc_nd") + coalesce(col("nd"), lit(0L)) >= minDocs)
+      .select(col("h"),
+        least(coalesce(col("min_id"), col("inc_min")), col("inc_min")).as("owner"))
+    val hits = win.join(rep, Seq("h"))
+      .filter(col("id") =!= col("owner"))
+      .select("id", "pos")
+    stripByHits(increment, hits, k, idCol, textCol)
+  }
+
+  /** (id, pos) removal hits -> per-document stripped text: maximal
+    * k-wide interval merge, then a pure per-row indexed-array filter of
+    * the re-tokenized text (shared by [[stripRepeatedSpans]] and
+    * [[stripIncrement]] so the normalization contract cannot drift).
+    */
+  private def stripByHits(
+      docs: DataFrame, hits: DataFrame, k: Int,
+      idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy("id").orderBy("pos")
     val spans = hits
       .withColumn("prev", lag("pos", 1).over(w))

@@ -28,16 +28,16 @@ object DedupQueries extends QueryFamily {
   private val shingleN = 3
   private val contaminationN = 5 // longer n-grams for the q76 leakage probe
   private[queries] val spanK = 8 // min repeated-span width; ~50 at corpus scale, scaled to 10-99-token testdata docs
-  private val jaccardThreshold = 0.8
+  private[queries] val jaccardThreshold = 0.8
   private val cosineThreshold = 0.5 // testdata embeddings are near-orthogonal; demo threshold
-  private val corpusSplit = 250 // doc_id < split = corpus, >= split = increment (q50/q70/q78)
+  private[queries] val corpusSplit = 250 // doc_id < split = corpus, >= split = increment (q50/q70/q78)
   private val evalMod = 25 // doc_id % 25 == 0 -> the q76 "eval set"
 
   /** Build the persisted MinHash-LSH index once per SOURCE STATE of
     * documents.parquet ([[Staging]] contract; `meta/_SUCCESS` — written
     * last in [[Dedup.writeMinhashIndex]] — is the completion marker).
     */
-  private def stagedMinhashIndexDir(s: SparkSession, dir: String): String =
+  private[queries] def stagedMinhashIndexDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_minhash_index",
       Seq(s"$dir/documents.parquet"),
       s"$corpusSplit:$shingleN:128:32:42", "meta/_SUCCESS") { stage =>
@@ -107,7 +107,7 @@ object DedupQueries extends QueryFamily {
   /** Copy a staged (immutable) index directory into a per-run scratch
     * dir the ingest is allowed to mutate.
     */
-  private def copiedIndexDir(s: SparkSession, stagedDir: String, scratch: String): String = {
+  private[queries] def copiedIndexDir(s: SparkSession, stagedDir: String, scratch: String): String = {
     val conf = s.sessionState.newHadoopConf()
     val src = new org.apache.hadoop.fs.Path(stagedDir)
     val dst = new org.apache.hadoop.fs.Path(scratch)
@@ -120,7 +120,7 @@ object DedupQueries extends QueryFamily {
     * incremental maintenance — same split convention as the other
     * incremental operators.
     */
-  private def stagedCorpusKeepListDir(s: SparkSession, dir: String): String =
+  private[queries] def stagedCorpusKeepListDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_keeplist",
       Seq(s"$dir/documents.parquet"),
       s"corpus$corpusSplit:$shingleN:$jaccardThreshold", "_SUCCESS") { stage =>
@@ -151,7 +151,7 @@ object DedupQueries extends QueryFamily {
     * q84 increment — same split convention as the other incremental
     * operators (q50/q70/q78).
     */
-  private def stagedSpanCorpusIndexDir(s: SparkSession, dir: String): String =
+  private[queries] def stagedSpanCorpusIndexDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_span_index",
       Seq(s"$dir/documents.parquet"),
       s"corpus$corpusSplit:$spanK:v2", "meta/_SUCCESS") { stage =>

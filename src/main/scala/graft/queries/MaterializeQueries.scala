@@ -70,6 +70,78 @@ object MaterializeQueries extends QueryFamily {
   // generated at query time: the oracle embeds the staged models'
   // learned state as SQL literals (q39/q111/q118 pattern)
   @volatile private var matOracle131: Option[() => String] = None
+  @volatile private var matOracle209: Option[() => String] = None
+
+  /** The CORPUS-side materialization state (the "previous run's"
+    * artifact an incremental run maintains): per source state,
+    *
+    *   - `ledger/` — one row per corpus document that survives the
+    *     corpus-only pipeline (corpus-only keep-list closure → corpus
+    *     span-index strip → Gopher → classifier): (doc_id, lang,
+    *     source, text [stripped], n_pieces). This is the per-doc
+    *     bookkeeping a real deployment keeps beside its shards — the
+    *     increment run derives mixture weights and per-lang packing
+    *     offsets from it without ever re-reading corpus text.
+    *   - `shards/` — the corpus-only export (mixture + packing over the
+    *     ledger, md5-sharded), the on-disk store q209 APPENDS to.
+    *
+    * Models are the STAGED full-table classifier/BPE (train-once,
+    * score-increments — the deployment contract; also what makes the
+    * from-scratch oracle's model state and the increment run's agree).
+    * The corpus-only strip equals the full-corpus strip restricted to
+    * corpus docs: an increment occurrence can only make a corpus window
+    * repeated with the corpus doc as owner (owners keep their copy), so
+    * corpus text never changes when an increment arrives.
+    */
+  private def stagedCorpusMatDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_mat_corpus",
+      Seq(s"$dir/documents.parquet"),
+      s"corpus${DedupQueries.corpusSplit}:$packBudget:$numShards:$clfThetaMicro:v1",
+      "_SUCCESS") { stage =>
+      graft.operators.CacheScope.scoped {
+        val split = DedupQueries.corpusSplit
+        val docs = table(s, dir, "documents").filter(col("doc_id") < split)
+        val groups = s.read.parquet(DedupQueries.stagedCorpusKeepListDir(s, dir))
+        val survivors = docs
+          .join(groups, docs("doc_id") === groups("member_id"), "left")
+          .filter(coalesce(col("keep_id"), docs("doc_id")) === docs("doc_id"))
+          .select(docs("doc_id"), col("lang"), col("source"), col("text"))
+        val stripped = graft.operators.Spans.stripRepeatedSpans(
+            s, DedupQueries.stagedSpanCorpusIndexDir(s, dir), survivors)
+          .select(col("doc_id"), col("clean_text"))
+        val strip = CacheScope.pin(
+          survivors.drop("text")
+            .join(stripped, Seq("doc_id"))
+            .withColumnRenamed("clean_text", "text"),
+          StorageLevel.MEMORY_AND_DISK)
+        val gKeep = graft.operators.Gopher.metrics(strip,
+            minWords = 10, minStopwords = 1)
+          .filter(col("keep")).select("doc_id")
+        val clf = graft.operators.QualityClassifier.load(
+          s, TextQueries.stagedClfModelDir(s, dir))
+        val cKeep = graft.operators.QualityClassifier
+          .keepAt(strip, clf, clfThetaMicro)
+          .filter(col("keep")).select("doc_id")
+        val kept = strip.join(gKeep, Seq("doc_id")).join(cKeep, Seq("doc_id"))
+        val bpe = graft.operators.Bpe.load(s, TextQueries.stagedBpeModelDir(s, dir))
+        kept.join(piecesOf(kept, bpe), Seq("doc_id"), "left")
+          .withColumn("n_pieces", coalesce(col("n_pieces"), lit(0L)))
+          .select("doc_id", "lang", "source", "text", "n_pieces")
+          .write.mode("overwrite").parquet(s"$stage/ledger")
+        val led = s.read.parquet(s"$stage/ledger")
+        if (!led.isEmpty)
+          graft.sources.Export.writeShardedBy(packRows(led), s"$stage/shards",
+            numShards, shardRule, sortCols = Seq("doc_id", "copy"))
+        // top-level marker LAST (the ledger/shards writes above create
+        // only their own per-directory markers)
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.create(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true).close()
+      }
+    }
+
+  override def stages: Map[String, (SparkSession, String) => String] = Map(
+    "mat_corpus_state" -> (stagedCorpusMatDir _))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_materialize_training" -> ((s, dir) => {
@@ -120,13 +192,7 @@ object MaterializeQueries extends QueryFamily {
       // (map-side compiled kernel per word occurrence + one doc-keyed
       // map-combined sum — no distinct-word shuffle needed)
       val bpe = graft.operators.Bpe.load(s, TextQueries.stagedBpeModelDir(s, dir))
-      val pieces = kept
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .filter(col("word") =!= "")
-        .select(col("doc_id"),
-          size(graft.functions.expr.BpeFunctions.bpeEncode(col("word"), bpe))
-            .cast("long").as("np"))
-        .groupBy("doc_id").agg(sum("np").as("n_pieces"))
+      val pieces = piecesOf(kept, bpe)
       // both staged models are loaded — capture the composed oracle
       matOracle131 = Some(capturedOracle(materializeSql(bpe, clf)))
       // a corpus the gates fully filter out (the sf0.001 robustness
@@ -139,7 +205,143 @@ object MaterializeQueries extends QueryFamily {
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outputSchema)
       else
         materialize(s, dir, kept, pieces)
+    }),
+
+    // q209 — the INCREMENTAL twin of q131 (the missing integration
+    // proof of the incremental family): the doc_id >= corpusSplit
+    // increment flows through the staged corpus state without the
+    // corpus ever re-reading its text —
+    //   dedup    : q91's merged keep-list (staged corpus closure +
+    //              minhash-index probe pairs; a bridge via the increment
+    //              can demote a corpus representative, so the CORPUS
+    //              ledger is re-filtered through the merged closure too)
+    //   strip    : [[Spans.stripIncrement]] against the corpus span
+    //              index (corpus text provably unchanged — owners keep)
+    //   gates    : the staged classifier + Gopher on the stripped text
+    //   mixture  : weights RE-DERIVED from corpus+increment kept counts
+    //              (ledger + increment); the increment resamples, the
+    //              corpus contributes per-lang packing offsets through
+    //              [[Mixture.copyCounts]] — counts, never copy rows
+    //   export   : APPEND beside the staged corpus shards (old shards
+    //              never rewritten); result = read-back of the combined
+    //              store restricted to increment rows.
+    // Oracle: the SAME composed from-scratch q131 statement over
+    // corpus+increment with the final SELECT restricted to increment
+    // doc_ids — incremental maintenance must be INVISIBLE in the output
+    "q209_materialize_incremental" -> ((s, dir) => {
+      val split = DedupQueries.corpusSplit
+      val docs = table(s, dir, "documents")
+      val inc = docs.filter(col("doc_id") >= split)
+      val stateDir = stagedCorpusMatDir(s, dir)
+      // merged keep-list (q91 shape) — two consumers: increment
+      // survivors + the corpus-ledger re-filter
+      val merged = CacheScope.pin(
+        graft.operators.Dedup.incrementalKeepList(
+          s.read.parquet(DedupQueries.stagedCorpusKeepListDir(s, dir)),
+          graft.operators.Dedup.incrementalNearDupPairs(
+            s, DedupQueries.stagedMinhashIndexDir(s, dir), inc,
+            threshold = DedupQueries.jaccardThreshold)),
+        StorageLevel.MEMORY_AND_DISK)
+      val incSurv = inc
+        .join(merged, inc("doc_id") === merged("member_id"), "left")
+        .filter(coalesce(col("keep_id"), inc("doc_id")) === inc("doc_id"))
+        .select(inc("doc_id"), col("lang"), col("source"))
+      // strip the WHOLE increment (df parity with the full-table
+      // index: non-survivors count toward window df), keep survivors
+      val incStripped = graft.operators.Spans.stripIncrement(
+          s, DedupQueries.stagedSpanCorpusIndexDir(s, dir), inc)
+        .select(col("doc_id"), col("clean_text"))
+      val strip = CacheScope.pin(
+        incSurv.join(incStripped, Seq("doc_id"))
+          .withColumnRenamed("clean_text", "text"),
+        StorageLevel.MEMORY_AND_DISK)
+      val gKeep = graft.operators.Gopher.metrics(strip,
+          minWords = 10, minStopwords = 1)
+        .filter(col("keep")).select("doc_id")
+      val clf = graft.operators.QualityClassifier.load(
+        s, TextQueries.stagedClfModelDir(s, dir))
+      val cKeep = graft.operators.QualityClassifier
+        .keepAt(strip, clf, clfThetaMicro)
+        .filter(col("keep")).select("doc_id")
+      val kept = CacheScope.pin(
+        strip.join(gKeep, Seq("doc_id")).join(cKeep, Seq("doc_id")),
+        StorageLevel.MEMORY_AND_DISK)
+      val bpe = graft.operators.Bpe.load(s, TextQueries.stagedBpeModelDir(s, dir))
+      val pieces = piecesOf(kept, bpe)
+      matOracle209 = Some(capturedOracle(
+        materializeSql(bpe, clf, finalWhere = s"WHERE p.doc_id >= $split")))
+      // corpus side: the staged ledger re-filtered through the MERGED
+      // closure (ledger-sized; no text)
+      val ledger = s.read.parquet(s"$stateDir/ledger")
+      val corpusKept = ledger
+        .join(merged, ledger("doc_id") === merged("member_id"), "left")
+        .filter(coalesce(col("keep_id"), ledger("doc_id")) === ledger("doc_id"))
+        .select(ledger("doc_id"), col("lang"), col("n_pieces"))
+      if (kept.isEmpty)
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outputSchema)
+      else
+        materializeIncrement(s, dir, stateDir, kept, pieces, corpusKept)
     }))
+
+  /** q209 stages 6-9: weights from corpus+increment, increment-only
+    * resample, corpus per-lang offsets, APPEND export + read-back.
+    */
+  private def materializeIncrement(
+      s: SparkSession, dir: String, stateDir: String,
+      kept: DataFrame, pieces: DataFrame, corpusKept: DataFrame): DataFrame = {
+    val split = DedupQueries.corpusSplit
+    // 6. weights from the COMBINED kept population (what a from-scratch
+    // run would derive); the collect is lang-bounded
+    val weights = graft.operators.Mixture.sqrtTemperatureWeights(
+      corpusKept.select("doc_id", "lang")
+        .unionByName(kept.select("doc_id", "lang")),
+      groupCol = "lang")
+    val copies = graft.operators.Mixture.resample(
+        kept.select(col("doc_id"), col("lang")), weights,
+        groupCol = "lang", salt = "mat")
+      .select(col("doc_id"), col("copy"))
+    // per-lang packing offsets: corpus rows precede increment rows in
+    // every lang's (doc_id, copy) order, so the corpus contributes one
+    // scalar per lang — Σ n_pieces · n_copies under the NEW weights
+    // (copy counts re-derived from the ledger, no explode, no text)
+    val baseOff = graft.operators.Mixture.copyCounts(
+        corpusKept, weights, groupCol = "lang", salt = "mat")
+      .groupBy("lang")
+      .agg(sum(col("n_pieces") * col("n_copies")).as("base"))
+    val enriched = kept
+      .join(pieces, Seq("doc_id"), "left")
+      .withColumn("n_pieces", coalesce(col("n_pieces"), lit(0L)))
+      .withColumn("url_canon",
+        canonicalUrl(TextQueries.dirtyUrl(col("doc_id"), col("source"))))
+    val w = Window.partitionBy("lang").orderBy("doc_id", "copy")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = copies.join(enriched, Seq("doc_id"))
+      .join(broadcast(baseOff), Seq("lang"), "left")
+      .withColumn("bin",
+        floor((coalesce(col("base"), lit(0L))
+          + sum("n_pieces").over(w) - col("n_pieces")) / packBudget)
+          .cast("long"))
+      .select("doc_id", "copy", "lang", "url_canon", "n_pieces", "bin", "text")
+    // 9. APPEND into a per-run copy of the corpus store, then read the
+    // COMBINED store back restricted to the increment — proving the
+    // append landed in the right shards without rewriting old ones
+    val exp = Scratch.freshDir(s, "q209", dir)
+    val conf = s.sessionState.newHadoopConf()
+    val shards = new org.apache.hadoop.fs.Path(s"$stateDir/shards")
+    val fs = shards.getFileSystem(conf)
+    if (fs.exists(shards))
+      org.apache.hadoop.fs.FileUtil.copy(fs, shards, fs,
+        new org.apache.hadoop.fs.Path(exp), false, conf)
+    graft.sources.Export.writeShardedBy(rows, exp, numShards, shardRule,
+      sortCols = Seq("doc_id", "copy"), mode = "append")
+    s.read.parquet(exp)
+      .filter(col("doc_id") >= split)
+      .select(col("doc_id"), col("copy"), col("lang"), col("url_canon"),
+        col("n_pieces"), col("bin"), col("shard").cast("long").as("shard"),
+        col("text"))
+      .orderBy("doc_id", "copy")
+  }
 
   /** The result schema (the empty-corpus short-circuit's frame). */
   private lazy val outputSchema: org.apache.spark.sql.types.StructType = {
@@ -151,38 +353,63 @@ object MaterializeQueries extends QueryFamily {
       StructField("shard", LongType), StructField("text", StringType)))
   }
 
+  /** Per-doc BPE piece counts under a staged model (map-side compiled
+    * kernel per word occurrence + one doc-keyed map-combined sum).
+    */
+  private def piecesOf(kept: DataFrame, bpe: graft.operators.Bpe.Model): DataFrame =
+    kept
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"),
+        size(graft.functions.expr.BpeFunctions.bpeEncode(col("word"), bpe))
+          .cast("long").as("np"))
+      .groupBy("doc_id").agg(sum("np").as("n_pieces"))
+
+  /** Stages 5/6/8 over a per-doc frame carrying (doc_id, lang, source,
+    * text, n_pieces): sqrt-temperature mixture (weights from the frame's
+    * own lang counts), provenance URL, and token-budget packing — the
+    * pre-export row set. Shared by q131 and the staged corpus-state
+    * build so the two runs' packing algebra cannot drift.
+    */
+  private def packRows(perDoc: DataFrame): DataFrame = {
+    // 6. sqrt-temperature mixture over the surviving corpus
+    val copies = graft.operators.Mixture.sqrtTemperatureResample(
+        perDoc.select(col("doc_id"), col("lang")),
+        groupCol = "lang", salt = "mat")
+      .select(col("doc_id"), col("copy"))
+    // 5 + assembly: provenance URL onto the kept docs
+    val enriched = perDoc
+      .withColumn("url_canon",
+        canonicalUrl(TextQueries.dirtyUrl(col("doc_id"), col("source"))))
+    // 8. pack: bin = the fixed-size token window the doc's START
+    // offset falls in, per lang over (doc_id, copy) order (q54's rule
+    // over the RESAMPLED stream)
+    val w = Window.partitionBy("lang").orderBy("doc_id", "copy")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    copies.join(enriched, Seq("doc_id"))
+      .withColumn("bin",
+        floor((sum("n_pieces").over(w) - col("n_pieces")) / packBudget)
+          .cast("long"))
+      .select("doc_id", "copy", "lang", "url_canon", "n_pieces", "bin", "text")
+  }
+
+  /** The content-addressed md5 shard rule over (doc_id, copy). */
+  private def shardRule: org.apache.spark.sql.Column =
+    graft.sources.Export.md5Shard(
+      concat(col("doc_id").cast("string"), lit(":"), col("copy").cast("string")),
+      numShards)
+
   /** Stages 6-9 over a non-empty kept set (see [[queries]]). */
   private def materialize(
       s: SparkSession, dir: String, kept: DataFrame,
       pieces: DataFrame): DataFrame = {
-      // 6. sqrt-temperature mixture over the surviving corpus
-      val copies = graft.operators.Mixture.sqrtTemperatureResample(
-          kept.select(col("doc_id"), col("lang")),
-          groupCol = "lang", salt = "mat")
-        .select(col("doc_id"), col("copy"))
-      // 5 + assembly: provenance URL + piece counts onto the kept docs
-      val enriched = kept
+      val rows = packRows(kept
         .join(pieces, Seq("doc_id"), "left")
-        .withColumn("n_pieces", coalesce(col("n_pieces"), lit(0L)))
-        .withColumn("url_canon",
-          canonicalUrl(TextQueries.dirtyUrl(col("doc_id"), col("source"))))
-      // 8. pack: bin = the fixed-size token window the doc's START
-      // offset falls in, per lang over (doc_id, copy) order (q54's rule
-      // over the RESAMPLED stream)
-      val w = Window.partitionBy("lang").orderBy("doc_id", "copy")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val rows = copies.join(enriched, Seq("doc_id"))
-        .withColumn("bin",
-          floor((sum("n_pieces").over(w) - col("n_pieces")) / packBudget)
-            .cast("long"))
-        .select("doc_id", "copy", "lang", "url_canon", "n_pieces", "bin", "text")
+        .withColumn("n_pieces", coalesce(col("n_pieces"), lit(0L))))
       // 9. content-addressed shard export + READ-BACK: the query's
       // result rows come from the exported parquet itself
       val exp = Scratch.freshDir(s, "q131", dir)
-      graft.sources.Export.writeShardedBy(rows, exp, numShards,
-        graft.sources.Export.md5Shard(
-          concat(col("doc_id").cast("string"), lit(":"), col("copy").cast("string")),
-          numShards),
+      graft.sources.Export.writeShardedBy(rows, exp, numShards, shardRule,
         sortCols = Seq("doc_id", "copy"))
       s.read.parquet(exp)
         .select(col("doc_id"), col("copy"), col("lang"), col("url_canon"),
@@ -198,7 +425,8 @@ object MaterializeQueries extends QueryFamily {
     */
   private def materializeSql(
       bpe: graft.operators.Bpe.Model,
-      clf: graft.operators.QualityClassifier.Model): String = {
+      clf: graft.operators.QualityClassifier.Model,
+      finalWhere: String = ""): String = {
     val spanK = DedupQueries.spanK
     val gram8 = (0 until spanK).map(i => s"t[i+$i]").mkString(" || ' ' || ")
     s"""WITH RECURSIVE
@@ -304,9 +532,11 @@ object MaterializeQueries extends QueryFamily {
         FROM sh2 p
         JOIN kept2 k USING (doc_id)
         JOIN urlc u USING (doc_id)
+        $finalWhere
         ORDER BY doc_id, copy"""
   }
 
   def oracleSql: Map[String, String] =
-    matOracle131.map(f => "q131_materialize_training" -> f()).toMap
+    (matOracle131.map(f => "q131_materialize_training" -> f()) ++
+      matOracle209.map(f => "q209_materialize_incremental" -> f())).toMap
 }

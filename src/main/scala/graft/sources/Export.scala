@@ -35,17 +35,26 @@ object Export {
     * when the membership must replay outside the JVM). Same layout and
     * reproducibility contract: membership is content-addressed, never a
     * function of partition layout, cluster size, or run order.
+    *
+    * `mode = "append"` adds the rows as NEW FILES inside the existing
+    * `shard=N` directories without touching prior files — the
+    * incremental-materialization deployment shape (an increment lands
+    * beside the corpus shards; old shards are never rewritten). The
+    * shard rule must match the store's or membership splits.
     */
   def writeShardedBy(
       df: DataFrame, dir: String, shards: Int,
-      shardCol: org.apache.spark.sql.Column, sortCols: Seq[String]): Unit = {
+      shardCol: org.apache.spark.sql.Column, sortCols: Seq[String],
+      mode: String = "overwrite"): Unit = {
     require(shards >= 1, "shards must be >= 1")
     require(!df.columns.contains("shard"), "'shard' column name is reserved")
     require(sortCols.nonEmpty, "sortCols must pin the in-file row order")
+    require(mode == "overwrite" || mode == "append",
+      "sharded export supports overwrite or append")
     df.withColumn("shard", shardCol)
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard") +: sortCols.map(col): _*)
-      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      .write.mode(mode).partitionBy("shard").parquet(dir)
   }
 
   /** Content-addressed shard rule that replays OUTSIDE the JVM: the

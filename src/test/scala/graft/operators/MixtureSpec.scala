@@ -45,6 +45,23 @@ class MixtureSpec extends SparkTestBase {
     assert(other != run1)
   }
 
+  test("copyCounts equals resample's per-doc multiplicity, with 0-copy rows retained") {
+    val weights = Map("src0" -> 1.5, "src1" -> 0.25, "src2" -> 0.0)
+    val counts = Mixture.copyCounts(docs, weights)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    val exploded = Mixture.resample(docs, weights)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every resampled doc's copy count matches; docs counts has but
+    // resample dropped must be exactly the n_copies == 0 rows
+    exploded.foreach { case (id, n) => assert(counts(id) == n, s"doc $id") }
+    val zeroOnly = counts.keySet -- exploded.keySet
+    assert(zeroOnly.nonEmpty, "fixture must exercise the 0-copy branch")
+    zeroOnly.foreach(id => assert(counts(id) == 0L, s"doc $id"))
+    // unlisted group src3 is dropped from BOTH views
+    assert(counts.keySet.forall(_ % 4 != 3))
+  }
+
   test("weights whose fraction is not a multiple of 1/256 are rejected") {
     intercept[IllegalArgumentException] {
       Mixture.resample(docs, Map("src0" -> 0.3))

@@ -103,6 +103,50 @@ class SpansSpec extends SparkTestBase {
     assert(mism == 0L)
   }
 
+  test("stripIncrement equals the full-corpus strip restricted to the increment") {
+    // corpus = docs 0..6, increment = 7..10: exercises corpus-owned
+    // windows reaching into the increment (s1 s2 s3, owner doc 0) and
+    // increment-internal repeats (q1 q2 q3 in 7/8, owner 7 keeps)
+    CacheScope.scoped {
+      val corpus = docs.filter(col("doc_id") < 7)
+      val inc = docs.filter(col("doc_id") >= 7)
+      val full = java.nio.file.Files.createTempDirectory("spanfull").toString
+      val corp = java.nio.file.Files.createTempDirectory("spancorp").toString
+      Spans.writeSpanIndex(docs, full, k = 3)
+      Spans.writeSpanIndex(corpus, corp, k = 3)
+      val want = Spans.stripRepeatedSpans(spark, full, inc)
+        .orderBy("doc_id").collect().toSeq
+      val got = Spans.stripIncrement(spark, corp, inc)
+        .orderBy("doc_id").collect().toSeq
+      assert(got === want)
+      assert(got.exists(_.getLong(2) > 0L), "fixture must strip something")
+    }
+  }
+
+  test("stripIncrement ownership: an increment doc with the smallest id OWNS the window") {
+    // no id-order assumption: increment ids straddle the corpus id —
+    // inc doc 5 < corpus doc 10, so 5 owns 'w1 w2 w3' and keeps it
+    // while inc doc 20 strips; the full-index strip agrees
+    CacheScope.scoped {
+      val corpus = Seq((10L, "w1 w2 w3 a1 a2")).toDF("doc_id", "text")
+      val inc = Seq(
+        (5L, "w1 w2 w3 b1 b2"),
+        (20L, "c1 w1 w2 w3 c2")).toDF("doc_id", "text")
+      val full = java.nio.file.Files.createTempDirectory("spanfull2").toString
+      val corp = java.nio.file.Files.createTempDirectory("spancorp2").toString
+      Spans.writeSpanIndex(corpus.unionByName(inc), full, k = 3)
+      Spans.writeSpanIndex(corpus, corp, k = 3)
+      val want = Spans.stripRepeatedSpans(spark, full, inc)
+        .orderBy("doc_id").collect().toSeq
+      val got = Spans.stripIncrement(spark, corp, inc)
+        .orderBy("doc_id").collect().toSeq
+      assert(got === want)
+      val byId = got.map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(byId(5L) == "w1 w2 w3 b1 b2", "owner keeps its copy")
+      assert(byId(20L) == "c1 c2", "non-owner strips the corpus-shared window")
+    }
+  }
+
   test("null tokens yield null elements at their positions, not shifted hashes") {
     val arr = array(lit("a"), lit(null).cast("string"), lit("b"), lit("c"))
     val row = Seq(1).toDF("i").select(
