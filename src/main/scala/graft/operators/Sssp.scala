@@ -34,6 +34,73 @@ import org.apache.spark.storage.StorageLevel
   */
 object Sssp {
 
+  /** JOINT components + BFS: (id, label, depth) where `label` is the
+    * component's minimum vertex id and `depth` the exact hop distance
+    * from that minimum — one propagation loop instead of components
+    * followed by a seeded BFS (the q203 composition's r12 shape, which
+    * stacked TWO diameter-bounded round floors; the profile showed its
+    * cost is entirely per-round job overhead at gate scale, so halving
+    * rounds is the lever).
+    *
+    * Why depth rides free: the min label l of a component originates at
+    * its holder m and spreads exactly one hop per synchronous round —
+    * the same wavefront a BFS from m would trace — so the FIRST arrival
+    * of l at v travels a shortest path and carries depth d(m, v); the
+    * lexicographic min over (label, depth) structs keeps it (labels
+    * only decrease, and for a fixed label depth only decreases). Rounds
+    * = eccentricity of the component minimum + 1 confirming round —
+    * never more than seedDepth alone would pay, and the components pass
+    * disappears entirely.
+    *
+    * Per round: one edge⋈state join, one map-side-combinable struct-min
+    * aggregate (the previous state unions in carrying its own (label,
+    * depth) as `old*`, so the changed-count probe rides the aggregate —
+    * the nearDupGroups probe discipline), ONE driver scalar. Exchanges
+    * are edge-set-sized; frames RDD-rebased and CacheScope-pinned per
+    * the iterative contract. No star-contraction fallback: depth
+    * semantics inherently pay diameter rounds, so callers needing only
+    * LABELS on a high-diameter graph should use [[Dedup.nearDupGroups]].
+    */
+  def minLabelDepth(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = CacheScope.pin(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      StorageLevel.MEMORY_AND_DISK)
+    var state = CacheScope.pin(Dedup.rebasedFrame(
+        und.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("label"), lit(0L).as("depth"))),
+      StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val msgs = und.join(state, und("src") === state("id"))
+        .select(und("dst").as("id"), col("label"),
+          (col("depth") + 1L).as("depth"),
+          lit(null).cast("long").as("oldl"), lit(null).cast("long").as("oldd"))
+      val next = CacheScope.pin(Dedup.rebasedFrame(
+          msgs.union(state.select(col("id"), col("label"), col("depth"),
+              col("label").as("oldl"), col("depth").as("oldd")))
+            .groupBy("id")
+            .agg(min(struct(col("label"), col("depth"))).as("s"),
+              max("oldl").as("oldl"), max("oldd").as("oldd"))
+            .select(col("id"), col("s.label").as("label"),
+              col("s.depth").as("depth"), col("oldl"), col("oldd"))),
+        StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .filter(col("label") =!= col("oldl") || col("depth") =!= col("oldd"))
+        .count()
+      converged = changed == 0L
+      state.unpersist()
+      state = next
+      round += 1
+    }
+    require(converged, s"min-label/depth propagation did not converge in $maxRounds rounds")
+    und.unpersist()
+    state.select(col("id"), col("label"), col("depth"))
+  }
+
   /** (id, depth) for every vertex reachable from `seeds` (column `id`)
     * over the undirected closure of `edges` (directed (src, dst) rows;
     * self-loops dropped). `maxRounds` is an honest abort bound.

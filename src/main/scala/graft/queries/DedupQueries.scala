@@ -710,13 +710,19 @@ object DedupQueries extends QueryFamily {
         .orderBy("metric")
     }),
 
-    // BIPARTITENESS test — the EIGHTH graph primitive, composed from
-    // two existing ones: components (min-label closure) give each
-    // block's seed, multi-source BFS gives hop depths from it, and an
-    // edge whose endpoints share depth PARITY certifies an odd cycle.
-    // The gate graph plants disjoint 12-blocks: every block a C12
-    // cycle (even ⇒ bipartite), even-indexed blocks add one chord
-    // forming a triangle (⇒ not bipartite) — both verdicts occur
+    // BIPARTITENESS test — the EIGHTH graph primitive: an edge whose
+    // endpoints share depth PARITY (hop depth from the component's min
+    // vertex) certifies an odd cycle. r12 composed components + seeded
+    // BFS serially — two diameter-bounded round floors whose cost the
+    // r13 profile showed is ENTIRELY per-round job overhead at gate
+    // scale (173 jobs, none > 1.2 s) — so r13 fuses them into ONE
+    // propagation ([[graft.operators.Sssp.minLabelDepth]]): the min
+    // label spreads exactly like a BFS from its holder, so depth rides
+    // the same messages free and the round count halves (same outputs,
+    // same oracle). The gate graph plants disjoint 12-blocks: every
+    // block a C12 cycle (even ⇒ bipartite), even-indexed blocks add
+    // one chord forming a triangle (⇒ not bipartite) — both verdicts
+    // occur
     "q203_link_bipartite" -> ((s, dir) => {
       val ids = table(s, dir, "documents").select(col("doc_id"))
       val d = col("doc_id")
@@ -725,21 +731,17 @@ object DedupQueries extends QueryFamily {
       val edges = ids.select(d.as("src"), explode(array(nxt, chord)).as("dst"))
         .filter(col("dst").isNotNull && col("src") =!= col("dst"))
         .join(ids.select(d.as("dst")), Seq("dst"), "left_semi")
-      val comp = graft.operators.Dedup.nearDupGroups(
-        edges.select(col("src").as("id_a"), col("dst").as("id_b")))
-      val depth = graft.operators.Sssp.seedDepth(edges,
-        comp.select(col("keep_id").as("id")).distinct())
+      val ld = graft.operators.Sssp.minLabelDepth(edges)
       val und = edges.select("src", "dst")
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().filter(col("src") < col("dst"))
       val conflicts = und
-        .join(depth.select(col("id").as("src"), col("depth").as("ds")), Seq("src"))
-        .join(depth.select(col("id").as("dst"), col("depth").as("dd")), Seq("dst"))
+        .join(ld.select(col("id").as("src"), col("depth").as("ds"),
+          col("label").as("comp")), Seq("src"))
+        .join(ld.select(col("id").as("dst"), col("depth").as("dd")), Seq("dst"))
         .filter((col("ds") + col("dd")) % 2 === 0)
-        .join(comp.select(col("member_id").as("src"), col("keep_id").as("comp")),
-          Seq("src"))
         .groupBy("comp").agg(count(lit(1)).as("n_conflicts"))
-      comp.groupBy(col("keep_id").as("comp")).agg(count(lit(1)).as("n_vertices"))
+      ld.groupBy(col("label").as("comp")).agg(count(lit(1)).as("n_vertices"))
         .join(conflicts, Seq("comp"), "left")
         .select(col("comp"), col("n_vertices"),
           coalesce(col("n_conflicts"), lit(0L)).as("n_conflicts"),

@@ -93,4 +93,38 @@ class SsspSpec extends SparkTestBase {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("weightedSeedDist")))
   }
+
+  test("minLabelDepth == nearDupGroups labels + seedDepth from the component minima") {
+    // the q203 fusion's exactness claim, on a graph with a shortcut
+    // (depth must take it), two components, and an odd cycle
+    val g = edges.union(Seq((20L, 21L), (21L, 22L), (22L, 20L)).toDF("src", "dst"))
+    CacheScope.scoped {
+      val got = Sssp.minLabelDepth(g)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val labels = Dedup.nearDupGroups(
+          g.select(col("src").as("id_a"), col("dst").as("id_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val depths = Sssp.seedDepth(g,
+          labels.values.toSeq.distinct.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = labels.keys.toSeq.sorted.map(v => (v, labels(v), depths(v)))
+      assert(got == want)
+      // spot-pin the semantics: component minima at depth 0, the
+      // shortcut path wins (d(0,4) = 2 via 0-5-4, not 4)
+      assert(got.contains((0L, 0L, 0L)) && got.contains((4L, 0L, 2L)))
+      assert(got.contains((10L, 10L, 0L)) && got.contains((11L, 10L, 1L)))
+      assert(got.contains((22L, 20L, 1L)), "odd cycle: both non-min vertices at depth 1")
+    }
+  }
+
+  test("minLabelDepth fails fast when maxRounds is below the diameter") {
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      CacheScope.scoped { Sssp.minLabelDepth(chain, maxRounds = 3).count() }
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("did not converge")))
+  }
 }
