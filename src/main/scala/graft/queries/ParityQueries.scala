@@ -33,7 +33,29 @@ object ParityQueries extends QueryFamily {
     "orders_feed" -> (stagedOrdersFeedDir _),
     "orders_fact_feed" -> (stagedOrdersFactFeedDir _),
     "scd2_dim" -> (stagedScd2DimDir _),
-    "revenue_mv" -> (stagedRevenueMvDir _))
+    "revenue_mv" -> (stagedRevenueMvDir _),
+    "txtable" -> (stagedTxTableDir _))
+
+  /** The five-version transactional table over `documents` (q210/q211):
+    * three appends splitting by doc_id % 3, one compaction (live dirs
+    * 3 → 1, every version's content unchanged), one copy-on-write
+    * delete of doc_id % 10 == 7. The marker is the LAST log entry —
+    * commits publish in order, so its presence proves all five.
+    */
+  private def stagedTxTableDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_txtable", Seq(s"$dir/documents.parquet"),
+      "mod3-appends:compact:del-mod10-7:v1",
+      "_log/00000000000000000005") { stage =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      (0 to 2).foreach { m =>
+        graft.sources.TxTable.append(s, stage, docs.filter(col("doc_id") % 3 === m))
+      }
+      val compacted = graft.sources.TxTable.compact(s, stage)
+      require(compacted.contains(4L), s"expected compaction at v4, got $compacted")
+      graft.sources.TxTable.delete(s, stage, col("doc_id") % 10 === 7)
+      ()
+    }
 
   /** The q01 star join for an arbitrary lineitem slice — shared by the
     * materialized-view corpus state and its delta (q101).
@@ -398,6 +420,36 @@ object ParityQueries extends QueryFamily {
       graft.operators.Cdc.applyLog(snapshot, baseLog.unionByName(insertLog),
           keyCols = Seq("k"), orderCols = Seq("ts", "seq"))
         .orderBy($"k")
+    }),
+
+    // ---- TRANSACTIONAL TABLE ([[graft.sources.TxTable]], the r12
+    //      verdict's optional surface): a Delta-style ordered commit
+    //      log over parquet — the staged table is built as five
+    //      committed versions (three appends splitting `documents` by
+    //      doc_id % 3, one log-transacted COMPACTION, one copy-on-write
+    //      DELETE of doc_id % 10 == 7), and the gate reads the TIP
+    //      snapshot. Every uncommitted/superseded directory is
+    //      invisible by the rename-published log, so the read-back must
+    //      equal the predicate algebra the versions encode. ----
+    "q210_txtable_snapshot" -> ((s, dir) =>
+      graft.sources.TxTable.snapshot(s, stagedTxTableDir(s, dir))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    // ---- TIME TRAVEL over the same staged table: one (version,
+    //      n_rows, sum_chars) audit row PER COMMITTED VERSION — v4 (the
+    //      compaction) must be indistinguishable from v3 in content
+    //      while v5 (the delete) drops exactly the predicate's rows;
+    //      the loop over versions is commit-history-sized by the table
+    //      contract, never data-sized. ----
+    "q211_txtable_time_travel" -> ((s, dir) => {
+      val tdir = stagedTxTableDir(s, dir)
+      graft.sources.TxTable.versions(s, tdir).map { v =>
+        graft.sources.TxTable.snapshot(s, tdir, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_chars"))
+      }.reduce(_ unionByName _).orderBy("version")
     }),
 
     // ---- A-priori level 3: frequent part TRIPLES enumerated through
@@ -935,6 +987,30 @@ object ParityQueries extends QueryFamily {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    // the TIP snapshot must equal the versions' predicate algebra:
+    // appends covered all of documents, the compaction changed nothing,
+    // the delete dropped doc_id % 10 == 7
+    "q210_txtable_snapshot" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id % 10 <> 7 ORDER BY doc_id""",
+    // one audit row per version: v1..v3 accumulate the mod-3 slices,
+    // v4 (compaction) is content-identical to v3, v5 applies the delete
+    "q211_txtable_time_travel" ->
+      """SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+                  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT 2, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+           FROM documents WHERE doc_id % 3 <= 1
+           UNION ALL
+           SELECT 3, COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT 4, COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT 5, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+           FROM documents WHERE doc_id % 10 <> 7
+         ) ORDER BY version""",
     "q02_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
