@@ -237,4 +237,96 @@ object UnigramLm {
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("nll"))
   }
+
+  /** Per-document TRIGRAM interpolated Kneser-Ney NLL — the full Chen &
+    * Goodman three-level recursion above [[scoreDocsKneserNey]]'s bigram
+    * order (KenLM's shape, two orders of it):
+    *
+    *   p(w₃|w₁w₂) = max(c(w₁w₂w₃) − d, 0)/c(w₁w₂·)
+    *                + (d · N1+(w₁w₂,·)/c(w₁w₂·)) · p_mid(w₃|w₂)
+    *   p_mid(w₃|w₂) = max(N1+(·w₂w₃) − d, 0)/N1+(·w₂·)
+    *                + (d · N1+(w₂,·)/N1+(·w₂·)) · p_uni(w₃)
+    *   p_uni(w₃) = N1+(·w₃)/B
+    *
+    * — the highest order uses RAW counts, every lower order uses
+    * CONTINUATION (type) counts, the defining property of interpolated
+    * KN: the middle level asks "in how many distinct left contexts does
+    * (w₂, w₃) occur", not "how often". All lower-order tables derive
+    * from the trigram-TYPE table, so N1+(·w₂w₃) > 0 ⟺ c(w₂w₃) > 0
+    * (every occurrence has a BOS-padded predecessor) and the recursion
+    * grounds in bigram types B = |{(w₂,w₃)}|. Contexts pad with the
+    * BOS sentinel `""` twice, so position 1 scores against ("", "") and
+    * position 2 against ("", w₁) — n_positions == n_tokens as in the
+    * siblings, and the same zero-token contract holds.
+    *
+    * Scale shape: the per-TRIGRAM-TYPE log-probability precomputes on
+    * the type table (vocab³-bounded in principle, corpus-TYPE-bounded
+    * in practice — every join there is keyed by type, never by
+    * occurrence), and the corpus-sized occurrence stream pays exactly
+    * one (p₂, p₁, cur) → lnp lookup join, Zipf-split head/tail like
+    * every LM sibling. Expression tree written op-for-op against the
+    * oracle's SQL so the doubles agree at 6 dp.
+    */
+  def scoreDocsKneserNeyTrigram(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      headVocab: Int = 1 << 16, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "absolute discount in (0, 1)")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val tok = CacheScope.pin(
+      ScaleOut(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+        .filter(col("token") =!= ""),
+      StorageLevel.MEMORY_AND_DISK)
+    val tg = CacheScope.pin(
+      tok.select(col(idCol),
+        coalesce(lag(col("token"), 2).over(w), lit("")).as("p2"),
+        coalesce(lag(col("token"), 1).over(w), lit("")).as("p1"),
+        col("token").as("cur")),
+      StorageLevel.MEMORY_AND_DISK)
+    val tcf = CacheScope.pin(
+      tg.groupBy("p2", "p1", "cur").agg(count(lit(1)).as("tcf")),
+      StorageLevel.MEMORY_AND_DISK)
+    // highest order: raw context mass + distinct continuations per (p2, p1)
+    val ctx3 = tcf.groupBy("p2", "p1")
+      .agg(sum("tcf").as("ctx3"), count(lit(1)).as("n1p3"))
+    // middle order: continuation counts over trigram TYPES — c2 =
+    // N1+(·p1 cur); one more pass gives N1+(·p1·) and N1+(p1,·)
+    val cont2 = CacheScope.pin(
+      tcf.groupBy("p1", "cur").agg(count(lit(1)).as("c2")),
+      StorageLevel.MEMORY_AND_DISK)
+    val mid = cont2.groupBy("p1")
+      .agg(sum("c2").as("cmid"), count(lit(1)).as("n1pmid"))
+    // lowest order over bigram types: N1+(·cur) and B
+    val cont1 = cont2.groupBy("cur").agg(count(lit(1)).as("c1"))
+    val btRow = cont2.agg(count(lit(1)).cast("double").as("bt"))
+    val pairLnp = CacheScope.pin(
+      tcf.join(ctx3, Seq("p2", "p1"))
+        .join(cont2, Seq("p1", "cur"))
+        .join(mid, Seq("p1"))
+        .join(cont1, Seq("cur"))
+        .crossJoin(broadcast(btRow)) // 1-row scalar
+        .select(col("p2"), col("p1"), col("cur"), col("tcf"),
+          log(greatest(col("tcf") - lit(discount), lit(0.0)) / col("ctx3")
+            + ((lit(discount) * col("n1p3")) / col("ctx3"))
+              * (greatest(col("c2") - lit(discount), lit(0.0)) / col("cmid")
+                + ((lit(discount) * col("n1pmid")) / col("cmid"))
+                  * (col("c1") / col("bt")))).as("lnp")),
+      StorageLevel.MEMORY_AND_DISK)
+    // the occurrence stream's ONLY model join: Zipf head (by type
+    // frequency) broadcasts, tail shuffles by (p2, p1, cur)
+    val headP = pairLnp.orderBy(col("tcf").desc, col("p2"), col("p1"), col("cur"))
+      .limit(headVocab).select("p2", "p1", "cur", "lnp")
+    val tailP = pairLnp.select("p2", "p1", "cur", "lnp")
+      .join(broadcast(headP.select("p2", "p1", "cur")), Seq("p2", "p1", "cur"), "left_anti")
+    val joined3 = tg.join(broadcast(headP), Seq("p2", "p1", "cur"), "left")
+    val scored = joined3.filter(col("lnp").isNotNull).unionByName(
+        joined3.filter(col("lnp").isNull).drop("lnp")
+          .join(tailP, Seq("p2", "p1", "cur")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), avg(-col("lnp")).as("mean_nll"))
+      .select(col(idCol), col("n_tokens"), round(col("mean_nll"), 6).as("nll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("nll"))
+  }
 }

@@ -802,6 +802,17 @@ object TextQueries extends QueryFamily {
       graft.operators.UnigramLm.scoreDocsKneserNey(table(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // TRIGRAM interpolated Kneser-Ney (the r12 verdict's documented
+    // next rung): the full Chen & Goodman three-level recursion — raw
+    // counts at the top, continuation counts at every lower order —
+    // with all lower-order tables derived from the trigram TYPE table;
+    // per-type log-prob precomputed so the corpus stream pays one
+    // (p2, p1, cur) lookup join ([[graft.operators.UnigramLm
+    // .scoreDocsKneserNeyTrigram]])
+    "q212_kneser_ney_trigram" -> ((s, dir) =>
+      graft.operators.UnigramLm.scoreDocsKneserNeyTrigram(table(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // exact heavy hitters via the two-pass Misra–Gries candidate/verify
     // shape ([[graft.operators.Freq]]): the sketch only PRUNES, so the
     // result is exact and fully oracled despite the approximate pass
@@ -1976,6 +1987,43 @@ object TextQueries extends QueryFamily {
               GROUP BY g.doc_id)
             SELECT d.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens, k.nll
             FROM documents d LEFT JOIN kper k USING (doc_id)
+            ORDER BY doc_id""",
+      // trigram interpolated KN: raw counts at the top order,
+      // continuation (type) counts below, every lower-order table an
+      // integer aggregate of the trigram-type table; the three-level
+      // probability expression is written op-for-op like the engine's
+      // (GREATEST/divisions/nested interpolation in the same tree) so
+      // the doubles agree at the 6-dp per-doc mean
+      "q212_kneser_ney_trigram" ->
+        s"""WITH $bigramNllCtes,
+            tg3 AS (
+              SELECT doc_id,
+                     COALESCE(LAG(token, 2) OVER (PARTITION BY doc_id ORDER BY pos), '') AS p2,
+                     COALESCE(LAG(token) OVER (PARTITION BY doc_id ORDER BY pos), '') AS p1,
+                     token AS cur
+              FROM tok),
+            tcf AS (SELECT p2, p1, cur, COUNT(*) AS tcf FROM tg3 GROUP BY 1, 2, 3),
+            tctx AS (SELECT p2, p1, SUM(tcf) AS ctx3, COUNT(*) AS n1p3 FROM tcf GROUP BY 1, 2),
+            tc2 AS (SELECT p1, cur, COUNT(*) AS c2 FROM tcf GROUP BY 1, 2),
+            tmid AS (SELECT p1, SUM(c2) AS cmid, COUNT(*) AS n1pmid FROM tc2 GROUP BY 1),
+            tc1 AS (SELECT cur, COUNT(*) AS c1 FROM tc2 GROUP BY 1),
+            tbt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bt FROM tc2),
+            tripn AS (
+              SELECT t.p2, t.p1, t.cur,
+                     LN(GREATEST(t.tcf - 0.75, 0.0) / x.ctx3
+                        + ((0.75 * x.n1p3) / x.ctx3)
+                          * (GREATEST(c.c2 - 0.75, 0.0) / m.cmid
+                             + ((0.75 * m.n1pmid) / m.cmid)
+                               * (u.c1 / (SELECT bt FROM tbt)))) AS lnp
+              FROM tcf t JOIN tctx x USING (p2, p1) JOIN tc2 c USING (p1, cur)
+              JOIN tmid m USING (p1) JOIN tc1 u USING (cur)),
+            tper AS (
+              SELECT g.doc_id, COUNT(*) AS n_tokens,
+                     ROUND(AVG(-p.lnp), 6) AS nll
+              FROM tg3 g JOIN tripn p USING (p2, p1, cur)
+              GROUP BY g.doc_id)
+            SELECT d.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens, k.nll
+            FROM documents d LEFT JOIN tper k USING (doc_id)
             ORDER BY doc_id""",
       // CCNet buckets: q97's per-doc nll (engine-identical at 6 dp)
       // scaled to integer micro-nats, tercile thresholds from the q112

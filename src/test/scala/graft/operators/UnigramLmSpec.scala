@@ -140,6 +140,94 @@ class UnigramLmSpec extends SparkTestBase {
     }.toMap
   }
 
+  /** Independent three-level interpolated-KN reference (Chen & Goodman):
+    * raw counts at trigram order, continuation counts below.
+    */
+  private def kn3Reference(
+      rows: Seq[(Long, String)], d: Double = 0.75): Map[Long, (Long, Double)] = {
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val tris = rows.flatMap { case (_, t) =>
+      val ts = toks(t)
+      ts.indices.map { i =>
+        (if (i >= 2) ts(i - 2) else "", if (i >= 1) ts(i - 1) else "", ts(i))
+      }
+    }
+    val tcf = tris.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val ctx3 = tcf.groupBy(k => (k._1._1, k._1._2)).view.mapValues(_.values.sum).toMap
+    val n1p3 = tcf.groupBy(k => (k._1._1, k._1._2)).view.mapValues(_.size.toDouble).toMap
+    val c2 = tcf.keys.toSeq.map(k => (k._2, k._3)).groupBy(identity)
+      .view.mapValues(_.size.toDouble).toMap // N1+(·p1 cur)
+    val cmid = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1pmid = c2.groupBy(_._1._1).view.mapValues(_.size.toDouble).toMap
+    val c1 = c2.keys.toSeq.map(_._2).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val bt = c2.size.toDouble
+    rows.map { case (id, t) =>
+      val ts = toks(t)
+      if (ts.isEmpty) id -> ((0L, Double.NaN))
+      else {
+        val nll = ts.indices.map { i =>
+          val (p2, p1, cur) =
+            (if (i >= 2) ts(i - 2) else "", if (i >= 1) ts(i - 1) else "", ts(i))
+          val pmid = math.max(c2((p1, cur)) - d, 0.0) / cmid(p1) +
+            (d * n1pmid(p1) / cmid(p1)) * (c1(cur) / bt)
+          val p = math.max(tcf((p2, p1, cur)) - d, 0.0) / ctx3((p2, p1)) +
+            (d * n1p3((p2, p1)) / ctx3((p2, p1))) * pmid
+          -math.log(p)
+        }
+        id -> ((ts.size.toLong, nll.sum / nll.size))
+      }
+    }.toMap
+  }
+
+  test("trigram kneser-ney matches an independent three-level reference") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "san francisco is far from here"),
+      (4L, "a cat and a dog and a bird"), (5L, "the cat sat"),
+      (6L, "the cat sat on the mat"))
+    val got = UnigramLm.scoreDocsKneserNeyTrigram(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ref = kn3Reference(rows)
+    rows.foreach { case (id, _) =>
+      assert(got(id)._1 == ref(id)._1, s"n_tokens doc $id")
+      assert(math.abs(got(id)._2 - ref(id)._2) < 1e-6,
+        s"doc $id: got ${got(id)._2} vs ref ${ref(id)._2}")
+    }
+  }
+
+  test("trigram kneser-ney: a seen trigram path scores below a novel recombination") {
+    // both docs use only seen BIGRAMS, but doc 20's exact trigrams are
+    // novel recombinations — only an order-3 model separates them
+    val corpus = Seq(
+      (1L, "x a b c y"), (2L, "x a b c y"), (3L, "z a b q y"), (4L, "w b c k"),
+      (10L, "x a b c y"),  // the seen path
+      (20L, "z a b c k"))  // bigrams (z,a)(a,b)(b,c)(c,k) all seen; trigrams novel
+    val got = UnigramLm.scoreDocsKneserNeyTrigram(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10L) < got(20L),
+      s"seen path ${got(10L)} must score below novel recombination ${got(20L)}")
+  }
+
+  test("trigram kneser-ney head/tail split is pure execution strategy (forced tail == broadcast)") {
+    val rows = Seq((1L, "a b a b c"), (2L, "b c a a b"), (3L, "c a b b a"))
+      .toDF("doc_id", "text")
+    val full = UnigramLm.scoreDocsKneserNeyTrigram(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val forcedTail = UnigramLm.scoreDocsKneserNeyTrigram(rows, headVocab = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full === forcedTail)
+  }
+
+  test("trigram kneser-ney zero-token docs are emitted with n_tokens=0 and NULL nll") {
+    val rows = UnigramLm.scoreDocsKneserNeyTrigram(
+        Seq((1L, "real text here"), (2L, ""), (3L, "   ")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(rows(1).getLong(1) === 0L && rows(1).isNullAt(2))
+    assert(rows(2).getLong(1) === 0L && rows(2).isNullAt(2))
+    assert(rows(0).getLong(1) === 3L && !rows(0).isNullAt(2))
+  }
+
   test("kneser-ney matches an independent reference on a mixed corpus") {
     val rows = Seq(
       (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
