@@ -72,7 +72,7 @@ object DedupQueries extends QueryFamily {
     * under maxFilesPerTrigger=1 (the q83 fact-feed pattern) — cross-batch
     * pair formation is exercised on every correctness run.
     */
-  private def stagedDocsFeedDir(s: SparkSession, dir: String): String =
+  private[queries] def stagedDocsFeedDir(s: SparkSession, dir: String): String =
     Staging.dir(s, "graft_docs_feed",
       Seq(s"$dir/documents.parquet"), s"inc$corpusSplit:files=3", "_SUCCESS") { stage =>
       table(s, dir, "documents").filter(col("doc_id") >= corpusSplit)
@@ -81,7 +81,7 @@ object DedupQueries extends QueryFamily {
         .write.mode("overwrite").parquet(stage)
     }
 
-  private val docsFeedSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[queries] val docsFeedSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
 

@@ -452,6 +452,27 @@ object ParityQueries extends QueryFamily {
       }.reduce(_ unionByName _).orderBy("version")
     }),
 
+    // ---- STREAMING exactly-once append into the transactional table
+    //      ([[graft.streaming.TxTableStream]]): the corpus half seeds
+    //      the table as version 1, the staged increment feed drains as
+    //      3 micro-batches each committing one txn-ledgered append,
+    //      with a mid-stream log-transacted COMPACTION (compactEvery=2)
+    //      proven snapshot-invisible — the q92 ingest discipline
+    //      applied to the table format. The drained tip must equal the
+    //      whole documents table. ----
+    "q213_txtable_ingest_stream" -> ((s, dir) => {
+      val tdir = Scratch.freshDir(s, "q213tbl", dir)
+      graft.sources.TxTable.append(s, tdir,
+        table(s, dir, "documents")
+          .filter(col("doc_id") < DedupQueries.corpusSplit)
+          .select(col("doc_id"), col("text")))
+      graft.streaming.TxTableStream.ingest(
+          s, DedupQueries.stagedDocsFeedDir(s, dir), DedupQueries.docsFeedSchema,
+          tdir, Scratch.freshDir(s, "q213ckpt", dir),
+          writerId = "q213", maxFilesPerTrigger = Some(1), compactEvery = 2)
+        .orderBy("doc_id")
+    }),
+
     // ---- A-priori level 3: frequent part TRIPLES enumerated through
     //      the frequent pairs ([[graft.operators.Apriori]]) — the
     //      pruning is exact by monotonicity, so the oracle brute-forces
@@ -987,6 +1008,10 @@ object ParityQueries extends QueryFamily {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    // exactly-once drain: corpus seed + 3 txn-ledgered micro-batch
+    // appends + a mid-stream compaction must reassemble documents
+    "q213_txtable_ingest_stream" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
     // the TIP snapshot must equal the versions' predicate algebra:
     // appends covered all of documents, the compaction changed nothing,
     // the delete dropped doc_id % 10 == 7

@@ -183,6 +183,39 @@ object TxTable {
     publishNext(spark, dir, Seq("op:append", s"add:$rel"))
   }
 
+  /** Highest transaction id `writerId` has committed (the Delta `txn`
+    * action): the idempotence ledger for at-least-once upstreams. Log
+    * scan is commit-history-sized.
+    */
+  def lastTxn(spark: SparkSession, dir: String, writerId: String): Option[Long] = {
+    val (fs, root) = fsFor(spark, dir)
+    val log = logPath(root)
+    val prefix = s"txn:$writerId:"
+    val ids = versions(spark, dir).flatMap(v => entryLines(fs, log, v))
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** TRANSACTIONAL append for an at-least-once upstream (a streaming
+    * micro-batch): the entry records `txn:<writerId>:<txnId>`, and a
+    * replay whose txnId is at or below [[lastTxn]] is SKIPPED whole
+    * (returns None) — the at-least-once upstream becomes exactly-once
+    * in the table, Delta's idempotent-writes rule. Requires txn ids
+    * monotonically increasing per writer (a streaming batchId is) and a
+    * SINGLE live writer per writerId (the [[Segments]] single-writer
+    * contract; concurrent writers under DIFFERENT ids stay safe — the
+    * ledger is per-writer).
+    */
+  def appendTxn(spark: SparkSession, dir: String, df: DataFrame,
+      writerId: String, txnId: Long): Option[Long] = {
+    require(!writerId.contains(":") && writerId.nonEmpty,
+      s"writerId must be non-empty and colon-free: '$writerId'")
+    if (lastTxn(spark, dir, writerId).exists(_ >= txnId)) return None
+    val rel = writeData(spark, dir, df)
+    Some(publishNext(spark, dir,
+      Seq("op:append", s"txn:$writerId:$txnId", s"add:$rel")))
+  }
+
   /** OVERWRITE the table with `df`: one entry adds the new directory
     * and removes every directory live at the READ version; commits at
     * read + 1, so any concurrent commit aborts this one with

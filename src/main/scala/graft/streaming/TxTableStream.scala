@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.TxTable
+
+/** Streaming EXACTLY-ONCE append into a [[TxTable]] — the table-format
+  * sink's streaming half, completing the batch/streaming twin the rest
+  * of the engine keeps: each micro-batch commits as ONE transactional
+  * append whose log entry carries the Delta-style `txn:<writer>:<batch>`
+  * action, so Structured Streaming's at-least-once `foreachBatch`
+  * becomes exactly-once in the table —
+  *
+  *   - a REPLAYED batch (crash after the table commit, before the
+  *     checkpoint commit) finds its txn id at or below the writer's
+  *     ledger and is skipped whole ([[TxTable.appendTxn]] → None);
+  *   - a crash BETWEEN the data write and the log publish leaves an
+  *     orphan data directory no reader can see (vacuum reclaims it past
+  *     the horizon); the replay writes a fresh uuid directory and
+  *     publishes once;
+  *   - CONCURRENT batch-table writers under different writer ids stay
+  *     safe: appends retry metadata-only past lost rename races and the
+  *     txn ledger is per-writer.
+  *
+  * `compactEvery` runs the log-transacted [[TxTable.compact]] every N
+  * batches — snapshot-neutral by the table contract, so a mid-stream
+  * compaction is invisible to the drained result (the q92 discipline
+  * applied to the table format), and the live-directory count of a
+  * long-running ingest stays bounded instead of growing one directory
+  * per batch.
+  *
+  * Scale shape: per batch one batch-sized parquet write + one driver
+  * rename; the table's log grows one small file per batch (bounded by
+  * compaction in spirit — a production deployment also checkpoints the
+  * log, out of scope here); nothing ever rewrites prior data.
+  */
+object TxTableStream {
+
+  /** One micro-batch — public so the crash-replay spec can drive and
+    * interrupt it directly.
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, tableDir: String,
+      writerId: String, compactEvery: Int = 0): Unit = {
+    val s = batch.sparkSession
+    TxTable.appendTxn(s, tableDir, batch, writerId, batchId)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      TxTable.compact(s, tableDir)
+  }
+
+  /** Drain `feedDir` into the table at `tableDir`; returns the tip
+    * snapshot after the drain.
+    */
+  def ingest(
+      spark: SparkSession, feedDir: String, feedSchema: StructType,
+      tableDir: String, checkpointDir: String,
+      writerId: String = "stream",
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Int = 0): DataFrame = {
+    var reader = spark.readStream.schema(feedSchema)
+    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+    val query = reader.parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, tableDir, writerId, compactEvery)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    TxTable.snapshot(spark, tableDir)
+  }
+}
