@@ -802,6 +802,19 @@ object TextQueries extends QueryFamily {
       graft.operators.UnigramLm.scoreDocsKneserNey(table(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // DSIR importance-resampling selection ([[graft.operators.Dsir]],
+    // Xie et al. NeurIPS 2023): hashed char-4-gram bag features, two
+    // add-one-smoothed bucket multinomials (target = lang 'en' docs,
+    // raw = all), per-bucket log-ratio frozen to integer micro-nats on
+    // the dim-bounded table, per-doc weight an EXACT integer dot, top
+    // 10% selected by (weight desc, id) through a distributed
+    // take-ordered — the training-free sibling of the q118 classifier
+    "q214_dsir_selection" -> ((s, dir) =>
+      graft.operators.Dsir.selectTop(
+          table(s, dir, "documents"), col("lang") === "en", fraction = 0.1,
+          n = 4, dim = 1024)
+        .orderBy("doc_id")),
+
     // TRIGRAM interpolated Kneser-Ney (the r12 verdict's documented
     // next rung): the full Chen & Goodman three-level recursion — raw
     // counts at the top, continuation counts at every lower order —
@@ -1988,6 +2001,47 @@ object TextQueries extends QueryFamily {
             SELECT d.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens, k.nll
             FROM documents d LEFT JOIN kper k USING (doc_id)
             ORDER BY doc_id""",
+      // DSIR: the same gram/hash chain as the q118 classifier (SUBSTR
+      // grams over the normalized text, FNV-1a64+fmix64, low-bits
+      // bucket), per-bucket micro-nat log-ratio in the identical IEEE
+      // expression, per-doc weight an exact integer SUM, top-10% flag
+      // by (weight desc, id)
+      "q214_dsir_selection" ->
+        s"""WITH RECURSIVE
+            nrm AS (SELECT doc_id, $norm AS t FROM documents),
+            grams AS (
+              SELECT doc_id, i, SUBSTR(t, i, 4) AS gm
+              FROM nrm, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - 3)) AS i) u
+              WHERE LEN(t) >= 4),
+            tokh AS (SELECT doc_id * 1000000 + i AS tid, doc_id, HEX(ENCODE(gm)) AS hx
+                     FROM grams),
+            ${HashOracleSql.fnvFmixCtes},
+            bkt AS (SELECT t.doc_id, CAST(s.x % 1024 AS INT) AS b
+                    FROM sig s JOIN tokh t USING (tid)),
+            rawc AS (SELECT b, COUNT(*) AS cr FROM bkt GROUP BY b),
+            tgtc AS (SELECT b.b, COUNT(*) AS ct
+                     FROM bkt b JOIN documents d USING (doc_id)
+                     WHERE d.lang = 'en' GROUP BY b.b),
+            tots AS (SELECT
+                (SELECT COUNT(*) FROM bkt b JOIN documents d USING (doc_id)
+                 WHERE d.lang = 'en') AS ctot,
+                (SELECT COUNT(*) FROM bkt) AS rtot),
+            sc AS (SELECT r.b,
+                     CAST(ROUND((LN(COALESCE(t.ct, 0) + 1) - LN(ctot + 1024)
+                                 - LN(r.cr + 1) + LN(rtot + 1024)) * 1000000.0, 0)
+                          AS BIGINT) AS sc
+                   FROM rawc r LEFT JOIN tgtc t USING (b) CROSS JOIN tots),
+            dots AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(sc) AS w_micro
+                     FROM bkt JOIN sc USING (b) GROUP BY doc_id),
+            allw AS (SELECT d.doc_id, COALESCE(o.n_grams, 0) AS n_grams,
+                            CAST(COALESCE(o.w_micro, 0) AS BIGINT) AS w_micro
+                     FROM documents d LEFT JOIN dots o USING (doc_id)),
+            rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY w_micro DESC, doc_id) AS rn
+                   FROM allw)
+            SELECT doc_id, n_grams, w_micro,
+                   rn <= (SELECT CAST(CEIL(0.1 * COUNT(*)) AS BIGINT) FROM documents)
+                     AS selected
+            FROM rk ORDER BY doc_id""",
       // trigram interpolated KN: raw counts at the top order,
       // continuation (type) counts below, every lower-order table an
       // integer aggregate of the trigram-type table; the three-level
