@@ -214,4 +214,28 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected exactly one hash exchange, got:\n${exchanges.mkString("\n")}")
     assert(hashExchanges.head.contains("user_id"))
   }
+
+  test("q210 TxTable snapshot plans as ONE parquet scan — indistinguishable from a static table") {
+    assume(haveTestdata)
+    val p = plan(q("q210_txtable_snapshot"))
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    // one scan over the live directories, no join/union assembly layer
+    assert(scans.size == 1, s"expected one FileScan, got:\n${scans.mkString("\n")}")
+    assert(!p.contains("Union"), "snapshot read must not plan a union")
+  }
+
+  test("q214 DSIR scoring join broadcasts the dim-bounded score table") {
+    assume(haveTestdata)
+    // the (doc, bucket) occurrence stream must NEVER shuffle by bucket —
+    // bucket frequencies are Zipf-skewed and dim is bounded, so the
+    // score table broadcasts and the only hash exchanges are the
+    // dim-bounded count tables and the final doc-keyed aggregate
+    val p = initialPlan(q("q214_dsir_selection"))
+    assert(p.contains("BroadcastHashJoin"), "score join must broadcast")
+    val occShuffle = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(b#") && l.contains("doc_id")).toSeq
+    assert(occShuffle.isEmpty,
+      s"occurrence stream shuffled by bucket:\n${occShuffle.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
