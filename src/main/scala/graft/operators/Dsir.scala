@@ -38,40 +38,53 @@ import graft.functions.expr.ClassifierFunctions.charGramBuckets
   */
 object Dsir {
 
-  /** Per-document DSIR importance weight in integer micro-nats:
-    * (idCol, n_grams, w_micro) for EVERY input document — zero-gram
-    * documents carry (0, 0) rather than dropping (a selector must see
-    * them lose deterministically, not vanish).
-    *
-    * `targetPred` marks the target-domain rows INSIDE `docs` (the
-    * paper's target sample; e.g. `col("lang") === "en"`). `dim` must be
-    * a power of two (the hash-bucket contract of [[charGramBuckets]]).
+  /** The two multinomials' sufficient statistics in ONE dim-bounded
+    * aggregate: (b, ct, cr) — target and raw occurrence counts per
+    * hashed bucket. This aggregate is MERGEABLE (plain sums), which is
+    * what lets the streaming variant maintain it as state with the
+    * drained table bit-identical to this batch one.
     */
-  def importanceWeights(
+  def bucketCounts(
       docs: DataFrame, targetPred: Column,
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 4, dim: Int = 1024): DataFrame = {
-    val b = CacheScope.pin(
-      ScaleOut(docs.select(col(idCol), targetPred.as("is_tgt"), col(textCol)))
-        .select(col(idCol), col("is_tgt"),
-          explode(charGramBuckets(normText(col(textCol)), n, dim)).as("b")),
-      StorageLevel.MEMORY_AND_DISK)
-    val rawC = b.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgtC = b.filter(col("is_tgt")).groupBy("b").agg(count(lit(1)).as("ct"))
-    val tots = b.agg(
-      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ctot"),
-      count(lit(1)).as("rtot"))
-    // per-bucket micro-nat log-ratio, frozen ONCE on the dim-bounded
-    // table; expression tree mirrors the oracle SQL op-for-op
-    val score = rawC.join(tgtC, Seq("b"), "left")
-      .crossJoin(broadcast(tots)) // 1-row scalar
+      n: Int = 4, dim: Int = 1024): DataFrame =
+    ScaleOut(docs.select(col(idCol), targetPred.as("is_tgt"), col(textCol)))
+      .select(col("is_tgt"),
+        explode(charGramBuckets(normText(col(textCol)), n, dim)).as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+
+  /** Per-bucket micro-nat log-ratio, frozen ONCE on the dim-bounded
+    * count table: (b, sc). Expression tree mirrors the oracle SQL
+    * op-for-op; totals derive from the counts themselves, so a drained
+    * streaming count table scores identically to a batch one.
+    */
+  def scoreTable(counts: DataFrame, dim: Int): DataFrame = {
+    val tots = counts.agg(sum("ct").as("ctot"), sum("cr").as("rtot"))
+    counts.crossJoin(broadcast(tots)) // 1-row scalar
       .select(col("b"),
-        round((log(coalesce(col("ct"), lit(0L)) + lit(1))
+        round((log(col("ct") + lit(1))
           - log(col("ctot") + lit(dim))
           - log(col("cr") + lit(1))
           + log(col("rtot") + lit(dim))) * lit(1000000.0), 0)
           .cast("long").as("sc"))
-    val dots = b.join(broadcast(score), Seq("b"))
+  }
+
+  /** Score `docs` against a frozen score table: (idCol, n_grams,
+    * w_micro) for EVERY input document — zero-gram documents carry
+    * (0, 0) rather than dropping (a selector must see them lose
+    * deterministically, not vanish). The score join broadcasts; the
+    * close is one doc-keyed map-side-combined sum.
+    */
+  def weightsAgainst(
+      docs: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 4, dim: Int = 1024): DataFrame = {
+    val dots = ScaleOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(charGramBuckets(normText(col(textCol)), n, dim)).as("b"))
+      .join(broadcast(scores), Seq("b"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"), sum("sc").as("w_micro"))
     docs.select(col(idCol)).join(dots, Seq(idCol), "left")
@@ -79,6 +92,26 @@ object Dsir {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("w_micro"), lit(0L)).as("w_micro"))
   }
+
+  /** Per-document DSIR importance weight in integer micro-nats:
+    * (idCol, n_grams, w_micro) for EVERY input document.
+    *
+    * `targetPred` marks the target-domain rows INSIDE `docs` (the
+    * paper's target sample; e.g. `col("lang") === "en"`). `dim` must be
+    * a power of two (the hash-bucket contract of [[charGramBuckets]]).
+    * Composed from the modular pieces: one dim-bounded count aggregate,
+    * the frozen score table, one scoring pass. (Two compiled map-side
+    * kernel passes over the text rather than a corpus-sized pin of the
+    * exploded gram stream — at 100 TB re-running a codegen'd scan is
+    * cheaper than materializing rows × grams.)
+    */
+  def importanceWeights(
+      docs: DataFrame, targetPred: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 4, dim: Int = 1024): DataFrame =
+    weightsAgainst(docs,
+      scoreTable(bucketCounts(docs, targetPred, idCol, textCol, n, dim), dim),
+      idCol, textCol, n, dim)
 
   /** [[importanceWeights]] + selection flag: the top ⌈fraction·N⌉
     * documents by (w_micro desc, id asc). The cutoff set materializes
@@ -91,11 +124,16 @@ object Dsir {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 4, dim: Int = 1024): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction in (0, 1]")
-    val w = CacheScope.pin(
-      importanceWeights(docs, targetPred, idCol, textCol, n, dim),
-      StorageLevel.MEMORY_AND_DISK)
-    val total = docs.count()
-    val k = math.ceil(fraction * total).toLong
+    val k = math.ceil(fraction * docs.count()).toLong
+    flagTop(importanceWeights(docs, targetPred, idCol, textCol, n, dim), k, idCol)
+  }
+
+  /** Flag the top `k` rows of a weight frame by (w_micro desc, id asc)
+    * — distributed take-ordered for the cutoff set (k ids to the
+    * driver, selection-budget-sized), flags ride a semi-join back.
+    */
+  def flagTop(weights: DataFrame, k: Long, idCol: String = "doc_id"): DataFrame = {
+    val w = CacheScope.pin(weights, StorageLevel.MEMORY_AND_DISK)
     val top = w.orderBy(col("w_micro").desc, col(idCol)).limit(k.toInt)
       .select(col(idCol), lit(true).as("selected"))
     w.join(top, Seq(idCol), "left")

@@ -815,6 +815,31 @@ object TextQueries extends QueryFamily {
           n = 4, dim = 1024)
         .orderBy("doc_id")),
 
+    // streaming DSIR ([[graft.streaming.SketchStream
+    // .dsirCountsStreaming]], the SIXTH mergeable-state family): the
+    // (target, raw) bucket-count pairs fold as Complete-mode state over
+    // the staged increment feed (target = the feed-derivable id-parity
+    // marker), the drained table freezes into the score table, and the
+    // increment scores + selects against it — the drained counts are
+    // bit-identical to batch counts (plain-sum merge law), so the
+    // oracle IS the batch DSIR algebra over the feed's rows
+    "q215_dsir_counts_stream" -> ((s, dir) => {
+      val counts = graft.streaming.SketchStream.dsirCountsStreaming(
+        s, DedupQueries.stagedDocsFeedDir(s, dir), DedupQueries.docsFeedSchema,
+        Scratch.freshDir(s, "q215", dir),
+        target = pmod(col("doc_id"), lit(2)) === 0,
+        maxFilesPerTrigger = Some(1))
+      val inc = table(s, dir, "documents")
+        .filter(col("doc_id") >= DedupQueries.corpusSplit)
+        .select(col("doc_id"), col("text"))
+      val k = math.ceil(0.1 * inc.count()).toLong
+      graft.operators.Dsir.flagTop(
+          graft.operators.Dsir.weightsAgainst(inc,
+            graft.operators.Dsir.scoreTable(counts, dim = 1024)),
+          k)
+        .orderBy("doc_id")
+    }),
+
     // TRIGRAM interpolated Kneser-Ney (the r12 verdict's documented
     // next rung): the full Chen & Goodman three-level recursion — raw
     // counts at the top, continuation counts at every lower order —
@@ -2006,42 +2031,14 @@ object TextQueries extends QueryFamily {
       // bucket), per-bucket micro-nat log-ratio in the identical IEEE
       // expression, per-doc weight an exact integer SUM, top-10% flag
       // by (weight desc, id)
-      "q214_dsir_selection" ->
-        s"""WITH RECURSIVE
-            nrm AS (SELECT doc_id, $norm AS t FROM documents),
-            grams AS (
-              SELECT doc_id, i, SUBSTR(t, i, 4) AS gm
-              FROM nrm, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - 3)) AS i) u
-              WHERE LEN(t) >= 4),
-            tokh AS (SELECT doc_id * 1000000 + i AS tid, doc_id, HEX(ENCODE(gm)) AS hx
-                     FROM grams),
-            ${HashOracleSql.fnvFmixCtes},
-            bkt AS (SELECT t.doc_id, CAST(s.x % 1024 AS INT) AS b
-                    FROM sig s JOIN tokh t USING (tid)),
-            rawc AS (SELECT b, COUNT(*) AS cr FROM bkt GROUP BY b),
-            tgtc AS (SELECT b.b, COUNT(*) AS ct
-                     FROM bkt b JOIN documents d USING (doc_id)
-                     WHERE d.lang = 'en' GROUP BY b.b),
-            tots AS (SELECT
-                (SELECT COUNT(*) FROM bkt b JOIN documents d USING (doc_id)
-                 WHERE d.lang = 'en') AS ctot,
-                (SELECT COUNT(*) FROM bkt) AS rtot),
-            sc AS (SELECT r.b,
-                     CAST(ROUND((LN(COALESCE(t.ct, 0) + 1) - LN(ctot + 1024)
-                                 - LN(r.cr + 1) + LN(rtot + 1024)) * 1000000.0, 0)
-                          AS BIGINT) AS sc
-                   FROM rawc r LEFT JOIN tgtc t USING (b) CROSS JOIN tots),
-            dots AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(sc) AS w_micro
-                     FROM bkt JOIN sc USING (b) GROUP BY doc_id),
-            allw AS (SELECT d.doc_id, COALESCE(o.n_grams, 0) AS n_grams,
-                            CAST(COALESCE(o.w_micro, 0) AS BIGINT) AS w_micro
-                     FROM documents d LEFT JOIN dots o USING (doc_id)),
-            rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY w_micro DESC, doc_id) AS rn
-                   FROM allw)
-            SELECT doc_id, n_grams, w_micro,
-                   rn <= (SELECT CAST(CEIL(0.1 * COUNT(*)) AS BIGINT) FROM documents)
-                     AS selected
-            FROM rk ORDER BY doc_id""",
+      "q214_dsir_selection" -> dsirSql("", "d.lang = 'en'"),
+      // the streaming twin shares the identical algebra over the
+      // increment population: the drained count table is bit-identical
+      // to the batch one (plain-sum merge law), so the oracle IS the
+      // batch oracle restricted to the feed's rows with the feed's
+      // derivable target marker
+      "q215_dsir_counts_stream" ->
+        dsirSql("WHERE doc_id >= 250", "d.doc_id % 2 = 0"),
       // trigram interpolated KN: raw counts at the top order,
       // continuation (type) counts below, every lower-order table an
       // integer aggregate of the trigram-type table; the three-level
@@ -2506,6 +2503,50 @@ object TextQueries extends QueryFamily {
   /** q97's CTE chain (documents -> per-doc bigram NLL), shared with the
     * q114 bucket oracle so the score formula cannot drift between them.
     */
+  /** The DSIR oracle, parameterized by population filter and target
+    * predicate (q214 = full corpus / lang; q215 = the increment feed /
+    * the feed-derivable id-parity marker). Same gram/hash chain as the
+    * q118 classifier; the micro-nat expression mirrors
+    * [[graft.operators.Dsir.scoreTable]] op-for-op.
+    */
+  private def dsirSql(popWhere: String, tgtPred: String): String =
+    s"""WITH RECURSIVE
+        pop AS (SELECT * FROM documents $popWhere),
+        nrm AS (SELECT doc_id, $norm AS t FROM pop),
+        grams AS (
+          SELECT doc_id, i, SUBSTR(t, i, 4) AS gm
+          FROM nrm, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - 3)) AS i) u
+          WHERE LEN(t) >= 4),
+        tokh AS (SELECT doc_id * 1000000 + i AS tid, doc_id, HEX(ENCODE(gm)) AS hx
+                 FROM grams),
+        ${HashOracleSql.fnvFmixCtes},
+        bkt AS (SELECT t.doc_id, CAST(s.x % 1024 AS INT) AS b
+                FROM sig s JOIN tokh t USING (tid)),
+        rawc AS (SELECT b, COUNT(*) AS cr FROM bkt GROUP BY b),
+        tgtc AS (SELECT b.b, COUNT(*) AS ct
+                 FROM bkt b JOIN pop d USING (doc_id)
+                 WHERE $tgtPred GROUP BY b.b),
+        tots AS (SELECT
+            (SELECT COUNT(*) FROM bkt b JOIN pop d USING (doc_id)
+             WHERE $tgtPred) AS ctot,
+            (SELECT COUNT(*) FROM bkt) AS rtot),
+        sc AS (SELECT r.b,
+                 CAST(ROUND((LN(COALESCE(t.ct, 0) + 1) - LN(ctot + 1024)
+                             - LN(r.cr + 1) + LN(rtot + 1024)) * 1000000.0, 0)
+                      AS BIGINT) AS sc
+               FROM rawc r LEFT JOIN tgtc t USING (b) CROSS JOIN tots),
+        dots AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(sc) AS w_micro
+                 FROM bkt JOIN sc USING (b) GROUP BY doc_id),
+        allw AS (SELECT d.doc_id, COALESCE(o.n_grams, 0) AS n_grams,
+                        CAST(COALESCE(o.w_micro, 0) AS BIGINT) AS w_micro
+                 FROM pop d LEFT JOIN dots o USING (doc_id)),
+        rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY w_micro DESC, doc_id) AS rn
+               FROM allw)
+        SELECT doc_id, n_grams, w_micro,
+               rn <= (SELECT CAST(CEIL(0.1 * COUNT(*)) AS BIGINT) FROM pop)
+                 AS selected
+        FROM rk ORDER BY doc_id"""
+
   private lazy val bigramNllCtes: String =
     s"""toks0 AS (SELECT doc_id, $toks AS t FROM documents),
               tokpos AS (

@@ -249,4 +249,53 @@ object SketchStream {
       drained.filter(col("item").isNotNull).select("item"),
       col("item"), phi, d, logW)
   }
+
+  /** DSIR's two-multinomial sufficient statistics ([[graft.operators
+    * .Dsir.bucketCounts]]) maintained as STREAMING STATE — the SIXTH
+    * mergeable-state family (bottom-k, CMS, KMV, OLS moments, decay
+    * scores, now hashed-gram count pairs): per hashed bucket the
+    * (target, raw) occurrence counts fold in Complete mode, and because
+    * the aggregate is plain sums the drained table is BIT-IDENTICAL to
+    * the single-shot batch count table over the same rows — batch
+    * boundaries invisible by the merge law, the q113/q128 discipline.
+    *
+    * This is the deployment shape for selection-as-a-service: the
+    * distribution state stays current as documents arrive; scoring any
+    * document is then [[graft.operators.Dsir.scoreTable]] (dim-bounded,
+    * frozen from the drained counts) plus one broadcast lookup pass —
+    * no corpus rescan. State is dim-bounded (one row per touched
+    * bucket), map-side-combined before the state-store exchange.
+    *
+    * Returns the drained (b, ct, cr) table. `target` marks the
+    * target-domain rows of the feed (must be derivable from feed
+    * columns — a stream cannot join the future).
+    */
+  def dsirCountsStreaming(
+      spark: SparkSession, feedDir: String, feedSchema: StructType,
+      outDir: String, target: org.apache.spark.sql.Column,
+      textCol: String = "text", n: Int = 4, dim: Int = 1024,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.normText
+    import graft.functions.expr.ClassifierFunctions.charGramBuckets
+    var reader = spark.readStream.schema(feedSchema)
+    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+    val state = reader.parquet(feedDir)
+      .select(target.as("is_tgt"),
+        explode(charGramBuckets(normText(col(textCol)), n, dim)).as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val q = state.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/state")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drainedState(spark, outDir, state.schema)
+  }
 }
