@@ -121,11 +121,20 @@ object TxTable {
   /** Snapshot-isolated read at `version` (default: latest). The plan is
     * one parquet scan over the live directories — indistinguishable
     * from a static table to every downstream operator.
+    *
+    * `mergeSchema = true` supports ADDITIVE schema evolution (a later
+    * append carrying new columns): the scan unions the live
+    * directories' schemas and rows from pre-evolution directories read
+    * the new columns as null — the Delta additive-evolution semantics.
+    * Default off: schema drift in a pipeline should be an explicit
+    * choice, not a silent widening.
     */
-  def snapshot(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+  def snapshot(spark: SparkSession, dir: String, version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val dirs = liveDirs(spark, dir, version)
     require(dirs.nonEmpty, "snapshot of a table whose live set is empty")
-    spark.read.parquet(dirs.map(d => s"$dir/$d"): _*)
+    val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    r.parquet(dirs.map(d => s"$dir/$d"): _*)
   }
 
   /** Attempt to publish `lines` as EXACTLY version `v`: one atomic
@@ -238,7 +247,10 @@ object TxTable {
   def delete(spark: SparkSession, dir: String, predicate: org.apache.spark.sql.Column): Long = {
     val readV = versions(spark, dir).last
     val before = liveDirs(spark, dir, Some(readV))
-    val survivors = spark.read.parquet(before.map(d => s"$dir/$d"): _*)
+    // rewrites always read schema-merged: a copy-on-write under additive
+    // evolution must carry every live column, never silently drop one
+    val survivors = spark.read.option("mergeSchema", "true")
+      .parquet(before.map(d => s"$dir/$d"): _*)
       .filter(!predicate)
     val rel = writeData(spark, dir, survivors)
     publishAt(spark, dir, readV + 1,
@@ -257,7 +269,9 @@ object TxTable {
     val readV = versions(spark, dir).last
     val before = liveDirs(spark, dir, Some(readV))
     if (before.size < 2) return None
-    val merged = spark.read.parquet(before.map(d => s"$dir/$d"): _*)
+    // schema-merged for the same reason as delete's rewrite
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(before.map(d => s"$dir/$d"): _*)
     val rel = writeData(spark, dir, merged)
     publishAt(spark, dir, readV + 1,
       Seq("op:compact", s"add:$rel") ++ before.map(d => s"remove:$d"))

@@ -105,6 +105,22 @@ class TxTableSpec extends SparkTestBase {
     assert(TxTable.vacuum(spark, dir, horizonMs = -1L) == Seq("data/orphan-crash"))
   }
 
+  test("additive schema evolution: a widened append reads back with nulls under mergeSchema") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 2))
+    TxTable.append(spark, dir, Seq((2L, 20L, "x")).toDF("id", "v", "tag"))
+    // default read refuses silent widening (parquet picks one schema);
+    // the explicit mergeSchema read unions: old rows carry null tags
+    val merged = TxTable.snapshot(spark, dir, mergeSchema = true)
+      .orderBy("id").collect()
+    assert(merged.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(merged.take(2).forall(_.isNullAt(merged.head.fieldIndex("tag"))))
+    assert(merged(2).getString(merged(2).fieldIndex("tag")) == "x")
+    // compaction under the merged schema preserves the snapshot
+    TxTable.compact(spark, dir)
+    assert(TxTable.snapshot(spark, dir, mergeSchema = true).count() == 3)
+  }
+
   test("vacuum retention: removed dirs outlive the horizon window, then time travel ends") {
     val dir = freshDir()
     TxTable.append(spark, dir, rows(0, 4))
