@@ -815,6 +815,32 @@ object TextQueries extends QueryFamily {
           n = 4, dim = 1024)
         .orderBy("doc_id")),
 
+    // C4-style LINE-level cleaning + page gate ([[graft.operators
+    // .C4Rules]], Raffel et al. JMLR 2020 §2.2) — the line-granularity
+    // rule family member beside doc-level Gopher (q124): terminal
+    // punctuation + min-words + no-javascript line rules, lorem-ipsum /
+    // curly-brace / min-kept-lines page rules. Corpus text is
+    // single-line, so the gate synthesizes deterministic multi-line
+    // pages (the q140 injection discipline): a javascript banner on
+    // doc_id % 4, the payload line, a punctuation-less "click here", a
+    // lorem-ipsum page-killer on % 7, a curly-brace page-killer on % 5
+    // — every rule fires on a known id set, both verdicts occur, and
+    // the page rule overriding a keepable lorem-ipsum LINE is exercised
+    "q216_c4_line_filter" -> ((s, dir) => {
+      val d = col("doc_id")
+      val dirty = concat_ws("\n",
+        when(d % 4 === 0, lit("You need Javascript enabled to continue."))
+          .otherwise(lit("This page renders fine without any scripts.")),
+        concat(coalesce(col("text"), lit("")), lit(".")),
+        lit("click here"),
+        when(d % 7 === 0, lit("lorem ipsum dolor sit amet.")),
+        when(d % 5 === 0, lit("function() return curly brace {")))
+      graft.operators.C4Rules.clean(
+          table(s, dir, "documents").select(d, dirty.as("page")),
+          textCol = "page")
+        .orderBy("doc_id")
+    }),
+
     // streaming DSIR ([[graft.streaming.SketchStream
     // .dsirCountsStreaming]], the SIXTH mergeable-state family): the
     // (target, raw) bucket-count pairs fold as Complete-mode state over
@@ -2031,6 +2057,42 @@ object TextQueries extends QueryFamily {
       // bucket), per-bucket micro-nat log-ratio in the identical IEEE
       // expression, per-doc weight an exact integer SUM, top-10% flag
       // by (weight desc, id)
+      // C4 line rules over the same synthesized pages: line-keep =
+      // terminal punct + >= 3 words + no 'javascript' (case-folded);
+      // page-keep = no 'lorem ipsum', no '{', >= 2 kept lines. Word
+      // count splits on single space keeping empties, both engines
+      "q216_c4_line_filter" ->
+        """WITH base AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN 'You need Javascript enabled to continue.'
+                    ELSE 'This page renders fine without any scripts.' END
+               || chr(10) || COALESCE(text, '') || '.'
+               || chr(10) || 'click here'
+               || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'function() return curly brace {' ELSE '' END
+               AS t
+             FROM documents),
+           ls AS (SELECT doc_id, t, STRING_SPLIT(t, chr(10)) AS l FROM base),
+           ln AS (SELECT doc_id, i, l[i] AS line
+                  FROM ls, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(l))) AS i) u),
+           keptl AS (SELECT doc_id, i, line FROM ln
+                     WHERE REGEXP_MATCHES(line, '[.!?"]$')
+                       AND LEN(STRING_SPLIT(TRIM(line), ' ')) >= 3
+                       AND NOT CONTAINS(LOWER(line), 'javascript')),
+           counts AS (SELECT doc_id, COUNT(*) AS n_lines FROM ln GROUP BY 1),
+           kc AS (SELECT doc_id, COUNT(*) AS n_kept,
+                         STRING_AGG(line, chr(10) ORDER BY i) AS clean
+                  FROM keptl GROUP BY 1)
+           SELECT b.doc_id,
+                  (NOT CONTAINS(LOWER(b.t), 'lorem ipsum')
+                   AND NOT CONTAINS(b.t, '{')
+                   AND COALESCE(k.n_kept, 0) >= 2) AS page_kept,
+                  c.n_lines,
+                  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept_lines,
+                  COALESCE(k.clean, '') AS clean_text
+           FROM base b JOIN counts c USING (doc_id)
+           LEFT JOIN kc k USING (doc_id)
+           ORDER BY doc_id""",
       "q214_dsir_selection" -> dsirSql("", "d.lang = 'en'"),
       // the streaming twin shares the identical algebra over the
       // increment population: the drained count table is bit-identical
