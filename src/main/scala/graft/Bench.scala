@@ -56,17 +56,26 @@ object Bench {
     (name >= "q20" && name < "q28") ||
       Set("q39", "q43", "q70", "q74", "q76", "q78", "q82", "q84", "q85",
         "q86", "q90", "q91", "q115", "q120", "q122", "q131",
-        "q137", "q138", "q139").contains(id)
+        "q137", "q138", "q139",
+        // r12/r13 candidate-heavy additions: cross-set decontamination,
+        // all-pairs TF-IDF, the fused bipartiteness propagation, the
+        // incremental materialization (q91-closure-dominated), trigram KN
+        "q148", "q152", "q203", "q209", "q212").contains(id)
   }
 
   /** Micro-batch Structured Streaming queries (checkpointed sinks).
     * Matched on the full query id, not a 3-char prefix — "q102".take(3)
     * is "q10", which silently dropped every 3-digit streaming query
     * (q100/q102/q113/q116) into the light group without its settle.
+    * Membership re-audited r13 (grep for readStream/`Stream.` callers):
+    * the r12 additions q151/q156/q165/q179/q205 had drifted into the
+    * light group without their settle.
     */
   private def isStreaming(name: String): Boolean =
     Set("q36", "q38", "q44", "q47", "q49", "q57", "q64", "q83", "q92", "q95",
-      "q100", "q102", "q113", "q116", "q128").contains(name.takeWhile(_ != '_'))
+      "q100", "q102", "q113", "q116", "q128",
+      "q151", "q156", "q165", "q179", "q205", "q213", "q215")
+      .contains(name.takeWhile(_ != '_'))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
