@@ -321,10 +321,45 @@ object Spans {
     stripByHits(increment, hits, k, idCol, textCol)
   }
 
+  /** CROSS-SET span EXCISION — decontamination by REMOVAL: strip from
+    * every `docs` row each >= k-token window that occurs anywhere in
+    * `contaminated` (the eval/benchmark set), leaving the rest of the
+    * document intact. The excision complement of the REJECTION-shaped
+    * decontamination family (q76 flags overlap fractions, q148 drops
+    * whole near-dup docs): when a training document merely QUOTES an
+    * eval item, dropping the document wastes its clean text — a real
+    * pipeline cuts the quoted span and keeps the rest (the Lee et al.
+    * ACL'22 excision applied cross-set). No ownership rule: EVERY
+    * match strips, including single occurrences — eval text has no
+    * legitimate keeper inside a training corpus.
+    *
+    * Output: the [[stripRepeatedSpans]] shape — (idCol, n_tokens,
+    * n_removed, clean_text) for every `docs` row.
+    *
+    * Scale shape: the eval side contributes only its DISTINCT window
+    * hashes (eval-set-bounded — benchmarks are tiny next to a corpus),
+    * broadcast into the train side's window join; the train side pays
+    * one kernel pass + the id-keyed interval merge, never a
+    * corpus-vs-corpus surface.
+    */
+  def stripMatching(
+      spark: SparkSession, docs: DataFrame, contaminated: DataFrame,
+      k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, "a span of fewer than 2 tokens is a stopword, not contamination")
+    val evalHashes = explodeWindows(
+        windowPass(contaminated, idCol, textCol, k))
+      .select("h").distinct()
+    val hits = explodeWindows(windowPass(docs, idCol, textCol, k))
+      .join(broadcast(evalHashes), Seq("h"))
+      .select("id", "pos")
+    stripByHits(docs, hits, k, idCol, textCol)
+  }
+
   /** (id, pos) removal hits -> per-document stripped text: maximal
     * k-wide interval merge, then a pure per-row indexed-array filter of
-    * the re-tokenized text (shared by [[stripRepeatedSpans]] and
-    * [[stripIncrement]] so the normalization contract cannot drift).
+    * the re-tokenized text (shared by [[stripRepeatedSpans]],
+    * [[stripIncrement]] and [[stripMatching]] so the normalization
+    * contract cannot drift).
     */
   private def stripByHits(
       docs: DataFrame, hits: DataFrame, k: Int,

@@ -538,6 +538,39 @@ object DedupQueries extends QueryFamily {
           s, stagedSpanIndexDir(s, dir), table(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // cross-set span EXCISION ([[graft.operators.Spans.stripMatching]]):
+    // decontamination by REMOVAL — every >= spanK-token window of the
+    // q76 eval set (doc_id % 25 == 0) is cut out of every training
+    // document, no ownership rule (eval text has no legitimate keeper
+    // in a training corpus); the rejection-shaped q76/q148 siblings
+    // flag or drop whole docs, this keeps the clean remainder. The
+    // corpus's natural cross-set overlap is thin (one doc at sf0.01),
+    // so contamination is PLANTED (the q148 discipline): every train
+    // doc with doc_id % 10 == 3 appends a 12-token QUOTE from a
+    // deterministic eval doc (id = 25·(doc_id % 20)) — a contiguous
+    // eval slice, so its >= spanK windows are guaranteed excised, and
+    // the clean prefix must survive. Eval contributes its DISTINCT
+    // window hashes (benchmark-bounded, broadcast); train pays one
+    // kernel pass + the id-keyed merge
+    "q217_decontaminate_excise" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evalD = docs.filter(col("doc_id") % evalMod === 0)
+      val quotes = evalD.select(
+        (col("doc_id") / evalMod).cast("long").as("qk"),
+        concat_ws(" ",
+          slice(graft.functions.TextFunctions.tokens(col("text")), 1, 12))
+          .as("quote"))
+      val train = docs.filter(col("doc_id") % evalMod =!= 0)
+        .withColumn("qk", pmod(col("doc_id"), lit(20L)))
+        .join(broadcast(quotes), Seq("qk"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 3,
+            concat_ws(" ", col("text"), col("quote")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Spans.stripMatching(s, train, evalD, k = spanK)
+        .orderBy("doc_id")
+    }),
+
     // within-source boilerplate audit: a window counts as repeated only
     // when >= 2 docs OF THE SAME SOURCE contain it (site chrome, license
     // headers, forum signatures are source-specific); reuses q82's staged
@@ -1353,6 +1386,59 @@ object DedupQueries extends QueryFamily {
         ORDER BY t.doc_id"""
   }
 
+  /** q217's cross-set excision twin: the q86 strip algebra with the
+    * ownership rule replaced by eval-set membership — a train window
+    * strips iff its string occurs in ANY eval doc.
+    */
+  private val exciseSql: String = {
+    val gram = (0 until spanK).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""WITH toks0 AS (
+          SELECT doc_id,
+                 STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        equotes AS (
+          SELECT doc_id // $evalMod AS qk, ARRAY_TO_STRING(t[1:12], ' ') AS quote
+          FROM toks0 WHERE doc_id % $evalMod = 0),
+        train AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 10 = 3 THEN CONCAT_WS(' ', d.text, q.quote)
+                      ELSE d.text END AS text
+          FROM documents d LEFT JOIN equotes q ON q.qk = d.doc_id % 20
+          WHERE d.doc_id % $evalMod <> 0),
+        toks AS (
+          SELECT doc_id,
+                 STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM train),
+        w AS (
+          SELECT doc_id, i AS pos, $gram AS sh
+          FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${spanK - 1})) AS i) u
+          WHERE LEN(t) >= $spanK),
+        ev AS (
+          SELECT DISTINCT $gram AS sh
+          FROM toks0, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - ${spanK - 1})) AS i) u
+          WHERE doc_id % $evalMod = 0 AND LEN(t) >= $spanK),
+        hits AS (SELECT w.doc_id, w.pos FROM w JOIN ev USING (sh)),
+        removed AS (
+          SELECT DISTINCT doc_id, pos + off AS tpos
+          FROM hits, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, ${spanK - 1})) AS off) o),
+        tok AS (
+          SELECT doc_id, i AS tpos, t[i] AS token
+          FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t))) AS i) u),
+        kept AS (
+          SELECT k.doc_id, k.tpos, k.token FROM tok k
+          WHERE NOT EXISTS (SELECT 1 FROM removed r
+                            WHERE r.doc_id = k.doc_id AND r.tpos = k.tpos)),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 STRING_AGG(token, ' ' ORDER BY tpos) AS clean_text
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, CAST(LEN(t.t) AS BIGINT) AS n_tokens,
+               CAST(LEN(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        ORDER BY t.doc_id"""
+  }
+
   /** q22's FULL DuckDB twin — not just the verification half. DuckDB
     * recomputes the SimHash signatures bit-exactly via the shared
     * [[HashOracleSql]] FNV-1a+fmix64 chain, then mirrors the engine's
@@ -1853,6 +1939,7 @@ object DedupQueries extends QueryFamily {
       repeatedSpansSql(where = s"t.doc_id >= $corpusSplit"),
     "q85_boilerplate_by_source" -> repeatedSpansSql(grouped = true),
     "q86_strip_repeated_spans" -> stripSpansSql,
+    "q217_decontaminate_excise" -> exciseSql,
     "q74_train_split" -> splitSql,
     "q24_dedup_embedding" -> embeddingSql,
     "q25_dedup_embedding_lsh" -> embeddingSql,

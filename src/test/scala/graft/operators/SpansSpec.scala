@@ -147,6 +147,26 @@ class SpansSpec extends SparkTestBase {
     }
   }
 
+  test("stripMatching excises every eval-matching window, no ownership rule") {
+    CacheScope.scoped {
+      val evalD = Seq((100L, "e1 e2 e3 f1 f2 f3")).toDF("doc_id", "text")
+      val train = Seq(
+        (1L, "a1 a2 e1 e2 e3 a3"),   // quotes an eval 3-window -> excised
+        (2L, "e1 e2 e3"),             // the WHOLE doc is eval text -> ''
+        (3L, "b1 e1 e2 b2 b3 b4"),    // only a 2-token eval overlap: < k, kept
+        (4L, "c1 c2 c3 c4")           // clean
+      ).toDF("doc_id", "text")
+      val got = Spans.stripMatching(spark, train, evalD, k = 3)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+      assert(got == Seq(
+        (1L, 3L, "a1 a2 a3"),
+        (2L, 3L, ""),
+        (3L, 0L, "b1 e1 e2 b2 b3 b4"),
+        (4L, 0L, "c1 c2 c3 c4")))
+    }
+  }
+
   test("null tokens yield null elements at their positions, not shifted hashes") {
     val arr = array(lit("a"), lit(null).cast("string"), lit("b"), lit("c"))
     val row = Seq(1).toDF("i").select(
