@@ -138,12 +138,24 @@ object TxTable {
   }
 
   /** Attempt to publish `lines` as EXACTLY version `v`: one atomic
-    * rename is the commit point; a lost race throws [[CommitConflict]].
-    * Read-dependent commits call this with their READ version + 1, so
-    * the conflict check is "nothing committed since I read" — landing
-    * on any later number instead would silently apply a rewrite derived
-    * from a stale snapshot (write skew: a concurrent append's rows
-    * would dodge a delete's predicate).
+    * PUT-IF-ABSENT is the commit point; a lost race throws
+    * [[CommitConflict]]. Read-dependent commits call this with their
+    * READ version + 1, so the conflict check is "nothing committed
+    * since I read" — landing on any later number instead would silently
+    * apply a rewrite derived from a stale snapshot (write skew: a
+    * concurrent append's rows would dodge a delete's predicate).
+    *
+    * The put-if-absent primitive is SCHEME-DEPENDENT — the same split
+    * the Delta protocol documents: on HDFS-like filesystems `rename`
+    * refuses an existing destination, so rename IS put-if-absent; on a
+    * LOCAL (POSIX) filesystem rename OVERWRITES the destination
+    * atomically — two racing claimers would both "succeed" and one
+    * commit would vanish (the concurrent-writer hammer spec caught
+    * exactly this) — so the claim is a HARD LINK instead, which POSIX
+    * link(2) refuses atomically when the destination exists, making the
+    * complete tmp content appear at the version name in one operation.
+    * (An object store without atomic put-if-absent needs an external
+    * coordinator — the documented Delta-on-S3 limitation, out of scope.)
     */
   private[sources] def publishAt(spark: SparkSession, dir: String, v: Long,
       lines: Seq[String]): Unit = {
@@ -155,11 +167,21 @@ object TxTable {
     try out.write((lines :+ "").mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(log, versionName(v))
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
+    val claimed =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(dst) && fs.rename(tmp, dst)
+    if (fs.getScheme == "file" || !claimed) fs.delete(tmp, false)
+    if (!claimed)
       throw new CommitConflict(
         s"version $v was claimed concurrently; re-read the tip and re-derive")
-    }
   }
 
   /** Publish `lines` at the next free version, retrying past lost races

@@ -105,6 +105,34 @@ class TxTableSpec extends SparkTestBase {
     assert(TxTable.vacuum(spark, dir, horizonMs = -1L) == Seq("data/orphan-crash"))
   }
 
+  test("concurrent-writer hammer: racing appends all land, versions stay contiguous") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 1))
+    // 8 threads race 3 appends each through the rename-claim protocol;
+    // every loser must retry onto the next number, so afterwards the
+    // log is a contiguous 1..25 with all 25 payloads exactly once
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val tasks = (0 until 8).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try (0 until 3).foreach { i =>
+              val base = 100L * (t * 3 + i + 1)
+              TxTable.append(spark, dir, rows(base, base + 2))
+            } catch { case e: Throwable => failures.add(e) }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(failures.isEmpty, s"append must never fail under racing: ${failures.peek()}")
+    assert(TxTable.versions(spark, dir) == (1L to 25L))
+    val got = ids(TxTable.snapshot(spark, dir))
+    val want = (0L until 1L) ++
+      (1 to 24).flatMap(j => Seq(100L * j, 100L * j + 1))
+    assert(got == want.sorted, s"expected all 25 payloads exactly once")
+  }
+
   test("additive schema evolution: a widened append reads back with nulls under mergeSchema") {
     val dir = freshDir()
     TxTable.append(spark, dir, rows(0, 2))
