@@ -36,9 +36,12 @@ object C4Rules {
       textCol: String = "text", minLineWords: Int = 3,
       minLines: Int = 2): DataFrame = {
     val lines = split(col(textCol), "\n")
+    // \s+ split: a run of spaces/tabs is ONE separator, so "a  b." counts
+    // 2 words — the C4 paper's whitespace-word semantics (r13 advice; a
+    // single-space split counted the empties between consecutive spaces)
     def lineKept(l: Column): Column =
       l.rlike("[.!?\"]$") &&
-        size(split(trim(l), " ")) >= minLineWords &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
         !lower(l).contains("javascript")
     val kept = filter(lines, lineKept _)
     docs.select(

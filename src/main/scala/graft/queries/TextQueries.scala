@@ -2060,7 +2060,8 @@ object TextQueries extends QueryFamily {
       // C4 line rules over the same synthesized pages: line-keep =
       // terminal punct + >= 3 words + no 'javascript' (case-folded);
       // page-keep = no 'lorem ipsum', no '{', >= 2 kept lines. Word
-      // count splits on single space keeping empties, both engines
+      // count splits on WHITESPACE RUNS (\s+), both engines — the C4
+      // paper's word semantics (r13 advice)
       "q216_c4_line_filter" ->
         """WITH base AS (
              SELECT doc_id,
@@ -2077,7 +2078,7 @@ object TextQueries extends QueryFamily {
                   FROM ls, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(l))) AS i) u),
            keptl AS (SELECT doc_id, i, line FROM ln
                      WHERE REGEXP_MATCHES(line, '[.!?"]$')
-                       AND LEN(STRING_SPLIT(TRIM(line), ' ')) >= 3
+                       AND LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(line), '\s+')) >= 3
                        AND NOT CONTAINS(LOWER(line), 'javascript')),
            counts AS (SELECT doc_id, COUNT(*) AS n_lines FROM ln GROUP BY 1),
            kc AS (SELECT doc_id, COUNT(*) AS n_kept,

@@ -81,6 +81,16 @@ object TxTable {
     "0" * (VersionWidth - s.length) + s
   }
 
+  /** The tip version, failing with the same message as [[liveDirs]] on
+    * an empty/uncommitted table (r13 advice: `versions(...).last` threw
+    * a bare NoSuchElementException from the read-dependent commits).
+    */
+  private def tipVersion(spark: SparkSession, dir: String): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"not a committed TxTable: $dir")
+    vs.last
+  }
+
   /** Committed versions, ascending; empty for a fresh/absent table. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val (fs, root) = fsFor(spark, dir)
@@ -267,7 +277,7 @@ object TxTable {
     * (its rewrite would not cover the newcomer's rows).
     */
   def delete(spark: SparkSession, dir: String, predicate: org.apache.spark.sql.Column): Long = {
-    val readV = versions(spark, dir).last
+    val readV = tipVersion(spark, dir)
     val before = liveDirs(spark, dir, Some(readV))
     // rewrites always read schema-merged: a copy-on-write under additive
     // evolution must carry every live column, never silently drop one
@@ -288,7 +298,7 @@ object TxTable {
     * [[vacuum]]. No-op (returns None) with fewer than two live dirs.
     */
   def compact(spark: SparkSession, dir: String): Option[Long] = {
-    val readV = versions(spark, dir).last
+    val readV = tipVersion(spark, dir)
     val before = liveDirs(spark, dir, Some(readV))
     if (before.size < 2) return None
     // schema-merged for the same reason as delete's rewrite

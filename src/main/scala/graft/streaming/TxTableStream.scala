@@ -44,9 +44,17 @@ object TxTableStream {
   def ingestBatch(batch: DataFrame, batchId: Long, tableDir: String,
       writerId: String, compactEvery: Int = 0): Unit = {
     val s = batch.sparkSession
-    TxTable.appendTxn(s, tableDir, batch, writerId, batchId)
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      TxTable.compact(s, tableDir)
+    val committed = TxTable.appendTxn(s, tableDir, batch, writerId, batchId)
+    // Compaction is BEST-EFFORT layout work (snapshot-neutral by the
+    // table contract): a concurrent writer landing between its read and
+    // publish aborts it with CommitConflict, which must not fail the
+    // streaming query — skip and let a later interval retry (r13
+    // advice). A REPLAYED batch (appendTxn → None) skips it outright:
+    // the original attempt already ran it, and replays must be
+    // metadata-only.
+    if (committed.isDefined && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      try TxTable.compact(s, tableDir)
+      catch { case _: TxTable.CommitConflict => () }
   }
 
   /** Drain `feedDir` into the table at `tableDir`; returns the tip

@@ -49,6 +49,14 @@ class C4RulesSpec extends SparkTestBase {
     assert(got(2L)._1)
   }
 
+  test("word count splits on whitespace RUNS: multi-space/tab gaps are one separator") {
+    val got = run(Seq(
+      (1L, "a  b."),                       // 2 true words, NOT 3 — dropped
+      (2L, "one \t two   three words here."))) // tabs + runs: 5 words — kept
+    assert(got(1L)._3 == 0L, "double-space two-word line must not pass the 3-word floor")
+    assert(got(2L)._3 == 1L && got(2L)._4 == "one \t two   three words here.")
+  }
+
   test("the operator is scan-shaped: no exchange in the plan") {
     val plan = C4Rules.clean(Seq((1L, "x.")).toDF("doc_id", "text"))
       .queryExecution.executedPlan.toString
