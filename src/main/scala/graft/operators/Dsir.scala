@@ -33,8 +33,10 @@ import graft.functions.expr.ClassifierFunctions.charGramBuckets
   * pinned (feeds the raw counts, the target counts, and the scoring
   * join); both count tables and the score table are dim-bounded, the
   * score join BROADCASTS; the close is one doc-keyed map-side-combined
-  * sum. Selection takes the top ⌈fraction·N⌉ by (weight desc, id) via
-  * a distributed take-ordered — never a global single-partition sort.
+  * sum. Selection of the top ⌈fraction·N⌉ by (weight desc, id) is a
+  * bounded-histogram WEIGHT THRESHOLD + map-side flag
+  * ([[flagByThreshold]]) — never a take-ordered limit or a global
+  * single-partition sort, so the fraction path survives k past 2³¹.
   */
 object Dsir {
 
@@ -114,25 +116,76 @@ object Dsir {
       idCol, textCol, n, dim)
 
   /** [[importanceWeights]] + selection flag: the top ⌈fraction·N⌉
-    * documents by (w_micro desc, id asc). The cutoff set materializes
-    * through a distributed take-ordered (k ids to the driver — k is
-    * selection-budget-sized by the sampler contract, the q75/q112
-    * bounded-k discipline), then flags ride a semi-join back.
+    * documents by (w_micro desc, id asc). k here is CORPUS-PROPORTIONAL
+    * (the DSIR paper's usage: fraction·N can be billions), so the
+    * selection is [[flagByThreshold]] — a bounded-histogram weight
+    * cutoff + map-side flag, never a take-ordered limit (the r13
+    * verdict's scale finding: `orderBy(...).limit(k)` funnels k rows
+    * through one partition and `limit` overflows Int past 2³¹).
     */
   def selectTop(
       docs: DataFrame, targetPred: Column, fraction: Double,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 4, dim: Int = 1024): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction in (0, 1]")
-    val k = math.ceil(fraction * docs.count()).toLong
-    flagTop(importanceWeights(docs, targetPred, idCol, textCol, n, dim), k, idCol)
+    val w = CacheScope.pin(
+      importanceWeights(docs, targetPred, idCol, textCol, n, dim),
+      StorageLevel.MEMORY_AND_DISK)
+    flagByThreshold(w, math.ceil(fraction * w.count()).toLong, idCol)
+  }
+
+  /** Flag EXACTLY the top `k` rows of a weight frame by
+    * (w_micro desc, id asc) with NO row set larger than a 2^16-bucket
+    * histogram ever leaving the executors:
+    *
+    *   1. the k-th largest weight ([[OrderStat.kthLargest]] — four
+    *      bounded-histogram passes) is the CUTOFF;
+    *   2. rows strictly above it are selected map-side;
+    *   3. the boundary residual r = k − |above| admits the r
+    *      smallest-id rows AT the cutoff — the id threshold is the same
+    *      bounded order statistic over the tie set.
+    *
+    * Output is bit-identical to `orderBy(w_micro desc, id).limit(k)`
+    * semantics for any k up to the row count — there is just no limit
+    * operator to overflow or single partition to funnel through.
+    * Requires an integer-typed unique `idCol` (the weight-frame
+    * contract: one row per document).
+    */
+  def flagByThreshold(weights: DataFrame, k: Long, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"selection budget must be >= 1, got $k")
+    val w = CacheScope.pin(weights, StorageLevel.MEMORY_AND_DISK)
+    val cut = OrderStat.rankStat(w, "w_micro", k, largest = true)
+    // rows to admit AT the cutoff weight; >= 1 because rank k IS cut.value
+    val residual = k - cut.beyond
+    val selected =
+      if (residual >= cut.atValue)
+        // every cutoff-weight row is in — the no-boundary-tie common
+        // case costs zero extra jobs (the walk already counted them)
+        col("w_micro") >= cut.value
+      else {
+        // a strict subset of the ties is admitted, smallest ids first —
+        // the id bound is again a bounded-histogram rank, over the
+        // tie-restricted (map-side filtered) pinned frame
+        val tieBound = OrderStat.kthSmallest(
+          w.filter(col("w_micro") === cut.value), idCol, residual)
+        col("w_micro") > cut.value ||
+          (col("w_micro") === cut.value && col(idCol) <= tieBound)
+      }
+    w.select(col(idCol), col("n_grams"), col("w_micro"), selected.as("selected"))
   }
 
   /** Flag the top `k` rows of a weight frame by (w_micro desc, id asc)
-    * — distributed take-ordered for the cutoff set (k ids to the
-    * driver, selection-budget-sized), flags ride a semi-join back.
+    * through a distributed take-ordered: k ids land on the driver, so
+    * this is ONLY for BOUNDED k — a fixed selection budget or an
+    * increment-bounded batch (the q75/q112/q215 discipline), never a
+    * corpus-proportional fraction (that path is [[flagByThreshold]],
+    * which [[selectTop]] uses). The require makes the contract a fast
+    * failure instead of a wrapped-negative `limit` at 2³¹ (r13 advice).
     */
   def flagTop(weights: DataFrame, k: Long, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && k <= Int.MaxValue,
+      s"flagTop is the BOUNDED-k path (driver-sized selection budgets); " +
+        s"got k=$k — corpus-proportional selection must use flagByThreshold")
     val w = CacheScope.pin(weights, StorageLevel.MEMORY_AND_DISK)
     val top = w.orderBy(col("w_micro").desc, col(idCol)).limit(k.toInt)
       .select(col(idCol), lit(true).as("selected"))

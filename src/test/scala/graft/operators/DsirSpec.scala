@@ -87,4 +87,50 @@ class DsirSpec extends SparkTestBase {
       assert(sel == wantSel.contains(id), s"doc $id")
     }
   }
+
+  test("threshold flagging == take-ordered flagging at every k, ties included") {
+    // duplicated texts ⇒ identical weights crossing the boundary: the
+    // id tie-break must pick the SMALLEST ids at the cutoff weight
+    val tied = Seq(
+      (10L, true, "the party of the first part shall indemnify the party"),
+      (11L, false, "copy of a copy of a copy sits here verbatim."),
+      (12L, false, "copy of a copy of a copy sits here verbatim."),
+      (13L, false, "copy of a copy of a copy sits here verbatim."),
+      (14L, false, "copy of a copy of a copy sits here verbatim."),
+      (15L, false, "9x7 q2z 8w1 v5k 3j6 p0m 4h8 r2t"),
+      (16L, false, "")
+    ).toDF("doc_id", "is_tgt", "text")
+    CacheScope.scoped {
+      val w = Dsir.importanceWeights(tied, col("is_tgt"))
+      (1L to 7L).foreach { k =>
+        val a = Dsir.flagByThreshold(w, k).collect()
+          .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+        val b = Dsir.flagTop(w, k).collect()
+          .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+        assert(a == b, s"k=$k: threshold $a vs take-ordered $b")
+        assert(a.values.count(identity) == k.toInt, s"k=$k selects exactly k")
+      }
+    }
+  }
+
+  test("the threshold selection plan has no take-ordered / limit / global sort") {
+    // the only single-partition exchange allowed anywhere in the DSIR
+    // chain is the dim-bounded 1-row totals aggregate; the SELECTION
+    // itself must be a map-side comparison — no limit, no sort
+    CacheScope.scoped {
+      val plan = Dsir.selectTop(corpus, col("is_tgt"), fraction = 0.5)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("TakeOrderedAndProject"), plan)
+      assert(!plan.contains("GlobalLimit"), plan)
+      assert(!plan.contains("CollectLimit"), plan)
+      assert(!plan.contains("Sort "), plan)
+    }
+  }
+
+  test("flagTop (the bounded-k path) fails fast past Int.MaxValue instead of wrapping") {
+    val w = Dsir.importanceWeights(corpus, col("is_tgt"))
+    intercept[IllegalArgumentException] {
+      Dsir.flagTop(w, Int.MaxValue.toLong + 1)
+    }
+  }
 }
