@@ -32,9 +32,11 @@ import graft.sources.TxTable
   * per batch.
   *
   * Scale shape: per batch one batch-sized parquet write + one driver
-  * rename; the table's log grows one small file per batch (bounded by
-  * compaction in spirit — a production deployment also checkpoints the
-  * log, out of scope here); nothing ever rewrites prior data.
+  * put-if-absent; the table's log grows one small file per batch, but
+  * reads stay bounded — every CheckpointEvery-th commit publishes a log
+  * CHECKPOINT, so a month-old one-commit-per-batch ingest replays a
+  * bounded tail, not its whole history; nothing ever rewrites prior
+  * data.
   */
 object TxTableStream {
 

@@ -149,6 +149,133 @@ class TxTableSpec extends SparkTestBase {
     assert(TxTable.snapshot(spark, dir, mergeSchema = true).count() == 3)
   }
 
+  test("checkpoints bound read work: replay starts at the latest ckpt <= the read version") {
+    val dir = freshDir()
+    (0 until 18).foreach(i => TxTable.append(spark, dir, rows(i * 2, i * 2 + 2)))
+    val log = java.nio.file.Paths.get(dir, "_log")
+    assert(java.nio.file.Files.exists(log.resolve("0" * 19 + "8.ckpt")))
+    assert(java.nio.file.Files.exists(log.resolve("0" * 18 + "16.ckpt")))
+    // tip read seeds from v16; mid-history from v8; pre-checkpoint from scratch
+    assert(TxTable.replayBase(spark, dir) == 16L)
+    assert(TxTable.replayBase(spark, dir, Some(12L)) == 8L)
+    assert(TxTable.replayBase(spark, dir, Some(7L)) == 0L)
+    // content identical on both sides of every checkpoint boundary
+    assert(ids(TxTable.snapshot(spark, dir)) == (0L until 36L))
+    assert(ids(TxTable.snapshot(spark, dir, Some(8L))) == (0L until 16L))
+    assert(ids(TxTable.snapshot(spark, dir, Some(7L))) == (0L until 14L))
+    // checkpoints are ADDITIVE: every log entry still present
+    assert(TxTable.versions(spark, dir) == (1L to 18L))
+  }
+
+  test("checkpoints carry removes and the txn ledger across the boundary") {
+    val dir = freshDir()
+    (0 until 6).foreach(i =>
+      TxTable.appendTxn(spark, dir, rows(i * 2, i * 2 + 2), "w", i.toLong))
+    TxTable.delete(spark, dir, col("id") < 4) // v7 removes rows 0..3
+    TxTable.appendTxn(spark, dir, rows(100, 102), "w", 6L) // v8 → checkpoint
+    assert(TxTable.replayBase(spark, dir) == 8L)
+    // the ledger survives the checkpoint seed (replay never revisits v1..v8)
+    assert(TxTable.lastTxn(spark, dir, "w").contains(6L))
+    assert(TxTable.appendTxn(spark, dir, rows(999, 1000), "w", 6L).isEmpty,
+      "a replayed txn id must be skipped when the ledger comes from a checkpoint")
+    // the delete's removes survive the checkpoint seed
+    assert(ids(TxTable.snapshot(spark, dir)) ==
+      ((4L until 12L) ++ Seq(100L, 101L)).sorted)
+  }
+
+  test("stats + snapshotRange: non-overlapping directories are pruned from the scan") {
+    val dir = freshDir()
+    (0 until 5).foreach { i =>
+      TxTable.append(spark, dir, rows(i * 100, i * 100 + 10), statsCols = Seq("id"))
+    }
+    val full = TxTable.snapshot(spark, dir)
+    val ranged = TxTable.snapshotRange(spark, dir, "id", 105L, 210L)
+    // result == unpruned scan + filter …
+    assert(ids(ranged) == ids(full.filter(col("id") >= 105 && col("id") <= 210)))
+    // … but the scan only reads the 2 overlapping directories of 5
+    assert(full.inputFiles.length > ranged.inputFiles.length)
+    val liveWithStats = TxTable.liveDirStats(spark, dir)
+    assert(liveWithStats.size == 5 && liveWithStats.values.forall(_.contains("id")))
+    val keptDirs = ranged.inputFiles.flatMap(f =>
+      "data/[^/]+".r.findFirstIn(f)).distinct
+    assert(keptDirs.length == 2, s"expected 2 surviving dirs, got ${keptDirs.toSeq}")
+  }
+
+  test("stats are optional and safe: a statless directory is never pruned") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 10), statsCols = Seq("id"))
+    TxTable.append(spark, dir, rows(500, 510)) // no stats recorded
+    val ranged = TxTable.snapshotRange(spark, dir, "id", 505L, 506L)
+    assert(ids(ranged) == Seq(505L, 506L),
+      "rows in the statless dir must survive pruning")
+    // a fully out-of-range request over all-stats dirs returns empty
+    val none = TxTable.snapshotRange(spark, dir, "id", 9000L, 9999L)
+    assert(none.count() == 0L)
+  }
+
+  test("merge: CDC upsert/delete lands as one copy-on-write commit, history intact") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 6)) // (id, v = id*10)
+    val log = Seq(
+      (1L, 999L, "U", 1L, 1L),  // update id 1
+      (2L, 111L, "U", 1L, 1L),  // first write for id 2 …
+      (2L, 222L, "U", 2L, 1L),  // … superseded: later ts wins
+      (3L, 0L,   "D", 1L, 1L),  // delete id 3
+      (50L, 500L, "U", 1L, 1L)  // insert a key the table lacks
+    ).toDF("id", "v", "op", "ts", "seq")
+    val v = TxTable.merge(spark, dir, log,
+      keyCols = Seq("id"), orderCols = Seq("ts", "seq"))
+    assert(v == 2L)
+    val got = TxTable.snapshot(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 999L, 2L -> 222L, 4L -> 40L, 5L -> 50L, 50L -> 500L))
+    // pre-merge version still readable (copy-on-write, not in-place)
+    assert(ids(TxTable.snapshot(spark, dir, Some(1L))) == (0L until 6L))
+  }
+
+  test("merge hammer: racing merges/appends either land consistently or abort cleanly") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appended = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val mergedVs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    try {
+      val tasks = (0 until 8).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try {
+              if (t % 2 == 0) { // appenders: always land (retry path)
+                val base = 1000L * (t + 1)
+                TxTable.append(spark, dir, rows(base, base + 2))
+                appended.add(base)
+              } else { // mergers: land at read+1 or abort on conflict
+                val log = Seq((t.toLong % 4, 7777L, "U", 9L, t.toLong))
+                  .toDF("id", "v", "op", "ts", "seq")
+                try mergedVs.add(TxTable.merge(spark, dir, log,
+                  keyCols = Seq("id"), orderCols = Seq("ts", "seq")))
+                catch { case _: TxTable.CommitConflict => () } // legal outcome
+              }
+            } catch { case e: Throwable => unexpected.add(e) }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(unexpected.isEmpty, s"unexpected failure: ${unexpected.peek()}")
+    // versions contiguous; every successful append's rows present; no
+    // row duplicated or resurrected by a merge rewrite
+    val vs = TxTable.versions(spark, dir)
+    assert(vs == (1L to vs.size))
+    val got = ids(TxTable.snapshot(spark, dir))
+    assert(got == got.distinct, "a merge rewrite must never duplicate rows")
+    import scala.jdk.CollectionConverters._
+    appended.asScala.foreach { base =>
+      assert(got.contains(base.toLong) && got.contains(base.toLong + 1),
+        s"append at $base was lost by a racing merge rewrite")
+    }
+    assert((0L until 4L).forall(got.contains), "base keys survive merges")
+  }
+
   test("vacuum retention: removed dirs outlive the horizon window, then time travel ends") {
     val dir = freshDir()
     TxTable.append(spark, dir, rows(0, 4))
