@@ -34,7 +34,8 @@ object ParityQueries extends QueryFamily {
     "orders_fact_feed" -> (stagedOrdersFactFeedDir _),
     "scd2_dim" -> (stagedScd2DimDir _),
     "revenue_mv" -> (stagedRevenueMvDir _),
-    "txtable" -> (stagedTxTableDir _))
+    "txtable" -> (stagedTxTableDir _),
+    "txstats" -> (stagedTxStatsDir _))
 
   /** The five-version transactional table over `documents` (q210/q211):
     * three appends splitting by doc_id % 3, one compaction (live dirs
@@ -56,6 +57,55 @@ object ParityQueries extends QueryFamily {
       graft.sources.TxTable.delete(s, stage, col("doc_id") % 10 === 7)
       ()
     }
+
+  /** The ten-version STATS table over `documents` (q219): one append
+    * per doc_id DECILE with `statsCols = Seq("doc_id")`, so every live
+    * directory carries a tight disjoint min/max range — a range read
+    * must prune provably, and the build crosses the CheckpointEvery=8
+    * boundary, so the driver path also reads through a log checkpoint.
+    */
+  private def stagedTxStatsDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_txstats", Seq(s"$dir/documents.parquet"),
+      "decile-appends:stats-docid:v1", "_log/" + "0" * 18 + "10") { stage =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val n = docs.count()
+      (0 until 10).foreach { i =>
+        val lo = i * n / 10
+        val hi = if (i == 9) n else (i + 1) * n / 10
+        graft.sources.TxTable.append(s, stage,
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          statsCols = Seq("doc_id"))
+      }
+      ()
+    }
+
+  /** The q168 CDC orders log (upserts, deterministic deletes, a planted
+    * insert branch) — shared by the parquet-level merge (q168) and the
+    * transactional-table merge commit (q218), so the two answers must
+    * agree by construction.
+    */
+  private def cdcOrdersLog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val baseLog = o.filter($"o_custkey" % 5 =!= 0).select(
+      $"o_custkey".cast("long").as("k"),
+      when($"o_orderkey" % 23 === 0, "D").otherwise("U").as("op"),
+      $"o_orderstatus".as("status"), $"o_orderpriority".as("priority"),
+      $"o_orderdate".as("ts"), $"o_orderkey".cast("long").as("seq"))
+    val insertLog = o.filter($"o_orderkey" % 101 === 0).select(
+      ($"o_custkey".cast("long") + 1000000L).as("k"), lit("U").as("op"),
+      $"o_orderstatus".as("status"), $"o_orderpriority".as("priority"),
+      $"o_orderdate".as("ts"), $"o_orderkey".cast("long").as("seq"))
+    baseLog.unionByName(insertLog)
+  }
+
+  private def cdcCustomerSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "customer").select(
+      $"c_custkey".cast("long").as("k"),
+      lit("BASE").as("status"), lit("NONE").as("priority"))
+  }
 
   /** The q01 star join for an arbitrary lineitem slice — shared by the
     * materialized-view corpus state and its delta (q101).
@@ -404,22 +454,42 @@ object ParityQueries extends QueryFamily {
     //      never logged) passing through unchanged. ----
     "q168_cdc_merge" -> ((s, dir) => {
       import s.implicits._
-      val snapshot = table(s, dir, "customer").select(
-        $"c_custkey".cast("long").as("k"),
-        lit("BASE").as("status"), lit("NONE").as("priority"))
-      val o = table(s, dir, "orders")
-      val baseLog = o.filter($"o_custkey" % 5 =!= 0).select(
-        $"o_custkey".cast("long").as("k"),
-        when($"o_orderkey" % 23 === 0, "D").otherwise("U").as("op"),
-        $"o_orderstatus".as("status"), $"o_orderpriority".as("priority"),
-        $"o_orderdate".as("ts"), $"o_orderkey".cast("long").as("seq"))
-      val insertLog = o.filter($"o_orderkey" % 101 === 0).select(
-        ($"o_custkey".cast("long") + 1000000L).as("k"), lit("U").as("op"),
-        $"o_orderstatus".as("status"), $"o_orderpriority".as("priority"),
-        $"o_orderdate".as("ts"), $"o_orderkey".cast("long").as("seq"))
-      graft.operators.Cdc.applyLog(snapshot, baseLog.unionByName(insertLog),
+      graft.operators.Cdc.applyLog(
+          cdcCustomerSnapshot(s, dir), cdcOrdersLog(s, dir),
           keyCols = Seq("k"), orderCols = Seq("ts", "seq"))
         .orderBy($"k")
+    }),
+
+    // ---- MERGE INTO the transactional table ([[graft.sources.TxTable
+    //      .merge]]): the q168 CDC log applied as ONE copy-on-write
+    //      commit at read-version + 1 (conflict = abort, the Delta
+    //      serializable-writer rule), then the answer read back through
+    //      the snapshot — the oracle is q168's statement, so the
+    //      parquet-level merge and the log-transacted merge must agree
+    //      row for row. ----
+    "q218_txtable_merge" -> ((s, dir) => {
+      import s.implicits._
+      val tdir = Scratch.freshDir(s, "q218tbl", dir)
+      graft.sources.TxTable.append(s, tdir, cdcCustomerSnapshot(s, dir))
+      graft.sources.TxTable.merge(s, tdir, cdcOrdersLog(s, dir),
+        keyCols = Seq("k"), orderCols = Seq("ts", "seq"))
+      graft.sources.TxTable.snapshot(s, tdir).orderBy($"k")
+    }),
+
+    // ---- DATA SKIPPING on the transactional table: the staged stats
+    //      table holds one doc_id-decile directory per append (min/max
+    //      recorded in the add action); [[graft.sources.TxTable
+    //      .snapshotRange]] prunes the non-overlapping directories
+    //      BEFORE the parquet scan plans (TxTableSpec pins the
+    //      inputFiles count), and the oracle is the unpruned algebra —
+    //      pruning must be invisible in the answer. The staged build's
+    //      10 commits also cross the CheckpointEvery=8 boundary, so
+    //      this read replays through a log checkpoint. ----
+    "q219_txtable_pruned_scan" -> ((s, dir) => {
+      val tdir = stagedTxStatsDir(s, dir)
+      val n = table(s, dir, "documents").count()
+      graft.sources.TxTable.snapshotRange(s, tdir, "doc_id", n / 5, 2 * n / 5)
+        .orderBy("doc_id")
     }),
 
     // ---- TRANSACTIONAL TABLE ([[graft.sources.TxTable]], the r12
@@ -1167,29 +1237,18 @@ object ParityQueries extends QueryFamily {
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority, l_returnflag
          ORDER BY o_orderpriority, l_returnflag""",
-    "q168_cdc_merge" ->
-      """WITH log AS (
-           SELECT CAST(o_custkey AS BIGINT) AS k,
-                  CASE WHEN o_orderkey % 23 = 0 THEN 'D' ELSE 'U' END AS op,
-                  o_orderstatus AS status, o_orderpriority AS priority,
-                  o_orderdate AS ts, CAST(o_orderkey AS BIGINT) AS seq
-           FROM orders WHERE o_custkey % 5 <> 0
-           UNION ALL
-           SELECT CAST(o_custkey AS BIGINT) + 1000000, 'U',
-                  o_orderstatus, o_orderpriority, o_orderdate,
-                  CAST(o_orderkey AS BIGINT)
-           FROM orders WHERE o_orderkey % 101 = 0),
-         win AS (
-           SELECT * FROM (
-             SELECT log.*, ROW_NUMBER() OVER
-               (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn FROM log)
-           WHERE rn = 1)
-         SELECT CAST(c_custkey AS BIGINT) AS k, 'BASE' AS status, 'NONE' AS priority
-         FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM win w WHERE w.k = customer.c_custkey)
-         UNION ALL
-         SELECT k, status, priority FROM win WHERE op = 'U'
-         ORDER BY k""",
+    "q168_cdc_merge" -> cdcMergeSql,
+    // the log-transacted merge must read back EXACTLY the parquet-level
+    // CDC answer: the oracle IS q168's statement
+    "q218_txtable_merge" -> cdcMergeSql,
+    // pruning must be invisible in the answer: the oracle is the plain
+    // unpruned range algebra over documents (integer-division bounds
+    // mirror the Spark side's Long arithmetic)
+    "q219_txtable_pruned_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id >= (SELECT COUNT(*) // 5 FROM documents)
+           AND doc_id <= (SELECT (2 * COUNT(*)) // 5 FROM documents)
+         ORDER BY doc_id""",
     "q174_part_copurchase_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
          SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS support
@@ -1456,6 +1515,34 @@ object ParityQueries extends QueryFamily {
     * `hist(o_custkey, o_orderstatus, version, valid_from, valid_to)` —
     * shared by q77/q79 (history dump) and q83 (as-of enrichment).
     */
+  /** The CDC last-writer-wins merge over the orders log — shared by
+    * q168 (parquet-level Cdc.applyLog) and q218 (the same log applied
+    * through a TxTable merge commit and read back via snapshot).
+    */
+  private lazy val cdcMergeSql: String =
+    """WITH log AS (
+         SELECT CAST(o_custkey AS BIGINT) AS k,
+                CASE WHEN o_orderkey % 23 = 0 THEN 'D' ELSE 'U' END AS op,
+                o_orderstatus AS status, o_orderpriority AS priority,
+                o_orderdate AS ts, CAST(o_orderkey AS BIGINT) AS seq
+         FROM orders WHERE o_custkey % 5 <> 0
+         UNION ALL
+         SELECT CAST(o_custkey AS BIGINT) + 1000000, 'U',
+                o_orderstatus, o_orderpriority, o_orderdate,
+                CAST(o_orderkey AS BIGINT)
+         FROM orders WHERE o_orderkey % 101 = 0),
+       win AS (
+         SELECT * FROM (
+           SELECT log.*, ROW_NUMBER() OVER
+             (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn FROM log)
+         WHERE rn = 1)
+       SELECT CAST(c_custkey AS BIGINT) AS k, 'BASE' AS status, 'NONE' AS priority
+       FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM win w WHERE w.k = customer.c_custkey)
+       UNION ALL
+       SELECT k, status, priority FROM win WHERE op = 'U'
+       ORDER BY k"""
+
   private lazy val scd2Ctes: String =
       """ordered AS (
            SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
