@@ -866,6 +866,33 @@ object TextQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // the SERVING half of streaming DSIR ([[graft.streaming.SketchStream
+    // .dsirScoreStreaming]], closing the q215 scaladoc's promised
+    // deployment shape): the score table freezes from the feed's batch
+    // counts (bit-identical to q215's drained counts by the plain-sum
+    // merge law), each micro-batch pays ONE broadcast lookup pass and
+    // commits its weight rows exactly-once into a TxTable via the txn
+    // ledger, and selection runs at serve time over the drained weight
+    // table (increment-bounded k). Per-document weights are
+    // batch-independent under a frozen score table, so the drained
+    // selection is IDENTICAL to the batch algebra — the oracle is
+    // q215's statement verbatim
+    "q220_dsir_select_stream" -> ((s, dir) => {
+      val feedDir = DedupQueries.stagedDocsFeedDir(s, dir)
+      val feedBatch = s.read.schema(DedupQueries.docsFeedSchema).parquet(feedDir)
+      val scores = graft.operators.Dsir.scoreTable(
+        graft.operators.Dsir.bucketCounts(
+          feedBatch, pmod(col("doc_id"), lit(2)) === 0),
+        dim = 1024)
+      val weights = graft.streaming.SketchStream.dsirScoreStreaming(
+        s, feedDir, DedupQueries.docsFeedSchema, scores,
+        Scratch.freshDir(s, "q220tbl", dir), Scratch.freshDir(s, "q220ckpt", dir),
+        maxFilesPerTrigger = Some(1))
+      val k = math.ceil(0.1 * weights.count()).toLong
+      graft.operators.Dsir.flagByThreshold(weights, k)
+        .orderBy("doc_id")
+    }),
+
     // TRIGRAM interpolated Kneser-Ney (the r12 verdict's documented
     // next rung): the full Chen & Goodman three-level recursion — raw
     // counts at the top, continuation counts at every lower order —
@@ -2101,6 +2128,11 @@ object TextQueries extends QueryFamily {
       // batch oracle restricted to the feed's rows with the feed's
       // derivable target marker
       "q215_dsir_counts_stream" ->
+        dsirSql("WHERE doc_id >= 250", "d.doc_id % 2 = 0"),
+      // the serving half scores per micro-batch against the FROZEN
+      // score table and selects at drain: weights are batch-independent,
+      // so the oracle is q215's statement verbatim
+      "q220_dsir_select_stream" ->
         dsirSql("WHERE doc_id >= 250", "d.doc_id % 2 = 0"),
       // trigram interpolated KN: raw counts at the top order,
       // continuation (type) counts below, every lower-order table an

@@ -298,4 +298,65 @@ object SketchStream {
     q.awaitTermination()
     drainedState(spark, outDir, state.schema)
   }
+
+  /** The SERVING half of streaming DSIR selection — the deployment
+    * shape [[dsirCountsStreaming]]'s scaladoc promises: the score table
+    * is FROZEN (from drained or batch counts — bit-identical by the
+    * plain-sum merge law), and each arriving micro-batch pays exactly
+    * one broadcast lookup pass ([[graft.operators.Dsir.weightsAgainst]])
+    * to score its documents, committing the batch's weight rows into a
+    * [[graft.sources.TxTable]] via the txn ledger — so an at-least-once
+    * replay adds ZERO duplicate weights (exactly-once, the q213
+    * discipline), and the accumulated weight table serves selection at
+    * any moment (score-on-arrival, select-at-serve: per-document
+    * weights are batch-independent because the score table is frozen,
+    * so the drained table's selection is IDENTICAL to the single-shot
+    * batch selection over the same rows).
+    *
+    * Returns the drained weight table snapshot (idCol, n_grams,
+    * w_micro); an empty feed yields an empty frame of that schema.
+    * Scale shape: per batch one batch-sized kernel scan + a dim-bounded
+    * broadcast + one transactional append; the corpus is never
+    * re-scanned and no state grows beyond the dim-bounded score table.
+    */
+  def dsirScoreStreaming(
+      spark: SparkSession, feedDir: String, feedSchema: StructType,
+      scores: DataFrame, tableDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 4, dim: Int = 1024,
+      writerId: String = "dsirscore",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // the frozen score table is dim-bounded: materialize it once so
+    // each micro-batch broadcasts from memory instead of recomputing
+    val frozen = scores.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    frozen.count()
+    try {
+      var reader = spark.readStream.schema(feedSchema)
+      maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+      val q = reader.parquet(feedDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val w = graft.operators.Dsir.weightsAgainst(
+            batch.select(col(idCol), col(textCol)), frozen, idCol, textCol, n, dim)
+          graft.sources.TxTable.appendTxn(spark, tableDir, w, writerId, batchId)
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally frozen.unpersist(blocking = false)
+    if (graft.sources.TxTable.versions(spark, tableDir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_grams",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("w_micro",
+            org.apache.spark.sql.types.LongType))))
+    else graft.sources.TxTable.snapshot(spark, tableDir)
+  }
 }
