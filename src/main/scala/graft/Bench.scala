@@ -46,6 +46,16 @@ import org.apache.spark.sql.SparkSession
   * `rerun_advised: true` + the rerun list, so the driver artifact stays
   * usable even in the end-of-round load window while flagging that the
   * uncontended BENCH_LOCAL sibling is the authoritative record.
+  *
+  * MID-RUN BURSTS (round-13 verdict #2): the r13 driver artifact read
+  * 7.48 s for a settled-0.28 s query with `contended: false` — a burst
+  * between the bracketing probes. Two additions: a calibration point
+  * every 10 heavy queries (mid-run load now lands in the same
+  * calibration record), and HISTORY-ANCHORED reruns — any query whose
+  * minimum exceeds 3x its best same-SF BENCH_HISTORY minimum gets one
+  * more same-window run before the artifact freezes, named in
+  * `history_rerun`. The stdout/BENCH_LOCAL lines carry
+  * `bench_schema: 2` so external parsers can detect the shape.
   */
 object Bench {
   /** Dedup/ANN queries pair-score candidates (the heavy tail); everything
@@ -192,7 +202,13 @@ object Bench {
       name -> spreadResolve(name, fn, noPre, Seq(run(name, fn), run(name, fn)))
     }
     calibs += calibPoint()
-    val heavyR = heavy.map { case (name, fn) =>
+    // MID-GROUP canaries (round-13 verdict #2): the start/boundary
+    // probes cannot see a load burst that arrives mid-way through the
+    // long heavy group — a probe every 10 heavy queries lands in the
+    // same calibration record, so mid-run contention flags the artifact
+    // exactly like start-window contention does.
+    val heavyR = heavy.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 10 == 0) calibs += calibPoint()
       name -> spreadResolve(name, fn, noPre, Seq(run(name, fn), run(name, fn)))
     }
     calibs += calibPoint()
@@ -229,6 +245,40 @@ object Bench {
         calibs += calibPoint()
         patched
       }
+    // HISTORY-ANCHORED RERUNS (round-13 verdict #2): the r13 driver
+    // artifact recorded 7.48 s for a query whose settled record is
+    // 0.28 s — a mid-run burst the bracketing probes missed, and the
+    // contended flag stayed false. The cross-round record is the one
+    // reference that doesn't share this window: any query whose minimum
+    // exceeds 3x its best same-SF BENCH_HISTORY minimum gets ONE more
+    // same-window run before the artifact freezes (capped at 15, named
+    // in the artifact so a reader sees which numbers were salvaged).
+    val historyMin: Map[String, Double] = {
+      val f = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+      if (!java.nio.file.Files.exists(f)) Map.empty
+      else {
+        val pat = """"(q\d+_[A-Za-z0-9_]*)":([0-9.]+)""".r
+        val acc = scala.collection.mutable.Map.empty[String, Double]
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(f)).asScala
+          .filter(_.contains(s""""sf":"$sfDir""""))
+          .foreach(line => pat.findAllMatchIn(line).foreach { m =>
+            val v = m.group(2).toDouble
+            acc(m.group(1)) = math.min(acc.getOrElse(m.group(1), Double.MaxValue), v)
+          })
+        acc.toMap
+      }
+    }
+    val historyReruns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val finalResults: Seq[(String, Seq[Double])] = results.map { case (name, v) =>
+      val suspect = historyMin.get(name)
+        .exists(h => h > 0.2 && v.min > 3.0 * h) // sub-200ms records are noise-floor
+      if (suspect && historyReruns.size < 15 && !errored.contains(name)) {
+        historyReruns += name
+        if (isStreaming(name)) settle()
+        name -> (v :+ run(name, SparkEntry.queries(name)))
+      } else name -> v
+    }
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jarr(names: Iterable[String]): String =
@@ -237,11 +287,11 @@ object Bench {
     // comma-decimal locale (de_DE) would emit unparseable JSON ('1,234')
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val calibJson = s"""{"values":${calibs.map(f3).mkString("[", ",", "]")},"contended":$contended,"settle_tries":$settleTries,"rerun_advised":$contended,"contention_rerun":${jarr(rerunNames)}}"""
+    val calibJson = s"""{"values":${calibs.map(f3).mkString("[", ",", "]")},"contended":$contended,"settle_tries":$settleTries,"rerun_advised":$contended,"contention_rerun":${jarr(rerunNames)},"history_rerun":${jarr(historyReruns)}}"""
     // per-query minima at 3 dp: the COMPLETE record in ~6 KB, printed
     // SECOND-TO-LAST (see the ordering note below)
-    val qs = jmap(results.map { case (k, v) => k -> f3(v.min) })
-    val total = results.map(_._2.min).sum
+    val qs = jmap(finalResults.map { case (k, v) => k -> f3(v.min) })
+    val total = finalResults.map(_._2.min).sum
     // LINE ORDER MATTERS (round-11 verdict #5, round-12 verdict #2):
     // the driver's capture keeps only a ~2000-char TAIL of stdout, and
     // 206 queries x ~30 chars ≈ 6 KB, so a final line carrying every
@@ -252,7 +302,7 @@ object Bench {
     // only the 10 slowest minima — guaranteed to survive the tail cut.
     // per-query raw runs (spread = contention visibility)
     val runsJson = s"""{"metric":"runs","unit":"sec","runs":${
-      jmap(results.map { case (k, v) => k -> v.mkString("[", ",", "]") })},"sf":"$sfDir","errors":${jarr(errored)},"calibration":$calibJson}"""
+      jmap(finalResults.map { case (k, v) => k -> v.mkString("[", ",", "]") })},"sf":"$sfDir","errors":${jarr(errored)},"calibration":$calibJson}"""
     println(runsJson)
     // untimed stage-build cost, itemized — rebuilds show up HERE, not in
     // a query's number; failed builds are NAMED, their near-zero time is
@@ -262,18 +312,18 @@ object Bench {
     println(stagesJson)
     // the COMPLETE per-query minima line, second-to-last: parseable when
     // the capture window is generous, expendable when it is not
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":${errored.size},"sf":"$sfDir","calibration":$calibJson}""")
+    println(s"""{"metric":"total_full","bench_schema":2,"value":$total,"unit":"sec","queries":$qs,"n_queries":${finalResults.size},"n_errors":${errored.size},"sf":"$sfDir","calibration":$calibJson}""")
     // the final, self-contained line (the driver contract's "ONE JSON
     // line"): compact by construction — top-10 slowest minima only
-    val top10 = jmap(results.sortBy(-_._2.min).take(10)
+    val top10 = jmap(finalResults.sortBy(-_._2.min).take(10)
       .map { case (k, v) => k -> f3(v.min) })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top10,"queries_are":"top10_slowest_minima","n_queries":${results.size},"n_errors":${errored.size},"sf":"$sfDir","calibration":$calibJson}""")
+    println(s"""{"metric":"total","bench_schema":2,"value":$total,"unit":"sec","queries":$top10,"queries_are":"top10_slowest_minima","n_queries":${finalResults.size},"n_errors":${errored.size},"sf":"$sfDir","calibration":$calibJson}""")
     // the COMPLETE per-query artifact, committed to the tree each round:
     // the driver's BENCH_r{N}.json tail-truncates the long runs line, so
     // regressions were not diffable without re-measuring (r8 verdict #5)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","calibration":$calibJson}\n$runsJson\n$stagesJson\n""")
+      s"""{"metric":"total","bench_schema":2,"value":$total,"unit":"sec","queries":$qs,"n_queries":${finalResults.size},"sf":"$sfDir","calibration":$calibJson}\n$runsJson\n$stagesJson\n""")
     // cross-round regression history: one (round-tagged) JSONL row per
     // bench run with the per-query minima — r9/r10/r11 local artifacts
     // each had a different shape, so cross-round comparisons needed one
@@ -281,7 +331,7 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_ROUND").foreach { round =>
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
-        s"""{"round":"$round","total":${f3(total)},"n_queries":${results.size},"contended":$contended,"sf":"$sfDir","queries":$qs}\n""",
+        s"""{"round":"$round","total":${f3(total)},"n_queries":${finalResults.size},"contended":$contended,"sf":"$sfDir","queries":$qs}\n""",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }

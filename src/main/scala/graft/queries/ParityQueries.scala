@@ -543,6 +543,37 @@ object ParityQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // ---- replaceWhere on the transactional table ([[graft.sources
+    //      .TxTable.replaceRange]]): four quarter-range appends with
+    //      doc_id stats, then one commit replaces [n/4, 3n/8] with the
+    //      same rows carrying n_chars + 1,000,000 — quarter 1/3/4
+    //      directories are stats-disjoint and stay UNTOUCHED (the
+    //      per-partition logical replace; TxTableSpec pins the
+    //      directory identities), quarter 2 is copy-on-write rewritten
+    //      to its out-of-range survivors. The oracle is the plain CASE
+    //      algebra over documents — the transactional layout must be
+    //      answer-invisible. ----
+    "q221_txtable_replace_range" -> ((s, dir) => {
+      val tdir = Scratch.freshDir(s, "q221tbl", dir)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      val n = docs.count()
+      (0 until 4).foreach { i =>
+        val lo = i * n / 4
+        val hi = if (i == 3) n else (i + 1) * n / 4
+        graft.sources.TxTable.append(s, tdir,
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          statsCols = Seq("doc_id"))
+      }
+      val (lo, hi) = (n / 4, 3 * n / 8)
+      graft.sources.TxTable.replaceRange(s, tdir,
+        docs.filter(col("doc_id") >= lo && col("doc_id") <= hi)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1000000L).as("n_chars")),
+        "doc_id", lo, hi, statsCols = Seq("doc_id"))
+      graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
+    }),
+
     // ---- A-priori level 3: frequent part TRIPLES enumerated through
     //      the frequent pairs ([[graft.operators.Apriori]]) — the
     //      pruning is exact by monotonicity, so the oracle brute-forces
@@ -1249,6 +1280,15 @@ object ParityQueries extends QueryFamily {
          WHERE doc_id >= (SELECT COUNT(*) // 5 FROM documents)
            AND doc_id <= (SELECT (2 * COUNT(*)) // 5 FROM documents)
          ORDER BY doc_id""",
+    // the transactional replace must be answer-invisible: plain CASE
+    // algebra, bounds in the same Long integer division as the Spark side
+    "q221_txtable_replace_range" ->
+      """SELECT doc_id, lang,
+                CAST(n_chars + CASE
+                  WHEN doc_id >= (SELECT COUNT(*) // 4 FROM documents)
+                   AND doc_id <= (SELECT (3 * COUNT(*)) // 8 FROM documents)
+                  THEN 1000000 ELSE 0 END AS BIGINT) AS n_chars
+         FROM documents ORDER BY doc_id""",
     "q174_part_copurchase_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
          SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS support

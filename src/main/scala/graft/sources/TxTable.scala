@@ -402,6 +402,12 @@ object TxTable {
     if (statsCols.isEmpty) return Nil
     statsCols.foreach(c => require(!c.contains(":") && c.nonEmpty,
       s"stats column names must be non-empty and colon-free: '$c'"))
+    // an empty write leaves no part files (nothing to read, no stats —
+    // the directory simply stays unprunable, which is vacuously right)
+    val (fs, root) = fsFor(spark, dir)
+    val hasFiles = fs.listStatus(new Path(root, rel))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (!hasFiles) return Nil
     val df = spark.read.parquet(s"$dir/$rel")
     statsCols.foreach { c =>
       val dt = df.schema(c).dataType
@@ -532,6 +538,55 @@ object TxTable {
     publishAt(spark, dir, readV + 1,
       Seq("op:merge", s"add:$rel") ++ statsLines(spark, dir, rel, statsCols)
         ++ before.map(d => s"remove:$d"))
+    readV + 1
+  }
+
+  /** Delta-style `replaceWhere` for a stats column range: atomically
+    * replace the rows with `lo <= colName <= hi` by `df`'s rows (which
+    * must ALL lie inside the range — the published replaceWhere
+    * constraint, verified before anything publishes) as ONE commit at
+    * the READ version + 1 (conflict = abort). The per-partition payoff
+    * comes from the stats: live directories whose recorded range CANNOT
+    * overlap `[lo, hi]` are left completely untouched — not rewritten,
+    * not removed, their stats intact — so a partitioned-append layout
+    * (one range-disjoint directory per append, the q219 decile shape)
+    * pays a logical per-partition replace: only overlapping directories
+    * are copy-on-write rewritten to their out-of-range survivors.
+    * Statless directories count as overlapping (safe default).
+    */
+  def replaceRange(spark: SparkSession, dir: String, df: DataFrame,
+      colName: String, lo: Long, hi: Long,
+      statsCols: Seq[String] = Nil): Long = {
+    require(lo <= hi, s"empty range: $lo > $hi")
+    val readV = tipVersion(spark, dir)
+    val state = stateAt(spark, dir, readV)
+    val (touched, _) = state.live.partition { d =>
+      state.stats.get(d).flatMap(_.get(colName)) match {
+        case Some((dLo, dHi)) => dHi >= lo && dLo <= hi
+        case None => true
+      }
+    }
+    val violations =
+      df.filter(col(colName) < lo || col(colName) > hi || col(colName).isNull).count()
+    require(violations == 0,
+      s"replaceRange: $violations incoming rows fall outside [$lo, $hi] on $colName " +
+        "— the replaceWhere constraint (replaced region and replacement must coincide)")
+    val newRel = writeData(spark, dir, df)
+    // out-of-range survivors of the overlapping directories, rewritten
+    // copy-on-write (schema-merged like every rewrite); skipped when
+    // empty — an all-covered directory is simply removed
+    val survivorAdds: Seq[String] =
+      if (touched.isEmpty) Nil
+      else {
+        val sv = spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(d => s"$dir/$d"): _*)
+          .filter(col(colName) < lo || col(colName) > hi || col(colName).isNull)
+        if (sv.isEmpty) Nil else Seq(writeData(spark, dir, sv))
+      }
+    val adds = (newRel +: survivorAdds).flatMap(rel =>
+      Seq(s"add:$rel") ++ statsLines(spark, dir, rel, statsCols))
+    publishAt(spark, dir, readV + 1,
+      Seq("op:replace") ++ adds ++ touched.map(d => s"remove:$d"))
     readV + 1
   }
 

@@ -233,6 +233,39 @@ class TxTableSpec extends SparkTestBase {
     assert(ids(TxTable.snapshot(spark, dir, Some(1L))) == (0L until 6L))
   }
 
+  test("replaceRange: disjoint directories untouched, overlapping rewritten to survivors") {
+    val dir = freshDir()
+    (0 until 4).foreach(i =>
+      TxTable.append(spark, dir, rows(i * 100, i * 100 + 10), statsCols = Seq("id")))
+    val liveBefore = TxTable.liveDirs(spark, dir)
+    // [105, 215] overlaps dir1 (100-109, partially) and dir2 (200-209,
+    // fully); dir0 and dir3 are provably disjoint by their stats
+    val repl = Seq((105L, -1L), (150L, -2L)).toDF("id", "v")
+    assert(TxTable.replaceRange(spark, dir, repl, "id", 105L, 215L,
+      statsCols = Seq("id")) == 5L)
+    val liveAfter = TxTable.liveDirs(spark, dir)
+    assert(liveAfter.contains(liveBefore(0)) && liveAfter.contains(liveBefore(3)),
+      "stats-disjoint directories must be left untouched (not rewritten)")
+    assert(!liveAfter.contains(liveBefore(1)) && !liveAfter.contains(liveBefore(2)))
+    val got = TxTable.snapshot(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want =
+      ((0L until 10L) ++ (300L until 310L) ++ (100L until 105L))
+        .map(i => i -> i * 10).toMap ++ Map(105L -> -1L, 150L -> -2L)
+    assert(got == want,
+      "survivors below the range stay; fully-covered dir vanishes; replacement lands")
+    // the replaceWhere constraint fails BEFORE anything publishes
+    intercept[IllegalArgumentException] {
+      TxTable.replaceRange(spark, dir, Seq((999L, 0L)).toDF("id", "v"),
+        "id", 105L, 215L)
+    }
+    assert(TxTable.versions(spark, dir).last == 5L,
+      "a failed constraint must not commit")
+    // pre-replace version still readable (copy-on-write, not in-place)
+    assert(ids(TxTable.snapshot(spark, dir, Some(4L))) ==
+      (0 until 4).flatMap(i => i * 100L until i * 100L + 10).sorted)
+  }
+
   test("merge hammer: racing merges/appends either land consistently or abort cleanly") {
     val dir = freshDir()
     TxTable.append(spark, dir, rows(0, 4))
