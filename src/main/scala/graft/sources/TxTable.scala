@@ -521,23 +521,54 @@ object TxTable {
     * Scale shape is Cdc's: the LWW window shuffles only the
     * (batch-sized) log; the snapshot pays one left-anti probe against
     * the touched-key set. The rewrite is directory-granularity
-    * copy-on-write like [[delete]] — the published Delta MERGE shape
-    * without file-level touched-set narrowing (a stats-pruned variant
-    * would rewrite only overlapping directories; at the current
-    * directory granularity the whole live set is the unit).
+    * copy-on-write like [[delete]] — and with `pruneByKeyStats` (single
+    * key column with recorded stats) it narrows to the TOUCHED
+    * directory set, the published Delta MERGE data-skipping shape: the
+    * log's key span [kmin, kmax] is two driver scalars off the
+    * batch-sized log, directories whose recorded key range cannot
+    * overlap it are left completely untouched (a min/max-disjoint
+    * directory provably contains no logged key, so `applyLog` would
+    * pass its rows through byte-identical anyway), and only the
+    * overlapping directories are read, merged, and removed. Statless
+    * directories count as touched (safe). Inserts with far-flung keys
+    * widen the span and erode the pruning — inherent to range-shaped
+    * skipping, never incorrect.
     */
   def merge(spark: SparkSession, dir: String, log: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String], opCol: String = "op",
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, pruneByKeyStats: Boolean = false): Long = {
     val readV = tipVersion(spark, dir)
-    val before = liveDirs(spark, dir, Some(readV))
-    val snap = spark.read.option("mergeSchema", "true")
-      .parquet(before.map(d => s"$dir/$d"): _*)
+    val state = stateAt(spark, dir, readV)
+    val touched: Seq[String] =
+      if (!pruneByKeyStats || keyCols.size != 1) state.live
+      else {
+        val k = keyCols.head
+        val mm = log.agg(min(col(k).cast(LongType)).as("lo"),
+          max(col(k).cast(LongType)).as("hi")).collect()(0)
+        if (mm.isNullAt(0)) Nil // empty log still commits (idempotent shape)
+        else state.live.filter { d =>
+          state.stats.get(d).flatMap(_.get(k)) match {
+            case Some((dLo, dHi)) => dHi >= mm.getLong(0) && dLo <= mm.getLong(1)
+            case None => true
+          }
+        }
+      }
+    // zero touched directories still needs the table SCHEMA (the log may
+    // carry pure inserts): an always-false filter over the live set
+    // plans to an empty relation without scanning a row
+    val snap =
+      if (touched.nonEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(d => s"$dir/$d"): _*)
+      else
+        spark.read.option("mergeSchema", "true")
+          .parquet(state.live.map(d => s"$dir/$d"): _*)
+          .filter(org.apache.spark.sql.functions.lit(false))
     val merged = graft.operators.Cdc.applyLog(snap, log, keyCols, orderCols, opCol)
     val rel = writeData(spark, dir, merged)
     publishAt(spark, dir, readV + 1,
       Seq("op:merge", s"add:$rel") ++ statsLines(spark, dir, rel, statsCols)
-        ++ before.map(d => s"remove:$d"))
+        ++ touched.map(d => s"remove:$d"))
     readV + 1
   }
 

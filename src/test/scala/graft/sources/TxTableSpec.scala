@@ -233,6 +233,31 @@ class TxTableSpec extends SparkTestBase {
     assert(ids(TxTable.snapshot(spark, dir, Some(1L))) == (0L until 6L))
   }
 
+  test("merge with key-stats pruning: key-disjoint directories untouched, answer unchanged") {
+    val dir = freshDir()
+    (0 until 3).foreach(i =>
+      TxTable.append(spark, dir, rows(i * 100, i * 100 + 10), statsCols = Seq("id")))
+    val liveBefore = TxTable.liveDirs(spark, dir)
+    // log span [105, 250]: dir0 (0-9) is provably key-disjoint
+    val log = Seq(
+      (105L, -5L, "U", 1L, 1L),
+      (203L, 0L, "D", 1L, 1L),
+      (250L, -9L, "U", 1L, 1L) // insert inside the span
+    ).toDF("id", "v", "op", "ts", "seq")
+    TxTable.merge(spark, dir, log, Seq("id"), Seq("ts", "seq"),
+      statsCols = Seq("id"), pruneByKeyStats = true)
+    val liveAfter = TxTable.liveDirs(spark, dir)
+    assert(liveAfter.contains(liveBefore(0)),
+      "a directory whose key range cannot meet the log must not be rewritten")
+    assert(!liveAfter.contains(liveBefore(1)) && !liveAfter.contains(liveBefore(2)))
+    val got = TxTable.snapshot(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((0L until 10L) ++ (100L until 110L) ++ (200L until 210L))
+      .map(i => i -> i * 10).toMap ++
+      Map(105L -> -5L, 250L -> -9L) - 203L
+    assert(got == want, "pruned merge must equal the full-rewrite semantics")
+  }
+
   test("replaceRange: disjoint directories untouched, overlapping rewritten to survivors") {
     val dir = freshDir()
     (0 until 4).foreach(i =>
