@@ -131,7 +131,10 @@ object Dsir {
     val w = CacheScope.pin(
       importanceWeights(docs, targetPred, idCol, textCol, n, dim),
       StorageLevel.MEMORY_AND_DISK)
-    flagByThreshold(w, math.ceil(fraction * w.count()).toLong, idCol)
+    // the fraction's k = ceil(f·n) resolves inside the walk's first
+    // probe — no separate count job
+    flagFromCut(w, OrderStat.rankStatFraction(w, "w_micro", fraction,
+      largest = true), idCol)
   }
 
   /** Flag EXACTLY the top `k` rows of a weight frame by
@@ -154,9 +157,13 @@ object Dsir {
   def flagByThreshold(weights: DataFrame, k: Long, idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"selection budget must be >= 1, got $k")
     val w = CacheScope.pin(weights, StorageLevel.MEMORY_AND_DISK)
-    val cut = OrderStat.rankStat(w, "w_micro", k, largest = true)
+    flagFromCut(w, OrderStat.rankStat(w, "w_micro", k, largest = true), idCol)
+  }
+
+  private def flagFromCut(w: DataFrame, cut: OrderStat.Ranked,
+      idCol: String): DataFrame = {
     // rows to admit AT the cutoff weight; >= 1 because rank k IS cut.value
-    val residual = k - cut.beyond
+    val residual = cut.rank - cut.beyond
     val selected =
       if (residual >= cut.atValue)
         // every cutoff-weight row is in — the no-boundary-tie common

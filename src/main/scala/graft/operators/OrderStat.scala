@@ -40,12 +40,13 @@ object OrderStat {
   private val Rounds = 64 / BitsPerRound
   private val Mask = (1L << BitsPerRound) - 1
 
-  /** A resolved rank: the value at it, how many rows are strictly
-    * better (greater for a largest-rank, smaller for a smallest-rank),
-    * and how many rows hold exactly `value` — the boundary-tie
-    * accounting a threshold selector needs, emitted by the same walk.
+  /** A resolved rank: the (1-based) rank itself, the value at it, how
+    * many rows are strictly better (greater for a largest-rank, smaller
+    * for a smallest-rank), and how many rows hold exactly `value` — the
+    * boundary-tie accounting a threshold selector needs, emitted by the
+    * same walk.
     */
-  final case class Ranked(value: Long, beyond: Long, atValue: Long)
+  final case class Ranked(rank: Long, value: Long, beyond: Long, atValue: Long)
 
   /** The k-th SMALLEST value (1-based rank, duplicates counted):
     * exactly `sorted(values)(k-1)`. Nulls are ignored; fails fast when
@@ -62,18 +63,34 @@ object OrderStat {
     * boundary counts (see [[Ranked]]).
     */
   private[operators] def rankStat(
-      df: DataFrame, valueCol: String, k: Long, largest: Boolean): Ranked = {
-    require(k >= 1, s"rank is 1-based, got $k")
+      df: DataFrame, valueCol: String, k: Long, largest: Boolean): Ranked =
+    rankStatImpl(df, valueCol, Left(k), largest)
+
+  /** [[rankStat]] with the rank derived as ⌈fraction·n⌉ from the SAME
+    * first probe that measures the span — a fraction-shaped caller
+    * ([[Dsir.selectTop]]) pays no separate count job.
+    */
+  private[operators] def rankStatFraction(
+      df: DataFrame, valueCol: String, fraction: Double, largest: Boolean): Ranked = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0, 1], got $fraction")
+    rankStatImpl(df, valueCol, Right(fraction), largest)
+  }
+
+  private def rankStatImpl(
+      df: DataFrame, valueCol: String, kOrFraction: Either[Long, Double],
+      largest: Boolean): Ranked = {
+    kOrFraction.left.foreach(k => require(k >= 1, s"rank is 1-based, got $k"))
     val dt = df.schema(valueCol).dataType
     require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
       s"rank selection needs an integer column, $valueCol is $dt")
     val v = col(valueCol).cast(LongType)
     // one probe: span (to skip shared high blocks) + non-null count
     val mm = df.agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n")).collect()(0)
-    require(!mm.isNullAt(0), s"rank $k over an empty/all-null column $valueCol")
+    require(!mm.isNullAt(0), s"rank over an empty/all-null column $valueCol")
     val (lo, hi, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    val k = kOrFraction.fold(identity, f => math.ceil(f * n).toLong)
     require(k <= n, s"rank $k exceeds the non-null row count $n of $valueCol")
-    if (lo == hi) return Ranked(lo, 0L, n)
+    if (lo == hi) return Ranked(k, lo, 0L, n)
     // sign-bit flip: unsigned order of u == signed order of the value
     val u = v.bitwiseXOR(lit(Long.MinValue))
     val (uLo, uHi) = (lo ^ Long.MinValue, hi ^ Long.MinValue)
@@ -109,6 +126,6 @@ object OrderStat {
     }
     // at the final level the bucket IS the exact value, so its count is
     // the at-value tally and k - remaining the strictly-beyond tally
-    Ranked(prefix ^ Long.MinValue, k - remaining, atValue)
+    Ranked(k, prefix ^ Long.MinValue, k - remaining, atValue)
   }
 }

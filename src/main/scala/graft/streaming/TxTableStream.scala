@@ -44,9 +44,10 @@ object TxTableStream {
     * interrupt it directly.
     */
   def ingestBatch(batch: DataFrame, batchId: Long, tableDir: String,
-      writerId: String, compactEvery: Int = 0): Unit = {
+      writerId: String, compactEvery: Int = 0,
+      statsCols: Seq[String] = Nil): Unit = {
     val s = batch.sparkSession
-    val committed = TxTable.appendTxn(s, tableDir, batch, writerId, batchId)
+    val committed = TxTable.appendTxn(s, tableDir, batch, writerId, batchId, statsCols)
     // Compaction is BEST-EFFORT layout work (snapshot-neutral by the
     // table contract): a concurrent writer landing between its read and
     // publish aborts it with CommitConflict, which must not fail the
@@ -55,7 +56,7 @@ object TxTableStream {
     // the original attempt already ran it, and replays must be
     // metadata-only.
     if (committed.isDefined && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      try TxTable.compact(s, tableDir)
+      try TxTable.compact(s, tableDir, statsCols)
       catch { case _: TxTable.CommitConflict => () }
   }
 
@@ -67,13 +68,14 @@ object TxTableStream {
       tableDir: String, checkpointDir: String,
       writerId: String = "stream",
       maxFilesPerTrigger: Option[Int] = None,
-      compactEvery: Int = 0): DataFrame = {
+      compactEvery: Int = 0,
+      statsCols: Seq[String] = Nil): DataFrame = {
     var reader = spark.readStream.schema(feedSchema)
     maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
     val query = reader.parquet(feedDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, tableDir, writerId, compactEvery)
+        ingestBatch(batch, batchId, tableDir, writerId, compactEvery, statsCols)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
