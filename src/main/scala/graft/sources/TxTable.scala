@@ -164,6 +164,7 @@ object TxTable {
       live: Seq[String],
       stats: Map[String, Map[String, (Long, Long)]],
       txns: Map[String, Long],
+      removedAt: Map[String, Long],
       replayBase: Long)
 
   private def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
@@ -174,6 +175,11 @@ object TxTable {
     val stats = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.Map[String, (Long, Long)]]
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    val removedAt = scala.collection.mutable.Map.empty[String, Long]
+    // mtime of the log entry currently being replayed — stamps its
+    // remove lines (the vacuum retention clock); checkpoints carry the
+    // stamp explicitly in their removed: lines instead
+    var entryMtime = 0L
     def applyLine(line: String): Unit =
       if (line.startsWith("add:")) live += line.stripPrefix("add:")
       else if (line.startsWith("live:")) live += line.stripPrefix("live:")
@@ -181,6 +187,11 @@ object TxTable {
         val rel = line.stripPrefix("remove:")
         live -= rel
         stats -= rel
+        removedAt(rel) = entryMtime
+      } else if (line.startsWith("removed:")) {
+        // checkpoint carry-forward: removed:<rel>:<removing entry mtime>
+        val Array(rel, t) = line.stripPrefix("removed:").split(":", 2)
+        removedAt(rel) = t.toLong
       } else if (line.startsWith("stats:")) {
         // stats:<rel>:<col>:<min>:<max> — rel and col are colon-free by
         // the writer-side requires
@@ -197,10 +208,15 @@ object TxTable {
       }
     if (base > 0) readLines(fs, new Path(log, ckptName(base))).foreach(applyLine)
     versions(spark, dir).foreach { ver =>
-      if (ver > base && ver <= v) entryLines(fs, log, ver).foreach(applyLine)
+      if (ver > base && ver <= v) {
+        val lines = entryLines(fs, log, ver)
+        if (lines.exists(_.startsWith("remove:")))
+          entryMtime = fs.getFileStatus(new Path(log, versionName(ver))).getModificationTime
+        lines.foreach(applyLine)
+      }
     }
     TableState(live.toSeq,
-      stats.view.mapValues(_.toMap).toMap, txns.toMap, base)
+      stats.view.mapValues(_.toMap).toMap, txns.toMap, removedAt.toMap, base)
   }
 
   /** The version whose checkpoint seeds a read at `version` (0 = full
@@ -356,10 +372,21 @@ object TxTable {
     val (fs, root) = fsFor(spark, dir)
     val log = logPath(root)
     val st = stateAt(spark, dir, v)
+    // carry removal stamps ONLY for directories still on disk: vacuum's
+    // retention clock needs them until reclamation, after which the
+    // entry would grow the checkpoint forever for a dir that no longer
+    // exists — one dataRoot listing bounds the lines by physical dirs
+    val dataRoot = new Path(root, "data")
+    val present: Set[String] =
+      if (!fs.exists(dataRoot)) Set.empty
+      else fs.listStatus(dataRoot).toSeq.filter(_.isDirectory)
+        .map(s => s"data/${s.getPath.getName}").toSet
     val lines =
       st.live.map(d => s"live:$d") ++
         st.live.flatMap(d => st.stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s"stats:$d:$c:$lo:$hi" }) ++
+        st.removedAt.toSeq.filter(e => present(e._1)).sortBy(_._1)
+          .map { case (rel, t) => s"removed:$rel:$t" } ++
         st.txns.toSeq.sortBy(_._1).map { case (w, id) => s"txn:$w:$id" }
     val tmp = writeSmallFile(fs, log, lines)
     putIfAbsent(fs, tmp, new Path(log, ckptName(v)))
@@ -643,6 +670,35 @@ object TxTable {
     Some(readV + 1)
   }
 
+  /** OPTIMIZE-style SMALL-FILE compaction: merge only the live
+    * directories whose on-disk byte size is under `smallBytes`, leaving
+    * larger directories completely untouched — the shape a long-lived
+    * table actually needs at scale, where [[compact]]'s full-table
+    * rewrite grows with the table (a streaming ingest's accumulated
+    * history must never be rewritten just to fold in the latest
+    * micro-batch directories). Same log transaction as [[compact]]:
+    * add + removes-of-the-small-set at READ version + 1, abort on
+    * conflict, every version's snapshot unchanged. No-op (None) with
+    * fewer than two small directories — there is nothing to fold.
+    */
+  def compactSmall(spark: SparkSession, dir: String, smallBytes: Long,
+      statsCols: Seq[String] = Nil): Option[Long] = {
+    require(smallBytes > 0, s"smallBytes must be positive, got $smallBytes")
+    val readV = tipVersion(spark, dir)
+    val before = liveDirs(spark, dir, Some(readV))
+    val (fs, root) = fsFor(spark, dir)
+    val small = before.filter(d =>
+      fs.getContentSummary(new Path(root, d)).getLength < smallBytes)
+    if (small.size < 2) return None
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(small.map(d => s"$dir/$d"): _*)
+    val rel = writeData(spark, dir, merged)
+    publishAt(spark, dir, readV + 1,
+      Seq("op:compact", s"add:$rel") ++ statsLines(spark, dir, rel, statsCols)
+        ++ small.map(d => s"remove:$d"))
+    Some(readV + 1)
+  }
+
   /** Reclaim data directories: (a) directories a commit REMOVED, once
     * the REMOVING log entry is older than `horizonMs` — until then they
     * stay, so time travel works across the retention window, and after
@@ -658,19 +714,14 @@ object TxTable {
     val (fs, root) = fsFor(spark, dir)
     val dataRoot = new Path(root, "data")
     if (!fs.exists(dataRoot)) return Nil
-    val log = logPath(root)
     val vs = versions(spark, dir)
-    val liveNow: Set[String] =
-      if (vs.isEmpty) Set.empty else liveDirs(spark, dir).toSet
-    // rel -> mtime of the entry that removed it (latest removal wins)
-    val removedAt = scala.collection.mutable.Map.empty[String, Long]
-    vs.foreach { v =>
-      val st = fs.getFileStatus(new Path(log, versionName(v)))
-      entryLines(fs, log, v).foreach { line =>
-        if (line.startsWith("remove:"))
-          removedAt(line.stripPrefix("remove:")) = st.getModificationTime
-      }
-    }
+    // removal stamps ride the same checkpoint-seeded replay as every
+    // other read (checkpoints carry removed:<rel>:<mtime> for dirs
+    // still on disk), so vacuum's log walk is bounded by
+    // CheckpointEvery too, not the table's whole commit history
+    val state = if (vs.isEmpty) None else Some(stateAt(spark, dir, vs.last))
+    val liveNow: Set[String] = state.map(_.live.toSet).getOrElse(Set.empty)
+    val removedAt: Map[String, Long] = state.map(_.removedAt).getOrElse(Map.empty)
     val cutoff = System.currentTimeMillis() - horizonMs
     val reclaimed = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { st =>

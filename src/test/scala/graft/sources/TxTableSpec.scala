@@ -334,6 +334,43 @@ class TxTableSpec extends SparkTestBase {
     assert((0L until 4L).forall(got.contains), "base keys survive merges")
   }
 
+  test("compactSmall folds only sub-threshold dirs; the big directory is never rewritten") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 2000))      // big
+    TxTable.append(spark, dir, rows(5000, 5002))   // small
+    TxTable.append(spark, dir, rows(6000, 6002))   // small
+    TxTable.append(spark, dir, rows(7000, 7002))   // small
+    val before = TxTable.liveDirs(spark, dir)
+    val bigRel = before.head
+    val v = TxTable.compactSmall(spark, dir, smallBytes = 8 * 1024)
+    assert(v.contains(5L))
+    val after = TxTable.liveDirs(spark, dir)
+    assert(after.contains(bigRel), "the big directory must stay untouched")
+    assert(after.size == 2, s"3 small dirs fold into 1: $after")
+    assert(ids(TxTable.snapshot(spark, dir)) ==
+      ((0L until 2000L) ++ Seq(5000L, 5001L, 6000L, 6001L, 7000L, 7001L)).sorted)
+    // below two small dirs: nothing to fold
+    assert(TxTable.compactSmall(spark, dir, smallBytes = 8 * 1024).isEmpty)
+  }
+
+  test("vacuum reads its removal clock through checkpoints: retention survives the seed") {
+    val dir = freshDir()
+    (0 until 6).foreach(i => TxTable.append(spark, dir, rows(i * 10, i * 10 + 2)))
+    TxTable.delete(spark, dir, col("id") < 20) // v7 removes early dirs
+    TxTable.append(spark, dir, rows(900, 902)) // v8 → checkpoint carries removed: stamps
+    assert(TxTable.replayBase(spark, dir) == 8L)
+    // inside the horizon nothing is reclaimed, even though the replay
+    // seeds AT the checkpoint (the removal stamps rode the ckpt lines)
+    assert(TxTable.vacuum(spark, dir).isEmpty)
+    assert(ids(TxTable.snapshot(spark, dir, Some(6L))) == (0L until 60L by 10L)
+      .flatMap(b => Seq(b, b + 1)).sorted)
+    // past the horizon the removed dirs go; live ones stay
+    val reclaimed = TxTable.vacuum(spark, dir, horizonMs = -1L)
+    assert(reclaimed.nonEmpty)
+    assert(ids(TxTable.snapshot(spark, dir)) ==
+      ((20L until 60L by 10L).flatMap(b => Seq(b, b + 1)) ++ Seq(900L, 901L)).sorted)
+  }
+
   test("vacuum retention: removed dirs outlive the horizon window, then time travel ends") {
     val dir = freshDir()
     TxTable.append(spark, dir, rows(0, 4))
