@@ -334,6 +334,18 @@ class TxTableSpec extends SparkTestBase {
     assert((0L until 4L).forall(got.contains), "base keys survive merges")
   }
 
+  test("delete of every row leaves a READABLE empty snapshot (schema survives)") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 5))
+    TxTable.delete(spark, dir, col("id") >= 0)
+    val snap = TxTable.snapshot(spark, dir)
+    assert(snap.count() == 0L)
+    assert(snap.columns.toSeq == Seq("id", "v"))
+    // and the table accepts further appends normally
+    TxTable.append(spark, dir, rows(7, 9))
+    assert(ids(TxTable.snapshot(spark, dir)) == Seq(7L, 8L))
+  }
+
   test("compactSmall folds only sub-threshold dirs; the big directory is never rewritten") {
     val dir = freshDir()
     TxTable.append(spark, dir, rows(0, 2000))      // big
