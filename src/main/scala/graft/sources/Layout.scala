@@ -38,15 +38,17 @@ object Layout {
         s"cannot z-order column '$c' of type ${dt.simpleString}")
     }
 
-  /** Write `df` into `files` z-ordered parquet files clustered on
-    * `cols` (any mix of supported types; 2–3 dims is the sweet spot —
-    * bits per dimension shrink as dims grow).
+  /** The Morton key over `cols` for `df`'s rows — bucket bounds come
+    * from one min/max aggregate over `df` (driver scalars), so calling
+    * this runs ONE Spark action before returning the column. Shared by
+    * [[writeZOrdered]] and [[TxTable.optimizeZorder]].
     */
-  def writeZOrdered(df: DataFrame, dir: String, cols: Seq[String], files: Int): Unit = {
-    require(files >= 1, "files must be >= 1")
+  /** Bits per dimension in the interleaved key for `dims` columns. */
+  private[graft] def zBitsPer(dims: Int): Int = math.min(16, 63 / dims)
+
+  private[graft] def zKey(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty, "need at least one clustering column")
-    require(!df.columns.contains("__z"), "'__z' column name is reserved")
-    val bitsPer = math.min(16, 63 / cols.size)
+    val bitsPer = zBitsPer(cols.size)
     val keys = cols.map(c => dimKey(df, c).cast("double"))
     val bounds = keys.flatMap(k => Seq(min(k), max(k)))
     val b = df.agg(bounds.head, bounds.tail: _*).head()
@@ -62,7 +64,17 @@ object Layout {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       ((k - lit(lo)) * lit(maxBucket) / lit(span)).cast("long")
     }
-    df.withColumn("__z", zValueN(bucketCols, bitsPer))
+    zValueN(bucketCols, bitsPer)
+  }
+
+  /** Write `df` into `files` z-ordered parquet files clustered on
+    * `cols` (any mix of supported types; 2–3 dims is the sweet spot —
+    * bits per dimension shrink as dims grow).
+    */
+  def writeZOrdered(df: DataFrame, dir: String, cols: Seq[String], files: Int): Unit = {
+    require(files >= 1, "files must be >= 1")
+    require(!df.columns.contains("__z"), "'__z' column name is reserved")
+    df.withColumn("__z", zKey(df, cols))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

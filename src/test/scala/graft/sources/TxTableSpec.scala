@@ -136,7 +136,13 @@ class TxTableSpec extends SparkTestBase {
   test("additive schema evolution: a widened append reads back with nulls under mergeSchema") {
     val dir = freshDir()
     TxTable.append(spark, dir, rows(0, 2))
-    TxTable.append(spark, dir, Seq((2L, 20L, "x")).toDF("id", "v", "tag"))
+    // the schema gate refuses the widened frame unless additive
+    // evolution is explicitly opted into
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, dir, Seq((2L, 20L, "x")).toDF("id", "v", "tag"))
+    }
+    TxTable.append(spark, dir, Seq((2L, 20L, "x")).toDF("id", "v", "tag"),
+      allowAdditive = true)
     // default read refuses silent widening (parquet picks one schema);
     // the explicit mergeSchema read unions: old rows carry null tags
     val merged = TxTable.snapshot(spark, dir, mergeSchema = true)
