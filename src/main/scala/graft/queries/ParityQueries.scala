@@ -35,7 +35,9 @@ object ParityQueries extends QueryFamily {
     "scd2_dim" -> (stagedScd2DimDir _),
     "revenue_mv" -> (stagedRevenueMvDir _),
     "txtable" -> (stagedTxTableDir _),
-    "txstats" -> (stagedTxStatsDir _))
+    "txstats" -> (stagedTxStatsDir _),
+    "txlang" -> (stagedTxLangDir _),
+    "txzorder" -> (stagedTxZorderDir _))
 
   /** The five-version transactional table over `documents` (q210/q211):
     * three appends splitting by doc_id % 3, one compaction (live dirs
@@ -77,6 +79,49 @@ object ParityQueries extends QueryFamily {
           docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
           statsCols = Seq("doc_id"))
       }
+      ()
+    }
+
+  /** The per-language STRING-STATS table over `documents` (q222): five
+    * round-robin language-group appends with `statsCols = Seq("doc_id",
+    * "lang")`, so every live directory carries an exact string min/max
+    * on `lang` (plus a doc_id range spanning nearly the whole table —
+    * deliberately useless alone, the string conjunct is what prunes).
+    */
+  private def stagedTxLangDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_txlang", Seq(s"$dir/documents.parquet"),
+      "lang-group-appends:stats-docid-lang:v1", "_log/" + "0" * 19 + "5") { stage =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val langs = docs.select("lang").distinct()
+        .collect().map(_.getString(0)).sorted
+      require(langs.nonEmpty, "documents table has no languages")
+      // exactly five commits regardless of the language count (the
+      // stage marker is version 5): round-robin languages into groups
+      (0 until 5).foreach { g =>
+        val group = langs.zipWithIndex.collect { case (l, i) if i % 5 == g => l }
+        graft.sources.TxTable.append(s, stage,
+          docs.filter(col("lang").isin(group: _*)),
+          statsCols = Seq("doc_id", "lang"))
+      }
+      ()
+    }
+
+  /** The Z-ORDERED table over `documents` (q223): two interleaved
+    * appends (doc_id parity split — every directory spans the FULL
+    * range of both dimensions, so nothing prunes), then one
+    * log-transacted `optimizeZorder` on (doc_id, n_chars) into four
+    * slice directories whose recorded stats are narrow in BOTH columns.
+    */
+  private def stagedTxZorderDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_txzorder", Seq(s"$dir/documents.parquet"),
+      "parity-appends:zorder-docid-nchars:4:v1", "_log/" + "0" * 19 + "3") { stage =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.append(s, stage, docs.filter(col("doc_id") % 2 === 0))
+      graft.sources.TxTable.append(s, stage, docs.filter(col("doc_id") % 2 === 1))
+      graft.sources.TxTable.optimizeZorder(s, stage,
+        Seq("doc_id", "n_chars"), outDirs = 4)
       ()
     }
 
@@ -572,6 +617,61 @@ object ParityQueries extends QueryFamily {
             (col("n_chars") + 1000000L).as("n_chars")),
         "doc_id", lo, hi, statsCols = Seq("doc_id"))
       graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
+    }),
+
+    // ---- CONJUNCTIVE STRING-STATS pruning ([[graft.sources.TxTable
+    //      .snapshotWhere]]): the staged table holds one language-group
+    //      directory per append with string min/max on `lang` recorded
+    //      in the add action (base64-encoded, UTF-8 byte order), and
+    //      the read conjoins a string equality with a doc_id range —
+    //      the doc_id conjunct alone prunes nothing (every directory
+    //      spans nearly the whole id range), the lang conjunct drops
+    //      the four other language groups BEFORE the scan plans. The
+    //      oracle is the plain unpruned filter algebra — pruning must
+    //      be answer-invisible. ----
+    "q222_txtable_string_pruned_scan" -> ((s, dir) => {
+      val tdir = stagedTxLangDir(s, dir)
+      val n = table(s, dir, "documents").count()
+      graft.sources.TxTable.snapshotWhere(s, tdir, Seq(
+          graft.sources.TxTable.strEq("lang", "en"),
+          graft.sources.TxTable.LongRange("doc_id", n / 10, (4 * n) / 5)))
+        .orderBy("doc_id")
+    }),
+
+    // ---- OPTIMIZE ZORDER on the transactional table ([[graft.sources
+    //      .TxTable.optimizeZorder]]): the staged build appends two
+    //      parity-interleaved halves (every directory spans the FULL
+    //      doc_id and n_chars ranges — no predicate can prune), then
+    //      one log-transacted clustered rewrite into four Z-slice
+    //      directories with quantile cuts snapped to aligned Z-cell
+    //      boundaries, so the recorded stats go narrow in BOTH columns
+    //      at once; this conjunctive range read then skips slices the
+    //      way a 1-D sort never could on its trailing column. The
+    //      oracle is the plain filter over documents — the clustered
+    //      layout must be answer-invisible (and TxTableMaintSpec pins
+    //      snapshot neutrality + the per-directory footprints). ----
+    "q223_txtable_optimize_zorder" -> ((s, dir) => {
+      val tdir = stagedTxZorderDir(s, dir)
+      val n = table(s, dir, "documents").count()
+      graft.sources.TxTable.snapshotWhere(s, tdir, Seq(
+          graft.sources.TxTable.LongRange("doc_id", n / 4, n / 2),
+          graft.sources.TxTable.LongRange("n_chars", 100L, 300L)))
+        .orderBy("doc_id")
+    }),
+
+    // ---- CHANGE DATA FEED ([[graft.sources.TxTable.tableChanges]]):
+    //      net insert/delete rows between two committed versions of the
+    //      staged five-version table, derived from the live-set
+    //      SYMMETRIC DIFFERENCE only (directories live at both versions
+    //      are immutable and cancel at directory identity — the v4
+    //      compaction inside the window is change-invisible by the
+    //      multiset EXCEPT ALL). v3 → v5 spans the compaction and the
+    //      copy-on-write delete, so the feed is exactly the deleted
+    //      doc_id % 10 == 7 rows; the oracle states that algebra
+    //      directly over documents. ----
+    "q224_txtable_changes" -> ((s, dir) => {
+      val tdir = stagedTxTableDir(s, dir)
+      graft.sources.TxTable.tableChanges(s, tdir, 3L, 5L).orderBy("doc_id")
     }),
 
     // ---- A-priori level 3: frequent part TRIPLES enumerated through
@@ -1289,6 +1389,27 @@ object ParityQueries extends QueryFamily {
                    AND doc_id <= (SELECT (3 * COUNT(*)) // 8 FROM documents)
                   THEN 1000000 ELSE 0 END AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+    // string + long conjunctive pruning must be answer-invisible: the
+    // plain unpruned filter, bounds in the same Long integer division
+    "q222_txtable_string_pruned_scan" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE lang = 'en'
+           AND doc_id >= (SELECT COUNT(*) // 10 FROM documents)
+           AND doc_id <= (SELECT (4 * COUNT(*)) // 5 FROM documents)
+         ORDER BY doc_id""",
+    // the clustered rewrite must be answer-invisible: the plain
+    // two-column filter over documents
+    "q223_txtable_optimize_zorder" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id >= (SELECT COUNT(*) // 4 FROM documents)
+           AND doc_id <= (SELECT COUNT(*) // 2 FROM documents)
+           AND n_chars BETWEEN 100 AND 300
+         ORDER BY doc_id""",
+    // v3 → v5 of the staged table spans compaction (change-invisible)
+    // + the copy-on-write delete: the feed is exactly the deleted rows
+    "q224_txtable_changes" ->
+      """SELECT doc_id, lang, source, n_chars, 'delete' AS _change_type
+         FROM documents WHERE doc_id % 10 = 7 ORDER BY doc_id""",
     "q174_part_copurchase_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
          SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS support
