@@ -29,7 +29,17 @@ import graft.sources.TxTable
   * compaction is invisible to the drained result (the q92 discipline
   * applied to the table format), and the live-directory count of a
   * long-running ingest stays bounded instead of growing one directory
-  * per batch.
+  * per batch. `maintainEvery` is the heavier sibling — the full
+  * [[TxTable.maintain]] OPTIMIZE-daemon pass (compactSmall + forced
+  * checkpoint + vacuum + cleanupLog) on the ingest's own cadence, so a
+  * long-running stream keeps its OWN table bounded in all three axes
+  * (live dirs, data dirs, log files) with no external scheduler; the
+  * txn ledger rides the forced checkpoints, so retention never weakens
+  * exactly-once (a full replay under a fresh stream checkpoint still
+  * lands zero duplicates — spec-pinned). The maintenance horizon must
+  * exceed any CONCURRENT writer's in-flight write time (the vacuum
+  * contract: crash debris is only distinguishable from an in-flight
+  * write by age).
   *
   * Scale shape: per batch one batch-sized parquet write + one driver
   * put-if-absent; the table's log grows one small file per batch, but
@@ -45,18 +55,24 @@ object TxTableStream {
     */
   def ingestBatch(batch: DataFrame, batchId: Long, tableDir: String,
       writerId: String, compactEvery: Int = 0,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      maintainEvery: Int = 0,
+      maintainSmallBytes: Long = 128L * 1024 * 1024,
+      maintainHorizonMs: Long = 60L * 60 * 1000): Unit = {
     val s = batch.sparkSession
     val committed = TxTable.appendTxn(s, tableDir, batch, writerId, batchId, statsCols)
-    // Compaction is BEST-EFFORT layout work (snapshot-neutral by the
-    // table contract): a concurrent writer landing between its read and
-    // publish aborts it with CommitConflict, which must not fail the
-    // streaming query — skip and let a later interval retry (r13
-    // advice). A REPLAYED batch (appendTxn → None) skips it outright:
-    // the original attempt already ran it, and replays must be
-    // metadata-only.
+    // Compaction/maintenance are BEST-EFFORT layout work (snapshot-
+    // neutral by the table contract): a concurrent writer landing
+    // between their read and publish aborts them with CommitConflict,
+    // which must not fail the streaming query — skip and let a later
+    // interval retry (r13 advice). A REPLAYED batch (appendTxn → None)
+    // skips them outright: the original attempt already ran them, and
+    // replays must be metadata-only.
     if (committed.isDefined && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       try TxTable.compact(s, tableDir, statsCols)
+      catch { case _: TxTable.CommitConflict => () }
+    if (committed.isDefined && maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+      try TxTable.maintain(s, tableDir, maintainSmallBytes, maintainHorizonMs)
       catch { case _: TxTable.CommitConflict => () }
   }
 
@@ -69,13 +85,17 @@ object TxTableStream {
       writerId: String = "stream",
       maxFilesPerTrigger: Option[Int] = None,
       compactEvery: Int = 0,
-      statsCols: Seq[String] = Nil): DataFrame = {
+      statsCols: Seq[String] = Nil,
+      maintainEvery: Int = 0,
+      maintainSmallBytes: Long = 128L * 1024 * 1024,
+      maintainHorizonMs: Long = 60L * 60 * 1000): DataFrame = {
     var reader = spark.readStream.schema(feedSchema)
     maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
     val query = reader.parquet(feedDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, tableDir, writerId, compactEvery, statsCols)
+        ingestBatch(batch, batchId, tableDir, writerId, compactEvery, statsCols,
+          maintainEvery, maintainSmallBytes, maintainHorizonMs)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

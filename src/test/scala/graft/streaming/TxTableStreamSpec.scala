@@ -74,4 +74,44 @@ class TxTableStreamSpec extends SparkTestBase {
     // mid-stream compaction was log-transacted and snapshot-neutral
     assert(TxTable.liveDirs(spark, dir).nonEmpty)
   }
+
+  test("maintainEvery: the OPTIMIZE-daemon pass under the ingest keeps the table " +
+      "bounded without weakening exactly-once") {
+    val dir = fresh()
+    val feed = fresh()
+    Seq(10L, 11L).toDF("id").coalesce(1).write.mode("append").parquet(feed)
+    Seq(12L).toDF("id").coalesce(1).write.mode("append").parquet(feed)
+    Seq(13L, 14L).toDF("id").coalesce(1).write.mode("append").parquet(feed)
+    TxTable.append(spark, dir, Seq(1L).toDF("id"))
+    // aggressive maintenance on every batch: compactSmall + forced
+    // checkpoint + vacuum + cleanupLog at horizon 0
+    val out1 = TxTableStream.ingest(spark, feed, feedSchema, dir, fresh(),
+      writerId = "daemon", maxFilesPerTrigger = Some(1),
+      maintainEvery = 1, maintainSmallBytes = 1L << 30, maintainHorizonMs = 0L)
+    assert(out1.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 10L, 11L, 12L, 13L, 14L))
+    // the daemon bounded all three axes: one live dir, a log whose
+    // below-pointer history was reclaimed
+    assert(TxTable.liveDirs(spark, dir).size == 1)
+    val logDir = java.nio.file.Paths.get(dir, "_log")
+    val files = {
+      val st = java.nio.file.Files.list(logDir)
+      try {
+        val it = st.iterator()
+        var acc = List.empty[String]
+        while (it.hasNext) acc = it.next().getFileName.toString :: acc
+        acc.filterNot(_.startsWith(".tmp"))
+      } finally st.close()
+    }
+    assert(files.size <= 4, s"log not bounded by the daemon: $files")
+    // the txn ledger rode the forced checkpoints through cleanupLog: a
+    // FULL replay under a fresh stream checkpoint lands zero duplicates
+    assert(TxTable.lastTxn(spark, dir, "daemon").contains(2L))
+    val out2 = TxTableStream.ingest(spark, feed, feedSchema, dir, fresh(),
+      writerId = "daemon", maxFilesPerTrigger = Some(1),
+      maintainEvery = 1, maintainSmallBytes = 1L << 30, maintainHorizonMs = 0L)
+    assert(out2.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 10L, 11L, 12L, 13L, 14L),
+      "retention must never weaken the exactly-once ledger")
+  }
 }
