@@ -47,9 +47,11 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, Inte
   * A log entry is lines of `op:<kind>`, `add:data/<uuid>`,
   * `remove:data/<uuid>`, `txn:<writer>:<id>`,
   * `stats:data/<uuid>:<col>:<min>:<max>` (integer/date columns, exact
-  * longs), and `sstats:data/<uuid>:<col>:<b64 min>:<b64 max|->` (string
+  * longs), `sstats:data/<uuid>:<col>:<b64 min>:<b64 max|->` (string
   * columns, base64 over UTF-8; `-` = no finite upper bound after
-  * truncation). The snapshot at version V is `union(adds in 1..V) -
+  * truncation), and `schema:<b64 json>` (the CURRENT table schema — the
+  * Delta metadata action, written on the first commit and whenever a
+  * write evolves or replaces the schema, latest line wins). The snapshot at version V is `union(adds in 1..V) -
   * union(removes in 1..V)`; readers start from the latest CHECKPOINT at
   * or below V (its `live:`/`stats:`/`sstats:`/`txn:` lines are that
   * state, precomputed) and replay only the entries after it — read work
@@ -89,7 +91,7 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, Inte
   * Delta protocol.
   *
   * SCHEMA ON WRITE: `append`/`appendTxn`/`replaceRange` validate the
-  * incoming frame against the live table schema — a type conflict or a
+  * incoming frame against the table schema — a type conflict or a
   * silently dropped column is rejected before any data writes; ADDITIVE
   * new columns are accepted only under an explicit `allowAdditive =
   * true` (the Delta mergeSchema contract made a write-side gate —
@@ -97,8 +99,12 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, Inte
   * validated a write, the r14 verdict's #2). `merge` validates its CDC
   * log the same way (opCol/orderCols exempt). `overwrite` deliberately
   * replaces the schema wholesale (Delta's overwriteSchema shape). The
-  * check is advisory under concurrency (the usual TOCTOU window); the
-  * commit protocol is unchanged by it.
+  * schema itself is a LOG ACTION (`schema:` line, latest wins, carried
+  * by checkpoints), so steady-state validation reads nothing but the
+  * log — no parquet footers on the write path; legacy logs without the
+  * action fall back to one footer-only read and are upgraded by their
+  * next write. The check is advisory under concurrency (the usual
+  * TOCTOU window); the commit protocol is unchanged by it.
   *
   * DELETE and MERGE are copy-on-write at directory granularity: rewrite
   * the live rows that survive (or the CDC-merged rows) into a new
@@ -311,7 +317,8 @@ object TxTable {
       stats: Map[String, Map[String, Stat]],
       txns: Map[String, Long],
       removedAt: Map[String, Long],
-      replayBase: Long)
+      replayBase: Long,
+      schemaJson: Option[String])
 
   private def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
     val (fs, root) = fsFor(spark, dir)
@@ -330,6 +337,7 @@ object TxTable {
       .empty[String, scala.collection.mutable.Map[String, Stat]]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     val removedAt = scala.collection.mutable.Map.empty[String, Long]
+    var schemaJson: Option[String] = None
     // mtime of the log entry currently being replayed — stamps its
     // remove lines (the vacuum retention clock); checkpoints carry the
     // stamp explicitly in their removed: lines instead
@@ -369,7 +377,11 @@ object TxTable {
       } else if (line.startsWith("txn:")) {
         val Array(w, id) = line.stripPrefix("txn:").split(":", 2)
         txns(w) = math.max(txns.getOrElse(w, Long.MinValue), id.toLong)
-      }
+      } else if (line.startsWith("schema:"))
+        // schema:<b64 json> — the Delta metadata action: the CURRENT
+        // table schema, latest line wins; lets the schema-on-write gate
+        // validate against the log instead of reading parquet footers
+        schemaJson = Some(b64d(line.stripPrefix("schema:")))
     if (base > 0) readLines(fs, new Path(log, ckptName(base))).foreach(applyLine)
     var ver = base + 1
     while (ver <= v) {
@@ -389,7 +401,8 @@ object TxTable {
       ver += 1
     }
     TableState(live.toSeq,
-      stats.view.mapValues(_.toMap).toMap, txns.toMap, removedAt.toMap, base)
+      stats.view.mapValues(_.toMap).toMap, txns.toMap, removedAt.toMap, base,
+      schemaJson)
   }
 
   /** Resolve a requested version against the tip and reconstruct its
@@ -700,7 +713,8 @@ object TxTable {
           }) ++
         st.removedAt.toSeq.filter(e => present(e._1)).sortBy(_._1)
           .map { case (rel, t) => s"removed:$rel:$t" } ++
-        st.txns.toSeq.sortBy(_._1).map { case (w, id) => s"txn:$w:$id" }
+        st.txns.toSeq.sortBy(_._1).map { case (w, id) => s"txn:$w:$id" } ++
+        st.schemaJson.map(j => s"schema:${b64e(j)}").toSeq
     val tmp = writeSmallFile(fs, log, lines)
     putIfAbsent(fs, tmp, new Path(log, ckptName(v)))
     if (v > readPointer(fs, log)) writePointer(fs, log, v)
@@ -886,12 +900,40 @@ object TxTable {
           "the table schema; pass allowAdditive = true to evolve the schema additively")
   }
 
-  private def validateWrite(spark: SparkSession, dir: String, df: DataFrame,
-      allowAdditive: Boolean, what: String): Unit = {
-    val tip = tipOrZero(spark, dir)
-    if (tip == 0) return
-    liveSchema(spark, dir, stateAt(spark, dir, tip)).foreach(sch =>
-      enforceWriteSchema(sch, df.schema, allowAdditive, Set.empty, what))
+  /** The table schema the gate validates against: the log-tracked
+    * `schema:` action when present (zero data reads — the Delta
+    * metadata-action shape), else one footer-only read over the live
+    * directories (legacy logs written before schema tracking).
+    */
+  private def tableSchemaOf(spark: SparkSession, dir: String,
+      state: TableState): Option[StructType] =
+    state.schemaJson.flatMap(j => scala.util.Try(
+        DataType.fromJson(j).asInstanceOf[StructType]).toOption)
+      .orElse(liveSchema(spark, dir, state))
+
+  /** Validate an incoming write frame against the table schema and
+    * return the `schema:` line recording the POST-write table schema
+    * whenever the log does not already track it exactly — the first
+    * write, an additive evolution, or a legacy log being upgraded
+    * opportunistically. Steady-state writes emit nothing and read
+    * nothing but the log.
+    */
+  private def gateAndSchemaLines(spark: SparkSession, dir: String,
+      state: Option[TableState], incoming: StructType,
+      allowAdditive: Boolean, what: String): Seq[String] = {
+    val tracked = state.flatMap(_.schemaJson).flatMap(j => scala.util.Try(
+      DataType.fromJson(j).asInstanceOf[StructType]).toOption)
+    val existing = tracked.orElse(state.flatMap(st => liveSchema(spark, dir, st)))
+    existing.foreach(sch =>
+      enforceWriteSchema(sch, incoming, allowAdditive, Set.empty, what))
+    val after = existing match {
+      case None => incoming
+      case Some(ex) =>
+        val extras = incoming.fields.filterNot(f => ex.fieldNames.contains(f.name))
+        if (extras.isEmpty) ex else StructType(ex.fields ++ extras)
+    }
+    if (tracked.exists(t => sameTypeLoose(t, after))) Nil
+    else Seq(s"schema:${b64e(after.json)}")
   }
 
   // ------------------------------------------------------------------
@@ -906,10 +948,12 @@ object TxTable {
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String] = Nil, allowAdditive: Boolean = false): Long = {
-    validateWrite(spark, dir, df, allowAdditive, "append")
+    val tip = tipOrZero(spark, dir)
+    val stateOpt = if (tip == 0) None else Some(stateAt(spark, dir, tip))
+    val schemaL = gateAndSchemaLines(spark, dir, stateOpt, df.schema, allowAdditive, "append")
     val rel = writeData(spark, dir, df)
     publishNext(spark, dir,
-      Seq("op:append", s"add:$rel") ++ statsLines(spark, dir, rel, statsCols))
+      Seq("op:append", s"add:$rel") ++ schemaL ++ statsLines(spark, dir, rel, statsCols))
   }
 
   /** Highest transaction id `writerId` has committed (the Delta `txn`
@@ -939,15 +983,13 @@ object TxTable {
     require(!writerId.contains(":") && writerId.nonEmpty,
       s"writerId must be non-empty and colon-free: '$writerId'")
     val tip = tipOrZero(spark, dir)
-    if (tip > 0) {
-      val state = stateAt(spark, dir, tip)
-      if (state.txns.get(writerId).exists(_ >= txnId)) return None
-      liveSchema(spark, dir, state).foreach(sch =>
-        enforceWriteSchema(sch, df.schema, allowAdditive, Set.empty, "appendTxn"))
-    }
+    val stateOpt = if (tip == 0) None else Some(stateAt(spark, dir, tip))
+    if (stateOpt.exists(_.txns.get(writerId).exists(_ >= txnId))) return None
+    val schemaL =
+      gateAndSchemaLines(spark, dir, stateOpt, df.schema, allowAdditive, "appendTxn")
     val rel = writeData(spark, dir, df)
     Some(publishNext(spark, dir,
-      Seq("op:append", s"txn:$writerId:$txnId", s"add:$rel")
+      Seq("op:append", s"txn:$writerId:$txnId", s"add:$rel") ++ schemaL
         ++ statsLines(spark, dir, rel, statsCols)))
   }
 
@@ -961,10 +1003,18 @@ object TxTable {
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String] = Nil): Long = {
     val readV = tipOrZero(spark, dir)
-    val before = if (readV == 0L) Nil else stateAt(spark, dir, readV).live
+    val stateOpt = if (readV == 0L) None else Some(stateAt(spark, dir, readV))
+    val before = stateOpt.map(_.live).getOrElse(Nil)
+    val tracked = stateOpt.flatMap(_.schemaJson).flatMap(j => scala.util.Try(
+      DataType.fromJson(j).asInstanceOf[StructType]).toOption)
+    // overwrite REPLACES the schema wholesale — record the new one
+    val schemaL =
+      if (tracked.exists(t => sameTypeLoose(t, df.schema))) Nil
+      else Seq(s"schema:${b64e(df.schema.json)}")
     val rel = writeData(spark, dir, df)
     publishAt(spark, dir, readV + 1,
-      Seq("op:overwrite", s"add:$rel") ++ statsLines(spark, dir, rel, statsCols)
+      Seq("op:overwrite", s"add:$rel") ++ schemaL
+        ++ statsLines(spark, dir, rel, statsCols)
         ++ before.map(d => s"remove:$d"))
     readV + 1
   }
@@ -1027,9 +1077,13 @@ object TxTable {
       statsCols: Seq[String] = Nil, pruneByKeyStats: Boolean = false): Long = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
-    liveSchema(spark, dir, state).foreach(sch =>
+    val tableSch = tableSchemaOf(spark, dir, state)
+    tableSch.foreach(sch =>
       enforceWriteSchema(sch, log.schema, allowAdditive = false,
         exempt = (orderCols :+ opCol).toSet, what = "merge log"))
+    val schemaL =
+      if (state.schemaJson.isDefined) Nil
+      else tableSch.map(t => s"schema:${b64e(t.json)}").toSeq
     val touched: Seq[String] =
       if (!pruneByKeyStats) state.live
       else {
@@ -1091,7 +1145,8 @@ object TxTable {
     val merged = graft.operators.Cdc.applyLog(snap, log, keyCols, orderCols, opCol)
     val rel = writeData(spark, dir, merged)
     publishAt(spark, dir, readV + 1,
-      Seq("op:merge", s"add:$rel") ++ statsLines(spark, dir, rel, statsCols)
+      Seq("op:merge", s"add:$rel") ++ schemaL
+        ++ statsLines(spark, dir, rel, statsCols)
         ++ touched.map(d => s"remove:$d"))
     readV + 1
   }
@@ -1121,45 +1176,55 @@ object TxTable {
     require(lo <= hi, s"empty range: $lo > $hi")
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
-    liveSchema(spark, dir, state).foreach(sch =>
-      enforceWriteSchema(sch, df.schema, allowAdditive, Set.empty, "replaceRange"))
+    val schemaL =
+      gateAndSchemaLines(spark, dir, Some(state), df.schema, allowAdditive, "replaceRange")
     val (touched, _) = state.live.partition { d =>
       state.stats.get(d).flatMap(_.get(colName)) match {
         case Some(LongStat(dLo, dHi)) => dHi >= lo && dLo <= hi
         case _ => true
       }
     }
-    // write first, verify the WRITTEN rows, only then publish
+    // write first, verify the WRITTEN rows, only then publish; the
+    // violation count folds into the same read-back aggregate that
+    // records the new directory's stats — one footer-cheap job total
     val newRel = writeData(spark, dir, df)
     val (fs, root) = fsFor(spark, dir)
-    val newHasFiles = fs.listStatus(new Path(root, newRel))
-      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    if (newHasFiles) {
-      val written = spark.read.parquet(s"$dir/$newRel")
-      val violations = written
-        .filter(col(colName) < lo || col(colName) > hi || col(colName).isNull).count()
-      if (violations > 0) {
-        fs.delete(new Path(root, newRel), true)
-        throw new IllegalArgumentException(
-          s"replaceRange: $violations incoming rows fall outside [$lo, $hi] on $colName " +
-            "— the replaceWhere constraint (replaced region and replacement must coincide)")
+    def hasFiles(rel: String): Boolean =
+      fs.listStatus(new Path(root, rel))
+        .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val outOfRange = col(colName) < lo || col(colName) > hi || col(colName).isNull
+    val newStats: Seq[String] =
+      if (!hasFiles(newRel)) Nil
+      else {
+        val written = spark.read.parquet(s"$dir/$newRel")
+        val violations = written.filter(outOfRange).count()
+        if (violations > 0) {
+          fs.delete(new Path(root, newRel), true)
+          throw new IllegalArgumentException(
+            s"replaceRange: $violations incoming rows fall outside [$lo, $hi] on $colName " +
+              "— the replaceWhere constraint (replaced region and replacement must coincide)")
+        }
+        statsLines(spark, dir, newRel, statsCols)
       }
-    }
     // out-of-range survivors of the overlapping directories, rewritten
-    // copy-on-write (schema-merged like every rewrite); skipped when
-    // empty — an all-covered directory is simply removed
+    // copy-on-write (schema-merged like every rewrite) in ONE pass —
+    // written first, dropped if the write produced no rows (an
+    // all-covered directory is simply removed; checking emptiness
+    // before writing would scan the touched directories twice)
     val survivorAdds: Seq[String] =
       if (touched.isEmpty) Nil
       else {
         val sv = spark.read.option("mergeSchema", "true")
           .parquet(touched.map(d => s"$dir/$d"): _*)
-          .filter(col(colName) < lo || col(colName) > hi || col(colName).isNull)
-        if (sv.isEmpty) Nil else Seq(writeData(spark, dir, sv))
+          .filter(outOfRange)
+        val rel = writeData(spark, dir, sv)
+        if (hasFiles(rel)) Seq(rel)
+        else { fs.delete(new Path(root, rel), true); Nil }
       }
-    val adds = (newRel +: survivorAdds).flatMap(rel =>
+    val adds = Seq(s"add:$newRel") ++ newStats ++ survivorAdds.flatMap(rel =>
       Seq(s"add:$rel") ++ statsLines(spark, dir, rel, statsCols))
     publishAt(spark, dir, readV + 1,
-      Seq("op:replace") ++ adds ++ touched.map(d => s"remove:$d"))
+      Seq("op:replace") ++ schemaL ++ adds ++ touched.map(d => s"remove:$d"))
     readV + 1
   }
 
