@@ -674,6 +674,41 @@ object ParityQueries extends QueryFamily {
       graft.sources.TxTable.tableChanges(s, tdir, 3L, 5L).orderBy("doc_id")
     }),
 
+    // ---- PER-VERSION CHANGE DATA FEED ([[graft.sources.TxTable
+    //      .tableChangesByVersion]]): one slice per adjacent version
+    //      pair of the staged five-version table, each tagged with its
+    //      _commit_version — v2/v3 are the mod-3 appends (pure
+    //      inserts), v4 is the compaction (EMPTY: layout commits are
+    //      change-invisible at every granularity), v5 is the delete.
+    //      The oracle is the three non-empty slices stated directly
+    //      over documents. ----
+    "q225_txtable_changes_by_version" -> ((s, dir) => {
+      val tdir = stagedTxTableDir(s, dir)
+      graft.sources.TxTable.tableChangesByVersion(s, tdir, 1L, 5L)
+        .orderBy("_commit_version", "doc_id")
+    }),
+
+    // ---- CHECK-CONSTRAINED ingest ([[graft.sources.TxTable
+    //      .addConstraint]]): the constraint lands as a log action
+    //      after the first half is written (validating the EXISTING
+    //      rows), the second half commits through the write-side
+    //      enforcement (one aggregate over the written directory), and
+    //      the gate reads the tip — constraint machinery must be
+    //      answer-invisible for conformant data, so the oracle is the
+    //      plain projection. TxTableMaintSpec pins the rejection
+    //      shapes (violating add, violating append/merge/overwrite,
+    //      null-passes, checkpoint carry, drop). ----
+    "q226_txtable_constrained_ingest" -> ((s, dir) => {
+      val tdir = Scratch.freshDir(s, "q226tbl", dir)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.append(s, tdir, docs.filter(col("doc_id") % 2 === 0))
+      graft.sources.TxTable.addConstraint(s, tdir, "chars_pos",
+        "n_chars >= 0 AND lang IS NOT NULL")
+      graft.sources.TxTable.append(s, tdir, docs.filter(col("doc_id") % 2 === 1))
+      graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
+    }),
+
     // ---- A-priori level 3: frequent part TRIPLES enumerated through
     //      the frequent pairs ([[graft.operators.Apriori]]) — the
     //      pruning is exact by monotonicity, so the oracle brute-forces
@@ -1410,6 +1445,22 @@ object ParityQueries extends QueryFamily {
     "q224_txtable_changes" ->
       """SELECT doc_id, lang, source, n_chars, 'delete' AS _change_type
          FROM documents WHERE doc_id % 10 = 7 ORDER BY doc_id""",
+    // per-commit attribution: the three non-empty slices, compaction
+    // contributing nothing
+    "q225_txtable_changes_by_version" ->
+      """SELECT doc_id, lang, source, n_chars, 'insert' AS _change_type,
+                CAST(2 AS BIGINT) AS _commit_version
+         FROM documents WHERE doc_id % 3 = 1
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars, 'insert', CAST(3 AS BIGINT)
+         FROM documents WHERE doc_id % 3 = 2
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars, 'delete', CAST(5 AS BIGINT)
+         FROM documents WHERE doc_id % 10 = 7
+         ORDER BY _commit_version, doc_id""",
+    // conformant data through the constraint gate must be untouched
+    "q226_txtable_constrained_ingest" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "q174_part_copurchase_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
          SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS support

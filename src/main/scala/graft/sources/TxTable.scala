@@ -318,7 +318,8 @@ object TxTable {
       txns: Map[String, Long],
       removedAt: Map[String, Long],
       replayBase: Long,
-      schemaJson: Option[String])
+      schemaJson: Option[String],
+      constraints: Map[String, String])
 
   private def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
     val (fs, root) = fsFor(spark, dir)
@@ -338,6 +339,7 @@ object TxTable {
     val txns = scala.collection.mutable.Map.empty[String, Long]
     val removedAt = scala.collection.mutable.Map.empty[String, Long]
     var schemaJson: Option[String] = None
+    val constraints = scala.collection.mutable.Map.empty[String, String]
     // mtime of the log entry currently being replayed — stamps its
     // remove lines (the vacuum retention clock); checkpoints carry the
     // stamp explicitly in their removed: lines instead
@@ -382,6 +384,13 @@ object TxTable {
         // table schema, latest line wins; lets the schema-on-write gate
         // validate against the log instead of reading parquet footers
         schemaJson = Some(b64d(line.stripPrefix("schema:")))
+      else if (line.startsWith("constraint:")) {
+        // constraint:<name>:<b64 sql> — a CHECK constraint every
+        // subsequent write's rows must satisfy (null = pass, SQL CHECK)
+        val Array(n, e) = line.stripPrefix("constraint:").split(":", 2)
+        constraints(n) = b64d(e)
+      } else if (line.startsWith("dropconstraint:"))
+        constraints -= line.stripPrefix("dropconstraint:")
     if (base > 0) readLines(fs, new Path(log, ckptName(base))).foreach(applyLine)
     var ver = base + 1
     while (ver <= v) {
@@ -402,7 +411,7 @@ object TxTable {
     }
     TableState(live.toSeq,
       stats.view.mapValues(_.toMap).toMap, txns.toMap, removedAt.toMap, base,
-      schemaJson)
+      schemaJson, constraints.toMap)
   }
 
   /** Resolve a requested version against the tip and reconstruct its
@@ -582,8 +591,39 @@ object TxTable {
     val tip = tipOrZero(spark, dir)
     require(tip > 0, s"not a committed TxTable: $dir")
     require(fromV >= 1 && toV <= tip, s"versions $fromV..$toV not in committed range 1..$tip")
-    val sFrom = stateAt(spark, dir, fromV)
-    val sTo = stateAt(spark, dir, toV)
+    changesBetween(spark, dir, stateAt(spark, dir, fromV), stateAt(spark, dir, toV))
+  }
+
+  /** The per-version CHANGE DATA FEED: one [[tableChanges]] slice per
+    * adjacent version pair in `(fromV, toV]`, each tagged with its
+    * `_commit_version` — the Delta CDF read shape, answering "what did
+    * EACH commit do" where [[tableChanges]] answers "what changed net".
+    * States are reconstructed once per version (checkpoint-bounded
+    * driver work); the plan is a union of per-pair directory-difference
+    * scans, so the window length should be operationally short (a
+    * downstream consumer's catch-up span), never the table's whole
+    * history — the same contract as Delta's CDF retention.
+    */
+  def tableChangesByVersion(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"tableChangesByVersion needs fromV <= toV, got $fromV > $toV")
+    val tip = tipOrZero(spark, dir)
+    require(tip > 0, s"not a committed TxTable: $dir")
+    require(fromV >= 1 && toV <= tip, s"versions $fromV..$toV not in committed range 1..$tip")
+    val states = (fromV to toV).map(v => v -> stateAt(spark, dir, v)).toMap
+    val slices = ((fromV + 1) to toV).map { v =>
+      changesBetween(spark, dir, states(v - 1), states(v))
+        .withColumn("_commit_version", lit(v))
+    }
+    if (slices.isEmpty)
+      changesBetween(spark, dir, states(fromV), states(fromV))
+        .withColumn("_commit_version", lit(fromV))
+        .filter(lit(false))
+    else slices.reduce(_ unionByName _)
+  }
+
+  private def changesBetween(spark: SparkSession, dir: String,
+      sFrom: TableState, sTo: TableState): DataFrame = {
     val fromSet = sFrom.live.toSet
     val toSet = sTo.live.toSet
     val fromOnly = sFrom.live.filterNot(toSet)
@@ -615,6 +655,44 @@ object TxTable {
     val n = aligned(newDf)
     n.exceptAll(o).withColumn("_change_type", lit("insert"))
       .unionByName(o.exceptAll(n).withColumn("_change_type", lit("delete")))
+  }
+
+  /** RESTORE the table to the content of `toVersion` as a NEW commit —
+    * Delta's RESTORE TABLE: re-add the directories live at the target
+    * version, remove the directories live now, METADATA-ONLY (within
+    * the vacuum retention the target's directories are still on disk;
+    * no data is rewritten or copied). The rollback that keeps history:
+    * the rolled-back commits stay in the log and readable, the restore
+    * is itself a commit at READ version + 1 (abort on conflict — the
+    * Delta serializable-writer rule), and the target's stats and schema
+    * action are re-recorded so pruning and the write gate match the
+    * restored content. Fails informatively when a needed directory was
+    * already vacuumed — restore reach IS the retention window.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val readV = tipVersion(spark, dir)
+    require(toVersion >= 1 && toVersion <= readV,
+      s"restore target $toVersion not in committed range 1..$readV")
+    val cur = stateAt(spark, dir, readV)
+    val tgt = stateAt(spark, dir, toVersion)
+    val (fs, root) = fsFor(spark, dir)
+    tgt.live.foreach(d => require(fs.exists(new Path(root, d)),
+      s"cannot restore to version $toVersion: its directory $d was already " +
+        "vacuumed — restore reach is bounded by the vacuum retention window"))
+    val curSet = cur.live.toSet
+    val tgtSet = tgt.live.toSet
+    val adds = tgt.live.filterNot(curSet)
+    val removes = cur.live.filterNot(tgtSet)
+    val statsL = adds.flatMap(d => tgt.stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
+      .map { case (c, st) => statLineOf(d, c, st) })
+    val schemaL = tgt.schemaJson match {
+      case Some(j) if !cur.schemaJson.contains(j) => Seq(s"schema:${b64e(j)}")
+      case _ => Nil
+    }
+    publishAt(spark, dir, readV + 1,
+      Seq("op:restore") ++ adds.map(d => s"add:$d") ++ statsL ++ schemaL
+        ++ removes.map(d => s"remove:$d"))
+    readV + 1
   }
 
   // ------------------------------------------------------------------
@@ -706,15 +784,13 @@ object TxTable {
     val lines =
       st.live.map(d => s"live:$d") ++
         st.live.flatMap(d => st.stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
-          .map {
-            case (c, LongStat(lo, hi)) => s"stats:$d:$c:$lo:$hi"
-            case (c, StrStat(lo, hiOpt)) =>
-              s"sstats:$d:$c:${b64e(lo)}:${hiOpt.map(b64e).getOrElse("-")}"
-          }) ++
+          .map { case (c, stat) => statLineOf(d, c, stat) }) ++
         st.removedAt.toSeq.filter(e => present(e._1)).sortBy(_._1)
           .map { case (rel, t) => s"removed:$rel:$t" } ++
         st.txns.toSeq.sortBy(_._1).map { case (w, id) => s"txn:$w:$id" } ++
-        st.schemaJson.map(j => s"schema:${b64e(j)}").toSeq
+        st.schemaJson.map(j => s"schema:${b64e(j)}").toSeq ++
+        st.constraints.toSeq.sortBy(_._1)
+          .map { case (n, e) => s"constraint:$n:${b64e(e)}" }
     val tmp = writeSmallFile(fs, log, lines)
     putIfAbsent(fs, tmp, new Path(log, ckptName(v)))
     if (v > readPointer(fs, log)) writePointer(fs, log, v)
@@ -764,6 +840,45 @@ object TxTable {
 
   private def b64d(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  /** Render one recorded stat as its log line (entry/checkpoint/restore
+    * all share the same wire format).
+    */
+  private def statLineOf(rel: String, c: String, stat: Stat): String = stat match {
+    case LongStat(lo, hi) => s"stats:$rel:$c:$lo:$hi"
+    case StrStat(lo, hiOpt) => s"sstats:$rel:$c:${b64e(lo)}:${hiOpt.map(b64e).getOrElse("-")}"
+  }
+
+  /** Enforce the table's CHECK constraints against a just-written
+    * directory — SQL CHECK semantics (a row passes unless the
+    * expression is FALSE; null passes), all constraints in ONE
+    * aggregate over the written parquet. A violating write is deleted
+    * and rejected before anything publishes; tables without
+    * constraints pay nothing.
+    */
+  private def enforceConstraints(spark: SparkSession, dir: String, rel: String,
+      constraints: Map[String, String], what: String): Unit = {
+    if (constraints.isEmpty) return
+    val (fs, root) = fsFor(spark, dir)
+    val hasFiles = fs.listStatus(new Path(root, rel))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (!hasFiles) return
+    val df = spark.read.parquet(s"$dir/$rel")
+    val named = constraints.toSeq.sortBy(_._1)
+    val aggs = named.map { case (n, sql) =>
+      count(when(!coalesce(org.apache.spark.sql.functions.expr(sql), lit(true)), 1))
+        .as(s"c_$n")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val violated = named.zipWithIndex.collect {
+      case ((n, sql), i) if row.getLong(i) > 0 => s"'$n' ($sql): ${row.getLong(i)} rows"
+    }
+    if (violated.nonEmpty) {
+      fs.delete(new Path(root, rel), true)
+      throw new IllegalArgumentException(
+        s"$what violates CHECK constraint(s) ${violated.mkString("; ")}")
+    }
+  }
 
   /** Truncate to a code-point-clean prefix (never splits a surrogate
     * pair — an unpaired surrogate would not UTF-8-encode as a prefix of
@@ -952,6 +1067,8 @@ object TxTable {
     val stateOpt = if (tip == 0) None else Some(stateAt(spark, dir, tip))
     val schemaL = gateAndSchemaLines(spark, dir, stateOpt, df.schema, allowAdditive, "append")
     val rel = writeData(spark, dir, df)
+    enforceConstraints(spark, dir, rel,
+      stateOpt.map(_.constraints).getOrElse(Map.empty), "append")
     publishNext(spark, dir,
       Seq("op:append", s"add:$rel") ++ schemaL ++ statsLines(spark, dir, rel, statsCols))
   }
@@ -988,6 +1105,8 @@ object TxTable {
     val schemaL =
       gateAndSchemaLines(spark, dir, stateOpt, df.schema, allowAdditive, "appendTxn")
     val rel = writeData(spark, dir, df)
+    enforceConstraints(spark, dir, rel,
+      stateOpt.map(_.constraints).getOrElse(Map.empty), "appendTxn")
     Some(publishNext(spark, dir,
       Seq("op:append", s"txn:$writerId:$txnId", s"add:$rel") ++ schemaL
         ++ statsLines(spark, dir, rel, statsCols)))
@@ -1012,6 +1131,8 @@ object TxTable {
       if (tracked.exists(t => sameTypeLoose(t, df.schema))) Nil
       else Seq(s"schema:${b64e(df.schema.json)}")
     val rel = writeData(spark, dir, df)
+    enforceConstraints(spark, dir, rel,
+      stateOpt.map(_.constraints).getOrElse(Map.empty), "overwrite")
     publishAt(spark, dir, readV + 1,
       Seq("op:overwrite", s"add:$rel") ++ schemaL
         ++ statsLines(spark, dir, rel, statsCols)
@@ -1144,6 +1265,7 @@ object TxTable {
           .filter(org.apache.spark.sql.functions.lit(false))
     val merged = graft.operators.Cdc.applyLog(snap, log, keyCols, orderCols, opCol)
     val rel = writeData(spark, dir, merged)
+    enforceConstraints(spark, dir, rel, state.constraints, "merge")
     publishAt(spark, dir, readV + 1,
       Seq("op:merge", s"add:$rel") ++ schemaL
         ++ statsLines(spark, dir, rel, statsCols)
@@ -1204,6 +1326,7 @@ object TxTable {
             s"replaceRange: $violations incoming rows fall outside [$lo, $hi] on $colName " +
               "— the replaceWhere constraint (replaced region and replacement must coincide)")
         }
+        enforceConstraints(spark, dir, newRel, state.constraints, "replaceRange")
         statsLines(spark, dir, newRel, statsCols)
       }
     // out-of-range survivors of the overlapping directories, rewritten
@@ -1368,6 +1491,56 @@ object TxTable {
     publishAt(spark, dir, readV + 1,
       Seq("op:optimize") ++ adds ++ before.map(d => s"remove:$d"))
     Some(readV + 1)
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK constraints
+  // ------------------------------------------------------------------
+
+  /** Add a CHECK constraint (Delta's ADD CONSTRAINT): `exprSql` must
+    * hold (not be FALSE; null passes — SQL CHECK semantics) for every
+    * row of every subsequent write, enforced against the WRITTEN
+    * parquet before a commit publishes, and validated against the
+    * EXISTING rows here before the constraint itself commits — adding
+    * a constraint the current data violates is rejected. The
+    * constraint is a log action (`constraint:` line, checkpoint-
+    * carried), committed at READ version + 1 (the validation is
+    * read-dependent — abort on conflict). [[restore]] does not
+    * re-validate: restoring past a constraint's add can resurface
+    * pre-constraint rows, the documented Delta RESTORE caveat.
+    */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      exprSql: String): Long = {
+    require(!name.contains(":") && name.nonEmpty,
+      s"constraint names must be non-empty and colon-free: '$name'")
+    val readV = tipVersion(spark, dir)
+    val state = stateAt(spark, dir, readV)
+    if (state.live.nonEmpty) {
+      scala.util.Try(spark.read.option("mergeSchema", "true")
+          .parquet(state.live.map(d => s"$dir/$d"): _*)).toOption
+        .foreach { df =>
+          val n = df.filter(
+            !coalesce(org.apache.spark.sql.functions.expr(exprSql), lit(true))).count()
+          require(n == 0,
+            s"cannot add constraint '$name': $n existing rows violate ($exprSql)")
+        }
+    }
+    publishAt(spark, dir, readV + 1,
+      Seq("op:constraint", s"constraint:$name:${b64e(exprSql)}"))
+    readV + 1
+  }
+
+  /** Drop a CHECK constraint by name (a no-op line if absent). */
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Long = {
+    require(!name.contains(":") && name.nonEmpty,
+      s"constraint names must be non-empty and colon-free: '$name'")
+    publishNext(spark, dir, Seq("op:dropconstraint", s"dropconstraint:$name"))
+  }
+
+  /** The active CHECK constraints at the tip: name -> SQL expression. */
+  def constraints(spark: SparkSession, dir: String): Map[String, String] = {
+    val tip = tipOrZero(spark, dir)
+    if (tip == 0) Map.empty else stateAt(spark, dir, tip).constraints
   }
 
   // ------------------------------------------------------------------

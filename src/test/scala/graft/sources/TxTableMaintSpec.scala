@@ -322,6 +322,96 @@ class TxTableMaintSpec extends SparkTestBase {
   // Maintenance pass
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // Per-version CDF, restore, constraints
+  // ---------------------------------------------------------------
+
+  test("tableChangesByVersion: per-commit attribution; compaction slices are empty") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 5))      // v1
+    TxTable.append(spark, dir, rows(5, 8))      // v2
+    TxTable.compact(spark, dir)                 // v3 — layout only
+    TxTable.delete(spark, dir, col("id") < 2L)  // v4
+    val got = TxTable.tableChangesByVersion(spark, dir, 1L, 4L)
+      .collect().map(r => (r.getLong(r.fieldIndex("_commit_version")),
+        r.getLong(0), r.getString(r.fieldIndex("_change_type"))))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val want =
+      (5L until 8L).map(i => (2L, i, "insert")) ++
+      (0L until 2L).map(i => (4L, i, "delete"))
+    assert(got == want, s"got $got")
+    // the empty window shape
+    assert(TxTable.tableChangesByVersion(spark, dir, 2L, 2L).count() == 0L)
+  }
+
+  test("restore: metadata-only rollback, history intact, stats and schema re-recorded") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 10), statsCols = Seq("id"))   // v1
+    TxTable.append(spark, dir, rows(10, 20), statsCols = Seq("id"))  // v2
+    TxTable.delete(spark, dir, col("id") >= 5L)                      // v3
+    val v = TxTable.restore(spark, dir, 2L)                          // v4
+    assert(v == 4L)
+    assert(ids(TxTable.snapshot(spark, dir)) == (0L until 20L))
+    // the rolled-back version stays readable — restore keeps history
+    assert(ids(TxTable.snapshot(spark, dir, Some(3L))) == (0L until 5L))
+    // the restored directories carry their stats again (pruning works)
+    val ranged = TxTable.snapshotRange(spark, dir, "id", 12L, 15L)
+    assert(ids(ranged) == (12L to 15L))
+    // the CDF sees the restore as re-inserts of the deleted rows
+    val restored = TxTable.tableChanges(spark, dir, 3L, 4L)
+      .collect().map(r => (r.getLong(0), r.getString(r.fieldIndex("_change_type"))))
+      .sortBy(identity).toSeq
+    assert(restored == (5L until 20L).map(i => (i, "insert")))
+    // restore past the retention window fails informatively
+    TxTable.delete(spark, dir, col("id") >= 15L)  // v5: makes v4's extra dirs removable
+    Thread.sleep(15)
+    TxTable.vacuum(spark, dir, horizonMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      TxTable.restore(spark, dir, 2L)
+    }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
+  test("CHECK constraints: validated on add, enforced on every write shape, droppable") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 5))
+    // adding a constraint the existing rows violate is rejected
+    val bad = intercept[IllegalArgumentException] {
+      TxTable.addConstraint(spark, dir, "v_big", "v >= 100")
+    }
+    assert(bad.getMessage.contains("existing rows violate"))
+    assert(TxTable.constraints(spark, dir).isEmpty)
+    // a satisfiable constraint lands as a log action
+    TxTable.addConstraint(spark, dir, "v_nonneg", "v >= 0")
+    assert(TxTable.constraints(spark, dir) == Map("v_nonneg" -> "v >= 0"))
+    // conformant writes pass; violating writes are rejected pre-publish
+    TxTable.append(spark, dir, rows(5, 8))
+    val tipBefore = TxTable.versions(spark, dir).last
+    val viol = intercept[IllegalArgumentException] {
+      TxTable.append(spark, dir, Seq((99L, -1L)).toDF("id", "v"))
+    }
+    assert(viol.getMessage.contains("v_nonneg"))
+    assert(TxTable.versions(spark, dir).last == tipBefore, "nothing published")
+    intercept[IllegalArgumentException] {
+      TxTable.merge(spark, dir,
+        Seq((1L, -5L, "U", 1L)).toDF("id", "v", "op", "ts"), Seq("id"), Seq("ts"))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.overwrite(spark, dir, Seq((1L, -5L)).toDF("id", "v"))
+    }
+    // null passes — SQL CHECK semantics
+    TxTable.append(spark, dir,
+      Seq((50L, Option.empty[Long])).toDF("id", "v"))
+    // constraints survive a checkpoint (9+ commits) and then drop cleanly
+    (0 until 6).foreach(i => TxTable.append(spark, dir, rows(100 + i, 101 + i)))
+    assert(TxTable.replayBase(spark, dir) >= 8L)
+    assert(TxTable.constraints(spark, dir) == Map("v_nonneg" -> "v >= 0"))
+    TxTable.dropConstraint(spark, dir, "v_nonneg")
+    assert(TxTable.constraints(spark, dir).isEmpty)
+    TxTable.append(spark, dir, Seq((99L, -1L)).toDF("id", "v"))
+    assert(TxTable.snapshot(spark, dir).filter(col("v") === -1L).count() == 1L)
+  }
+
   test("maintain: compactSmall + checkpoint + vacuum + cleanupLog as one guarded pass") {
     val dir = freshDir()
     (0 until 12).foreach(i => TxTable.append(spark, dir, rows(i * 2, i * 2 + 2),
