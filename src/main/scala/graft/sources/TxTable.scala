@@ -1428,12 +1428,28 @@ object TxTable {
     * recorded. No-op (None) on an empty live set.
     */
   def optimizeZorder(spark: SparkSession, dir: String, zCols: Seq[String],
-      outDirs: Int, statsCols: Seq[String] = Nil): Option[Long] = {
+      outDirs: Int, statsCols: Seq[String] = Nil,
+      smallBytes: Option[Long] = None): Option[Long] = {
     require(outDirs >= 1, s"outDirs must be >= 1, got $outDirs")
     require(zCols.nonEmpty, "need at least one clustering column")
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
-    val before = state.live
+    // `smallBytes` is the INCREMENTAL shape ([[compactSmall]] with
+    // clustering): fold only sub-threshold directories into fresh
+    // z-slices and leave the accumulated (already-clustered, large)
+    // directories completely untouched — a long-lived table re-clusters
+    // its recent micro-batch tail, never its whole history. Needs at
+    // least two sub-threshold dirs to act (None otherwise).
+    val before = smallBytes match {
+      case None => state.live
+      case Some(sb) =>
+        require(sb > 0, s"smallBytes must be positive, got $sb")
+        val (fs0, root0) = fsFor(spark, dir)
+        val small = state.live.filter(d =>
+          fs0.getContentSummary(new Path(root0, d)).getLength < sb)
+        if (small.size < 2) return None
+        small
+    }
     if (before.isEmpty) return None
     val src = spark.read.option("mergeSchema", "true")
       .parquet(before.map(d => s"$dir/$d"): _*)

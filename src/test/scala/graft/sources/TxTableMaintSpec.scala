@@ -290,6 +290,32 @@ class TxTableMaintSpec extends SparkTestBase {
       all.filter(p => p._1 <= 200 && p._2 <= 200).map(_._1).sorted)
   }
 
+  test("optimizeZorder(smallBytes): only the sub-threshold tail is re-clustered") {
+    val dir = freshDir()
+    val all = (0L until 20000L).map(i => (i, (i * 37) % 20000))
+    TxTable.append(spark, dir, all.toDF("id", "v"), statsCols = Seq("id", "v"))
+    TxTable.optimizeZorder(spark, dir, Seq("id", "v"), outDirs = 4) // big clustered base
+    val base = TxTable.liveDirs(spark, dir)
+    // two small micro-batch appends land on top
+    TxTable.append(spark, dir, Seq((2000L, 1L), (2001L, 2L)).toDF("id", "v"),
+      statsCols = Seq("id", "v"))
+    TxTable.append(spark, dir, Seq((2002L, 3L)).toDF("id", "v"),
+      statsCols = Seq("id", "v"))
+    val beforeRows = ids(TxTable.snapshot(spark, dir))
+    // a 4 KiB threshold folds only the two tiny dirs
+    val v = TxTable.optimizeZorder(spark, dir, Seq("id", "v"), outDirs = 1,
+      smallBytes = Some(4096L))
+    assert(v.isDefined)
+    val after = TxTable.liveDirs(spark, dir)
+    assert(base.forall(after.contains),
+      "the accumulated clustered base must never be rewritten by the incremental pass")
+    assert(after.size == base.size + 1, "two tail dirs folded into one clustered slice")
+    assert(ids(TxTable.snapshot(spark, dir)) == beforeRows)
+    // one remaining small dir: a clean no-op
+    assert(TxTable.optimizeZorder(spark, dir, Seq("id", "v"), outDirs = 1,
+      smallBytes = Some(4096L)).isEmpty)
+  }
+
   // ---------------------------------------------------------------
   // Change data feed
   // ---------------------------------------------------------------
