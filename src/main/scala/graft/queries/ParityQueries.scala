@@ -709,6 +709,25 @@ object ParityQueries extends QueryFamily {
       graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
     }),
 
+    // ---- The TABLE AS A STREAMING CDC SOURCE ([[graft.streaming
+    //      .TxTableStream.followChanges]]): tail-follow the staged
+    //      five-version table into a fresh sink table — every source
+    //      version lands as one per-version change slice committed
+    //      EXACTLY-ONCE with the source version as the txn id (the
+    //      sink's ledger IS the offset store; a second drain inside
+    //      the query is a no-op, and the compaction version contributes
+    //      an empty slice). The sink's content is the full per-commit
+    //      feed from the empty baseline, stated directly over documents
+    //      by the oracle. ----
+    "q227_txtable_follow_feed" -> ((s, dir) => {
+      val src = stagedTxTableDir(s, dir)
+      val sink = Scratch.freshDir(s, "q227sink", dir)
+      graft.streaming.TxTableStream.followChanges(s, src, sink)
+      graft.streaming.TxTableStream.followChanges(s, src, sink) // no-op redrain
+      graft.sources.TxTable.snapshot(s, sink)
+        .orderBy("_commit_version", "doc_id")
+    }),
+
     // ---- A-priori level 3: frequent part TRIPLES enumerated through
     //      the frequent pairs ([[graft.operators.Apriori]]) — the
     //      pruning is exact by monotonicity, so the oracle brute-forces
@@ -1461,6 +1480,23 @@ object ParityQueries extends QueryFamily {
     // conformant data through the constraint gate must be untouched
     "q226_txtable_constrained_ingest" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    // the drained per-commit feed from the empty baseline: initial
+    // content as the v1 slice, the two later appends, the compaction
+    // contributing nothing, the delete as the v5 slice
+    "q227_txtable_follow_feed" ->
+      """SELECT doc_id, lang, source, n_chars, 'insert' AS _change_type,
+                CAST(1 AS BIGINT) AS _commit_version
+         FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars, 'insert', CAST(2 AS BIGINT)
+         FROM documents WHERE doc_id % 3 = 1
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars, 'insert', CAST(3 AS BIGINT)
+         FROM documents WHERE doc_id % 3 = 2
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars, 'delete', CAST(5 AS BIGINT)
+         FROM documents WHERE doc_id % 10 = 7
+         ORDER BY _commit_version, doc_id""",
     "q174_part_copurchase_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
          SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS support

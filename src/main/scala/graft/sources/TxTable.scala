@@ -322,6 +322,10 @@ object TxTable {
       constraints: Map[String, String])
 
   private def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
+    // version 0 IS the empty table — the change-feed baseline, so a
+    // feed from 0 yields the initial content as its first insert slice
+    if (v == 0L)
+      return TableState(Nil, Map.empty, Map.empty, Map.empty, 0L, None, Map.empty)
     val (fs, root) = fsFor(spark, dir)
     val log = logPath(root)
     // the seeding checkpoint: probe DESCENDING by constructed name from
@@ -571,7 +575,9 @@ object TxTable {
     snapshotWhere(spark, dir, Seq(LongRange(colName, lo, hi)), version, mergeSchema)
 
   /** CHANGE DATA FEED: the net row-level difference between two
-    * committed versions, tagged `_change_type` of `insert` / `delete`
+    * committed versions (`fromV = 0` is the EMPTY table, so a feed from
+    * 0 starts with the initial content as inserts — the tail-follow
+    * baseline), tagged `_change_type` of `insert` / `delete`
     * (an update is a delete + insert pair — the table has no inherent
     * row identity). Derived from the log's directory algebra, never a
     * full-snapshot diff: directories live at BOTH versions are
@@ -590,7 +596,7 @@ object TxTable {
     require(fromV <= toV, s"tableChanges needs fromV <= toV, got $fromV > $toV")
     val tip = tipOrZero(spark, dir)
     require(tip > 0, s"not a committed TxTable: $dir")
-    require(fromV >= 1 && toV <= tip, s"versions $fromV..$toV not in committed range 1..$tip")
+    require(fromV >= 0 && toV <= tip, s"versions $fromV..$toV not in committed range 0..$tip")
     changesBetween(spark, dir, stateAt(spark, dir, fromV), stateAt(spark, dir, toV))
   }
 
@@ -609,7 +615,7 @@ object TxTable {
     require(fromV <= toV, s"tableChangesByVersion needs fromV <= toV, got $fromV > $toV")
     val tip = tipOrZero(spark, dir)
     require(tip > 0, s"not a committed TxTable: $dir")
-    require(fromV >= 1 && toV <= tip, s"versions $fromV..$toV not in committed range 1..$tip")
+    require(fromV >= 0 && toV <= tip, s"versions $fromV..$toV not in committed range 0..$tip")
     val states = (fromV to toV).map(v => v -> stateAt(spark, dir, v)).toMap
     val slices = ((fromV + 1) to toV).map { v =>
       changesBetween(spark, dir, states(v - 1), states(v))

@@ -76,6 +76,42 @@ object TxTableStream {
       catch { case _: TxTable.CommitConflict => () }
   }
 
+  /** TAIL-FOLLOW a TxTable's commit log as a CDC stream — the table as
+    * a STREAMING SOURCE (Delta's readStream-from-table shape, here as
+    * the explicit drain loop a scheduler re-runs): every committed
+    * version of `srcDir` past the follower's offset is emitted as one
+    * per-version change slice ([[TxTable.tableChangesByVersion]] —
+    * inserts/deletes tagged `_change_type` + `_commit_version`; layout
+    * commits yield empty slices and are skipped) and committed into
+    * `sinkDir` EXACTLY-ONCE through the txn ledger with the SOURCE
+    * VERSION as the transaction id — the ledger IS the offset store, so
+    * there is no separate checkpoint to lose: a crashed or replayed
+    * drain re-reads its offset from the sink's own log and re-emits
+    * nothing ([[TxTable.appendTxn]] skips at-or-below the ledger).
+    * The first drain starts from version 0 (the empty baseline), so the
+    * source's initial content arrives as the v1 insert slice.
+    *
+    * Returns the source tip this drain caught up to. Scale shape: one
+    * directory-difference scan + one batch-sized transactional append
+    * per NEW version — a caught-up follower pays two driver log reads
+    * and nothing else.
+    */
+  def followChanges(spark: SparkSession, srcDir: String, sinkDir: String,
+      writerId: String = "follow"): Long = {
+    val tip = TxTable.versions(spark, srcDir).lastOption.getOrElse(0L)
+    val from = TxTable.lastTxn(spark, sinkDir, writerId).getOrElse(0L)
+    var v = from + 1
+    while (v <= tip) {
+      val slice = TxTable.tableChangesByVersion(spark, srcDir, v - 1, v)
+      // an empty (layout) slice still commits its txn line, advancing
+      // the offset so a restart never rescans it; source-side additive
+      // evolution flows through (the feed mirrors the source by design)
+      TxTable.appendTxn(spark, sinkDir, slice, writerId, v, allowAdditive = true)
+      v += 1
+    }
+    tip
+  }
+
   /** Drain `feedDir` into the table at `tableDir`; returns the tip
     * snapshot after the drain.
     */

@@ -75,6 +75,32 @@ class TxTableStreamSpec extends SparkTestBase {
     assert(TxTable.liveDirs(spark, dir).nonEmpty)
   }
 
+  test("followChanges: the table as a CDC source — exactly-once slices, ledger is the offset") {
+    val src = fresh()
+    val sink = fresh()
+    TxTable.append(spark, src, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))  // v1
+    TxTable.append(spark, src, Seq((3L, 30L)).toDF("id", "v"))             // v2
+    // first drain: initial content arrives as the v1 slice
+    assert(TxTableStream.followChanges(spark, src, sink) == 2L)
+    def feed() = TxTable.snapshot(spark, sink)
+      .collect().map(r => (r.getLong(0), r.getString(r.fieldIndex("_change_type")),
+        r.getLong(r.fieldIndex("_commit_version")))).sortBy(identity).toSeq
+    assert(feed() == Seq((1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 2L)))
+    // an immediate re-drain is a no-op: the ledger is the offset store
+    assert(TxTableStream.followChanges(spark, src, sink) == 2L)
+    assert(feed().size == 3)
+    // the source moves on: a layout commit (empty slice) + a delete
+    TxTable.compact(spark, src)                        // v3 — change-invisible
+    TxTable.delete(spark, src, $"id" === 1L)       // v4
+    assert(TxTableStream.followChanges(spark, src, sink) == 4L)
+    assert(feed() == Seq((1L, "delete", 4L), (1L, "insert", 1L),
+      (2L, "insert", 1L), (3L, "insert", 2L)))
+    assert(TxTable.lastTxn(spark, sink, "follow").contains(4L))
+    // replayed drain after the catch-up: still nothing new
+    assert(TxTableStream.followChanges(spark, src, sink) == 4L)
+    assert(feed().size == 4)
+  }
+
   test("maintainEvery: the OPTIMIZE-daemon pass under the ingest keeps the table " +
       "bounded without weakening exactly-once") {
     val dir = fresh()
