@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, Inte
 /** A TRANSACTIONAL parquet table with a Delta-style ordered commit log —
   * the table-format rung above [[Segments]]' single-writer marker
   * protocol: multi-writer optimistic concurrency, snapshot-isolated
-  * reads, TIME TRAVEL to any retained version, logical delete/overwrite
+  * reads, TIME TRAVEL to any retained version (by number or wall-clock
+  * timestamp), logical delete/overwrite
   * (a log entry, never an in-place file edit), MERGE (CDC upsert/delete
   * as one copy-on-write commit), log-transacted compaction and Z-ORDER
   * OPTIMIZE, periodic LOG CHECKPOINTS bounding every read's replay work,
@@ -20,7 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, Inte
   * scans, schema enforcement on write (additive evolution only by
   * explicit opt-in), a CHANGE DATA FEED between any two retained
   * versions, and a vacuum + log-retention pair whose horizons define the
-  * time-travel window. The design follows the published Delta Lake
+  * time-travel window — plus RESTORE (metadata-only rollback), CHECK
+  * constraints, a per-version CHANGE DATA FEED consumable as a
+  * tail-follow stream, and a protocol-version guard for forward
+  * compatibility. The design follows the published Delta Lake
   * protocol shape (Armbrust et al., VLDB'20: an ordered log of
   * add/remove file actions; a version's snapshot = adds minus removes up
   * to it; periodic checkpoints of the reconstructed state plus a
@@ -146,6 +150,14 @@ object TxTable {
 
   private val VersionWidth = 20
   private val PointerName = "_last_checkpoint"
+
+  /** The log-format protocol this engine reads and writes. Every
+    * table's first commit records `protocol:<n>`; a reader meeting a
+    * HIGHER number fails informatively instead of silently
+    * misinterpreting actions a newer writer introduced — the Delta
+    * protocol-versioning rule.
+    */
+  private[graft] val SupportedProtocol = 1
 
   /** A checkpoint is written when the just-committed version is a
     * multiple of this — every read then replays at most this many
@@ -388,7 +400,14 @@ object TxTable {
         // table schema, latest line wins; lets the schema-on-write gate
         // validate against the log instead of reading parquet footers
         schemaJson = Some(b64d(line.stripPrefix("schema:")))
-      else if (line.startsWith("constraint:")) {
+      else if (line.startsWith("protocol:")) {
+        val pv = line.stripPrefix("protocol:").trim
+        if (!pv.forall(_.isDigit) || pv.toInt > SupportedProtocol)
+          throw new IllegalStateException(
+            s"table $dir was written under log protocol $pv; this engine " +
+              s"supports protocol <= $SupportedProtocol — upgrade the reader " +
+              "before touching this table")
+      } else if (line.startsWith("constraint:")) {
         // constraint:<name>:<b64 sql> — a CHECK constraint every
         // subsequent write's rows must satisfy (null = pass, SQL CHECK)
         val Array(n, e) = line.stripPrefix("constraint:").split(":", 2)
@@ -443,6 +462,31 @@ object TxTable {
     */
   def liveDirs(spark: SparkSession, dir: String, version: Option[Long] = None): Seq[String] =
     resolvedState(spark, dir, version)._2.live
+
+  /** The latest version committed AT OR BEFORE `tsMillis` — Delta's
+    * TIMESTAMP AS OF resolution: commit order and entry mtimes are both
+    * monotone, so the answer is the last entry whose mtime is at or
+    * under the cut. Walks the RETAINED log (a listing — this is the
+    * history-introspection class, not the snapshot read path). Fails
+    * informatively when the timestamp precedes the retained history.
+    */
+  def versionAt(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val (fs, root) = fsFor(spark, dir)
+    val log = logPath(root)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"not a committed TxTable: $dir")
+    val hit = vs.reverse.find(v =>
+      fs.getFileStatus(new Path(log, versionName(v))).getModificationTime <= tsMillis)
+    hit.getOrElse(throw new IllegalArgumentException(
+      s"no retained version of $dir was committed at or before $tsMillis " +
+        s"(earliest retained: ${vs.head}) — the timestamp predates the " +
+        "retained history (or the log was cleaned past it)"))
+  }
+
+  /** Snapshot as of a WALL-CLOCK time ([[versionAt]] + [[snapshot]]). */
+  def snapshotAsOf(spark: SparkSession, dir: String, tsMillis: Long,
+      mergeSchema: Boolean = false): DataFrame =
+    snapshot(spark, dir, Some(versionAt(spark, dir, tsMillis)), mergeSchema)
 
   /** Per-live-directory INTEGER/DATE column stats at `version` (default
     * tip): rel -> col -> (min, max). Directories whose writer recorded
@@ -762,7 +806,9 @@ object TxTable {
       lines: Seq[String]): Unit = {
     val (fs, root) = fsFor(spark, dir)
     val log = logPath(root)
-    val tmp = writeSmallFile(fs, log, lines)
+    val stamped =
+      if (v == 1L) s"protocol:$SupportedProtocol" +: lines else lines
+    val tmp = writeSmallFile(fs, log, stamped)
     if (!putIfAbsent(fs, tmp, new Path(log, versionName(v))))
       throw new CommitConflict(
         s"version $v was claimed concurrently; re-read the tip and re-derive")
@@ -788,7 +834,8 @@ object TxTable {
       else fs.listStatus(dataRoot).toSeq.filter(_.isDirectory)
         .map(s => s"data/${s.getPath.getName}").toSet
     val lines =
-      st.live.map(d => s"live:$d") ++
+      Seq(s"protocol:$SupportedProtocol") ++
+        st.live.map(d => s"live:$d") ++
         st.live.flatMap(d => st.stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
           .map { case (c, stat) => statLineOf(d, c, stat) }) ++
         st.removedAt.toSeq.filter(e => present(e._1)).sortBy(_._1)

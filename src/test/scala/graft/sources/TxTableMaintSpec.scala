@@ -344,6 +344,38 @@ class TxTableMaintSpec extends SparkTestBase {
     assert(TxTable.tableChanges(spark, dir, tip, tip2).count() == 0L)
   }
 
+  test("timestamp time travel: versionAt resolves by commit mtime; snapshotAsOf reads it") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 3))
+    Thread.sleep(30)
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(30)
+    TxTable.append(spark, dir, rows(3, 6))
+    assert(TxTable.versionAt(spark, dir, betweenTs) == 1L)
+    assert(TxTable.versionAt(spark, dir, System.currentTimeMillis()) == 2L)
+    assert(ids(TxTable.snapshotAsOf(spark, dir, betweenTs)) == (0L until 3L))
+    // a timestamp before the table existed fails informatively
+    val e = intercept[IllegalArgumentException] {
+      TxTable.versionAt(spark, dir, betweenTs - 3600L * 1000)
+    }
+    assert(e.getMessage.contains("predates"))
+  }
+
+  test("protocol guard: a table written under a newer log protocol refuses to read") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 3))
+    // first commit recorded the protocol; current-engine reads work
+    assert(ids(TxTable.snapshot(spark, dir)) == (0L until 3L))
+    // a newer writer bumps the protocol in a later commit
+    TxTable.publishAt(spark, dir, 2L, Seq("op:upgrade", "protocol:99"))
+    val e = intercept[IllegalStateException] {
+      TxTable.snapshot(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("protocol"))
+    // pre-upgrade versions still read: the guard is per-replayed-line
+    assert(ids(TxTable.snapshot(spark, dir, Some(1L))) == (0L until 3L))
+  }
+
   // ---------------------------------------------------------------
   // Maintenance pass
   // ---------------------------------------------------------------
