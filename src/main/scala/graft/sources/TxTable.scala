@@ -569,8 +569,12 @@ object TxTable {
     case LongRange(c, lo, hi) =>
       schema.fields.find(_.name == c).map(_.dataType) match {
         case Some(DateType) =>
-          val d = datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
-          d >= lo && d <= hi
+          // compare against DATE LITERALS, not datediff(col, epoch): a
+          // plain column-vs-literal comparison reaches the parquet scan
+          // as a pushed filter (row-group pruning inside the surviving
+          // directories); an expression over the column would not
+          col(c) >= lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(lo))) &&
+            col(c) <= lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(hi)))
         case _ => col(c) >= lo && col(c) <= hi
       }
     case StrRange(c, lo, hi) =>

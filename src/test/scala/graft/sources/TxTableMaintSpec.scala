@@ -176,6 +176,13 @@ class TxTableMaintSpec extends SparkTestBase {
     val got = TxTable.snapshotRange(spark, dir, "d", 100L, 109L)
     assert(ids(got) == (10L until 20L))
     assert(got.inputFiles.length < full.inputFiles.length)
+    // the residual compares the DateType column against date literals,
+    // so it reaches the parquet scan as a pushed filter (row-group
+    // pruning inside the surviving directories)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      """PushedFilters: \[[^\]]*GreaterThanOrEqual\(d""".r.findFirstIn(plan).isDefined,
+      s"date residual must push down, plan was:\n$plan")
   }
 
   // ---------------------------------------------------------------
