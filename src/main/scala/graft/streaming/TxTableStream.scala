@@ -81,8 +81,9 @@ object TxTableStream {
     * the explicit drain loop a scheduler re-runs): every committed
     * version of `srcDir` past the follower's offset is emitted as one
     * per-version change slice ([[TxTable.tableChangesByVersion]] —
-    * inserts/deletes tagged `_change_type` + `_commit_version`; layout
-    * commits yield empty slices and are skipped) and committed into
+    * inserts/deletes tagged `_change_type` + `_commit_version`; a layout
+    * commit yields an EMPTY slice, committed all the same so the
+    * offset advances) and committed into
     * `sinkDir` EXACTLY-ONCE through the txn ledger with the SOURCE
     * VERSION as the transaction id — the ledger IS the offset store, so
     * there is no separate checkpoint to lose: a crashed or replayed
@@ -98,7 +99,7 @@ object TxTableStream {
     */
   def followChanges(spark: SparkSession, srcDir: String, sinkDir: String,
       writerId: String = "follow"): Long = {
-    val tip = TxTable.versions(spark, srcDir).lastOption.getOrElse(0L)
+    val tip = TxTable.tipOrZero(spark, srcDir)
     val from = TxTable.lastTxn(spark, sinkDir, writerId).getOrElse(0L)
     var v = from + 1
     while (v <= tip) {
