@@ -38,23 +38,38 @@ object Cdc {
       snapshot: DataFrame, log: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String],
       opCol: String = "op"): DataFrame = {
-    require(keyCols.nonEmpty && orderCols.nonEmpty, "keys and order columns required")
-    val missing = (snapshot.columns.toSet ++ orderCols + opCol) -- log.columns
-    require(missing.isEmpty, s"log is missing columns: $missing")
     require(!snapshot.columns.contains(opCol), s"snapshot must not carry $opCol")
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(col(_).desc): _*)
-    val winners = log
-      .select(when(col(opCol).isin("U", "D"), col(opCol))
-        .otherwise(raise_error(concat(lit("Cdc: unknown op "), col(opCol)))).as(opCol)
-        +: (snapshot.columns ++ orderCols.filterNot(snapshot.columns.contains))
-          .map(col).toSeq: _*)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val winners = latestWinners(log, snapshot.columns.toSeq, keyCols, orderCols, opCol)
     val untouched = snapshot.join(
       winners.select(keyCols.map(col): _*), keyCols, "left_anti")
     untouched.unionByName(
       winners.filter(col(opCol) === "U")
         .select(snapshot.columns.map(col).toSeq: _*))
+  }
+
+  /** The per-key LWW compaction of a CDC log alone: the latest row per
+    * key (by `orderCols` descending), ops validated, projected to
+    * `opCol` + `valueCols` — the building block [[applyLog]] anti-joins
+    * against, exposed so directory-granularity writers (the
+    * transactional table's per-directory MERGE rewrite) can compute the
+    * winner set ONCE and probe many snapshot slices against it.
+    */
+  def latestWinners(
+      log: DataFrame, valueCols: Seq[String],
+      keyCols: Seq[String], orderCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "keys and order columns required")
+    val missing = (valueCols.toSet ++ orderCols + opCol) -- log.columns
+    require(missing.isEmpty, s"log is missing columns: $missing")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    log
+      .select(when(col(opCol).isin("U", "D"), col(opCol))
+        .otherwise(raise_error(concat(lit("Cdc: unknown op "), col(opCol)))).as(opCol)
+        +: (valueCols ++ orderCols.filterNot(valueCols.contains))
+          .map(col).toSeq: _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((opCol +: valueCols).map(col): _*)
   }
 }
