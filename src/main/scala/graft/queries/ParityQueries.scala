@@ -728,6 +728,33 @@ object ParityQueries extends QueryFamily {
         .orderBy("_commit_version", "doc_id")
     }),
 
+    // ---- STATS-PRUNED DELETE ([[graft.sources.TxTable.deleteWhere]],
+    //      the r15 verdict's last O(table) write path closed): five
+    //      quintile-range appends with doc_id stats, then ONE delete of
+    //      a narrow slice inside quintile 2 — the four stats-disjoint
+    //      directories are never read or rewritten (their files and
+    //      recorded ranges survive verbatim, TxTablePrunedWriteSpec
+    //      pins the directory identities), only the overlapping
+    //      quintile is copy-on-write rewritten to its survivors with
+    //      stats carried. The oracle is the plain anti-filter over
+    //      documents — the pruned rewrite must be answer-invisible. ----
+    "q228_txtable_pruned_delete" -> ((s, dir) => {
+      val tdir = Scratch.freshDir(s, "q228tbl", dir)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      val n = docs.count()
+      (0 until 5).foreach { i =>
+        val lo = i * n / 5
+        val hi = if (i == 4) n else (i + 1) * n / 5
+        graft.sources.TxTable.append(s, tdir,
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          statsCols = Seq("doc_id"))
+      }
+      graft.sources.TxTable.deleteWhere(s, tdir,
+        Seq(graft.sources.TxTable.LongRange("doc_id", n / 5 + n / 20, n / 5 + n / 10)))
+      graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
+    }),
+
     // ---- A-priori level 3: frequent part TRIPLES enumerated through
     //      the frequent pairs ([[graft.operators.Apriori]]) — the
     //      pruning is exact by monotonicity, so the oracle brute-forces
@@ -1497,6 +1524,14 @@ object ParityQueries extends QueryFamily {
          SELECT doc_id, lang, source, n_chars, 'delete', CAST(5 AS BIGINT)
          FROM documents WHERE doc_id % 10 = 7
          ORDER BY _commit_version, doc_id""",
+    // the stats-pruned delete must be answer-invisible: the plain
+    // anti-filter over documents, bounds in the same Long integer
+    // division as the Spark side (floor division on the row count)
+    "q228_txtable_pruned_delete" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+         WHERE doc_id < (SELECT COUNT(*) // 5 + COUNT(*) // 20 FROM documents)
+            OR doc_id > (SELECT COUNT(*) // 5 + COUNT(*) // 10 FROM documents)
+         ORDER BY doc_id""",
     "q174_part_copurchase_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
          SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS support
