@@ -92,17 +92,29 @@ object TxTableStream {
     * The first drain starts from version 0 (the empty baseline), so the
     * source's initial content arrives as the v1 insert slice.
     *
-    * Returns the source tip this drain caught up to. Scale shape: one
-    * directory-difference scan + one batch-sized transactional append
-    * per NEW version — a caught-up follower pays two driver log reads
-    * and nothing else.
+    * `maxVersions` RATE-LIMITS the drain (Delta's maxFilesPerTrigger
+    * shape for a table source): a follower that fell far behind — or
+    * one bootstrapping against a long history — catches up at most
+    * `maxVersions` commits per invocation instead of unioning its whole
+    * backlog into one giant pass, so each invocation's work is bounded
+    * and the scheduler's cadence, not the backlog size, sets the batch
+    * shape; the ledger-as-offset contract makes the partial drain
+    * restartable for free.
+    *
+    * Returns the source version this drain caught up to (== the source
+    * tip when unlimited or the backlog fits the limit; re-invoke until
+    * the return equals the tip). Scale shape: one directory-difference
+    * scan + one batch-sized transactional append per NEW version — a
+    * caught-up follower pays two driver log reads and nothing else.
     */
   def followChanges(spark: SparkSession, srcDir: String, sinkDir: String,
-      writerId: String = "follow"): Long = {
+      writerId: String = "follow", maxVersions: Option[Int] = None): Long = {
+    maxVersions.foreach(m => require(m >= 1, s"maxVersions must be >= 1, got $m"))
     val tip = TxTable.tipOrZero(spark, srcDir)
     val from = TxTable.lastTxn(spark, sinkDir, writerId).getOrElse(0L)
+    val until = maxVersions.map(m => math.min(tip, from + m)).getOrElse(tip)
     var v = from + 1
-    while (v <= tip) {
+    while (v <= until) {
       val slice = TxTable.tableChangesByVersion(spark, srcDir, v - 1, v)
       // an empty (layout) slice still commits its txn line, advancing
       // the offset so a restart never rescans it; source-side additive
@@ -110,7 +122,7 @@ object TxTableStream {
       TxTable.appendTxn(spark, sinkDir, slice, writerId, v, allowAdditive = true)
       v += 1
     }
-    tip
+    until
   }
 
   /** Drain `feedDir` into the table at `tableDir`; returns the tip

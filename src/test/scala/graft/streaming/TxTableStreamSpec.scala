@@ -101,6 +101,33 @@ class TxTableStreamSpec extends SparkTestBase {
     assert(feed().size == 4)
   }
 
+  test("followChanges(maxVersions): a far-behind follower catches up in bounded " +
+      "rate-limited invocations, each restartable through the ledger") {
+    val src = fresh()
+    val sink = fresh()
+    (0 until 5).foreach(i =>
+      TxTable.append(spark, src, Seq((i.toLong, i * 10L)).toDF("id", "v")))
+    // each invocation drains AT MOST two source versions
+    assert(TxTableStream.followChanges(spark, src, sink, maxVersions = Some(2)) == 2L)
+    def versionsSeen() = TxTable.snapshot(spark, sink)
+      .select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(versionsSeen() == Seq(1L, 2L))
+    assert(TxTable.lastTxn(spark, sink, "follow").contains(2L))
+    assert(TxTableStream.followChanges(spark, src, sink, maxVersions = Some(2)) == 4L)
+    assert(versionsSeen() == Seq(1L, 2L, 3L, 4L))
+    // the last invocation clamps to the tip; caught-up returns the tip
+    assert(TxTableStream.followChanges(spark, src, sink, maxVersions = Some(2)) == 5L)
+    assert(TxTableStream.followChanges(spark, src, sink, maxVersions = Some(2)) == 5L)
+    assert(versionsSeen() == Seq(1L, 2L, 3L, 4L, 5L))
+    // the rate-limited drains together equal one unlimited drain
+    val sink2 = fresh()
+    TxTableStream.followChanges(spark, src, sink2)
+    val a = TxTable.snapshot(spark, sink).orderBy("_commit_version", "id").collect().toSeq
+    val b = TxTable.snapshot(spark, sink2).orderBy("_commit_version", "id").collect().toSeq
+    assert(a == b)
+  }
+
   test("maintainEvery: the OPTIMIZE-daemon pass under the ingest keeps the table " +
       "bounded without weakening exactly-once") {
     val dir = fresh()
