@@ -755,6 +755,35 @@ object ParityQueries extends QueryFamily {
       graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
     }),
 
+    // ---- COLUMN MAPPING ([[graft.sources.TxTable.renameColumn]] /
+    //      [[TxTable.dropColumn]], Delta name-mode): the first half
+    //      lands under the original names with doc_id stats, then two
+    //      METADATA-ONLY commits rename doc_id → document_id and drop
+    //      `source` (no file rewritten — TxTableColMapSpec pins the
+    //      data-directory count), the second half arrives under the NEW
+    //      logical schema, and the stats-pruned read runs under the new
+    //      name — the mapping must be answer-invisible, so the oracle
+    //      is the plain aliased projection over documents. ----
+    "q229_txtable_column_mapping" -> ((s, dir) => {
+      val tdir = Scratch.freshDir(s, "q229tbl", dir)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      val n = docs.count()
+      graft.sources.TxTable.append(s, tdir,
+        docs.filter(col("doc_id") < n / 2), statsCols = Seq("doc_id"))
+      graft.sources.TxTable.renameColumn(s, tdir, "doc_id", "document_id")
+      graft.sources.TxTable.dropColumn(s, tdir, "source")
+      graft.sources.TxTable.append(s, tdir,
+        docs.filter(col("doc_id") >= n / 2)
+          .select(col("doc_id").as("document_id"), col("lang"), col("n_chars")),
+        statsCols = Seq("document_id"))
+      graft.sources.TxTable.snapshotWhere(s, tdir, Seq(
+          graft.sources.TxTable.LongRange("document_id", n / 4, (3 * n) / 4)),
+          mergeSchema = true)
+        .orderBy("document_id")
+    }),
+
     // ---- A-priori level 3: frequent part TRIPLES enumerated through
     //      the frequent pairs ([[graft.operators.Apriori]]) — the
     //      pruning is exact by monotonicity, so the oracle brute-forces
@@ -1532,6 +1561,14 @@ object ParityQueries extends QueryFamily {
          WHERE doc_id < (SELECT COUNT(*) // 5 + COUNT(*) // 20 FROM documents)
             OR doc_id > (SELECT COUNT(*) // 5 + COUNT(*) // 10 FROM documents)
          ORDER BY doc_id""",
+    // the metadata-only rename/drop must be answer-invisible: the plain
+    // aliased projection, bounds in the same Long integer division
+    "q229_txtable_column_mapping" ->
+      """SELECT doc_id AS document_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+         FROM documents
+         WHERE doc_id >= (SELECT COUNT(*) // 4 FROM documents)
+           AND doc_id <= (SELECT (3 * COUNT(*)) // 4 FROM documents)
+         ORDER BY document_id""",
     "q174_part_copurchase_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
          SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS support

@@ -23,8 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, Inte
   * versions, and a vacuum + log-retention pair whose horizons define the
   * time-travel window — plus RESTORE (metadata-only rollback), CHECK
   * constraints, a per-version CHANGE DATA FEED consumable as a
-  * tail-follow stream, and a protocol-version guard for forward
-  * compatibility. The design follows the published Delta Lake
+  * tail-follow stream, COLUMN MAPPING (metadata-only RENAME/DROP — the
+  * Delta name-mode indirection: reads re-alias, writes translate back,
+  * no file is ever rewritten, dropped physical names are tombstoned),
+  * and a protocol-version guard for forward compatibility. The design follows the published Delta Lake
   * protocol shape (Armbrust et al., VLDB'20: an ordered log of
   * add/remove file actions; a version's snapshot = adds minus removes up
   * to it; periodic checkpoints of the reconstructed state plus a
@@ -192,6 +194,95 @@ object TxTable {
     */
   final case class StrStat(lo: String, hi: Option[String]) extends Stat
 
+  // ------------------------------------------------------------------
+  // Column mapping (Delta name-mode): metadata-only RENAME / DROP
+  // ------------------------------------------------------------------
+
+  /** COLUMN MAPPING state — the Delta name-mode shape: a logical-name →
+    * physical-name indirection recorded as a log action (`colmap:`
+    * line, latest wins, checkpoint-carried), so RENAME and DROP are
+    * METADATA-ONLY commits: physical files never change. `renames` maps
+    * each renamed LOGICAL column to the PHYSICAL name its data is
+    * stored under; `dropped` tombstones physical names whose data still
+    * sits in old files but is invisible to every read — and whose names
+    * can never be RE-USED by a later write (re-adding would resurrect
+    * the old column's data under a mergeSchema read; Delta avoids the
+    * same hazard with GUID physical names, this engine by tombstone).
+    */
+  final case class ColMap(renames: Map[String, String], dropped: Set[String]) {
+    def isIdentity: Boolean = renames.isEmpty && dropped.isEmpty
+    /** The physical name a logical column's data lives under. */
+    def physicalOf(logical: String): String = renames.getOrElse(logical, logical)
+    /** The logical name a physical column surfaces as; None = dropped. */
+    def logicalOf(physical: String): Option[String] =
+      if (dropped.contains(physical)) None
+      else renames.collectFirst { case (l, p) if p == physical => l }
+        .orElse(Some(physical))
+  }
+
+  object ColMap { val identity: ColMap = ColMap(Map.empty, Set.empty) }
+
+  /** The mapping's log line: a b64 payload of tab-separated `ren`/`drop`
+    * records (names are tab/newline-free by the writer-side requires).
+    */
+  private def colMapLine(cm: ColMap): String = {
+    val body = (cm.renames.toSeq.sortBy(_._1).map { case (l, p) => s"ren\t$l\t$p" } ++
+      cm.dropped.toSeq.sorted.map(p => s"drop\t$p")).mkString("\n")
+    s"colmap:${b64e(body)}"
+  }
+
+  private def parseColMap(payload: String): ColMap = {
+    val lines = b64d(payload).split("\n").filter(_.nonEmpty)
+    ColMap(
+      lines.collect { case s if s.startsWith("ren\t") =>
+        val Array(_, l, p) = s.split("\t", 3); l -> p
+      }.toMap,
+      lines.collect { case s if s.startsWith("drop\t") => s.split("\t", 2)(1) }.toSet)
+  }
+
+  /** Surface a physical frame under its LOGICAL names: renamed columns
+    * re-alias, dropped columns vanish, everything else is itself.
+    * Identity mappings return the frame unchanged (every pre-mapping
+    * table — the common case — pays nothing).
+    */
+  private def logicalProject(df: DataFrame, cm: ColMap): DataFrame =
+    if (cm.isIdentity) df
+    else {
+      val cols = df.columns.toSeq.flatMap(p => cm.logicalOf(p).map(l => col(p).as(l)))
+      require(cols.nonEmpty, "column mapping drops every column of this scan")
+      df.select(cols: _*)
+    }
+
+  /** The logical view of a physical schema (the read-side twin of
+    * [[logicalProject]] for schema-only paths).
+    */
+  private def logicalSchema(physical: StructType, cm: ColMap): StructType =
+    if (cm.isIdentity) physical
+    else StructType(physical.fields.flatMap(f =>
+      cm.logicalOf(f.name).map(l => f.copy(name = l))))
+
+  /** Translate an incoming LOGICAL frame to the physical names the
+    * files store — rejecting tombstone re-use (a write under a dropped
+    * physical name would resurrect the old column's data) and writes
+    * under a renamed-away physical name (the column's current name is
+    * its logical one).
+    */
+  private def toPhysical(df: DataFrame, cm: ColMap, what: String): DataFrame =
+    if (cm.isIdentity) df
+    else {
+      val renamedAway = cm.renames.values.toSet
+      df.columns.foreach { c =>
+        require(!cm.dropped.contains(cm.physicalOf(c)),
+          s"$what writes column '$c', whose physical name '${cm.physicalOf(c)}' was " +
+            "DROPPED — a tombstoned name cannot be re-used (old files still hold " +
+            "its data); pick a different name")
+        require(cm.renames.contains(c) || !renamedAway.contains(c),
+          s"$what writes column '$c', but '$c' is the physical name behind a " +
+            "renamed column — write under the current logical name")
+      }
+      df.select(df.columns.map(c => col(c).as(cm.physicalOf(c))).toSeq: _*)
+    }
+
   /** One conjunct of a stats-pruned read ([[snapshotWhere]]). */
   sealed trait StatsPred { def colName: String }
 
@@ -338,13 +429,15 @@ object TxTable {
       removedAt: Map[String, Long],
       replayBase: Long,
       schemaJson: Option[String],
-      constraints: Map[String, String])
+      constraints: Map[String, String],
+      colMap: ColMap)
 
   private def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
     // version 0 IS the empty table — the change-feed baseline, so a
     // feed from 0 yields the initial content as its first insert slice
     if (v == 0L)
-      return TableState(Nil, Map.empty, Map.empty, Map.empty, 0L, None, Map.empty)
+      return TableState(Nil, Map.empty, Map.empty, Map.empty, 0L, None, Map.empty,
+        ColMap.identity)
     val (fs, root) = fsFor(spark, dir)
     val log = logPath(root)
     // the seeding checkpoint: probe DESCENDING by constructed name from
@@ -378,6 +471,7 @@ object TxTable {
     val removedAt = scala.collection.mutable.Map.empty[String, Long]
     var schemaJson: Option[String] = None
     val constraints = scala.collection.mutable.Map.empty[String, String]
+    var colMap = ColMap.identity
     // mtime of the log entry currently being replayed — stamps its
     // remove lines (the vacuum retention clock); checkpoints carry the
     // stamp explicitly in their removed: lines instead
@@ -441,6 +535,10 @@ object TxTable {
         constraints(n) = b64d(e)
       } else if (line.startsWith("dropconstraint:"))
         constraints -= line.stripPrefix("dropconstraint:")
+      else if (line.startsWith("colmap:"))
+        // colmap:<b64 tab-records> — the column-mapping action (latest
+        // wins, whole-map replace; an empty payload resets to identity)
+        colMap = parseColMap(line.stripPrefix("colmap:"))
     if (base > 0) readLines(fs, new Path(log, ckptName(base))).foreach(applyLine)
     var ver = base + 1
     while (ver <= v) {
@@ -461,7 +559,7 @@ object TxTable {
     }
     TableState(live.toSeq,
       stats.view.mapValues(_.toMap).toMap, txns.toMap, removedAt.toMap, base,
-      schemaJson, constraints.toMap)
+      schemaJson, constraints.toMap, colMap)
   }
 
   /** Resolve a requested version against the tip and reconstruct its
@@ -560,19 +658,27 @@ object TxTable {
     * String stats are surfaced by [[liveDirStringStats]].
     */
   def liveDirStats(spark: SparkSession, dir: String,
-      version: Option[Long] = None): Map[String, Map[String, (Long, Long)]] =
-    resolvedState(spark, dir, version)._2.stats.view.mapValues(_.collect {
-      case (c, LongStat(lo, hi)) => c -> (lo, hi)
-    }).filter(_._2.nonEmpty).toMap
+      version: Option[Long] = None): Map[String, Map[String, (Long, Long)]] = {
+    val state = resolvedState(spark, dir, version)._2
+    state.stats.view.mapValues(_.toSeq.flatMap {
+      case (c, LongStat(lo, hi)) =>
+        state.colMap.logicalOf(c).map(l => l -> (lo, hi))
+      case _ => None
+    }.toMap).filter(_._2.nonEmpty).toMap
+  }
 
   /** Per-live-directory STRING column stats at `version` (default tip):
     * rel -> col -> (truncation-safe min, optional untruncated max).
     */
   def liveDirStringStats(spark: SparkSession, dir: String,
-      version: Option[Long] = None): Map[String, Map[String, (String, Option[String])]] =
-    resolvedState(spark, dir, version)._2.stats.view.mapValues(_.collect {
-      case (c, StrStat(lo, hi)) => c -> (lo, hi)
-    }).filter(_._2.nonEmpty).toMap
+      version: Option[Long] = None): Map[String, Map[String, (String, Option[String])]] = {
+    val state = resolvedState(spark, dir, version)._2
+    state.stats.view.mapValues(_.toSeq.flatMap {
+      case (c, StrStat(lo, hi)) =>
+        state.colMap.logicalOf(c).map(l => l -> (lo, hi))
+      case _ => None
+    }.toMap).filter(_._2.nonEmpty).toMap
+  }
 
   // ------------------------------------------------------------------
   // Reads
@@ -603,10 +709,11 @@ object TxTable {
         "snapshot of a table whose live set is empty (and whose log " +
           "predates schema tracking — no schema action to type it)")
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch.get)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        logicalSchema(sch.get, state.colMap))
     }
     val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-    r.parquet(dirs.map(d => s"$dir/$d"): _*)
+    logicalProject(r.parquet(dirs.map(d => s"$dir/$d"): _*), state.colMap)
   }
 
   /** UTF-8 byte-order comparison — Spark's UTF8String ordering, which
@@ -637,6 +744,16 @@ object TxTable {
       dHiOpt.forall(dHi => utf8Cmp(dHi, lo) >= 0) && utf8Cmp(dLo, hi) <= 0
     case _ => true
   }
+
+  /** A caller's LOGICAL-name conjunct re-keyed to the physical name the
+    * recorded stats (and the files) use. Identity for unmapped tables.
+    */
+  private def physPred(p: StatsPred, cm: ColMap): StatsPred =
+    if (cm.isIdentity) p
+    else p match {
+      case LongRange(c, lo, hi) => LongRange(cm.physicalOf(c), lo, hi)
+      case StrRange(c, lo, hi) => StrRange(cm.physicalOf(c), lo, hi)
+    }
 
   /** The residual (exact) filter for one conjunct, typed from the scan
     * schema — a DateType column compares through days-since-epoch,
@@ -678,17 +795,20 @@ object TxTable {
     val (_, state) = resolvedState(spark, dir, version)
     val dirs = state.live
     require(dirs.nonEmpty, "snapshot of a table whose live set is empty")
+    // conjuncts arrive under LOGICAL names; stats and files use physical
+    val predsP = preds.map(physPred(_, state.colMap))
     val kept = dirs.filter(d =>
-      preds.forall(p => overlaps(state.stats.get(d).flatMap(_.get(p.colName)), p)))
+      predsP.forall(p => overlaps(state.stats.get(d).flatMap(_.get(p.colName)), p)))
     val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
     if (kept.isEmpty) {
       // every directory provably out of range: an empty frame with the
       // table's schema (planning a scan over zero paths is an error)
-      r.parquet(dirs.map(d => s"$dir/$d"): _*)
+      logicalProject(r.parquet(dirs.map(d => s"$dir/$d"): _*), state.colMap)
         .filter(org.apache.spark.sql.functions.lit(false))
     } else {
       val df = r.parquet(kept.map(d => s"$dir/$d"): _*)
-      df.filter(preds.map(residual(df.schema, _)).reduce(_ && _))
+      logicalProject(
+        df.filter(predsP.map(residual(df.schema, _)).reduce(_ && _)), state.colMap)
     }
   }
 
@@ -760,8 +880,14 @@ object TxTable {
     val toSet = sTo.live.toSet
     val fromOnly = sFrom.live.filterNot(toSet)
     val toOnly = sTo.live.filterNot(fromSet)
+    // both sides surface under the TO state's column mapping: a rename
+    // inside the window is metadata-only (physical bytes identical), so
+    // projecting both sides identically keeps unchanged rows cancelling
+    // in the EXCEPT ALL and reports changes under the CURRENT names
     def scan(dirs: Seq[String]): DataFrame =
-      spark.read.option("mergeSchema", "true").parquet(dirs.map(d => s"$dir/$d"): _*)
+      logicalProject(
+        spark.read.option("mergeSchema", "true").parquet(dirs.map(d => s"$dir/$d"): _*),
+        sTo.colMap)
     val schemaDirs =
       if (toOnly.nonEmpty) toOnly
       else if (fromOnly.nonEmpty) fromOnly
@@ -827,8 +953,10 @@ object TxTable {
       case Some(j) if !cur.schemaJson.contains(j) => Seq(s"schema:${b64e(j)}")
       case _ => Nil
     }
+    val colMapL =
+      if (tgt.colMap == cur.colMap) Nil else Seq(colMapLine(tgt.colMap))
     publishAt(spark, dir, readV + 1,
-      Seq("op:restore") ++ adds.map(d => s"add:$d") ++ statsL ++ schemaL
+      Seq("op:restore") ++ adds.map(d => s"add:$d") ++ statsL ++ schemaL ++ colMapL
         ++ removes.map(d => s"remove:$d"))
     readV + 1
   }
@@ -931,7 +1059,8 @@ object TxTable {
         st.txns.toSeq.sortBy(_._1).map { case (w, id) => s"txn:$w:$id" } ++
         st.schemaJson.map(j => s"schema:${b64e(j)}").toSeq ++
         st.constraints.toSeq.sortBy(_._1)
-          .map { case (n, e) => s"constraint:$n:${b64e(e)}" }
+          .map { case (n, e) => s"constraint:$n:${b64e(e)}" } ++
+        (if (st.colMap.isIdentity) Nil else Seq(colMapLine(st.colMap)))
     val tmp = writeSmallFile(fs, log, lines)
     putIfAbsent(fs, tmp, new Path(log, ckptName(v)))
     if (v > readPointer(fs, log)) writePointer(fs, log, v)
@@ -1005,11 +1134,17 @@ object TxTable {
           }
         }
         try {
+          val newCm = newState.map(_.colMap).getOrElse(ColMap.identity)
+          // a concurrent DROP tombstones a physical name this write
+          // carries — landing it would resurrect the dropped column
+          incoming.fieldNames.foreach(c => require(!newCm.dropped.contains(c),
+            s"$what carries column '$c', which a concurrent commit dropped — " +
+              "re-derive the write against the new schema"))
           schemaL = gateAndSchemaLines(spark, dir, newState, incoming, allowAdditive, what)
           if (newState.map(_.constraints).getOrElse(Map.empty) !=
               state.map(_.constraints).getOrElse(Map.empty))
             enforceConstraints(spark, dir, rel,
-              newState.map(_.constraints).getOrElse(Map.empty), what)
+              newState.map(_.constraints).getOrElse(Map.empty), what, newCm)
         } catch {
           case e: IllegalArgumentException =>
             // enforceConstraints deletes the dir itself; the schema
@@ -1068,13 +1203,16 @@ object TxTable {
     * constraints pay nothing.
     */
   private def enforceConstraints(spark: SparkSession, dir: String, rel: String,
-      constraints: Map[String, String], what: String): Unit = {
+      constraints: Map[String, String], what: String,
+      cm: ColMap = ColMap.identity): Unit = {
     if (constraints.isEmpty) return
     val (fs, root) = fsFor(spark, dir)
     val hasFiles = fs.listStatus(new Path(root, rel))
       .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (!hasFiles) return
-    val df = spark.read.parquet(s"$dir/$rel")
+    // constraints are SQL over the LOGICAL names (DDL guards renames of
+    // referenced columns; the mapping still applies for unrelated ones)
+    val df = logicalProject(spark.read.parquet(s"$dir/$rel"), cm)
     val named = constraints.toSeq.sortBy(_._1)
     val aggs = named.map { case (n, sql) =>
       count(when(!coalesce(org.apache.spark.sql.functions.expr(sql), lit(true)), 1))
@@ -1276,12 +1414,16 @@ object TxTable {
       statsCols: Seq[String] = Nil, allowAdditive: Boolean = false): Long = {
     val tip = tipOrZero(spark, dir)
     val stateOpt = if (tip == 0) None else Some(stateAt(spark, dir, tip))
-    val schemaL = gateAndSchemaLines(spark, dir, stateOpt, df.schema, allowAdditive, "append")
-    val rel = writeData(spark, dir, df)
+    val cm = stateOpt.map(_.colMap).getOrElse(ColMap.identity)
+    // callers write LOGICAL names; files store physical (column mapping)
+    val dfP = toPhysical(df, cm, "append")
+    val schemaL = gateAndSchemaLines(spark, dir, stateOpt, dfP.schema, allowAdditive, "append")
+    val rel = writeData(spark, dir, dfP)
     enforceConstraints(spark, dir, rel,
-      stateOpt.map(_.constraints).getOrElse(Map.empty), "append")
-    publishAppendGated(spark, dir, rel, df.schema, allowAdditive, "append",
-      statsLines(spark, dir, rel, statsCols), None, tip, stateOpt, schemaL).get
+      stateOpt.map(_.constraints).getOrElse(Map.empty), "append", cm)
+    publishAppendGated(spark, dir, rel, dfP.schema, allowAdditive, "append",
+      statsLines(spark, dir, rel, statsCols.map(cm.physicalOf)), None,
+      tip, stateOpt, schemaL).get
   }
 
   /** Highest transaction id `writerId` has committed (the Delta `txn`
@@ -1313,13 +1455,16 @@ object TxTable {
     val tip = tipOrZero(spark, dir)
     val stateOpt = if (tip == 0) None else Some(stateAt(spark, dir, tip))
     if (stateOpt.exists(_.txns.get(writerId).exists(_ >= txnId))) return None
+    val cm = stateOpt.map(_.colMap).getOrElse(ColMap.identity)
+    val dfP = toPhysical(df, cm, "appendTxn")
     val schemaL =
-      gateAndSchemaLines(spark, dir, stateOpt, df.schema, allowAdditive, "appendTxn")
-    val rel = writeData(spark, dir, df)
+      gateAndSchemaLines(spark, dir, stateOpt, dfP.schema, allowAdditive, "appendTxn")
+    val rel = writeData(spark, dir, dfP)
     enforceConstraints(spark, dir, rel,
-      stateOpt.map(_.constraints).getOrElse(Map.empty), "appendTxn")
-    publishAppendGated(spark, dir, rel, df.schema, allowAdditive, "appendTxn",
-      statsLines(spark, dir, rel, statsCols), Some((writerId, txnId)), tip, stateOpt, schemaL)
+      stateOpt.map(_.constraints).getOrElse(Map.empty), "appendTxn", cm)
+    publishAppendGated(spark, dir, rel, dfP.schema, allowAdditive, "appendTxn",
+      statsLines(spark, dir, rel, statsCols.map(cm.physicalOf)),
+      Some((writerId, txnId)), tip, stateOpt, schemaL)
   }
 
   /** OVERWRITE the table with `df`: one entry adds the new directory
@@ -1336,15 +1481,20 @@ object TxTable {
     val before = stateOpt.map(_.live).getOrElse(Nil)
     val tracked = stateOpt.flatMap(_.schemaJson).flatMap(j => scala.util.Try(
       DataType.fromJson(j).asInstanceOf[StructType]).toOption)
-    // overwrite REPLACES the schema wholesale — record the new one
+    // overwrite REPLACES the schema wholesale — record the new one, and
+    // RESET any column mapping (the new frame's names are its names;
+    // nothing of the old physical layout survives the overwrite)
     val schemaL =
       if (tracked.exists(t => sameTypeLoose(t, df.schema))) Nil
       else Seq(s"schema:${b64e(df.schema.json)}")
+    val colMapL =
+      if (stateOpt.forall(_.colMap.isIdentity)) Nil
+      else Seq(colMapLine(ColMap.identity))
     val rel = writeData(spark, dir, df)
     enforceConstraints(spark, dir, rel,
       stateOpt.map(_.constraints).getOrElse(Map.empty), "overwrite")
     publishAt(spark, dir, readV + 1,
-      Seq("op:overwrite", s"add:$rel") ++ schemaL
+      Seq("op:overwrite", s"add:$rel") ++ schemaL ++ colMapL
         ++ statsLines(spark, dir, rel, statsCols)
         ++ before.map(d => s"remove:$d"))
     readV + 1
@@ -1368,10 +1518,10 @@ object TxTable {
     * directories the scan proves untouched are never rewritten.
     */
   private def dirsWithMatches(spark: SparkSession, dir: String,
-      dirs: Seq[String], predicate: Column): Seq[String] = {
+      dirs: Seq[String], predicate: Column, cm: ColMap): Seq[String] = {
     if (dirs.isEmpty) return Nil
-    val hit = spark.read.option("mergeSchema", "true")
-      .parquet(dirs.map(d => s"$dir/$d"): _*)
+    val hit = logicalProject(spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => s"$dir/$d"): _*), cm)
       .filter(predicate)
       .select(org.apache.spark.sql.functions.regexp_extract(
         org.apache.spark.sql.functions.input_file_name(),
@@ -1410,18 +1560,22 @@ object TxTable {
       statsCols: Seq[String] = Nil, pruneHint: Seq[StatsPred] = Nil): Long = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
-    val candidates = statsOverlapping(state, pruneHint)
-    val touched = dirsWithMatches(spark, dir, candidates, predicate)
+    val cm = state.colMap
+    val candidates = statsOverlapping(state, pruneHint.map(physPred(_, cm)))
+    val touched = dirsWithMatches(spark, dir, candidates, predicate, cm)
     val (fs, root) = fsFor(spark, dir)
     def hasFiles(rel: String): Boolean =
       fs.listStatus(new Path(root, rel))
         .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val adds = touched.flatMap { d =>
       // per-directory rewrite preserves each directory's own schema (no
-      // cross-directory merge, so additive evolution needs no widening)
+      // cross-directory merge, so additive evolution needs no widening);
+      // the predicate runs over the LOGICAL view and the survivors are
+      // written back under the directory's physical names
       val src = spark.read.parquet(s"$dir/$d")
-      val survivors =
-        try src.filter(!predicate)
+      val srcL = logicalProject(src, cm)
+      val survivorsL =
+        try srcL.filter(!predicate)
         catch {
           case _: org.apache.spark.sql.AnalysisException =>
             // the predicate references a column this (pre-evolution)
@@ -1429,14 +1583,17 @@ object TxTable {
             // typed nulls so the filter analyzes, then drop the
             // widened columns before writing — the directory keeps its
             // own schema
-            val sch = tableSchemaOf(spark, dir, state).getOrElse(src.schema)
-            val extra = sch.fields.filterNot(f => src.columns.contains(f.name))
-            src.select((src.columns.map(col) ++
+            val sch = logicalSchema(
+              tableSchemaOf(spark, dir, state).getOrElse(src.schema), cm)
+            val extra = sch.fields.filterNot(f => srcL.columns.contains(f.name))
+            srcL.select((srcL.columns.map(col) ++
                 extra.map(f => lit(null).cast(f.dataType).as(f.name))).toSeq: _*)
               .filter(!predicate)
-              .select(src.columns.map(col).toSeq: _*)
+              .select(srcL.columns.map(col).toSeq: _*)
         }
-      val eff = if (statsCols.nonEmpty) statsCols else carriedStatsCols(state, Seq(d), src)
+      val survivors = toPhysical(survivorsL, cm, "delete")
+      val eff = if (statsCols.nonEmpty) statsCols.map(cm.physicalOf)
+                else carriedStatsCols(state, Seq(d), src)
       val rel = writeData(spark, dir, survivors)
       if (hasFiles(rel)) Seq(s"add:$rel") ++ statsLines(spark, dir, rel, eff)
       else { fs.delete(new Path(root, rel), true); Nil } // fully deleted
@@ -1462,7 +1619,10 @@ object TxTable {
     require(preds.nonEmpty, "deleteWhere needs at least one predicate")
     val tip = tipVersion(spark, dir)
     val state = stateAt(spark, dir, tip)
-    val sch = tableSchemaOf(spark, dir, state).getOrElse(StructType(Nil))
+    // conjuncts are LOGICAL names: the exact row filter types from the
+    // logical schema; delete re-keys the hint to physical for the stats
+    val sch = logicalSchema(
+      tableSchemaOf(spark, dir, state).getOrElse(StructType(Nil)), state.colMap)
     delete(spark, dir, preds.map(residual(sch, _)).reduce(_ && _), statsCols, preds)
   }
 
@@ -1507,10 +1667,17 @@ object TxTable {
       statsCols: Seq[String] = Nil, pruneByKeyStats: Boolean = false): Long = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    val cm = state.colMap
+    // the CDC log arrives under LOGICAL names (plus the op/order side
+    // channel); translate once — everything downstream runs physical
+    val logP = toPhysical(log, cm, "merge log")
+    val keyColsP = keyCols.map(cm.physicalOf)
+    val orderColsP = orderCols.map(cm.physicalOf)
+    val opColP = cm.physicalOf(opCol)
     val tableSch = tableSchemaOf(spark, dir, state)
     tableSch.foreach(sch =>
-      enforceWriteSchema(sch, log.schema, allowAdditive = false,
-        exempt = (orderCols :+ opCol).toSet, what = "merge log"))
+      enforceWriteSchema(sch, logP.schema, allowAdditive = false,
+        exempt = (orderColsP :+ opColP).toSet, what = "merge log"))
     val schemaL =
       if (state.schemaJson.isDefined) Nil
       else tableSch.map(t => s"schema:${b64e(t.json)}").toSeq
@@ -1521,12 +1688,12 @@ object TxTable {
           case LongType | IntegerType | ShortType | ByteType | DateType | StringType => true
           case _ => false
         }
-        val eligible = keyCols.filter(k => statsCapable(log.schema(k).dataType))
+        val eligible = keyColsP.filter(k => statsCapable(logP.schema(k).dataType))
         require(eligible.nonEmpty,
           "pruneByKeyStats needs at least one integer/date/string key column; got " +
-            keyCols.map(k => s"$k: ${log.schema(k).dataType.simpleString}").mkString(", "))
+            keyColsP.map(k => s"$k: ${logP.schema(k).dataType.simpleString}").mkString(", "))
         val aggs = count(lit(1)).as("n") +: eligible.flatMap { k =>
-          log.schema(k).dataType match {
+          logP.schema(k).dataType match {
             case DateType =>
               val d = datediff(col(k), lit(java.sql.Date.valueOf("1970-01-01")))
               Seq(min(d).cast(LongType), max(d).cast(LongType))
@@ -1534,7 +1701,7 @@ object TxTable {
             case _ => Seq(min(col(k)).cast(LongType), max(col(k)).cast(LongType))
           }
         }
-        val row = log.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val row = logP.agg(aggs.head, aggs.tail: _*).collect()(0)
         if (row.getLong(0) == 0L) Nil // empty log still commits (idempotent shape)
         else {
           // per-column span of the logged keys; an all-null key column
@@ -1543,7 +1710,7 @@ object TxTable {
           val spans: Seq[(String, Stat)] = eligible.zipWithIndex.flatMap { case (k, i) =>
             val a = 1 + 2 * i
             if (row.isNullAt(a)) None
-            else log.schema(k).dataType match {
+            else logP.schema(k).dataType match {
               case StringType => Some(k -> StrStat(row.getString(a), Some(row.getString(a + 1))))
               case _ => Some(k -> LongStat(row.getLong(a), row.getLong(a + 1)))
             }
@@ -1574,7 +1741,7 @@ object TxTable {
     // write and every per-directory survivor probe reuse it instead of
     // re-running the window per job (the log is batch-sized by contract)
     val winners = graft.operators.Cdc
-      .latestWinners(log, valueCols, keyCols, orderCols, opCol)
+      .latestWinners(logP, valueCols, keyColsP, orderColsP, opColP)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (fs, root) = fsFor(spark, dir)
@@ -1586,12 +1753,12 @@ object TxTable {
       // the only one the CHECK constraints must gate — survivors are
       // pre-existing rows that passed at their own write (or at
       // addConstraint's existing-rows validation)
-      val upserts = winners.filter(col(opCol) === "U")
+      val upserts = winners.filter(col(opColP) === "U")
         .select(valueCols.map(col): _*)
       val newRel = writeData(spark, dir, upserts)
-      enforceConstraints(spark, dir, newRel, state.constraints, "merge")
+      enforceConstraints(spark, dir, newRel, state.constraints, "merge", cm)
       val effNew =
-        if (statsCols.nonEmpty) statsCols
+        if (statsCols.nonEmpty) statsCols.map(cm.physicalOf)
         else carriedStatsCols(state, touched, upserts)
       val newAdds =
         if (hasFiles(newRel)) Seq(s"add:$newRel") ++ statsLines(spark, dir, newRel, effNew)
@@ -1648,10 +1815,14 @@ object TxTable {
     require(lo <= hi, s"empty range: $lo > $hi")
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    val cm = state.colMap
+    val colNameP = cm.physicalOf(colName)
+    val dfP = toPhysical(df, cm, "replaceRange")
+    val statsColsP = statsCols.map(cm.physicalOf)
     val schemaL =
-      gateAndSchemaLines(spark, dir, Some(state), df.schema, allowAdditive, "replaceRange")
+      gateAndSchemaLines(spark, dir, Some(state), dfP.schema, allowAdditive, "replaceRange")
     val (touched, _) = state.live.partition { d =>
-      state.stats.get(d).flatMap(_.get(colName)) match {
+      state.stats.get(d).flatMap(_.get(colNameP)) match {
         case Some(LongStat(dLo, dHi)) => dHi >= lo && dLo <= hi
         case _ => true
       }
@@ -1659,12 +1830,12 @@ object TxTable {
     // write first, verify the WRITTEN rows, only then publish; the
     // violation count folds into the same read-back aggregate that
     // records the new directory's stats — one footer-cheap job total
-    val newRel = writeData(spark, dir, df)
+    val newRel = writeData(spark, dir, dfP)
     val (fs, root) = fsFor(spark, dir)
     def hasFiles(rel: String): Boolean =
       fs.listStatus(new Path(root, rel))
         .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val outOfRange = col(colName) < lo || col(colName) > hi || col(colName).isNull
+    val outOfRange = col(colNameP) < lo || col(colNameP) > hi || col(colNameP).isNull
     val newStats: Seq[String] =
       if (!hasFiles(newRel)) Nil
       else {
@@ -1676,8 +1847,8 @@ object TxTable {
             s"replaceRange: $violations incoming rows fall outside [$lo, $hi] on $colName " +
               "— the replaceWhere constraint (replaced region and replacement must coincide)")
         }
-        enforceConstraints(spark, dir, newRel, state.constraints, "replaceRange")
-        statsLines(spark, dir, newRel, statsCols)
+        enforceConstraints(spark, dir, newRel, state.constraints, "replaceRange", cm)
+        statsLines(spark, dir, newRel, statsColsP)
       }
     // out-of-range survivors of the overlapping directories, rewritten
     // copy-on-write (schema-merged like every rewrite) in ONE pass —
@@ -1695,7 +1866,7 @@ object TxTable {
         else { fs.delete(new Path(root, rel), true); Nil }
       }
     val adds = Seq(s"add:$newRel") ++ newStats ++ survivorAdds.flatMap(rel =>
-      Seq(s"add:$rel") ++ statsLines(spark, dir, rel, statsCols))
+      Seq(s"add:$rel") ++ statsLines(spark, dir, rel, statsColsP))
     publishAt(spark, dir, readV + 1,
       Seq("op:replace") ++ schemaL ++ adds ++ touched.map(d => s"remove:$d"))
     readV + 1
@@ -1801,13 +1972,16 @@ object TxTable {
         small
     }
     if (before.isEmpty) return None
+    // clustering columns arrive under LOGICAL names; the scan and the
+    // recorded stats are physical (column mapping)
+    val zColsP = zCols.map(state.colMap.physicalOf)
     val src = spark.read.option("mergeSchema", "true")
       .parquet(before.map(d => s"$dir/$d"): _*)
     require(!src.columns.contains("__z") && !src.columns.contains("__zb"),
       "'__z'/'__zb' column names are reserved")
-    val eff = (if (statsCols.nonEmpty) statsCols
-               else (zCols ++ carriedStatsCols(state, before, src)).distinct.sorted)
-    val withZ = src.withColumn("__z", Layout.zKey(src, zCols))
+    val eff = (if (statsCols.nonEmpty) statsCols.map(state.colMap.physicalOf)
+               else (zColsP ++ carriedStatsCols(state, before, src)).distinct.sorted)
+    val withZ = src.withColumn("__z", Layout.zKey(src, zColsP))
     // even-mass slice boundaries off one approx-quantile pass, then
     // SNAPPED to the nearest aligned Z-cell boundary: an unaligned cut
     // makes the two adjacent slices straddle a curve discontinuity and
@@ -1882,8 +2056,10 @@ object TxTable {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
     if (state.live.nonEmpty) {
-      scala.util.Try(spark.read.option("mergeSchema", "true")
-          .parquet(state.live.map(d => s"$dir/$d"): _*)).toOption
+      // the constraint's SQL references LOGICAL names — validate the
+      // existing rows through the mapped view
+      scala.util.Try(logicalProject(spark.read.option("mergeSchema", "true")
+          .parquet(state.live.map(d => s"$dir/$d"): _*), state.colMap)).toOption
         .foreach { df =>
           val n = df.filter(
             !coalesce(org.apache.spark.sql.functions.expr(exprSql), lit(true))).count()
@@ -1907,6 +2083,99 @@ object TxTable {
   def constraints(spark: SparkSession, dir: String): Map[String, String] = {
     val tip = tipOrZero(spark, dir)
     if (tip == 0) Map.empty else stateAt(spark, dir, tip).constraints
+  }
+
+  // ------------------------------------------------------------------
+  // Column mapping DDL: metadata-only RENAME / DROP
+  // ------------------------------------------------------------------
+
+  private def requireMappableName(n: String, what: String): Unit =
+    require(n.nonEmpty && !n.contains(":") && !n.contains("\t") && !n.contains("\n"),
+      s"$what must be non-empty and colon/tab/newline-free: '$n'")
+
+  /** Active CHECK constraints must not reference a column being renamed
+    * or dropped (their SQL would silently stop matching rows) — the
+    * conservative word-boundary guard Delta enforces at DDL time.
+    */
+  private def requireNoConstraintRef(state: TableState, colName: String,
+      what: String): Unit = {
+    val pat = ("\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
+    state.constraints.find { case (_, sql) => pat.findFirstIn(sql).isDefined }
+      .foreach { case (n, sql) =>
+        throw new IllegalArgumentException(
+          s"cannot $what column '$colName': CHECK constraint '$n' ($sql) references " +
+            "it — drop the constraint first")
+      }
+  }
+
+  /** The table's logical column names at a state (mapping applied). */
+  private def logicalNamesOf(spark: SparkSession, dir: String,
+      state: TableState): Seq[String] = {
+    val physSch = tableSchemaOf(spark, dir, state).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $dir has no readable schema to apply column DDL to"))
+    physSch.fieldNames.toSeq.flatMap(state.colMap.logicalOf)
+  }
+
+  /** RENAME a column — METADATA-ONLY (the Delta column-mapping rename):
+    * one `colmap:` log commit re-aliases the column's PHYSICAL name to
+    * the new logical one; no file is rewritten, every read applies the
+    * mapping, writes arrive under the new name and are translated back
+    * to the physical name the files store. Recorded stats (keyed by
+    * physical name) keep pruning through the rename. Commits at READ
+    * version + 1 (abort on conflict — DDL is read-dependent).
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Long = {
+    requireMappableName(from, "column names")
+    requireMappableName(to, "column names")
+    require(from != to, s"rename to the same name: '$from'")
+    val readV = tipVersion(spark, dir)
+    val state = stateAt(spark, dir, readV)
+    val names = logicalNamesOf(spark, dir, state)
+    require(names.contains(from), s"no column '$from' (columns: ${names.mkString(", ")})")
+    require(!names.contains(to), s"column '$to' already exists")
+    requireNoConstraintRef(state, from, "rename")
+    val phys = state.colMap.physicalOf(from)
+    // renaming BACK to the physical name drops the indirection entirely
+    val newRenames = (state.colMap.renames - from) ++
+      (if (to == phys) Map.empty[String, String] else Map(to -> phys))
+    publishAt(spark, dir, readV + 1,
+      Seq("op:colmap", colMapLine(state.colMap.copy(renames = newRenames))))
+    readV + 1
+  }
+
+  /** DROP a column — METADATA-ONLY (the Delta column-mapping drop): one
+    * commit tombstones the PHYSICAL name (old files keep the bytes,
+    * every read hides them; [[vacuum]]-style reclamation of the bytes
+    * is a later full rewrite's job) and SHRINKS the tracked schema so
+    * subsequent writes need not carry the column. The tombstone is
+    * permanent for the name: a later write re-using it is rejected —
+    * re-adding would resurrect the old data under a mergeSchema read.
+    * Commits at READ version + 1 (abort on conflict).
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    requireMappableName(name, "column names")
+    val readV = tipVersion(spark, dir)
+    val state = stateAt(spark, dir, readV)
+    val names = logicalNamesOf(spark, dir, state)
+    require(names.contains(name), s"no column '$name' (columns: ${names.mkString(", ")})")
+    require(names.size >= 2, "cannot drop the last column")
+    requireNoConstraintRef(state, name, "drop")
+    val phys = state.colMap.physicalOf(name)
+    val newCm = ColMap(state.colMap.renames - name, state.colMap.dropped + phys)
+    val physSch = tableSchemaOf(spark, dir, state).get
+    val newSch = StructType(physSch.fields.filterNot(_.name == phys))
+    publishAt(spark, dir, readV + 1,
+      Seq("op:colmap", colMapLine(newCm), s"schema:${b64e(newSch.json)}"))
+    readV + 1
+  }
+
+  /** The active column mapping at the tip (identity for unmapped
+    * tables): logical → physical renames plus tombstoned physicals.
+    */
+  def columnMapping(spark: SparkSession, dir: String): ColMap = {
+    val tip = tipOrZero(spark, dir)
+    if (tip == 0) ColMap.identity else stateAt(spark, dir, tip).colMap
   }
 
   // ------------------------------------------------------------------
