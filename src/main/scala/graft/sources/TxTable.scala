@@ -1737,55 +1737,81 @@ object TxTable {
       spark.read.option("mergeSchema", "true")
         .parquet(state.live.map(d => s"$dir/$d"): _*).columns.toSeq
     }
-    // the LWW winner set is computed ONCE and persisted: the upsert
-    // write and every per-directory survivor probe reuse it instead of
-    // re-running the window per job (the log is batch-sized by contract)
+    // the LWW winner set: on the multi-directory path it is PERSISTED
+    // so every per-directory survivor probe reuses one window pass (the
+    // log is batch-sized by contract); on the single-rewrite path it
+    // stays an unpersisted plan — one write job, exchange reuse fuses
+    // the anti-join and the upsert union like the plain applyLog
     val winners = graft.operators.Cdc
       .latestWinners(logP, valueCols, keyColsP, orderColsP, opColP)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (fs, root) = fsFor(spark, dir)
       def hasFiles(rel: String): Boolean =
         fs.listStatus(new Path(root, rel))
           .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      // ONE new directory holds the winning upserts (replacements +
-      // inserts); it is the only directory carrying NEW rows, so it is
-      // the only one the CHECK constraints must gate — survivors are
-      // pre-existing rows that passed at their own write (or at
-      // addConstraint's existing-rows validation)
+      val statsColsP = statsCols.map(cm.physicalOf)
+      val touchedKeys = winners.select(keyColsP.map(col): _*)
       val upserts = winners.filter(col(opColP) === "U")
         .select(valueCols.map(col): _*)
-      val newRel = writeData(spark, dir, upserts)
-      enforceConstraints(spark, dir, newRel, state.constraints, "merge", cm)
-      val effNew =
-        if (statsCols.nonEmpty) statsCols.map(cm.physicalOf)
-        else carriedStatsCols(state, touched, upserts)
-      val newAdds =
-        if (hasFiles(newRel)) Seq(s"add:$newRel") ++ statsLines(spark, dir, newRel, effNew)
-        else { fs.delete(new Path(root, newRel), true); Nil } // pure-delete log
-      // each touched directory is rewritten to ITS OWN survivors (rows
-      // whose key the log never touched) — directory granularity
-      // preserved, so a clustered or range-partitioned layout survives
-      // the merge instead of collapsing into one directory; stats carry
-      // per-directory by default
-      val touchedKeys = winners.select(keyCols.map(col): _*)
       // a directory predating an additive evolution that introduced a
       // key column cannot hold a logged key (its rows read the column
       // as null, and null never equality-matches) — leave it untouched
       // instead of failing the per-directory join's analysis
       val scans = touched.map(d => d -> spark.read.parquet(s"$dir/$d"))
       val (joinable, _) = scans.partition { case (_, src) =>
-        keyCols.forall(src.columns.contains)
+        keyColsP.forall(src.columns.contains)
       }
-      val survivorAdds = joinable.flatMap { case (d, src) =>
-        val eff = if (statsCols.nonEmpty) statsCols else carriedStatsCols(state, Seq(d), src)
-        val rel = writeData(spark, dir, src.join(touchedKeys, keyCols, "left_anti"))
-        if (hasFiles(rel)) Seq(s"add:$rel") ++ statsLines(spark, dir, rel, eff)
-        else { fs.delete(new Path(root, rel), true); Nil } // every row superseded
-      }
+      val (adds, removes) =
+        if (joinable.size <= 1) {
+          // SINGLE-REWRITE fast path: when at most one directory
+          // rewrites anyway, splitting survivors and upserts into two
+          // outputs preserves nothing and costs an extra write job —
+          // they share ONE directory (the CHECK constraints gate it
+          // whole, a superset of the new rows)
+          val merged = joinable.headOption match {
+            case Some((_, src)) =>
+              src.join(touchedKeys, keyColsP, "left_anti")
+                .unionByName(upserts, allowMissingColumns = true)
+            case None => upserts // zero touched: the log's pure inserts
+          }
+          val rel = writeData(spark, dir, merged)
+          enforceConstraints(spark, dir, rel, state.constraints, "merge", cm)
+          val eff = if (statsColsP.nonEmpty) statsColsP
+                    else carriedStatsCols(state, joinable.map(_._1), merged)
+          val a =
+            if (hasFiles(rel)) Seq(s"add:$rel") ++ statsLines(spark, dir, rel, eff)
+            else { fs.delete(new Path(root, rel), true); Nil } // pure-delete log
+          (a, joinable.map(_._1))
+        } else {
+          // PER-DIRECTORY path: ONE new directory holds the winning
+          // upserts (replacements + inserts) — the only directory
+          // carrying NEW rows, hence the only one the CHECK constraints
+          // must gate (survivors passed at their own write or at
+          // addConstraint's existing-rows validation) — and each
+          // touched directory is rewritten to ITS OWN survivors (rows
+          // whose key the log never touched), so a clustered or
+          // range-partitioned layout survives the merge instead of
+          // collapsing; stats carry per-directory by default
+          winners.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val newRel = writeData(spark, dir, upserts)
+          enforceConstraints(spark, dir, newRel, state.constraints, "merge", cm)
+          val effNew =
+            if (statsColsP.nonEmpty) statsColsP
+            else carriedStatsCols(state, touched, upserts)
+          val newAdds =
+            if (hasFiles(newRel)) Seq(s"add:$newRel") ++ statsLines(spark, dir, newRel, effNew)
+            else { fs.delete(new Path(root, newRel), true); Nil } // pure-delete log
+          val survivorAdds = joinable.flatMap { case (d, src) =>
+            val eff = if (statsColsP.nonEmpty) statsColsP
+                      else carriedStatsCols(state, Seq(d), src)
+            val rel = writeData(spark, dir, src.join(touchedKeys, keyColsP, "left_anti"))
+            if (hasFiles(rel)) Seq(s"add:$rel") ++ statsLines(spark, dir, rel, eff)
+            else { fs.delete(new Path(root, rel), true); Nil } // every row superseded
+          }
+          (newAdds ++ survivorAdds, joinable.map(_._1))
+        }
       publishAt(spark, dir, readV + 1,
-        Seq("op:merge") ++ schemaL ++ newAdds ++ survivorAdds
-          ++ joinable.map { case (d, _) => s"remove:$d" })
+        Seq("op:merge") ++ schemaL ++ adds ++ removes.map(d => s"remove:$d"))
       readV + 1
     } finally winners.unpersist()
   }
