@@ -784,6 +784,26 @@ object ParityQueries extends QueryFamily {
         .orderBy("document_id")
     }),
 
+    // ---- DELETION VECTORS ([[graft.sources.TxTable.deleteRows]],
+    //      merge-on-read): two parity-split appends, then one DV delete
+    //      of doc_id % 10 == 3 records only (file, row-position) pairs
+    //      in a sidecar — NO data file is rewritten (TxTableDvSpec pins
+    //      the data-directory set byte-identical) — and the snapshot
+    //      anti-joins the pairs away; a second accumulating DV delete
+    //      and a read prove the vectors compose. The oracle is the
+    //      plain anti-filter over documents — merge-on-read must be
+    //      answer-invisible. ----
+    "q230_txtable_deletion_vectors" -> ((s, dir) => {
+      val tdir = Scratch.freshDir(s, "q230tbl", dir)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      graft.sources.TxTable.append(s, tdir, docs.filter(col("doc_id") % 2 === 0))
+      graft.sources.TxTable.append(s, tdir, docs.filter(col("doc_id") % 2 === 1))
+      graft.sources.TxTable.deleteRows(s, tdir, col("doc_id") % 10 === 3)
+      graft.sources.TxTable.deleteRows(s, tdir, col("n_chars") < 50L)
+      graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
+    }),
+
     // ---- A-priori level 3: frequent part TRIPLES enumerated through
     //      the frequent pairs ([[graft.operators.Apriori]]) — the
     //      pruning is exact by monotonicity, so the oracle brute-forces
@@ -1569,6 +1589,12 @@ object ParityQueries extends QueryFamily {
          WHERE doc_id >= (SELECT COUNT(*) // 4 FROM documents)
            AND doc_id <= (SELECT (3 * COUNT(*)) // 4 FROM documents)
          ORDER BY document_id""",
+    // merge-on-read must be answer-invisible: the plain anti-filter of
+    // both accumulated deletion vectors
+    "q230_txtable_deletion_vectors" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+         WHERE doc_id % 10 <> 3 AND n_chars >= 50
+         ORDER BY doc_id""",
     "q174_part_copurchase_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
          SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS support

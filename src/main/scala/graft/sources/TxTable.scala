@@ -26,7 +26,11 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, Inte
   * tail-follow stream, COLUMN MAPPING (metadata-only RENAME/DROP — the
   * Delta name-mode indirection: reads re-alias, writes translate back,
   * no file is ever rewritten, dropped physical names are tombstoned),
-  * and a protocol-version guard for forward compatibility. The design follows the published Delta Lake
+  * DELETION VECTORS ([[deleteRows]] — merge-on-read row-level deletes:
+  * a small sidecar of (file, position) pairs instead of ANY rewrite;
+  * reads anti-join them away, rewrites fold them, [[compactDvs]] is
+  * the hygiene pass), and a protocol-version guard for forward
+  * compatibility. The design follows the published Delta Lake
   * protocol shape (Armbrust et al., VLDB'20: an ordered log of
   * add/remove file actions; a version's snapshot = adds minus removes up
   * to it; periodic checkpoints of the reconstructed state plus a
@@ -283,6 +287,52 @@ object TxTable {
       df.select(df.columns.map(c => col(c).as(cm.physicalOf(c))).toSeq: _*)
     }
 
+  // ------------------------------------------------------------------
+  // Deletion vectors (merge-on-read row-level deletes)
+  // ------------------------------------------------------------------
+
+  /** Reserved column names the deletion-vector scan threads through. */
+  private val DvFileCol = "__file"
+  private val DvPosCol = "__pos"
+
+  /** The ONE internal scan every read and every rewrite goes through:
+    * a parquet scan over `dirs` with every outstanding DELETION VECTOR
+    * applied — the merge-on-read shape. A DV sidecar is a small parquet
+    * of `(f: relative file, p: row position)` pairs recorded by
+    * [[deleteRows]]; the scan attaches `_metadata.file_path` /
+    * `_metadata.row_index` and LEFT-ANTI-joins the pairs away (the DV
+    * side is delete-sized, so the join broadcasts). Tables with no
+    * outstanding DVs — the steady state, and every pre-DV table — take
+    * the plain-scan fast path and pay NOTHING. Because every REWRITE
+    * path also reads through here, any compaction / merge / optimize /
+    * delete-rewrite FOLDS the outstanding deletions into its output and
+    * the old sidecars become inert (their file names no longer live).
+    * `keepMeta = true` retains the `(__file, __pos)` columns for
+    * consumers that need row positions (find-files, deleteRows itself).
+    */
+  private def scanLive(spark: SparkSession, dir: String, state: TableState,
+      dirs: Seq[String], mergeSchema: Boolean,
+      keepMeta: Boolean = false): DataFrame = {
+    require(dirs.nonEmpty, "scan over zero directories")
+    val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val base = r.parquet(dirs.map(d => s"$dir/$d"): _*)
+    if (state.dvFiles.isEmpty && !keepMeta) return base
+    require(!base.columns.contains(DvFileCol) && !base.columns.contains(DvPosCol),
+      s"'$DvFileCol'/'$DvPosCol' column names are reserved")
+    val withMeta = base.select(col("*"),
+      org.apache.spark.sql.functions.regexp_extract(
+        col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1).as(DvFileCol),
+      col("_metadata.row_index").as(DvPosCol))
+    val filtered =
+      if (state.dvFiles.isEmpty) withMeta
+      else {
+        val dv = spark.read.parquet(state.dvFiles.map(f => s"$dir/$f"): _*)
+          .select(col("f").as(DvFileCol), col("p").as(DvPosCol))
+        withMeta.join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+      }
+    if (keepMeta) filtered else filtered.drop(DvFileCol, DvPosCol)
+  }
+
   /** One conjunct of a stats-pruned read ([[snapshotWhere]]). */
   sealed trait StatsPred { def colName: String }
 
@@ -430,14 +480,15 @@ object TxTable {
       replayBase: Long,
       schemaJson: Option[String],
       constraints: Map[String, String],
-      colMap: ColMap)
+      colMap: ColMap,
+      dvFiles: Seq[String])
 
   private def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
     // version 0 IS the empty table — the change-feed baseline, so a
     // feed from 0 yields the initial content as its first insert slice
     if (v == 0L)
       return TableState(Nil, Map.empty, Map.empty, Map.empty, 0L, None, Map.empty,
-        ColMap.identity)
+        ColMap.identity, Nil)
     val (fs, root) = fsFor(spark, dir)
     val log = logPath(root)
     // the seeding checkpoint: probe DESCENDING by constructed name from
@@ -472,6 +523,7 @@ object TxTable {
     var schemaJson: Option[String] = None
     val constraints = scala.collection.mutable.Map.empty[String, String]
     var colMap = ColMap.identity
+    val dvFiles = scala.collection.mutable.LinkedHashSet.empty[String]
     // mtime of the log entry currently being replayed — stamps its
     // remove lines (the vacuum retention clock); checkpoints carry the
     // stamp explicitly in their removed: lines instead
@@ -539,6 +591,18 @@ object TxTable {
         // colmap:<b64 tab-records> — the column-mapping action (latest
         // wins, whole-map replace; an empty payload resets to identity)
         colMap = parseColMap(line.stripPrefix("colmap:"))
+      else if (line.startsWith("dvf:"))
+        // dvf:<rel> — a DELETION-VECTOR sidecar (parquet of (f, p)
+        // file/row-position pairs) joins the outstanding set; reads
+        // anti-join it away, rewrites fold it (merge-on-read deletes)
+        dvFiles += line.stripPrefix("dvf:")
+      else if (line.startsWith("rmdvf:")) {
+        // a DV compaction/restore retired this sidecar; stamp it for
+        // the vacuum retention clock like a removed data directory
+        val rel = line.stripPrefix("rmdvf:")
+        dvFiles -= rel
+        removedAt(rel) = entryMtime
+      }
     if (base > 0) readLines(fs, new Path(log, ckptName(base))).foreach(applyLine)
     var ver = base + 1
     while (ver <= v) {
@@ -552,14 +616,14 @@ object TxTable {
                 s"cleanupLog past the retention window?) — version $v is no " +
                 "longer reconstructible; time travel is bounded by log retention")
         }
-      if (lines.exists(_.startsWith("remove:")))
+      if (lines.exists(l => l.startsWith("remove:") || l.startsWith("rmdvf:")))
         entryMtime = fs.getFileStatus(p).getModificationTime
       lines.foreach(applyLine)
       ver += 1
     }
     TableState(live.toSeq,
       stats.view.mapValues(_.toMap).toMap, txns.toMap, removedAt.toMap, base,
-      schemaJson, constraints.toMap, colMap)
+      schemaJson, constraints.toMap, colMap, dvFiles.toSeq)
   }
 
   /** Resolve a requested version against the tip and reconstruct its
@@ -712,8 +776,7 @@ object TxTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         logicalSchema(sch.get, state.colMap))
     }
-    val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-    logicalProject(r.parquet(dirs.map(d => s"$dir/$d"): _*), state.colMap)
+    logicalProject(scanLive(spark, dir, state, dirs, mergeSchema), state.colMap)
   }
 
   /** UTF-8 byte-order comparison — Spark's UTF8String ordering, which
@@ -799,14 +862,13 @@ object TxTable {
     val predsP = preds.map(physPred(_, state.colMap))
     val kept = dirs.filter(d =>
       predsP.forall(p => overlaps(state.stats.get(d).flatMap(_.get(p.colName)), p)))
-    val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
     if (kept.isEmpty) {
       // every directory provably out of range: an empty frame with the
       // table's schema (planning a scan over zero paths is an error)
-      logicalProject(r.parquet(dirs.map(d => s"$dir/$d"): _*), state.colMap)
+      logicalProject(scanLive(spark, dir, state, dirs, mergeSchema), state.colMap)
         .filter(org.apache.spark.sql.functions.lit(false))
     } else {
-      val df = r.parquet(kept.map(d => s"$dir/$d"): _*)
+      val df = scanLive(spark, dir, state, kept, mergeSchema)
       logicalProject(
         df.filter(predsP.map(residual(df.schema, _)).reduce(_ && _)), state.colMap)
     }
@@ -880,21 +942,36 @@ object TxTable {
     val toSet = sTo.live.toSet
     val fromOnly = sFrom.live.filterNot(toSet)
     val toOnly = sTo.live.filterNot(fromSet)
+    // DELETION-VECTOR delta: sidecars differing between the versions
+    // change rows inside still-live directories without any
+    // directory-set difference — those directories join the scan on
+    // BOTH sides, each side read with ITS OWN DV set, and the multiset
+    // EXCEPT ALL nets exactly the rows the vectors deleted (or a
+    // restore resurrected); the referenced-directory collect is bounded
+    // by the touched-file count of the window's deletes
+    val dvDelta = (sTo.dvFiles.toSet -- sFrom.dvFiles) ++
+      (sFrom.dvFiles.toSet -- sTo.dvFiles)
+    val dvDirs: Set[String] =
+      if (dvDelta.isEmpty) Set.empty
+      else spark.read.parquet(dvDelta.toSeq.map(f => s"$dir/$f"): _*)
+        .select(org.apache.spark.sql.functions.regexp_extract(
+          col("f"), "^(data/[^/]+)/", 1).as("d"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val fromScanDirs = fromOnly ++ sFrom.live.filter(d => dvDirs(d) && toSet(d))
+    val toScanDirs = toOnly ++ sTo.live.filter(d => dvDirs(d) && fromSet(d))
     // both sides surface under the TO state's column mapping: a rename
     // inside the window is metadata-only (physical bytes identical), so
     // projecting both sides identically keeps unchanged rows cancelling
     // in the EXCEPT ALL and reports changes under the CURRENT names
-    def scan(dirs: Seq[String]): DataFrame =
-      logicalProject(
-        spark.read.option("mergeSchema", "true").parquet(dirs.map(d => s"$dir/$d"): _*),
-        sTo.colMap)
-    val schemaDirs =
-      if (toOnly.nonEmpty) toOnly
-      else if (fromOnly.nonEmpty) fromOnly
-      else if (sTo.live.nonEmpty) sTo.live
-      else sFrom.live
+    def scan(side: TableState, dirs: Seq[String]): DataFrame =
+      logicalProject(scanLive(spark, dir, side, dirs, mergeSchema = true), sTo.colMap)
+    val (schemaSide, schemaDirs) =
+      if (toScanDirs.nonEmpty) (sTo, toScanDirs)
+      else if (fromScanDirs.nonEmpty) (sFrom, fromScanDirs)
+      else if (sTo.live.nonEmpty) (sTo, sTo.live)
+      else (sFrom, sFrom.live)
     require(schemaDirs.nonEmpty, "tableChanges on a table with no live directories")
-    val template = scan(schemaDirs)
+    val template = scan(schemaSide, schemaDirs)
     require(!template.columns.contains("_change_type"),
       "'_change_type' column name is reserved by tableChanges")
     // reserved alongside _change_type (r15 advice): a table that already
@@ -903,8 +980,10 @@ object TxTable {
     // mislabeling every row — fail fast instead
     require(!template.columns.contains("_commit_version"),
       "'_commit_version' column name is reserved by the change data feed")
-    val oldDf = if (fromOnly.nonEmpty) scan(fromOnly) else template.filter(lit(false))
-    val newDf = if (toOnly.nonEmpty) scan(toOnly) else template.filter(lit(false))
+    val oldDf =
+      if (fromScanDirs.nonEmpty) scan(sFrom, fromScanDirs) else template.filter(lit(false))
+    val newDf =
+      if (toScanDirs.nonEmpty) scan(sTo, toScanDirs) else template.filter(lit(false))
     // align additive-evolution schema drift by name: a column one side
     // lacks reads as typed nulls there (the mergeSchema read semantics)
     val allCols = (oldDf.schema.fields ++ newDf.schema.fields)
@@ -955,9 +1034,18 @@ object TxTable {
     }
     val colMapL =
       if (tgt.colMap == cur.colMap) Nil else Seq(colMapLine(tgt.colMap))
+    // the deletion-vector set rolls back with the content: target-only
+    // sidecars re-attach, current-only ones retire (restore reach for
+    // DV sidecars is the same vacuum retention as for data directories)
+    val dvAdds = tgt.dvFiles.filterNot(cur.dvFiles.toSet)
+    dvAdds.foreach(f => require(fs.exists(new Path(root, f)),
+      s"cannot restore to version $toVersion: its deletion-vector sidecar $f " +
+        "was already vacuumed — restore reach is bounded by the retention window"))
+    val dvL = dvAdds.map(f => s"dvf:$f") ++
+      cur.dvFiles.filterNot(tgt.dvFiles.toSet).map(f => s"rmdvf:$f")
     publishAt(spark, dir, readV + 1,
       Seq("op:restore") ++ adds.map(d => s"add:$d") ++ statsL ++ schemaL ++ colMapL
-        ++ removes.map(d => s"remove:$d"))
+        ++ dvL ++ removes.map(d => s"remove:$d"))
     readV + 1
   }
 
@@ -1045,10 +1133,14 @@ object TxTable {
     // entry would grow the checkpoint forever for a dir that no longer
     // exists — one dataRoot listing bounds the lines by physical dirs
     val dataRoot = new Path(root, "data")
+    val dvRoot = new Path(root, "dv")
     val present: Set[String] =
-      if (!fs.exists(dataRoot)) Set.empty
-      else fs.listStatus(dataRoot).toSeq.filter(_.isDirectory)
-        .map(s => s"data/${s.getPath.getName}").toSet
+      (if (!fs.exists(dataRoot)) Set.empty[String]
+       else fs.listStatus(dataRoot).toSeq.filter(_.isDirectory)
+         .map(s => s"data/${s.getPath.getName}").toSet) ++
+      (if (!fs.exists(dvRoot)) Set.empty[String]
+       else fs.listStatus(dvRoot).toSeq.filter(_.isDirectory)
+         .map(s => s"dv/${s.getPath.getName}").toSet)
     val lines =
       Seq(s"protocol:$SupportedProtocol") ++
         st.live.map(d => s"live:$d") ++
@@ -1060,7 +1152,8 @@ object TxTable {
         st.schemaJson.map(j => s"schema:${b64e(j)}").toSeq ++
         st.constraints.toSeq.sortBy(_._1)
           .map { case (n, e) => s"constraint:$n:${b64e(e)}" } ++
-        (if (st.colMap.isIdentity) Nil else Seq(colMapLine(st.colMap)))
+        (if (st.colMap.isIdentity) Nil else Seq(colMapLine(st.colMap))) ++
+        st.dvFiles.map(f => s"dvf:$f")
     val tmp = writeSmallFile(fs, log, lines)
     putIfAbsent(fs, tmp, new Path(log, ckptName(v)))
     if (v > readPointer(fs, log)) writePointer(fs, log, v)
@@ -1517,15 +1610,15 @@ object TxTable {
     * never row- or file-sized). The Delta DELETE find-files shape:
     * directories the scan proves untouched are never rewritten.
     */
-  private def dirsWithMatches(spark: SparkSession, dir: String,
-      dirs: Seq[String], predicate: Column, cm: ColMap): Seq[String] = {
+  private def dirsWithMatches(spark: SparkSession, dir: String, state: TableState,
+      dirs: Seq[String], predicate: Column): Seq[String] = {
     if (dirs.isEmpty) return Nil
-    val hit = logicalProject(spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => s"$dir/$d"): _*), cm)
+    val hit = logicalProject(
+        scanLive(spark, dir, state, dirs, mergeSchema = true, keepMeta = true),
+        state.colMap)
       .filter(predicate)
       .select(org.apache.spark.sql.functions.regexp_extract(
-        org.apache.spark.sql.functions.input_file_name(),
-        "(data/[^/]+)/[^/]+$", 1).as("__dir"))
+        col(DvFileCol), "^(data/[^/]+)/", 1).as("__dir"))
       .distinct().collect().map(_.getString(0)).toSet
     dirs.filter(hit)
   }
@@ -1562,7 +1655,7 @@ object TxTable {
     val state = stateAt(spark, dir, readV)
     val cm = state.colMap
     val candidates = statsOverlapping(state, pruneHint.map(physPred(_, cm)))
-    val touched = dirsWithMatches(spark, dir, candidates, predicate, cm)
+    val touched = dirsWithMatches(spark, dir, state, candidates, predicate)
     val (fs, root) = fsFor(spark, dir)
     def hasFiles(rel: String): Boolean =
       fs.listStatus(new Path(root, rel))
@@ -1570,9 +1663,10 @@ object TxTable {
     val adds = touched.flatMap { d =>
       // per-directory rewrite preserves each directory's own schema (no
       // cross-directory merge, so additive evolution needs no widening);
-      // the predicate runs over the LOGICAL view and the survivors are
-      // written back under the directory's physical names
-      val src = spark.read.parquet(s"$dir/$d")
+      // the predicate runs over the LOGICAL view, outstanding DVs are
+      // applied (the rewrite FOLDS them), and the survivors are written
+      // back under the directory's physical names
+      val src = scanLive(spark, dir, state, Seq(d), mergeSchema = false)
       val srcL = logicalProject(src, cm)
       val survivorsL =
         try srcL.filter(!predicate)
@@ -1624,6 +1718,88 @@ object TxTable {
     val sch = logicalSchema(
       tableSchemaOf(spark, dir, state).getOrElse(StructType(Nil)), state.colMap)
     delete(spark, dir, preds.map(residual(sch, _)).reduce(_ && _), statsCols, preds)
+  }
+
+  /** DELETION-VECTOR delete (merge-on-read — the Delta deletion-vector
+    * / Iceberg position-delete shape): instead of rewriting ANY file,
+    * record the `(file, row position)` pairs of the matching rows in a
+    * small parquet SIDECAR and commit one `dvf:` log action — a
+    * ten-row delete on a petabyte table writes ten pairs and moves no
+    * data. Every read anti-joins the outstanding pairs away (see
+    * [[scanLive]]; the DV side is delete-sized, so the join
+    * broadcasts), every REWRITE (compact / optimize / merge / a
+    * rewriting delete) reads through the same scan and therefore FOLDS
+    * the deletions into its output — the natural DV compaction;
+    * [[compactDvs]] is the explicit hygiene pass. Time travel sees the
+    * DV set as of each version (the sidecar list is a log action like
+    * any other, checkpoint-carried); the CHANGE DATA FEED reports
+    * DV-deleted rows as `delete` rows like a rewriting delete.
+    * Pruning: `pruneHint` narrows the position-finding scan exactly
+    * like [[delete]]'s. Stats stay valid — a DV only removes rows, so
+    * recorded min/max remain conservative. Commits at READ version + 1
+    * (abort on conflict: the positions were derived from a snapshot).
+    * Deterministic predicates only, like [[delete]].
+    */
+  def deleteRows(spark: SparkSession, dir: String, predicate: Column,
+      pruneHint: Seq[StatsPred] = Nil): Long = {
+    val readV = tipVersion(spark, dir)
+    val state = stateAt(spark, dir, readV)
+    val cm = state.colMap
+    val candidates = statsOverlapping(state, pruneHint.map(physPred(_, cm)))
+    if (candidates.isEmpty) {
+      publishAt(spark, dir, readV + 1, Seq("op:delete"))
+      return readV + 1
+    }
+    val rel = s"dv/${java.util.UUID.randomUUID().toString.take(12)}"
+    logicalProject(
+        scanLive(spark, dir, state, candidates, mergeSchema = true, keepMeta = true),
+        cm)
+      .filter(predicate)
+      .select(col(DvFileCol).as("f"), col(DvPosCol).as("p"))
+      .write.mode("overwrite").parquet(s"$dir/$rel")
+    val (fs, root) = fsFor(spark, dir)
+    val hasFiles = fs.listStatus(new Path(root, rel))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val dvL = if (hasFiles) Seq(s"dvf:$rel") else { fs.delete(new Path(root, rel), true); Nil }
+    publishAt(spark, dir, readV + 1, Seq("op:delete") ++ dvL)
+    readV + 1
+  }
+
+  /** Fold every outstanding deletion-vector sidecar into ONE (dropping
+    * pairs whose file's directory is no longer live — rewrites made
+    * them inert), as one log-transacted commit. The read-side anti-join
+    * then probes a single compacted sidecar instead of one per delete;
+    * retired sidecars are stamped for [[vacuum]]'s retention clock.
+    * No-op (None) with fewer than two outstanding sidecars.
+    */
+  def compactDvs(spark: SparkSession, dir: String): Option[Long] = {
+    val readV = tipVersion(spark, dir)
+    val state = stateAt(spark, dir, readV)
+    if (state.dvFiles.size < 2) return None
+    val liveSet = state.live.toSet
+    val rel = s"dv/${java.util.UUID.randomUUID().toString.take(12)}"
+    spark.read.parquet(state.dvFiles.map(f => s"$dir/$f"): _*)
+      .filter(org.apache.spark.sql.functions.regexp_extract(
+        col("f"), "^(data/[^/]+)/", 1).isin(liveSet.toSeq: _*))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$dir/$rel")
+    val (fs, root) = fsFor(spark, dir)
+    val hasFiles = fs.listStatus(new Path(root, rel))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // an all-inert fold leaves ZERO outstanding sidecars, not one empty
+    // one (the row check is a tiny job over the just-written sidecar)
+    val addL =
+      if (hasFiles && !spark.read.parquet(s"$dir/$rel").isEmpty) Seq(s"dvf:$rel")
+      else { fs.delete(new Path(root, rel), true); Nil }
+    publishAt(spark, dir, readV + 1,
+      Seq("op:dvcompact") ++ addL ++ state.dvFiles.map(f => s"rmdvf:$f"))
+    Some(readV + 1)
+  }
+
+  /** The outstanding deletion-vector sidecars at the tip. */
+  def deletionVectors(spark: SparkSession, dir: String): Seq[String] = {
+    val tip = tipOrZero(spark, dir)
+    if (tip == 0) Nil else stateAt(spark, dir, tip).dvFiles
   }
 
   /** MERGE INTO: apply a CDC upsert/delete log to the table with
@@ -1756,8 +1932,10 @@ object TxTable {
       // a directory predating an additive evolution that introduced a
       // key column cannot hold a logged key (its rows read the column
       // as null, and null never equality-matches) — leave it untouched
-      // instead of failing the per-directory join's analysis
-      val scans = touched.map(d => d -> spark.read.parquet(s"$dir/$d"))
+      // instead of failing the per-directory join's analysis; scans
+      // apply outstanding DVs, so the rewrite folds them
+      val scans = touched.map(d =>
+        d -> scanLive(spark, dir, state, Seq(d), mergeSchema = false))
       val (joinable, _) = scans.partition { case (_, src) =>
         keyColsP.forall(src.columns.contains)
       }
@@ -1884,8 +2062,7 @@ object TxTable {
     val survivorAdds: Seq[String] =
       if (touched.isEmpty) Nil
       else {
-        val sv = spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(d => s"$dir/$d"): _*)
+        val sv = scanLive(spark, dir, state, touched, mergeSchema = true)
           .filter(outOfRange)
         val rel = writeData(spark, dir, sv)
         if (hasFiles(rel)) Seq(rel)
@@ -1917,9 +2094,8 @@ object TxTable {
     val state = stateAt(spark, dir, readV)
     val before = state.live
     if (before.size < 2) return None
-    // schema-merged for the same reason as delete's rewrite
-    val merged = spark.read.option("mergeSchema", "true")
-      .parquet(before.map(d => s"$dir/$d"): _*)
+    // schema-merged for the same reason as delete's rewrite; DVs fold
+    val merged = scanLive(spark, dir, state, before, mergeSchema = true)
     val eff = if (statsCols.nonEmpty) statsCols else carriedStatsCols(state, before, merged)
     val rel = writeData(spark, dir, merged)
     publishAt(spark, dir, readV + 1,
@@ -1949,8 +2125,7 @@ object TxTable {
     val small = state.live.filter(d =>
       fs.getContentSummary(new Path(root, d)).getLength < smallBytes)
     if (small.size < 2) return None
-    val merged = spark.read.option("mergeSchema", "true")
-      .parquet(small.map(d => s"$dir/$d"): _*)
+    val merged = scanLive(spark, dir, state, small, mergeSchema = true)
     val eff = if (statsCols.nonEmpty) statsCols else carriedStatsCols(state, small, merged)
     val rel = writeData(spark, dir, merged)
     publishAt(spark, dir, readV + 1,
@@ -2001,8 +2176,7 @@ object TxTable {
     // clustering columns arrive under LOGICAL names; the scan and the
     // recorded stats are physical (column mapping)
     val zColsP = zCols.map(state.colMap.physicalOf)
-    val src = spark.read.option("mergeSchema", "true")
-      .parquet(before.map(d => s"$dir/$d"): _*)
+    val src = scanLive(spark, dir, state, before, mergeSchema = true)
     require(!src.columns.contains("__z") && !src.columns.contains("__zb"),
       "'__z'/'__zb' column names are reserved")
     val eff = (if (statsCols.nonEmpty) statsCols.map(state.colMap.physicalOf)
@@ -2083,9 +2257,10 @@ object TxTable {
     val state = stateAt(spark, dir, readV)
     if (state.live.nonEmpty) {
       // the constraint's SQL references LOGICAL names — validate the
-      // existing rows through the mapped view
-      scala.util.Try(logicalProject(spark.read.option("mergeSchema", "true")
-          .parquet(state.live.map(d => s"$dir/$d"): _*), state.colMap)).toOption
+      // existing rows through the mapped, DV-applied view
+      scala.util.Try(logicalProject(
+          scanLive(spark, dir, state, state.live, mergeSchema = true),
+          state.colMap)).toOption
         .foreach { df =>
           val n = df.filter(
             !coalesce(org.apache.spark.sql.functions.expr(exprSql), lit(true))).count()
@@ -2222,29 +2397,37 @@ object TxTable {
       horizonMs: Long = 60L * 60 * 1000): Seq[String] = {
     val (fs, root) = fsFor(spark, dir)
     val dataRoot = new Path(root, "data")
-    if (!fs.exists(dataRoot)) return Nil
+    val dvRoot = new Path(root, "dv")
+    if (!fs.exists(dataRoot) && !fs.exists(dvRoot)) return Nil
     val tip = tipOrZero(spark, dir)
     // removal stamps ride the same checkpoint-seeded replay as every
     // other read (checkpoints carry removed:<rel>:<mtime> for dirs
     // still on disk), so vacuum's log walk is bounded by
     // CheckpointEvery too, not the table's whole commit history
     val state = if (tip == 0) None else Some(stateAt(spark, dir, tip))
-    val liveNow: Set[String] = state.map(_.live.toSet).getOrElse(Set.empty)
+    // deletion-vector sidecars reclaim under the SAME rules: referenced
+    // by the tip = live, retired (rmdvf) = removal-stamped, orphaned
+    // (crash between sidecar write and publish) = mtime-aged debris
+    val liveNow: Set[String] = state.map(st => st.live.toSet ++ st.dvFiles)
+      .getOrElse(Set.empty)
     val removedAt: Map[String, Long] = state.map(_.removedAt).getOrElse(Map.empty)
     val cutoff = System.currentTimeMillis() - horizonMs
     val reclaimed = scala.collection.mutable.ArrayBuffer.empty[String]
-    fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { st =>
-      val rel = s"data/${st.getPath.getName}"
-      val drop =
-        if (liveNow.contains(rel)) false
-        else removedAt.get(rel) match {
-          case Some(t) => t < cutoff              // retention window expired
-          case None => st.getModificationTime < cutoff // never committed: crash debris
+    val roots = Seq("data" -> dataRoot, "dv" -> dvRoot).filter(r => fs.exists(r._2))
+    roots.foreach { case (prefix, rootPath) =>
+      fs.listStatus(rootPath).toSeq.filter(_.isDirectory).foreach { st =>
+        val rel = s"$prefix/${st.getPath.getName}"
+        val drop =
+          if (liveNow.contains(rel)) false
+          else removedAt.get(rel) match {
+            case Some(t) => t < cutoff              // retention window expired
+            case None => st.getModificationTime < cutoff // never committed: crash debris
+          }
+        if (drop) {
+          try {
+            if (fs.delete(st.getPath, true)) reclaimed += rel
+          } catch { case _: java.io.IOException => () }
         }
-      if (drop) {
-        try {
-          if (fs.delete(st.getPath, true)) reclaimed += rel
-        } catch { case _: java.io.IOException => () }
       }
     }
     reclaimed.toSeq
@@ -2320,6 +2503,10 @@ object TxTable {
       horizonMs: Long = 7L * 24 * 60 * 60 * 1000,
       logRetainMs: Option[Long] = None): Maintenance = {
     val compacted = compactSmall(spark, dir, smallBytes)
+    // fold outstanding deletion-vector sidecars into one (compactSmall
+    // may just have made some inert); best-effort like the compaction
+    try compactDvs(spark, dir)
+    catch { case _: CommitConflict => () }
     val ckpt = checkpoint(spark, dir)
     val vac = vacuum(spark, dir, horizonMs)
     val cleaned = cleanupLog(spark, dir, logRetainMs.getOrElse(horizonMs))
