@@ -94,11 +94,19 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, Inte
   * loser re-reads the log tip and retries with the next number — its
   * DATA directory (keyed by uuid, not version) needs no rewrite, making
   * the retry a metadata-only operation. This is optimistic concurrency
-  * for APPEND-shaped commits; writers whose validity depends on what
-  * they read (delete/overwrite/merge/replace/compact/optimize) abort on
-  * conflict instead of retrying blindly ([[CommitConflict]]) — the
-  * caller re-reads and re-derives, the serializable-writer rule of the
-  * Delta protocol.
+  * for APPEND-shaped commits. Writers whose validity depends on what
+  * they read (delete/merge/replace/compact/optimize) resolve a lost
+  * race LOGICALLY — the Delta check-and-retry protocol, see
+  * [[publishReadDependent]]: each winning commit is classified against
+  * the transaction's declared read footprint, and the commit retries
+  * at the new tip when every winner is provably disjoint (a blind
+  * append racing a compaction, a delete racing an ingest, rewrites of
+  * different directories) — aborting with [[CommitConflict]] only on a
+  * REAL conflict (metadata changes, removal of a read directory,
+  * unseen rows where serializability demands none; the per-op
+  * contracts document which). `overwrite` RE-DERIVES on any race
+  * (truncate-and-load reads nothing but "what is live", so the
+  * interleavings simply serialize before it), like the append gate.
   *
   * SCHEMA ON WRITE: `append`/`appendTxn`/`replaceRange` validate the
   * incoming frame against the table schema — a type conflict or a
@@ -295,6 +303,26 @@ object TxTable {
   private val DvFileCol = "__file"
   private val DvPosCol = "__pos"
 
+  /** A live-set reference that points OUTSIDE this table's root — a
+    * shallow [[cloneTable]]'s references into its source's data root
+    * (the Delta absolute-path add action). Everything a table writes
+    * itself stays relative to its own root.
+    */
+  private def isAbsRef(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains("://")
+
+  /** Resolve a live-set reference to a readable path. */
+  private def dataPath(dir: String, rel: String): String =
+    if (isAbsRef(rel)) rel else s"$dir/$rel"
+
+  /** The SUFFIX KEY a directory surfaces as in `_metadata.file_path`
+    * extraction and in deletion-vector `f` values: `data/<uuid>` — the
+    * same for a local directory and a clone's absolute reference to it
+    * (a clone's references ARE the source's uuid-keyed names, so keys
+    * stay unique across the union of both roots).
+    */
+  private def dirKey(rel: String): String = "data/" + rel.split('/').last
+
   /** The ONE internal scan every read and every rewrite goes through:
     * a parquet scan over `dirs` with every outstanding DELETION VECTOR
     * applied — the merge-on-read shape. A DV sidecar is a small parquet
@@ -315,7 +343,7 @@ object TxTable {
       keepMeta: Boolean = false): DataFrame = {
     require(dirs.nonEmpty, "scan over zero directories")
     val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-    val base = r.parquet(dirs.map(d => s"$dir/$d"): _*)
+    val base = r.parquet(dirs.map(d => dataPath(dir, d)): _*)
     if (state.dvFiles.isEmpty && !keepMeta) return base
     require(!base.columns.contains(DvFileCol) && !base.columns.contains(DvPosCol),
       s"'$DvFileCol'/'$DvPosCol' column names are reserved")
@@ -326,7 +354,7 @@ object TxTable {
     val filtered =
       if (state.dvFiles.isEmpty) withMeta
       else {
-        val dv = spark.read.parquet(state.dvFiles.map(f => s"$dir/$f"): _*)
+        val dv = spark.read.parquet(state.dvFiles.map(f => dataPath(dir, f)): _*)
           .select(col("f").as(DvFileCol), col("p").as(DvPosCol))
         withMeta.join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
       }
@@ -463,6 +491,36 @@ object TxTable {
       .sorted
   }
 
+  /** Per-retained-version commit metadata, newest first (DESCRIBE
+    * HISTORY): version, in-commit timestamp (millis — the `ts:` line,
+    * entry mtime for pre-feature entries), operation, and the
+    * directories the commit added and removed. INTROSPECTION /
+    * maintenance surface like [[versions]] (one `_log` listing + one
+    * small read per retained entry), not a read-path entry point.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val sq = spark
+    import sq.implicits._
+    val (fs, root) = fsFor(spark, dir)
+    val log = logPath(root)
+    versions(spark, dir).sorted(Ordering[Long].reverse).flatMap { v =>
+      try {
+        val lines = readLines(fs, new Path(log, versionName(v)))
+        val op = lines.collectFirst {
+          case l if l.startsWith("op:") => l.stripPrefix("op:")
+        }.getOrElse("")
+        val ts = lines.collectFirst {
+          case l if l.startsWith("ts:") => l.stripPrefix("ts:").toLongOption
+        }.flatten.getOrElse(
+          fs.getFileStatus(new Path(log, versionName(v))).getModificationTime)
+        Some((v, ts, op,
+          lines.count(_.startsWith("add:")),
+          lines.count(_.startsWith("remove:"))))
+      } catch { case _: java.io.FileNotFoundException => None }
+    }.toDF("version", "timestamp_ms", "operation", "num_added_dirs",
+      "num_removed_dirs")
+  }
+
   // ------------------------------------------------------------------
   // State reconstruction
   // ------------------------------------------------------------------
@@ -524,9 +582,11 @@ object TxTable {
     val constraints = scala.collection.mutable.Map.empty[String, String]
     var colMap = ColMap.identity
     val dvFiles = scala.collection.mutable.LinkedHashSet.empty[String]
-    // mtime of the log entry currently being replayed — stamps its
-    // remove lines (the vacuum retention clock); checkpoints carry the
-    // stamp explicitly in their removed: lines instead
+    // removal clock of the log entry currently being replayed — its
+    // in-commit timestamp (ts: line), falling back to the entry file's
+    // mtime for pre-feature entries — stamps its remove lines (the
+    // vacuum retention clock); checkpoints carry the stamp explicitly
+    // in their removed: lines instead
     var entryMtime = 0L
     def applyLine(line: String): Unit =
       if (line.startsWith("add:")) live += line.stripPrefix("add:")
@@ -617,7 +677,9 @@ object TxTable {
                 "longer reconstructible; time travel is bounded by log retention")
         }
       if (lines.exists(l => l.startsWith("remove:") || l.startsWith("rmdvf:")))
-        entryMtime = fs.getFileStatus(p).getModificationTime
+        entryMtime = lines.collectFirst { case l if l.startsWith("ts:") =>
+          l.stripPrefix("ts:").toLongOption
+        }.flatten.getOrElse(fs.getFileStatus(p).getModificationTime)
       lines.foreach(applyLine)
       ver += 1
     }
@@ -653,17 +715,20 @@ object TxTable {
     resolvedState(spark, dir, version)._2.live
 
   /** The latest version committed AT OR BEFORE `tsMillis` — Delta's
-    * TIMESTAMP AS OF resolution: commit order and entry mtimes are both
-    * monotone, so the answer is the last retained entry whose mtime is
-    * at or under the cut. BOUNDED like every read path (the r15
-    * verdict's last listing-shaped entry point): the tip comes from the
-    * pointer + forward probe, and the cut is found by BINARY SEARCH
-    * over constructed entry names — O(log tip) `getFileStatus` probes,
-    * never a `_log` listing and never a walk over the commit history.
+    * TIMESTAMP AS OF resolution over IN-COMMIT TIMESTAMPS: each entry's
+    * `ts:` line is the log's own clock (monotone by [[publishAt]]'s
+    * clamp; pre-feature entries fall back to their mtime, still ordered
+    * across the upgrade boundary), so copying or restoring a table —
+    * which rewrites every file mtime — does not corrupt time travel.
+    * BOUNDED like every read path: the tip comes from the pointer +
+    * forward probe, and the cut is found by BINARY SEARCH over
+    * constructed entry names — O(log tip) small-entry reads, never a
+    * `_log` listing and never a walk over the commit history.
     * [[cleanupLog]] reclaims a PREFIX of history (it deletes below the
-    * pointer by an mtime cutoff, and mtimes are monotone in version),
-    * so existence is monotone too and both searches are well-defined.
-    * Fails informatively when the timestamp precedes retained history.
+    * pointer by an age cutoff, and commit timestamps are monotone in
+    * version), so existence is monotone too and both searches are
+    * well-defined. Fails informatively when the timestamp precedes
+    * retained history.
     */
   def versionAt(spark: SparkSession, dir: String, tsMillis: Long): Long =
     versionAtProbed(spark, dir, tsMillis)._1
@@ -677,36 +742,36 @@ object TxTable {
     val log = logPath(root)
     val tip = tipVersion(spark, dir)
     var probes = 0
-    def mtimeOf(v: Long): Option[Long] = {
+    def tsOf(v: Long): Option[Long] = {
       probes += 1
-      try Some(fs.getFileStatus(new Path(log, versionName(v))).getModificationTime)
-      catch { case _: java.io.FileNotFoundException => None }
+      commitTs(fs, log, v)
     }
     // 1) earliest retained version: existence is monotone (reclaimed
     //    entries form a prefix), and the tip always exists
     var lo = 1L
     var hi = tip
-    if (mtimeOf(1L).isEmpty) {
+    if (tsOf(1L).isEmpty) {
       while (lo + 1 < hi) {
         val mid = lo + (hi - lo) / 2
-        if (mtimeOf(mid).isDefined) hi = mid else lo = mid
+        if (tsOf(mid).isDefined) hi = mid else lo = mid
       }
       lo = hi // lowest existing version
     }
     val earliest = lo
-    val earliestMtime = mtimeOf(earliest).getOrElse(
+    val earliestTs = tsOf(earliest).getOrElse(
       throw new IllegalStateException(s"log entry for version $earliest of $dir vanished mid-read"))
-    if (earliestMtime > tsMillis)
+    if (earliestTs > tsMillis)
       throw new IllegalArgumentException(
         s"no retained version of $dir was committed at or before $tsMillis " +
           s"(earliest retained: $earliest) — the timestamp predates the " +
           "retained history (or the log was cleaned past it)")
-    // 2) largest v in [earliest, tip] with mtime <= ts (mtimes monotone)
-    var a = earliest // invariant: mtime(a) <= ts
-    var b = tip + 1  // invariant: b > tip or mtime(b) > ts
+    // 2) largest v in [earliest, tip] with commit ts <= the cut
+    //    (in-commit timestamps are strictly monotone by construction)
+    var a = earliest // invariant: ts(a) <= ts
+    var b = tip + 1  // invariant: b > tip or ts(b) > ts
     while (a + 1 < b) {
       val mid = a + (b - a) / 2
-      if (mtimeOf(mid).exists(_ <= tsMillis)) a = mid else b = mid
+      if (tsOf(mid).exists(_ <= tsMillis)) a = mid else b = mid
     }
     (a, probes)
   }
@@ -953,12 +1018,12 @@ object TxTable {
       (sFrom.dvFiles.toSet -- sTo.dvFiles)
     val dvDirs: Set[String] =
       if (dvDelta.isEmpty) Set.empty
-      else spark.read.parquet(dvDelta.toSeq.map(f => s"$dir/$f"): _*)
+      else spark.read.parquet(dvDelta.toSeq.map(f => dataPath(dir, f)): _*)
         .select(org.apache.spark.sql.functions.regexp_extract(
           col("f"), "^(data/[^/]+)/", 1).as("d"))
         .distinct().collect().map(_.getString(0)).toSet
-    val fromScanDirs = fromOnly ++ sFrom.live.filter(d => dvDirs(d) && toSet(d))
-    val toScanDirs = toOnly ++ sTo.live.filter(d => dvDirs(d) && fromSet(d))
+    val fromScanDirs = fromOnly ++ sFrom.live.filter(d => dvDirs(dirKey(d)) && toSet(d))
+    val toScanDirs = toOnly ++ sTo.live.filter(d => dvDirs(dirKey(d)) && fromSet(d))
     // both sides surface under the TO state's column mapping: a rename
     // inside the window is metadata-only (physical bytes identical), so
     // projecting both sides identically keeps unchanged rows cancelling
@@ -1049,6 +1114,52 @@ object TxTable {
     readV + 1
   }
 
+  /** SHALLOW CLONE (Delta's CLONE TABLE): create `dst` whose first
+    * commit REFERENCES `src`'s live data directories by ABSOLUTE path —
+    * ZERO data copied, one small metadata commit no matter the table
+    * size. The clone starts with the source's schema, per-directory
+    * stats (pruned reads keep pruning), CHECK constraints, column
+    * mapping, and outstanding deletion vectors as of `version`
+    * (default: the source's tip — cloning a historical version is
+    * cheap time-travel materialization); from then on the two tables
+    * evolve INDEPENDENTLY: the clone's own writes land under its own
+    * root, its deletes/merges rewrite only the directories they touch
+    * (survivors land locally, the source's files are never modified),
+    * and a full [[compact]] MATERIALIZES the clone — after it, no
+    * source references remain. The documented Delta caveat applies
+    * verbatim: a VACUUM on the SOURCE can reclaim files the clone
+    * still references (the clone's own vacuum never touches them — it
+    * only lists its own data root), so keep clone lifetimes inside the
+    * source's retention window or materialize. The per-writer txn
+    * idempotence ledger is deliberately NOT carried — the clone is a
+    * new table for its writers (the Delta clone rule: application
+    * transaction ids do not transfer).
+    */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+      version: Option[Long] = None): Long = {
+    require(src != dst, "clone source and destination must differ")
+    require(isAbsRef(src) && !src.contains(":"),
+      s"clone source must be a plain absolute path (log lines are " +
+        s"colon-delimited and references must resolve from any reader): $src")
+    require(tipOrZero(spark, dst) == 0L,
+      s"clone destination is already a committed TxTable: $dst")
+    val (_, st) = resolvedState(spark, src, version)
+    // a clone-of-a-clone keeps each reference pointing at the root that
+    // actually HOLDS the files (already-absolute references pass through)
+    def ref(d: String): String = if (isAbsRef(d)) d else s"$src/$d"
+    val lines = Seq("op:clone") ++
+      st.live.map(d => s"add:${ref(d)}") ++
+      st.live.flatMap(d => st.stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
+        .map { case (c, stt) => statLineOf(ref(d), c, stt) }) ++
+      st.schemaJson.map(j => s"schema:${b64e(j)}").toSeq ++
+      st.constraints.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"constraint:$n:${b64e(e)}" } ++
+      (if (st.colMap.isIdentity) Nil else Seq(colMapLine(st.colMap))) ++
+      st.dvFiles.map(f => s"dvf:${ref(f)}")
+    publishAt(spark, dst, 1L, lines)
+    1L
+  }
+
   // ------------------------------------------------------------------
   // Commit protocol
   // ------------------------------------------------------------------
@@ -1092,6 +1203,22 @@ object TxTable {
     tmp
   }
 
+  /** The IN-COMMIT TIMESTAMP of version `v` — the `ts:` line the commit
+    * itself recorded (the Delta in-commit-timestamps feature), falling
+    * back to the entry file's mtime for entries written before the
+    * engine stamped commits (every mixed log stays totally ordered:
+    * see [[publishAt]]'s monotonic clamp). None = entry reclaimed.
+    */
+  private def commitTs(fs: FileSystem, log: Path, v: Long): Option[Long] = {
+    val p = new Path(log, versionName(v))
+    try {
+      val lines = readLines(fs, p)
+      lines.collectFirst { case l if l.startsWith("ts:") =>
+        l.stripPrefix("ts:").toLongOption
+      }.flatten.orElse(Some(fs.getFileStatus(p).getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
   /** Attempt to publish `lines` as EXACTLY version `v`: one atomic
     * put-if-absent is the commit point; a lost race throws
     * [[CommitConflict]]. Read-dependent commits call this with their
@@ -1099,6 +1226,17 @@ object TxTable {
     * since I read" — landing on any later number instead would silently
     * apply a rewrite derived from a stale snapshot (write skew: a
     * concurrent append's rows would dodge a delete's predicate).
+    *
+    * Every commit records an IN-COMMIT TIMESTAMP (`ts:` line — the
+    * Delta in-commit-timestamps feature): TIMESTAMP AS OF resolution
+    * ([[versionAt]]) reads the log's OWN clock instead of trusting file
+    * mtimes, so copying / backing up / restoring a table — which
+    * rewrites every mtime — no longer corrupts time travel. The stamp
+    * is clamped monotone against the PREVIOUS entry's timestamp
+    * (max(now, prev + 1), reading prev's `ts:` line or, for
+    * pre-feature entries, its mtime — so a mixed log stays totally
+    * ordered even across the upgrade boundary); the previous entry is
+    * the current tip, which retention never reclaims.
     *
     * Every CheckpointEvery-th committed version also publishes a
     * checkpoint of the reconstructed state (best-effort put-if-absent:
@@ -1110,13 +1248,171 @@ object TxTable {
       lines: Seq[String]): Unit = {
     val (fs, root) = fsFor(spark, dir)
     val log = logPath(root)
+    val prevTs = if (v <= 1L) 0L else commitTs(fs, log, v - 1).getOrElse(0L)
+    val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+    val stamped0 = s"ts:$ts" +: lines
     val stamped =
-      if (v == 1L) s"protocol:$SupportedProtocol" +: lines else lines
+      if (v == 1L) s"protocol:$SupportedProtocol" +: stamped0 else stamped0
     val tmp = writeSmallFile(fs, log, stamped)
     if (!putIfAbsent(fs, tmp, new Path(log, versionName(v))))
       throw new CommitConflict(
         s"version $v was claimed concurrently; re-read the tip and re-derive")
     if (v % CheckpointEvery == 0) writeCheckpoint(spark, dir, v)
+  }
+
+  // ------------------------------------------------------------------
+  // Logical conflict resolution (optimistic concurrency, Delta-style)
+  // ------------------------------------------------------------------
+
+  /** The READ FOOTPRINT a read-dependent transaction declares for
+    * logical conflict resolution ([[publishReadDependent]] — the Delta
+    * check-and-retry protocol, Armbrust et al. VLDB'20 §3.2): on a lost
+    * commit race the winning commits are CLASSIFIED against this
+    * profile, and the transaction retries at the new tip when every
+    * winner is provably disjoint from what it read — instead of
+    * aborting on any interleaving at all.
+    *
+    *   - `readDirs`: the data directories whose CONTENT the derived
+    *     commit depends on (a delete's stats-surviving candidate set, a
+    *     compaction's source set). A winner REMOVING any of them aborts
+    *     this transaction — retrying would resurrect or duplicate the
+    *     winner's rewrite (its output already carries those rows).
+    *     Directories this transaction never read (stats-pruned away, or
+    *     created by the winner) are fair game: stats of an existing
+    *     directory cannot change without a remove+add, so a pruning
+    *     decision can only be invalidated by a remove — which conflicts.
+    *   - `readDvs`: the deletion-vector sidecars the transaction folded
+    *     or compacted; a winner RETIRING one of them (another
+    *     [[compactDvs]]) aborts. A winner recording NEW vectors
+    *     (`dvf:`) aborts any transaction that read data (`readDirs`
+    *     non-empty): the sidecar's positions may target files this
+    *     transaction is about to rewrite, and the rewrite would
+    *     resurrect the winner's deleted rows. A winner's DV
+    *     COMPACTION (`op:dvcompact`) is content-neutral and never
+    *     conflicts on data: its folded sidecar's pairs referencing
+    *     directories this commit removes simply go inert.
+    *   - `allowNewRows`: whether winners may INTRODUCE rows this
+    *     transaction never saw. Layout ops (compact/optimize) and
+    *     DELETE say yes — Delta's WriteSerializable default: rows
+    *     appended after the delete's read survive the delete, exactly
+    *     as if the append serialized after it. MERGE and replaceRange
+    *     say no — both promise to have considered every row with a
+    *     matching key/range, so an unseen row is a real conflict
+    *     (Delta's ConcurrentAppendException for MERGE).
+    *
+    * Any winner changing TABLE METADATA (schema, column mapping,
+    * constraints) or restoring a version aborts unconditionally — the
+    * Delta rule that concurrent metadata invalidates every in-flight
+    * transaction (this commit's rows were gated under the old rules).
+    */
+  private[sources] final case class TxnProfile(
+      what: String,
+      readDirs: Set[String],
+      readDvs: Set[String],
+      allowNewRows: Boolean)
+
+  /** Winner ops that cannot introduce rows absent from the pre-state:
+    * delete only shrinks, compact/optimize only relocate, dvcompact
+    * only folds metadata.
+    */
+  private val RowNeutralOps = Set("delete", "compact", "optimize", "dvcompact")
+
+  /** Winner ops whose `add:` directories may carry rows the losing
+    * transaction never read (an append's new rows, a merge's upserts, a
+    * replaceRange's replacement, an overwrite's new content).
+    */
+  private val RowAddingOps = Set("append", "merge", "replace", "overwrite")
+
+  /** Classify ONE winning commit's log lines against a transaction's
+    * read footprint: Some(reason) when the transaction must abort, None
+    * when it may retry past this winner unchanged.
+    */
+  private[sources] def conflictWith(lines: Seq[String], v: Long,
+      p: TxnProfile): Option[String] = {
+    val op = lines.collectFirst {
+      case l if l.startsWith("op:") => l.stripPrefix("op:")
+    }.getOrElse("unrecognized")
+    def c(reason: String) = Some(s"${p.what} aborted: concurrent version $v ($op) $reason")
+    if (lines.exists(l => l.startsWith("schema:") || l.startsWith("colmap:") ||
+        l.startsWith("constraint:") || l.startsWith("dropconstraint:")))
+      return c("changed table metadata (schema / column mapping / constraints) — " +
+        "this commit's rows were gated under the old rules; re-derive")
+    if (op == "restore")
+      return c("restored an earlier version out from under this read")
+    val removed = lines.collect {
+      case l if l.startsWith("remove:") => l.stripPrefix("remove:")
+    }
+    val hitRm = removed.filter(p.readDirs)
+    if (hitRm.nonEmpty)
+      return c(s"removed read directories ${hitRm.mkString(", ")} — retrying " +
+        "would resurrect or duplicate the winner's rewrite; re-derive")
+    val retired = lines.collect {
+      case l if l.startsWith("rmdvf:") => l.stripPrefix("rmdvf:")
+    }
+    val hitDv = retired.filter(p.readDvs)
+    if (hitDv.nonEmpty)
+      return c(s"retired read deletion vectors ${hitDv.mkString(", ")}; re-derive")
+    if (op != "dvcompact" && lines.exists(_.startsWith("dvf:")) && p.readDirs.nonEmpty)
+      return c("recorded new deletion vectors whose positions may target the " +
+        "files this commit rewrites — the rewrite would resurrect them; re-derive")
+    if (RowNeutralOps(op)) None
+    else if (RowAddingOps(op)) {
+      if (lines.exists(_.startsWith("add:")) && !p.allowNewRows)
+        c("added rows this read-dependent rewrite never considered " +
+          "(serializable read set violated); re-derive")
+      else None
+    } else c("is not an operation this engine can prove disjoint; re-derive")
+  }
+
+  /** Publish a READ-DEPENDENT commit derived from the state at `readV`:
+    * claim readV + 1, and on a lost race CHECK the winning commits
+    * against the transaction's declared read footprint — retrying at
+    * the new tip when every winner is logically disjoint (a blind
+    * append racing a compaction, a delete racing an ingest, rewrites of
+    * different directories), aborting with [[CommitConflict]] only on a
+    * REAL conflict. This is the Delta commit protocol's check-and-retry
+    * step: the expensive derived work (a clustered rewrite, a merge's
+    * survivor set) survives benign interleavings instead of being
+    * thrown away, which is the difference between "a nightly OPTIMIZE
+    * can run beside the ingest" and "the ingest starves every
+    * maintenance job" on a 1000-writer table. On abort, the caller's
+    * written-but-unpublished directories are left as crash debris for
+    * [[vacuum]]'s mtime clock — same as every pre-publish failure.
+    */
+  private[sources] def publishReadDependent(spark: SparkSession, dir: String,
+      readV: Long, lines: Seq[String], profile: TxnProfile): Long = {
+    val (fs, root) = fsFor(spark, dir)
+    val log = logPath(root)
+    var claim = readV + 1
+    var attempts = 0
+    while (attempts < 64) {
+      try {
+        publishAt(spark, dir, claim, lines)
+        return claim
+      } catch {
+        case _: CommitConflict =>
+          attempts += 1
+          // `claim` was taken, so the tip is at least `claim`; classify
+          // every winner in [claim, newTip] — each window is inspected
+          // exactly once (the next iteration starts past newTip)
+          val newTip = math.max(tipOrZero(spark, dir), claim)
+          var v = claim
+          while (v <= newTip) {
+            val wl =
+              try readLines(fs, new Path(log, versionName(v)))
+              catch {
+                case _: java.io.FileNotFoundException =>
+                  throw new CommitConflict(s"${profile.what} aborted: concurrent " +
+                    s"version $v is unreadable mid-race; re-derive")
+              }
+            conflictWith(wl, v, profile).foreach(r => throw new CommitConflict(r))
+            v += 1
+          }
+          claim = newTip + 1
+      }
+    }
+    throw new CommitConflict(
+      s"${profile.what} could not claim a version in 64 attempts: $dir")
   }
 
   /** Publish the reconstructed state at `v` as `v`'s checkpoint file
@@ -1427,7 +1723,7 @@ object TxTable {
     if (state.live.isEmpty) None
     else scala.util.Try(
       spark.read.option("mergeSchema", "true")
-        .parquet(state.live.map(d => s"$dir/$d"): _*).schema).toOption
+        .parquet(state.live.map(d => dataPath(dir, d)): _*).schema).toOption
 
   /** The schema-on-write gate: every table column must arrive with a
     * compatible type (no silent drops, no type conflicts); columns the
@@ -1561,36 +1857,65 @@ object TxTable {
   }
 
   /** OVERWRITE the table with `df`: one entry adds the new directory
-    * and removes every directory live at the READ version; commits at
-    * read + 1, so any concurrent commit aborts this one with
-    * [[CommitConflict]]. Deliberately NOT schema-validated — overwrite
-    * replaces the table (and its schema) wholesale, Delta's
-    * overwriteSchema shape.
+    * and removes every live directory. Deliberately NOT
+    * schema-validated — overwrite replaces the table (and its schema)
+    * wholesale, Delta's overwriteSchema shape. A lost commit race is
+    * RE-DERIVED rather than aborted: truncate-and-load has no read set
+    * beyond "whatever is live", so the retry recomputes the removes
+    * (now covering the interleaved commits' directories — serializable:
+    * the interleavings simply ordered before the overwrite), re-runs
+    * the CHECK-constraint gate when the constraint set moved, and
+    * claims gated-tip + 1 — the same proof shape as
+    * [[publishAppendGated]].
     */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String] = Nil): Long = {
-    val readV = tipOrZero(spark, dir)
-    val stateOpt = if (readV == 0L) None else Some(stateAt(spark, dir, readV))
-    val before = stateOpt.map(_.live).getOrElse(Nil)
-    val tracked = stateOpt.flatMap(_.schemaJson).flatMap(j => scala.util.Try(
-      DataType.fromJson(j).asInstanceOf[StructType]).toOption)
-    // overwrite REPLACES the schema wholesale — record the new one, and
-    // RESET any column mapping (the new frame's names are its names;
-    // nothing of the old physical layout survives the overwrite)
-    val schemaL =
-      if (tracked.exists(t => sameTypeLoose(t, df.schema))) Nil
-      else Seq(s"schema:${b64e(df.schema.json)}")
-    val colMapL =
-      if (stateOpt.forall(_.colMap.isIdentity)) Nil
-      else Seq(colMapLine(ColMap.identity))
     val rel = writeData(spark, dir, df)
-    enforceConstraints(spark, dir, rel,
-      stateOpt.map(_.constraints).getOrElse(Map.empty), "overwrite")
-    publishAt(spark, dir, readV + 1,
-      Seq("op:overwrite", s"add:$rel") ++ schemaL ++ colMapL
-        ++ statsLines(spark, dir, rel, statsCols)
-        ++ before.map(d => s"remove:$d"))
-    readV + 1
+    val (fs, root) = fsFor(spark, dir)
+    // stats come off the WRITTEN files — state-independent, priced once
+    val statsL = statsLines(spark, dir, rel, statsCols)
+    var gatedTip = -1L
+    var stateOpt: Option[TableState] = None
+    var gatedConstraints: Option[Map[String, String]] = None
+    var attempts = 0
+    while (attempts < 64) {
+      val curTip = tipOrZero(spark, dir)
+      if (curTip != gatedTip) {
+        stateOpt = if (curTip == 0L) None else Some(stateAt(spark, dir, curTip))
+        val cons = stateOpt.map(_.constraints).getOrElse(Map.empty)
+        if (!gatedConstraints.contains(cons)) {
+          try enforceConstraints(spark, dir, rel, cons, "overwrite")
+          catch { case e: IllegalArgumentException =>
+            // enforceConstraints deleted the directory; nothing published
+            throw e
+          }
+          gatedConstraints = Some(cons)
+        }
+        gatedTip = curTip
+      }
+      val before = stateOpt.map(_.live).getOrElse(Nil)
+      val tracked = stateOpt.flatMap(_.schemaJson).flatMap(j => scala.util.Try(
+        DataType.fromJson(j).asInstanceOf[StructType]).toOption)
+      // overwrite REPLACES the schema wholesale — record the new one, and
+      // RESET any column mapping (the new frame's names are its names;
+      // nothing of the old physical layout survives the overwrite)
+      val schemaL =
+        if (tracked.exists(t => sameTypeLoose(t, df.schema))) Nil
+        else Seq(s"schema:${b64e(df.schema.json)}")
+      val colMapL =
+        if (stateOpt.forall(_.colMap.isIdentity)) Nil
+        else Seq(colMapLine(ColMap.identity))
+      try {
+        publishAt(spark, dir, gatedTip + 1,
+          Seq("op:overwrite", s"add:$rel") ++ schemaL ++ colMapL
+            ++ statsL ++ before.map(d => s"remove:$d"))
+        return gatedTip + 1
+      } catch {
+        case _: CommitConflict => attempts += 1 // loop re-reads the tip
+      }
+    }
+    fs.delete(new Path(root, rel), true)
+    throw new CommitConflict(s"overwrite could not claim a version in 64 attempts: $dir")
   }
 
   /** The live directories that provably CANNOT contain a row matching
@@ -1620,7 +1945,7 @@ object TxTable {
       .select(org.apache.spark.sql.functions.regexp_extract(
         col(DvFileCol), "^(data/[^/]+)/", 1).as("__dir"))
       .distinct().collect().map(_.getString(0)).toSet
-    dirs.filter(hit)
+    dirs.filter(d => hit(dirKey(d)))
   }
 
   /** Copy-on-write DELETE at DIRECTORY granularity: directories that
@@ -1641,8 +1966,13 @@ object TxTable {
     *      column-pruned, directory-count-sized driver result) drops
     *      directories the stats could not exclude but the data does.
     *
-    * The commit is add-per-rewritten-directory + remove-of-touched at
-    * the READ version + 1 (abort on conflict); stats recorded on a
+    * The commit is add-per-rewritten-directory + remove-of-touched,
+    * conflict-resolved logically ([[publishReadDependent]]): a winner
+    * REMOVING a read directory or recording new deletion vectors
+    * aborts this delete, while blind appends racing in are retried
+    * past — the appended rows survive the delete exactly as if the
+    * append serialized after it, Delta's WriteSerializable default
+    * isolation. Stats recorded on a
     * touched directory are CARRIED onto its rewrite by default
     * (`statsCols` overrides). A directory whose rows ALL match is
     * simply removed (no empty rewrite). Deterministic predicates only —
@@ -1692,9 +2022,9 @@ object TxTable {
       if (hasFiles(rel)) Seq(s"add:$rel") ++ statsLines(spark, dir, rel, eff)
       else { fs.delete(new Path(root, rel), true); Nil } // fully deleted
     }
-    publishAt(spark, dir, readV + 1,
-      Seq("op:delete") ++ adds ++ touched.map(d => s"remove:$d"))
-    readV + 1
+    publishReadDependent(spark, dir, readV,
+      Seq("op:delete") ++ adds ++ touched.map(d => s"remove:$d"),
+      TxnProfile("delete", candidates.toSet, Set.empty, allowNewRows = true))
   }
 
   /** STATS-PRUNED DELETE: delete exactly the rows satisfying ALL of
@@ -1736,9 +2066,11 @@ object TxTable {
     * DV-deleted rows as `delete` rows like a rewriting delete.
     * Pruning: `pruneHint` narrows the position-finding scan exactly
     * like [[delete]]'s. Stats stay valid — a DV only removes rows, so
-    * recorded min/max remain conservative. Commits at READ version + 1
-    * (abort on conflict: the positions were derived from a snapshot).
-    * Deterministic predicates only, like [[delete]].
+    * recorded min/max remain conservative. Conflicts resolve like
+    * [[delete]]'s (WriteSerializable: blind appends retry past; a
+    * removal of a scanned directory aborts — the recorded positions
+    * were derived from its files). Deterministic predicates only, like
+    * [[delete]].
     */
   def deleteRows(spark: SparkSession, dir: String, predicate: Column,
       pruneHint: Seq[StatsPred] = Nil): Long = {
@@ -1746,10 +2078,9 @@ object TxTable {
     val state = stateAt(spark, dir, readV)
     val cm = state.colMap
     val candidates = statsOverlapping(state, pruneHint.map(physPred(_, cm)))
-    if (candidates.isEmpty) {
-      publishAt(spark, dir, readV + 1, Seq("op:delete"))
-      return readV + 1
-    }
+    if (candidates.isEmpty)
+      return publishReadDependent(spark, dir, readV, Seq("op:delete"),
+        TxnProfile("deleteRows", Set.empty, Set.empty, allowNewRows = true))
     val rel = s"dv/${java.util.UUID.randomUUID().toString.take(12)}"
     logicalProject(
         scanLive(spark, dir, state, candidates, mergeSchema = true, keepMeta = true),
@@ -1761,8 +2092,8 @@ object TxTable {
     val hasFiles = fs.listStatus(new Path(root, rel))
       .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val dvL = if (hasFiles) Seq(s"dvf:$rel") else { fs.delete(new Path(root, rel), true); Nil }
-    publishAt(spark, dir, readV + 1, Seq("op:delete") ++ dvL)
-    readV + 1
+    publishReadDependent(spark, dir, readV, Seq("op:delete") ++ dvL,
+      TxnProfile("deleteRows", candidates.toSet, Set.empty, allowNewRows = true))
   }
 
   /** Fold every outstanding deletion-vector sidecar into ONE (dropping
@@ -1776,7 +2107,7 @@ object TxTable {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
     if (state.dvFiles.size < 2) return None
-    val liveSet = state.live.toSet
+    val liveSet = state.live.map(dirKey).toSet
     val rel = s"dv/${java.util.UUID.randomUUID().toString.take(12)}"
     spark.read.parquet(state.dvFiles.map(f => s"$dir/$f"): _*)
       .filter(org.apache.spark.sql.functions.regexp_extract(
@@ -1791,9 +2122,12 @@ object TxTable {
     val addL =
       if (hasFiles && !spark.read.parquet(s"$dir/$rel").isEmpty) Seq(s"dvf:$rel")
       else { fs.delete(new Path(root, rel), true); Nil }
-    publishAt(spark, dir, readV + 1,
-      Seq("op:dvcompact") ++ addL ++ state.dvFiles.map(f => s"rmdvf:$f"))
-    Some(readV + 1)
+    Some(publishReadDependent(spark, dir, readV,
+      Seq("op:dvcompact") ++ addL ++ state.dvFiles.map(f => s"rmdvf:$f"),
+      // reads ONLY the sidecars (+ the live LIST for the inert filter —
+      // a winner's remove just leaves a harmlessly-retained inert pair):
+      // conflicts only with another dvcompact retiring the same sidecars
+      TxnProfile("compactDvs", Set.empty, state.dvFiles.toSet, allowNewRows = true)))
   }
 
   /** The outstanding deletion-vector sidecars at the tip. */
@@ -1805,11 +2139,14 @@ object TxTable {
   /** MERGE INTO: apply a CDC upsert/delete log to the table with
     * last-writer-wins semantics ([[graft.operators.Cdc.applyLog]] — per
     * key the log's latest row wins; 'U' replaces/inserts wholesale, 'D'
-    * removes) as ONE copy-on-write commit at the READ version + 1 — a
-    * commit racing in between the read and the publish aborts this one
-    * with [[CommitConflict]] (the merged rewrite was derived from a
-    * snapshot that no longer is the table), the Delta serializable-
-    * writer rule. The log carries the snapshot's columns plus `opCol` +
+    * removes) as ONE copy-on-write commit, conflict-resolved
+    * logically ([[publishReadDependent]]): rewrites of directories the
+    * merge never touched retry past, but a concurrent commit that
+    * ADDS rows aborts this merge with [[CommitConflict]] — merge
+    * promises to have considered every row with a logged key, so an
+    * unseen row is a real conflict (Delta's
+    * ConcurrentAppendException), as is any metadata change or a
+    * removal of a touched directory. The log carries the snapshot's columns plus `opCol` +
     * `orderCols` (schema-gated: type conflicts and extra columns beyond
     * those are rejected up front); see the Cdc contract.
     *
@@ -1911,7 +2248,7 @@ object TxTable {
         "merge into a table whose live set is empty and whose log " +
           "predates schema tracking — no schema to merge against")
       spark.read.option("mergeSchema", "true")
-        .parquet(state.live.map(d => s"$dir/$d"): _*).columns.toSeq
+        .parquet(state.live.map(d => dataPath(dir, d)): _*).columns.toSeq
     }
     // the LWW winner set: on the multi-directory path it is PERSISTED
     // so every per-directory survivor probe reuses one window pass (the
@@ -1988,17 +2325,23 @@ object TxTable {
           }
           (newAdds ++ survivorAdds, joinable.map(_._1))
         }
-      publishAt(spark, dir, readV + 1,
-        Seq("op:merge") ++ schemaL ++ adds ++ removes.map(d => s"remove:$d"))
-      readV + 1
+      publishReadDependent(spark, dir, readV,
+        Seq("op:merge") ++ schemaL ++ adds ++ removes.map(d => s"remove:$d"),
+        // allowNewRows = false: merge promises to have considered every
+        // row with a logged key, so a concurrent append's unseen rows
+        // are a REAL conflict (Delta's ConcurrentAppendException); it
+        // retries only past rewrites of directories it never touched
+        TxnProfile("merge", touched.toSet, Set.empty, allowNewRows = false))
     } finally winners.unpersist()
   }
 
   /** Delta-style `replaceWhere` for a stats column range: atomically
     * replace the rows with `lo <= colName <= hi` by `df`'s rows (which
     * must ALL lie inside the range — the published replaceWhere
-    * constraint) as ONE commit at the READ version + 1 (conflict =
-    * abort). The incoming frame is WRITTEN FIRST and the constraint is
+    * constraint) as ONE commit, conflict-resolved logically like
+    * [[merge]] (a concurrent commit adding rows — which could land
+    * inside the replaced range — aborts; disjoint rewrites retry
+    * past). The incoming frame is WRITTEN FIRST and the constraint is
     * verified against the written parquet before anything publishes —
     * so a non-deterministic input cannot pass the check on one
     * evaluation and write different rows on another (the r14 advice),
@@ -2070,19 +2413,25 @@ object TxTable {
       }
     val adds = Seq(s"add:$newRel") ++ newStats ++ survivorAdds.flatMap(rel =>
       Seq(s"add:$rel") ++ statsLines(spark, dir, rel, statsColsP))
-    publishAt(spark, dir, readV + 1,
-      Seq("op:replace") ++ schemaL ++ adds ++ touched.map(d => s"remove:$d"))
-    readV + 1
+    publishReadDependent(spark, dir, readV,
+      Seq("op:replace") ++ schemaL ++ adds ++ touched.map(d => s"remove:$d"),
+      // allowNewRows = false: a concurrent append may land rows INSIDE
+      // [lo, hi] that this replace promised to replace — real conflict
+      TxnProfile("replaceRange", touched.toSet, Set.empty, allowNewRows = false))
   }
 
   // ------------------------------------------------------------------
   // Layout maintenance
   // ------------------------------------------------------------------
 
-  /** Log-transacted compaction: merge the live directories into one,
-    * commit add + removes at the READ version + 1 (a racing commit
-    * aborts — rewriting files another commit just removed would
-    * resurrect them). Pure layout — every version's SNAPSHOT is
+  /** Log-transacted compaction: merge the live directories into one.
+    * Conflicts resolve logically ([[publishReadDependent]]): blind
+    * appends and disjoint rewrites retry past (the compaction keeps
+    * its derived work); a winner REMOVING one of the source
+    * directories aborts — rewriting files another commit just removed
+    * would resurrect them — as does a winner recording deletion
+    * vectors (its positions may target the very files this rewrite
+    * folds). Pure layout — every version's SNAPSHOT is
     * unchanged, and pre-compaction versions stay readable until
     * [[vacuum]]. Stats already recorded on the merged directories are
     * CARRIED onto the compacted one by default (`statsCols` overrides).
@@ -2098,10 +2447,10 @@ object TxTable {
     val merged = scanLive(spark, dir, state, before, mergeSchema = true)
     val eff = if (statsCols.nonEmpty) statsCols else carriedStatsCols(state, before, merged)
     val rel = writeData(spark, dir, merged)
-    publishAt(spark, dir, readV + 1,
+    Some(publishReadDependent(spark, dir, readV,
       Seq("op:compact", s"add:$rel") ++ statsLines(spark, dir, rel, eff)
-        ++ before.map(d => s"remove:$d"))
-    Some(readV + 1)
+        ++ before.map(d => s"remove:$d"),
+      TxnProfile("compact", before.toSet, Set.empty, allowNewRows = true)))
   }
 
   /** OPTIMIZE-style SMALL-FILE compaction: merge only the live
@@ -2110,9 +2459,9 @@ object TxTable {
     * table actually needs at scale, where [[compact]]'s full-table
     * rewrite grows with the table (a streaming ingest's accumulated
     * history must never be rewritten just to fold in the latest
-    * micro-batch directories). Same log transaction as [[compact]]:
-    * add + removes-of-the-small-set at READ version + 1, abort on
-    * conflict, every version's snapshot unchanged, stats carried
+    * micro-batch directories). Same log transaction and logical
+    * conflict resolution as [[compact]] (read set = the small
+    * directories), every version's snapshot unchanged, stats carried
     * forward by default. No-op (None) with fewer than two small
     * directories — there is nothing to fold.
     */
@@ -2128,10 +2477,10 @@ object TxTable {
     val merged = scanLive(spark, dir, state, small, mergeSchema = true)
     val eff = if (statsCols.nonEmpty) statsCols else carriedStatsCols(state, small, merged)
     val rel = writeData(spark, dir, merged)
-    publishAt(spark, dir, readV + 1,
+    Some(publishReadDependent(spark, dir, readV,
       Seq("op:compact", s"add:$rel") ++ statsLines(spark, dir, rel, eff)
-        ++ small.map(d => s"remove:$d"))
-    Some(readV + 1)
+        ++ small.map(d => s"remove:$d"),
+      TxnProfile("compactSmall", small.toSet, Set.empty, allowNewRows = true)))
   }
 
   /** OPTIMIZE ZORDER: one log-transacted CLUSTERED rewrite of the live
@@ -2143,9 +2492,11 @@ object TxTable {
     * on its leading column; the Delta OPTIMIZE ZORDER shape, built on
     * [[Layout]]'s bit-interleave kernel). Z-slice boundaries come from
     * one approximate-quantile pass (driver scalars), the rewrite is ONE
-    * shuffle write fanned into per-slice directories, and the commit is
-    * the usual add+remove at READ version + 1 (abort on conflict);
-    * every version's SNAPSHOT is unchanged — pure layout. Stats default
+    * shuffle write fanned into per-slice directories, and the commit
+    * is the usual add+remove with [[compact]]'s logical conflict
+    * resolution — a blind append racing the (expensive) clustered
+    * rewrite no longer throws it away; every version's SNAPSHOT is
+    * unchanged — pure layout. Stats default
     * to the z-columns plus whatever the rewritten directories already
     * recorded. No-op (None) on an empty live set.
     */
@@ -2228,9 +2579,12 @@ object TxTable {
     fs.delete(new Path(root, stagedRel), true)
     val adds = rels.flatMap(rel =>
       Seq(s"add:$rel") ++ statsLines(spark, dir, rel, eff))
-    publishAt(spark, dir, readV + 1,
-      Seq("op:optimize") ++ adds ++ before.map(d => s"remove:$d"))
-    Some(readV + 1)
+    // the clustered rewrite is the EXPENSIVE derived work the
+    // check-and-retry protocol exists for: a blind append landing
+    // mid-rewrite no longer throws the whole rewrite away
+    Some(publishReadDependent(spark, dir, readV,
+      Seq("op:optimize") ++ adds ++ before.map(d => s"remove:$d"),
+      TxnProfile("optimizeZorder", before.toSet, Set.empty, allowNewRows = true)))
   }
 
   // ------------------------------------------------------------------
