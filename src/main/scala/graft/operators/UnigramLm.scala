@@ -329,4 +329,108 @@ object UnigramLm {
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("nll"))
   }
+
+  /** Per-document 4-GRAM interpolated Kneser-Ney NLL — one more level
+    * of the Chen & Goodman recursion above
+    * [[scoreDocsKneserNeyTrigram]] (KenLM defaults to order 5; order 4
+    * is the last rung where the type tables still shrink meaningfully
+    * per level on natural text):
+    *
+    *   p(w₄|w₁w₂w₃) = max(c(w₁w₂w₃w₄) − d, 0)/c(w₁w₂w₃·)
+    *                + (d · N1+(w₁w₂w₃,·)/c(w₁w₂w₃·)) · p₃(w₄|w₂w₃)
+    *   p₃(w₄|w₂w₃) = max(N1+(·w₂w₃w₄) − d, 0)/N1+(·w₂w₃·)
+    *                + (d · N1+(w₂w₃,·)/N1+(·w₂w₃·)) · p₂(w₄|w₃)
+    *   p₂(w₄|w₃)   = max(N1+(·w₃w₄) − d, 0)/N1+(·w₃·)
+    *                + (d · N1+(w₃,·)/N1+(·w₃·)) · p_uni(w₄)
+    *   p_uni(w₄)   = N1+(·w₄)/B
+    *
+    * — raw counts ONLY at the highest order, continuation (type)
+    * counts at every lower one, each lower table derived from the one
+    * above by a groupBy-count over types (N1+(·w₃w₄) here counts
+    * distinct w₂ with N1+(·w₂w₃w₄) > 0, which by BOS padding equals
+    * distinct w₂ with c(w₂w₃w₄) > 0 — the same telescoping the trigram
+    * order documents). Contexts pad with the BOS sentinel `""` three
+    * times; n_positions == n_tokens and the zero-token contract hold
+    * as in every sibling.
+    *
+    * Scale shape identical to the trigram order: every model join is
+    * keyed by TYPE (4-gram-type-bounded, not occurrence-bounded), the
+    * per-type log-prob precomputes once, and the corpus-sized
+    * occurrence stream pays exactly one (p₃, p₂, p₁, cur) → lnp lookup
+    * join, Zipf-split head/tail. Written op-for-op against the
+    * oracle's SQL so the doubles agree at 6 dp.
+    */
+  def scoreDocsKneserNey4gram(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      headVocab: Int = 1 << 16, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "absolute discount in (0, 1)")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val tok = CacheScope.pin(
+      ScaleOut(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+        .filter(col("token") =!= ""),
+      StorageLevel.MEMORY_AND_DISK)
+    val qg = CacheScope.pin(
+      tok.select(col(idCol),
+        coalesce(lag(col("token"), 3).over(w), lit("")).as("p3"),
+        coalesce(lag(col("token"), 2).over(w), lit("")).as("p2"),
+        coalesce(lag(col("token"), 1).over(w), lit("")).as("p1"),
+        col("token").as("cur")),
+      StorageLevel.MEMORY_AND_DISK)
+    val qcf = CacheScope.pin(
+      qg.groupBy("p3", "p2", "p1", "cur").agg(count(lit(1)).as("qcf")),
+      StorageLevel.MEMORY_AND_DISK)
+    // highest order: raw context mass + distinct continuations
+    val ctx4 = qcf.groupBy("p3", "p2", "p1")
+      .agg(sum("qcf").as("ctx4"), count(lit(1)).as("n1p4"))
+    // third order: continuation counts over 4-gram TYPES
+    val cont3 = CacheScope.pin(
+      qcf.groupBy("p2", "p1", "cur").agg(count(lit(1)).as("c3")),
+      StorageLevel.MEMORY_AND_DISK)
+    val mid3 = cont3.groupBy("p2", "p1")
+      .agg(sum("c3").as("cmid3"), count(lit(1)).as("n1pmid3"))
+    // second order over trigram types
+    val cont2 = CacheScope.pin(
+      cont3.groupBy("p1", "cur").agg(count(lit(1)).as("c2")),
+      StorageLevel.MEMORY_AND_DISK)
+    val mid2 = cont2.groupBy("p1")
+      .agg(sum("c2").as("cmid2"), count(lit(1)).as("n1pmid2"))
+    // lowest order over bigram types
+    val cont1 = cont2.groupBy("cur").agg(count(lit(1)).as("c1"))
+    val btRow = cont2.agg(count(lit(1)).cast("double").as("bt"))
+    val quadLnp = CacheScope.pin(
+      qcf.join(ctx4, Seq("p3", "p2", "p1"))
+        .join(cont3, Seq("p2", "p1", "cur"))
+        .join(mid3, Seq("p2", "p1"))
+        .join(cont2, Seq("p1", "cur"))
+        .join(mid2, Seq("p1"))
+        .join(cont1, Seq("cur"))
+        .crossJoin(broadcast(btRow)) // 1-row scalar
+        .select(col("p3"), col("p2"), col("p1"), col("cur"), col("qcf"),
+          log(greatest(col("qcf") - lit(discount), lit(0.0)) / col("ctx4")
+            + ((lit(discount) * col("n1p4")) / col("ctx4"))
+              * (greatest(col("c3") - lit(discount), lit(0.0)) / col("cmid3")
+                + ((lit(discount) * col("n1pmid3")) / col("cmid3"))
+                  * (greatest(col("c2") - lit(discount), lit(0.0)) / col("cmid2")
+                    + ((lit(discount) * col("n1pmid2")) / col("cmid2"))
+                      * (col("c1") / col("bt"))))).as("lnp")),
+      StorageLevel.MEMORY_AND_DISK)
+    // the occurrence stream's ONLY model join: Zipf head broadcasts,
+    // tail shuffles by the full 4-gram key
+    val keys = Seq("p3", "p2", "p1", "cur")
+    val headP = quadLnp.orderBy(col("qcf").desc, col("p3"), col("p2"), col("p1"), col("cur"))
+      .limit(headVocab).select("p3", "p2", "p1", "cur", "lnp")
+    val tailP = quadLnp.select("p3", "p2", "p1", "cur", "lnp")
+      .join(broadcast(headP.select(keys.map(col): _*)), keys, "left_anti")
+    val joined4 = qg.join(broadcast(headP), keys, "left")
+    val scored = joined4.filter(col("lnp").isNotNull).unionByName(
+        joined4.filter(col("lnp").isNull).drop("lnp")
+          .join(tailP, keys))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), avg(-col("lnp")).as("mean_nll"))
+      .select(col(idCol), col("n_tokens"), round(col("mean_nll"), 6).as("nll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("nll"))
+  }
 }

@@ -804,6 +804,37 @@ object ParityQueries extends QueryFamily {
       graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
     }),
 
+    // ---- SHALLOW CLONE ([[graft.sources.TxTable.cloneTable]], Delta's
+    //      CLONE TABLE): the source stages as two range-disjoint halves
+    //      with doc_id stats; the clone is ONE zero-copy metadata
+    //      commit (TxTableCloneSpec pins that no data file lands under
+    //      the clone's root), after which the clone DIVERGES — a
+    //      stats-pruned delete of a narrow slice (the carried stats do
+    //      the pruning) plus its own appended rows — while the source
+    //      is never touched. The oracle is the anti-filter UNION the
+    //      remapped appended slice over documents: a clone must be
+    //      answer-equivalent to a full copy. ----
+    "q231_txtable_clone" -> ((s, dir) => {
+      val src = Scratch.freshDir(s, "q231src", dir)
+      val dst = Scratch.freshDir(s, "q231dst", dir)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      val n = docs.count()
+      graft.sources.TxTable.append(s, src,
+        docs.filter(col("doc_id") < n / 2), statsCols = Seq("doc_id"))
+      graft.sources.TxTable.append(s, src,
+        docs.filter(col("doc_id") >= n / 2), statsCols = Seq("doc_id"))
+      graft.sources.TxTable.cloneTable(s, src, dst)
+      graft.sources.TxTable.deleteWhere(s, dst,
+        Seq(graft.sources.TxTable.LongRange("doc_id", n / 10, n / 5)))
+      graft.sources.TxTable.append(s, dst,
+        docs.filter(col("doc_id") < n / 20)
+          .select((col("doc_id") + 10L * n).as("doc_id"), col("lang"),
+            col("n_chars")),
+        statsCols = Seq("doc_id"))
+      graft.sources.TxTable.snapshot(s, dst).orderBy("doc_id")
+    }),
+
     // ---- A-priori level 3: frequent part TRIPLES enumerated through
     //      the frequent pairs ([[graft.operators.Apriori]]) — the
     //      pruning is exact by monotonicity, so the oracle brute-forces
@@ -1594,6 +1625,19 @@ object ParityQueries extends QueryFamily {
     "q230_txtable_deletion_vectors" ->
       """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
          WHERE doc_id % 10 <> 3 AND n_chars >= 50
+         ORDER BY doc_id""",
+    // the zero-copy clone must be answer-equivalent to a full copy:
+    // the delete's anti-filter UNION the remapped appended slice,
+    // bounds in the same Long integer division as the Spark side
+    "q231_txtable_clone" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents)
+         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+         WHERE doc_id < (SELECT n // 10 FROM n)
+            OR doc_id > (SELECT n // 5 FROM n)
+         UNION ALL
+         SELECT doc_id + 10 * (SELECT n FROM n) AS doc_id, lang,
+                CAST(n_chars AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id < (SELECT n // 20 FROM n)
          ORDER BY doc_id""",
     "q174_part_copurchase_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)

@@ -904,6 +904,17 @@ object TextQueries extends QueryFamily {
       graft.operators.UnigramLm.scoreDocsKneserNeyTrigram(table(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // 4-GRAM interpolated Kneser-Ney (one more level of the same
+    // recursion; the r15 verdict's one named-missing LM rung): raw
+    // counts at the top, continuation counts at every lower order,
+    // each lower-order table a groupBy-count over the one above —
+    // per-type log-prob precomputed so the corpus stream pays one
+    // (p3, p2, p1, cur) lookup join ([[graft.operators.UnigramLm
+    // .scoreDocsKneserNey4gram]])
+    "q232_kneser_ney_4gram" -> ((s, dir) =>
+      graft.operators.UnigramLm.scoreDocsKneserNey4gram(table(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // exact heavy hitters via the two-pass Misra–Gries candidate/verify
     // shape ([[graft.operators.Freq]]): the sketch only PRUNES, so the
     // result is exact and fully oracled despite the approximate pass
@@ -2170,6 +2181,46 @@ object TextQueries extends QueryFamily {
               GROUP BY g.doc_id)
             SELECT d.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens, k.nll
             FROM documents d LEFT JOIN tper k USING (doc_id)
+            ORDER BY doc_id""",
+      // 4-gram KN: the same recursion one level up, lower-order tables
+      // telescoping by successive type-count GROUP BYs (qc3 counts
+      // distinct p3 per (p2, p1, cur), qc2 distinct p2 per (p1, cur))
+      "q232_kneser_ney_4gram" ->
+        s"""WITH $bigramNllCtes,
+            qg4 AS MATERIALIZED (
+              SELECT doc_id,
+                     COALESCE(LAG(token, 3) OVER (PARTITION BY doc_id ORDER BY pos), '') AS p3,
+                     COALESCE(LAG(token, 2) OVER (PARTITION BY doc_id ORDER BY pos), '') AS p2,
+                     COALESCE(LAG(token) OVER (PARTITION BY doc_id ORDER BY pos), '') AS p1,
+                     token AS cur
+              FROM tok),
+            qcf AS MATERIALIZED (SELECT p3, p2, p1, cur, COUNT(*) AS qcf FROM qg4 GROUP BY 1, 2, 3, 4),
+            qctx AS (SELECT p3, p2, p1, SUM(qcf) AS ctx4, COUNT(*) AS n1p4 FROM qcf GROUP BY 1, 2, 3),
+            qc3 AS MATERIALIZED (SELECT p2, p1, cur, COUNT(*) AS c3 FROM qcf GROUP BY 1, 2, 3),
+            qmid3 AS (SELECT p2, p1, SUM(c3) AS cmid3, COUNT(*) AS n1pmid3 FROM qc3 GROUP BY 1, 2),
+            qc2 AS MATERIALIZED (SELECT p1, cur, COUNT(*) AS c2 FROM qc3 GROUP BY 1, 2),
+            qmid2 AS (SELECT p1, SUM(c2) AS cmid2, COUNT(*) AS n1pmid2 FROM qc2 GROUP BY 1),
+            qc1 AS (SELECT cur, COUNT(*) AS c1 FROM qc2 GROUP BY 1),
+            qbt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS bt FROM qc2),
+            quadn AS MATERIALIZED (
+              SELECT t.p3, t.p2, t.p1, t.cur,
+                     LN(GREATEST(t.qcf - 0.75, 0.0) / x.ctx4
+                        + ((0.75 * x.n1p4) / x.ctx4)
+                          * (GREATEST(c.c3 - 0.75, 0.0) / m.cmid3
+                             + ((0.75 * m.n1pmid3) / m.cmid3)
+                               * (GREATEST(b.c2 - 0.75, 0.0) / n.cmid2
+                                  + ((0.75 * n.n1pmid2) / n.cmid2)
+                                    * (u.c1 / (SELECT bt FROM qbt))))) AS lnp
+              FROM qcf t JOIN qctx x USING (p3, p2, p1) JOIN qc3 c USING (p2, p1, cur)
+              JOIN qmid3 m USING (p2, p1) JOIN qc2 b USING (p1, cur)
+              JOIN qmid2 n USING (p1) JOIN qc1 u USING (cur)),
+            qper AS (
+              SELECT g.doc_id, COUNT(*) AS n_tokens,
+                     ROUND(AVG(-p.lnp), 6) AS nll
+              FROM qg4 g JOIN quadn p USING (p3, p2, p1, cur)
+              GROUP BY g.doc_id)
+            SELECT d.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens, k.nll
+            FROM documents d LEFT JOIN qper k USING (doc_id)
             ORDER BY doc_id""",
       // CCNet buckets: q97's per-doc nll (engine-identical at 6 dp)
       // scaled to integer micro-nats, tercile thresholds from the q112

@@ -291,4 +291,100 @@ class UnigramLmSpec extends SparkTestBase {
     assert(rows(2).getLong(1) === 0L && rows(2).isNullAt(2))
     assert(rows(0).getLong(1) === 3L && !rows(0).isNullAt(2))
   }
+
+  /** Independent FOUR-level interpolated-KN reference: raw counts at
+    * 4-gram order, continuation counts telescoping below.
+    */
+  private def kn4Reference(
+      rows: Seq[(Long, String)], d: Double = 0.75): Map[Long, (Long, Double)] = {
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    def ctxAt(ts: Seq[String], i: Int, k: Int): String =
+      if (i >= k) ts(i - k) else ""
+    val quads = rows.flatMap { case (_, t) =>
+      val ts = toks(t)
+      ts.indices.map(i => (ctxAt(ts, i, 3), ctxAt(ts, i, 2), ctxAt(ts, i, 1), ts(i)))
+    }
+    val qcf = quads.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val ctx4 = qcf.groupBy(k => (k._1._1, k._1._2, k._1._3)).view.mapValues(_.values.sum).toMap
+    val n1p4 = qcf.groupBy(k => (k._1._1, k._1._2, k._1._3)).view.mapValues(_.size.toDouble).toMap
+    val c3 = qcf.keys.toSeq.map(k => (k._2, k._3, k._4)).groupBy(identity)
+      .view.mapValues(_.size.toDouble).toMap // N1+(·p2 p1 cur)
+    val cmid3 = c3.groupBy(k => (k._1._1, k._1._2)).view.mapValues(_.values.sum).toMap
+    val n1pmid3 = c3.groupBy(k => (k._1._1, k._1._2)).view.mapValues(_.size.toDouble).toMap
+    val c2 = c3.keys.toSeq.map(k => (k._2, k._3)).groupBy(identity)
+      .view.mapValues(_.size.toDouble).toMap // N1+(·p1 cur) over trigram types
+    val cmid2 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1pmid2 = c2.groupBy(_._1._1).view.mapValues(_.size.toDouble).toMap
+    val c1 = c2.keys.toSeq.map(_._2).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val bt = c2.size.toDouble
+    rows.map { case (id, t) =>
+      val ts = toks(t)
+      if (ts.isEmpty) id -> ((0L, Double.NaN))
+      else {
+        val nll = ts.indices.map { i =>
+          val (p3, p2, p1, cur) =
+            (ctxAt(ts, i, 3), ctxAt(ts, i, 2), ctxAt(ts, i, 1), ts(i))
+          val plow = math.max(c2((p1, cur)) - d, 0.0) / cmid2(p1) +
+            (d * n1pmid2(p1) / cmid2(p1)) * (c1(cur) / bt)
+          val pmid = math.max(c3((p2, p1, cur)) - d, 0.0) / cmid3((p2, p1)) +
+            (d * n1pmid3((p2, p1)) / cmid3((p2, p1))) * plow
+          val p = math.max(qcf((p3, p2, p1, cur)) - d, 0.0) / ctx4((p3, p2, p1)) +
+            (d * n1p4((p3, p2, p1)) / ctx4((p3, p2, p1))) * pmid
+          -math.log(p)
+        }
+        id -> ((ts.size.toLong, nll.sum / nll.size))
+      }
+    }.toMap
+  }
+
+  test("4-gram kneser-ney matches an independent four-level reference") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "san francisco is far from here today"),
+      (4L, "a cat and a dog and a bird"), (5L, "the cat sat"),
+      (6L, "the cat sat on the mat"), (7L, "the cat sat on a rug"))
+    val got = UnigramLm.scoreDocsKneserNey4gram(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ref = kn4Reference(rows)
+    rows.foreach { case (id, _) =>
+      assert(got(id)._1 == ref(id)._1, s"n_tokens doc $id")
+      assert(math.abs(got(id)._2 - ref(id)._2) < 1e-6,
+        s"doc $id: got ${got(id)._2} vs ref ${ref(id)._2}")
+    }
+  }
+
+  test("4-gram kneser-ney: a seen 4-gram path scores below a novel " +
+      "recombination whose trigrams are all seen") {
+    // both test docs use only SEEN trigrams; doc 20's exact 4-grams are
+    // novel recombinations — only an order-4 model separates them
+    val corpus = Seq(
+      (1L, "v w x y z"), (2L, "v w x y z"), (3L, "u w x y t"), (4L, "s x y z r"),
+      (10L, "v w x y z"),  // the seen path
+      (20L, "u w x y z"))  // trigrams (u,w,x)(w,x,y)(x,y,z) all seen; 4-grams novel
+    val got = UnigramLm.scoreDocsKneserNey4gram(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10L) < got(20L),
+      s"seen path ${got(10L)} must score below novel recombination ${got(20L)}")
+  }
+
+  test("4-gram kneser-ney head/tail split is pure execution strategy " +
+      "(forced tail == broadcast)") {
+    val rows = Seq((1L, "a b a b c d"), (2L, "b c a a b d"), (3L, "c a b b a"))
+      .toDF("doc_id", "text")
+    val full = UnigramLm.scoreDocsKneserNey4gram(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val forcedTail = UnigramLm.scoreDocsKneserNey4gram(rows, headVocab = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full === forcedTail)
+  }
+
+  test("4-gram kneser-ney zero-token docs are emitted with n_tokens=0 and NULL nll") {
+    val rows = UnigramLm.scoreDocsKneserNey4gram(
+        Seq((1L, "real text here now"), (2L, ""), (3L, "   ")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(rows(1).getLong(1) === 0L && rows(1).isNullAt(2))
+    assert(rows(2).getLong(1) === 0L && rows(2).isNullAt(2))
+    assert(rows(0).getLong(1) === 4L && !rows(0).isNullAt(2))
+  }
 }
