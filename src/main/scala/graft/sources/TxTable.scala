@@ -2845,18 +2845,30 @@ object TxTable {
 
   /** The OPTIMIZE-daemon pass a long-lived table schedules: fold
     * sub-threshold directories ([[compactSmall]] — accumulated history
-    * untouched), force a fresh [[checkpoint]] + pointer, reclaim
-    * expired data ([[vacuum]]) and expired log metadata
-    * ([[cleanupLog]], retention defaulting to the SAME horizon so every
-    * version whose data survives stays reconstructible). Each step is
-    * individually log-transacted/idempotent, so a crash mid-pass leaves
-    * a consistent table and the next pass simply resumes.
+    * untouched; with `zorderCols` the fold is the INCREMENTAL
+    * [[optimizeZorder]] instead, so the daemon keeps the table
+    * CLUSTERED, not merely compacted — the recent micro-batch tail
+    * re-clusters into fresh Z-slices while the accumulated clustered
+    * directories are never rewritten), force a fresh [[checkpoint]] +
+    * pointer, reclaim expired data ([[vacuum]]) and expired log
+    * metadata ([[cleanupLog]], retention defaulting to the SAME horizon
+    * so every version whose data survives stays reconstructible). Each
+    * step is individually log-transacted/idempotent, so a crash
+    * mid-pass leaves a consistent table and the next pass simply
+    * resumes; [[publishReadDependent]]'s conflict resolution lets the
+    * whole pass run BESIDE a live ingest without being starved.
     */
   def maintain(spark: SparkSession, dir: String,
       smallBytes: Long = 128L * 1024 * 1024,
       horizonMs: Long = 7L * 24 * 60 * 60 * 1000,
-      logRetainMs: Option[Long] = None): Maintenance = {
-    val compacted = compactSmall(spark, dir, smallBytes)
+      logRetainMs: Option[Long] = None,
+      zorderCols: Seq[String] = Nil,
+      zorderOutDirs: Int = 4): Maintenance = {
+    val compacted =
+      if (zorderCols.nonEmpty)
+        optimizeZorder(spark, dir, zorderCols, zorderOutDirs,
+          smallBytes = Some(smallBytes))
+      else compactSmall(spark, dir, smallBytes)
     // fold outstanding deletion-vector sidecars into one (compactSmall
     // may just have made some inert); best-effort like the compaction
     try compactDvs(spark, dir)

@@ -498,4 +498,31 @@ class TxTableMaintSpec extends SparkTestBase {
     assert(rep2.compactedVersion.isEmpty)
     assert(ids(TxTable.snapshot(spark, dir)) == (0L until 24L))
   }
+
+  test("maintain(zorderCols): the daemon keeps the table CLUSTERED — the " +
+      "micro-batch tail folds into Z-slices, the clustered base is untouched") {
+    val dir = freshDir()
+    val all = (0L until 20000L).map(i => (i, (i * 37) % 20000))
+    TxTable.append(spark, dir, all.toDF("id", "v"), statsCols = Seq("id", "v"))
+    TxTable.optimizeZorder(spark, dir, Seq("id", "v"), outDirs = 4)
+    val base = TxTable.liveDirs(spark, dir)
+    TxTable.append(spark, dir, Seq((2000L, 1L), (2001L, 2L)).toDF("id", "v"),
+      statsCols = Seq("id", "v"))
+    TxTable.append(spark, dir, Seq((2002L, 3L)).toDF("id", "v"),
+      statsCols = Seq("id", "v"))
+    val before = ids(TxTable.snapshot(spark, dir))
+    val rep = TxTable.maintain(spark, dir, smallBytes = 4096L,
+      horizonMs = 1L << 30, zorderCols = Seq("id", "v"), zorderOutDirs = 1)
+    assert(rep.compactedVersion.isDefined, "the clustered fold must run")
+    val after = TxTable.liveDirs(spark, dir)
+    assert(base.forall(after.contains),
+      "the accumulated clustered base must never be rewritten by the daemon")
+    assert(after.size == base.size + 1, "the two tail dirs fold into one Z-slice")
+    assert(ids(TxTable.snapshot(spark, dir)) == before)
+    // the folded slice records stats on BOTH clustering columns
+    val stats = TxTable.liveDirStats(spark, dir)
+    val folded = after.filterNot(base.contains)
+    assert(folded.forall(d => stats.get(d).exists(m =>
+      m.contains("id") && m.contains("v"))))
+  }
 }
