@@ -287,7 +287,40 @@ object Bench {
     // comma-decimal locale (de_DE) would emit unparseable JSON ('1,234')
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val calibJson = s"""{"values":${calibs.map(f3).mkString("[", ",", "]")},"contended":$contended,"settle_tries":$settleTries,"rerun_advised":$contended,"contention_rerun":${jarr(rerunNames)},"history_rerun":${jarr(historyReruns)}}"""
+    // the AUTHORITATIVE-ROW POINTER (round-15 verdict #6): when THIS
+    // capture lands contended, the defensible numbers are the best-of
+    // same-SF rows already in BENCH_HISTORY.jsonl — embed their
+    // best-of-minima total over this run's query set (and the row
+    // count it came from) in the artifact itself, so a reader of a
+    // noisy driver capture is pointed at the settled record without
+    // leaving the file
+    val histRef: String = {
+      val f = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+      if (!java.nio.file.Files.exists(f)) "\"history_rows\":0"
+      else try {
+        import scala.jdk.CollectionConverters._
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val rows = java.nio.file.Files.readAllLines(f).asScala
+          .filter(_.nonEmpty).map(mapper.readTree)
+          .filter(r => r.path("sf").asText() == sfDir)
+        val names = finalResults.map(_._1)
+        val best = scala.collection.mutable.Map.empty[String, Double]
+        rows.foreach { r =>
+          val q = r.path("queries")
+          names.foreach { n =>
+            if (q.has(n)) {
+              val v = q.path(n).asDouble()
+              if (!best.contains(n) || v < best(n)) best(n) = v
+            }
+          }
+        }
+        val covered = names.count(best.contains)
+        val tot = best.values.sum
+        "\"history_rows\":" + rows.size + ",\"history_best_total\":" + f3(tot) +
+          ",\"history_covered\":" + covered
+      } catch { case _: Exception => "\"history_rows\":-1" }
+    }
+    val calibJson = s"""{"values":${calibs.map(f3).mkString("[", ",", "]")},"contended":$contended,"settle_tries":$settleTries,"rerun_advised":$contended,"contention_rerun":${jarr(rerunNames)},"history_rerun":${jarr(historyReruns)},$histRef}"""
     // per-query minima at 3 dp: the COMPLETE record in ~6 KB, printed
     // SECOND-TO-LAST (see the ordering note below)
     val qs = jmap(finalResults.map { case (k, v) => k -> f3(v.min) })

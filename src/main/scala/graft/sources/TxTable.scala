@@ -1972,7 +1972,9 @@ object TxTable {
     * aborts this delete, while blind appends racing in are retried
     * past — the appended rows survive the delete exactly as if the
     * append serialized after it, Delta's WriteSerializable default
-    * isolation. Stats recorded on a
+    * isolation (`serializable = true` opts into full Serializable:
+    * concurrent appends abort the delete too, Delta's per-table
+    * isolation-level choice). Stats recorded on a
     * touched directory are CARRIED onto its rewrite by default
     * (`statsCols` overrides). A directory whose rows ALL match is
     * simply removed (no empty rewrite). Deterministic predicates only —
@@ -1980,7 +1982,8 @@ object TxTable {
     * rows (the published Delta DELETE contract).
     */
   def delete(spark: SparkSession, dir: String, predicate: Column,
-      statsCols: Seq[String] = Nil, pruneHint: Seq[StatsPred] = Nil): Long = {
+      statsCols: Seq[String] = Nil, pruneHint: Seq[StatsPred] = Nil,
+      serializable: Boolean = false): Long = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
     val cm = state.colMap
@@ -2024,7 +2027,8 @@ object TxTable {
     }
     publishReadDependent(spark, dir, readV,
       Seq("op:delete") ++ adds ++ touched.map(d => s"remove:$d"),
-      TxnProfile("delete", candidates.toSet, Set.empty, allowNewRows = true))
+      TxnProfile("delete", candidates.toSet, Set.empty,
+        allowNewRows = !serializable))
   }
 
   /** STATS-PRUNED DELETE: delete exactly the rows satisfying ALL of
@@ -2073,14 +2077,15 @@ object TxTable {
     * [[delete]].
     */
   def deleteRows(spark: SparkSession, dir: String, predicate: Column,
-      pruneHint: Seq[StatsPred] = Nil): Long = {
+      pruneHint: Seq[StatsPred] = Nil, serializable: Boolean = false): Long = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
     val cm = state.colMap
     val candidates = statsOverlapping(state, pruneHint.map(physPred(_, cm)))
     if (candidates.isEmpty)
       return publishReadDependent(spark, dir, readV, Seq("op:delete"),
-        TxnProfile("deleteRows", Set.empty, Set.empty, allowNewRows = true))
+        TxnProfile("deleteRows", Set.empty, Set.empty,
+          allowNewRows = !serializable))
     val rel = s"dv/${java.util.UUID.randomUUID().toString.take(12)}"
     logicalProject(
         scanLive(spark, dir, state, candidates, mergeSchema = true, keepMeta = true),
@@ -2093,7 +2098,8 @@ object TxTable {
       .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val dvL = if (hasFiles) Seq(s"dvf:$rel") else { fs.delete(new Path(root, rel), true); Nil }
     publishReadDependent(spark, dir, readV, Seq("op:delete") ++ dvL,
-      TxnProfile("deleteRows", candidates.toSet, Set.empty, allowNewRows = true))
+      TxnProfile("deleteRows", candidates.toSet, Set.empty,
+        allowNewRows = !serializable))
   }
 
   /** Fold every outstanding deletion-vector sidecar into ONE (dropping

@@ -222,6 +222,27 @@ class TxTableConflictSpec extends SparkTestBase {
       "delete must remove exactly the read snapshot's matches and lose no append")
   }
 
+  test("delete(serializable = true) opts into full Serializable: the " +
+      "primitive aborts on a winner append under allowNewRows = false") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 6))
+    // stage the write-skew interleaving deterministically: a blind
+    // append lands between the serializable delete's read and publish
+    val readV = 1L
+    val sources = TxTable.liveDirs(spark, dir)
+    TxTable.append(spark, dir, rows(100, 102))
+    val (lines, _) = rewriteLines(dir, sources, 5, 6)
+    intercept[TxTable.CommitConflict] {
+      TxTable.publishReadDependent(spark, dir, readV, lines,
+        TxTable.TxnProfile("delete", sources.toSet, Set.empty,
+          allowNewRows = false))
+    }
+    // and the end-to-end knob on a quiet table still commits normally
+    assert(TxTable.delete(spark, dir, col("id") < 2L, serializable = true) == 3L)
+    assert(ids(TxTable.snapshot(spark, dir)) ==
+      ((2L until 6L) ++ Seq(100L, 101L)))
+  }
+
   test("overwrite RE-DERIVES on a race: a manually claimed version just " +
       "moves it to the next number, removes covering the interleaving") {
     val dir = freshDir()
