@@ -537,6 +537,25 @@ object ParityQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // ---- CATALYST-INTEGRATED PRUNING ([[graft.sources.TxFileIndex]],
+    //      the Delta TahoeFileIndex architecture): the SAME staged
+    //      decile table as q219, but the range arrives as a PLAIN
+    //      `.filter` over the indexed snapshot — no snapshotWhere
+    //      predicate language — and Spark's own pushdown hands the
+    //      conjuncts to the file index, which keeps only the
+    //      stats-overlapping deciles (TxFileIndexSpec pins the kept
+    //      directory counts); a non-pushable residual (n_chars % 3)
+    //      rides the pruned scan row-wise. Oracle: q219's algebra plus
+    //      the residual, stated plainly over documents. ----
+    "q233_txtable_indexed_scan" -> ((s, dir) => {
+      val tdir = stagedTxStatsDir(s, dir)
+      val n = table(s, dir, "documents").count()
+      graft.sources.TxFileIndex.snapshotIndexed(s, tdir)
+        .filter(col("doc_id") >= n / 5 && col("doc_id") <= 2 * n / 5
+          && col("n_chars") % 3 =!= 0L)
+        .orderBy("doc_id")
+    }),
+
     // ---- TRANSACTIONAL TABLE ([[graft.sources.TxTable]], the r12
     //      verdict's optional surface): a Delta-style ordered commit
     //      log over parquet — the staged table is built as five
@@ -1540,6 +1559,14 @@ object ParityQueries extends QueryFamily {
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id >= (SELECT COUNT(*) // 5 FROM documents)
            AND doc_id <= (SELECT (2 * COUNT(*)) // 5 FROM documents)
+         ORDER BY doc_id""",
+    // Catalyst-pushdown pruning must be answer-invisible: q219's range
+    // algebra plus the non-pushable residual, stated plainly
+    "q233_txtable_indexed_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id >= (SELECT COUNT(*) // 5 FROM documents)
+           AND doc_id <= (SELECT (2 * COUNT(*)) // 5 FROM documents)
+           AND n_chars % 3 <> 0
          ORDER BY doc_id""",
     // the transactional replace must be answer-invisible: plain CASE
     // algebra, bounds in the same Long integer division as the Spark side

@@ -257,7 +257,7 @@ object TxTable {
     * Identity mappings return the frame unchanged (every pre-mapping
     * table — the common case — pays nothing).
     */
-  private def logicalProject(df: DataFrame, cm: ColMap): DataFrame =
+  private[sources] def logicalProject(df: DataFrame, cm: ColMap): DataFrame =
     if (cm.isIdentity) df
     else {
       val cols = df.columns.toSeq.flatMap(p => cm.logicalOf(p).map(l => col(p).as(l)))
@@ -312,7 +312,7 @@ object TxTable {
     rel.startsWith("/") || rel.contains("://")
 
   /** Resolve a live-set reference to a readable path. */
-  private def dataPath(dir: String, rel: String): String =
+  private[sources] def dataPath(dir: String, rel: String): String =
     if (isAbsRef(rel)) rel else s"$dir/$rel"
 
   /** The SUFFIX KEY a directory surfaces as in `_metadata.file_path`
@@ -344,6 +344,16 @@ object TxTable {
     require(dirs.nonEmpty, "scan over zero directories")
     val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
     val base = r.parquet(dirs.map(d => dataPath(dir, d)): _*)
+    applyDvs(spark, dir, state, base, keepMeta)
+  }
+
+  /** Apply the outstanding deletion vectors to ANY file-backed scan of
+    * this table (the back half of [[scanLive]], shared with the
+    * Catalyst-indexed relation): thread `_metadata` through, anti-join
+    * the pairs away, drop the plumbing unless `keepMeta`.
+    */
+  private[sources] def applyDvs(spark: SparkSession, dir: String,
+      state: TableState, base: DataFrame, keepMeta: Boolean = false): DataFrame = {
     if (state.dvFiles.isEmpty && !keepMeta) return base
     require(!base.columns.contains(DvFileCol) && !base.columns.contains(DvPosCol),
       s"'$DvFileCol'/'$DvPosCol' column names are reserved")
@@ -530,7 +540,7 @@ object TxTable {
     * txn ledger — plus the version whose checkpoint seeded the replay
     * (0 = replayed from the beginning).
     */
-  private final case class TableState(
+  private[sources] final case class TableState(
       live: Seq[String],
       stats: Map[String, Map[String, Stat]],
       txns: Map[String, Long],
@@ -541,7 +551,7 @@ object TxTable {
       colMap: ColMap,
       dvFiles: Seq[String])
 
-  private def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
+  private[sources] def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
     // version 0 IS the empty table — the change-feed baseline, so a
     // feed from 0 yields the initial content as its first insert slice
     if (v == 0L)
@@ -692,7 +702,7 @@ object TxTable {
     * state ONCE — the single-stateAt read path (r14 advice: snapshotRange
     * reconstructed the state twice via liveDirs + liveDirStats).
     */
-  private def resolvedState(spark: SparkSession, dir: String,
+  private[sources] def resolvedState(spark: SparkSession, dir: String,
       version: Option[Long]): (Long, TableState) = {
     val tip = tipOrZero(spark, dir)
     require(tip > 0, s"not a committed TxTable: $dir")
@@ -849,6 +859,32 @@ object TxTable {
     * String.compareTo (UTF-16 code units) disagrees on supplementary-
     * plane characters, so it is never used for stats decisions.
     */
+  /** Build the CATALYST-INDEXED snapshot ([[TxFileIndex.snapshotIndexed]]
+    * is the public face): the physical schema comes from the tracked
+    * `schema:` action (zero footer reads on the steady state), the
+    * relation is a stock parquet [[HadoopFsRelation]] over a
+    * [[TxFileIndex]] holding the recorded per-directory stats, and the
+    * deletion-vector anti-join + logical projection compose on top
+    * exactly as on the plain snapshot.
+    */
+  private[sources] def indexedSnapshotParts(spark: SparkSession, dir: String,
+      version: Option[Long]): (DataFrame, TxFileIndex, Long) = {
+    val (v, st) = resolvedState(spark, dir, version)
+    require(st.live.nonEmpty,
+      s"snapshotIndexed on a table with no live directories: $dir")
+    val physical = tableSchemaOf(spark, dir, st).getOrElse(
+      spark.read.option("mergeSchema", "true")
+        .parquet(st.live.map(d => dataPath(dir, d)): _*).schema)
+    val idx = new TxFileIndex(spark, dir, st.live, st.stats, physical)
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx, StructType(Nil), physical, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty)(cs)
+    val base = cs.baseRelationToDataFrame(rel)
+    (logicalProject(applyDvs(spark, dir, st, base), st.colMap), idx, v)
+  }
+
   private def utf8Cmp(a: String, b: String): Int = {
     val x = a.getBytes(StandardCharsets.UTF_8)
     val y = b.getBytes(StandardCharsets.UTF_8)
@@ -866,7 +902,7 @@ object TxTable {
     * stats or a kind mismatch keep the directory (pruning is an
     * optimization, never a correctness input).
     */
-  private def overlaps(st: Option[Stat], p: StatsPred): Boolean = (st, p) match {
+  private[sources] def overlaps(st: Option[Stat], p: StatsPred): Boolean = (st, p) match {
     case (Some(LongStat(dLo, dHi)), LongRange(_, lo, hi)) => dHi >= lo && dLo <= hi
     case (Some(StrStat(dLo, dHiOpt)), StrRange(_, lo, hi)) =>
       dHiOpt.forall(dHi => utf8Cmp(dHi, lo) >= 0) && utf8Cmp(dLo, hi) <= 0
@@ -1758,7 +1794,7 @@ object TxTable {
     * metadata-action shape), else one footer-only read over the live
     * directories (legacy logs written before schema tracking).
     */
-  private def tableSchemaOf(spark: SparkSession, dir: String,
+  private[sources] def tableSchemaOf(spark: SparkSession, dir: String,
       state: TableState): Option[StructType] =
     state.schemaJson.flatMap(j => scala.util.Try(
         DataType.fromJson(j).asInstanceOf[StructType]).toOption)
@@ -1923,7 +1959,7 @@ object TxTable {
     * the same conjunction [[snapshotWhere]] prunes reads with); missing
     * stats keep the directory, the safe default.
     */
-  private def statsOverlapping(state: TableState, preds: Seq[StatsPred]): Seq[String] =
+  private[sources] def statsOverlapping(state: TableState, preds: Seq[StatsPred]): Seq[String] =
     if (preds.isEmpty) state.live
     else state.live.filter(d =>
       preds.forall(p => overlaps(state.stats.get(d).flatMap(_.get(p.colName)), p)))
