@@ -109,6 +109,27 @@ final class TxFileIndex(
         predOf(GreaterThanOrEqual(a, Literal(v, t)))
       case LessThan(Literal(v, t), a: AttributeReference) =>
         predOf(GreaterThan(a, Literal(v, t)))
+      // IN lists: a disjunction, so the conjunction-shaped predicate
+      // language gets its covering range — [min, max] of the values is
+      // a superset of every disjunct (exact for the common
+      // consecutive-key case, conservative otherwise)
+      case org.apache.spark.sql.catalyst.expressions.In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall {
+            case Literal(v, t) => v != null && (t == StringType || longTyped(t))
+            case _ => false
+          } =>
+        val lits = vs.collect { case Literal(v, t) => (v, t) }
+        if (lits.head._2 == StringType) {
+          // bounds in UTF-8 byte order (the stats' order), never Java's
+          // UTF-16 code units — the two diverge on supplementary planes
+          val ss = lits.map(_._1.toString)
+          val lo = ss.reduce((x, y) => if (TxTable.utf8Cmp(x, y) <= 0) x else y)
+          val hi = ss.reduce((x, y) => if (TxTable.utf8Cmp(x, y) >= 0) x else y)
+          Seq(StrRange(a.name, lo, hi))
+        } else {
+          val ls = lits.map(l => longOf(l._1))
+          Seq(LongRange(a.name, ls.min, ls.max))
+        }
       // string upper bounds: "" is a true floor in UTF-8 byte order and
       // an inclusive hi is conservative for strict <, so <=/< prune;
       // >/>= would need an "unbounded above" marker StrRange cannot

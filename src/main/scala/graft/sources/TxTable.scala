@@ -885,7 +885,7 @@ object TxTable {
     (logicalProject(applyDvs(spark, dir, st, base), st.colMap), idx, v)
   }
 
-  private def utf8Cmp(a: String, b: String): Int = {
+  private[sources] def utf8Cmp(a: String, b: String): Int = {
     val x = a.getBytes(StandardCharsets.UTF_8)
     val y = b.getBytes(StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)

@@ -96,6 +96,19 @@ class TxFileIndexSpec extends SparkTestBase {
     assert(idx.lastKeptDirs == 1)
   }
 
+  test("IN lists prune by their covering range") {
+    val dir = freshDir()
+    stageDeciles(dir)
+    val (df, idx) = TxFileIndex.relationWithIndex(spark, dir)
+    assert(ids(df.filter(col("id").isin(210L, 215L, 290L))) ==
+      Seq(210L, 215L, 290L))
+    assert(idx.lastKeptDirs == 1,
+      s"an IN list inside one decile must keep one directory, kept ${idx.lastKeptDirs}")
+    assert(ids(df.filter(col("id").isin(110L, 720L))) == Seq(110L, 720L))
+    assert(idx.lastKeptDirs == 7,
+      "the covering range is conservative: [110, 720] spans seven deciles")
+  }
+
   test("snapshotIndexed equals snapshot on an evolved (additive) table") {
     val dir = freshDir()
     TxTable.append(spark, dir, (0L until 10L).map(i => (i, i)).toDF("id", "v"),
