@@ -300,9 +300,15 @@ object Bench {
       else try {
         import scala.jdk.CollectionConverters._
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val rows = java.nio.file.Files.readAllLines(f).asScala
+        val sameSf = java.nio.file.Files.readAllLines(f).asScala
           .filter(_.nonEmpty).map(mapper.readTree)
           .filter(r => r.path("sf").asText() == sfDir)
+        // LATEST round's rows only: the driver regenerates testdata
+        // between rounds, so cross-round minima are not comparable
+        val latest = sameSf.map(_.path("round").asText())
+          .maxByOption(_.stripPrefix("r").toIntOption.getOrElse(-1))
+          .getOrElse("")
+        val rows = sameSf.filter(_.path("round").asText() == latest)
         val names = finalResults.map(_._1)
         val best = scala.collection.mutable.Map.empty[String, Double]
         rows.foreach { r =>
