@@ -23,8 +23,10 @@ import graft.functions.expr._
   * form; they stay Column-API-only behind their operators.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -143,8 +145,62 @@ object GraftExtensions {
     })
 
   /** Install every registered function on an existing session. */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       GraftBridge.registerFunction(spark, ident, info, builder)
     }
+    tableFunctions.foreach { case (ident, info, builder) =>
+      GraftBridge.registerTableFunction(spark, ident, info, builder)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Table-valued functions: the pure-SQL surface of the transactional
+  // table (Delta's table_changes TVF shape) — `SELECT * FROM
+  // txtable('/path')` works in spark.sql with zero Scala
+  // ------------------------------------------------------------------
+
+  type TableDescription = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
+  private def litStr(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
+  }
+
+  private def t(name: String)(
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : TableDescription =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, name), builder)
+
+  /** FROM-clause functions. Arguments must be literals (they select a
+    * table and a version, not row data). The returned plan is the
+    * engine-built frame's analyzed plan: the snapshot read — through the
+    * Catalyst-integrated stats index, so WHERE clauses over stats
+    * columns prune directories exactly as in the Column API — or the
+    * per-version change feed.
+    */
+  val tableFunctions: Seq[TableDescription] = Seq(
+    // txtable('/path'[, version])
+    t("txtable") { args =>
+      require(args.size == 1 || args.size == 2,
+        s"txtable expects (path[, version]), got ${args.size} args")
+      val path = litStr(args.head, "txtable", "path")
+      val version = args.lift(1).map(litLong(_, "txtable", "version"))
+      GraftBridge.planOf(graft.sources.TxFileIndex.snapshotIndexed(
+        SparkSession.active, path, version))
+    },
+    // txtable_changes('/path', fromVersion, toVersion) — the Delta
+    // table_changes TVF: the net insert/delete feed between versions
+    t("txtable_changes") { args =>
+      require(args.size == 3,
+        s"txtable_changes expects (path, fromVersion, toVersion), got ${args.size} args")
+      val path = litStr(args.head, "txtable_changes", "path")
+      GraftBridge.planOf(graft.sources.TxTable.tableChangesByVersion(
+        SparkSession.active, path,
+        litLong(args(1), "txtable_changes", "fromVersion"),
+        litLong(args(2), "txtable_changes", "toVersion")))
+    })
 }

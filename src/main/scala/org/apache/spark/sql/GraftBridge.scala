@@ -25,4 +25,22 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(ident, info, builder)
+
+  /** The TABLE-function twin of [[registerFunction]] (a FROM-clause
+    * table-valued function returning a LogicalPlan — the
+    * `injectTableFunction` registry, reachable post-hoc).
+    */
+  def registerTableFunction(
+      spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .registerFunction(ident, info, builder)
+
+  /** The analyzed logical plan behind a DataFrame — for table-valued
+    * functions that splice an engine-built frame into a SQL FROM clause.
+    */
+  def planOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.DataFrame].queryExecution.analyzed
 }

@@ -102,4 +102,50 @@ class GraftExtensionsSpec extends SparkTestBase {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
   }
+
+  test("txtable() TVF: the transactional table reads from pure SQL, with " +
+      "version'd time travel") {
+    registered
+    val dir = java.nio.file.Files.createTempDirectory("txtvf").toString
+    import graft.sources.TxTable
+    TxTable.append(spark, dir,
+      (0L until 10L).map(i => (i, i * 2)).toDF("id", "v"), statsCols = Seq("id"))
+    TxTable.append(spark, dir,
+      (10L until 20L).map(i => (i, i * 2)).toDF("id", "v"), statsCols = Seq("id"))
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM txtable('$dir')")
+      .head().getLong(0) == 20L)
+    // time travel through the second literal argument
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM txtable('$dir', 1)")
+      .head().getLong(0) == 10L)
+    // a plain SQL WHERE over the stats column answers exactly (the
+    // pruning itself is pinned by TxFileIndexSpec — same read path)
+    assert(spark.sql(
+        s"SELECT id FROM txtable('$dir') WHERE id BETWEEN 3 AND 5 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+  }
+
+  test("txtable_changes() TVF: the per-version change feed from pure SQL") {
+    registered
+    val dir = java.nio.file.Files.createTempDirectory("txtvfc").toString
+    import graft.sources.TxTable
+    import org.apache.spark.sql.functions.col
+    TxTable.append(spark, dir, (0L until 6L).map(i => (i, i)).toDF("id", "v"))
+    TxTable.delete(spark, dir, col("id") < 2L)
+    val got = spark.sql(
+        s"""SELECT _commit_version, _change_type, COUNT(*) AS n
+           FROM txtable_changes('$dir', 0, 2)
+           GROUP BY 1, 2 ORDER BY 1, 2""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "insert", 6L), (2L, "delete", 2L)))
+  }
+
+  test("TVF arguments must be literals — loud failure otherwise") {
+    registered
+    docs.createOrReplaceTempView("ext_docs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM txtable(CONCAT('/no', 'pe'), 1)").collect()
+    }
+    assert(e.getMessage.contains("string literal")
+      || Option(e.getCause).exists(_.getMessage.contains("string literal")))
+  }
 }
