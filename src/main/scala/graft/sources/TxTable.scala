@@ -2219,7 +2219,8 @@ object TxTable {
     */
   def merge(spark: SparkSession, dir: String, log: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String], opCol: String = "op",
-      statsCols: Seq[String] = Nil, pruneByKeyStats: Boolean = false): Long = {
+      statsCols: Seq[String] = Nil, pruneByKeyStats: Boolean = false,
+      allowAdditive: Boolean = false): Long = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
     val cm = state.colMap
@@ -2231,10 +2232,27 @@ object TxTable {
     val opColP = cm.physicalOf(opCol)
     val tableSch = tableSchemaOf(spark, dir, state)
     tableSch.foreach(sch =>
-      enforceWriteSchema(sch, logP.schema, allowAdditive = false,
+      enforceWriteSchema(sch, logP.schema, allowAdditive = allowAdditive,
         exempt = (orderColsP :+ opColP).toSet, what = "merge log"))
+    // MERGE SCHEMA EVOLUTION (the Delta automatic-schema-evolution
+    // shape, opt-in like every additive write): under `allowAdditive`
+    // the log's NEW value columns widen the table schema — the upsert
+    // directory carries them, survivor rewrites keep their own
+    // per-directory schemas (pre-evolution rows read the new columns
+    // as null under `snapshot(mergeSchema = true)`), and the widened
+    // schema is recorded as the `schema:` action
+    val extraCols: Seq[org.apache.spark.sql.types.StructField] = tableSch match {
+      case Some(sch) if allowAdditive =>
+        logP.schema.fields.toSeq
+          .filterNot(f => (orderColsP :+ opColP).contains(f.name))
+          .filterNot(f => sch.fieldNames.contains(f.name))
+      case _ => Nil
+    }
     val schemaL =
-      if (state.schemaJson.isDefined) Nil
+      if (extraCols.nonEmpty)
+        tableSch.map(t =>
+          s"schema:${b64e(StructType(t.fields ++ extraCols).json)}").toSeq
+      else if (state.schemaJson.isDefined) Nil
       else tableSch.map(t => s"schema:${b64e(t.json)}").toSeq
     val touched: Seq[String] =
       if (!pruneByKeyStats) state.live
@@ -2283,9 +2301,11 @@ object TxTable {
           }
         }
       }
-    // the table's value columns: the log-tracked schema when present
-    // (zero data reads), else one schema-merged footer read
-    val valueCols: Seq[String] = tableSch.map(_.fieldNames.toSeq).getOrElse {
+    // the table's value columns (plus, under evolution, the log's new
+    // ones): the log-tracked schema when present (zero data reads),
+    // else one schema-merged footer read
+    val valueCols: Seq[String] = tableSch
+      .map(_.fieldNames.toSeq ++ extraCols.map(_.name)).getOrElse {
       require(state.live.nonEmpty,
         "merge into a table whose live set is empty and whose log " +
           "predates schema tracking — no schema to merge against")

@@ -221,6 +221,35 @@ class TxTableMaintSpec extends SparkTestBase {
     assert(guard.getMessage.contains("pruneByKeyStats"))
   }
 
+  test("merge schema evolution: a log with NEW value columns widens the " +
+      "table under allowAdditive and is rejected without") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 4)) // (id, v)
+    val log = Seq((1L, 111L, "fresh", "U", 9L, 1L))
+      .toDF("id", "v", "note", "op", "ts", "seq")
+    // default: additive columns are a schema violation, nothing commits
+    intercept[IllegalArgumentException] {
+      TxTable.merge(spark, dir, log, keyCols = Seq("id"), orderCols = Seq("ts", "seq"))
+    }
+    assert(TxTable.versions(spark, dir).last == 1L)
+    // opt-in: the upsert lands with the new column, survivors keep
+    // their own schema and read it as null, the schema action widens
+    TxTable.merge(spark, dir, log, keyCols = Seq("id"),
+      orderCols = Seq("ts", "seq"), allowAdditive = true)
+    val snap = TxTable.snapshot(spark, dir, mergeSchema = true)
+    assert(snap.columns.sorted.toSeq == Seq("id", "note", "v"))
+    val byId = snap.collect().map(r =>
+      r.getLong(0) -> (r.getLong(snap.columns.indexOf("v")),
+        Option(r.getString(snap.columns.indexOf("note"))))).toMap
+    assert(byId(1L) == ((111L, Some("fresh"))))
+    assert(byId(0L)._2.isEmpty && byId(2L)._2.isEmpty)
+    // the widened schema is the tracked action: a follow-up append
+    // carrying the new column needs no allowAdditive
+    TxTable.append(spark, dir,
+      Seq((50L, 500L, "later")).toDF("id", "v", "note"))
+    assert(TxTable.snapshot(spark, dir, mergeSchema = true).count() == 5L)
+  }
+
   test("merge pruneByKeyStats: all-null key values still apply the log (r14 advice)") {
     val dir = freshDir()
     TxTable.append(spark, dir, rows(0, 5), statsCols = Seq("id"))
