@@ -3,58 +3,96 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
 
-import graft.sources.TxTable.{LongRange, Stat, StatsPred, StrRange}
+import graft.sources.TxTable.{FileRec, LongRange, Stat, StatsPred, StrRange, StrStat}
 
 /** CATALYST-INTEGRATED stats pruning for [[TxTable]] — the Delta
   * architecture (TahoeFileIndex): the table's snapshot surfaces as a
   * Spark V1 file relation whose [[FileIndex]] receives the query's own
   * PUSHED-DOWN data filters at planning time and answers with only the
-  * stats-overlapping directories' files. A user writes a plain
+  * stats-overlapping FILES. A user writes a plain
   * `.filter($"doc_id" === k)` — or any conjunction Catalyst can push —
-  * and whole directories disappear from the scan BEFORE any task
-  * launches, with no opt-in predicate language: [[TxTable.snapshotWhere]]
-  * remains the explicit form, this is the same pruning engaged through
-  * Catalyst's own pushdown. Filters this index cannot interpret simply
-  * prune nothing (the scan stays a superset and Spark re-applies every
-  * filter row-wise — pruning is an optimization, never a correctness
-  * input, exactly the [[TxTable]] stats contract).
+  * and files disappear from the scan BEFORE any task launches, with no
+  * opt-in predicate language: [[TxTable.snapshotWhere]] remains the
+  * explicit form, this is the same pruning engaged through Catalyst's
+  * own pushdown. Filters this index cannot interpret simply prune
+  * nothing (the scan stays a superset and Spark re-applies every filter
+  * row-wise — pruning is an optimization, never a correctness input,
+  * exactly the [[TxTable]] stats contract).
   *
-  * Altitude note: [[FileIndex]] / [[HadoopFsRelation]] are Spark's
+  * FILE granularity, LOG-BACKED listing (the Delta add-action shape):
+  * the log records each added directory's file names / lengths / mtimes
+  * ([[TxTable.FileRec]]) plus per-file min/max and null counts, so the
+  * index FABRICATES its [[FileStatus]] listing from the log — the plan
+  * path performs ZERO filesystem listings for directories the log
+  * describes (at 10^5 live directories that is 10^5 sequential driver
+  * RPCs saved per query), and pruning decides file by file where
+  * directory stats decide all-or-nothing. Directories written before
+  * file tracking (or with incomplete records) fall back to one listing
+  * each, counted in [[fallbackListings]] so the zero-listing contract
+  * is spec-pinned; their files prune at directory granularity through
+  * the recorded directory stats.
+  *
+  * Altitude note: [[FileIndex]] / `HadoopFsRelation` are Spark's
   * `execution.datasources` internals — the same seam Delta's OSS
   * implementation builds its log-backed index on (TahoeLogFileIndex);
   * the engine touches nothing below this seam (the scan itself is the
-  * stock [[ParquetFileFormat]] with its vectorized reader, codegen, and
+  * stock `ParquetFileFormat` with its vectorized reader, codegen, and
   * `_metadata` support — which is what lets the deletion-vector
   * anti-join ride on top unchanged).
   *
-  * Scale shape: construction lists each live directory once (driver
-  * work bounded by the live-directory count — the same listing any
-  * parquet multi-path read performs); `listFiles` is pure driver-side
-  * set arithmetic over recorded stats (no I/O, no jobs); `sizeInBytes`
-  * is the kept files' byte sum, so broadcast planning sees the PRUNED
-  * size, not the table's.
+  * Scale shape: construction is pure driver-side assembly from the
+  * already-reconstructed log state (plus the legacy per-directory
+  * fallback listings, none on a current-format table); `listFiles` is
+  * pure driver-side set arithmetic over recorded stats (no I/O, no
+  * jobs); [[sizeInBytes]] reports the LAST pruning decision's kept-byte
+  * sum once one exists (the full live sum before any), so join planning
+  * over a pruned scan sees a pruned size.
   */
 final class TxFileIndex(
     spark: SparkSession,
     dir: String,
     live: Seq[String],
     stats: Map[String, Map[String, Stat]],
+    fileRecs: Map[String, Seq[FileRec]],
     dataSchema: StructType) extends FileIndex {
 
-  // one listing per live directory at construction — snapshot-pinned,
-  // like every TxTable read (refresh() is deliberately a no-op)
-  private val filesByDir: Seq[(String, Array[FileStatus])] = {
+  /** Legacy-directory listings this index performed at construction —
+    * 0 for a table whose log records every live file (the zero-
+    * filesystem-listing plan path, spec-pinned).
+    */
+  @volatile var fallbackListings: Int = 0
+
+  // one FileStatus per live data file: FABRICATED from the log's file
+  // records when present (zero filesystem calls), listed once per
+  // legacy directory otherwise — snapshot-pinned either way, like every
+  // TxTable read (refresh() is deliberately a no-op). recOf keys per-file
+  // stats lookups in listFiles; legacy files have no entry there.
+  private val filesByDir: Seq[(String, Array[(FileStatus, Option[FileRec])])] = {
     val conf = spark.sessionState.newHadoopConf()
     live.map { d =>
       val p = new Path(TxTable.dataPath(dir, d))
-      val fs = p.getFileSystem(conf)
-      d -> fs.listStatus(p).filter(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val recs = fileRecs.getOrElse(d, Nil)
+      if (recs.nonEmpty && recs.forall(_.len >= 0)) {
+        // makeQualified is driver-local string work (no RPC): fabricated
+        // paths resolve like listed ones on any default filesystem
+        val fs = p.getFileSystem(conf)
+        val blockSize = fs.getDefaultBlockSize(p)
+        d -> recs.toArray.map { r =>
+          val st = new FileStatus(r.len, false, 1, blockSize, r.mtime,
+            fs.makeQualified(new Path(p, r.name)))
+          (st, Some(r): Option[FileRec])
+        }
+      } else {
+        fallbackListings += 1
+        val fs = p.getFileSystem(conf)
+        d -> fs.listStatus(p)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(st => (st, None: Option[FileRec]))
+      }
     }
   }
 
@@ -63,12 +101,19 @@ final class TxFileIndex(
 
   override def partitionSchema: StructType = StructType(Nil)
 
-  /** Translate one pushed-down conjunct into the stats predicate
-    * language, when its shape allows: a comparison between a column of
-    * a stats-capable type and a literal. Anything else contributes
-    * nothing (prunes nothing — safe).
+  // ------------------------------------------------------------------
+  // Pushed-filter translation
+  // ------------------------------------------------------------------
+
+  import TxFileIndex.{AnyOf, IdxPred, IsNullP, NotNullP, RangeP, StrFloorP}
+
+  /** Translate one pushed-down conjunct into the index predicate
+    * language, when its shape allows: comparisons between a column of a
+    * stats-capable type and a literal, null tests, and AND/OR
+    * combinations of those. Anything else contributes nothing (prunes
+    * nothing — safe).
     */
-  private def predOf(e: Expression): Seq[StatsPred] = {
+  private def predOf(e: Expression): Seq[IdxPred] = {
     def longOf(v: Any): Long = v match {
       case i: Int => i.toLong
       case l: Long => l
@@ -82,24 +127,48 @@ final class TxFileIndex(
     }
     (e: @unchecked) match {
       case And(l, r) => predOf(l) ++ predOf(r)
+      // OR as range union: a file is kept as soon as EITHER side's
+      // conjunction admits it. A side that translates to NOTHING admits
+      // every file, so the whole OR prunes nothing then.
+      case Or(l, r) =>
+        val lp = predOf(l)
+        val rp = predOf(r)
+        if (lp.nonEmpty && rp.nonEmpty) Seq(AnyOf(Seq(lp, rp))) else Nil
+      case IsNotNull(a: AttributeReference) => Seq(NotNullP(a.name))
+      case IsNull(a: AttributeReference) => Seq(IsNullP(a.name))
       case EqualTo(a: AttributeReference, Literal(v, t)) if v != null =>
-        if (longTyped(t)) Seq(LongRange(a.name, longOf(v), longOf(v)))
-        else if (t == StringType) Seq(StrRange(a.name, v.toString, v.toString))
+        if (longTyped(t)) Seq(RangeP(LongRange(a.name, longOf(v), longOf(v))))
+        else if (t == StringType)
+          Seq(RangeP(StrRange(a.name, v.toString, v.toString)))
         else Nil
       case EqualTo(Literal(v, t), a: AttributeReference) if v != null =>
         predOf(EqualTo(a, Literal(v, t)))
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, t))
-          if v != null && longTyped(t) =>
-        Seq(LongRange(a.name, longOf(v), Long.MaxValue))
-      case GreaterThan(a: AttributeReference, Literal(v, t))
-          if v != null && longTyped(t) =>
-        Seq(LongRange(a.name, longOf(v) + 1, Long.MaxValue))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, t))
-          if v != null && longTyped(t) =>
-        Seq(LongRange(a.name, Long.MinValue, longOf(v)))
-      case LessThan(a: AttributeReference, Literal(v, t))
-          if v != null && longTyped(t) =>
-        Seq(LongRange(a.name, Long.MinValue, longOf(v) - 1))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) if v != null =>
+        if (longTyped(t)) Seq(RangeP(LongRange(a.name, longOf(v), Long.MaxValue)))
+        else if (t == StringType) Seq(StrFloorP(a.name, v.toString, strict = false))
+        else Nil
+      case GreaterThan(a: AttributeReference, Literal(v, t)) if v != null =>
+        if (longTyped(t))
+          // v = MaxValue would overflow to an empty-but-wrapped range;
+          // nothing is > MaxValue, so the degenerate bound is safe as-is
+          Seq(RangeP(LongRange(a.name,
+            if (v == Long.MaxValue) Long.MaxValue else longOf(v) + 1, Long.MaxValue)))
+        else if (t == StringType) Seq(StrFloorP(a.name, v.toString, strict = true))
+        else Nil
+      case LessThanOrEqual(a: AttributeReference, Literal(v, t)) if v != null =>
+        if (longTyped(t)) Seq(RangeP(LongRange(a.name, Long.MinValue, longOf(v))))
+        else if (t == StringType)
+          // "" is a true floor in UTF-8 byte order
+          Seq(RangeP(StrRange(a.name, "", v.toString)))
+        else Nil
+      case LessThan(a: AttributeReference, Literal(v, t)) if v != null =>
+        if (longTyped(t))
+          Seq(RangeP(LongRange(a.name, Long.MinValue,
+            if (v == Long.MinValue) Long.MinValue else longOf(v) - 1)))
+        else if (t == StringType)
+          // an inclusive hi is conservative for strict <
+          Seq(RangeP(StrRange(a.name, "", v.toString)))
+        else Nil
       // literal-on-left comparisons mirror
       case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) =>
         predOf(LessThanOrEqual(a, Literal(v, t)))
@@ -125,59 +194,110 @@ final class TxFileIndex(
           val ss = lits.map(_._1.toString)
           val lo = ss.reduce((x, y) => if (TxTable.utf8Cmp(x, y) <= 0) x else y)
           val hi = ss.reduce((x, y) => if (TxTable.utf8Cmp(x, y) >= 0) x else y)
-          Seq(StrRange(a.name, lo, hi))
+          Seq(RangeP(StrRange(a.name, lo, hi)))
         } else {
           val ls = lits.map(l => longOf(l._1))
-          Seq(LongRange(a.name, ls.min, ls.max))
+          Seq(RangeP(LongRange(a.name, ls.min, ls.max)))
         }
-      // string upper bounds: "" is a true floor in UTF-8 byte order and
-      // an inclusive hi is conservative for strict <, so <=/< prune;
-      // >/>= would need an "unbounded above" marker StrRange cannot
-      // state (no maximal UTF-8 string exists) — they prune nothing
-      case LessThanOrEqual(a: AttributeReference, Literal(v, StringType))
-          if v != null =>
-        Seq(StrRange(a.name, "", v.toString))
-      case LessThan(a: AttributeReference, Literal(v, StringType)) if v != null =>
-        Seq(StrRange(a.name, "", v.toString))
       case _ => Nil
     }
   }
 
-  /** The number of directories the LAST listFiles call kept — exposed so
-    * specs can pin that Catalyst's pushdown actually reached the index.
+  // ------------------------------------------------------------------
+  // Per-file admission
+  // ------------------------------------------------------------------
+
+  /** May this file contain a row satisfying `p`? Per-file stats decide
+    * when recorded; the directory's stats bound legacy files; anything
+    * unrecorded keeps the file (pruning is never a correctness input).
+    */
+  private def admits(d: String, rec: Option[FileRec], p: IdxPred): Boolean = {
+    def statOf(c: String): Option[Stat] =
+      rec.flatMap(_.stats.get(c))
+        .orElse(stats.get(d).flatMap(_.get(c)))
+    p match {
+      case RangeP(sp) => TxTable.overlaps(statOf(sp.colName), sp)
+      case IsNullP(c) =>
+        // prunable only when the file PROVABLY holds no null: a recorded
+        // null count of zero
+        !rec.flatMap(_.nulls.get(c)).contains(0L)
+      case NotNullP(c) =>
+        // prunable only when every row is null: null count == row count
+        !(rec.exists(r => r.rows >= 0 && r.nulls.get(c).contains(r.rows)))
+      case StrFloorP(c, lo, strict) => statOf(c) match {
+        case Some(StrStat(_, Some(hi))) =>
+          val cmp = TxTable.utf8Cmp(hi, lo)
+          if (strict) cmp > 0 else cmp >= 0
+        case _ => true // unbounded above / unrecorded: keep
+      }
+      case AnyOf(alts) => alts.exists(_.forall(admits(d, rec, _)))
+    }
+  }
+
+  /** The number of directories (with >= 1 kept file) and files the LAST
+    * listFiles call kept — exposed so specs can pin that Catalyst's
+    * pushdown actually reached the index.
     */
   @volatile var lastKeptDirs: Int = -1
+  @volatile var lastKeptFiles: Int = -1
+  @volatile private var lastKeptBytes: Long = -1L
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val preds = dataFilters.flatMap(predOf)
-    val kept = filesByDir.filter { case (d, _) =>
-      preds.forall(p =>
-        TxTable.overlaps(stats.get(d).flatMap(_.get(p.colName)), p))
-    }
+    val kept = filesByDir.map { case (d, fs) =>
+      d -> fs.filter { case (_, rec) => preds.forall(admits(d, rec, _)) }
+    }.filter(_._2.nonEmpty)
     lastKeptDirs = kept.size
-    Seq(PartitionDirectory(InternalRow.empty, kept.flatMap(_._2).toArray))
+    lastKeptFiles = kept.map(_._2.length).sum
+    lastKeptBytes = kept.flatMap(_._2.map(_._1.getLen)).sum
+    Seq(PartitionDirectory(InternalRow.empty, kept.flatMap(_._2.map(_._1)).toArray))
   }
 
   override def inputFiles: Array[String] =
-    filesByDir.flatMap(_._2.map(_.getPath.toString)).toArray
+    filesByDir.flatMap(_._2.map(_._1.getPath.toString)).toArray
 
   override def refresh(): Unit = () // snapshot-pinned by construction
 
-  override def sizeInBytes: Long = filesByDir.flatMap(_._2.map(_.getLen)).sum
+  /** The byte sum the planner sizes this relation by: the LAST pruning
+    * decision's kept files once [[listFiles]] has run (a pruned scan
+    * joins as its pruned size — the r16 advice), the full live sum
+    * before any. A stale kept set from an earlier query over the same
+    * index is still an estimate of the same order — sizeInBytes is
+    * planner guidance, never a correctness input.
+    */
+  override def sizeInBytes: Long =
+    if (lastKeptBytes >= 0L) lastKeptBytes
+    else filesByDir.flatMap(_._2.map(_._1.getLen)).sum
 }
 
 object TxFileIndex {
 
+  /** The index's internal predicate language — a superset of the
+    * [[TxTable.StatsPred]] ranges: null-count tests (per-file only;
+    * directory stats record no null counts), string LOWER bounds
+    * (`>`/`>=` need an unbounded-above form [[TxTable.StrRange]] cannot
+    * state — no maximal UTF-8 string exists), and disjunctions (an OR
+    * keeps a file as soon as EITHER side admits it — range-union
+    * pruning).
+    */
+  private sealed trait IdxPred
+  private final case class RangeP(p: StatsPred) extends IdxPred
+  private final case class IsNullP(colName: String) extends IdxPred
+  private final case class NotNullP(colName: String) extends IdxPred
+  private final case class StrFloorP(colName: String, lo: String,
+      strict: Boolean) extends IdxPred
+  private final case class AnyOf(alts: Seq[Seq[IdxPred]]) extends IdxPred
+
   /** [[TxTable.snapshot]] through a Catalyst-integrated file index:
     * identical rows, but ANY pushable filter over stats columns prunes
-    * whole directories at planning time (see class doc). Deletion
-    * vectors and column mapping compose exactly as on the plain
-    * snapshot: the DV anti-join rides the relation's `_metadata`
-    * columns, and the logical projection re-aliases on top, so pushed
-    * filters written against LOGICAL names reach the index under the
-    * PHYSICAL names its stats are keyed by (Catalyst rewrites
-    * attributes through the aliases as it pushes).
+    * whole files at planning time (see class doc). Deletion vectors and
+    * column mapping compose exactly as on the plain snapshot: the DV
+    * anti-join rides the relation's `_metadata` columns, and the
+    * logical projection re-aliases on top, so pushed filters written
+    * against LOGICAL names reach the index under the PHYSICAL names its
+    * stats are keyed by (Catalyst rewrites attributes through the
+    * aliases as it pushes).
     */
   def snapshotIndexed(spark: SparkSession, dir: String,
       version: Option[Long] = None): DataFrame =

@@ -206,6 +206,21 @@ object TxTable {
     */
   final case class StrStat(lo: String, hi: Option[String]) extends Stat
 
+  /** One data FILE recorded in the log (the Delta add-action file
+    * granularity): name + length + mtime let a reader FABRICATE the
+    * file listing with zero filesystem calls on the plan path
+    * ([[TxFileIndex]]), and the per-file min/max + null counts prune at
+    * FILE granularity where the per-directory stats prune
+    * all-or-nothing. `rows = -1` means the writer recorded no row count
+    * (a statless write — null-count pruning is then unavailable for the
+    * file, which is merely conservative). `nulls` holds per-column null
+    * counts for the writer's stats columns; a column may carry a null
+    * count with NO min/max (the all-null file — prunable by IS NOT
+    * NULL, boundable by nothing else).
+    */
+  final case class FileRec(name: String, len: Long, mtime: Long, rows: Long,
+      stats: Map[String, Stat], nulls: Map[String, Long])
+
   // ------------------------------------------------------------------
   // Column mapping (Delta name-mode): metadata-only RENAME / DROP
   // ------------------------------------------------------------------
@@ -340,9 +355,15 @@ object TxTable {
     */
   private def scanLive(spark: SparkSession, dir: String, state: TableState,
       dirs: Seq[String], mergeSchema: Boolean,
-      keepMeta: Boolean = false): DataFrame = {
+      keepMeta: Boolean = false,
+      readerSchema: Option[StructType] = None): DataFrame = {
     require(dirs.nonEmpty, "scan over zero directories")
-    val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val r0 = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    // an explicit reader schema (the tracked `schema:` action — see
+    // [[snapshot]]) types the scan deterministically: directories
+    // missing a column read it as null, extra (pre-drop) columns are
+    // ignored — never parquet's sampled-footer guess
+    val r = readerSchema.fold(r0)(r0.schema(_))
     val base = r.parquet(dirs.map(d => dataPath(dir, d)): _*)
     applyDvs(spark, dir, state, base, keepMeta)
   }
@@ -549,14 +570,15 @@ object TxTable {
       schemaJson: Option[String],
       constraints: Map[String, String],
       colMap: ColMap,
-      dvFiles: Seq[String])
+      dvFiles: Seq[String],
+      files: Map[String, Seq[FileRec]])
 
   private[sources] def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
     // version 0 IS the empty table — the change-feed baseline, so a
     // feed from 0 yields the initial content as its first insert slice
     if (v == 0L)
       return TableState(Nil, Map.empty, Map.empty, Map.empty, 0L, None, Map.empty,
-        ColMap.identity, Nil)
+        ColMap.identity, Nil, Map.empty)
     val (fs, root) = fsFor(spark, dir)
     val log = logPath(root)
     // the seeding checkpoint: probe DESCENDING by constructed name from
@@ -592,6 +614,20 @@ object TxTable {
     val constraints = scala.collection.mutable.Map.empty[String, String]
     var colMap = ColMap.identity
     val dvFiles = scala.collection.mutable.LinkedHashSet.empty[String]
+    // per-directory FILE records (name → (len, mtime, rows) + per-col
+    // stats/null-counts); fstats lines may arrive before their file:
+    // line, so records materialize on first touch and assemble at the end
+    final class MutFile {
+      var len: Long = -1L; var mtime: Long = 0L; var rows: Long = -1L
+      val stats = scala.collection.mutable.Map.empty[String, Stat]
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+    }
+    val files = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, MutFile]]
+    def fileOf(rel: String, name: String): MutFile =
+      files.getOrElseUpdate(rel,
+        scala.collection.mutable.LinkedHashMap.empty[String, MutFile])
+        .getOrElseUpdate(name, new MutFile)
     // removal clock of the log entry currently being replayed — its
     // in-commit timestamp (ts: line), falling back to the entry file's
     // mtime for pre-feature entries — stamps its remove lines (the
@@ -605,6 +641,7 @@ object TxTable {
         val rel = line.stripPrefix("remove:")
         live -= rel
         stats -= rel
+        files -= rel
         removedAt(rel) = entryMtime
       } else if (line.startsWith("removed:")) {
         // checkpoint carry-forward: removed:<rel>:<removing entry mtime>
@@ -629,6 +666,40 @@ object TxTable {
               .update(c, StrStat(b64d(lo), if (hi == "-") None else Some(b64d(hi))))
           case other =>
             throw new IllegalStateException(s"malformed sstats line: $line")
+        }
+      } else if (line.startsWith("file:")) {
+        // file:<rel>:<name>:<len>:<mtime>:<rows|-> — one data file of an
+        // added directory (rel, name colon-free by the writer's requires)
+        line.stripPrefix("file:").split(":", -1) match {
+          case Array(rel, n, len, mt, rows) =>
+            val f = fileOf(rel, n)
+            f.len = len.toLong; f.mtime = mt.toLong
+            f.rows = if (rows == "-") -1L else rows.toLong
+          case other =>
+            throw new IllegalStateException(s"malformed file line: $line")
+        }
+      } else if (line.startsWith("fstats:")) {
+        // fstats:<rel>:<name>:<col>:<lo|->:<hi|->:<nulls|-> — per-file
+        // integer/date min/max + null count; lo "-" = no bound recorded
+        // (the all-null file still records its null count)
+        line.stripPrefix("fstats:").split(":", -1) match {
+          case Array(rel, n, c, lo, hi, nulls) =>
+            val f = fileOf(rel, n)
+            if (lo != "-") f.stats(c) = LongStat(lo.toLong, hi.toLong)
+            if (nulls != "-") f.nulls(c) = nulls.toLong
+          case other =>
+            throw new IllegalStateException(s"malformed fstats line: $line")
+        }
+      } else if (line.startsWith("fsstats:")) {
+        // fsstats:<rel>:<name>:<col>:<b64 lo|->:<b64 hi|->:<nulls|->
+        line.stripPrefix("fsstats:").split(":", -1) match {
+          case Array(rel, n, c, lo, hi, nulls) =>
+            val f = fileOf(rel, n)
+            if (lo != "-")
+              f.stats(c) = StrStat(b64d(lo), if (hi == "-") None else Some(b64d(hi)))
+            if (nulls != "-") f.nulls(c) = nulls.toLong
+          case other =>
+            throw new IllegalStateException(s"malformed fsstats line: $line")
         }
       } else if (line.startsWith("txn:")) {
         val Array(w, id) = line.stripPrefix("txn:").split(":", 2)
@@ -695,7 +766,10 @@ object TxTable {
     }
     TableState(live.toSeq,
       stats.view.mapValues(_.toMap).toMap, txns.toMap, removedAt.toMap, base,
-      schemaJson, constraints.toMap, colMap, dvFiles.toSeq)
+      schemaJson, constraints.toMap, colMap, dvFiles.toSeq,
+      files.view.mapValues(_.toSeq.map { case (n, f) =>
+        FileRec(n, f.len, f.mtime, f.rows, f.stats.toMap, f.nulls.toMap)
+      }).toMap)
   }
 
   /** Resolve a requested version against the tip and reconstruct its
@@ -827,12 +901,15 @@ object TxTable {
     * one parquet scan over the live directories — indistinguishable
     * from a static table to every downstream operator.
     *
-    * `mergeSchema = true` supports ADDITIVE schema evolution (a later
-    * append carrying new columns under `allowAdditive`): the scan
-    * unions the live directories' schemas and rows from pre-evolution
-    * directories read the new columns as null — the Delta
-    * additive-evolution semantics. Default off: schema drift in a
-    * pipeline should be an explicit choice, not a silent widening.
+    * The scan is TYPED BY THE TRACKED SCHEMA action when the log
+    * records one (every post-schema-tracking table): after an additive
+    * evolution, pre-evolution directories read the new columns as null
+    * and reads deterministically surface the RECORDED schema — never
+    * whichever footer Spark happened to sample (the Delta rule: the log's
+    * metadata action, not the files, types a read). `mergeSchema = true`
+    * remains the explicit footer-union read — the only path for legacy
+    * logs written before schema tracking, and a debugging surface for
+    * inspecting raw physical file schemas.
     */
   def snapshot(spark: SparkSession, dir: String, version: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
@@ -851,7 +928,13 @@ object TxTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         logicalSchema(sch.get, state.colMap))
     }
-    logicalProject(scanLive(spark, dir, state, dirs, mergeSchema), state.colMap)
+    val tracked =
+      if (mergeSchema) None
+      else state.schemaJson.flatMap(j => scala.util.Try(
+        DataType.fromJson(j).asInstanceOf[StructType]).toOption)
+    logicalProject(
+      scanLive(spark, dir, state, dirs, mergeSchema, readerSchema = tracked),
+      state.colMap)
   }
 
   /** UTF-8 byte-order comparison — Spark's UTF8String ordering, which
@@ -870,12 +953,18 @@ object TxTable {
   private[sources] def indexedSnapshotParts(spark: SparkSession, dir: String,
       version: Option[Long]): (DataFrame, TxFileIndex, Long) = {
     val (v, st) = resolvedState(spark, dir, version)
-    require(st.live.nonEmpty,
-      s"snapshotIndexed on a table with no live directories: $dir")
-    val physical = tableSchemaOf(spark, dir, st).getOrElse(
+    // an EMPTY live set is still a table (the tracked schema types a
+    // zero-file index relation — `SELECT * FROM txtable(p)` on a
+    // fully-deleted table returns a typed empty frame, matching
+    // [[snapshot]]); only a schemaless legacy log has nothing to type by
+    val physical = tableSchemaOf(spark, dir, st).getOrElse {
+      require(st.live.nonEmpty,
+        s"snapshotIndexed on a table with no live directories and no " +
+          s"tracked schema to type an empty read: $dir")
       spark.read.option("mergeSchema", "true")
-        .parquet(st.live.map(d => dataPath(dir, d)): _*).schema)
-    val idx = new TxFileIndex(spark, dir, st.live, st.stats, physical)
+        .parquet(st.live.map(d => dataPath(dir, d)): _*).schema
+    }
+    val idx = new TxFileIndex(spark, dir, st.live, st.stats, st.files, physical)
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, StructType(Nil), physical, None,
@@ -1128,7 +1217,8 @@ object TxTable {
     val adds = tgt.live.filterNot(curSet)
     val removes = cur.live.filterNot(tgtSet)
     val statsL = adds.flatMap(d => tgt.stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
-      .map { case (c, st) => statLineOf(d, c, st) })
+      .map { case (c, st) => statLineOf(d, c, st) }) ++
+      adds.flatMap(d => fileLinesOf(d, tgt.files.getOrElse(d, Nil)))
     val schemaL = tgt.schemaJson match {
       case Some(j) if !cur.schemaJson.contains(j) => Seq(s"schema:${b64e(j)}")
       case _ => Nil
@@ -1187,6 +1277,7 @@ object TxTable {
       st.live.map(d => s"add:${ref(d)}") ++
       st.live.flatMap(d => st.stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
         .map { case (c, stt) => statLineOf(ref(d), c, stt) }) ++
+      st.live.flatMap(d => fileLinesOf(ref(d), st.files.getOrElse(d, Nil))) ++
       st.schemaJson.map(j => s"schema:${b64e(j)}").toSeq ++
       st.constraints.toSeq.sortBy(_._1)
         .map { case (n, e) => s"constraint:$n:${b64e(e)}" } ++
@@ -1478,6 +1569,7 @@ object TxTable {
         st.live.map(d => s"live:$d") ++
         st.live.flatMap(d => st.stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
           .map { case (c, stat) => statLineOf(d, c, stat) }) ++
+        st.live.flatMap(d => fileLinesOf(d, st.files.getOrElse(d, Nil))) ++
         st.removedAt.toSeq.filter(e => present(e._1)).sortBy(_._1)
           .map { case (rel, t) => s"removed:$rel:$t" } ++
         st.txns.toSeq.sortBy(_._1).map { case (w, id) => s"txn:$w:$id" } ++
@@ -1666,58 +1758,129 @@ object TxTable {
       else t
     }
 
-  /** `stats:`/`sstats:` lines for a just-written directory: min/max of
-    * each requested column, read back from the written parquet — a
-    * column-pruned, footer-cheap scan, so recording stats never
-    * re-scans the input frame. Integer/date columns store exact longs
-    * (days since epoch for dates); string columns store a
-    * truncation-safe min and an untruncated-or-absent max; an all-null
-    * column records nothing (the directory stays unprunable on it —
-    * safe).
+  /** Render one directory's FILE records as their log lines (entry /
+    * checkpoint / restore / clone all share the wire format).
+    */
+  private def fileLinesOf(rel: String, recs: Seq[FileRec]): Seq[String] =
+    recs.flatMap { r =>
+      val rowsS = if (r.rows < 0) "-" else r.rows.toString
+      Seq(s"file:$rel:${r.name}:${r.len}:${r.mtime}:$rowsS") ++
+        (r.stats.keySet ++ r.nulls.keySet).toSeq.sorted.map { c =>
+          val nullsS = r.nulls.get(c).map(_.toString).getOrElse("-")
+          r.stats.get(c) match {
+            case Some(LongStat(lo, hi)) =>
+              s"fstats:$rel:${r.name}:$c:$lo:$hi:$nullsS"
+            case Some(StrStat(lo, hiOpt)) =>
+              s"fsstats:$rel:${r.name}:$c:${b64e(lo)}:" +
+                s"${hiOpt.map(b64e).getOrElse("-")}:$nullsS"
+            case None => s"fstats:$rel:${r.name}:$c:-:-:$nullsS"
+          }
+        }
+    }
+
+  /** Directory-granularity `stats:`/`sstats:` lines derived from the
+    * per-file records — the [[snapshotWhere]] / delete-pruning
+    * granularity, kept alongside the file records so every existing
+    * pruning path reads the same combined values it always has.
+    */
+  private def dirStatLines(rel: String, recs: Seq[FileRec],
+      statsCols: Seq[String]): Seq[String] =
+    statsCols.flatMap { c =>
+      val sts = recs.flatMap(_.stats.get(c))
+      if (sts.isEmpty) Nil
+      else sts.head match {
+        case _: LongStat =>
+          val ls = sts.collect { case LongStat(lo, hi) => (lo, hi) }
+          Seq(statLineOf(rel, c, LongStat(ls.map(_._1).min, ls.map(_._2).max)))
+        case _: StrStat =>
+          val ss = sts.collect { case StrStat(lo, hi) => (lo, hi) }
+          // file los are already truncation-safe (never greater than any
+          // row), so their utf8-min is a valid directory lower bound; the
+          // hi is unbounded as soon as any file's is
+          val lo = ss.map(_._1).reduce((a, b) => if (utf8Cmp(a, b) <= 0) a else b)
+          val hi =
+            if (ss.exists(_._2.isEmpty)) None
+            else Some(ss.flatMap(_._2).reduce((a, b) => if (utf8Cmp(a, b) >= 0) a else b))
+          Seq(statLineOf(rel, c, StrStat(lo, hi)))
+      }
+    }
+
+  /** `file:` + `fstats:`/`fsstats:` + `stats:`/`sstats:` lines for a
+    * just-written directory — the Delta add-action FILE granularity:
+    * every write records its data files' names/lengths/mtimes (one
+    * listing of the just-written directory — write-path work), so
+    * readers FABRICATE the file listing from the log and the plan path
+    * performs ZERO filesystem listings ([[TxFileIndex]]). With
+    * `statsCols`, ONE file-grouped aggregate over the written parquet
+    * (column-pruned, footer-cheap — never a re-scan of the input frame)
+    * records per-FILE min/max + null counts + row counts, and the
+    * directory-granularity lines are derived from the per-file values
+    * on the driver. Integer/date columns store exact longs (days since
+    * epoch for dates); string columns store a truncation-safe min and
+    * an untruncated-or-absent max; an all-null column records only its
+    * null count (prunable by IS NOT NULL, boundable by nothing else).
     */
   private def statsLines(spark: SparkSession, dir: String, rel: String,
       statsCols: Seq[String]): Seq[String] = {
-    if (statsCols.isEmpty) return Nil
     statsCols.foreach(c => require(!c.contains(":") && c.nonEmpty,
       s"stats column names must be non-empty and colon-free: '$c'"))
     // an empty write leaves no part files (nothing to read, no stats —
     // the directory simply stays unprunable, which is vacuously right)
     val (fs, root) = fsFor(spark, dir)
-    val hasFiles = fs.listStatus(new Path(root, rel))
-      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    if (!hasFiles) return Nil
-    val df = spark.read.parquet(s"$dir/$rel")
-    statsCols.foreach { c =>
-      val dt = df.schema(c).dataType
-      require(
-        Seq(LongType, IntegerType, ShortType, ByteType, DateType, StringType).contains(dt),
-        s"stats need an integer/date/string column, $c is $dt")
-    }
-    val aggs = statsCols.flatMap { c =>
-      df.schema(c).dataType match {
-        case DateType =>
-          val v = datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
-          Seq(min(v).cast(LongType).as(s"lo_$c"), max(v).cast(LongType).as(s"hi_$c"))
-        case StringType =>
-          Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c"))
-        case _ =>
-          Seq(min(col(c)).cast(LongType).as(s"lo_$c"),
-            max(col(c)).cast(LongType).as(s"hi_$c"))
+    val parts = fs.listStatus(new Path(root, rel))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    if (parts.isEmpty) return Nil
+    parts.foreach(p => require(!p.getPath.getName.contains(":"),
+      s"data file names must be colon-free: ${p.getPath.getName}"))
+    val meta: Map[String, (Long, Long)] = parts.map(p =>
+      p.getPath.getName -> (p.getLen, p.getModificationTime)).toMap
+    val recs: Seq[FileRec] =
+      if (statsCols.isEmpty)
+        parts.toSeq.map(p => FileRec(p.getPath.getName, p.getLen,
+          p.getModificationTime, -1L, Map.empty, Map.empty))
+      else {
+        val df = spark.read.parquet(s"$dir/$rel")
+        statsCols.foreach { c =>
+          val dt = df.schema(c).dataType
+          require(
+            Seq(LongType, IntegerType, ShortType, ByteType, DateType, StringType).contains(dt),
+            s"stats need an integer/date/string column, $c is $dt")
+        }
+        val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap { c =>
+          val loHi = df.schema(c).dataType match {
+            case DateType =>
+              val v = datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
+              Seq(min(v).cast(LongType), max(v).cast(LongType))
+            case StringType => Seq(min(col(c)), max(col(c)))
+            case _ =>
+              Seq(min(col(c)).cast(LongType), max(col(c)).cast(LongType))
+          }
+          loHi :+ count(col(c)) // non-null count -> per-file null counts
+        }
+        val rows = df.select(col("*"), col("_metadata.file_name").as("__fn"))
+          .groupBy(col("__fn")).agg(aggs.head, aggs.tail: _*).collect()
+        rows.toSeq.sortBy(_.getString(0)).map { r =>
+          val fn = r.getString(0)
+          val nRows = r.getLong(1)
+          val stats = Map.newBuilder[String, Stat]
+          val nulls = Map.newBuilder[String, Long]
+          statsCols.zipWithIndex.foreach { case (c, i) =>
+            val (lo, hi, nn) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
+            nulls += c -> (nRows - r.getLong(nn))
+            if (!r.isNullAt(lo)) df.schema(c).dataType match {
+              case StringType =>
+                val hiRaw = r.getString(hi)
+                stats += c -> StrStat(truncLo(r.getString(lo)),
+                  if (hiRaw.length <= StatsMaxStringLen) Some(hiRaw) else None)
+              case _ => stats += c -> LongStat(r.getLong(lo), r.getLong(hi))
+            }
+          }
+          val (len, mt) = meta.getOrElse(fn, (-1L, 0L))
+          FileRec(fn, len, mt, nRows, stats.result(), nulls.result())
+        }
       }
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    statsCols.zipWithIndex.flatMap { case (c, i) =>
-      if (row.isNullAt(2 * i)) Nil
-      else df.schema(c).dataType match {
-        case StringType =>
-          val lo = truncLo(row.getString(2 * i))
-          val hiRaw = row.getString(2 * i + 1)
-          val hi = if (hiRaw.length <= StatsMaxStringLen) Some(hiRaw) else None
-          Seq(s"sstats:$rel:$c:${b64e(lo)}:${hi.map(b64e).getOrElse("-")}")
-        case _ =>
-          Seq(s"stats:$rel:$c:${row.getLong(2 * i)}:${row.getLong(2 * i + 1)}")
-      }
-    }
+    fileLinesOf(rel, recs) ++ dirStatLines(rel, recs, statsCols)
   }
 
   /** Stats columns already recorded on `dirs`, restricted to columns
@@ -2138,20 +2301,107 @@ object TxTable {
         allowNewRows = !serializable))
   }
 
+  /** Per-directory RE-TIGHTENED stats lines for directories whose
+    * outstanding deletion vectors removed rows: recorded min/max are
+    * conservative under DVs by construction (a vector only removes
+    * rows); recomputing over the DV-APPLIED scan narrows them back when
+    * the vectors deleted boundary rows, so stats-pruning sharpness
+    * survives merge-on-read deletes. One column-pruned, file-grouped
+    * aggregate per affected directory — bounded by the DV'd-directory
+    * count, never the table. Emitted lines UPDATE the existing records
+    * (latest stats line wins in replay); `file:` lines are untouched
+    * (length/mtime identity — a stale row count only ever KEEPS a file
+    * under null-pruning, never prunes one). A fully-emptied file or
+    * directory keeps its old (conservative) records.
+    */
+  private def retightenedStatsLines(spark: SparkSession, dir: String,
+      state: TableState, dirs: Seq[String]): Seq[String] =
+    dirs.flatMap { d =>
+      val dirCols = state.stats.getOrElse(d, Map.empty).keySet ++
+        state.files.getOrElse(d, Nil).flatMap(_.stats.keys)
+      if (dirCols.isEmpty) Nil
+      else {
+        val statsCols = dirCols.toSeq.sorted
+        val scan = scanLive(spark, dir, state, Seq(d), mergeSchema = false,
+          keepMeta = true)
+        val present = statsCols.filter(scan.columns.contains)
+        if (present.isEmpty) Nil
+        else {
+          val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
+            val loHi = scan.schema(c).dataType match {
+              case DateType =>
+                val v = datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
+                Seq(min(v).cast(LongType), max(v).cast(LongType))
+              case StringType => Seq(min(col(c)), max(col(c)))
+              case _ => Seq(min(col(c)).cast(LongType), max(col(c)).cast(LongType))
+            }
+            loHi :+ count(col(c))
+          }
+          val rows = scan
+            .select(org.apache.spark.sql.functions.substring_index(
+              col(DvFileCol), "/", -1).as("__fn") +: present.map(col): _*)
+            .groupBy(col("__fn")).agg(aggs.head, aggs.tail: _*).collect()
+          if (rows.isEmpty) Nil
+          else {
+            val recs = rows.toSeq.sortBy(_.getString(0)).map { r =>
+              val nRows = r.getLong(1)
+              val stats = Map.newBuilder[String, Stat]
+              val nulls = Map.newBuilder[String, Long]
+              present.zipWithIndex.foreach { case (c, i) =>
+                val (lo, hi, nn) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
+                nulls += c -> (nRows - r.getLong(nn))
+                if (!r.isNullAt(lo)) scan.schema(c).dataType match {
+                  case StringType =>
+                    val hiRaw = r.getString(hi)
+                    stats += c -> StrStat(truncLo(r.getString(lo)),
+                      if (hiRaw.length <= StatsMaxStringLen) Some(hiRaw) else None)
+                  case _ => stats += c -> LongStat(r.getLong(lo), r.getLong(hi))
+                }
+              }
+              FileRec(r.getString(0), -1L, 0L, nRows, stats.result(), nulls.result())
+            }
+            // per-file stat updates only (no file: lines — the files'
+            // length/mtime identity is already recorded), plus the
+            // directory-granularity combine
+            recs.flatMap { rec =>
+              rec.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+                val nullsS = rec.nulls.get(c).map(_.toString).getOrElse("-")
+                st match {
+                  case LongStat(lo, hi) =>
+                    s"fstats:$d:${rec.name}:$c:$lo:$hi:$nullsS"
+                  case StrStat(lo, hiOpt) =>
+                    s"fsstats:$d:${rec.name}:$c:${b64e(lo)}:" +
+                      s"${hiOpt.map(b64e).getOrElse("-")}:$nullsS"
+                }
+              }
+            } ++ dirStatLines(d, recs, present)
+          }
+        }
+      }
+    }
+
   /** Fold every outstanding deletion-vector sidecar into ONE (dropping
     * pairs whose file's directory is no longer live — rewrites made
     * them inert), as one log-transacted commit. The read-side anti-join
     * then probes a single compacted sidecar instead of one per delete;
     * retired sidecars are stamped for [[vacuum]]'s retention clock.
+    * With `retightenStats` (default), directories the surviving pairs
+    * touch get their recorded stats RECOMPUTED over the DV-applied
+    * scan ([[retightenedStatsLines]]) — a boundary-row delete narrows
+    * the recorded range again instead of staying conservative forever.
     * No-op (None) with fewer than two outstanding sidecars.
     */
-  def compactDvs(spark: SparkSession, dir: String): Option[Long] = {
+  def compactDvs(spark: SparkSession, dir: String,
+      retightenStats: Boolean = true): Option[Long] = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
     if (state.dvFiles.size < 2) return None
     val liveSet = state.live.map(dirKey).toSet
     val rel = s"dv/${java.util.UUID.randomUUID().toString.take(12)}"
-    spark.read.parquet(state.dvFiles.map(f => s"$dir/$f"): _*)
+    // resolve through dataPath, NOT s"$dir/$f": a shallow clone's carried
+    // sidecars are ABSOLUTE references into the source's root, and the
+    // naive concatenation would read a nonexistent $dir//src/dv/x
+    spark.read.parquet(state.dvFiles.map(f => dataPath(dir, f)): _*)
       .filter(org.apache.spark.sql.functions.regexp_extract(
         col("f"), "^(data/[^/]+)/", 1).isin(liveSet.toSeq: _*))
       .distinct()
@@ -2164,11 +2414,26 @@ object TxTable {
     val addL =
       if (hasFiles && !spark.read.parquet(s"$dir/$rel").isEmpty) Seq(s"dvf:$rel")
       else { fs.delete(new Path(root, rel), true); Nil }
+    // directories the surviving pairs reference — the delete-bounded set
+    // whose stats the vectors may have left loose
+    val statsL =
+      if (!retightenStats || addL.isEmpty) Nil
+      else {
+        val touched = spark.read.parquet(s"$dir/$rel")
+          .select(org.apache.spark.sql.functions.regexp_extract(
+            col("f"), "^(data/[^/]+)/", 1).as("d"))
+          .distinct().collect().map(_.getString(0)).toSet
+        retightenedStatsLines(spark, dir, state,
+          state.live.filter(d => touched(dirKey(d))))
+      }
     Some(publishReadDependent(spark, dir, readV,
-      Seq("op:dvcompact") ++ addL ++ state.dvFiles.map(f => s"rmdvf:$f"),
+      Seq("op:dvcompact") ++ addL ++ statsL ++ state.dvFiles.map(f => s"rmdvf:$f"),
       // reads ONLY the sidecars (+ the live LIST for the inert filter —
-      // a winner's remove just leaves a harmlessly-retained inert pair):
-      // conflicts only with another dvcompact retiring the same sidecars
+      // a winner's remove just leaves a harmlessly-retained inert pair;
+      // re-tightened stats of a racing-removed dir land as dead records,
+      // and a racing NEW vector only removes rows, keeping them
+      // conservative): conflicts only with another dvcompact retiring
+      // the same sidecars
       TxnProfile("compactDvs", Set.empty, state.dvFiles.toSet, allowNewRows = true)))
   }
 
@@ -2857,10 +3122,16 @@ object TxTable {
     * window replays exactly as before, and versions outside it fail
     * with the informative missing-entry error. Run with `retainMs` at
     * least the vacuum horizon, so any version whose DATA still exists
-    * stays reconstructible (commit mtimes are monotone in version, so
-    * the reclaimed set is a prefix of history). No-op until the first
-    * checkpoint exists — a pointerless log is trivially bounded.
-    * Returns the deleted file names.
+    * stays reconstructible. The age decision reads each candidate's
+    * IN-COMMIT TIMESTAMP (`ts:` line, mtime fallback for pre-feature
+    * entries) — the same clock [[versionAt]] trusts — so a backup /
+    * copy / restore that rewrote every file mtime cannot make retention
+    * reclaim a NON-prefix of history: in-commit timestamps are monotone
+    * in version by [[publishAt]]'s clamp, hence the reclaimed set is
+    * always a version prefix and [[versionAtProbed]]'s
+    * monotone-existence binary search stays well-defined. No-op until
+    * the first checkpoint exists — a pointerless log is trivially
+    * bounded. Returns the deleted file names.
     */
   def cleanupLog(spark: SparkSession, dir: String, retainMs: Long): Seq[String] = {
     require(retainMs >= 0, s"retainMs must be non-negative, got $retainMs")
@@ -2882,6 +3153,13 @@ object TxTable {
       .filter(_ <= ptr).maxOption
     if (boundary.isEmpty) return Nil
     val cutoff = System.currentTimeMillis() - retainMs
+    // a version's age is its IN-COMMIT TIMESTAMP (entry ts: line, mtime
+    // fallback — one small read per BELOW-boundary candidate, a
+    // maintenance-path cost); a checkpoint ages with its version's
+    // entry, falling back to its own mtime only when the entry is
+    // already gone (then the ckpt is pure debris of a reclaimed prefix)
+    def commitAge(ver: Long, fallback: Long): Long =
+      commitTs(fs, log, ver).getOrElse(fallback)
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     files.foreach { st =>
       val n = st.getPath.getName
@@ -2891,7 +3169,8 @@ object TxTable {
           Some(n.stripSuffix(".ckpt").toLong)
         else None
       verOpt.foreach { ver =>
-        if (ver < boundary.get && st.getModificationTime < cutoff && fs.delete(st.getPath, false))
+        if (ver < boundary.get && commitAge(ver, st.getModificationTime) < cutoff &&
+            fs.delete(st.getPath, false))
           deleted += n
       }
     }

@@ -124,6 +124,20 @@ class GraftExtensionsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
   }
 
+  test("txtable() TVF on a fully-deleted table returns a TYPED empty " +
+      "frame, matching the Scala snapshot (r16 advice)") {
+    registered
+    val dir = java.nio.file.Files.createTempDirectory("txtvfe").toString
+    import graft.sources.TxTable
+    import org.apache.spark.sql.functions.col
+    TxTable.append(spark, dir, (0L until 4L).map(i => (i, i)).toDF("id", "v"))
+    TxTable.delete(spark, dir, col("id") >= 0L) // empty live set
+    val got = spark.sql(s"SELECT * FROM txtable('$dir')")
+    assert(got.columns.toSeq == Seq("id", "v"),
+      "the tracked schema action must type the empty read")
+    assert(got.count() == 0L)
+  }
+
   test("txtable_changes() TVF: the per-version change feed from pure SQL") {
     registered
     val dir = java.nio.file.Files.createTempDirectory("txtvfc").toString

@@ -79,8 +79,8 @@ class TxFileIndexSpec extends SparkTestBase {
     assert(ids(df) == ids(TxTable.snapshot(spark, dir)))
   }
 
-  test("string equality prunes; string > prunes nothing (no maximal " +
-      "UTF-8 string exists to bound it)") {
+  test("string equality prunes; string > prunes as an unbounded-above " +
+      "floor against the recorded max") {
     val dir = freshDir()
     Seq("de", "en", "fr").zipWithIndex.foreach { case (lang, i) =>
       TxTable.append(spark, dir,
@@ -90,8 +90,15 @@ class TxFileIndexSpec extends SparkTestBase {
     val (df, idx) = TxFileIndex.relationWithIndex(spark, dir)
     assert(df.filter(col("lang") === "en").count() == 50L)
     assert(idx.lastKeptDirs == 1)
+    // `lang > "en"` needs no upper bound — the recorded per-file max
+    // decides: only the fr directory's max exceeds "en" (r16 verdict #2:
+    // the StrRange language could not state "unbounded above"; the
+    // index-internal floor predicate can)
     assert(df.filter(col("lang") > "en").count() == 50L) // fr only
-    assert(idx.lastKeptDirs == 3, "string > must be conservative")
+    assert(idx.lastKeptDirs == 1,
+      s"a string floor must prune against recorded maxes, kept ${idx.lastKeptDirs}")
+    assert(df.filter(col("lang") >= "en").count() == 100L) // en + fr
+    assert(idx.lastKeptDirs == 2)
     assert(df.filter(col("lang") <= "de").count() == 50L)
     assert(idx.lastKeptDirs == 1)
   }
@@ -107,6 +114,100 @@ class TxFileIndexSpec extends SparkTestBase {
     assert(ids(df.filter(col("id").isin(110L, 720L))) == Seq(110L, 720L))
     assert(idx.lastKeptDirs == 7,
       "the covering range is conservative: [110, 720] spans seven deciles")
+  }
+
+  test("LOG-BACKED listing: the plan path performs ZERO filesystem " +
+      "listings on a current-format table") {
+    val dir = freshDir()
+    stageDeciles(dir)
+    val (df, idx) = TxFileIndex.relationWithIndex(spark, dir)
+    assert(idx.fallbackListings == 0,
+      s"every live file must come from the log's file records, " +
+        s"listed ${idx.fallbackListings} directories")
+    // the fabricated listing is complete: answers match the plain scan
+    assert(ids(df) == ids(TxTable.snapshot(spark, dir)))
+  }
+
+  test("FILE-granularity pruning: a point filter keeps one file of a " +
+      "multi-file directory") {
+    val dir = freshDir()
+    // ONE directory, four range-disjoint files (the in-directory layout
+    // a range-partitioned write produces)
+    TxTable.append(spark, dir,
+      (0L until 1000L).map(v => (v, v % 7)).toDF("id", "v")
+        .repartitionByRange(4, col("id")),
+      statsCols = Seq("id"))
+    val (df, idx) = TxFileIndex.relationWithIndex(spark, dir)
+    assert(ids(df) == (0L until 1000L))
+    assert(idx.lastKeptFiles == 4)
+    assert(ids(df.filter(col("id") === 321L)) == Seq(321L))
+    assert(idx.lastKeptDirs == 1)
+    assert(idx.lastKeptFiles == 1,
+      s"per-file stats must prune inside the directory, " +
+        s"kept ${idx.lastKeptFiles} files")
+  }
+
+  test("IS NULL / IS NOT NULL prune through recorded per-file null counts") {
+    val dir = freshDir()
+    // two files in one directory: one all-null tag, one no-null tag
+    val a = (0L until 500L).map(v => (v, Option.empty[String]))
+      .toDF("id", "tag").coalesce(1)
+    val b = (500L until 1000L).map(v => (v, Some(s"t$v")))
+      .toDF("id", "tag").coalesce(1)
+    TxTable.append(spark, dir, a.union(b), statsCols = Seq("id", "tag"))
+    val (df, idx) = TxFileIndex.relationWithIndex(spark, dir)
+    assert(df.filter(col("tag").isNotNull).count() == 500L)
+    assert(idx.lastKeptFiles == 1,
+      s"the all-null file must prune under IS NOT NULL, kept ${idx.lastKeptFiles}")
+    assert(df.filter(col("tag").isNull).count() == 500L)
+    assert(idx.lastKeptFiles == 1,
+      s"the zero-null file must prune under IS NULL, kept ${idx.lastKeptFiles}")
+    // null pruning composes with a range: IS NOT NULL AND id >= 900
+    assert(df.filter(col("tag").isNotNull && col("id") >= 900L).count() == 100L)
+    assert(idx.lastKeptFiles == 1)
+  }
+
+  test("OR prunes as the union of its sides' ranges; an untranslatable " +
+      "side disables the OR, never miscounts") {
+    val dir = freshDir()
+    stageDeciles(dir)
+    val (df, idx) = TxFileIndex.relationWithIndex(spark, dir)
+    assert(ids(df.filter(col("id") < 100L || col("id") >= 900L)) ==
+      ((0L until 100L) ++ (900L until 1000L)))
+    assert(idx.lastKeptDirs == 2,
+      s"an OR of two decile ranges must keep exactly those deciles, " +
+        s"kept ${idx.lastKeptDirs}")
+    // one side uninterpretable: the OR admits everything (safe)
+    assert(ids(df.filter(col("id") < 100L || col("id") % 97L === 0L)) ==
+      (0L until 1000L).filter(v => v < 100 || v % 97 == 0))
+    assert(idx.lastKeptDirs == 10)
+  }
+
+  test("legacy logs without file records fall back to one listing per " +
+      "directory and keep directory-granularity pruning") {
+    val dir = freshDir()
+    stageDeciles(dir)
+    // simulate a pre-file-tracking log: strip every file-record line
+    // from entries and checkpoints (the directory stats lines remain)
+    val log = java.nio.file.Paths.get(dir, "_log")
+    java.nio.file.Files.list(log).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.forall(_.isDigit) || name.endsWith(".ckpt")) {
+        val kept = java.nio.file.Files.readAllLines(p).stream()
+          .filter(l => !(l.startsWith("file:") || l.startsWith("fstats:") ||
+            l.startsWith("fsstats:")))
+          .collect(java.util.stream.Collectors.toList[String])
+        java.nio.file.Files.write(p, kept)
+      }
+    }
+    val (df, idx) = TxFileIndex.relationWithIndex(spark, dir)
+    assert(idx.fallbackListings == 10,
+      s"a legacy table lists each live directory once, " +
+        s"listed ${idx.fallbackListings}")
+    assert(ids(df.filter(col("id") === 321L)) == Seq(321L))
+    assert(idx.lastKeptDirs == 1,
+      "legacy directories still prune through their directory stats")
+    assert(ids(df) == (0L until 1000L))
   }
 
   test("snapshotIndexed equals snapshot on an evolved (additive) table") {

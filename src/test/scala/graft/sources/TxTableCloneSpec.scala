@@ -82,6 +82,32 @@ class TxTableCloneSpec extends SparkTestBase {
       Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L))
   }
 
+  test("compactDvs folds a clone's carried (absolute-path) sidecars — " +
+      "the r16 advice's $dir/$f resolution bug") {
+    val src = freshDir(); val dst = freshDir()
+    TxTable.append(spark, src, rows(0, 10))
+    // TWO outstanding DVs on the source, both carried as absolute refs
+    TxTable.deleteRows(spark, src, col("id") === 1L)
+    TxTable.deleteRows(spark, src, col("id") === 2L)
+    TxTable.cloneTable(spark, src, dst)
+    assert(TxTable.deletionVectors(spark, dst).size == 2)
+    assert(TxTable.deletionVectors(spark, dst).forall(_.startsWith("/")),
+      "carried sidecars are absolute references into the source's root")
+    // the fold must READ both carried sidecars (dataPath resolution, not
+    // naive $dir/$f concatenation) and land one clone-LOCAL sidecar
+    assert(TxTable.compactDvs(spark, dst).isDefined)
+    val folded = TxTable.deletionVectors(spark, dst)
+    assert(folded.size == 1 && folded.forall(!_.startsWith("/")),
+      s"the folded sidecar must live under the clone's own root: $folded")
+    assert(ids(TxTable.snapshot(spark, dst)) ==
+      Seq(0L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    // maintain (which folds best-effort) keeps working on the clone too
+    TxTable.deleteRows(spark, dst, col("id") === 4L)
+    TxTable.maintain(spark, dst)
+    assert(ids(TxTable.snapshot(spark, dst)) ==
+      Seq(0L, 3L, 5L, 6L, 7L, 8L, 9L))
+  }
+
   test("compact MATERIALIZES a clone: afterwards no source references " +
       "remain and the clone survives source vacuum") {
     val src = freshDir(); val dst = freshDir()

@@ -146,4 +146,30 @@ class TxTableDvSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(0L) == -1L && !got.values.toSeq.contains(30L))
   }
+
+  test("compactDvs RE-TIGHTENS stats that boundary-row deletes left " +
+      "conservative (r16 verdict #6)") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 100).coalesce(1), statsCols = Seq("id"))
+    // two merge-on-read deletes carve off BOTH boundaries; recorded
+    // stats stay the conservative pre-delete range (documented)
+    TxTable.deleteRows(spark, dir, col("id") >= 90L)
+    TxTable.deleteRows(spark, dir, col("id") < 10L)
+    val loose = TxTable.liveDirStats(spark, dir).values.head("id")
+    assert(loose == (0L, 99L), s"pre-fold stats stay conservative: $loose")
+    // the fold recomputes over the DV-applied scan and narrows
+    assert(TxTable.compactDvs(spark, dir).isDefined)
+    val tight = TxTable.liveDirStats(spark, dir).values.head("id")
+    assert(tight == (10L, 89L), s"folded stats must re-tighten: $tight")
+    assert(ids(TxTable.snapshot(spark, dir)) == (10L until 90L),
+      "re-tightening must be answer-invisible")
+    // the sharpened range now PRUNES a read the loose one kept: the
+    // indexed scan drops the only file for an out-of-range point
+    val (df, idx) = TxFileIndex.relationWithIndex(spark, dir)
+    assert(df.filter(col("id") === 95L).count() == 0L)
+    assert(idx.lastKeptFiles == 0,
+      s"the tightened per-file stats must prune, kept ${idx.lastKeptFiles}")
+    // and snapshotRange's directory pruning sharpened the same way
+    assert(TxTable.snapshotRange(spark, dir, "id", 95L, 99L).inputFiles.isEmpty)
+  }
 }

@@ -104,6 +104,31 @@ class TxTableIctSpec extends SparkTestBase {
     assert(TxTable.versionAt(spark, dir, h.last) == 3L)
   }
 
+  test("cleanupLog ages by the IN-COMMIT clock: mtime corruption cannot " +
+      "reclaim fresh history (r16 advice)") {
+    val dir = freshDir()
+    // 10 commits -> pointer at the v8 auto-checkpoint, 7 entries below it
+    (0 until 10).foreach(i => TxTable.append(spark, dir, rows(i * 2, i * 2 + 2)))
+    // a backup/restore rewrote every log mtime to the distant past; the
+    // entries' OWN ts: lines still say "committed just now"
+    val bogus = java.nio.file.attribute.FileTime.fromMillis(1234567890123L)
+    entryFiles(dir).foreach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, bogus))
+    // under mtime aging this would reclaim everything below the pointer;
+    // the in-commit clock keeps all of it — no version lost to a copy
+    assert(TxTable.cleanupLog(spark, dir, retainMs = 60L * 60 * 1000).isEmpty,
+      "fresh commits must survive retention regardless of file mtimes")
+    assert(TxTable.versions(spark, dir).size == 10)
+    assert(ids(TxTable.snapshot(spark, dir, Some(3L))) == (0L until 6L))
+    // retainMs = 0 reclaims below the checkpoint boundary by the same
+    // clock (every commit ts is now in the past relative to the cutoff)
+    val reclaimed = TxTable.cleanupLog(spark, dir, retainMs = 0L)
+    assert(reclaimed.nonEmpty, "an expired prefix must reclaim")
+    assert(TxTable.versions(spark, dir).min == 8L,
+      "the reclaimed set is the prefix below the pointer's checkpoint")
+    assert(ids(TxTable.snapshot(spark, dir)) == (0L until 20L))
+  }
+
   test("history reports per-commit add/remove directory counts") {
     val dir = freshDir()
     TxTable.append(spark, dir, rows(0, 4))

@@ -143,8 +143,16 @@ class TxTableSpec extends SparkTestBase {
     }
     TxTable.append(spark, dir, Seq((2L, 20L, "x")).toDF("id", "v", "tag"),
       allowAdditive = true)
-    // default read refuses silent widening (parquet picks one schema);
-    // the explicit mergeSchema read unions: old rows carry null tags
+    // the DEFAULT read is typed by the tracked schema action (the Delta
+    // rule: the log's metadata, not a sampled footer, types a read) —
+    // post-evolution reads deterministically surface the widened schema,
+    // old rows reading the new column as null (r16 advice)
+    val tracked = TxTable.snapshot(spark, dir).orderBy("id").collect()
+    assert(TxTable.snapshot(spark, dir).columns.toSeq == Seq("id", "v", "tag"),
+      "the tracked schema must type the default read deterministically")
+    assert(tracked.take(2).forall(_.isNullAt(2)))
+    assert(tracked(2).getString(2) == "x")
+    // the explicit mergeSchema read unions footers: same answer here
     val merged = TxTable.snapshot(spark, dir, mergeSchema = true)
       .orderBy("id").collect()
     assert(merged.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
