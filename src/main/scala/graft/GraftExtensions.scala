@@ -183,12 +183,20 @@ object GraftExtensions {
     * per-version change feed.
     */
   val tableFunctions: Seq[TableDescription] = Seq(
-    // txtable('/path'[, version])
+    // txtable('/path'[, version | TIMESTAMP '...']) — the second literal
+    // is either a version number (VERSION AS OF) or a timestamp
+    // (TIMESTAMP AS OF, resolved against the log's own in-commit clock
+    // via TxTable.versionAt — O(log tip) probes, never a log listing)
     t("txtable") { args =>
       require(args.size == 1 || args.size == 2,
-        s"txtable expects (path[, version]), got ${args.size} args")
+        s"txtable expects (path[, version | timestamp]), got ${args.size} args")
       val path = litStr(args.head, "txtable", "path")
-      val version = args.lift(1).map(litLong(_, "txtable", "version"))
+      val version = args.lift(1).map {
+        case Literal(micros: Long, org.apache.spark.sql.types.TimestampType) =>
+          graft.sources.TxTable.versionAt(SparkSession.active, path,
+            Math.floorDiv(micros, 1000L))
+        case other => litLong(other, "txtable", "version")
+      }
       GraftBridge.planOf(graft.sources.TxFileIndex.snapshotIndexed(
         SparkSession.active, path, version))
     },

@@ -37,7 +37,8 @@ object ParityQueries extends QueryFamily {
     "txtable" -> (stagedTxTableDir _),
     "txstats" -> (stagedTxStatsDir _),
     "txlang" -> (stagedTxLangDir _),
-    "txzorder" -> (stagedTxZorderDir _))
+    "txzorder" -> (stagedTxZorderDir _),
+    "txfile" -> (stagedTxFileDir _))
 
   /** The five-version transactional table over `documents` (q210/q211):
     * three appends splitting by doc_id % 3, one compaction (live dirs
@@ -79,6 +80,24 @@ object ParityQueries extends QueryFamily {
           docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
           statsCols = Seq("doc_id"))
       }
+      ()
+    }
+
+  /** The ONE-DIRECTORY, TEN-FILE table over `documents` (q235): a
+    * single append written `repartitionByRange(10, doc_id)`, so the
+    * directory holds ten range-disjoint FILES and the log's per-file
+    * records (`file:`/`fstats:` actions) are the only thing that can
+    * prune — directory stats span the whole table. `lang` stats ride
+    * along so null counts are recorded too.
+    */
+  private def stagedTxFileDir(s: SparkSession, dir: String): String =
+    Staging.dir(s, "graft_txfile", Seq(s"$dir/documents.parquet"),
+      "one-append:range10-files:stats-docid-lang:v1", "_log/" + "0" * 19 + "1") { stage =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.append(s, stage,
+        docs.repartitionByRange(10, col("doc_id")),
+        statsCols = Seq("doc_id", "lang"))
       ()
     }
 
@@ -554,6 +573,73 @@ object ParityQueries extends QueryFamily {
         .filter(col("doc_id") >= n / 5 && col("doc_id") <= 2 * n / 5
           && col("n_chars") % 3 =!= 0L)
         .orderBy("doc_id")
+    }),
+
+    // ---- FILE-granularity pruning over the LOG-BACKED listing
+    //      ([[graft.sources.TxFileIndex]], r17): the staged table is
+    //      ONE directory of TEN range-disjoint files, so directory
+    //      stats span everything and only the log's per-FILE records
+    //      (`file:`/`fstats:` actions — names, lengths, per-file
+    //      min/max + null counts) can prune; a plain range + IS NOT
+    //      NULL filter drops files at planning time with ZERO
+    //      filesystem listings on the plan path (TxFileIndexSpec pins
+    //      fallbackListings == 0 and the kept-file counts). Oracle:
+    //      q219's range algebra + the null test, stated plainly. ----
+    "q235_txtable_file_pruned_scan" -> ((s, dir) => {
+      val tdir = stagedTxFileDir(s, dir)
+      val n = table(s, dir, "documents").count()
+      graft.sources.TxFileIndex.snapshotIndexed(s, tdir)
+        .filter(col("doc_id") >= n / 5 && col("doc_id") <= 2 * n / 5
+          && col("lang").isNotNull)
+        .orderBy("doc_id")
+    }),
+
+    // ---- The table as a REAL STRUCTURED STREAMING SOURCE
+    //      ([[graft.streaming.TxTableSource]], r17 — the engine-driven
+    //      twin of q227's scheduler-driven followChanges):
+    //      `readStream.format("txtable")` tails the staged five-version
+    //      table's commit log (version number = stream offset, one
+    //      change slice per version, layout commits advance the offset
+    //      with empty slices), AvailableNow-drained through foreachBatch
+    //      into a sink table exactly-once (txn-ledgered append per
+    //      micro-batch). The sink must hold the full per-commit feed —
+    //      the same oracle as q227 states directly over documents. ----
+    "q234_txtable_stream_source" -> ((s, dir) => {
+      val src = stagedTxTableDir(s, dir)
+      val sink = Scratch.freshDir(s, "q234sink", dir)
+      val q = s.readStream.format("txtable").load(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.TxTable.appendTxn(s, sink, batch, "q234", batchId)
+          ()
+        }
+        .option("checkpointLocation", Scratch.freshDir(s, "q234ckpt", dir))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sources.TxTable.snapshot(s, sink)
+        .orderBy("_commit_version", "doc_id")
+    }),
+
+    // ---- TIMESTAMP AS OF from PURE SQL ([[GraftExtensions]]'s
+    //      txtable() TVF riding [[graft.sources.TxTable.versionAt]],
+    //      r17): the cut timestamp is version 3's own in-commit clock
+    //      read from DESCRIBE HISTORY, so the SQL read must surface
+    //      exactly deciles 0-2 of the staged stats table — the binary
+    //      search over constructed entry names resolves it in O(log
+    //      tip) probes (spec-pinned), and the oracle states the
+    //      three-decile algebra plainly over documents. ----
+    "q236_txtable_timestamp_travel" -> ((s, dir) => {
+      val tdir = stagedTxStatsDir(s, dir)
+      graft.GraftExtensions.registerAll(s)
+      val ts3 = graft.sources.TxTable.history(s, tdir)
+        .filter(col("version") === 3L).head().getLong(1)
+      val litTs = java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(ts3), java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      s.sql(s"SELECT doc_id, lang, n_chars FROM txtable('$tdir', " +
+        s"TIMESTAMP '$litTs') ORDER BY doc_id")
     }),
 
     // ---- TRANSACTIONAL TABLE ([[graft.sources.TxTable]], the r12
@@ -1567,6 +1653,37 @@ object ParityQueries extends QueryFamily {
          WHERE doc_id >= (SELECT COUNT(*) // 5 FROM documents)
            AND doc_id <= (SELECT (2 * COUNT(*)) // 5 FROM documents)
            AND n_chars % 3 <> 0
+         ORDER BY doc_id""",
+    // file-granularity pruning must be answer-invisible: q219's range
+    // algebra plus the null test, stated plainly over documents
+    "q235_txtable_file_pruned_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id >= (SELECT COUNT(*) // 5 FROM documents)
+           AND doc_id <= (SELECT (2 * COUNT(*)) // 5 FROM documents)
+           AND lang IS NOT NULL
+         ORDER BY doc_id""",
+    // the engine-driven stream drain must equal the scheduler-driven
+    // q227 feed: the full per-commit change feed from the empty
+    // baseline, stated directly over documents
+    "q234_txtable_stream_source" ->
+      """SELECT doc_id, lang, source, n_chars, 'insert' AS _change_type,
+                CAST(1 AS BIGINT) AS _commit_version
+         FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars, 'insert', CAST(2 AS BIGINT)
+         FROM documents WHERE doc_id % 3 = 1
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars, 'insert', CAST(3 AS BIGINT)
+         FROM documents WHERE doc_id % 3 = 2
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars, 'delete', CAST(5 AS BIGINT)
+         FROM documents WHERE doc_id % 10 = 7
+         ORDER BY _commit_version, doc_id""",
+    // TIMESTAMP AS OF at version 3's own commit clock = the first three
+    // deciles of the staged stats table, stated plainly over documents
+    "q236_txtable_timestamp_travel" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id < (SELECT (3 * COUNT(*)) // 10 FROM documents)
          ORDER BY doc_id""",
     // the transactional replace must be answer-invisible: plain CASE
     // algebra, bounds in the same Long integer division as the Spark side

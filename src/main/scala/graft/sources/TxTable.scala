@@ -59,9 +59,16 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, Inte
   * `stats:data/<uuid>:<col>:<min>:<max>` (integer/date columns, exact
   * longs), `sstats:data/<uuid>:<col>:<b64 min>:<b64 max|->` (string
   * columns, base64 over UTF-8; `-` = no finite upper bound after
-  * truncation), and `schema:<b64 json>` (the CURRENT table schema — the
-  * Delta metadata action, written on the first commit and whenever a
-  * write evolves or replaces the schema, latest line wins). The snapshot at version V is `union(adds in 1..V) -
+  * truncation), PER-FILE records
+  * `file:<rel>:<name>:<len>:<mtime>:<rows|->` +
+  * `fstats:<rel>:<name>:<col>:<lo|->:<hi|->:<nulls|->` / `fsstats:`
+  * (the Delta add-action FILE granularity: [[TxFileIndex]] fabricates
+  * its listing from these — zero filesystem listings on the plan path —
+  * and prunes file-by-file, null counts included; checkpoint size
+  * therefore scales with the live FILE count, the same trade Delta's
+  * checkpoints make), and `schema:<b64 json>` (the CURRENT table schema
+  * — the Delta metadata action, written on the first commit and
+  * whenever a write evolves or replaces the schema, latest line wins). The snapshot at version V is `union(adds in 1..V) -
   * union(removes in 1..V)`; readers start from the latest CHECKPOINT at
   * or below V (its `live:`/`stats:`/`sstats:`/`txn:` lines are that
   * state, precomputed) and replay only the entries after it — read work

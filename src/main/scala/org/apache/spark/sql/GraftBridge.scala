@@ -43,4 +43,17 @@ object GraftBridge {
     */
   def planOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.DataFrame].queryExecution.analyzed
+
+  /** Re-tag a batch frame as a STREAMING one — what a V1 streaming
+    * `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming` before grafting the batch plan into the streaming
+    * plan). The same `internalCreateDataFrame(rdd, schema, isStreaming =
+    * true)` call Spark's own FileStreamSource makes; the RDD is the
+    * frame's lazily-planned execution, so nothing computes here.
+    */
+  def streamingFrameOf(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val cdf = df.asInstanceOf[classic.DataFrame]
+    cs.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

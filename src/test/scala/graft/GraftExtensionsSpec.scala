@@ -124,6 +124,33 @@ class GraftExtensionsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
   }
 
+  test("txtable() TVF time-travels by TIMESTAMP through the in-commit " +
+      "clock (TIMESTAMP AS OF from pure SQL)") {
+    registered
+    val dir = java.nio.file.Files.createTempDirectory("txtvft").toString
+    import graft.sources.TxTable
+    TxTable.append(spark, dir, (0L until 10L).map(i => (i, i)).toDF("id", "v"))
+    TxTable.append(spark, dir, (10L until 20L).map(i => (i, i)).toDF("id", "v"))
+    val ts1 = TxTable.history(spark, dir).filter(col("version") === 1L)
+      .head().getLong(1)
+    val litTs = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ts1), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+        s"SELECT COUNT(*) AS n FROM txtable('$dir', TIMESTAMP '$litTs')")
+      .head().getLong(0) == 10L,
+      "the cut at v1's own commit timestamp must read exactly v1")
+    // before retained history: informative failure, not a wrong answer
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM txtable('$dir', TIMESTAMP '1999-01-01 00:00:00')")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("predates")), e.getMessage)
+  }
+
   test("txtable() TVF on a fully-deleted table returns a TYPED empty " +
       "frame, matching the Scala snapshot (r16 advice)") {
     registered

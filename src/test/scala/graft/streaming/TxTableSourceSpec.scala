@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.sources.TxTable
+
+/** `readStream.format("txtable")` ([[TxTableSource]]) — the commit log
+  * as a REAL Structured Streaming source: version offsets, per-version
+  * change slices, checkpoint-resume exactly-once, rate limiting.
+  */
+class TxTableSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, i * 10)).toDF("id", "v")
+
+  /** Drain every available version into a buffer via foreachBatch,
+    * one-shot (AvailableNow), and return the collected (batchRows,
+    * versionsInBatch) plus the query's own row view.
+    */
+  private def drain(src: String, checkpoint: String,
+      sink: scala.collection.mutable.ArrayBuffer[Row],
+      batches: scala.collection.mutable.ArrayBuffer[Seq[Long]],
+      maxVersionsPerTrigger: Option[Int] = None): Unit = {
+    var reader = spark.readStream.format("txtable")
+    maxVersionsPerTrigger.foreach(m =>
+      reader = reader.option("maxVersionsPerTrigger", m.toString))
+    val q = reader.load(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = batch.collect()
+        sink.synchronized {
+          sink ++= got
+          batches += got.map(_.getLong(got.head.fieldIndex("_commit_version")))
+            .distinct.sorted.toSeq
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("an AvailableNow drain equals the whole per-version change feed") {
+    val src = freshDir("txsrc")
+    TxTable.append(spark, src, rows(0, 4))
+    TxTable.append(spark, src, rows(4, 8))
+    TxTable.delete(spark, src, col("id") === 1L)
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    drain(src, freshDir("txck"), sink, batches)
+    val want = TxTable.tableChangesByVersion(spark, src, 0L, 3L)
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    val got = sink
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(got == want, "the drained stream must equal the change feed")
+    assert(got.count(_._3 == "delete") == 1)
+  }
+
+  test("checkpoint resume: a restarted stream emits ONLY versions past " +
+      "the committed offset — exactly-once across restarts") {
+    val src = freshDir("txsrc")
+    val ck = freshDir("txck")
+    TxTable.append(spark, src, rows(0, 3))
+    TxTable.append(spark, src, rows(3, 6))
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    drain(src, ck, sink, batches)
+    assert(sink.size == 6)
+    // the source moves on while the stream is down
+    TxTable.append(spark, src, rows(6, 9))
+    TxTable.delete(spark, src, col("id") === 0L)
+    drain(src, ck, sink, batches)
+    val byVersion = sink.groupBy(_.getLong(3)).view.mapValues(_.size).toMap
+    assert(byVersion == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 1),
+      s"no version may re-emit after resume: $byVersion")
+    // an idle restart (nothing new) emits nothing
+    drain(src, ck, sink, batches)
+    assert(sink.size == 10)
+  }
+
+  test("maxVersionsPerTrigger rate-limits the catch-up: one version per " +
+      "micro-batch once the offset floor is known") {
+    val src = freshDir("txsrc")
+    val ck = freshDir("txck")
+    TxTable.append(spark, src, rows(0, 2))
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    // first drain pins the floor at v1
+    drain(src, ck, sink, batches, maxVersionsPerTrigger = Some(1))
+    // a 3-version backlog then arrives one commit per batch
+    TxTable.append(spark, src, rows(2, 4))
+    TxTable.append(spark, src, rows(4, 6))
+    TxTable.append(spark, src, rows(6, 8))
+    drain(src, ck, sink, batches, maxVersionsPerTrigger = Some(1))
+    assert(sink.size == 8)
+    assert(batches.forall(_.size <= 1),
+      s"each micro-batch must carry at most one version: $batches")
+    assert(batches.flatten.toSeq == Seq(1L, 2L, 3L, 4L),
+      s"versions must arrive in order: $batches")
+  }
+
+  test("layout commits advance the offset with empty slices; the sink " +
+      "sees no phantom rows") {
+    val src = freshDir("txsrc")
+    val ck = freshDir("txck")
+    TxTable.append(spark, src, rows(0, 3))
+    TxTable.append(spark, src, rows(3, 6))
+    TxTable.compact(spark, src) // v3: snapshot-neutral
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    drain(src, ck, sink, batches)
+    assert(sink.size == 6, "a compaction must contribute no change rows")
+    assert(sink.forall(_.getString(2) == "insert"))
+    // and the offset DID advance past it: a redrain emits nothing
+    drain(src, ck, sink, batches)
+    assert(sink.size == 6)
+  }
+}
