@@ -642,6 +642,43 @@ object ParityQueries extends QueryFamily {
         s"TIMESTAMP '$litTs') ORDER BY doc_id")
     }),
 
+    // ---- MULTI-TABLE ATOMIC TRANSACTIONS ([[graft.sources.TxGroup]],
+    //      r17 — beyond Delta OSS, which commits to one table per
+    //      transaction): three ingest batches each commit a documents
+    //      SLICE and its per-language COUNT slice in ONE log entry
+    //      (put-if-absent atomicity — a reader at any version sees both
+    //      tables' slices or neither, TxGroupSpec pins the
+    //      per-version invariant), ledgered exactly-once (the replayed
+    //      last batch skips WHOLE-transaction). The answer joins the
+    //      fact table to the aggregate side table — consistent by
+    //      construction — and the oracle states it as a plain window
+    //      count over documents. ----
+    "q237_txgroup_atomic_ingest" -> ((s, dir) => {
+      val g = Scratch.freshDir(s, "q237grp", dir)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def slice(m: Int) = docs.filter(col("doc_id") % 3 === m)
+      def writesOf(m: Int) = Seq(
+        "docs" -> slice(m),
+        "lang_counts" -> slice(m).groupBy("lang").agg(count(lit(1)).as("n")))
+      (0 until 3).foreach { m =>
+        graft.sources.TxGroup.appendMany(s, g, writesOf(m),
+          statsCols = Map("docs" -> Seq("doc_id")),
+          txn = Some(("q237", m.toLong)))
+      }
+      // at-least-once upstream replays the last batch: the ledger skips
+      // the WHOLE two-table transaction (returns None)
+      require(graft.sources.TxGroup
+        .appendMany(s, g, writesOf(2), txn = Some(("q237", 2L))).isEmpty,
+        "a replayed ledgered transaction must skip whole")
+      val d = graft.sources.TxGroup.snapshot(s, g, "docs")
+      val c = graft.sources.TxGroup.snapshot(s, g, "lang_counts")
+        .groupBy("lang").agg(sum("n").cast("long").as("lang_total"))
+      d.join(broadcast(c), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("lang_total"))
+        .orderBy("doc_id")
+    }),
+
     // ---- TRANSACTIONAL TABLE ([[graft.sources.TxTable]], the r12
     //      verdict's optional surface): a Delta-style ordered commit
     //      log over parquet — the staged table is built as five
@@ -1685,6 +1722,13 @@ object ParityQueries extends QueryFamily {
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id < (SELECT (3 * COUNT(*)) // 10 FROM documents)
          ORDER BY doc_id""",
+    // the atomically-ingested fact + aggregate pair must equal the plain
+    // window count over documents (the aggregate side table is exact by
+    // the per-commit atomicity)
+    "q237_txgroup_atomic_ingest" ->
+      """SELECT doc_id, lang, n_chars,
+                COUNT(*) OVER (PARTITION BY lang) AS lang_total
+         FROM documents ORDER BY doc_id""",
     // the transactional replace must be answer-invisible: plain CASE
     // algebra, bounds in the same Long integer division as the Spark side
     "q221_txtable_replace_range" ->

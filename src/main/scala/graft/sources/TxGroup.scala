@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.sources.TxTable.{CommitConflict, LongStat}
+
+/** MULTI-TABLE ATOMIC TRANSACTIONS — N tables, ONE commit (the r16
+  * verdict's named beyond-Delta-OSS option; Delta can only commit to a
+  * single table per transaction, so a fact table and its derived
+  * side table — an aggregate, an ANN index, a lineage record — always
+  * have a window where readers see one without the other).
+  *
+  * A GROUP is one [[TxTable]]-protocol commit log whose data
+  * directories are NAMESPACED by table: `<group>/<table>/data/<uuid>`.
+  * Because the log's unit of atomicity is the single put-if-absent
+  * entry, a commit carrying `add:` lines for SEVERAL tables is atomic
+  * across all of them BY CONSTRUCTION — no two-phase protocol, no
+  * outcome pointer, no reader-side resolution: a snapshot at any
+  * version either sees every table's slice of a transaction or none of
+  * it. Time travel, in-commit timestamps, checkpoints, the
+  * `_last_checkpoint` pointer, log retention, per-directory/per-file
+  * stats, and the per-writer txn ledger all ride the SAME machinery
+  * ([[TxTable.stateAt]] replays group logs unchanged — rels are opaque
+  * strings to it), so a group pays nothing the single-table format
+  * does not.
+  *
+  * The flagship shape: a streaming ingest commits the CORPUS slice and
+  * its derived INDEX/AGGREGATE slice in one entry, exactly-once
+  * through the same `txn:` ledger ([[appendMany]]'s `txn` parameter) —
+  * downstream readers can join the two tables at ANY version without
+  * skew.
+  *
+  * v1 scope (documented, enforced): groups are APPEND-shaped — the
+  * atomic multi-table operations are append/overwrite-free ingest;
+  * per-table deletes/merges/column-mapping/constraints remain the
+  * single-table [[TxTable]]'s domain (a group table needing them
+  * should be a referenced single table instead). The group records no
+  * `schema:` action (one slot, many tables); the write gate reads each
+  * table's live footers instead. Use [[TxTable]] maintenance surfaces
+  * ([[TxTable.checkpoint]], [[TxTable.cleanupLog]]) directly on the
+  * group dir — they only touch `_log`.
+  */
+object TxGroup {
+
+  private def requireTableName(t: String): Unit =
+    require(t.nonEmpty && !t.contains(":") && !t.contains("/") && !t.startsWith("_")
+      && t != "data" && t != "dv",
+      s"group table names must be non-empty, colon/slash-free, not 'data'/'dv', " +
+        s"and not start with '_': '$t'")
+
+  private def prefix(table: String): String = s"$table/data/"
+
+  /** Live data directories of one member table at a state. */
+  private def tableDirs(state: TxTable.TableState, table: String): Seq[String] =
+    state.live.filter(_.startsWith(prefix(table)))
+
+  /** The member tables with live data at `version` (default tip). */
+  def tables(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Seq[String] =
+    TxTable.resolvedState(spark, dir, version)._2.live
+      .map(_.takeWhile(_ != '/')).distinct
+      .filterNot(p => p.isEmpty || p == "data" || p == "dv")
+
+  /** Snapshot-isolated read of ONE member table at `version` (default
+    * tip) — the same single-parquet-scan plan as a [[TxTable.snapshot]],
+    * over the table's namespaced directories only.
+    */
+  def snapshot(spark: SparkSession, dir: String, table: String,
+      version: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
+    requireTableName(table)
+    val (_, state) = TxTable.resolvedState(spark, dir, version)
+    val dirs = tableDirs(state, table)
+    require(dirs.nonEmpty,
+      s"group $dir has no table '$table' at this version " +
+        s"(tables: ${tables(spark, dir, version).mkString(", ")})")
+    TxTable.scanLiveDirs(spark, dir, state, dirs, mergeSchema)
+  }
+
+  /** [[snapshot]] restricted to a stats-range conjunction — the
+    * [[TxTable.snapshotWhere]] pruning over one member table's
+    * directories (integer/date ranges; recorded per-directory stats
+    * drop provably disjoint directories before the scan plans, the
+    * residual filter re-applies exactly).
+    */
+  def snapshotRange(spark: SparkSession, dir: String, table: String,
+      colName: String, lo: Long, hi: Long): DataFrame = {
+    requireTableName(table)
+    require(lo <= hi, s"empty range on $colName: $lo > $hi")
+    val (_, state) = TxTable.resolvedState(spark, dir, None)
+    val dirs = tableDirs(state, table)
+    require(dirs.nonEmpty, s"group $dir has no table '$table'")
+    val kept = dirs.filter(d =>
+      state.stats.get(d).flatMap(_.get(colName)) match {
+        case Some(LongStat(dLo, dHi)) => dHi >= lo && dLo <= hi
+        case _ => true // missing/kind-mismatched stats never prune
+      })
+    val base =
+      if (kept.isEmpty)
+        TxTable.scanLiveDirs(spark, dir, state, dirs, mergeSchema = false)
+          .filter(org.apache.spark.sql.functions.lit(false))
+      else TxTable.scanLiveDirs(spark, dir, state, kept, mergeSchema = false)
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  /** ATOMIC MULTI-TABLE APPEND: every (table, frame) lands as one data
+    * directory under its table's namespace, and ONE log entry publishes
+    * them all — readers at any version see every table's slice or none.
+    * Each frame is schema-gated against ITS table's live schema (type
+    * conflicts and silent drops rejected; new columns need
+    * `allowAdditive`). With `txn = Some((writerId, txnId))` the commit
+    * is LEDGERED exactly like [[TxTable.appendTxn]]: a replay at or
+    * below the writer's ledger skips WHOLE-TRANSACTION (returns None) —
+    * an at-least-once upstream commits the corpus AND its derived
+    * tables exactly-once, atomically. A lost commit race re-reads the
+    * tip, RE-GATES every table against the new state, and claims
+    * gated-tip + 1 — the same serializable-gate shape as the
+    * single-table append. Returns the committed version (None = txn
+    * replay skipped).
+    */
+  def appendMany(spark: SparkSession, dir: String,
+      writes: Seq[(String, DataFrame)],
+      statsCols: Map[String, Seq[String]] = Map.empty,
+      allowAdditive: Boolean = false,
+      txn: Option[(String, Long)] = None): Option[Long] = {
+    require(writes.nonEmpty, "appendMany needs at least one (table, frame)")
+    writes.foreach { case (t, _) => requireTableName(t) }
+    require(writes.map(_._1).distinct.size == writes.size,
+      s"duplicate table in one transaction: ${writes.map(_._1).mkString(", ")}")
+    statsCols.keys.foreach(requireTableName)
+    txn.foreach { case (w, _) =>
+      require(!w.contains(":") && w.nonEmpty,
+        s"writerId must be non-empty and colon-free: '$w'")
+    }
+    val (fs, root) = fsFor(spark, dir)
+    // write every table's directory FIRST (uuid-keyed, invisible until
+    // the one entry publishes — a crash leaves vacuum-reclaimable
+    // debris, never a partial transaction)
+    val rels: Seq[(String, String, DataFrame)] = writes.map { case (t, df) =>
+      val rel = s"$t/data/${java.util.UUID.randomUUID().toString.take(12)}"
+      df.write.mode("overwrite").parquet(s"$dir/$rel")
+      (t, rel, df)
+    }
+    def cleanup(): Unit = rels.foreach { case (_, rel, _) =>
+      fs.delete(new Path(root, rel), true)
+    }
+    val statsL = rels.flatMap { case (t, rel, _) =>
+      TxTable.statsLines(spark, dir, rel, statsCols.getOrElse(t, Nil))
+    }
+    val opLines = Seq("op:append") ++ txn.map { case (w, id) => s"txn:$w:$id" } ++
+      rels.map { case (_, rel, _) => s"add:$rel" } ++ statsL
+    // serializable gate loop: gate every table against the CURRENT
+    // state, claim gated-tip + 1; a lost claim re-reads and re-gates
+    var gatedTip = -1L
+    var attempts = 0
+    while (attempts < 64) {
+      val curTip = TxTable.tipOrZero(spark, dir)
+      if (curTip != gatedTip) {
+        val state = if (curTip == 0) None else Some(TxTable.stateAt(spark, dir, curTip))
+        txn.foreach { case (w, id) =>
+          if (state.exists(_.txns.get(w).exists(_ >= id))) {
+            cleanup() // a concurrent replay already committed this txn
+            return None
+          }
+        }
+        try rels.foreach { case (t, _, df) =>
+          state.map(st => tableDirs(st, t)).filter(_.nonEmpty).foreach { dirs =>
+            scala.util.Try(spark.read.option("mergeSchema", "true")
+              .parquet(dirs.map(d => TxTable.dataPath(dir, d)): _*).schema)
+              .toOption.foreach(existing =>
+                TxTable.enforceWriteSchema(existing, df.schema, allowAdditive,
+                  Set.empty, s"appendMany table '$t'"))
+          }
+        } catch { case e: IllegalArgumentException => cleanup(); throw e }
+        gatedTip = curTip
+      }
+      try {
+        TxTable.publishAt(spark, dir, gatedTip + 1, opLines)
+        return Some(gatedTip + 1)
+      } catch { case _: CommitConflict => attempts += 1 }
+    }
+    cleanup()
+    throw new CommitConflict(
+      s"appendMany could not claim a version in 64 attempts: $dir")
+  }
+
+  /** Highest transaction id `writerId` committed to this group —
+    * [[TxTable.lastTxn]] verbatim (same ledger, same checkpoint bound).
+    */
+  def lastTxn(spark: SparkSession, dir: String, writerId: String): Option[Long] =
+    TxTable.lastTxn(spark, dir, writerId)
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+}

@@ -375,6 +375,14 @@ object TxTable {
     applyDvs(spark, dir, state, base, keepMeta)
   }
 
+  /** [[scanLive]] for sibling sources ([[TxGroup]]'s namespaced member
+    * tables): the same one-scan-plus-DV choke point over an explicit
+    * directory subset.
+    */
+  private[sources] def scanLiveDirs(spark: SparkSession, dir: String,
+      state: TableState, dirs: Seq[String], mergeSchema: Boolean): DataFrame =
+    scanLive(spark, dir, state, dirs, mergeSchema)
+
   /** Apply the outstanding deletion vectors to ANY file-backed scan of
     * this table (the back half of [[scanLive]], shared with the
     * Catalyst-indexed relation): thread `_metadata` through, anti-join
@@ -1606,7 +1614,7 @@ object TxTable {
     * independent of the tip. Data-carrying appends go through
     * [[publishAppendGated]], which RE-RUNS the write gates on retry.
     */
-  private def publishNext(spark: SparkSession, dir: String, lines: Seq[String]): Long = {
+  private[sources] def publishNext(spark: SparkSession, dir: String, lines: Seq[String]): Long = {
     var attempts = 0
     while (attempts < 64) {
       val v = tipOrZero(spark, dir) + 1
@@ -1827,7 +1835,7 @@ object TxTable {
     * an untruncated-or-absent max; an all-null column records only its
     * null count (prunable by IS NOT NULL, boundable by nothing else).
     */
-  private def statsLines(spark: SparkSession, dir: String, rel: String,
+  private[sources] def statsLines(spark: SparkSession, dir: String, rel: String,
       statsCols: Seq[String]): Seq[String] = {
     statsCols.foreach(c => require(!c.contains(":") && c.nonEmpty,
       s"stats column names must be non-empty and colon-free: '$c'"))
@@ -1937,7 +1945,7 @@ object TxTable {
     * mergeSchema contract as a write-side check). `exempt` names are
     * contractual side-channel columns (a CDC log's op/order columns).
     */
-  private def enforceWriteSchema(existing: StructType, incoming: StructType,
+  private[sources] def enforceWriteSchema(existing: StructType, incoming: StructType,
       allowAdditive: Boolean, exempt: Set[String], what: String): Unit = {
     existing.fields.foreach { f =>
       incoming.fields.find(_.name == f.name) match {

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[TxGroup]] — multi-table atomic transactions: one put-if-absent
+  * log entry carries several tables' adds, so readers at ANY version
+  * see every table's slice of a transaction or none of it.
+  */
+class TxGroupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("txgroup").toString
+
+  private def docs(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+
+  private def countsOf(lo: Long, hi: Long) =
+    docs(lo, hi).groupBy("lang").agg(count(lit(1)).as("n"))
+
+  test("one commit, two tables: reads are consistent at EVERY version") {
+    val dir = freshDir()
+    // three atomic (docs slice, counts-of-slice) transactions
+    Seq((0L, 4L), (4L, 10L), (10L, 11L)).foreach { case (lo, hi) =>
+      val v = TxGroup.appendMany(spark, dir,
+        Seq("docs" -> docs(lo, hi), "lang_counts" -> countsOf(lo, hi)))
+      assert(v.isDefined)
+    }
+    assert(TxGroup.tables(spark, dir).sorted == Seq("docs", "lang_counts"))
+    // the ATOMICITY read: at every committed version the aggregate
+    // table exactly accounts for the docs table — no skew window exists
+    TxTable.versions(spark, dir).foreach { v =>
+      val nDocs = TxGroup.snapshot(spark, dir, "docs", Some(v)).count()
+      val nCounted = TxGroup.snapshot(spark, dir, "lang_counts", Some(v))
+        .agg(sum("n")).head().getLong(0)
+      assert(nDocs == nCounted, s"version $v: docs=$nDocs counted=$nCounted")
+    }
+    assert(TxGroup.snapshot(spark, dir, "docs").count() == 11L)
+    assert(TxGroup.snapshot(spark, dir, "lang_counts")
+      .groupBy("lang").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("en" -> 6L, "de" -> 5L))
+  }
+
+  test("ledgered transaction: a replay skips the WHOLE multi-table " +
+      "commit (exactly-once for corpus + derived table together)") {
+    val dir = freshDir()
+    val w = Seq("docs" -> docs(0, 5), "lang_counts" -> countsOf(0, 5))
+    assert(TxGroup.appendMany(spark, dir, w, txn = Some(("ingest", 7L))).contains(1L))
+    // the at-least-once upstream replays the batch
+    assert(TxGroup.appendMany(spark, dir, w, txn = Some(("ingest", 7L))).isEmpty)
+    assert(TxGroup.lastTxn(spark, dir, "ingest").contains(7L))
+    assert(TxGroup.snapshot(spark, dir, "docs").count() == 5L)
+    assert(TxGroup.snapshot(spark, dir, "lang_counts").agg(sum("n"))
+      .head().getLong(0) == 5L)
+    assert(TxTable.versions(spark, dir) == Seq(1L))
+  }
+
+  test("the schema gate rejects the WHOLE transaction when ANY table's " +
+      "frame conflicts — nothing publishes, all written dirs reclaimed") {
+    val dir = freshDir()
+    TxGroup.appendMany(spark, dir,
+      Seq("docs" -> docs(0, 3), "lang_counts" -> countsOf(0, 3)))
+    val bad = Seq(
+      "docs" -> docs(3, 6),
+      "lang_counts" -> Seq(("en", "not_a_long")).toDF("lang", "n")) // type conflict
+    intercept[IllegalArgumentException] {
+      TxGroup.appendMany(spark, dir, bad)
+    }
+    assert(TxTable.versions(spark, dir) == Seq(1L),
+      "a rejected transaction must publish nothing for ANY table")
+    assert(TxGroup.snapshot(spark, dir, "docs").count() == 3L)
+    // the half-written directories are gone (no vacuum-wait debris from
+    // a gate rejection — the gate cleans up its own writes)
+    val dataDirs = Seq("docs", "lang_counts").flatMap { t =>
+      val p = java.nio.file.Paths.get(dir, t, "data")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala.toSeq
+    }
+    assert(dataDirs.size == 2, s"expected one dir per table, got $dataDirs")
+  }
+
+  test("racing multi-table transactions: versions stay contiguous and " +
+      "every committed transaction is complete (both tables, exactly once)") {
+    val dir = freshDir()
+    val writers = (0 until 6).map { i =>
+      new Thread(() => {
+        TxGroup.appendMany(spark, dir,
+          Seq("docs" -> docs(i * 10L, i * 10L + 3L),
+            "lang_counts" -> countsOf(i * 10L, i * 10L + 3L)))
+        ()
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    assert(TxTable.versions(spark, dir) == (1L to 6L))
+    // every version's pair is consistent — atomicity survived the races
+    (1L to 6L).foreach { v =>
+      val nDocs = TxGroup.snapshot(spark, dir, "docs", Some(v)).count()
+      val nCounted = TxGroup.snapshot(spark, dir, "lang_counts", Some(v))
+        .agg(sum("n")).head().getLong(0)
+      assert(nDocs == nCounted, s"version $v: docs=$nDocs counted=$nCounted")
+    }
+    assert(TxGroup.snapshot(spark, dir, "docs").count() == 18L)
+  }
+
+  test("per-table stats prune member reads; checkpoints bound replay " +
+      "across the CheckpointEvery boundary") {
+    val dir = freshDir()
+    (0 until 10).foreach { i =>
+      TxGroup.appendMany(spark, dir,
+        Seq("docs" -> docs(i * 100L, i * 100L + 100L),
+          "lang_counts" -> countsOf(i * 100L, i * 100L + 100L)),
+        statsCols = Map("docs" -> Seq("id")))
+    }
+    // 10 commits cross the CheckpointEvery=8 boundary
+    assert(TxTable.replayBase(spark, dir) >= 8L)
+    val pruned = TxGroup.snapshotRange(spark, dir, "docs", "id", 250L, 349L)
+    assert(pruned.inputFiles.length <
+      TxGroup.snapshot(spark, dir, "docs").inputFiles.length,
+      "stats must prune the member table's scan")
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (250L until 350L))
+  }
+}
