@@ -200,6 +200,17 @@ object GraftExtensions {
       GraftBridge.planOf(graft.sources.TxFileIndex.snapshotIndexed(
         SparkSession.active, path, version))
     },
+    // txgroup('/path', 'table'[, version]) — one member table of a
+    // multi-table transaction group (TxGroup), snapshot-isolated
+    t("txgroup") { args =>
+      require(args.size == 2 || args.size == 3,
+        s"txgroup expects (path, table[, version]), got ${args.size} args")
+      GraftBridge.planOf(graft.sources.TxGroup.snapshot(
+        SparkSession.active,
+        litStr(args.head, "txgroup", "path"),
+        litStr(args(1), "txgroup", "table"),
+        args.lift(2).map(litLong(_, "txgroup", "version"))))
+    },
     // txtable_changes('/path', fromVersion, toVersion) — the Delta
     // table_changes TVF: the net insert/delete feed between versions
     t("txtable_changes") { args =>

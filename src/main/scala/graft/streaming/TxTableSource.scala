@@ -24,6 +24,14 @@ import graft.sources.TxTable
   * committed offset are never re-emitted.
   *
   * Options: `path` (the table directory — or pass it to `.load(path)`),
+  * `startingVersion` (the first version the feed emits — Delta's
+  * startingVersion; default 1, the whole feed from the empty baseline),
+  * `startingTimestamp` (`yyyy-MM-dd HH:mm:ss[.fff]`, UTC — the
+  * engine's session default: the
+  * feed begins with the first version whose IN-COMMIT timestamp is
+  * strictly after the cut — resolved through [[TxTable.versionAt]]'s
+  * O(log tip) binary search; a cut predating retained history yields
+  * the whole feed), and
   * `maxVersionsPerTrigger` (Delta's maxFilesPerTrigger shape: a
   * follower that fell behind catches up at most this many commits per
   * micro-batch instead of unioning its whole backlog into one giant
@@ -49,11 +57,14 @@ import graft.sources.TxTable
 final class TxTableSource(
     spark: SparkSession,
     dir: String,
-    maxVersionsPerTrigger: Option[Int]) extends Source
+    maxVersionsPerTrigger: Option[Int],
+    startingVersion: Long = 1L) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   maxVersionsPerTrigger.foreach(m =>
     require(m >= 1, s"maxVersionsPerTrigger must be >= 1, got $m"))
+  require(startingVersion >= 1L,
+    s"startingVersion must be >= 1, got $startingVersion")
 
   override val schema: StructType = TxTableSource.changeSchema(spark, dir)
 
@@ -78,8 +89,11 @@ final class TxTableSource(
   // --- admission control: the engine hands this source the COMMITTED
   // offset on every trigger (restarts included — it deserializes the
   // checkpoint through deserializeOffset below), so the rate limit
-  // clamps from the true start with no source-side offset bookkeeping
-  override def initialOffset(): OffsetV2 = LongOffset(0L)
+  // clamps from the true start with no source-side offset bookkeeping.
+  // The initial offset encodes startingVersion (slices are (start, end],
+  // so the first emitted version is exactly startingVersion); the
+  // default 1 yields the whole feed from the empty baseline.
+  override def initialOffset(): OffsetV2 = LongOffset(startingVersion - 1L)
 
   override def deserializeOffset(json: String): OffsetV2 =
     LongOffset(json.trim.toLong)
@@ -89,10 +103,13 @@ final class TxTableSource(
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val tip = availableTarget.getOrElse(TxTable.tipOrZero(spark, dir))
     if (tip <= 0) return null
+    // a null start is the cold start (the engine does not route v1
+    // sources through initialOffset on this path): begin at the
+    // configured startingVersion
     val from = Option(start).map {
       case LongOffset(v) => v
       case o => o.json().trim.toLong
-    }.getOrElse(0L)
+    }.getOrElse(startingVersion - 1L)
     val end = maxVersionsPerTrigger.map(m => math.min(tip, from + m)).getOrElse(tip)
     LongOffset(math.max(end, from))
   }
@@ -107,7 +124,7 @@ final class TxTableSource(
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(versionOf).getOrElse(0L)
+    val from = start.map(versionOf).getOrElse(startingVersion - 1L)
     val to = versionOf(end)
     // slices (from, to] — from = None is the cold start, and version 0
     // is the EMPTY table, so the initial content arrives as the first
@@ -148,9 +165,29 @@ final class TxTableSourceProvider extends StreamSourceProvider with DataSourceRe
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new TxTableSource(sqlContext.sparkSession, pathOf(parameters),
-      parameters.get("maxVersionsPerTrigger").map(_.trim.toInt))
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "set startingVersion OR startingTimestamp, not both")
+    // startingTimestamp: the feed begins with the first version whose
+    // IN-COMMIT timestamp is strictly after the cut (versionAt's exact
+    // complement); a timestamp predating retained history = whole feed
+    val startingVersion = parameters.get("startingVersion")
+      .map(_.trim.toLong)
+      .orElse(parameters.get("startingTimestamp").map { s =>
+        // UTC (the engine's session default), independent of JVM TZ
+        val ms = java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        try graft.sources.TxTable.versionAt(spark, path, ms) + 1L
+        catch { case _: IllegalArgumentException => 1L }
+      })
+      .getOrElse(1L)
+    new TxTableSource(spark, path,
+      parameters.get("maxVersionsPerTrigger").map(_.trim.toInt),
+      startingVersion)
+  }
 }
 
 object TxTableSource {

@@ -180,6 +180,23 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(got == Seq((1L, "insert", 6L), (2L, "delete", 2L)))
   }
 
+  test("txgroup() TVF reads one member table of a transaction group, " +
+      "with version'd time travel") {
+    registered
+    val dir = java.nio.file.Files.createTempDirectory("txgtvf").toString
+    import graft.sources.TxGroup
+    TxGroup.appendMany(spark, dir, Seq(
+      "a" -> (0L until 4L).map(i => (i, i)).toDF("id", "v"),
+      "b" -> Seq((0L, "x")).toDF("id", "tag")))
+    TxGroup.appendMany(spark, dir, Seq(
+      "a" -> (4L until 6L).map(i => (i, i)).toDF("id", "v"),
+      "b" -> Seq((1L, "y")).toDF("id", "tag")))
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM txgroup('$dir', 'a')")
+      .head().getLong(0) == 6L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM txgroup('$dir', 'b', 1)")
+      .head().getLong(0) == 1L)
+  }
+
   test("TVF arguments must be literals — loud failure otherwise") {
     registered
     docs.createOrReplaceTempView("ext_docs")

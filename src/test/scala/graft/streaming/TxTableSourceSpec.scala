@@ -110,6 +110,42 @@ class TxTableSourceSpec extends SparkTestBase {
       s"versions must arrive in order: $batches")
   }
 
+  test("startingVersion / startingTimestamp begin the feed mid-history") {
+    val src = freshDir("txsrc")
+    TxTable.append(spark, src, rows(0, 2))  // v1
+    TxTable.append(spark, src, rows(2, 4))  // v2
+    TxTable.append(spark, src, rows(4, 6))  // v3
+    def drainWith(opts: Map[String, String]): Seq[Long] = {
+      val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var reader = spark.readStream.format("txtable")
+      opts.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = batch.select("_commit_version").collect().map(_.getLong(0))
+          sink.synchronized { sink ++= got }
+          ()
+        }
+        .option("checkpointLocation", freshDir("txck"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink.sorted.toSeq
+    }
+    assert(drainWith(Map("startingVersion" -> "2")) == Seq(2L, 2L, 3L, 3L))
+    // the cut at v1's own in-commit timestamp: strictly-after => v2 on
+    val ts1 = TxTable.history(spark, src).filter(col("version") === 1L)
+      .head().getLong(1)
+    val lit = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ts1), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(drainWith(Map("startingTimestamp" -> lit)) == Seq(2L, 2L, 3L, 3L))
+    // a cut predating retained history = the whole feed
+    assert(drainWith(Map("startingTimestamp" -> "1999-01-01 00:00:00"))
+      == Seq(1L, 1L, 2L, 2L, 3L, 3L))
+  }
+
   test("layout commits advance the offset with empty slices; the sink " +
       "sees no phantom rows") {
     val src = freshDir("txsrc")
