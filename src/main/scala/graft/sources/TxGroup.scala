@@ -191,6 +191,45 @@ object TxGroup {
   def lastTxn(spark: SparkSession, dir: String, writerId: String): Option[Long] =
     TxTable.lastTxn(spark, dir, writerId)
 
+  /** Reclaim CRASH DEBRIS under the group's member-table namespaces:
+    * directories a failed [[appendMany]] wrote but never published
+    * (crash between the parquet writes and the one put-if-absent),
+    * once their own mtime is past `horizonMs` — the [[TxTable.vacuum]]
+    * orphan rule applied to `<table>/data/` roots. v1 groups are
+    * append-shaped (no removes), so orphans are the only reclaimable
+    * class; candidate table roots are the first-level directories that
+    * are not the log or a single-table data/dv root, so a table whose
+    * EVERY transaction crashed pre-publish still gets swept. Returns
+    * reclaimed relative paths.
+    */
+  def vacuum(spark: SparkSession, dir: String,
+      horizonMs: Long = 60L * 60 * 1000): Seq[String] = {
+    val (fs, root) = fsFor(spark, dir)
+    if (!fs.exists(root)) return Nil
+    val tip = TxTable.tipOrZero(spark, dir)
+    val liveNow: Set[String] =
+      if (tip == 0) Set.empty
+      else TxTable.stateAt(spark, dir, tip).live.toSet
+    val cutoff = System.currentTimeMillis() - horizonMs
+    val reclaimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tableRoots = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        !Seq("_log", "data", "dv").contains(st.getPath.getName))
+    tableRoots.foreach { t =>
+      val dataRoot = new Path(t.getPath, "data")
+      if (fs.exists(dataRoot)) {
+        fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { st =>
+          val rel = s"${t.getPath.getName}/data/${st.getPath.getName}"
+          if (!liveNow.contains(rel) && st.getModificationTime < cutoff) {
+            try { if (fs.delete(st.getPath, true)) reclaimed += rel }
+            catch { case _: java.io.IOException => () }
+          }
+        }
+      }
+    }
+    reclaimed.toSeq
+  }
+
   private def fsFor(spark: SparkSession, dir: String) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)

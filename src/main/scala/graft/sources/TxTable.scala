@@ -1063,6 +1063,12 @@ object TxTable {
     val (_, state) = resolvedState(spark, dir, version)
     val dirs = state.live
     require(dirs.nonEmpty, "snapshot of a table whose live set is empty")
+    // typed by the tracked schema like [[snapshot]]: a pruned
+    // post-evolution read surfaces the RECORDED schema deterministically
+    val tracked =
+      if (mergeSchema) None
+      else state.schemaJson.flatMap(j => scala.util.Try(
+        DataType.fromJson(j).asInstanceOf[StructType]).toOption)
     // conjuncts arrive under LOGICAL names; stats and files use physical
     val predsP = preds.map(physPred(_, state.colMap))
     val kept = dirs.filter(d =>
@@ -1070,10 +1076,12 @@ object TxTable {
     if (kept.isEmpty) {
       // every directory provably out of range: an empty frame with the
       // table's schema (planning a scan over zero paths is an error)
-      logicalProject(scanLive(spark, dir, state, dirs, mergeSchema), state.colMap)
+      logicalProject(
+        scanLive(spark, dir, state, dirs, mergeSchema, readerSchema = tracked),
+        state.colMap)
         .filter(org.apache.spark.sql.functions.lit(false))
     } else {
-      val df = scanLive(spark, dir, state, kept, mergeSchema)
+      val df = scanLive(spark, dir, state, kept, mergeSchema, readerSchema = tracked)
       logicalProject(
         df.filter(predsP.map(residual(df.schema, _)).reduce(_ && _)), state.colMap)
     }

@@ -105,6 +105,27 @@ class TxGroupSpec extends SparkTestBase {
     assert(TxGroup.snapshot(spark, dir, "docs").count() == 18L)
   }
 
+  test("group vacuum reclaims crash debris (written, never published) " +
+      "and never touches live transaction directories") {
+    val dir = freshDir()
+    TxGroup.appendMany(spark, dir,
+      Seq("docs" -> docs(0, 4), "lang_counts" -> countsOf(0, 4)))
+    // a crashed transaction: parquet landed, the entry never published
+    val orphan = new org.apache.hadoop.fs.Path(dir, "docs/data/deadbeef0001")
+    docs(100, 103).write.parquet(orphan.toString)
+    // invisible to every reader (not in any entry)
+    assert(TxGroup.snapshot(spark, dir, "docs").count() == 4L)
+    // inside the horizon the orphan is indistinguishable from an
+    // in-flight writer — untouched
+    assert(TxGroup.vacuum(spark, dir, horizonMs = 60L * 60 * 1000).isEmpty)
+    // past the horizon it reclaims; live directories never do
+    assert(TxGroup.vacuum(spark, dir, horizonMs = -1L) ==
+      Seq("docs/data/deadbeef0001"))
+    assert(TxGroup.snapshot(spark, dir, "docs").count() == 4L)
+    assert(TxGroup.snapshot(spark, dir, "lang_counts")
+      .agg(sum("n")).head().getLong(0) == 4L)
+  }
+
   test("per-table stats prune member reads; checkpoints bound replay " +
       "across the CheckpointEvery boundary") {
     val dir = freshDir()
