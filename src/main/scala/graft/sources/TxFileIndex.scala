@@ -48,9 +48,10 @@ import graft.sources.TxTable.{FileRec, LongRange, Stat, StatsPred, StrRange, Str
   * already-reconstructed log state (plus the legacy per-directory
   * fallback listings, none on a current-format table); `listFiles` is
   * pure driver-side set arithmetic over recorded stats (no I/O, no
-  * jobs); [[sizeInBytes]] reports the LAST pruning decision's kept-byte
-  * sum once one exists (the full live sum before any), so join planning
-  * over a pruned scan sees a pruned size.
+  * jobs); [[sizeInBytes]] reports the full live sum — deliberately
+  * (see its doc: stats are computed before this query's listFiles, and
+  * under-sizing risks a wrong auto-broadcast; kept bytes stay
+  * observable as [[lastKeptBytes]]).
   */
 final class TxFileIndex(
     spark: SparkSession,
@@ -240,7 +241,7 @@ final class TxFileIndex(
     */
   @volatile var lastKeptDirs: Int = -1
   @volatile var lastKeptFiles: Int = -1
-  @volatile private var lastKeptBytes: Long = -1L
+  @volatile var lastKeptBytes: Long = -1L
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -259,16 +260,19 @@ final class TxFileIndex(
 
   override def refresh(): Unit = () // snapshot-pinned by construction
 
-  /** The byte sum the planner sizes this relation by: the LAST pruning
-    * decision's kept files once [[listFiles]] has run (a pruned scan
-    * joins as its pruned size — the r16 advice), the full live sum
-    * before any. A stale kept set from an earlier query over the same
-    * index is still an estimate of the same order — sizeInBytes is
-    * planner guidance, never a correctness input.
+  /** The byte sum the planner sizes this relation by: deliberately the
+    * FULL live sum, never a past pruning decision's kept bytes. The
+    * r16 advice suggested reporting the pruned size, but logical-plan
+    * stats are computed BEFORE this query's own `listFiles` runs, so
+    * any pruned number here would be a PREVIOUS query's — and
+    * UNDER-sizing is the dangerous direction (a stale tiny kept set
+    * from a selective filter would make JoinSelection auto-broadcast a
+    * multi-GB table; over-sizing merely misses a broadcast). Per-query
+    * pruned sizing needs a plan-rewrite seam (Delta's PrepareDeltaScan
+    * shape), not a mutable override. `lastKeptBytes` stays observable
+    * for specs and diagnostics.
     */
-  override def sizeInBytes: Long =
-    if (lastKeptBytes >= 0L) lastKeptBytes
-    else filesByDir.flatMap(_._2.map(_._1.getLen)).sum
+  override def sizeInBytes: Long = filesByDir.flatMap(_._2.map(_._1.getLen)).sum
 }
 
 object TxFileIndex {

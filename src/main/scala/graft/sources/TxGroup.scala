@@ -134,9 +134,16 @@ object TxGroup {
         s"writerId must be non-empty and colon-free: '$w'")
     }
     val (fs, root) = fsFor(spark, dir)
-    // write every table's directory FIRST (uuid-keyed, invisible until
-    // the one entry publishes — a crash leaves vacuum-reclaimable
-    // debris, never a partial transaction)
+    // ledger probe BEFORE any data write: a replayed at-least-once batch
+    // must be metadata-only (two small log reads), not a full redundant
+    // write-then-delete (the in-loop re-check below still covers the
+    // probe-to-publish race)
+    txn.foreach { case (w, id) =>
+      if (TxTable.lastTxn(spark, dir, w).exists(_ >= id)) return None
+    }
+    // write every table's directory (uuid-keyed, invisible until the one
+    // entry publishes — a crash leaves vacuum-reclaimable debris, never
+    // a partial transaction)
     val rels: Seq[(String, String, DataFrame)] = writes.map { case (t, df) =>
       val rel = s"$t/data/${java.util.UUID.randomUUID().toString.take(12)}"
       df.write.mode("overwrite").parquet(s"$dir/$rel")
@@ -145,9 +152,13 @@ object TxGroup {
     def cleanup(): Unit = rels.foreach { case (_, rel, _) =>
       fs.delete(new Path(root, rel), true)
     }
-    val statsL = rels.flatMap { case (t, rel, _) =>
-      TxTable.statsLines(spark, dir, rel, statsCols.getOrElse(t, Nil))
-    }
+    // any stats failure (non-stats-capable column, colon in a name)
+    // must reclaim the just-written directories like every other
+    // pre-publish rejection — nothing may leak until a vacuum
+    val statsL =
+      try rels.flatMap { case (t, rel, _) =>
+        TxTable.statsLines(spark, dir, rel, statsCols.getOrElse(t, Nil))
+      } catch { case e: Throwable => cleanup(); throw e }
     val opLines = Seq("op:append") ++ txn.map { case (w, id) => s"txn:$w:$id" } ++
       rels.map { case (_, rel, _) => s"add:$rel" } ++ statsL
     // serializable gate loop: gate every table against the CURRENT

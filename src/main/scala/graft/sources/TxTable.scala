@@ -1146,7 +1146,12 @@ object TxTable {
       changesBetween(spark, dir, states(fromV), states(fromV))
         .withColumn("_commit_version", lit(fromV))
         .filter(lit(false))
-    else slices.reduce(_ unionByName _)
+    // allowMissingColumns: a window SPANNING an additive evolution has
+    // pre-evolution slices without the new columns — they read as typed
+    // nulls there, the same semantics the mergeSchema scan gives rows
+    // inside one slice (strict unionByName made any evolved window
+    // unreadable, including from the streaming source)
+    else slices.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def changesBetween(spark: SparkSession, dir: String,
@@ -1870,40 +1875,53 @@ object TxTable {
             Seq(LongType, IntegerType, ShortType, ByteType, DateType, StringType).contains(dt),
             s"stats need an integer/date/string column, $c is $dt")
         }
-        val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap { c =>
-          val loHi = df.schema(c).dataType match {
-            case DateType =>
-              val v = datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
-              Seq(min(v).cast(LongType), max(v).cast(LongType))
-            case StringType => Seq(min(col(c)), max(col(c)))
-            case _ =>
-              Seq(min(col(c)).cast(LongType), max(col(c)).cast(LongType))
-          }
-          loHi :+ count(col(c)) // non-null count -> per-file null counts
-        }
-        val rows = df.select(col("*"), col("_metadata.file_name").as("__fn"))
-          .groupBy(col("__fn")).agg(aggs.head, aggs.tail: _*).collect()
-        rows.toSeq.sortBy(_.getString(0)).map { r =>
-          val fn = r.getString(0)
-          val nRows = r.getLong(1)
-          val stats = Map.newBuilder[String, Stat]
-          val nulls = Map.newBuilder[String, Long]
-          statsCols.zipWithIndex.foreach { case (c, i) =>
-            val (lo, hi, nn) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
-            nulls += c -> (nRows - r.getLong(nn))
-            if (!r.isNullAt(lo)) df.schema(c).dataType match {
-              case StringType =>
-                val hiRaw = r.getString(hi)
-                stats += c -> StrStat(truncLo(r.getString(lo)),
-                  if (hiRaw.length <= StatsMaxStringLen) Some(hiRaw) else None)
-              case _ => stats += c -> LongStat(r.getLong(lo), r.getLong(hi))
-            }
-          }
-          val (len, mt) = meta.getOrElse(fn, (-1L, 0L))
-          FileRec(fn, len, mt, nRows, stats.result(), nulls.result())
-        }
+        perFileRecs(df, col("_metadata.file_name"), statsCols, meta)
       }
     fileLinesOf(rel, recs) ++ dirStatLines(rel, recs, statsCols)
+  }
+
+  /** ONE file-grouped min/max + null-count + row-count aggregate over a
+    * scan, decoded to [[FileRec]]s — the shared kernel of write-time
+    * stats recording ([[statsLines]]) and the DV-fold re-tightening
+    * ([[retightenedStatsLines]]); a new stats-capable type lands in one
+    * place. `fnCol` names the per-file grouping key (the metadata file
+    * name on a raw read, the suffix of the DV choke point's `__file`
+    * on a DV-applied one); `meta` supplies (len, mtime) when known.
+    */
+  private def perFileRecs(df: DataFrame,
+      fnCol: Column, statsCols: Seq[String],
+      meta: Map[String, (Long, Long)]): Seq[FileRec] = {
+    val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap { c =>
+      val loHi = df.schema(c).dataType match {
+        case DateType =>
+          val v = datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
+          Seq(min(v).cast(LongType), max(v).cast(LongType))
+        case StringType => Seq(min(col(c)), max(col(c)))
+        case _ => Seq(min(col(c)).cast(LongType), max(col(c)).cast(LongType))
+      }
+      loHi :+ count(col(c)) // non-null count -> per-file null counts
+    }
+    val rows = df.select(fnCol.as("__fn") +: statsCols.map(col): _*)
+      .groupBy(col("__fn")).agg(aggs.head, aggs.tail: _*).collect()
+    rows.toSeq.sortBy(_.getString(0)).map { r =>
+      val fn = r.getString(0)
+      val nRows = r.getLong(1)
+      val stats = Map.newBuilder[String, Stat]
+      val nulls = Map.newBuilder[String, Long]
+      statsCols.zipWithIndex.foreach { case (c, i) =>
+        val (lo, hi, nn) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
+        nulls += c -> (nRows - r.getLong(nn))
+        if (!r.isNullAt(lo)) df.schema(c).dataType match {
+          case StringType =>
+            val hiRaw = r.getString(hi)
+            stats += c -> StrStat(truncLo(r.getString(lo)),
+              if (hiRaw.length <= StatsMaxStringLen) Some(hiRaw) else None)
+          case _ => stats += c -> LongStat(r.getLong(lo), r.getLong(hi))
+        }
+      }
+      val (len, mt) = meta.getOrElse(fn, (-1L, 0L))
+      FileRec(fn, len, mt, nRows, stats.result(), nulls.result())
+    }
   }
 
   /** Stats columns already recorded on `dirs`, restricted to columns
@@ -2350,39 +2368,12 @@ object TxTable {
         val present = statsCols.filter(scan.columns.contains)
         if (present.isEmpty) Nil
         else {
-          val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
-            val loHi = scan.schema(c).dataType match {
-              case DateType =>
-                val v = datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
-                Seq(min(v).cast(LongType), max(v).cast(LongType))
-              case StringType => Seq(min(col(c)), max(col(c)))
-              case _ => Seq(min(col(c)).cast(LongType), max(col(c)).cast(LongType))
-            }
-            loHi :+ count(col(c))
-          }
-          val rows = scan
-            .select(org.apache.spark.sql.functions.substring_index(
-              col(DvFileCol), "/", -1).as("__fn") +: present.map(col): _*)
-            .groupBy(col("__fn")).agg(aggs.head, aggs.tail: _*).collect()
-          if (rows.isEmpty) Nil
+          val recs = perFileRecs(scan,
+            org.apache.spark.sql.functions.substring_index(
+              col(DvFileCol), "/", -1),
+            present, Map.empty)
+          if (recs.isEmpty) Nil
           else {
-            val recs = rows.toSeq.sortBy(_.getString(0)).map { r =>
-              val nRows = r.getLong(1)
-              val stats = Map.newBuilder[String, Stat]
-              val nulls = Map.newBuilder[String, Long]
-              present.zipWithIndex.foreach { case (c, i) =>
-                val (lo, hi, nn) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
-                nulls += c -> (nRows - r.getLong(nn))
-                if (!r.isNullAt(lo)) scan.schema(c).dataType match {
-                  case StringType =>
-                    val hiRaw = r.getString(hi)
-                    stats += c -> StrStat(truncLo(r.getString(lo)),
-                      if (hiRaw.length <= StatsMaxStringLen) Some(hiRaw) else None)
-                  case _ => stats += c -> LongStat(r.getLong(lo), r.getLong(hi))
-                }
-              }
-              FileRec(r.getString(0), -1L, 0L, nRows, stats.result(), nulls.result())
-            }
             // per-file stat updates only (no file: lines — the files'
             // length/mtime identity is already recorded), plus the
             // directory-granularity combine

@@ -129,9 +129,15 @@ final class TxTableSource(
     // slices (from, to] — from = None is the cold start, and version 0
     // is the EMPTY table, so the initial content arrives as the first
     // version's insert slice (the followChanges baseline). Select in
-    // declared-schema order: the engine matches by position.
-    val df = TxTable.tableChangesByVersion(spark, dir, from, to)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // declared-schema order (the engine matches by position), PADDING
+    // columns the window predates with typed nulls: a batch entirely
+    // before an additive evolution lacks the new columns the
+    // stream-start schema declares.
+    val raw = TxTable.tableChangesByVersion(spark, dir, from, to)
+    val df = raw.select(schema.fields.toIndexedSeq.map { f =>
+      if (raw.columns.contains(f.name)) col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     GraftBridge.streamingFrameOf(spark, df)
   }
 
@@ -181,7 +187,23 @@ final class TxTableSourceProvider extends StreamSourceProvider with DataSourceRe
         val ms = java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
         try graft.sources.TxTable.versionAt(spark, path, ms) + 1L
-        catch { case _: IllegalArgumentException => 1L }
+        catch {
+          case _: IllegalArgumentException
+              if graft.sources.TxTable.versions(spark, path).headOption
+                .contains(1L) =>
+            // the cut simply predates the table: the whole feed
+            1L
+          case e: IllegalArgumentException =>
+            // the cut predates RETAINED history on a cleaned log — a
+            // version-1 feed would fail mid-stream with a missing-entry
+            // error; fail at setup with guidance instead (the one log
+            // listing here is setup-time, never the read path)
+            throw new IllegalArgumentException(
+              s"startingTimestamp '$s' predates the retained history of $path " +
+                "(cleanupLog reclaimed the early entries) — pass an explicit " +
+                "startingVersion at or above the earliest retained version, or " +
+                "bootstrap from a snapshot and follow from its version", e)
+        }
       })
       .getOrElse(1L)
     new TxTableSource(spark, path,

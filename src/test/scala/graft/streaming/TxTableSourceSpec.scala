@@ -146,6 +146,59 @@ class TxTableSourceSpec extends SparkTestBase {
       == Seq(1L, 1L, 2L, 2L, 3L, 3L))
   }
 
+  test("an additively-evolved table streams from scratch: pre-evolution " +
+      "slices read the new column as typed nulls") {
+    val src = freshDir("txsrc")
+    TxTable.append(spark, src, rows(0, 3)) // v1: (id, v)
+    TxTable.append(spark, src,
+      (3L until 5L).map(i => (i, i * 10, s"t$i")).toDF("id", "v", "tag"),
+      allowAdditive = true) // v2: (id, v, tag)
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    // one wide batch spans the evolution AND (with rate limit 1) the
+    // per-version batches predate it — both shapes must type correctly
+    drain(src, freshDir("txck"), sink, batches)
+    assert(sink.size == 5)
+    val byId = sink.map(r => r.getLong(0) ->
+      (if (r.isNullAt(r.fieldIndex("tag"))) null else r.getString(r.fieldIndex("tag")))).toMap
+    assert((0L to 2L).forall(byId(_) == null),
+      "pre-evolution rows must read the new column as null")
+    assert(byId(3L) == "t3" && byId(4L) == "t4")
+    // rate-limited: the v1-only batch predates the evolution entirely
+    val sink2 = scala.collection.mutable.ArrayBuffer.empty[Row]
+    drain(src, freshDir("txck2"), sink2,
+      scala.collection.mutable.ArrayBuffer.empty[Seq[Long]],
+      maxVersionsPerTrigger = Some(1))
+    assert(sink2.size == 5)
+  }
+
+  test("startingTimestamp that predates a CLEANED log fails at setup " +
+      "with guidance, not mid-stream with a missing entry") {
+    val src = freshDir("txsrc")
+    (0 until 10).foreach(i => TxTable.append(spark, src, rows(i * 2, i * 2 + 2)))
+    val ts1 = TxTable.history(spark, src).filter(col("version") === 1L)
+      .head().getLong(1)
+    assert(TxTable.cleanupLog(spark, src, retainMs = 0L).nonEmpty)
+    val lit = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ts1 - 1), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("txtable")
+        .option("startingTimestamp", lit).load(src)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .option("checkpointLocation", freshDir("txck"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("predates the retained history")),
+      msgs(e).mkString(" | "))
+  }
+
   test("layout commits advance the offset with empty slices; the sink " +
       "sees no phantom rows") {
     val src = freshDir("txsrc")
