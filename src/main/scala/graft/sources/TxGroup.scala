@@ -241,6 +241,39 @@ object TxGroup {
     reclaimed.toSeq
   }
 
+  /** STREAMING multi-table ingest — the flagship shape the class doc
+    * names, as one call: drain a parquet feed micro-batch by
+    * micro-batch, DERIVE each batch's per-table frames (the corpus
+    * slice plus whatever side tables ride with it — an aggregate, an
+    * index shard, a lineage record), and commit them ATOMICALLY and
+    * EXACTLY-ONCE per batch ([[appendMany]] with the batch id as the
+    * txn id: a replayed batch skips whole-transaction, so no member
+    * table can ever run ahead of another — the skew-free property no
+    * per-table sink composition can give). Returns nothing; read the
+    * group's tables with [[snapshot]] after the drain.
+    */
+  def ingest(spark: SparkSession, feedDir: String,
+      feedSchema: org.apache.spark.sql.types.StructType,
+      groupDir: String, checkpointDir: String,
+      derive: DataFrame => Seq[(String, DataFrame)],
+      writerId: String = "group-ingest",
+      statsCols: Map[String, Seq[String]] = Map.empty,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    var reader = spark.readStream.schema(feedSchema)
+    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+    val query = reader.parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendMany(spark, groupDir, derive(batch), statsCols,
+          txn = Some((writerId, batchId)))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   private def fsFor(spark: SparkSession, dir: String) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)

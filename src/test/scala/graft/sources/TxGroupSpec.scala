@@ -105,6 +105,39 @@ class TxGroupSpec extends SparkTestBase {
     assert(TxGroup.snapshot(spark, dir, "docs").count() == 18L)
   }
 
+  test("streaming multi-table ingest: each micro-batch commits corpus + " +
+      "derived table atomically, exactly-once across a full replay") {
+    val dir = freshDir()
+    val feed = freshDir()
+    // three feed files -> three micro-batches at maxFilesPerTrigger = 1
+    docs(0, 4).coalesce(1).write.mode("append").parquet(feed)
+    docs(4, 9).coalesce(1).write.mode("append").parquet(feed)
+    docs(9, 11).coalesce(1).write.mode("append").parquet(feed)
+    val schema = docs(0, 1).schema
+    def derive(b: org.apache.spark.sql.DataFrame) = Seq(
+      "docs" -> b,
+      "lang_counts" -> b.groupBy("lang").agg(count(lit(1)).as("n")))
+    TxGroup.ingest(spark, feed, schema, dir, freshDir(),
+      derive, maxFilesPerTrigger = Some(1))
+    assert(TxGroup.snapshot(spark, dir, "docs").count() == 11L)
+    assert(TxGroup.snapshot(spark, dir, "lang_counts").agg(sum("n"))
+      .head().getLong(0) == 11L)
+    val versionsAfter = TxTable.versions(spark, dir)
+    // every version's pair is consistent (the skew-free property)
+    versionsAfter.foreach { v =>
+      assert(TxGroup.snapshot(spark, dir, "docs", Some(v)).count() ==
+        TxGroup.snapshot(spark, dir, "lang_counts", Some(v))
+          .agg(sum("n")).head().getLong(0))
+    }
+    // FULL REPLAY under a fresh stream checkpoint: the ledger (batch id
+    // per writer) skips every transaction whole — zero duplicates, zero
+    // new versions
+    TxGroup.ingest(spark, feed, schema, dir, freshDir(),
+      derive, maxFilesPerTrigger = Some(1))
+    assert(TxTable.versions(spark, dir) == versionsAfter)
+    assert(TxGroup.snapshot(spark, dir, "docs").count() == 11L)
+  }
+
   test("group vacuum reclaims crash debris (written, never published) " +
       "and never touches live transaction directories") {
     val dir = freshDir()
