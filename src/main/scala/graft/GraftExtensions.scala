@@ -200,16 +200,23 @@ object GraftExtensions {
       GraftBridge.planOf(graft.sources.TxFileIndex.snapshotIndexed(
         SparkSession.active, path, version))
     },
-    // txgroup('/path', 'table'[, version]) — one member table of a
-    // multi-table transaction group (TxGroup), snapshot-isolated
+    // txgroup('/path', 'table'[, version | TIMESTAMP '...']) — one
+    // member table of a multi-table transaction group (TxGroup),
+    // snapshot-isolated, with the same VERSION/TIMESTAMP AS OF second
+    // literal as txtable (one shared log clock for every member)
     t("txgroup") { args =>
       require(args.size == 2 || args.size == 3,
-        s"txgroup expects (path, table[, version]), got ${args.size} args")
+        s"txgroup expects (path, table[, version | timestamp]), got ${args.size} args")
+      val path = litStr(args.head, "txgroup", "path")
+      val version = args.lift(2).map {
+        case Literal(micros: Long, org.apache.spark.sql.types.TimestampType) =>
+          graft.sources.TxTable.versionAt(SparkSession.active, path,
+            Math.floorDiv(micros, 1000L))
+        case other => litLong(other, "txgroup", "version")
+      }
       GraftBridge.planOf(graft.sources.TxGroup.snapshot(
-        SparkSession.active,
-        litStr(args.head, "txgroup", "path"),
-        litStr(args(1), "txgroup", "table"),
-        args.lift(2).map(litLong(_, "txgroup", "version"))))
+        SparkSession.active, path,
+        litStr(args(1), "txgroup", "table"), version))
     },
     // txtable_changes('/path', fromVersion, toVersion) — the Delta
     // table_changes TVF: the net insert/delete feed between versions

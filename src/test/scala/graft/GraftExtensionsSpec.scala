@@ -195,6 +195,17 @@ class GraftExtensionsSpec extends SparkTestBase {
       .head().getLong(0) == 6L)
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM txgroup('$dir', 'b', 1)")
       .head().getLong(0) == 1L)
+    // TIMESTAMP AS OF at v1's own commit clock — every member table
+    // cuts on the ONE shared log clock
+    val ts1 = graft.sources.TxTable.history(spark, dir)
+      .filter(col("version") === 1L).head().getLong(1)
+    val litTs = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ts1), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+        s"SELECT COUNT(*) AS n FROM txgroup('$dir', 'a', TIMESTAMP '$litTs')")
+      .head().getLong(0) == 4L)
   }
 
   test("TVF arguments must be literals — loud failure otherwise") {
