@@ -144,7 +144,12 @@ object GraftExtensions {
       arity("graft_nlz64", args, 1); LeadingZeros64(args.head)
     })
 
-  /** Install every registered function on an existing session. */
+  /** Install every registered function on an existing session, plus the
+    * per-query pruned-sizing rewrite for indexed transactional reads
+    * ([[graft.plans.PrunedScanSizing]] — optimizer rules have no
+    * post-hoc registry, so they ride the experimental-optimizations
+    * seam; install is idempotent).
+    */
   def registerAll(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       GraftBridge.registerFunction(spark, ident, info, builder)
@@ -152,6 +157,7 @@ object GraftExtensions {
     tableFunctions.foreach { case (ident, info, builder) =>
       GraftBridge.registerTableFunction(spark, ident, info, builder)
     }
+    graft.plans.PrunedScanSizing.install(spark)
   }
 
   // ------------------------------------------------------------------

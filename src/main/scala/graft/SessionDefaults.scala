@@ -23,4 +23,18 @@ object SessionDefaults {
   def apply(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.optimizer.excludedRules", excludedOptimizerRules)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE inside CACHED plans. Off (the Spark default, kept for exact
+      // output-partitioning compat) every `CacheScope.pin` kernel executes
+      // without partition coalescing or runtime broadcast-join conversion:
+      // a pinned aggregate keeps all `shuffle.partitions` reducers however
+      // small its data, every downstream stage inherits that task count,
+      // and joins under a cache stay sort-merge even when one side is
+      // kilobytes. Profiled on the LM family: q212 spends ~28 near-empty
+      // 32-task jobs either way, and this flag alone cut it 2.5→1.8 s
+      // (q115 −32%, q232 −16%, q209 −10% in interleaved same-JVM A/B).
+      // Scale-safe by construction: coalescing only merges partitions
+      // below the advisory size and broadcast conversion only fires on
+      // runtime-small sides, so a 100 TB cache's plan is unchanged — the
+      // flag only removes the fixed overhead of under-filled partitions.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
 }

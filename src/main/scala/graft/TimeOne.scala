@@ -6,9 +6,14 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = args(0); val sfDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 2
-    val spark = SessionDefaults(SparkSession.builder()
+    // args(3..): extra k=v session confs for A/B experiments
+    val builder = SessionDefaults(SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")).getOrCreate()
+      .config("spark.ui.enabled", "false"))
+    args.drop(3).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
     val times = (1 to n).map { _ =>

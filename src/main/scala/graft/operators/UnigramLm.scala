@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -39,6 +38,35 @@ import graft.functions.TextFunctions.tokens
   */
 object UnigramLm {
 
+  /** (doc, context…, cur) n-gram stream read straight out of each
+    * document's token ARRAY: one narrow projection on the scan —
+    * `transform` over the blank-filtered token array, each position
+    * packing its `order − 1` BOS-padded (`""`) predecessors via direct
+    * array indexing — where the lag-window original paid a full
+    * per-document shuffle + sort before the first aggregate. Same rows
+    * (same tokens, same order, same padding), no exchange.
+    * `outCols` names the struct fields, context-first (e.g. Seq("p2",
+    * "p1", "cur") for order 3); blank/null docs yield no rows, exactly
+    * like the filtered posexplode they replace.
+    */
+  private def ngramsFromArray(
+      docs: DataFrame, idCol: String, textCol: String,
+      order: Int, outCols: Seq[String]): DataFrame = {
+    require(outCols.length == order, s"order-$order n-gram needs $order names")
+    val ts = col("ts")
+    val grams = transform(ts, (t, i) => struct(
+      (outCols.init.zipWithIndex.map { case (name, j) =>
+        // context j is the token `order − 1 − j` positions back (0-based
+        // array indexing via getItem), BOS "" before the doc's start
+        val back = order - 1 - j
+        when(i >= back, ts.getItem(i - back)).otherwise(lit("")).as(name)
+      } :+ t.as(outCols.last)): _*))
+    ScaleOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), filter(tokens(col(textCol)), t => t =!= "").as("ts"))
+      .select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol) +: outCols.map(n => col("g." + n).as(n)): _*)
+  }
+
   /** Per-document unigram NLL over the corpus MLE: (idCol, n_tokens,
     * nll rounded to 6dp). Tokens are the engine's normalized whitespace
     * tokens; every token of the doc counts (term frequency, not
@@ -62,16 +90,26 @@ object UnigramLm {
         .select(col(idCol), explode(tokens(col(textCol))).as("token"))
         .filter(col("token") =!= ""),
       StorageLevel.MEMORY_AND_DISK)
-    val cf = tok.groupBy("token").agg(count(lit(1)).as("cf"))
+    val cf = CacheScope.pin(
+      tok.groupBy("token").agg(count(lit(1)).as("cf")),
+      StorageLevel.MEMORY_AND_DISK)
     val n = cf.agg(sum("cf").cast("double").as("n"))
-    // Zipf head: vocab-sized sort-limit, then one broadcast join covers
-    // >99% of occurrence rows; only head-miss rows reach the tail shuffle
-    val head = cf.orderBy(col("cf").desc, col("token")).limit(headVocab)
-    val tailCf = cf.join(broadcast(head.select("token")), Seq("token"), "left_anti")
-    val headJoined = tok.join(broadcast(head), Seq("token"), "left")
-    val scored = headJoined.filter(col("cf").isNotNull).unionByName(
-        headJoined.filter(col("cf").isNull).drop("cf")
-          .join(tailCf, Seq("token")))
+    // the occurrence stream's ONLY model join; when the whole vocabulary
+    // fits the head budget the Zipf head IS the table and the tail is
+    // empty, so take the single broadcast join directly (same broadcast
+    // bytes, none of the TakeOrdered/anti-join/union scaffolding)
+    val scored = (if (cf.count() <= headVocab) {
+        tok.join(broadcast(cf), Seq("token"))
+      } else {
+        // Zipf head: vocab-sized sort-limit, then one broadcast join covers
+        // >99% of occurrence rows; only head-miss rows reach the tail shuffle
+        val head = cf.orderBy(col("cf").desc, col("token")).limit(headVocab)
+        val tailCf = cf.join(broadcast(head.select("token")), Seq("token"), "left_anti")
+        val headJoined = tok.join(broadcast(head), Seq("token"), "left")
+        headJoined.filter(col("cf").isNotNull).unionByName(
+          headJoined.filter(col("cf").isNull).drop("cf")
+            .join(tailCf, Seq("token")))
+      })
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), avg(log(col("cf"))).as("mean_ln_cf"))
       .crossJoin(broadcast(n)) // 1-row scalar, not a data-sized cross
@@ -101,54 +139,54 @@ object UnigramLm {
     * seen or unseen gets positive mass.
     *
     * Scale shape mirrors [[scoreDocs]], with bigram keys: token
-    * adjacency comes from one `lag` window keyed by (doc, pos) — a
-    * per-document shuffle with no hot key, docs being bounded — and the
-    * Zipfian scoring joins split by frequency: the top-`headVocab`
-    * bigrams and contexts BROADCAST (bigram frequency is itself Zipfian
-    * — "of the" is the new "the"), only the near-uniform tails shuffle
-    * by their keys. The adjacency stream is pinned (feeds the bigram
-    * count and the scoring join); bcf is pinned (feeds head selection,
-    * the tail join, and the context aggregate, and is vocab²-bounded —
-    * corpus-size-independent). The closing doc-keyed aggregation
-    * map-side-combines as in the unigram.
+    * adjacency is read straight out of the token array
+    * ([[ngramsFromArray]] — no per-document window shuffle), the
+    * per-pair transition cost log(ctx + V) − log(bcf + 1) PRECOMPUTES
+    * on the vocab²-bounded model table (every join there is pair- or
+    * context-keyed over counts, never corpus-sized — the same
+    * model-side discipline as the KN siblings; the doubles are the
+    * identical ops per row, just evaluated once per TYPE instead of
+    * once per occurrence), and the corpus stream pays one (prev, cur)
+    * → cost lookup join — Zipf-split head/tail (bigram frequency is
+    * itself Zipfian — "of the" is the new "the"), collapsing to a
+    * single broadcast join when the whole pair table fits the head
+    * budget. The closing doc-keyed aggregation map-side-combines as in
+    * the unigram.
     */
   def scoreDocsBigram(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       headVocab: Int = 1 << 16): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val tok = CacheScope.pin(
-      ScaleOut(docs.select(col(idCol), col(textCol)))
-        .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
-        .filter(col("token") =!= ""),
-      StorageLevel.MEMORY_AND_DISK)
     val bg = CacheScope.pin(
-      tok.select(col(idCol),
-        coalesce(lag(col("token"), 1).over(w), lit("")).as("prev"),
-        col("token").as("cur")),
+      ngramsFromArray(docs, idCol, textCol, 2, Seq("prev", "cur")),
       StorageLevel.MEMORY_AND_DISK)
     val bcf = CacheScope.pin(
       bg.groupBy("prev", "cur").agg(count(lit(1)).as("bcf")),
       StorageLevel.MEMORY_AND_DISK)
     val ctx = bcf.groupBy("prev").agg(sum("bcf").as("ctx"))
-    val vRow = tok.agg(countDistinct(col("token")).cast("double").as("v"))
-    // Zipf head of the BIGRAM table: one broadcast join covers the bulk
-    // of transition rows; only head-miss rows shuffle by (prev, cur)
-    val headBg = bcf.orderBy(col("bcf").desc, col("prev"), col("cur")).limit(headVocab)
-    val tailBg = bcf.join(broadcast(headBg.select("prev", "cur")), Seq("prev", "cur"), "left_anti")
-    val bgJoined = bg.join(broadcast(headBg), Seq("prev", "cur"), "left")
-    val withBcf = bgJoined.filter(col("bcf").isNotNull).unionByName(
-      bgJoined.filter(col("bcf").isNull).drop("bcf")
-        .join(tailBg, Seq("prev", "cur")))
-    // same split for the CONTEXT counts, keyed by prev alone
-    val headCtx = ctx.orderBy(col("ctx").desc, col("prev")).limit(headVocab)
-    val tailCtx = ctx.join(broadcast(headCtx.select("prev")), Seq("prev"), "left_anti")
-    val ctxJoined = withBcf.join(broadcast(headCtx), Seq("prev"), "left")
-    val scored = ctxJoined.filter(col("ctx").isNotNull).unionByName(
-        ctxJoined.filter(col("ctx").isNull).drop("ctx").join(tailCtx, Seq("prev")))
+    // V = unigram vocabulary: every token occurrence appears exactly once
+    // as a `cur`, so the distinct count reads off the pinned pair table
+    val vRow = bcf.agg(countDistinct(col("cur")).cast("double").as("v"))
+    // per-pair transition cost, precomputed on the model table
+    val pairCostPlan = bcf.join(ctx, Seq("prev"))
       .crossJoin(broadcast(vRow)) // 1-row scalar, not a data-sized cross
+      .select(col("prev"), col("cur"), col("bcf"),
+        (log(col("ctx") + col("v")) - log(col("bcf") + lit(1))).as("cost"))
+    val scored = (if (bcf.count() <= headVocab) {
+        bg.join(broadcast(pairCostPlan.select("prev", "cur", "cost")), Seq("prev", "cur"))
+      } else {
+        // Zipf head (by pair frequency) broadcasts, tail shuffles
+        val pairCost = CacheScope.pin(pairCostPlan, StorageLevel.MEMORY_AND_DISK)
+        val headP = pairCost.orderBy(col("bcf").desc, col("prev"), col("cur"))
+          .limit(headVocab).select("prev", "cur", "cost")
+        val tailP = pairCost.select("prev", "cur", "cost")
+          .join(broadcast(headP.select("prev", "cur")), Seq("prev", "cur"), "left_anti")
+        val joined = bg.join(broadcast(headP), Seq("prev", "cur"), "left")
+        joined.filter(col("cost").isNotNull).unionByName(
+          joined.filter(col("cost").isNull).drop("cost")
+            .join(tailP, Seq("prev", "cur")))
+      })
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"),
-        avg(log(col("ctx") + col("v")) - log(col("bcf") + lit(1))).as("mean_nll"))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("cost")).as("mean_nll"))
       .select(col(idCol), col("n_tokens"), round(col("mean_nll"), 6).as("nll"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
@@ -188,16 +226,8 @@ object UnigramLm {
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       headVocab: Int = 1 << 16, discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, "absolute discount in (0, 1)")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val tok = CacheScope.pin(
-      ScaleOut(docs.select(col(idCol), col(textCol)))
-        .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
-        .filter(col("token") =!= ""),
-      StorageLevel.MEMORY_AND_DISK)
     val bg = CacheScope.pin(
-      tok.select(col(idCol),
-        coalesce(lag(col("token"), 1).over(w), lit("")).as("prev"),
-        col("token").as("cur")),
+      ngramsFromArray(docs, idCol, textCol, 2, Seq("prev", "cur")),
       StorageLevel.MEMORY_AND_DISK)
     val bcf = CacheScope.pin(
       bg.groupBy("prev", "cur").agg(count(lit(1)).as("bcf")),
@@ -211,25 +241,31 @@ object UnigramLm {
     // per-pair KN log-prob, precomputed on the model table (joins here
     // are vocab²-bounded, never corpus-sized); expression tree written
     // to match the oracle's SQL op-for-op so the doubles are identical
-    val pairLnp = CacheScope.pin(
+    val pairLnpPlan =
       bcf.join(ctxN1p, Seq("prev"))
         .join(n1c, Seq("cur"))
         .crossJoin(broadcast(btRow)) // 1-row scalar
         .select(col("prev"), col("cur"), col("bcf"),
           log(greatest(col("bcf") - lit(discount), lit(0.0)) / col("ctx")
             + ((lit(discount) * col("n1p")) / col("ctx"))
-              * (col("n1c") / col("bt"))).as("lnp")),
-      StorageLevel.MEMORY_AND_DISK)
-    // the occurrence stream's ONLY model join: Zipf head (by pair
-    // frequency) broadcasts, tail shuffles by (prev, cur)
-    val headP = pairLnp.orderBy(col("bcf").desc, col("prev"), col("cur"))
-      .limit(headVocab).select("prev", "cur", "lnp")
-    val tailP = pairLnp.select("prev", "cur", "lnp")
-      .join(broadcast(headP.select("prev", "cur")), Seq("prev", "cur"), "left_anti")
-    val joined = bg.join(broadcast(headP), Seq("prev", "cur"), "left")
-    val scored = joined.filter(col("lnp").isNotNull).unionByName(
-        joined.filter(col("lnp").isNull).drop("lnp")
-          .join(tailP, Seq("prev", "cur")))
+              * (col("n1c") / col("bt"))).as("lnp"))
+    // the occurrence stream's ONLY model join; same count-gated collapse
+    // as the trigram order (head == table, tail == ∅ when the pair table
+    // fits the head budget)
+    val scored = (if (bcf.count() <= headVocab) {
+        bg.join(broadcast(pairLnpPlan.select("prev", "cur", "lnp")), Seq("prev", "cur"))
+      } else {
+        // Zipf head (by pair frequency) broadcasts, tail shuffles
+        val pairLnp = CacheScope.pin(pairLnpPlan, StorageLevel.MEMORY_AND_DISK)
+        val headP = pairLnp.orderBy(col("bcf").desc, col("prev"), col("cur"))
+          .limit(headVocab).select("prev", "cur", "lnp")
+        val tailP = pairLnp.select("prev", "cur", "lnp")
+          .join(broadcast(headP.select("prev", "cur")), Seq("prev", "cur"), "left_anti")
+        val joined = bg.join(broadcast(headP), Seq("prev", "cur"), "left")
+        joined.filter(col("lnp").isNotNull).unionByName(
+          joined.filter(col("lnp").isNull).drop("lnp")
+            .join(tailP, Seq("prev", "cur")))
+      })
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), avg(-col("lnp")).as("mean_nll"))
       .select(col(idCol), col("n_tokens"), round(col("mean_nll"), 6).as("nll"))
@@ -266,22 +302,24 @@ object UnigramLm {
     * one (p₂, p₁, cur) → lnp lookup join, Zipf-split head/tail like
     * every LM sibling. Expression tree written op-for-op against the
     * oracle's SQL so the doubles agree at 6 dp.
+    *
+    * Two execution refinements over the lag-window original (results
+    * identical — same per-doc n-gram multiset, same model arithmetic):
+    * contexts are read straight out of the token ARRAY
+    * ([[ngramsFromArray]] — no per-document window shuffle/sort before
+    * the first aggregate), and when the type-table count — known for
+    * free once the pinned count table materializes — fits inside
+    * `headVocab`, the "head" IS the whole model and the tail is empty
+    * by construction, so the scoring join collapses to ONE broadcast
+    * join (no TakeOrdered, no anti-join, no two-branch union; the same
+    * broadcast bytes the head would have shipped).
     */
   def scoreDocsKneserNeyTrigram(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       headVocab: Int = 1 << 16, discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, "absolute discount in (0, 1)")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val tok = CacheScope.pin(
-      ScaleOut(docs.select(col(idCol), col(textCol)))
-        .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
-        .filter(col("token") =!= ""),
-      StorageLevel.MEMORY_AND_DISK)
     val tg = CacheScope.pin(
-      tok.select(col(idCol),
-        coalesce(lag(col("token"), 2).over(w), lit("")).as("p2"),
-        coalesce(lag(col("token"), 1).over(w), lit("")).as("p1"),
-        col("token").as("cur")),
+      ngramsFromArray(docs, idCol, textCol, 3, Seq("p2", "p1", "cur")),
       StorageLevel.MEMORY_AND_DISK)
     val tcf = CacheScope.pin(
       tg.groupBy("p2", "p1", "cur").agg(count(lit(1)).as("tcf")),
@@ -299,7 +337,7 @@ object UnigramLm {
     // lowest order over bigram types: N1+(·cur) and B
     val cont1 = cont2.groupBy("cur").agg(count(lit(1)).as("c1"))
     val btRow = cont2.agg(count(lit(1)).cast("double").as("bt"))
-    val pairLnp = CacheScope.pin(
+    val pairLnpPlan =
       tcf.join(ctx3, Seq("p2", "p1"))
         .join(cont2, Seq("p1", "cur"))
         .join(mid, Seq("p1"))
@@ -310,18 +348,28 @@ object UnigramLm {
             + ((lit(discount) * col("n1p3")) / col("ctx3"))
               * (greatest(col("c2") - lit(discount), lit(0.0)) / col("cmid")
                 + ((lit(discount) * col("n1pmid")) / col("cmid"))
-                  * (col("c1") / col("bt")))).as("lnp")),
-      StorageLevel.MEMORY_AND_DISK)
-    // the occurrence stream's ONLY model join: Zipf head (by type
-    // frequency) broadcasts, tail shuffles by (p2, p1, cur)
-    val headP = pairLnp.orderBy(col("tcf").desc, col("p2"), col("p1"), col("cur"))
-      .limit(headVocab).select("p2", "p1", "cur", "lnp")
-    val tailP = pairLnp.select("p2", "p1", "cur", "lnp")
-      .join(broadcast(headP.select("p2", "p1", "cur")), Seq("p2", "p1", "cur"), "left_anti")
-    val joined3 = tg.join(broadcast(headP), Seq("p2", "p1", "cur"), "left")
-    val scored = joined3.filter(col("lnp").isNotNull).unionByName(
-        joined3.filter(col("lnp").isNull).drop("lnp")
-          .join(tailP, Seq("p2", "p1", "cur")))
+                  * (col("c1") / col("bt")))).as("lnp"))
+    // the occurrence stream's ONLY model join. The type count is free
+    // here (tcf is pinned and the model aggregates materialize it); when
+    // the whole model fits in the head budget the split degenerates —
+    // head == table, tail == ∅ — so take the single broadcast join the
+    // split would have produced, without its TakeOrdered/anti-join/union
+    // scaffolding. Same broadcast bytes either way.
+    val scored = (if (tcf.count() <= headVocab) {
+        tg.join(broadcast(pairLnpPlan.select("p2", "p1", "cur", "lnp")),
+          Seq("p2", "p1", "cur"))
+      } else {
+        // Zipf head (by type frequency) broadcasts, tail shuffles
+        val pairLnp = CacheScope.pin(pairLnpPlan, StorageLevel.MEMORY_AND_DISK)
+        val headP = pairLnp.orderBy(col("tcf").desc, col("p2"), col("p1"), col("cur"))
+          .limit(headVocab).select("p2", "p1", "cur", "lnp")
+        val tailP = pairLnp.select("p2", "p1", "cur", "lnp")
+          .join(broadcast(headP.select("p2", "p1", "cur")), Seq("p2", "p1", "cur"), "left_anti")
+        val joined3 = tg.join(broadcast(headP), Seq("p2", "p1", "cur"), "left")
+        joined3.filter(col("lnp").isNotNull).unionByName(
+          joined3.filter(col("lnp").isNull).drop("lnp")
+            .join(tailP, Seq("p2", "p1", "cur")))
+      })
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), avg(-col("lnp")).as("mean_nll"))
       .select(col(idCol), col("n_tokens"), round(col("mean_nll"), 6).as("nll"))
@@ -364,18 +412,8 @@ object UnigramLm {
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       headVocab: Int = 1 << 16, discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, "absolute discount in (0, 1)")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val tok = CacheScope.pin(
-      ScaleOut(docs.select(col(idCol), col(textCol)))
-        .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
-        .filter(col("token") =!= ""),
-      StorageLevel.MEMORY_AND_DISK)
     val qg = CacheScope.pin(
-      tok.select(col(idCol),
-        coalesce(lag(col("token"), 3).over(w), lit("")).as("p3"),
-        coalesce(lag(col("token"), 2).over(w), lit("")).as("p2"),
-        coalesce(lag(col("token"), 1).over(w), lit("")).as("p1"),
-        col("token").as("cur")),
+      ngramsFromArray(docs, idCol, textCol, 4, Seq("p3", "p2", "p1", "cur")),
       StorageLevel.MEMORY_AND_DISK)
     val qcf = CacheScope.pin(
       qg.groupBy("p3", "p2", "p1", "cur").agg(count(lit(1)).as("qcf")),
@@ -398,7 +436,7 @@ object UnigramLm {
     // lowest order over bigram types
     val cont1 = cont2.groupBy("cur").agg(count(lit(1)).as("c1"))
     val btRow = cont2.agg(count(lit(1)).cast("double").as("bt"))
-    val quadLnp = CacheScope.pin(
+    val quadLnpPlan =
       qcf.join(ctx4, Seq("p3", "p2", "p1"))
         .join(cont3, Seq("p2", "p1", "cur"))
         .join(mid3, Seq("p2", "p1"))
@@ -413,19 +451,25 @@ object UnigramLm {
                 + ((lit(discount) * col("n1pmid3")) / col("cmid3"))
                   * (greatest(col("c2") - lit(discount), lit(0.0)) / col("cmid2")
                     + ((lit(discount) * col("n1pmid2")) / col("cmid2"))
-                      * (col("c1") / col("bt"))))).as("lnp")),
-      StorageLevel.MEMORY_AND_DISK)
-    // the occurrence stream's ONLY model join: Zipf head broadcasts,
-    // tail shuffles by the full 4-gram key
+                      * (col("c1") / col("bt"))))).as("lnp"))
+    // the occurrence stream's ONLY model join; same count-gated collapse
+    // as the trigram order (head == table, tail == ∅ when the type table
+    // fits the head budget)
     val keys = Seq("p3", "p2", "p1", "cur")
-    val headP = quadLnp.orderBy(col("qcf").desc, col("p3"), col("p2"), col("p1"), col("cur"))
-      .limit(headVocab).select("p3", "p2", "p1", "cur", "lnp")
-    val tailP = quadLnp.select("p3", "p2", "p1", "cur", "lnp")
-      .join(broadcast(headP.select(keys.map(col): _*)), keys, "left_anti")
-    val joined4 = qg.join(broadcast(headP), keys, "left")
-    val scored = joined4.filter(col("lnp").isNotNull).unionByName(
-        joined4.filter(col("lnp").isNull).drop("lnp")
-          .join(tailP, keys))
+    val scored = (if (qcf.count() <= headVocab) {
+        qg.join(broadcast(quadLnpPlan.select((keys :+ "lnp").map(col): _*)), keys)
+      } else {
+        // Zipf head (by type frequency) broadcasts, tail shuffles
+        val quadLnp = CacheScope.pin(quadLnpPlan, StorageLevel.MEMORY_AND_DISK)
+        val headP = quadLnp.orderBy(col("qcf").desc, col("p3"), col("p2"), col("p1"), col("cur"))
+          .limit(headVocab).select("p3", "p2", "p1", "cur", "lnp")
+        val tailP = quadLnp.select("p3", "p2", "p1", "cur", "lnp")
+          .join(broadcast(headP.select(keys.map(col): _*)), keys, "left_anti")
+        val joined4 = qg.join(broadcast(headP), keys, "left")
+        joined4.filter(col("lnp").isNotNull).unionByName(
+          joined4.filter(col("lnp").isNull).drop("lnp")
+            .join(tailP, keys))
+      })
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), avg(-col("lnp")).as("mean_nll"))
       .select(col(idCol), col("n_tokens"), round(col("mean_nll"), 6).as("nll"))

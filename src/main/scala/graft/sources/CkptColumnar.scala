@@ -1,0 +1,250 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport, GroupWriteSupport}
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+
+/** COLUMNAR (parquet) checkpoints — the Delta checkpoint format's rung
+  * (Armbrust VLDB'20 §3.2: Delta's checkpoints ARE parquet), beside the
+  * text `.ckpt` whose size now scales with live FILE count: at 10⁵
+  * recorded files a cold read text-parses 10⁵ `file:`/`fstats:` lines
+  * (per-line splits, base64 decodes, string→long parses). The twin
+  * `.ckptpq` carries the SAME actions as typed parquet rows — int64
+  * columns read as longs, payloads stored plain (no base64), repeated
+  * directory names dictionary-decoded — and the cold read seeds from it
+  * when present, falling back to the text checkpoint on any miss or
+  * decode error (the text file remains the authoritative format; the
+  * twin is an equivalent-by-construction accelerator, written from the
+  * very lines the text checkpoint commits).
+  *
+  * Deliberately DRIVER-LOCAL parquet I/O (parquet-hadoop's example
+  * Group API, no Spark jobs): checkpoint read sits on the plan path of
+  * every cold snapshot, where a Spark job's fixed scheduling latency
+  * would cost more than it saves; write sits on every
+  * CheckpointEvery-th commit. Both are file-count-bounded driver work,
+  * exactly like the text twin.
+  *
+  * One row per action, flat nullable columns (kind discriminates):
+  * `live` rel | `dstatL` rel col n1=lo n2=hi | `dstatS` rel col s1=lo
+  * s2=hi? | `file` rel name n1=len n2=mtime n3=rows? | `fstatL` rel
+  * name col n1=lo? n2=hi? n3=nulls? | `fstatS` rel name col s1=lo?
+  * s2=hi? n3=nulls? | `removed` rel n1=ts | `txn` name=writer n1=id |
+  * `schema` s1=json | `tschema` name=table s1=json | `constraint` name
+  * s1=sql | `colmap` s1=payload | `dvf` rel | `protocol` n1=version.
+  */
+private[sources] object CkptColumnar {
+
+  /** One action row; absent optionals are null (the read path
+    * materializes ~10⁵ of these on a cold many-file seed — plain
+    * nullable fields, no per-field Option boxing).
+    */
+  final case class CkptRow(kind: String, rel: String, name: String,
+      col: String, s1: String, s2: String, n1: java.lang.Long,
+      n2: java.lang.Long, n3: java.lang.Long)
+
+  private val Schema: MessageType = MessageTypeParser.parseMessageType(
+    """message graft_ckpt {
+      |  required binary kind (UTF8);
+      |  optional binary rel (UTF8);
+      |  optional binary name (UTF8);
+      |  optional binary col (UTF8);
+      |  optional binary s1 (UTF8);
+      |  optional binary s2 (UTF8);
+      |  optional int64 n1;
+      |  optional int64 n2;
+      |  optional int64 n3;
+      |}""".stripMargin)
+
+  private def row(kind: String, rel: String = null, name: String = null,
+      col: String = null, s1: String = null, s2: String = null,
+      n1: java.lang.Long = null, n2: java.lang.Long = null,
+      n3: java.lang.Long = null): CkptRow =
+    CkptRow(kind, rel, name, col, s1, s2, n1, n2, n3)
+
+  /** One checkpoint text line → its typed row; None aborts the twin
+    * (an unknown future line kind keeps the text checkpoint the only
+    * copy — never a twin that silently drops actions).
+    */
+  private def translate(line: String): Option[CkptRow] = {
+    def optLong(s: String): java.lang.Long =
+      if (s == "-") null else java.lang.Long.valueOf(s)
+    def optB64(s: String): String = if (s == "-") null else TxTable.b64d(s)
+    val r: CkptRow =
+      if (line.startsWith("protocol:"))
+        line.stripPrefix("protocol:").toLongOption
+          .map(p => row("protocol", n1 = p)).orNull
+      else if (line.startsWith("live:")) row("live", rel = line.stripPrefix("live:"))
+      else if (line.startsWith("stats:"))
+        line.stripPrefix("stats:").split(":", -1) match {
+          case Array(rel, c, lo, hi) =>
+            row("dstatL", rel = rel, col = c, n1 = lo.toLong, n2 = hi.toLong)
+          case _ => null
+        }
+      else if (line.startsWith("sstats:"))
+        line.stripPrefix("sstats:").split(":", -1) match {
+          case Array(rel, c, lo, hi) =>
+            row("dstatS", rel = rel, col = c, s1 = TxTable.b64d(lo), s2 = optB64(hi))
+          case _ => null
+        }
+      else if (line.startsWith("file:"))
+        line.stripPrefix("file:").split(":", -1) match {
+          case Array(rel, n, len, mt, rows) =>
+            row("file", rel = rel, name = n, n1 = len.toLong, n2 = mt.toLong,
+              n3 = optLong(rows))
+          case _ => null
+        }
+      else if (line.startsWith("fstats:"))
+        line.stripPrefix("fstats:").split(":", -1) match {
+          case Array(rel, n, c, lo, hi, nulls) =>
+            row("fstatL", rel = rel, name = n, col = c, n1 = optLong(lo),
+              n2 = optLong(hi), n3 = optLong(nulls))
+          case _ => null
+        }
+      else if (line.startsWith("fsstats:"))
+        line.stripPrefix("fsstats:").split(":", -1) match {
+          case Array(rel, n, c, lo, hi, nulls) =>
+            row("fstatS", rel = rel, name = n, col = c, s1 = optB64(lo),
+              s2 = optB64(hi), n3 = optLong(nulls))
+          case _ => null
+        }
+      else if (line.startsWith("removed:"))
+        line.stripPrefix("removed:").split(":", 2) match {
+          case Array(rel, t) => row("removed", rel = rel, n1 = t.toLong)
+          case _ => null
+        }
+      else if (line.startsWith("txn:"))
+        line.stripPrefix("txn:").split(":", 2) match {
+          case Array(w, id) => row("txn", name = w, n1 = id.toLong)
+          case _ => null
+        }
+      else if (line.startsWith("schema:")) {
+        val payload = line.stripPrefix("schema:")
+        val i = payload.indexOf(':')
+        if (i >= 0)
+          row("tschema", name = payload.substring(0, i),
+            s1 = TxTable.b64d(payload.substring(i + 1)))
+        else row("schema", s1 = TxTable.b64d(payload))
+      } else if (line.startsWith("constraint:"))
+        line.stripPrefix("constraint:").split(":", 2) match {
+          case Array(n, e) => row("constraint", name = n, s1 = TxTable.b64d(e))
+          case _ => null
+        }
+      else if (line.startsWith("colmap:"))
+        row("colmap", s1 = line.stripPrefix("colmap:"))
+      else if (line.startsWith("dvf:")) row("dvf", rel = line.stripPrefix("dvf:"))
+      else null
+    Option(r)
+  }
+
+  /** Write the parquet twin of checkpoint `lines` at `dst` (put-if-
+    * absent via `claim`, matching the text checkpoint's discipline).
+    * Best-effort by contract: any untranslatable line or I/O failure
+    * leaves only the text checkpoint — callers wrap in Try.
+    */
+  private[sources] def writeTwin(fs: FileSystem, log: Path, dst: Path,
+      lines: Seq[String], conf: Configuration,
+      claim: (FileSystem, Path, Path) => Boolean): Unit = {
+    val rows = lines.map(translate)
+    if (rows.exists(_.isEmpty)) return // unknown line kind: text-only
+    val tmp = new Path(log, s".tmppq_${java.util.UUID.randomUUID().toString.take(12)}")
+    val wconf = new Configuration(conf)
+    GroupWriteSupport.setSchema(Schema, wconf)
+    val writer = ExampleParquetWriter.builder(tmp)
+      .withConf(wconf).withType(Schema).build()
+    try rows.flatten.foreach { r =>
+      val g = new SimpleGroup(Schema)
+      g.add("kind", r.kind)
+      if (r.rel != null) g.add("rel", r.rel)
+      if (r.name != null) g.add("name", r.name)
+      if (r.col != null) g.add("col", r.col)
+      if (r.s1 != null) g.add("s1", r.s1)
+      if (r.s2 != null) g.add("s2", r.s2)
+      if (r.n1 != null) g.add("n1", r.n1.longValue)
+      if (r.n2 != null) g.add("n2", r.n2.longValue)
+      if (r.n3 != null) g.add("n3", r.n3.longValue)
+      writer.write(g)
+    } finally writer.close()
+    claim(fs, tmp, dst)
+  }
+
+  /** String converter that pre-decodes the column's DICTIONARY page to
+    * java Strings once — repeated values (directory rels, stat column
+    * names, kinds) then cost an array index per row instead of a UTF-8
+    * decode + allocation. Falls back to plain decode on non-dictionary
+    * pages.
+    */
+  private final class StrConv(sink: Array[AnyRef], i: Int)
+      extends org.apache.parquet.io.api.PrimitiveConverter {
+    private var dict: Array[String] = _
+    override def hasDictionarySupport: Boolean = true
+    override def setDictionary(d: org.apache.parquet.column.Dictionary): Unit =
+      dict = Array.tabulate(d.getMaxId + 1)(j =>
+        d.decodeToBinary(j).toStringUsingUTF8)
+    override def addValueFromDictionary(id: Int): Unit = sink(i) = dict(id)
+    override def addBinary(b: org.apache.parquet.io.api.Binary): Unit =
+      sink(i) = b.toStringUsingUTF8
+  }
+
+  private final class LongConv(sink: Array[AnyRef], i: Int)
+      extends org.apache.parquet.io.api.PrimitiveConverter {
+    override def addLong(v: Long): Unit = sink(i) = java.lang.Long.valueOf(v)
+  }
+
+  /** Direct [[CkptRow]] materializer — no example-Group indirection:
+    * nine converters write into one slot array, `getCurrentRecord`
+    * copies it out. ~2× the Group API's row rate on the many-file seed
+    * this format exists for.
+    */
+  private final class RowMaterializer
+      extends org.apache.parquet.io.api.RecordMaterializer[CkptRow] {
+    private val vals = new Array[AnyRef](9)
+    private val root = new org.apache.parquet.io.api.GroupConverter {
+      private val convs: Array[org.apache.parquet.io.api.Converter] =
+        Array.tabulate(9)(i =>
+          if (i < 6) new StrConv(vals, i) else new LongConv(vals, i))
+      override def getConverter(i: Int): org.apache.parquet.io.api.Converter =
+        convs(i)
+      override def start(): Unit = java.util.Arrays.fill(vals, null)
+      override def end(): Unit = ()
+    }
+    override def getCurrentRecord: CkptRow =
+      CkptRow(vals(0).asInstanceOf[String], vals(1).asInstanceOf[String],
+        vals(2).asInstanceOf[String], vals(3).asInstanceOf[String],
+        vals(4).asInstanceOf[String], vals(5).asInstanceOf[String],
+        vals(6).asInstanceOf[java.lang.Long], vals(7).asInstanceOf[java.lang.Long],
+        vals(8).asInstanceOf[java.lang.Long])
+    override def getRootConverter: org.apache.parquet.io.api.GroupConverter = root
+  }
+
+  private final class RowReadSupport
+      extends org.apache.parquet.hadoop.api.ReadSupport[CkptRow] {
+    override def init(ctx: org.apache.parquet.hadoop.api.InitContext)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext =
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(Schema)
+    override def prepareForRead(conf: Configuration,
+        meta: java.util.Map[String, String], fileSchema: MessageType,
+        ctx: org.apache.parquet.hadoop.api.ReadSupport.ReadContext)
+        : org.apache.parquet.io.api.RecordMaterializer[CkptRow] =
+      new RowMaterializer
+  }
+
+  /** Read ALL rows of a parquet twin — fully materialized before the
+    * caller applies any of them, so a torn/corrupt file can never
+    * half-seed a replay (the caller falls back to the text checkpoint
+    * on the Failure).
+    */
+  private[sources] def readAll(path: Path, conf: Configuration): Seq[CkptRow] = {
+    val reader = ParquetReader.builder(new RowReadSupport, path)
+      .withConf(conf).build()
+    val out = scala.collection.mutable.ArrayBuffer.empty[CkptRow]
+    try {
+      var r = reader.read()
+      while (r != null) { out += r; r = reader.read() }
+    } finally reader.close()
+    out.toSeq
+  }
+}

@@ -258,6 +258,25 @@ final class TxFileIndex(
   override def inputFiles: Array[String] =
     filesByDir.flatMap(_._2.map(_._1.getPath.toString)).toArray
 
+  /** The byte sum the SAME pruning [[listFiles]] would keep under these
+    * filters — side-effect-free (no counters touched, no listing: pure
+    * driver arithmetic over the already-assembled records). Returns the
+    * full live sum when nothing translates. This is the
+    * [[graft.plans.PrunedScanSizing]] seam: a per-query plan rewrite may
+    * re-size the relation by ITS OWN filters, which is exactly the
+    * stale-reuse hazard [[sizeInBytes]]'s conservative full sum exists
+    * to avoid (see its doc).
+    */
+  private[graft] def keptBytesUnder(dataFilters: Seq[Expression]): Long = {
+    val preds = dataFilters.flatMap(predOf)
+    if (preds.isEmpty) sizeInBytes
+    else filesByDir.iterator.flatMap { case (d, fs) =>
+      fs.iterator.collect {
+        case (st, rec) if preds.forall(admits(d, rec, _)) => st.getLen
+      }
+    }.sum
+  }
+
   override def refresh(): Unit = () // snapshot-pinned by construction
 
   /** The byte sum the planner sizes this relation by: deliberately the

@@ -36,13 +36,26 @@ import graft.sources.TxTable.{CommitConflict, LongStat}
   * atomic multi-table operations are append/overwrite-free ingest;
   * per-table deletes/merges/column-mapping/constraints remain the
   * single-table [[TxTable]]'s domain (a group table needing them
-  * should be a referenced single table instead). The group records no
-  * `schema:` action (one slot, many tables); the write gate reads each
-  * table's live footers instead. Use [[TxTable]] maintenance surfaces
-  * ([[TxTable.checkpoint]], [[TxTable.cleanupLog]]) directly on the
-  * group dir — they only touch `_log`.
+  * should be a referenced single table instead). Each member table's
+  * schema is a tracked log action (`schema:<table>:<b64 json>`, latest
+  * line per table wins, carried by checkpoints/restore/clone exactly
+  * like the single-table `schema:` action), so the per-commit write
+  * gate reads the LOG, never parquet footers — the O(live-directories)
+  * footer I/O a month-old streaming group would otherwise pay per
+  * batch is gone (footer reads survive only as the legacy fallback for
+  * groups written before tracking, counted in [[footerGateReads]], and
+  * the first write to such a group upgrades it opportunistically). Use
+  * [[TxTable]] maintenance surfaces ([[TxTable.checkpoint]],
+  * [[TxTable.cleanupLog]]) directly on the group dir — they only touch
+  * `_log`.
   */
 object TxGroup {
+
+  /** Count of legacy footer-fallback schema reads on the [[appendMany]]
+    * gate path (pre-tracking groups only) — observable so a spec can
+    * pin the zero-footer-read contract on current-format groups.
+    */
+  private[sources] val footerGateReads = new java.util.concurrent.atomic.AtomicLong
 
   private def requireTableName(t: String): Unit =
     require(t.nonEmpty && !t.contains(":") && !t.contains("/") && !t.startsWith("_")
@@ -75,8 +88,20 @@ object TxGroup {
     require(dirs.nonEmpty,
       s"group $dir has no table '$table' at this version " +
         s"(tables: ${tables(spark, dir, version).mkString(", ")})")
-    TxTable.scanLiveDirs(spark, dir, state, dirs, mergeSchema)
+    // the tracked per-table schema types the read deterministically
+    // (post-evolution directories surface the RECORDED schema, old
+    // directories read new columns as null — the single-table snapshot
+    // rule); mergeSchema = true remains the explicit footer-union read
+    TxTable.scanLiveDirs(spark, dir, state, dirs, mergeSchema,
+      readerSchema = if (mergeSchema) None else trackedSchema(state, table))
   }
+
+  /** Parse the tracked schema action of one member table, if any. */
+  private def trackedSchema(state: TxTable.TableState,
+      table: String): Option[org.apache.spark.sql.types.StructType] =
+    state.tableSchemas.get(table).flatMap(j => scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
 
   /** [[snapshot]] restricted to a stats-range conjunction — the
     * [[TxTable.snapshotWhere]] pruning over one member table's
@@ -96,11 +121,14 @@ object TxGroup {
         case Some(LongStat(dLo, dHi)) => dHi >= lo && dLo <= hi
         case _ => true // missing/kind-mismatched stats never prune
       })
+    val tracked = trackedSchema(state, table)
     val base =
       if (kept.isEmpty)
-        TxTable.scanLiveDirs(spark, dir, state, dirs, mergeSchema = false)
+        TxTable.scanLiveDirs(spark, dir, state, dirs, mergeSchema = false,
+            readerSchema = tracked)
           .filter(org.apache.spark.sql.functions.lit(false))
-      else TxTable.scanLiveDirs(spark, dir, state, kept, mergeSchema = false)
+      else TxTable.scanLiveDirs(spark, dir, state, kept, mergeSchema = false,
+        readerSchema = tracked)
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
@@ -129,6 +157,11 @@ object TxGroup {
     require(writes.map(_._1).distinct.size == writes.size,
       s"duplicate table in one transaction: ${writes.map(_._1).mkString(", ")}")
     statsCols.keys.foreach(requireTableName)
+    // a typo'd stats key would otherwise silently drop stats recording
+    // (and all future pruning) for the table it meant to name
+    require(statsCols.keySet.subsetOf(writes.map(_._1).toSet),
+      s"statsCols names tables not in this transaction: " +
+        s"${(statsCols.keySet -- writes.map(_._1)).toSeq.sorted.mkString(", ")}")
     txn.foreach { case (w, _) =>
       require(!w.contains(":") && w.nonEmpty,
         s"writerId must be non-empty and colon-free: '$w'")
@@ -159,11 +192,41 @@ object TxGroup {
       try rels.flatMap { case (t, rel, _) =>
         TxTable.statsLines(spark, dir, rel, statsCols.getOrElse(t, Nil))
       } catch { case e: Throwable => cleanup(); throw e }
-    val opLines = Seq("op:append") ++ txn.map { case (w, id) => s"txn:$w:$id" } ++
+    val baseLines = Seq("op:append") ++ txn.map { case (w, id) => s"txn:$w:$id" } ++
       rels.map { case (_, rel, _) => s"add:$rel" } ++ statsL
+    // gate ONE table against the tracked `schema:<table>:` action (the
+    // log, zero data reads — the steady state for every post-tracking
+    // group) and return its post-write schema line when the log does not
+    // already track it exactly: the first write of a table, an additive
+    // evolution, or a legacy pre-tracking group being upgraded
+    // opportunistically (whose gate reads footers ONCE more, counted)
+    def gateTable(state: Option[TxTable.TableState], t: String,
+        incoming: org.apache.spark.sql.types.StructType): Seq[String] = {
+      val tracked = state.flatMap(trackedSchema(_, t))
+      val existing = tracked.orElse {
+        state.map(st => tableDirs(st, t)).filter(_.nonEmpty).flatMap { dirs =>
+          footerGateReads.incrementAndGet()
+          scala.util.Try(spark.read.option("mergeSchema", "true")
+            .parquet(dirs.map(d => TxTable.dataPath(dir, d)): _*).schema).toOption
+        }
+      }
+      existing.foreach(sch => TxTable.enforceWriteSchema(
+        sch, incoming, allowAdditive, Set.empty, s"appendMany table '$t'"))
+      val after = existing match {
+        case None => incoming
+        case Some(ex) =>
+          val extras = incoming.fields.filterNot(f => ex.fieldNames.contains(f.name))
+          if (extras.isEmpty) ex
+          else org.apache.spark.sql.types.StructType(ex.fields ++ extras)
+      }
+      if (tracked.exists(tr => TxTable.sameTypeLoose(tr, after))) Nil
+      else Seq(s"schema:$t:${TxTable.b64e(after.json)}")
+    }
     // serializable gate loop: gate every table against the CURRENT
-    // state, claim gated-tip + 1; a lost claim re-reads and re-gates
+    // state, claim gated-tip + 1; a lost claim re-reads and RE-GATES
+    // (schema lines re-derive against the new state too)
     var gatedTip = -1L
+    var schemaL: Seq[String] = Nil
     var attempts = 0
     while (attempts < 64) {
       val curTip = TxTable.tipOrZero(spark, dir)
@@ -175,19 +238,12 @@ object TxGroup {
             return None
           }
         }
-        try rels.foreach { case (t, _, df) =>
-          state.map(st => tableDirs(st, t)).filter(_.nonEmpty).foreach { dirs =>
-            scala.util.Try(spark.read.option("mergeSchema", "true")
-              .parquet(dirs.map(d => TxTable.dataPath(dir, d)): _*).schema)
-              .toOption.foreach(existing =>
-                TxTable.enforceWriteSchema(existing, df.schema, allowAdditive,
-                  Set.empty, s"appendMany table '$t'"))
-          }
-        } catch { case e: IllegalArgumentException => cleanup(); throw e }
+        try schemaL = rels.flatMap { case (t, _, df) => gateTable(state, t, df.schema) }
+        catch { case e: IllegalArgumentException => cleanup(); throw e }
         gatedTip = curTip
       }
       try {
-        TxTable.publishAt(spark, dir, gatedTip + 1, opLines)
+        TxTable.publishAt(spark, dir, gatedTip + 1, baseLines ++ schemaL)
         return Some(gatedTip + 1)
       } catch { case _: CommitConflict => attempts += 1 }
     }

@@ -380,8 +380,9 @@ object TxTable {
     * directory subset.
     */
   private[sources] def scanLiveDirs(spark: SparkSession, dir: String,
-      state: TableState, dirs: Seq[String], mergeSchema: Boolean): DataFrame =
-    scanLive(spark, dir, state, dirs, mergeSchema)
+      state: TableState, dirs: Seq[String], mergeSchema: Boolean,
+      readerSchema: Option[StructType] = None): DataFrame =
+    scanLive(spark, dir, state, dirs, mergeSchema, readerSchema = readerSchema)
 
   /** Apply the outstanding deletion vectors to ANY file-backed scan of
     * this table (the back half of [[scanLive]], shared with the
@@ -439,6 +440,9 @@ object TxTable {
   }
 
   private def ckptName(v: Long): String = versionName(v) + ".ckpt"
+
+  /** The columnar (parquet) twin of a checkpoint ([[CkptColumnar]]). */
+  private def ckptPqName(v: Long): String = versionName(v) + ".ckptpq"
 
   private def readLines(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
@@ -586,14 +590,15 @@ object TxTable {
       constraints: Map[String, String],
       colMap: ColMap,
       dvFiles: Seq[String],
-      files: Map[String, Seq[FileRec]])
+      files: Map[String, Seq[FileRec]],
+      tableSchemas: Map[String, String])
 
   private[sources] def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
     // version 0 IS the empty table — the change-feed baseline, so a
     // feed from 0 yields the initial content as its first insert slice
     if (v == 0L)
       return TableState(Nil, Map.empty, Map.empty, Map.empty, 0L, None, Map.empty,
-        ColMap.identity, Nil, Map.empty)
+        ColMap.identity, Nil, Map.empty, Map.empty)
     val (fs, root) = fsFor(spark, dir)
     val log = logPath(root)
     // the seeding checkpoint: probe DESCENDING by constructed name from
@@ -626,6 +631,7 @@ object TxTable {
     val txns = scala.collection.mutable.Map.empty[String, Long]
     val removedAt = scala.collection.mutable.Map.empty[String, Long]
     var schemaJson: Option[String] = None
+    val tableSchemas = scala.collection.mutable.Map.empty[String, String]
     val constraints = scala.collection.mutable.Map.empty[String, String]
     var colMap = ColMap.identity
     val dvFiles = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -719,11 +725,21 @@ object TxTable {
       } else if (line.startsWith("txn:")) {
         val Array(w, id) = line.stripPrefix("txn:").split(":", 2)
         txns(w) = math.max(txns.getOrElse(w, Long.MinValue), id.toLong)
-      } else if (line.startsWith("schema:"))
+      } else if (line.startsWith("schema:")) {
         // schema:<b64 json> — the Delta metadata action: the CURRENT
         // table schema, latest line wins; lets the schema-on-write gate
-        // validate against the log instead of reading parquet footers
-        schemaJson = Some(b64d(line.stripPrefix("schema:")))
+        // validate against the log instead of reading parquet footers.
+        // schema:<table>:<b64 json> — the GROUP variant ([[TxGroup]]):
+        // one tracked schema per member table, latest line per table
+        // wins (b64 holds no ':' and member names are colon-free, so
+        // the payload split is unambiguous)
+        val payload = line.stripPrefix("schema:")
+        val i = payload.indexOf(':')
+        if (i >= 0) tableSchemas(payload.substring(0, i)) = b64d(payload.substring(i + 1))
+        else schemaJson = Some(b64d(payload))
+      } else if (line.startsWith("rmschema:"))
+        // a restore rolled the group back past a member table's creation
+        tableSchemas -= line.stripPrefix("rmschema:")
       else if (line.startsWith("protocol:")) {
         // total parse (toLongOption): an unparseable or out-of-Long-range
         // value gets the informative protocol error, never a bare
@@ -759,7 +775,65 @@ object TxTable {
         dvFiles -= rel
         removedAt(rel) = entryMtime
       }
-    if (base > 0) readLines(fs, new Path(log, ckptName(base))).foreach(applyLine)
+    // the typed applyLine twin for columnar checkpoint rows (same
+    // mutations, no string splits / base64 / number parses — see
+    // [[CkptColumnar]]; checkpoints carry no remove:/rmdvf:/ts: lines,
+    // so entryMtime is never consulted here)
+    def applyRow(r: CkptColumnar.CkptRow): Unit = r.kind match {
+      case "live" => live += r.rel
+      case "file" =>
+        val f = fileOf(r.rel, r.name)
+        f.len = r.n1.longValue; f.mtime = r.n2.longValue
+        f.rows = if (r.n3 == null) -1L else r.n3.longValue
+      case "fstatL" =>
+        val f = fileOf(r.rel, r.name)
+        if (r.n1 != null) f.stats(r.col) = LongStat(r.n1.longValue, r.n2.longValue)
+        if (r.n3 != null) f.nulls(r.col) = r.n3.longValue
+      case "fstatS" =>
+        val f = fileOf(r.rel, r.name)
+        if (r.s1 != null) f.stats(r.col) = StrStat(r.s1, Option(r.s2))
+        if (r.n3 != null) f.nulls(r.col) = r.n3.longValue
+      case "dstatL" =>
+        stats.getOrElseUpdate(r.rel, scala.collection.mutable.Map.empty)
+          .update(r.col, LongStat(r.n1.longValue, r.n2.longValue))
+      case "dstatS" =>
+        stats.getOrElseUpdate(r.rel, scala.collection.mutable.Map.empty)
+          .update(r.col, StrStat(r.s1, Option(r.s2)))
+      case "removed" => removedAt(r.rel) = r.n1.longValue
+      case "txn" =>
+        txns(r.name) =
+          math.max(txns.getOrElse(r.name, Long.MinValue), r.n1.longValue)
+      case "schema" => schemaJson = Option(r.s1)
+      case "tschema" => tableSchemas(r.name) = r.s1
+      case "constraint" => constraints(r.name) = r.s1
+      case "colmap" => colMap = parseColMap(r.s1)
+      case "dvf" => dvFiles += r.rel
+      case "protocol" =>
+        if (r.n1 == null || r.n1.longValue > SupportedProtocol)
+          throw new IllegalStateException(
+            s"table $dir was written under log protocol ${Option(r.n1).getOrElse("?")}; " +
+              s"this engine supports protocol <= $SupportedProtocol — upgrade " +
+              "the reader before touching this table")
+      case other =>
+        throw new IllegalStateException(s"unknown columnar checkpoint row: $other")
+    }
+    if (base > 0) {
+      // columnar seed when the twin exists and decodes whole (rows are
+      // fully materialized BEFORE any is applied — a torn twin cannot
+      // half-seed); the text checkpoint is the fallback and the
+      // authority. The protocol check runs outside the Try: an
+      // unsupported protocol is a real error, not a decode miss.
+      val pq = new Path(log, ckptPqName(base))
+      val viaPq =
+        if (!fs.exists(pq)) None
+        else scala.util.Try(
+          CkptColumnar.readAll(pq, spark.sessionState.newHadoopConf())).toOption
+      viaPq match {
+        case Some(rows) => rows.foreach(applyRow)
+        case None =>
+          readLines(fs, new Path(log, ckptName(base))).foreach(applyLine)
+      }
+    }
     var ver = base + 1
     while (ver <= v) {
       val p = new Path(log, versionName(ver))
@@ -784,7 +858,7 @@ object TxTable {
       schemaJson, constraints.toMap, colMap, dvFiles.toSeq,
       files.view.mapValues(_.toSeq.map { case (n, f) =>
         FileRec(n, f.len, f.mtime, f.rows, f.stats.toMap, f.nulls.toMap)
-      }).toMap)
+      }).toMap, tableSchemas.toMap)
   }
 
   /** Resolve a requested version against the tip and reconstruct its
@@ -1247,10 +1321,19 @@ object TxTable {
     val statsL = adds.flatMap(d => tgt.stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
       .map { case (c, st) => statLineOf(d, c, st) }) ++
       adds.flatMap(d => fileLinesOf(d, tgt.files.getOrElse(d, Nil)))
-    val schemaL = tgt.schemaJson match {
+    val schemaL = (tgt.schemaJson match {
       case Some(j) if !cur.schemaJson.contains(j) => Seq(s"schema:${b64e(j)}")
       case _ => Nil
-    }
+    }) ++
+      // per-member-table schemas roll back with the content: tables whose
+      // tracked schema differs at the target re-record it; tables created
+      // AFTER the target lose theirs (rmschema:), so a later re-create
+      // cannot gate against a stale post-restore schema
+      tgt.tableSchemas.toSeq.sortBy(_._1).collect {
+        case (t, j) if !cur.tableSchemas.get(t).contains(j) => s"schema:$t:${b64e(j)}"
+      } ++
+      cur.tableSchemas.keys.toSeq.sorted.filterNot(tgt.tableSchemas.contains)
+        .map(t => s"rmschema:$t")
     val colMapL =
       if (tgt.colMap == cur.colMap) Nil else Seq(colMapLine(tgt.colMap))
     // the deletion-vector set rolls back with the content: target-only
@@ -1307,6 +1390,8 @@ object TxTable {
         .map { case (c, stt) => statLineOf(ref(d), c, stt) }) ++
       st.live.flatMap(d => fileLinesOf(ref(d), st.files.getOrElse(d, Nil))) ++
       st.schemaJson.map(j => s"schema:${b64e(j)}").toSeq ++
+      st.tableSchemas.toSeq.sortBy(_._1)
+        .map { case (t, j) => s"schema:$t:${b64e(j)}" } ++
       st.constraints.toSeq.sortBy(_._1)
         .map { case (n, e) => s"constraint:$n:${b64e(e)}" } ++
       (if (st.colMap.isIdentity) Nil else Seq(colMapLine(st.colMap))) ++
@@ -1602,12 +1687,18 @@ object TxTable {
           .map { case (rel, t) => s"removed:$rel:$t" } ++
         st.txns.toSeq.sortBy(_._1).map { case (w, id) => s"txn:$w:$id" } ++
         st.schemaJson.map(j => s"schema:${b64e(j)}").toSeq ++
+        st.tableSchemas.toSeq.sortBy(_._1)
+          .map { case (t, j) => s"schema:$t:${b64e(j)}" } ++
         st.constraints.toSeq.sortBy(_._1)
           .map { case (n, e) => s"constraint:$n:${b64e(e)}" } ++
         (if (st.colMap.isIdentity) Nil else Seq(colMapLine(st.colMap))) ++
         st.dvFiles.map(f => s"dvf:$f")
     val tmp = writeSmallFile(fs, log, lines)
     putIfAbsent(fs, tmp, new Path(log, ckptName(v)))
+    // the columnar twin (best-effort, same put-if-absent discipline):
+    // readers seed from it when present, the text file stays authoritative
+    scala.util.Try(CkptColumnar.writeTwin(fs, log, new Path(log, ckptPqName(v)),
+      lines, spark.sessionState.newHadoopConf(), putIfAbsent))
     if (v > readPointer(fs, log)) writePointer(fs, log, v)
   }
 
@@ -1726,10 +1817,10 @@ object TxTable {
   // Stats recording
   // ------------------------------------------------------------------
 
-  private def b64e(s: String): String =
+  private[sources] def b64e(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
 
-  private def b64d(s: String): String =
+  private[sources] def b64d(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
   /** Render one recorded stat as its log line (entry/checkpoint/restore
@@ -1943,7 +2034,7 @@ object TxTable {
     * not a representation difference, and parquet read-back loses it
     * anyway).
     */
-  private def sameTypeLoose(a: DataType, b: DataType): Boolean = (a, b) match {
+  private[sources] def sameTypeLoose(a: DataType, b: DataType): Boolean = (a, b) match {
     case (x: StructType, y: StructType) =>
       x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
         f.name == g.name && sameTypeLoose(f.dataType, g.dataType)
@@ -3181,6 +3272,8 @@ object TxTable {
         if (n.forall(_.isDigit)) Some(n.toLong)
         else if (n.endsWith(".ckpt") && n.stripSuffix(".ckpt").forall(_.isDigit))
           Some(n.stripSuffix(".ckpt").toLong)
+        else if (n.endsWith(".ckptpq") && n.stripSuffix(".ckptpq").forall(_.isDigit))
+          Some(n.stripSuffix(".ckptpq").toLong)
         else None
       verOpt.foreach { ver =>
         if (ver < boundary.get && commitAge(ver, st.getModificationTime) < cutoff &&

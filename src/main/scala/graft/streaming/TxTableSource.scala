@@ -25,9 +25,12 @@ import graft.sources.TxTable
   *
   * Options: `path` (the table directory — or pass it to `.load(path)`),
   * `startingVersion` (the first version the feed emits — Delta's
-  * startingVersion; default 1, the whole feed from the empty baseline),
-  * `startingTimestamp` (`yyyy-MM-dd HH:mm:ss[.fff]`, UTC — the
-  * engine's session default: the
+  * startingVersion; default 1, the whole feed from the empty baseline;
+  * validated at setup against the tip — at most tip+1, the empty feed
+  * that waits for the next commit), `startingTimestamp`
+  * (`yyyy-MM-dd HH:mm:ss[.fff]`, interpreted in the SESSION timezone —
+  * `spark.sql.session.timeZone`, UTC under the engine's defaults —
+  * matching the txtable()/txgroup() TVF TIMESTAMP literals: the
   * feed begins with the first version whose IN-COMMIT timestamp is
   * strictly after the cut — resolved through [[TxTable.versionAt]]'s
   * O(log tip) binary search; a cut predating retained history yields
@@ -110,6 +113,10 @@ final class TxTableSource(
       case LongOffset(v) => v
       case o => o.json().trim.toLong
     }.getOrElse(startingVersion - 1L)
+    // a feed positioned AT the tip (startingVersion = tip+1, validated at
+    // setup) has nothing yet: report no-data instead of an offset past
+    // the tip, which would fail the first batch inside the range check
+    if (from >= tip) return null
     val end = maxVersionsPerTrigger.map(m => math.min(tip, from + m)).getOrElse(tip)
     LongOffset(math.max(end, from))
   }
@@ -181,11 +188,26 @@ final class TxTableSourceProvider extends StreamSourceProvider with DataSourceRe
     // IN-COMMIT timestamp is strictly after the cut (versionAt's exact
     // complement); a timestamp predating retained history = whole feed
     val startingVersion = parameters.get("startingVersion")
-      .map(_.trim.toLong)
+      .map { raw =>
+        val sv = raw.trim.toLong
+        // validate at SETUP like the startingTimestamp path: a version
+        // past tip+1 would otherwise surface mid-stream as a confusing
+        // range error from the first batch's change read (tip+1 itself
+        // is legal — an empty feed that waits for the next commit)
+        val tip = graft.sources.TxTable.tipOrZero(spark, path)
+        require(sv >= 1 && sv <= tip + 1,
+          s"startingVersion $sv is past the committed history of $path " +
+            s"(tip $tip) — the feed can start at most at tip+1 (${tip + 1})")
+        sv
+      }
       .orElse(parameters.get("startingTimestamp").map { s =>
-        // UTC (the engine's session default), independent of JVM TZ
+        // interpreted in the SESSION timezone (spark.sql.session.timeZone
+        // — UTC under the engine's defaults), matching the txtable()/
+        // txgroup() TVF TIMESTAMP literals so the two AS-OF surfaces
+        // cannot resolve the same wall-clock string differently
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
         val ms = java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          .atZone(zone).toInstant.toEpochMilli
         try graft.sources.TxTable.versionAt(spark, path, ms) + 1L
         catch {
           case _: IllegalArgumentException

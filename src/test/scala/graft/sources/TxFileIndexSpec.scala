@@ -188,11 +188,13 @@ class TxFileIndexSpec extends SparkTestBase {
     val dir = freshDir()
     stageDeciles(dir)
     // simulate a pre-file-tracking log: strip every file-record line
-    // from entries and checkpoints (the directory stats lines remain)
+    // from entries and checkpoints (the directory stats lines remain),
+    // and drop the columnar twins — a legacy log predates those too
     val log = java.nio.file.Paths.get(dir, "_log")
     java.nio.file.Files.list(log).forEach { p =>
       val name = p.getFileName.toString
-      if (name.forall(_.isDigit) || name.endsWith(".ckpt")) {
+      if (name.endsWith(".ckptpq")) java.nio.file.Files.delete(p)
+      else if (name.forall(_.isDigit) || name.endsWith(".ckpt")) {
         val kept = java.nio.file.Files.readAllLines(p).stream()
           .filter(l => !(l.startsWith("file:") || l.startsWith("fstats:") ||
             l.startsWith("fsstats:")))

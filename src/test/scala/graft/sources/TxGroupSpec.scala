@@ -159,6 +159,112 @@ class TxGroupSpec extends SparkTestBase {
       .agg(sum("n")).head().getLong(0) == 4L)
   }
 
+  test("tracked per-table schemas: the gate path reads ZERO parquet " +
+      "footers on a current-format group, across the checkpoint boundary") {
+    val dir = freshDir()
+    val before = TxGroup.footerGateReads.get()
+    (0 until 10).foreach { i =>
+      TxGroup.appendMany(spark, dir,
+        Seq("docs" -> docs(i * 10L, i * 10L + 10L),
+          "lang_counts" -> countsOf(i * 10L, i * 10L + 10L)))
+    }
+    // 10 commits cross CheckpointEvery=8: the checkpoint must CARRY the
+    // per-table schema actions or the post-checkpoint gates would regress
+    assert(TxTable.replayBase(spark, dir) >= 8L)
+    assert(TxGroup.footerGateReads.get() == before,
+      "every gate after the first write of a table must read the tracked " +
+        "schema action, never parquet footers")
+    // and the gate still REJECTS through the tracked schema (no footers)
+    intercept[IllegalArgumentException] {
+      TxGroup.appendMany(spark, dir, Seq(
+        "docs" -> docs(900, 910),
+        "lang_counts" -> Seq(("en", "oops")).toDF("lang", "n")))
+    }
+    assert(TxGroup.footerGateReads.get() == before)
+  }
+
+  test("legacy pre-tracking group: the first gate falls back to footers " +
+      "ONCE and upgrades the log; subsequent gates are footer-free") {
+    val dir = freshDir()
+    (0 until 3).foreach { i =>
+      TxGroup.appendMany(spark, dir,
+        Seq("docs" -> docs(i * 10L, i * 10L + 10L),
+          "lang_counts" -> countsOf(i * 10L, i * 10L + 10L)))
+    }
+    // simulate a group written before schema tracking: strip every
+    // per-table schema action from entries and checkpoints
+    val log = java.nio.file.Paths.get(dir, "_log")
+    java.nio.file.Files.list(log).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.forall(_.isDigit) || name.endsWith(".ckpt")) {
+        val kept = java.nio.file.Files.readAllLines(p).stream()
+          .filter(l => !l.startsWith("schema:"))
+          .collect(java.util.stream.Collectors.toList[String])
+        java.nio.file.Files.write(p, kept)
+      }
+    }
+    val before = TxGroup.footerGateReads.get()
+    TxGroup.appendMany(spark, dir,
+      Seq("docs" -> docs(30, 40), "lang_counts" -> countsOf(30, 40)))
+    assert(TxGroup.footerGateReads.get() == before + 2,
+      "a legacy group pays one footer read per member table, once")
+    // the upgrade wrote the schema actions: the next gate is footer-free
+    TxGroup.appendMany(spark, dir,
+      Seq("docs" -> docs(40, 50), "lang_counts" -> countsOf(40, 50)))
+    assert(TxGroup.footerGateReads.get() == before + 2)
+  }
+
+  test("additive evolution: snapshot types by the RECORDED schema — " +
+      "pre-evolution directories read the new column as null") {
+    val dir = freshDir()
+    TxGroup.appendMany(spark, dir,
+      Seq("docs" -> docs(0, 4), "lang_counts" -> countsOf(0, 4)))
+    // evolve docs additively inside a group commit
+    val evolved = docs(4, 8).withColumn("score", col("id") * 2L)
+    TxGroup.appendMany(spark, dir,
+      Seq("docs" -> evolved, "lang_counts" -> countsOf(4, 8)),
+      allowAdditive = true)
+    val snap = TxGroup.snapshot(spark, dir, "docs")
+    assert(snap.columns.toSeq == Seq("id", "lang", "score"),
+      "the tracked post-evolution schema types the read deterministically")
+    assert(snap.filter(col("score").isNull).count() == 4L,
+      "pre-evolution rows surface the new column as null")
+    assert(snap.filter(col("score").isNotNull).count() == 4L)
+    // the sibling table's gate still holds under the evolved state
+    intercept[IllegalArgumentException] {
+      TxGroup.appendMany(spark, dir,
+        Seq("docs" -> docs(8, 9), "lang_counts" -> countsOf(8, 9)))
+        // docs now REQUIRES the score column (silent drop rejected)
+    }
+  }
+
+  test("restore past a table's creation drops its tracked schema " +
+      "(rmschema): a later re-create gates fresh, not against the stale " +
+      "schema") {
+    val dir = freshDir()
+    TxGroup.appendMany(spark, dir, Seq("docs" -> docs(0, 4)))
+    TxGroup.appendMany(spark, dir,
+      Seq("extra" -> Seq((1L, "a")).toDF("k", "v")))
+    TxTable.restore(spark, dir, 1L)
+    assert(TxGroup.tables(spark, dir) == Seq("docs"))
+    // re-create 'extra' with an INCOMPATIBLE schema: legal — the restore
+    // removed the stale tracked schema along with the table's content
+    val v = TxGroup.appendMany(spark, dir,
+      Seq("extra" -> Seq((1, 2, 3)).toDF("a", "b", "c")))
+    assert(v.isDefined)
+    assert(TxGroup.snapshot(spark, dir, "extra").columns.toSeq ==
+      Seq("a", "b", "c"))
+  }
+
+  test("appendMany rejects statsCols naming a table not in the " +
+      "transaction (a typo would silently drop stats recording)") {
+    val dir = freshDir()
+    intercept[IllegalArgumentException] {
+      TxGroup.appendMany(spark, dir, Seq("docs" -> docs(0, 4)),
+        statsCols = Map("doc" -> Seq("id"))) // typo: 'doc'
+    }
+  }
+
   test("per-table stats prune member reads; checkpoints bound replay " +
       "across the CheckpointEvery boundary") {
     val dir = freshDir()

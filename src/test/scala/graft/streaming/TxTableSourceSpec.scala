@@ -144,6 +144,53 @@ class TxTableSourceSpec extends SparkTestBase {
     // a cut predating retained history = the whole feed
     assert(drainWith(Map("startingTimestamp" -> "1999-01-01 00:00:00"))
       == Seq(1L, 1L, 2L, 2L, 3L, 3L))
+    // tip+1 is legal: an empty feed that waits for the NEXT commit — and
+    // it picks up exactly that commit when one lands
+    assert(drainWith(Map("startingVersion" -> "4")) == Nil)
+    TxTable.append(spark, src, rows(6, 8)) // v4
+    assert(drainWith(Map("startingVersion" -> "4")) == Seq(4L, 4L))
+    // past tip+1 fails AT SETUP with guidance, not mid-stream inside the
+    // first batch's range check
+    val e = intercept[Exception] {
+      drainWith(Map("startingVersion" -> "9"))
+    }
+    assert(e.getMessage.contains("past the committed history") ||
+      Option(e.getCause).exists(_.getMessage.contains("past the committed history")))
+  }
+
+  test("startingTimestamp resolves through the SESSION timezone, " +
+      "matching the TVF TIMESTAMP surface") {
+    val src = freshDir("txsrc")
+    TxTable.append(spark, src, rows(0, 2))  // v1
+    TxTable.append(spark, src, rows(2, 4))  // v2
+    val ts1 = TxTable.history(spark, src).filter(col("version") === 1L)
+      .head().getLong(1)
+    // v1's in-commit instant, printed as an Asia/Tokyo wall clock: under
+    // a Tokyo session it must cut exactly like the UTC string did under
+    // UTC (strictly-after => v2 on); under the default UTC session the
+    // SAME string would land 9 hours later and cut the feed differently
+    val tokyo = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ts1), java.time.ZoneId.of("Asia/Tokyo"))
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("txtable")
+        .option("startingTimestamp", tokyo).load(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = batch.select("_commit_version").collect().map(_.getLong(0))
+          sink.synchronized { sink ++= got }
+          ()
+        }
+        .option("checkpointLocation", freshDir("txck"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(sink.sorted.toSeq == Seq(2L, 2L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
   test("an additively-evolved table streams from scratch: pre-evolution " +
