@@ -84,7 +84,8 @@ object Bench {
   private def isStreaming(name: String): Boolean =
     Set("q36", "q38", "q44", "q47", "q49", "q57", "q64", "q83", "q92", "q95",
       "q100", "q102", "q113", "q116", "q128",
-      "q151", "q156", "q165", "q179", "q205", "q213", "q215", "q220", "q234")
+      "q151", "q156", "q165", "q179", "q205", "q213", "q215", "q220", "q234",
+      "q238")
       .contains(name.takeWhile(_ != '_'))
 
   def main(args: Array[String]): Unit = {

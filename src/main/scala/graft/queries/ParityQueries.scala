@@ -730,6 +730,33 @@ object ParityQueries extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // ---- the WRITE half of q234's format surface
+    //      ([[graft.streaming.TxTableSink]]): the SAME drain as q213 —
+    //      corpus seed, 3 micro-batches, mid-stream compaction — but
+    //      committed by `writeStream.format("txtable")` with zero
+    //      user-written foreachBatch plumbing: batch id = txn id gives
+    //      exactly-once through the table's own ledger, statsCols /
+    //      compactEvery ride the option map. Same oracle as q213 (the
+    //      sink must be semantics-identical to the explicit ingest). ----
+    "q238_txtable_sink_stream" -> ((s, dir) => {
+      val tdir = Scratch.freshDir(s, "q238tbl", dir)
+      graft.sources.TxTable.append(s, tdir,
+        table(s, dir, "documents")
+          .filter(col("doc_id") < DedupQueries.corpusSplit)
+          .select(col("doc_id"), col("text")))
+      val q = s.readStream.schema(DedupQueries.docsFeedSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(DedupQueries.stagedDocsFeedDir(s, dir))
+        .writeStream.format("txtable")
+        .option("writerId", "q238").option("compactEvery", "2")
+        .option("statsCols", "doc_id")
+        .option("checkpointLocation", Scratch.freshDir(s, "q238ckpt", dir))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(tdir)
+      q.awaitTermination()
+      graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
+    }),
+
     // ---- replaceWhere on the transactional table ([[graft.sources
     //      .TxTable.replaceRange]]): four quarter-range appends with
     //      doc_id stats, then one commit replaces [n/4, 3n/8] with the
@@ -1515,6 +1542,10 @@ object ParityQueries extends QueryFamily {
     // exactly-once drain: corpus seed + 3 txn-ledgered micro-batch
     // appends + a mid-stream compaction must reassemble documents
     "q213_txtable_ingest_stream" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    // the writeStream.format("txtable") sink runs the SAME drain as
+    // q213 with the ledger keyed by batch id — identical oracle
+    "q238_txtable_sink_stream" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
     // the TIP snapshot must equal the versions' predicate algebra:
     // appends covered all of documents, the compaction changed nothing,

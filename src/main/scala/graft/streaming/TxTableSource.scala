@@ -156,10 +156,12 @@ final class TxTableSource(
 }
 
 /** Registers short name `txtable` (META-INF/services) so
-  * `spark.readStream.format("txtable").load(path)` resolves with no
-  * class-name spelling.
+  * `spark.readStream.format("txtable").load(path)` AND
+  * `df.writeStream.format("txtable").start(path)` resolve with no
+  * class-name spelling ([[TxTableSinkProvider]] carries the sink half).
   */
-final class TxTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+final class TxTableSourceProvider extends StreamSourceProvider
+    with TxTableSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "txtable"
 

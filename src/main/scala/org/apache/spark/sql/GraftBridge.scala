@@ -56,4 +56,17 @@ object GraftBridge {
     val cdf = df.asInstanceOf[classic.DataFrame]
     cs.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The INVERSE of [[streamingFrameOf]] — re-bind the micro-batch frame
+    * a V1 `Sink.addBatch` receives as a plain BATCH frame: the incoming
+    * frame is tied to the stream's IncrementalExecution and cannot be
+    * handed to batch writers directly (re-planning it re-executes the
+    * wrong plan — the documented V1 sink trap). Same
+    * `internalCreateDataFrame` seam, `isStreaming = false`.
+    */
+  def batchFrameOf(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val cdf = df.asInstanceOf[classic.DataFrame]
+    cs.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

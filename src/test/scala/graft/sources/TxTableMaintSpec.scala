@@ -58,12 +58,12 @@ class TxTableMaintSpec extends SparkTestBase {
     assert(TxTable.cleanupLog(spark, dir, retainMs = 24L * 3600 * 1000).isEmpty)
     assert(ids(TxTable.snapshot(spark, dir, Some(7L))) == (0L until 7L))
     // zero retention reclaims every entry/ckpt below the pointer (48):
-    // what remains is entries 48..50 + ckpt 48 + the pointer — a read
-    // can touch at most a CheckpointEvery-bounded file set, not the
-    // 50-commit history
+    // what remains is entries 48..50 + ckpt 48 (text + columnar twin) +
+    // the pointer — a read can touch at most a CheckpointEvery-bounded
+    // file set, not the 50-commit history
     val cleaned = TxTable.cleanupLog(spark, dir, retainMs = 0L)
     assert(cleaned.nonEmpty)
-    assert(logFiles(dir).size == 5, s"got ${logFiles(dir)}")
+    assert(logFiles(dir).size == 6, s"got ${logFiles(dir)}")
     assert(ids(TxTable.snapshot(spark, dir)) == (0L until 50L))
     assert(TxTable.versions(spark, dir) == Seq(48L, 49L, 50L))
     // the pointer's checkpoint version itself stays readable (it seeds
