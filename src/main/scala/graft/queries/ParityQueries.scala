@@ -757,6 +757,35 @@ object ParityQueries extends QueryFamily {
       graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
     }),
 
+    // ---- GENERATED + IDENTITY columns ([[graft.sources.TxTable
+    //      .addGeneratedColumn]] / [[addIdentityColumn]], the Delta
+    //      write-contract features): `bucket` is GENERATED ALWAYS AS
+    //      (doc_id % 97) — computed at write, stats-recorded, prunable —
+    //      and `rid` is GENERATED ALWAYS AS IDENTITY — unique increasing
+    //      ids assigned against the log-tracked mark across three
+    //      appends. Identity VALUES are layout-dependent (unique, not
+    //      contiguous), so the gate states the deterministic algebra:
+    //      per-bucket counts with count(distinct rid) == count(*) (the
+    //      uniqueness contract made hash-comparable) and the generated
+    //      column's arithmetic. ----
+    "q239_txtable_identity_gencol" -> ((s, dir) => {
+      val tdir = Scratch.freshDir(s, "q239tbl", dir)
+      graft.sources.TxTable.addIdentityColumn(s, tdir, "rid")
+      graft.sources.TxTable.addGeneratedColumn(s, tdir, "bucket", "doc_id % 97")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      (0 until 3).foreach { i =>
+        graft.sources.TxTable.append(s, tdir,
+          docs.filter(col("doc_id") % 3 === i), statsCols = Seq("bucket"))
+      }
+      graft.sources.TxTable.snapshot(s, tdir)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rid")).as("n_ids"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("bucket")
+    }),
+
     // ---- replaceWhere on the transactional table ([[graft.sources
     //      .TxTable.replaceRange]]): four quarter-range appends with
     //      doc_id stats, then one commit replaces [n/4, 3n/8] with the
@@ -1547,6 +1576,12 @@ object ParityQueries extends QueryFamily {
     // q213 with the ledger keyed by batch id — identical oracle
     "q238_txtable_sink_stream" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    // generated column = plain arithmetic over documents; identity
+    // uniqueness surfaces as count(distinct rid) == count(*) per bucket
+    "q239_txtable_identity_gencol" ->
+      """SELECT doc_id % 97 AS bucket, COUNT(*) AS n_docs,
+         COUNT(*) AS n_ids, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1 ORDER BY bucket""",
     // the TIP snapshot must equal the versions' predicate algebra:
     // appends covered all of documents, the compaction changed nothing,
     // the delete dropped doc_id % 10 == 7

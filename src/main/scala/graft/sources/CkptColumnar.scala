@@ -34,7 +34,9 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   * name col n1=lo? n2=hi? n3=nulls? | `fstatS` rel name col s1=lo?
   * s2=hi? n3=nulls? | `removed` rel n1=ts | `txn` name=writer n1=id |
   * `schema` s1=json | `tschema` name=table s1=json | `constraint` name
-  * s1=sql | `colmap` s1=payload | `dvf` rel | `protocol` n1=version.
+  * s1=sql | `gencol` name s1=sql | `idcol` name n1=start n2=step |
+  * `idhw` name n1=mark | `colmap` s1=payload | `dvf` rel | `protocol`
+  * n1=version.
   */
 private[sources] object CkptColumnar {
 
@@ -128,7 +130,23 @@ private[sources] object CkptColumnar {
           row("tschema", name = payload.substring(0, i),
             s1 = TxTable.b64d(payload.substring(i + 1)))
         else row("schema", s1 = TxTable.b64d(payload))
-      } else if (line.startsWith("constraint:"))
+      } else if (line.startsWith("gencol:"))
+        line.stripPrefix("gencol:").split(":", 2) match {
+          case Array(n, e) => row("gencol", name = n, s1 = TxTable.b64d(e))
+          case _ => null
+        }
+      else if (line.startsWith("idcol:"))
+        line.stripPrefix("idcol:").split(":", -1) match {
+          case Array(n, st, sp) =>
+            row("idcol", name = n, n1 = st.toLong, n2 = sp.toLong)
+          case _ => null
+        }
+      else if (line.startsWith("idhw:"))
+        line.stripPrefix("idhw:").split(":", 2) match {
+          case Array(n, v) => row("idhw", name = n, n1 = v.toLong)
+          case _ => null
+        }
+      else if (line.startsWith("constraint:"))
         line.stripPrefix("constraint:").split(":", 2) match {
           case Array(n, e) => row("constraint", name = n, s1 = TxTable.b64d(e))
           case _ => null

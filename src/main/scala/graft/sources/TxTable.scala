@@ -591,14 +591,17 @@ object TxTable {
       colMap: ColMap,
       dvFiles: Seq[String],
       files: Map[String, Seq[FileRec]],
-      tableSchemas: Map[String, String])
+      tableSchemas: Map[String, String],
+      genCols: Map[String, String],
+      idCols: Map[String, (Long, Long)],
+      idHw: Map[String, Long])
 
   private[sources] def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
     // version 0 IS the empty table — the change-feed baseline, so a
     // feed from 0 yields the initial content as its first insert slice
     if (v == 0L)
       return TableState(Nil, Map.empty, Map.empty, Map.empty, 0L, None, Map.empty,
-        ColMap.identity, Nil, Map.empty, Map.empty)
+        ColMap.identity, Nil, Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)
     val (fs, root) = fsFor(spark, dir)
     val log = logPath(root)
     // the seeding checkpoint: probe DESCENDING by constructed name from
@@ -633,6 +636,9 @@ object TxTable {
     var schemaJson: Option[String] = None
     val tableSchemas = scala.collection.mutable.Map.empty[String, String]
     val constraints = scala.collection.mutable.Map.empty[String, String]
+    val genCols = scala.collection.mutable.Map.empty[String, String]
+    val idCols = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val idHw = scala.collection.mutable.Map.empty[String, Long]
     var colMap = ColMap.identity
     val dvFiles = scala.collection.mutable.LinkedHashSet.empty[String]
     // per-directory FILE records (name → (len, mtime, rows) + per-col
@@ -752,6 +758,32 @@ object TxTable {
             s"table $dir was written under log protocol $pv; this engine " +
               s"supports protocol <= $SupportedProtocol — upgrade the reader " +
               "before touching this table")
+      } else if (line.startsWith("gencol:")) {
+        // gencol:<name>:<b64 sql> — a GENERATED ALWAYS AS (expr) column
+        // (Delta's generated columns): writes compute it when absent and
+        // are validated against it when present
+        val Array(n, e) = line.stripPrefix("gencol:").split(":", 2)
+        genCols(n) = b64d(e)
+      } else if (line.startsWith("rmgencol:"))
+        genCols -= line.stripPrefix("rmgencol:")
+      else if (line.startsWith("idcol:")) {
+        // idcol:<name>:<start>:<step> — GENERATED ALWAYS AS IDENTITY
+        line.stripPrefix("idcol:").split(":", -1) match {
+          case Array(n, st, sp) => idCols(n) = (st.toLong, sp.toLong)
+          case other =>
+            throw new IllegalStateException(s"malformed idcol line: $line")
+        }
+      } else if (line.startsWith("rmidcol:")) {
+        val n = line.stripPrefix("rmidcol:")
+        idCols -= n; idHw -= n
+      } else if (line.startsWith("idhw:")) {
+        // idhw:<name>:<lastAssigned> — the identity high-water mark.
+        // LATEST wins (not max): on an append-only log each commit's
+        // mark is strictly above its predecessor's (the concurrent-
+        // assignment gate enforces it), and latest-wins is what lets a
+        // RESTORE roll the mark back with the content
+        val Array(n, v2) = line.stripPrefix("idhw:").split(":", 2)
+        idHw(n) = v2.toLong
       } else if (line.startsWith("constraint:")) {
         // constraint:<name>:<b64 sql> — a CHECK constraint every
         // subsequent write's rows must satisfy (null = pass, SQL CHECK)
@@ -806,6 +838,9 @@ object TxTable {
       case "schema" => schemaJson = Option(r.s1)
       case "tschema" => tableSchemas(r.name) = r.s1
       case "constraint" => constraints(r.name) = r.s1
+      case "gencol" => genCols(r.name) = r.s1
+      case "idcol" => idCols(r.name) = (r.n1.longValue, r.n2.longValue)
+      case "idhw" => idHw(r.name) = r.n1.longValue
       case "colmap" => colMap = parseColMap(r.s1)
       case "dvf" => dvFiles += r.rel
       case "protocol" =>
@@ -858,7 +893,7 @@ object TxTable {
       schemaJson, constraints.toMap, colMap, dvFiles.toSeq,
       files.view.mapValues(_.toSeq.map { case (n, f) =>
         FileRec(n, f.len, f.mtime, f.rows, f.stats.toMap, f.nulls.toMap)
-      }).toMap, tableSchemas.toMap)
+      }).toMap, tableSchemas.toMap, genCols.toMap, idCols.toMap, idHw.toMap)
   }
 
   /** Resolve a requested version against the tip and reconstruct its
@@ -1333,7 +1368,26 @@ object TxTable {
         case (t, j) if !cur.tableSchemas.get(t).contains(j) => s"schema:$t:${b64e(j)}"
       } ++
       cur.tableSchemas.keys.toSeq.sorted.filterNot(tgt.tableSchemas.contains)
-        .map(t => s"rmschema:$t")
+        .map(t => s"rmschema:$t") ++
+      // generated/identity definitions and the identity mark roll back
+      // with the content (idhw is latest-wins, so the smaller target
+      // mark re-records — ids freed by the restore's removes may be
+      // reassigned, which is exactly Delta's restore behavior)
+      tgt.genCols.toSeq.sortBy(_._1).collect {
+        case (n, e) if !cur.genCols.get(n).contains(e) => s"gencol:$n:${b64e(e)}"
+      } ++
+      cur.genCols.keys.toSeq.sorted.filterNot(tgt.genCols.contains)
+        .map(n => s"rmgencol:$n") ++
+      tgt.idCols.toSeq.sortBy(_._1).collect {
+        case (n, sp) if !cur.idCols.get(n).contains(sp) =>
+          s"idcol:$n:${sp._1}:${sp._2}"
+      } ++
+      cur.idCols.keys.toSeq.sorted.filterNot(tgt.idCols.contains)
+        .map(n => s"rmidcol:$n") ++
+      tgt.idHw.toSeq.sortBy(_._1).collect {
+        case (n, v2) if !cur.idHw.get(n).contains(v2) && tgt.idCols.contains(n) =>
+          s"idhw:$n:$v2"
+      }
     val colMapL =
       if (tgt.colMap == cur.colMap) Nil else Seq(colMapLine(tgt.colMap))
     // the deletion-vector set rolls back with the content: target-only
@@ -1394,6 +1448,11 @@ object TxTable {
         .map { case (t, j) => s"schema:$t:${b64e(j)}" } ++
       st.constraints.toSeq.sortBy(_._1)
         .map { case (n, e) => s"constraint:$n:${b64e(e)}" } ++
+      st.genCols.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"gencol:$n:${b64e(e)}" } ++
+      st.idCols.toSeq.sortBy(_._1)
+        .map { case (n, (st0, sp)) => s"idcol:$n:$st0:$sp" } ++
+      st.idHw.toSeq.sortBy(_._1).map { case (n, v2) => s"idhw:$n:$v2" } ++
       (if (st.colMap.isIdentity) Nil else Seq(colMapLine(st.colMap))) ++
       st.dvFiles.map(f => s"dvf:${ref(f)}")
     publishAt(spark, dst, 1L, lines)
@@ -1574,9 +1633,11 @@ object TxTable {
     }.getOrElse("unrecognized")
     def c(reason: String) = Some(s"${p.what} aborted: concurrent version $v ($op) $reason")
     if (lines.exists(l => l.startsWith("schema:") || l.startsWith("colmap:") ||
-        l.startsWith("constraint:") || l.startsWith("dropconstraint:")))
-      return c("changed table metadata (schema / column mapping / constraints) — " +
-        "this commit's rows were gated under the old rules; re-derive")
+        l.startsWith("constraint:") || l.startsWith("dropconstraint:") ||
+        l.startsWith("gencol:") || l.startsWith("idcol:")))
+      return c("changed table metadata (schema / column mapping / constraints / " +
+        "generated or identity columns) — this commit's rows were gated under " +
+        "the old rules; re-derive")
     if (op == "restore")
       return c("restored an earlier version out from under this read")
     val removed = lines.collect {
@@ -1691,6 +1752,11 @@ object TxTable {
           .map { case (t, j) => s"schema:$t:${b64e(j)}" } ++
         st.constraints.toSeq.sortBy(_._1)
           .map { case (n, e) => s"constraint:$n:${b64e(e)}" } ++
+        st.genCols.toSeq.sortBy(_._1)
+          .map { case (n, e) => s"gencol:$n:${b64e(e)}" } ++
+        st.idCols.toSeq.sortBy(_._1)
+          .map { case (n, (st0, sp)) => s"idcol:$n:$st0:$sp" } ++
+        st.idHw.toSeq.sortBy(_._1).map { case (n, v2) => s"idhw:$n:$v2" } ++
         (if (st.colMap.isIdentity) Nil else Seq(colMapLine(st.colMap))) ++
         st.dvFiles.map(f => s"dvf:$f")
     val tmp = writeSmallFile(fs, log, lines)
@@ -1752,7 +1818,8 @@ object TxTable {
       incoming: StructType, allowAdditive: Boolean, what: String,
       statsL: Seq[String], txn: Option[(String, Long)],
       gatedTip0: Long, initState: Option[TableState],
-      initSchemaL: Seq[String]): Option[Long] = {
+      initSchemaL: Seq[String],
+      idBases: Map[String, Long] = Map.empty): Option[Long] = {
     val (fs, root) = fsFor(spark, dir)
     val opLines = Seq("op:append") ++ txn.map { case (w, id) => s"txn:$w:$id" }
     var gatedTip = gatedTip0
@@ -1776,6 +1843,18 @@ object TxTable {
           incoming.fieldNames.foreach(c => require(!newCm.dropped.contains(c),
             s"$what carries column '$c', which a concurrent commit dropped — " +
               "re-derive the write against the new schema"))
+          // a concurrent commit advanced an identity mark past the base
+          // this write assigned from: the written values would collide —
+          // abort with guidance (the values are baked into the parquet;
+          // Delta's concurrent-identity rule — re-run the append)
+          idBases.foreach { case (n, base) =>
+            val cur = newState.flatMap(_.idHw.get(n))
+            require(cur.forall(_ < base),
+              s"$what lost a race on identity column '$n': a concurrent " +
+                s"commit advanced its mark to ${cur.getOrElse(-1L)}, at or " +
+                s"past this write's first assigned value $base — re-run the " +
+                "append (it will assign from the new mark)")
+          }
           schemaL = gateAndSchemaLines(spark, dir, newState, incoming, allowAdditive, what)
           if (newState.map(_.constraints).getOrElse(Map.empty) !=
               state.map(_.constraints).getOrElse(Map.empty))
@@ -2124,26 +2203,168 @@ object TxTable {
   // Writes
   // ------------------------------------------------------------------
 
+  /** Declare a GENERATED ALWAYS AS (expr) column (the Delta generated-
+    * columns feature): from this commit on, every append computes the
+    * column when the incoming frame LACKS it and VALIDATES it (null-safe
+    * equality, rejected on any mismatch) when the frame provides it —
+    * derived columns stay derivable by construction, and because the
+    * values are materialized at write, recorded file/directory stats on
+    * the generated column prune reads exactly like any other (declare a
+    * `date(ts)` generated column, record its stats, and time-sliced
+    * scans prune — the Delta partition-by-generated-column shape without
+    * the directory layout). On a table WITH data the column must already
+    * exist and every existing row must match the expression (validated
+    * here, like [[addConstraint]]); on an empty/new table the first
+    * write materializes it. The expression references LOGICAL column
+    * names. Returns the committed version.
+    */
+  def addGeneratedColumn(spark: SparkSession, dir: String, name: String,
+      exprSql: String): Long = {
+    require(!name.contains(":") && name.nonEmpty,
+      s"generated column names must be non-empty and colon-free: '$name'")
+    // parse now: an unparseable expression must fail HERE, not in some
+    // later write's analysis error
+    org.apache.spark.sql.functions.expr(exprSql)
+    val tip = tipOrZero(spark, dir)
+    if (tip > 0) {
+      val state = stateAt(spark, dir, tip)
+      require(!state.idCols.contains(name),
+        s"'$name' is already an identity column of $dir")
+      if (state.live.nonEmpty) {
+        val snap = snapshot(spark, dir)
+        require(snap.columns.contains(name),
+          s"table $dir has data but no column '$name' — a generated column " +
+            "cannot be retrofitted onto existing rows; add it to an empty " +
+            "table or write the materialized column first")
+        val bad = snap.filter(!(col(name) <=> org.apache.spark.sql.functions
+          .expr(exprSql))).count()
+        require(bad == 0L,
+          s"$bad existing row(s) of $dir violate '$name = $exprSql' — a " +
+            "generated column must hold over every existing row")
+      }
+    }
+    publishNext(spark, dir, Seq("op:gencol", s"gencol:$name:${b64e(exprSql)}"))
+  }
+
+  /** Declare a GENERATED ALWAYS AS IDENTITY column (Delta's identity
+    * columns): every append ASSIGNS it — unique, strictly increasing
+    * values from `start` by multiples of `step`, allocated against a
+    * log-tracked high-water mark (`idhw:` action) — and REJECTS frames
+    * that provide it (the ALWAYS contract). Values are unique and
+    * increasing, NOT contiguous (the distributed allocation leaves
+    * gaps — the documented Delta trade; assignment is one
+    * zipWithUniqueId pass, no global ordering exchange). Concurrent
+    * appends to one identity table conflict — the gate detects a moved
+    * mark and aborts with guidance rather than double-assigning
+    * (Delta's concurrent-identity rule). Declared on a table with no
+    * live data (identity cannot be retrofitted). Returns the committed
+    * version.
+    */
+  def addIdentityColumn(spark: SparkSession, dir: String, name: String,
+      start: Long = 1L, step: Long = 1L): Long = {
+    require(!name.contains(":") && name.nonEmpty,
+      s"identity column names must be non-empty and colon-free: '$name'")
+    require(step >= 1L, s"identity step must be >= 1 (got $step)")
+    val tip = tipOrZero(spark, dir)
+    if (tip > 0) {
+      val state = stateAt(spark, dir, tip)
+      require(state.live.isEmpty,
+        s"table $dir has data — identity columns are declared before the " +
+          "first write (existing rows cannot be assigned retroactively)")
+      require(!state.genCols.contains(name),
+        s"'$name' is already a generated column of $dir")
+    }
+    publishNext(spark, dir, Seq("op:idcol", s"idcol:$name:$start:$step"))
+  }
+
+  /** Apply the table's generated/identity column contract to an
+    * incoming LOGICAL frame: compute absent generated columns, assign
+    * identity columns (rejecting provided ones), and return the widened
+    * frame plus (validation checks for PROVIDED generated columns — run
+    * through [[enforceConstraints]] on the written files, one read) and
+    * (the first value each identity column assigns from — the
+    * concurrent-assignment gate input).
+    */
+  private def applyWriteDefaults(spark: SparkSession,
+      state: Option[TableState], df: DataFrame, what: String)
+      : (DataFrame, Map[String, String], Map[String, Long]) = {
+    val gens = state.map(_.genCols).getOrElse(Map.empty)
+    val ids = state.map(_.idCols).getOrElse(Map.empty)
+    if (gens.isEmpty && ids.isEmpty) return (df, Map.empty, Map.empty)
+    var out = df
+    val checks = scala.collection.mutable.Map.empty[String, String]
+    gens.toSeq.sortBy(_._1).foreach { case (n, sql) =>
+      if (out.columns.contains(n))
+        // provided: validate on the WRITTEN files (null-safe equality as
+        // a one-off CHECK — any mismatch rejects the write)
+        checks(s"__gen_$n") = s"$n <=> ($sql)"
+      else out = out.withColumn(n, org.apache.spark.sql.functions.expr(sql))
+    }
+    ids.keys.foreach { n =>
+      require(!out.columns.contains(n),
+        s"$what provides identity column '$n' — GENERATED ALWAYS AS " +
+          "IDENTITY assigns it; drop the column from the write")
+    }
+    val bases = ids.map { case (n, (start, step)) =>
+      n -> state.flatMap(_.idHw.get(n)).map(_ + step).getOrElse(start)
+    }
+    if (ids.nonEmpty) {
+      // ONE uid pass serves every identity column: uid is unique and
+      // non-negative per row (zipWithUniqueId — no global ordering
+      // exchange), so base + step*uid is unique and >= base
+      val uidCol = "__graft_idty_uid"
+      val withUid = spark.createDataFrame(
+        out.rdd.zipWithUniqueId().map { case (r, uid) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ uid)
+        }, out.schema.add(uidCol, LongType))
+      out = ids.toSeq.sortBy(_._1).foldLeft(withUid) { case (acc, (n, (_, step))) =>
+        acc.withColumn(n, lit(bases(n)) + lit(step) * col(uidCol))
+      }.drop(uidCol)
+    }
+    (out, checks.toMap, bases)
+  }
+
+  /** The `idhw:` lines a just-written directory advances the identity
+    * marks to — one column-pruned aggregate over the written files (the
+    * statsLines discipline: priced on the write, never the read).
+    */
+  private def idHwLines(spark: SparkSession, dir: String, rel: String,
+      idCols: Seq[String], cm: ColMap): Seq[String] = {
+    if (idCols.isEmpty) return Nil
+    val written = spark.read.parquet(dataPath(dir, rel))
+    val aggs = idCols.map(n => max(col(cm.physicalOf(n))).as(n))
+    val row = written.agg(aggs.head, aggs.tail: _*).head()
+    idCols.zipWithIndex.flatMap { case (n, i) =>
+      if (row.isNullAt(i)) Nil // an empty batch advances nothing
+      else Seq(s"idhw:$n:${row.getLong(i)}")
+    }
+  }
+
   /** APPEND `df` as a new version, optionally recording per-directory
     * min/max stats for `statsCols` (see [[snapshotWhere]]). The frame
     * is validated against the live table schema first — new columns
     * need `allowAdditive = true` (read evolved tables with
-    * `snapshot(mergeSchema = true)`). Returns the committed version.
+    * `snapshot(mergeSchema = true)`). Generated columns compute when
+    * absent / validate when present; identity columns are assigned
+    * ([[addGeneratedColumn]], [[addIdentityColumn]]). Returns the
+    * committed version.
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String] = Nil, allowAdditive: Boolean = false): Long = {
     val tip = tipOrZero(spark, dir)
     val stateOpt = if (tip == 0) None else Some(stateAt(spark, dir, tip))
     val cm = stateOpt.map(_.colMap).getOrElse(ColMap.identity)
+    val (dfG, genChecks, idBases) = applyWriteDefaults(spark, stateOpt, df, "append")
     // callers write LOGICAL names; files store physical (column mapping)
-    val dfP = toPhysical(df, cm, "append")
+    val dfP = toPhysical(dfG, cm, "append")
     val schemaL = gateAndSchemaLines(spark, dir, stateOpt, dfP.schema, allowAdditive, "append")
     val rel = writeData(spark, dir, dfP)
     enforceConstraints(spark, dir, rel,
-      stateOpt.map(_.constraints).getOrElse(Map.empty), "append", cm)
+      stateOpt.map(_.constraints).getOrElse(Map.empty) ++ genChecks, "append", cm)
+    val idhwL = idHwLines(spark, dir, rel, idBases.keys.toSeq.sorted, cm)
     publishAppendGated(spark, dir, rel, dfP.schema, allowAdditive, "append",
-      statsLines(spark, dir, rel, statsCols.map(cm.physicalOf)), None,
-      tip, stateOpt, schemaL).get
+      statsLines(spark, dir, rel, statsCols.map(cm.physicalOf)) ++ idhwL, None,
+      tip, stateOpt, schemaL, idBases).get
   }
 
   /** Highest transaction id `writerId` has committed (the Delta `txn`
@@ -2176,15 +2397,17 @@ object TxTable {
     val stateOpt = if (tip == 0) None else Some(stateAt(spark, dir, tip))
     if (stateOpt.exists(_.txns.get(writerId).exists(_ >= txnId))) return None
     val cm = stateOpt.map(_.colMap).getOrElse(ColMap.identity)
-    val dfP = toPhysical(df, cm, "appendTxn")
+    val (dfG, genChecks, idBases) = applyWriteDefaults(spark, stateOpt, df, "appendTxn")
+    val dfP = toPhysical(dfG, cm, "appendTxn")
     val schemaL =
       gateAndSchemaLines(spark, dir, stateOpt, dfP.schema, allowAdditive, "appendTxn")
     val rel = writeData(spark, dir, dfP)
     enforceConstraints(spark, dir, rel,
-      stateOpt.map(_.constraints).getOrElse(Map.empty), "appendTxn", cm)
+      stateOpt.map(_.constraints).getOrElse(Map.empty) ++ genChecks, "appendTxn", cm)
+    val idhwL = idHwLines(spark, dir, rel, idBases.keys.toSeq.sorted, cm)
     publishAppendGated(spark, dir, rel, dfP.schema, allowAdditive, "appendTxn",
-      statsLines(spark, dir, rel, statsCols.map(cm.physicalOf)),
-      Some((writerId, txnId)), tip, stateOpt, schemaL)
+      statsLines(spark, dir, rel, statsCols.map(cm.physicalOf)) ++ idhwL,
+      Some((writerId, txnId)), tip, stateOpt, schemaL, idBases)
   }
 
   /** OVERWRITE the table with `df`: one entry adds the new directory
@@ -2201,10 +2424,19 @@ object TxTable {
     */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String] = Nil): Long = {
-    val rel = writeData(spark, dir, df)
+    // generated/identity columns SURVIVE an overwrite (truncate-and-load
+    // replaces rows, not the table's declared write contract; the
+    // identity mark keeps advancing — values never reuse)
+    val tip0 = tipOrZero(spark, dir)
+    val state0 = if (tip0 == 0) None else Some(stateAt(spark, dir, tip0))
+    val (dfG, genChecks0, idBases) =
+      applyWriteDefaults(spark, state0, df, "overwrite")
+    val rel = writeData(spark, dir, dfG)
     val (fs, root) = fsFor(spark, dir)
     // stats come off the WRITTEN files — state-independent, priced once
     val statsL = statsLines(spark, dir, rel, statsCols)
+    val idhwL = idHwLines(spark, dir, rel, idBases.keys.toSeq.sorted,
+      state0.map(_.colMap).getOrElse(ColMap.identity))
     var gatedTip = -1L
     var stateOpt: Option[TableState] = None
     var gatedConstraints: Option[Map[String, String]] = None
@@ -2215,12 +2447,24 @@ object TxTable {
         stateOpt = if (curTip == 0L) None else Some(stateAt(spark, dir, curTip))
         val cons = stateOpt.map(_.constraints).getOrElse(Map.empty)
         if (!gatedConstraints.contains(cons)) {
-          try enforceConstraints(spark, dir, rel, cons, "overwrite")
+          try enforceConstraints(spark, dir, rel, cons ++ genChecks0, "overwrite")
           catch { case e: IllegalArgumentException =>
             // enforceConstraints deleted the directory; nothing published
             throw e
           }
           gatedConstraints = Some(cons)
+        }
+        // same concurrent-identity abort as the gated append: baked
+        // values cannot re-base on a retry
+        idBases.foreach { case (n, base) =>
+          val cur = stateOpt.flatMap(_.idHw.get(n))
+          if (cur.exists(_ >= base)) {
+            fs.delete(new Path(root, rel), true)
+            throw new IllegalArgumentException(
+              s"overwrite lost a race on identity column '$n': a concurrent " +
+                s"commit advanced its mark to ${cur.getOrElse(-1L)}, at or " +
+                s"past this write's first assigned value $base — re-run")
+          }
         }
         gatedTip = curTip
       }
@@ -2239,7 +2483,7 @@ object TxTable {
       try {
         publishAt(spark, dir, gatedTip + 1,
           Seq("op:overwrite", s"add:$rel") ++ schemaL ++ colMapL
-            ++ statsL ++ before.map(d => s"remove:$d"))
+            ++ statsL ++ idhwL ++ before.map(d => s"remove:$d"))
         return gatedTip + 1
       } catch {
         case _: CommitConflict => attempts += 1 // loop re-reads the tip

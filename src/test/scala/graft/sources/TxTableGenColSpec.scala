@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Generated ([[TxTable.addGeneratedColumn]]) and identity
+  * ([[TxTable.addIdentityColumn]]) columns — the Delta write-contract
+  * features: compute-if-absent / validate-if-present, ALWAYS-assigned
+  * unique increasing ids, high-water tracking through checkpoints and
+  * restore, concurrent-assignment conflicts, and stats-pruning on a
+  * generated column.
+  */
+class TxTableGenColSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("gencol").toString
+
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, i * 100L)).toDF("id", "ts")
+
+  test("generated column: computed when absent, validated when provided " +
+      "(mismatch rejects the whole write, nothing publishes)") {
+    val dir = freshDir()
+    TxTable.addGeneratedColumn(spark, dir, "bucket", "ts % 7")
+    TxTable.append(spark, dir, rows(0, 10)) // absent: computed
+    val snap = TxTable.snapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("id", "ts", "bucket"))
+    assert(snap.filter(col("bucket") =!= col("ts") % 7).count() == 0L)
+    // provided and CORRECT: accepted
+    TxTable.append(spark, dir,
+      rows(10, 12).withColumn("bucket", col("ts") % 7))
+    assert(TxTable.snapshot(spark, dir).count() == 12L)
+    // provided and WRONG: the write rejects whole
+    val v = TxTable.versions(spark, dir).size
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, dir,
+        rows(12, 14).withColumn("bucket", lit(999L)))
+    }
+    assert(TxTable.versions(spark, dir).size == v)
+    assert(TxTable.snapshot(spark, dir).count() == 12L)
+  }
+
+  test("generated column on a table WITH data: must already hold over " +
+      "every existing row; violations reject the declaration") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, rows(0, 5).withColumn("b", col("ts") % 7))
+    TxTable.addGeneratedColumn(spark, dir, "b", "ts % 7") // holds: ok
+    intercept[IllegalArgumentException] {
+      TxTable.addGeneratedColumn(spark, dir, "b", "ts % 5") // violated
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.addGeneratedColumn(spark, dir, "nope", "ts % 5") // absent col
+    }
+  }
+
+  test("generated-column stats prune time-sliced reads (the Delta " +
+      "partition-by-generated-column shape, file-granular)") {
+    val dir = freshDir()
+    TxTable.addGeneratedColumn(spark, dir, "day", "CAST(ts / 1000 AS BIGINT)")
+    (0 until 5).foreach { d =>
+      TxTable.append(spark, dir,
+        (0L until 20L).map(i => (d * 20L + i, d * 1000L + i)).toDF("id", "ts"),
+        statsCols = Seq("day"))
+    }
+    val pruned = TxTable.snapshotWhere(spark, dir,
+      Seq(TxTable.LongRange("day", 2L, 2L)))
+    assert(pruned.count() == 20L)
+    assert(pruned.inputFiles.length <
+      TxTable.snapshot(spark, dir).inputFiles.length,
+      "stats on the generated column must prune the scan")
+  }
+
+  test("identity column: ALWAYS-assigned, unique, strictly increasing " +
+      "across appends; providing it rejects; marks survive checkpoints") {
+    val dir = freshDir()
+    TxTable.addIdentityColumn(spark, dir, "rid", start = 100L, step = 10L)
+    TxTable.append(spark, dir, rows(0, 7))
+    val first = TxTable.snapshot(spark, dir).select("rid").as[Long].collect()
+    assert(first.length == 7 && first.distinct.length == 7)
+    assert(first.min == 100L, "the first batch assigns from start")
+    assert(first.forall(r => (r - 100L) % 10L == 0L), "multiples of step")
+    // second append: strictly above everything the first assigned
+    TxTable.append(spark, dir, rows(7, 12))
+    val all = TxTable.snapshot(spark, dir).select("rid").as[Long].collect()
+    assert(all.length == 12 && all.distinct.length == 12)
+    assert(all.sorted.drop(7).min > first.max,
+      "later appends assign strictly above the mark")
+    // providing the column violates GENERATED ALWAYS
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, dir, rows(12, 13).withColumn("rid", lit(1L)))
+    }
+    // cross the CheckpointEvery boundary: the mark must ride checkpoints
+    (12 until 20).foreach(i => TxTable.append(spark, dir, rows(i, i + 1)))
+    val deep = TxTable.snapshot(spark, dir).select("rid").as[Long].collect()
+    assert(deep.length == 20 && deep.distinct.length == 20)
+    // declaring identity on a table with data is rejected
+    intercept[IllegalArgumentException] {
+      TxTable.addIdentityColumn(spark, dir, "rid2")
+    }
+  }
+
+  test("restore rolls the identity mark back with the content (freed " +
+      "ids are reassignable — the Delta restore rule)") {
+    val dir = freshDir()
+    TxTable.addIdentityColumn(spark, dir, "rid")
+    TxTable.append(spark, dir, rows(0, 3))   // v2: rids 1..
+    val v2 = TxTable.tipOrZero(spark, dir)
+    val markV2 = TxTable.stateAt(spark, dir, v2).idHw("rid")
+    TxTable.append(spark, dir, rows(3, 6))   // v3: rids above markV2
+    TxTable.restore(spark, dir, v2)
+    assert(TxTable.stateAt(spark, dir, TxTable.tipOrZero(spark, dir))
+      .idHw("rid") == markV2, "restore re-records the target's mark")
+    TxTable.append(spark, dir, rows(3, 6))
+    val all = TxTable.snapshot(spark, dir).select("rid").as[Long].collect()
+    assert(all.length == 6 && all.distinct.length == 6,
+      "post-restore assignment continues from the ROLLED-BACK mark " +
+        "without colliding with surviving rows")
+  }
+
+  test("a clone carries generated/identity definitions and the mark; " +
+      "the clone's assignments continue above the source's") {
+    val src = freshDir(); val dst = freshDir()
+    TxTable.addIdentityColumn(spark, src, "rid")
+    TxTable.addGeneratedColumn(spark, src, "b", "ts % 7")
+    TxTable.append(spark, src, rows(0, 5))
+    TxTable.cloneTable(spark, src, dst)
+    val srcMax = TxTable.snapshot(spark, src).agg(max("rid")).head().getLong(0)
+    TxTable.append(spark, dst, rows(5, 9))
+    val dstRids = TxTable.snapshot(spark, dst).select("rid").as[Long].collect()
+    assert(dstRids.length == 9 && dstRids.distinct.length == 9)
+    assert(dstRids.count(_ > srcMax) == 4)
+    assert(TxTable.snapshot(spark, dst)
+      .filter(col("b") =!= col("ts") % 7).count() == 0L)
+    // the wrong-generated-value gate holds on the clone too
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, dst, rows(9, 10).withColumn("b", lit(42L)))
+    }
+  }
+
+  test("concurrent identity appends: one commits, the other fails with " +
+      "the assignment-race guidance instead of double-assigning") {
+    val dir = freshDir()
+    TxTable.addIdentityColumn(spark, dir, "rid")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        try {
+          TxTable.append(spark, dir, rows(i * 10L, i * 10L + 5L))
+          results.add("ok")
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("identity column") =>
+            results.add("raced")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq
+    assert(rs.count(_ == "ok") >= 1, s"at least one writer commits: $rs")
+    // whatever committed is unique and consistent
+    val rids = TxTable.snapshot(spark, dir).select("rid").as[Long].collect()
+    assert(rids.length == rids.distinct.length,
+      "no interleaving may double-assign an id")
+    assert(rids.length == rs.count(_ == "ok") * 5)
+  }
+
+  test("the columnar checkpoint twin carries definitions and the mark " +
+      "(parquet seed == text seed)") {
+    val dir = freshDir()
+    TxTable.addIdentityColumn(spark, dir, "rid")
+    TxTable.addGeneratedColumn(spark, dir, "b", "ts % 7")
+    TxTable.append(spark, dir, rows(0, 5))
+    TxTable.checkpoint(spark, dir)
+    val tip = TxTable.tipOrZero(spark, dir)
+    val viaPq = TxTable.stateAt(spark, dir, tip)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_log"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".ckptpq"))
+      .foreach(java.nio.file.Files.delete(_))
+    assert(viaPq == TxTable.stateAt(spark, dir, tip))
+    assert(viaPq.genCols == Map("b" -> "ts % 7"))
+    assert(viaPq.idCols == Map("rid" -> (1L, 1L)))
+    assert(viaPq.idHw.contains("rid"))
+  }
+}
