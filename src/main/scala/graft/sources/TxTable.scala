@@ -2838,6 +2838,24 @@ object TxTable {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
     val cm = state.colMap
+    // v1 write-contract scope: identity assignment is append-path-only
+    // (append/appendTxn/overwrite assign against the tracked mark; a
+    // merge would need per-insert assignment under the OCC retry, the
+    // restriction Delta itself shipped with) — and the upsert log must
+    // PROVIDE every generated column (validated below on the written
+    // files like any provided generated value; compute-if-absent is the
+    // append paths' convenience)
+    require(state.idCols.isEmpty,
+      s"merge on a table with identity columns (${state.idCols.keys.toSeq.sorted
+        .mkString(", ")}) is not supported — identity assignment is " +
+        "append-path-only; route inserts through append/appendTxn")
+    state.genCols.keys.toSeq.sorted.foreach(n =>
+      require(log.columns.contains(n),
+        s"merge log must provide generated column '$n' (= " +
+          s"${state.genCols(n)}); it is validated on write"))
+    val genChecks = state.genCols.map { case (n, sql) =>
+      s"__gen_$n" -> s"$n <=> ($sql)"
+    }
     // the CDC log arrives under LOGICAL names (plus the op/order side
     // channel); translate once — everything downstream runs physical
     val logP = toPhysical(log, cm, "merge log")
@@ -2966,7 +2984,8 @@ object TxTable {
             case None => upserts // zero touched: the log's pure inserts
           }
           val rel = writeData(spark, dir, merged)
-          enforceConstraints(spark, dir, rel, state.constraints, "merge", cm)
+          enforceConstraints(spark, dir, rel, state.constraints ++ genChecks,
+            "merge", cm)
           val eff = if (statsColsP.nonEmpty) statsColsP
                     else carriedStatsCols(state, joinable.map(_._1), merged)
           val a =
@@ -2985,7 +3004,8 @@ object TxTable {
           // collapsing; stats carry per-directory by default
           winners.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val newRel = writeData(spark, dir, upserts)
-          enforceConstraints(spark, dir, newRel, state.constraints, "merge", cm)
+          enforceConstraints(spark, dir, newRel, state.constraints ++ genChecks,
+            "merge", cm)
           val effNew =
             if (statsColsP.nonEmpty) statsColsP
             else carriedStatsCols(state, touched, upserts)
@@ -3039,8 +3059,15 @@ object TxTable {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
     val cm = state.colMap
+    // same v1 write-contract scope as merge: identity is append-path-
+    // only; generated columns compute-if-absent / validate-if-present
+    // exactly like an append (the replacement rows are new rows)
+    require(state.idCols.isEmpty,
+      s"replaceRange on a table with identity columns is not supported — " +
+        "identity assignment is append-path-only; delete + append instead")
+    val (dfG, genChecks, _) = applyWriteDefaults(spark, Some(state), df, "replaceRange")
     val colNameP = cm.physicalOf(colName)
-    val dfP = toPhysical(df, cm, "replaceRange")
+    val dfP = toPhysical(dfG, cm, "replaceRange")
     val statsColsP = statsCols.map(cm.physicalOf)
     val schemaL =
       gateAndSchemaLines(spark, dir, Some(state), dfP.schema, allowAdditive, "replaceRange")
@@ -3070,7 +3097,8 @@ object TxTable {
             s"replaceRange: $violations incoming rows fall outside [$lo, $hi] on $colName " +
               "— the replaceWhere constraint (replaced region and replacement must coincide)")
         }
-        enforceConstraints(spark, dir, newRel, state.constraints, "replaceRange", cm)
+        enforceConstraints(spark, dir, newRel, state.constraints ++ genChecks,
+          "replaceRange", cm)
         statsLines(spark, dir, newRel, statsColsP)
       }
     // out-of-range survivors of the overlapping directories, rewritten

@@ -167,6 +167,61 @@ class TxTableGenColSpec extends SparkTestBase {
     assert(rids.length == rs.count(_ == "ok") * 5)
   }
 
+  test("merge: identity tables reject with guidance; generated columns " +
+      "must be PROVIDED by the log and are validated on write") {
+    val idDir = freshDir()
+    TxTable.addIdentityColumn(spark, idDir, "rid")
+    TxTable.append(spark, idDir, rows(0, 3))
+    val log0 = Seq((0L, 5L, 1L, "U")).toDF("id", "ts", "seq", "op")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, idDir, log0, Seq("id"), Seq("seq"))
+    }
+    assert(e.getMessage.contains("append-path-only"))
+
+    val gDir = freshDir()
+    TxTable.addGeneratedColumn(spark, gDir, "b", "ts % 7")
+    TxTable.append(spark, gDir, rows(0, 5))
+    // log missing the generated column: rejected up front
+    intercept[IllegalArgumentException] {
+      TxTable.merge(spark, gDir, log0, Seq("id"), Seq("seq"))
+    }
+    // provided and wrong: rejected on the written files, nothing lands
+    val v = TxTable.versions(spark, gDir).size
+    intercept[IllegalArgumentException] {
+      TxTable.merge(spark, gDir,
+        Seq((0L, 5L, 999L, 1L, "U")).toDF("id", "ts", "b", "seq", "op"),
+        Seq("id"), Seq("seq"))
+    }
+    assert(TxTable.versions(spark, gDir).size == v)
+    // provided and right: lands
+    TxTable.merge(spark, gDir,
+      Seq((0L, 5L, 5L % 7L, 1L, "U")).toDF("id", "ts", "b", "seq", "op"),
+      Seq("id"), Seq("seq"))
+    val got = TxTable.snapshot(spark, gDir)
+    assert(got.filter(col("b") =!= col("ts") % 7).count() == 0L)
+    assert(got.filter(col("id") === 0L).select("ts").as[Long].head() == 5L)
+  }
+
+  test("replaceRange: computes an absent generated column like an " +
+      "append; identity tables reject") {
+    val dir = freshDir()
+    TxTable.addGeneratedColumn(spark, dir, "b", "ts % 7")
+    TxTable.append(spark, dir, rows(0, 10), statsCols = Seq("id"))
+    TxTable.replaceRange(spark, dir,
+      (3L until 6L).map(i => (i, i * 1000L)).toDF("id", "ts"),
+      "id", 3L, 5L, statsCols = Seq("id"))
+    val snap = TxTable.snapshot(spark, dir)
+    assert(snap.count() == 10L)
+    assert(snap.filter(col("b") =!= col("ts") % 7).count() == 0L,
+      "the replacement rows carry the computed generated column")
+    val idDir = freshDir()
+    TxTable.addIdentityColumn(spark, idDir, "rid")
+    TxTable.append(spark, idDir, rows(0, 5))
+    intercept[IllegalArgumentException] {
+      TxTable.replaceRange(spark, idDir, rows(1, 3), "id", 1L, 2L)
+    }
+  }
+
   test("the columnar checkpoint twin carries definitions and the mark " +
       "(parquet seed == text seed)") {
     val dir = freshDir()
