@@ -15,6 +15,9 @@ object AbOne {
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // deterministic extension install: every query sees the same
+    // registry + optimizer rules regardless of its position in the run
+    GraftExtensions.registerAll(spark)
     val fn = SparkEntry.queries(name)
     def run(): Double = {
       val t0 = System.nanoTime()

@@ -97,6 +97,9 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deterministic extension install: every query sees the same
+    // registry + optimizer rules regardless of its position in the run
+    GraftExtensions.registerAll(spark)
     // noop sink: full execution of every operator and projection without
     // write-side cost (a bare .count() lets Catalyst prune projections,
     // under-measuring expression-heavy queries)

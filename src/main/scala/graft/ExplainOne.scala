@@ -10,6 +10,9 @@ object ExplainOne {
       .master("local[8]").config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // deterministic extension install: every query sees the same
+    // registry + optimizer rules regardless of its position in the run
+    GraftExtensions.registerAll(spark)
     val df = SparkEntry.queries(name)(spark, sfDir)
     // executedPlan, not sparkPlan: exchanges are inserted by the physical
     // preparation rules (EnsureRequirements), which sparkPlan predates —

@@ -15,6 +15,9 @@ object ProfileOne {
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // deterministic extension install: every query sees the same
+    // registry + optimizer rules regardless of its position in the run
+    GraftExtensions.registerAll(spark)
     val starts = mutable.Map[Int, (Long, String)]()
     val rows = mutable.ArrayBuffer[(Int, Double, String)]()
     var stages = 0

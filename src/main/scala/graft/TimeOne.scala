@@ -15,6 +15,9 @@ object TimeOne {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // deterministic extension install: every query sees the same
+    // registry + optimizer rules regardless of its position in the run
+    GraftExtensions.registerAll(spark)
     val fn = SparkEntry.queries(name)
     val times = (1 to n).map { _ =>
       val t0 = System.nanoTime()

@@ -18,6 +18,9 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deterministic extension install: every query sees the same
+    // registry + optimizer rules regardless of its position in the run
+    GraftExtensions.registerAll(spark)
     Files.createDirectories(Paths.get(outDir))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

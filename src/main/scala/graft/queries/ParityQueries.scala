@@ -757,6 +757,37 @@ object ParityQueries extends QueryFamily {
       graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
     }),
 
+    // ---- ATOMIC MULTI-TABLE DELETE ([[graft.sources.TxGroup
+    //      .deleteRowsMany]] — the GDPR shape): one commit's
+    //      deletion-vector sidecars erase doc_id % 10 == 3 from the
+    //      corpus AND its derived table at the SAME version, ledgered
+    //      exactly-once (the replayed second call must skip whole).
+    //      The gate's join proves the two tables agree per language
+    //      post-erasure; the oracle is the plain filtered algebra. ----
+    "q240_txgroup_atomic_delete" -> ((s, dir) => {
+      val g = Scratch.freshDir(s, "q240grp", dir)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      Seq(0, 1).foreach { half =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(2)) === half)
+        graft.sources.TxGroup.appendMany(s, g, Seq(
+          "docs" -> slice,
+          "doc_meta" -> slice.select(col("doc_id"), col("lang"))))
+      }
+      val pred = pmod(col("doc_id"), lit(10)) === 3
+      graft.sources.TxGroup.deleteRowsMany(s, g,
+        Seq("docs" -> pred, "doc_meta" -> pred), txn = Some(("q240", 1L)))
+      // the at-least-once eraser replays: whole-transaction skip
+      graft.sources.TxGroup.deleteRowsMany(s, g,
+        Seq("docs" -> pred, "doc_meta" -> pred), txn = Some(("q240", 1L)))
+      val a = graft.sources.TxGroup.snapshot(s, g, "docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      val b = graft.sources.TxGroup.snapshot(s, g, "doc_meta")
+        .groupBy("lang").agg(count(lit(1)).as("n_meta"))
+      a.join(b, Seq("lang")).orderBy("lang")
+    }),
+
     // ---- GENERATED + IDENTITY columns ([[graft.sources.TxTable
     //      .addGeneratedColumn]] / [[addIdentityColumn]], the Delta
     //      write-contract features): `bucket` is GENERATED ALWAYS AS
@@ -1576,6 +1607,13 @@ object ParityQueries extends QueryFamily {
     // q213 with the ledger keyed by batch id — identical oracle
     "q238_txtable_sink_stream" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    // one atomic erase hits corpus + derived table at the same version;
+    // the post-delete join must equal the plain filtered algebra
+    "q240_txgroup_atomic_delete" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars, COUNT(*) AS n_meta
+         FROM documents WHERE doc_id % 10 <> 3
+         GROUP BY lang ORDER BY lang""",
     // generated column = plain arithmetic over documents; identity
     // uniqueness surfaces as count(distinct rid) == count(*) per bucket
     "q239_txtable_identity_gencol" ->

@@ -32,11 +32,14 @@ import graft.sources.TxTable.{CommitConflict, LongStat}
   * downstream readers can join the two tables at ANY version without
   * skew.
   *
-  * v1 scope (documented, enforced): groups are APPEND-shaped — the
-  * atomic multi-table operations are append/overwrite-free ingest;
-  * per-table deletes/merges/column-mapping/constraints remain the
-  * single-table [[TxTable]]'s domain (a group table needing them
-  * should be a referenced single table instead). Each member table's
+  * Scope (documented, enforced): group CONTENT is append-shaped —
+  * atomic multi-table append/ingest ([[appendMany]], [[ingest]]) plus
+  * atomic multi-table merge-on-read DELETE ([[deleteRowsMany]]: one
+  * commit's deletion-vector sidecars erase rows from several tables at
+  * the same version — zero rewrites); per-table merges/column-mapping/
+  * constraints remain the single-table [[TxTable]]'s domain (a group
+  * table needing them should be a referenced single table instead).
+  * Each member table's
   * schema is a tracked log action (`schema:<table>:<b64 json>`, latest
   * line per table wins, carried by checkpoints/restore/clone exactly
   * like the single-table `schema:` action), so the per-commit write
@@ -250,6 +253,92 @@ object TxGroup {
     cleanup()
     throw new CommitConflict(
       s"appendMany could not claim a version in 64 attempts: $dir")
+  }
+
+  /** ATOMIC MULTI-TABLE DELETE — merge-on-read: ONE commit records a
+    * deletion-vector sidecar per member table named in `deletes`, so
+    * the rows vanish from every table at the SAME version (the GDPR
+    * shape: erase a user from the corpus AND its derived index/
+    * aggregate with no window where one still shows them). Zero data
+    * rewritten — each sidecar holds the matching rows' (file, position)
+    * pairs and every read anti-joins them away ([[TxTable.deleteRows]]
+    * semantics per table, one atomic entry for all); the group's
+    * append-shaped content is otherwise untouched, and compaction on a
+    * member's directories folds the vectors exactly like the single
+    * table's.
+    *
+    * `pruneHints` (per table, caller contract: every matching row
+    * satisfies every hint conjunct) drop stats-disjoint directories
+    * before any scan. With `txn`, the delete is LEDGERED exactly like
+    * [[appendMany]] — an at-least-once eraser deletes exactly-once
+    * (returns None on a replay). Conflicts resolve logically through
+    * the same read-dependent protocol as the single-table delete: a
+    * concurrent winner removing a scanned directory (or recording its
+    * own vectors) aborts; blind appends retry past — appended rows
+    * survive as if the append serialized after the delete
+    * (WriteSerializable; `serializable = true` aborts on those too).
+    * Deterministic predicates only, the published DELETE contract.
+    *
+    * File keys inside a vector are `data/<uuid>/<file>` (the last three
+    * path segments — uuid-unique across member tables by the same
+    * randomness every directory name already relies on).
+    */
+  def deleteRowsMany(spark: SparkSession, dir: String,
+      deletes: Seq[(String, org.apache.spark.sql.Column)],
+      pruneHints: Map[String, Seq[TxTable.StatsPred]] = Map.empty,
+      txn: Option[(String, Long)] = None,
+      serializable: Boolean = false): Option[Long] = {
+    require(deletes.nonEmpty, "deleteRowsMany needs at least one (table, predicate)")
+    deletes.foreach { case (t, _) => requireTableName(t) }
+    require(deletes.map(_._1).distinct.size == deletes.size,
+      s"duplicate table in one delete: ${deletes.map(_._1).mkString(", ")}")
+    pruneHints.keys.foreach(requireTableName)
+    require(pruneHints.keySet.subsetOf(deletes.map(_._1).toSet),
+      s"pruneHints names tables not in this delete: " +
+        s"${(pruneHints.keySet -- deletes.map(_._1)).toSeq.sorted.mkString(", ")}")
+    txn.foreach { case (w, id) =>
+      require(!w.contains(":") && w.nonEmpty,
+        s"writerId must be non-empty and colon-free: '$w'")
+      if (TxTable.lastTxn(spark, dir, w).exists(_ >= id)) return None
+    }
+    val readV = TxTable.tipVersion(spark, dir)
+    val state = TxTable.stateAt(spark, dir, readV)
+    val (fs, root) = fsFor(spark, dir)
+    val dvRels = scala.collection.mutable.ArrayBuffer.empty[String]
+    val allCandidates = scala.collection.mutable.Set.empty[String]
+    try deletes.foreach { case (t, pred) =>
+      val dirs = tableDirs(state, t)
+      require(dirs.nonEmpty,
+        s"group $dir has no table '$t' (tables: ${tables(spark, dir).mkString(", ")})")
+      val candidates = dirs.filter(d =>
+        pruneHints.getOrElse(t, Nil).forall(p =>
+          TxTable.overlaps(state.stats.get(d).flatMap(_.get(p.colName)), p)))
+      if (candidates.nonEmpty) {
+        allCandidates ++= candidates
+        val rel = s"dv/${java.util.UUID.randomUUID().toString.take(12)}"
+        TxTable.scanLiveDirs(spark, dir, state, candidates,
+            mergeSchema = true, keepMeta = true)
+          .filter(pred)
+          .select(col(TxTable.DvFileCol).as("f"), col(TxTable.DvPosCol).as("p"))
+          .write.mode("overwrite").parquet(s"$dir/$rel")
+        val hasFiles = fs.listStatus(new Path(root, rel))
+          .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        if (hasFiles) dvRels += rel
+        else fs.delete(new Path(root, rel), true)
+      }
+    } catch { case e: Throwable =>
+      dvRels.foreach(r => fs.delete(new Path(root, r), true))
+      throw e
+    }
+    val lines = Seq("op:delete") ++
+      txn.map { case (w, id) => s"txn:$w:$id" } ++ dvRels.map(r => s"dvf:$r")
+    try Some(TxTable.publishReadDependent(spark, dir, readV, lines,
+      TxTable.TxnProfile("deleteRowsMany", allCandidates.toSet, Set.empty,
+        allowNewRows = !serializable)))
+    catch { case e: Throwable =>
+      dvRels.foreach(r => fs.delete(new Path(root, r), true))
+      throw e
+    }
   }
 
   /** Highest transaction id `writerId` committed to this group —

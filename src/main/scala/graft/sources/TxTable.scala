@@ -322,8 +322,8 @@ object TxTable {
   // ------------------------------------------------------------------
 
   /** Reserved column names the deletion-vector scan threads through. */
-  private val DvFileCol = "__file"
-  private val DvPosCol = "__pos"
+  private[sources] val DvFileCol = "__file"
+  private[sources] val DvPosCol = "__pos"
 
   /** A live-set reference that points OUTSIDE this table's root — a
     * shallow [[cloneTable]]'s references into its source's data root
@@ -381,8 +381,10 @@ object TxTable {
     */
   private[sources] def scanLiveDirs(spark: SparkSession, dir: String,
       state: TableState, dirs: Seq[String], mergeSchema: Boolean,
-      readerSchema: Option[StructType] = None): DataFrame =
-    scanLive(spark, dir, state, dirs, mergeSchema, readerSchema = readerSchema)
+      readerSchema: Option[StructType] = None,
+      keepMeta: Boolean = false): DataFrame =
+    scanLive(spark, dir, state, dirs, mergeSchema, keepMeta = keepMeta,
+      readerSchema = readerSchema)
 
   /** Apply the outstanding deletion vectors to ANY file-backed scan of
     * this table (the back half of [[scanLive]], shared with the
@@ -517,7 +519,7 @@ object TxTable {
   /** The tip version, failing with the same message as [[liveDirs]] on
     * an empty/uncommitted table.
     */
-  private def tipVersion(spark: SparkSession, dir: String): Long = {
+  private[sources] def tipVersion(spark: SparkSession, dir: String): Long = {
     val t = tipOrZero(spark, dir)
     require(t > 0, s"not a committed TxTable: $dir")
     t

@@ -265,6 +265,62 @@ class TxGroupSpec extends SparkTestBase {
     }
   }
 
+  test("deleteRowsMany: ONE commit erases rows from BOTH tables — no " +
+      "version shows one table scrubbed and the other not (the GDPR " +
+      "shape); ledgered replays skip whole; pre-delete versions intact") {
+    val dir = freshDir()
+    // docs + a per-doc derived table (the flagship pair)
+    def derived(lo: Long, hi: Long) =
+      docs(lo, hi).withColumn("len", length(col("lang")).cast("long"))
+        .select(col("id"), col("len"))
+    TxGroup.appendMany(spark, dir,
+      Seq("docs" -> docs(0, 10), "doc_meta" -> derived(0, 10)))
+    TxGroup.appendMany(spark, dir,
+      Seq("docs" -> docs(10, 20), "doc_meta" -> derived(10, 20)))
+    val before = TxTable.tipOrZero(spark, dir)
+    // erase ids 3,7,13 from BOTH tables atomically, exactly-once
+    val pred = col("id").isin(3L, 7L, 13L)
+    val v = TxGroup.deleteRowsMany(spark, dir,
+      Seq("docs" -> pred, "doc_meta" -> pred), txn = Some(("eraser", 1L)))
+    assert(v.contains(before + 1))
+    // the replay is skipped WHOLE (no second commit, no double vectors)
+    assert(TxGroup.deleteRowsMany(spark, dir,
+      Seq("docs" -> pred, "doc_meta" -> pred), txn = Some(("eraser", 1L))).isEmpty)
+    assert(TxTable.tipOrZero(spark, dir) == before + 1)
+    // at the delete's version BOTH tables are scrubbed
+    Seq("docs", "doc_meta").foreach { t =>
+      val ids = TxGroup.snapshot(spark, dir, t).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (0L until 20L).filterNot(Set(3L, 7L, 13L)), s"table $t")
+    }
+    // time travel: the pre-delete version still shows every row
+    assert(TxGroup.snapshot(spark, dir, "docs", Some(before)).count() == 20L)
+    // and the group stays appendable after the delete
+    TxGroup.appendMany(spark, dir,
+      Seq("docs" -> docs(20, 22), "doc_meta" -> derived(20, 22)))
+    assert(TxGroup.snapshot(spark, dir, "docs").count() == 19L)
+  }
+
+  test("deleteRowsMany pruneHints skip stats-disjoint directories; a " +
+      "hint naming a table outside the delete is rejected") {
+    val dir = freshDir()
+    (0 until 4).foreach { i =>
+      TxGroup.appendMany(spark, dir,
+        Seq("docs" -> docs(i * 100L, i * 100L + 100L)),
+        statsCols = Map("docs" -> Seq("id")))
+    }
+    TxGroup.deleteRowsMany(spark, dir,
+      Seq("docs" -> (col("id") >= 150L && col("id") < 160L)),
+      pruneHints = Map("docs" -> Seq(TxTable.LongRange("id", 150L, 159L))))
+    val ids = TxGroup.snapshot(spark, dir, "docs").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 400L).filterNot(i => i >= 150L && i < 160L))
+    intercept[IllegalArgumentException] {
+      TxGroup.deleteRowsMany(spark, dir, Seq("docs" -> lit(false)),
+        pruneHints = Map("doc" -> Nil)) // typo
+    }
+  }
+
   test("per-table stats prune member reads; checkpoints bound replay " +
       "across the CheckpointEvery boundary") {
     val dir = freshDir()
