@@ -330,6 +330,26 @@ object TxTable {
     * (the Delta absolute-path add action). Everything a table writes
     * itself stays relative to its own root.
     */
+  /** Reject SINGLE-TABLE content rewrites aimed at a [[TxGroup]]
+    * directory: a group's live set is table-NAMESPACED
+    * (`<table>/data/<uuid>`), and a compact/delete/merge/overwrite here
+    * would collapse that namespacing — rewritten rows would land in a
+    * root `data/` directory NO member snapshot reads (silent data loss
+    * at the group level). Group content goes through the group's own
+    * surfaces ([[TxGroup.appendMany]], [[TxGroup.deleteRowsMany]]);
+    * metadata-only maintenance (checkpoint, cleanupLog) stays shared.
+    */
+  private def requireSingleTableContent(state: TableState, dir: String,
+      what: String): Unit = {
+    val grouped = state.live.filterNot(d =>
+      isAbsRef(d) || d.startsWith("data/") || d.startsWith("dv/"))
+    require(grouped.isEmpty,
+      s"$what targets $dir, a TxGroup directory (namespaced member data " +
+        s"like '${grouped.head}') — a single-table rewrite would collapse " +
+        "member namespacing; use the TxGroup surfaces " +
+        "(appendMany / deleteRowsMany) instead")
+  }
+
   private def isAbsRef(rel: String): Boolean =
     rel.startsWith("/") || rel.contains("://")
 
@@ -2355,6 +2375,7 @@ object TxTable {
       statsCols: Seq[String] = Nil, allowAdditive: Boolean = false): Long = {
     val tip = tipOrZero(spark, dir)
     val stateOpt = if (tip == 0) None else Some(stateAt(spark, dir, tip))
+    stateOpt.foreach(requireSingleTableContent(_, dir, "append"))
     val cm = stateOpt.map(_.colMap).getOrElse(ColMap.identity)
     val (dfG, genChecks, idBases) = applyWriteDefaults(spark, stateOpt, df, "append")
     // callers write LOGICAL names; files store physical (column mapping)
@@ -2398,6 +2419,7 @@ object TxTable {
     val tip = tipOrZero(spark, dir)
     val stateOpt = if (tip == 0) None else Some(stateAt(spark, dir, tip))
     if (stateOpt.exists(_.txns.get(writerId).exists(_ >= txnId))) return None
+    stateOpt.foreach(requireSingleTableContent(_, dir, "appendTxn"))
     val cm = stateOpt.map(_.colMap).getOrElse(ColMap.identity)
     val (dfG, genChecks, idBases) = applyWriteDefaults(spark, stateOpt, df, "appendTxn")
     val dfP = toPhysical(dfG, cm, "appendTxn")
@@ -2431,6 +2453,7 @@ object TxTable {
     // identity mark keeps advancing — values never reuse)
     val tip0 = tipOrZero(spark, dir)
     val state0 = if (tip0 == 0) None else Some(stateAt(spark, dir, tip0))
+    state0.foreach(requireSingleTableContent(_, dir, "overwrite"))
     val (dfG, genChecks0, idBases) =
       applyWriteDefaults(spark, state0, df, "overwrite")
     val rel = writeData(spark, dir, dfG)
@@ -2563,6 +2586,7 @@ object TxTable {
       serializable: Boolean = false): Long = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    requireSingleTableContent(state, dir, "delete")
     val cm = state.colMap
     val candidates = statsOverlapping(state, pruneHint.map(physPred(_, cm)))
     val touched = dirsWithMatches(spark, dir, state, candidates, predicate)
@@ -2657,6 +2681,7 @@ object TxTable {
       pruneHint: Seq[StatsPred] = Nil, serializable: Boolean = false): Long = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    requireSingleTableContent(state, dir, "deleteRows")
     val cm = state.colMap
     val candidates = statsOverlapping(state, pruneHint.map(physPred(_, cm)))
     if (candidates.isEmpty)
@@ -2746,6 +2771,7 @@ object TxTable {
       retightenStats: Boolean = true): Option[Long] = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    requireSingleTableContent(state, dir, "compactDvs")
     if (state.dvFiles.size < 2) return None
     val liveSet = state.live.map(dirKey).toSet
     val rel = s"dv/${java.util.UUID.randomUUID().toString.take(12)}"
@@ -2839,6 +2865,7 @@ object TxTable {
       allowAdditive: Boolean = false): Long = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    requireSingleTableContent(state, dir, "merge")
     val cm = state.colMap
     // v1 write-contract scope: identity assignment is append-path-only
     // (append/appendTxn/overwrite assign against the tracked mark; a
@@ -3060,6 +3087,7 @@ object TxTable {
     require(lo <= hi, s"empty range: $lo > $hi")
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    requireSingleTableContent(state, dir, "replaceRange")
     val cm = state.colMap
     // same v1 write-contract scope as merge: identity is append-path-
     // only; generated columns compute-if-absent / validate-if-present
@@ -3147,6 +3175,7 @@ object TxTable {
       statsCols: Seq[String] = Nil): Option[Long] = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    requireSingleTableContent(state, dir, "compact")
     val before = state.live
     if (before.size < 2) return None
     // schema-merged for the same reason as delete's rewrite; DVs fold
@@ -3213,6 +3242,7 @@ object TxTable {
     require(zCols.nonEmpty, "need at least one clustering column")
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    requireSingleTableContent(state, dir, "optimizeZorder")
     // `smallBytes` is the INCREMENTAL shape ([[compactSmall]] with
     // clustering): fold only sub-threshold directories into fresh
     // z-slices and leave the accumulated (already-clustered, large)

@@ -321,6 +321,38 @@ class TxGroupSpec extends SparkTestBase {
     }
   }
 
+  test("single-table content rewrites aimed at a GROUP directory are " +
+      "rejected — a compact/delete/merge/overwrite would collapse member " +
+      "namespacing (silent group-level data loss)") {
+    val dir = freshDir()
+    TxGroup.appendMany(spark, dir,
+      Seq("docs" -> docs(0, 10), "lang_counts" -> countsOf(0, 10)))
+    TxGroup.appendMany(spark, dir,
+      Seq("docs" -> docs(10, 20), "lang_counts" -> countsOf(10, 20)))
+    def rejects(what: String)(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("TxGroup directory"), s"$what: $e")
+    }
+    rejects("compact")(TxTable.compact(spark, dir))
+    rejects("optimizeZorder")(TxTable.optimizeZorder(spark, dir, Seq("id"), 2))
+    rejects("delete")(TxTable.delete(spark, dir, col("id") === 1L))
+    rejects("deleteRows")(TxTable.deleteRows(spark, dir, col("id") === 1L))
+    rejects("merge")(TxTable.merge(spark, dir,
+      Seq((1L, "en", 1L, "U")).toDF("id", "lang", "seq", "op"),
+      Seq("id"), Seq("seq")))
+    rejects("replaceRange")(TxTable.replaceRange(spark, dir,
+      docs(0, 1), "id", 0L, 0L))
+    rejects("overwrite")(TxTable.overwrite(spark, dir, docs(0, 1)))
+    rejects("append")(TxTable.append(spark, dir, docs(0, 1)))
+    rejects("appendTxn")(TxTable.appendTxn(spark, dir, docs(0, 1), "w", 1L))
+    // nothing published, nothing lost
+    assert(TxGroup.snapshot(spark, dir, "docs").count() == 20L)
+    // metadata-only maintenance stays SHARED (the documented contract)
+    TxTable.checkpoint(spark, dir)
+    TxTable.cleanupLog(spark, dir, retainMs = 24L * 3600 * 1000)
+    assert(TxGroup.snapshot(spark, dir, "docs").count() == 20L)
+  }
+
   test("per-table stats prune member reads; checkpoints bound replay " +
       "across the CheckpointEvery boundary") {
     val dir = freshDir()
