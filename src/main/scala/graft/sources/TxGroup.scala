@@ -47,10 +47,16 @@ import graft.sources.TxTable.{CommitConflict, LongStat}
   * footer I/O a month-old streaming group would otherwise pay per
   * batch is gone (footer reads survive only as the legacy fallback for
   * groups written before tracking, counted in [[footerGateReads]], and
-  * the first write to such a group upgrades it opportunistically). Use
-  * [[TxTable]] maintenance surfaces ([[TxTable.checkpoint]],
-  * [[TxTable.cleanupLog]]) directly on the group dir — they only touch
-  * `_log`.
+  * the first write to such a group upgrades it opportunistically).
+  * Maintenance is group-aware: [[compactTable]] folds one member's
+  * directory tail (and its deletion vectors), [[compactDvs]] retires
+  * inert sidecars group-wide, and [[maintain]] composes them with the
+  * shared checkpoint / log-retention / vacuum into the daemon pass —
+  * single-table CONTENT surfaces pointed at a group dir are rejected
+  * (they would collapse member namespacing); the shared `_log`-only
+  * surfaces ([[TxTable.checkpoint]], [[TxTable.cleanupLog]],
+  * [[TxTable.restore]], [[TxTable.cloneTable]], time travel, history)
+  * work on groups unchanged.
   */
 object TxGroup {
 
@@ -246,7 +252,11 @@ object TxGroup {
         gatedTip = curTip
       }
       try {
-        TxTable.publishAt(spark, dir, gatedTip + 1, baseLines ++ schemaL)
+        // a tracked-schema line is a protocol-2 action (a protocol-1
+        // reader would crash on its payload) — the commit that first
+        // records one stamps the requirement (TxTable.SupportedProtocol)
+        val protoL = if (schemaL.nonEmpty) Seq("protocol:2") else Nil
+        TxTable.publishAt(spark, dir, gatedTip + 1, baseLines ++ schemaL ++ protoL)
         return Some(gatedTip + 1)
       } catch { case _: CommitConflict => attempts += 1 }
     }
@@ -263,9 +273,10 @@ object TxGroup {
     * rewritten — each sidecar holds the matching rows' (file, position)
     * pairs and every read anti-joins them away ([[TxTable.deleteRows]]
     * semantics per table, one atomic entry for all); the group's
-    * append-shaped content is otherwise untouched, and compaction on a
-    * member's directories folds the vectors exactly like the single
-    * table's.
+    * append-shaped content is otherwise untouched. [[compactTable]] on
+    * a member folds its vectors into a rewrite exactly like the single
+    * table's (and [[compactDvs]] then retires the inert sidecars), so
+    * an erase-heavy group's per-read anti-join cost stays bounded.
     *
     * `pruneHints` (per table, caller contract: every matching row
     * satisfies every hint conjunct) drop stats-disjoint directories
@@ -347,25 +358,138 @@ object TxGroup {
   def lastTxn(spark: SparkSession, dir: String, writerId: String): Option[Long] =
     TxTable.lastTxn(spark, dir, writerId)
 
-  /** Reclaim CRASH DEBRIS under the group's member-table namespaces:
-    * directories a failed [[appendMany]] wrote but never published
-    * (crash between the parquet writes and the one put-if-absent),
-    * once their own mtime is past `horizonMs` — the [[TxTable.vacuum]]
-    * orphan rule applied to `<table>/data/` roots. v1 groups are
-    * append-shaped (no removes), so orphans are the only reclaimable
-    * class; candidate table roots are the first-level directories that
-    * are not the log or a single-table data/dv root, so a table whose
-    * EVERY transaction crashed pre-publish still gets swept. Returns
-    * reclaimed relative paths.
+  /** MEMBER-SCOPED compaction: merge ONE member table's live
+    * directories (all of them, or with `smallBytes` only the
+    * sub-threshold tail — the [[TxTable.compactSmall]] shape a
+    * long-lived ingest group needs, where accumulated history is never
+    * rewritten to fold in the latest micro-batches) into one fresh
+    * `<table>/data/<uuid>` directory, as one log-transacted commit.
+    * Because the rewrite reads through the DV-applied scan, every
+    * outstanding deletion-vector pair targeting this table's files is
+    * FOLDED into the output and goes inert — a [[deleteRowsMany]]-heavy
+    * group (the GDPR shape) caps its per-read anti-join cost here, then
+    * [[compactDvs]] retires the inert sidecars. Other members'
+    * directories and every version's snapshot are untouched (pure
+    * layout); conflicts resolve logically like the single-table
+    * [[TxTable.compact]] — blind [[appendMany]]s retry past, a winner
+    * removing a source directory or recording new vectors aborts.
+    * Stats recorded on the merged directories carry forward by default.
+    * No-op (None) with fewer than two qualifying directories.
+    */
+  def compactTable(spark: SparkSession, dir: String, table: String,
+      statsCols: Seq[String] = Nil,
+      smallBytes: Option[Long] = None): Option[Long] = {
+    requireTableName(table)
+    val readV = TxTable.tipVersion(spark, dir)
+    val state = TxTable.stateAt(spark, dir, readV)
+    val all = tableDirs(state, table)
+    require(all.nonEmpty,
+      s"group $dir has no table '$table' (tables: ${tables(spark, dir).mkString(", ")})")
+    val before = smallBytes match {
+      case None => all
+      case Some(sb) =>
+        require(sb > 0, s"smallBytes must be positive, got $sb")
+        val (fs, root) = fsFor(spark, dir)
+        all.filter(d =>
+          fs.getContentSummary(new Path(root, d)).getLength < sb)
+    }
+    if (before.size < 2) return None
+    // the tracked schema types the rewrite deterministically (it is the
+    // additive UNION of everything the member's directories hold, so
+    // nothing can be dropped); legacy pre-tracking groups take the
+    // footer-union read
+    val tracked = trackedSchema(state, table)
+    val merged = TxTable.scanLiveDirs(spark, dir, state, before,
+      mergeSchema = tracked.isEmpty, readerSchema = tracked)
+    val eff =
+      if (statsCols.nonEmpty) statsCols
+      else TxTable.carriedStatsCols(state, before, merged)
+    val rel = s"$table/data/${java.util.UUID.randomUUID().toString.take(12)}"
+    merged.write.mode("overwrite").parquet(s"$dir/$rel")
+    Some(TxTable.publishReadDependent(spark, dir, readV,
+      Seq("op:compact", s"add:$rel") ++
+        TxTable.statsLines(spark, dir, rel, eff) ++
+        before.map(d => s"remove:$d"),
+      TxTable.TxnProfile("compactTable", before.toSet, Set.empty,
+        allowNewRows = true)))
+  }
+
+  /** Fold the group's outstanding deletion-vector sidecars into one —
+    * the [[TxTable.compactDvs]] kernel verbatim (sidecars are a
+    * LOG-level resource shared by every member; pairs whose directory a
+    * [[compactTable]] rewrote are dropped as inert, and stats of the
+    * directories the survivors touch re-tighten). No-op (None) with
+    * fewer than two outstanding sidecars.
+    */
+  def compactDvs(spark: SparkSession, dir: String,
+      retightenStats: Boolean = true): Option[Long] = {
+    val readV = TxTable.tipVersion(spark, dir)
+    val state = TxTable.stateAt(spark, dir, readV)
+    TxTable.compactDvsImpl(spark, dir, readV, state, retightenStats)
+  }
+
+  /** One [[maintain]] pass's report, per member table. */
+  final case class GroupMaintenance(
+      compacted: Map[String, Option[Long]],
+      dvCompactedVersion: Option[Long],
+      checkpointedVersion: Long,
+      vacuumed: Seq[String],
+      logFilesCleaned: Seq[String])
+
+  /** The group twin of [[TxTable.maintain]] — the OPTIMIZE-daemon pass
+    * a long-lived group schedules: fold each member's sub-threshold
+    * directory tail ([[compactTable]] with `smallBytes`), fold the
+    * now-partly-inert deletion-vector sidecars ([[compactDvs]]), force
+    * a fresh shared [[TxTable.checkpoint]] + pointer, reclaim expired
+    * member-namespace data ([[vacuum]]) AND expired root `dv/` sidecars
+    * ([[TxTable.vacuum]] — a group has no root `data/`, so the
+    * single-table sweep is exactly the sidecar half), then expired log
+    * metadata ([[TxTable.cleanupLog]], retention defaulting to the same
+    * horizon). Each step is individually log-transacted/idempotent and
+    * conflict-tolerant (a compaction losing to a live ingest skips this
+    * pass, like the single-table daemon), so a crash mid-pass leaves a
+    * consistent group and the next pass resumes.
+    */
+  def maintain(spark: SparkSession, dir: String,
+      smallBytes: Long = 128L * 1024 * 1024,
+      horizonMs: Long = 7L * 24 * 60 * 60 * 1000,
+      logRetainMs: Option[Long] = None): GroupMaintenance = {
+    val compacted = tables(spark, dir).sorted.map { t =>
+      t -> (try compactTable(spark, dir, t, smallBytes = Some(smallBytes))
+      catch { case _: CommitConflict => None })
+    }.toMap
+    val dvc =
+      try compactDvs(spark, dir)
+      catch { case _: CommitConflict => None }
+    val ckpt = TxTable.checkpoint(spark, dir)
+    val vac = vacuum(spark, dir, horizonMs) ++
+      TxTable.vacuum(spark, dir, horizonMs)
+    val cleaned = TxTable.cleanupLog(spark, dir, logRetainMs.getOrElse(horizonMs))
+    GroupMaintenance(compacted, dvc, ckpt, vac, cleaned)
+  }
+
+  /** Reclaim expired directories under the group's member-table
+    * namespaces, by the [[TxTable.vacuum]] rules applied to
+    * `<table>/data/` roots: a directory a [[compactTable]] REMOVED
+    * reclaims once its removal STAMP is past `horizonMs` (pre-compaction
+    * versions stay readable inside the retention window — the stamp,
+    * never the dir's own mtime, which is write-time-old the moment the
+    * remove lands); CRASH DEBRIS a failed [[appendMany]] wrote but
+    * never published reclaims by its own mtime. Candidate table roots
+    * are the first-level directories that are not the log or a
+    * single-table data/dv root, so a table whose EVERY transaction
+    * crashed pre-publish still gets swept. Root `dv/` sidecars are the
+    * single-table sweep's job ([[TxTable.vacuum]] on the group dir —
+    * [[maintain]] runs both). Returns reclaimed relative paths.
     */
   def vacuum(spark: SparkSession, dir: String,
       horizonMs: Long = 60L * 60 * 1000): Seq[String] = {
     val (fs, root) = fsFor(spark, dir)
     if (!fs.exists(root)) return Nil
     val tip = TxTable.tipOrZero(spark, dir)
-    val liveNow: Set[String] =
-      if (tip == 0) Set.empty
-      else TxTable.stateAt(spark, dir, tip).live.toSet
+    val state = if (tip == 0) None else Some(TxTable.stateAt(spark, dir, tip))
+    val liveNow: Set[String] = state.map(_.live.toSet).getOrElse(Set.empty)
+    val removedAt: Map[String, Long] = state.map(_.removedAt).getOrElse(Map.empty)
     val cutoff = System.currentTimeMillis() - horizonMs
     val reclaimed = scala.collection.mutable.ArrayBuffer.empty[String]
     val tableRoots = fs.listStatus(root).toSeq
@@ -376,7 +500,13 @@ object TxGroup {
       if (fs.exists(dataRoot)) {
         fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { st =>
           val rel = s"${t.getPath.getName}/data/${st.getPath.getName}"
-          if (!liveNow.contains(rel) && st.getModificationTime < cutoff) {
+          val drop =
+            if (liveNow.contains(rel)) false
+            else removedAt.get(rel) match {
+              case Some(ts) => ts < cutoff          // retention window expired
+              case None => st.getModificationTime < cutoff // crash debris
+            }
+          if (drop) {
             try { if (fs.delete(st.getPath, true)) reclaimed += rel }
             catch { case _: java.io.IOException => () }
           }

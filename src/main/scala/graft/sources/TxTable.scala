@@ -176,13 +176,25 @@ object TxTable {
   private val VersionWidth = 20
   private val PointerName = "_last_checkpoint"
 
-  /** The log-format protocol this engine reads and writes. Every
+  /** The HIGHEST log-format protocol this engine can read. Every
     * table's first commit records `protocol:<n>`; a reader meeting a
     * HIGHER number fails informatively instead of silently
     * misinterpreting actions a newer writer introduced — the Delta
-    * protocol-versioning rule.
+    * protocol-versioning rule. Protocol 2 covers the write-contract
+    * and group-schema actions (`gencol:`/`idcol:`/`idhw:`,
+    * `schema:<table>:`/`rmschema:`): a protocol-1 reader would
+    * silently append WITHOUT assigning identity values or validating
+    * generated columns, so the commit that first declares one of
+    * these stamps `protocol:2` (the Delta reader-feature gate) —
+    * feature-free tables keep requiring only [[BaseProtocol]] and
+    * stay readable by protocol-1 engines.
     */
-  private[graft] val SupportedProtocol = 1
+  private[graft] val SupportedProtocol = 2
+
+  /** What a fresh, feature-free table REQUIRES — stamped at version 1
+    * unless the first commit itself carries a higher requirement.
+    */
+  private[graft] val BaseProtocol = 1
 
   /** A checkpoint is written when the just-committed version is a
     * multiple of this — every read then replays at most this many
@@ -339,15 +351,36 @@ object TxTable {
     * surfaces ([[TxGroup.appendMany]], [[TxGroup.deleteRowsMany]]);
     * metadata-only maintenance (checkpoint, cleanupLog) stays shared.
     */
-  private def requireSingleTableContent(state: TableState, dir: String,
+  private[sources] def requireSingleTableContent(state: TableState, dir: String,
       what: String): Unit = {
     val grouped = state.live.filterNot(d =>
       isAbsRef(d) || d.startsWith("data/") || d.startsWith("dv/"))
-    require(grouped.isEmpty,
-      s"$what targets $dir, a TxGroup directory (namespaced member data " +
-        s"like '${grouped.head}') — a single-table rewrite would collapse " +
-        "member namespacing; use the TxGroup surfaces " +
-        "(appendMany / deleteRowsMany) instead")
+    require(grouped.isEmpty && state.tableSchemas.isEmpty,
+      s"$what targets $dir, a TxGroup directory (" +
+        (grouped.headOption.map(g => s"namespaced member data like '$g'")
+          .getOrElse("tracked member schemas")) +
+        ") — a single-table rewrite would collapse member namespacing; " +
+        "use the TxGroup surfaces (appendMany / deleteRowsMany / " +
+        "compactTable) instead")
+  }
+
+  /** Reject SINGLE-TABLE metadata declarations aimed at a [[TxGroup]]
+    * directory: a `gencol:`/`idcol:`/`constraint:`/`colmap:` recorded
+    * on a group's shared log is a contract [[TxGroup.appendMany]]
+    * never reads — the declaration would sit in the log looking
+    * enforced while every group write silently ignores it (worse than
+    * rejection). Group tables needing a write contract should be
+    * referenced single tables instead (the documented group scope).
+    */
+  private def requireSingleTableMeta(state: TableState, dir: String,
+      what: String): Unit = {
+    val grouped = state.live.filterNot(d =>
+      isAbsRef(d) || d.startsWith("data/") || d.startsWith("dv/"))
+    require(grouped.isEmpty && state.tableSchemas.isEmpty,
+      s"$what targets $dir, a TxGroup directory — group writes " +
+        "(appendMany) do not read single-table declarations, so this " +
+        "would record a contract nothing enforces; declare it on a " +
+        "referenced single table instead (the documented group scope)")
   }
 
   private def isAbsRef(rel: String): Boolean =
@@ -363,7 +396,8 @@ object TxTable {
     * (a clone's references ARE the source's uuid-keyed names, so keys
     * stay unique across the union of both roots).
     */
-  private def dirKey(rel: String): String = "data/" + rel.split('/').last
+  private[sources] def dirKey(rel: String): String =
+    "data/" + rel.split('/').last
 
   /** The ONE internal scan every read and every rewrite goes through:
     * a parquet scan over `dirs` with every outstanding DELETION VECTOR
@@ -616,7 +650,8 @@ object TxTable {
       tableSchemas: Map[String, String],
       genCols: Map[String, String],
       idCols: Map[String, (Long, Long)],
-      idHw: Map[String, Long])
+      idHw: Map[String, Long],
+      protocol: Long = BaseProtocol)
 
   private[sources] def stateAt(spark: SparkSession, dir: String, v: Long): TableState = {
     // version 0 IS the empty table — the change-feed baseline, so a
@@ -662,6 +697,10 @@ object TxTable {
     val idCols = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val idHw = scala.collection.mutable.Map.empty[String, Long]
     var colMap = ColMap.identity
+    // the protocol HIGH-WATER mark over the replay (a requirement
+    // never downgrades — the Delta protocol rule; checkpoints re-stamp
+    // it so retention cannot lose the requirement)
+    var protocol = BaseProtocol.toLong
     val dvFiles = scala.collection.mutable.LinkedHashSet.empty[String]
     // per-directory FILE records (name → (len, mtime, rows) + per-col
     // stats/null-counts); fstats lines may arrive before their file:
@@ -780,6 +819,7 @@ object TxTable {
             s"table $dir was written under log protocol $pv; this engine " +
               s"supports protocol <= $SupportedProtocol — upgrade the reader " +
               "before touching this table")
+        protocol = math.max(protocol, pv.toLong)
       } else if (line.startsWith("gencol:")) {
         // gencol:<name>:<b64 sql> — a GENERATED ALWAYS AS (expr) column
         // (Delta's generated columns): writes compute it when absent and
@@ -871,6 +911,7 @@ object TxTable {
             s"table $dir was written under log protocol ${Option(r.n1).getOrElse("?")}; " +
               s"this engine supports protocol <= $SupportedProtocol — upgrade " +
               "the reader before touching this table")
+        protocol = math.max(protocol, r.n1.longValue)
       case other =>
         throw new IllegalStateException(s"unknown columnar checkpoint row: $other")
     }
@@ -915,8 +956,19 @@ object TxTable {
       schemaJson, constraints.toMap, colMap, dvFiles.toSeq,
       files.view.mapValues(_.toSeq.map { case (n, f) =>
         FileRec(n, f.len, f.mtime, f.rows, f.stats.toMap, f.nulls.toMap)
-      }).toMap, tableSchemas.toMap, genCols.toMap, idCols.toMap, idHw.toMap)
+      }).toMap, tableSchemas.toMap, genCols.toMap, idCols.toMap, idHw.toMap,
+      protocol)
   }
+
+  /** The protocol a table's CURRENT state requires a reader to speak:
+    * the replayed high-water mark, raised to 2 while any v2 action is
+    * in force (a checkpoint must re-stamp the requirement even if log
+    * retention reclaimed the declaring entry).
+    */
+  private[sources] def requiredProtocol(st: TableState): Long =
+    if (st.genCols.nonEmpty || st.idCols.nonEmpty || st.idHw.nonEmpty ||
+        st.tableSchemas.nonEmpty) math.max(st.protocol, 2L)
+    else st.protocol
 
   /** Resolve a requested version against the tip and reconstruct its
     * state ONCE — the single-stateAt read path (r14 advice: snapshotRange
@@ -1460,7 +1512,14 @@ object TxTable {
     // a clone-of-a-clone keeps each reference pointing at the root that
     // actually HOLDS the files (already-absolute references pass through)
     def ref(d: String): String = if (isAbsRef(d)) d else s"$src/$d"
-    val lines = Seq("op:clone") ++
+    // the clone inherits the source's protocol REQUIREMENT (its carried
+    // state may contain v2 actions a base-protocol reader would
+    // misinterpret); publishAt skips its own v1 stamp when present
+    val protoL =
+      if (requiredProtocol(st) > BaseProtocol)
+        Seq(s"protocol:${requiredProtocol(st)}")
+      else Nil
+    val lines = Seq("op:clone") ++ protoL ++
       st.live.map(d => s"add:${ref(d)}") ++
       st.live.flatMap(d => st.stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
         .map { case (c, stt) => statLineOf(ref(d), c, stt) }) ++
@@ -1572,8 +1631,13 @@ object TxTable {
     val prevTs = if (v <= 1L) 0L else commitTs(fs, log, v - 1).getOrElse(0L)
     val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val stamped0 = s"ts:$ts" +: lines
+    // version 1 stamps the BASE requirement — a feature-free table
+    // stays readable by older engines; commits that introduce a v2
+    // action carry their own (higher) protocol line instead
     val stamped =
-      if (v == 1L) s"protocol:$SupportedProtocol" +: stamped0 else stamped0
+      if (v == 1L && !lines.exists(_.startsWith("protocol:")))
+        s"protocol:$BaseProtocol" +: stamped0
+      else stamped0
     val tmp = writeSmallFile(fs, log, stamped)
     if (!putIfAbsent(fs, tmp, new Path(log, versionName(v))))
       throw new CommitConflict(
@@ -1656,7 +1720,8 @@ object TxTable {
     def c(reason: String) = Some(s"${p.what} aborted: concurrent version $v ($op) $reason")
     if (lines.exists(l => l.startsWith("schema:") || l.startsWith("colmap:") ||
         l.startsWith("constraint:") || l.startsWith("dropconstraint:") ||
-        l.startsWith("gencol:") || l.startsWith("idcol:")))
+        l.startsWith("gencol:") || l.startsWith("idcol:") ||
+        l.startsWith("rmgencol:") || l.startsWith("rmschema:")))
       return c("changed table metadata (schema / column mapping / constraints / " +
         "generated or identity columns) — this commit's rows were gated under " +
         "the old rules; re-derive")
@@ -1753,15 +1818,28 @@ object TxTable {
     // exists — one dataRoot listing bounds the lines by physical dirs
     val dataRoot = new Path(root, "data")
     val dvRoot = new Path(root, "dv")
+    // member-NAMESPACED stamps (`<table>/data/<uuid>`, a TxGroup
+    // directory a [[TxGroup.compactTable]] removed) are bounded by the
+    // same rule — listing only the namespaces the stamps name, so a
+    // single table pays nothing
+    val memberRoots = st.removedAt.keys
+      .filterNot(r => isAbsRef(r) || r.startsWith("data/") || r.startsWith("dv/"))
+      .map(_.takeWhile(_ != '/')).toSeq.distinct.sorted
     val present: Set[String] =
       (if (!fs.exists(dataRoot)) Set.empty[String]
        else fs.listStatus(dataRoot).toSeq.filter(_.isDirectory)
          .map(s => s"data/${s.getPath.getName}").toSet) ++
       (if (!fs.exists(dvRoot)) Set.empty[String]
        else fs.listStatus(dvRoot).toSeq.filter(_.isDirectory)
-         .map(s => s"dv/${s.getPath.getName}").toSet)
+         .map(s => s"dv/${s.getPath.getName}").toSet) ++
+      memberRoots.flatMap { t =>
+        val mRoot = new Path(root, s"$t/data")
+        if (!fs.exists(mRoot)) Set.empty[String]
+        else fs.listStatus(mRoot).toSeq.filter(_.isDirectory)
+          .map(s => s"$t/data/${s.getPath.getName}").toSet
+      }
     val lines =
-      Seq(s"protocol:$SupportedProtocol") ++
+      Seq(s"protocol:${requiredProtocol(st)}") ++
         st.live.map(d => s"live:$d") ++
         st.live.flatMap(d => st.stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
           .map { case (c, stat) => statLineOf(d, c, stat) }) ++
@@ -2121,7 +2199,7 @@ object TxTable {
     * (compact/optimize) CARRY the table's stats discipline forward by
     * default instead of silently shedding it.
     */
-  private def carriedStatsCols(state: TableState, dirs: Seq[String],
+  private[sources] def carriedStatsCols(state: TableState, dirs: Seq[String],
       df: DataFrame): Seq[String] =
     dirs.flatMap(d => state.stats.getOrElse(d, Map.empty).keys)
       .distinct.filter(df.columns.contains).sorted
@@ -2250,6 +2328,7 @@ object TxTable {
     val tip = tipOrZero(spark, dir)
     if (tip > 0) {
       val state = stateAt(spark, dir, tip)
+      requireSingleTableMeta(state, dir, "addGeneratedColumn")
       require(!state.idCols.contains(name),
         s"'$name' is already an identity column of $dir")
       if (state.live.nonEmpty) {
@@ -2265,7 +2344,11 @@ object TxTable {
             "generated column must hold over every existing row")
       }
     }
-    publishNext(spark, dir, Seq("op:gencol", s"gencol:$name:${b64e(exprSql)}"))
+    // declaring the write contract RAISES the table's protocol: a
+    // protocol-1 reader would append without computing/validating the
+    // column — exactly the silent misinterpretation the gate prevents
+    publishNext(spark, dir,
+      Seq("op:gencol", "protocol:2", s"gencol:$name:${b64e(exprSql)}"))
   }
 
   /** Declare a GENERATED ALWAYS AS IDENTITY column (Delta's identity
@@ -2290,13 +2373,17 @@ object TxTable {
     val tip = tipOrZero(spark, dir)
     if (tip > 0) {
       val state = stateAt(spark, dir, tip)
+      requireSingleTableMeta(state, dir, "addIdentityColumn")
       require(state.live.isEmpty,
         s"table $dir has data — identity columns are declared before the " +
           "first write (existing rows cannot be assigned retroactively)")
       require(!state.genCols.contains(name),
         s"'$name' is already a generated column of $dir")
     }
-    publishNext(spark, dir, Seq("op:idcol", s"idcol:$name:$start:$step"))
+    // same protocol raise as [[addGeneratedColumn]]: a protocol-1
+    // reader would append without assigning identity values
+    publishNext(spark, dir,
+      Seq("op:idcol", "protocol:2", s"idcol:$name:$start:$step"))
   }
 
   /** Apply the table's generated/identity column contract to an
@@ -2460,8 +2547,12 @@ object TxTable {
     val (fs, root) = fsFor(spark, dir)
     // stats come off the WRITTEN files — state-independent, priced once
     val statsL = statsLines(spark, dir, rel, statsCols)
+    // the written files carry LOGICAL names (dfG) and the commit below
+    // resets any column mapping — the mark aggregate must target the
+    // logical name, not the pre-overwrite physical one (a renamed
+    // identity column would otherwise fail AFTER the data write)
     val idhwL = idHwLines(spark, dir, rel, idBases.keys.toSeq.sorted,
-      state0.map(_.colMap).getOrElse(ColMap.identity))
+      ColMap.identity)
     var gatedTip = -1L
     var stateOpt: Option[TableState] = None
     var gatedConstraints: Option[Map[String, String]] = None
@@ -2499,9 +2590,13 @@ object TxTable {
       // overwrite REPLACES the schema wholesale — record the new one, and
       // RESET any column mapping (the new frame's names are its names;
       // nothing of the old physical layout survives the overwrite)
+      // record the schema of the frame the files actually HOLD (dfG —
+      // computed generated columns and assigned identity columns
+      // included): tracking the pre-defaults df would hide those
+      // columns from every read and fail the next append's gate
       val schemaL =
-        if (tracked.exists(t => sameTypeLoose(t, df.schema))) Nil
-        else Seq(s"schema:${b64e(df.schema.json)}")
+        if (tracked.exists(t => sameTypeLoose(t, dfG.schema))) Nil
+        else Seq(s"schema:${b64e(dfG.schema.json)}")
       val colMapL =
         if (stateOpt.forall(_.colMap.isIdentity)) Nil
         else Seq(colMapLine(ColMap.identity))
@@ -2765,15 +2860,39 @@ object TxTable {
     * touch get their recorded stats RECOMPUTED over the DV-applied
     * scan ([[retightenedStatsLines]]) — a boundary-row delete narrows
     * the recorded range again instead of staying conservative forever.
-    * No-op (None) with fewer than two outstanding sidecars.
+    * No-op (None) with nothing to fold: zero sidecars, or one whose
+    * pairs are all still live (churning it would copy it verbatim; a
+    * lone PARTLY-INERT sidecar does fold, so a compaction's leftovers
+    * always retire).
     */
   def compactDvs(spark: SparkSession, dir: String,
       retightenStats: Boolean = true): Option[Long] = {
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
     requireSingleTableContent(state, dir, "compactDvs")
-    if (state.dvFiles.size < 2) return None
+    compactDvsImpl(spark, dir, readV, state, retightenStats)
+  }
+
+  /** The [[compactDvs]] kernel, shared with [[TxGroup.compactDvs]]
+    * (sidecars are a LOG-level resource — one fold serves every member
+    * table; `dirKey` maps a namespaced `<table>/data/<uuid>` rel to the
+    * same `data/<uuid>` key the vectors record, uuid-unique across
+    * members). The guard stays on the single-table surface.
+    */
+  private[sources] def compactDvsImpl(spark: SparkSession, dir: String,
+      readV: Long, state: TableState, retightenStats: Boolean): Option[Long] = {
+    if (state.dvFiles.isEmpty) return None
     val liveSet = state.live.map(dirKey).toSet
+    // a LONE sidecar folds only when a rewrite made some of its pairs
+    // inert (then the fold retires it outright or shrinks it) — an
+    // all-live single sidecar would just churn into an identical copy
+    if (state.dvFiles.size == 1) {
+      val allLive = spark.read.parquet(dataPath(dir, state.dvFiles.head))
+        .filter(!org.apache.spark.sql.functions.regexp_extract(
+          col("f"), "^(data/[^/]+)/", 1).isin(liveSet.toSeq: _*))
+        .isEmpty
+      if (allLive) return None
+    }
     val rel = s"dv/${java.util.UUID.randomUUID().toString.take(12)}"
     // resolve through dataPath, NOT s"$dir/$f": a shallow clone's carried
     // sidecars are ABSOLUTE references into the source's root, and the
@@ -3205,6 +3324,7 @@ object TxTable {
     require(smallBytes > 0, s"smallBytes must be positive, got $smallBytes")
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    requireSingleTableContent(state, dir, "compactSmall")
     val (fs, root) = fsFor(spark, dir)
     val small = state.live.filter(d =>
       fs.getContentSummary(new Path(root, d)).getLength < smallBytes)
@@ -3345,6 +3465,7 @@ object TxTable {
       s"constraint names must be non-empty and colon-free: '$name'")
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    requireSingleTableMeta(state, dir, "addConstraint")
     if (state.live.nonEmpty) {
       // the constraint's SQL references LOGICAL names — validate the
       // existing rows through the mapped, DV-applied view
@@ -3388,6 +3509,45 @@ object TxTable {
     * or dropped (their SQL would silently stop matching rows) — the
     * conservative word-boundary guard Delta enforces at DDL time.
     */
+  /** Reject column DDL that would break the WRITE CONTRACT: a renamed
+    * or dropped generated/identity column leaves `gencol:`/`idcol:`
+    * actions keyed by a name the schema no longer has — the next append
+    * would re-materialize the stale name (or fail its additive gate)
+    * and the high-water mark would stop advancing. Same rule for a
+    * column a generated expression REFERENCES (Delta's restriction).
+    */
+  private def requireNoWriteContractRef(state: TableState, colName: String,
+      what: String): Unit = {
+    require(!state.genCols.contains(colName),
+      s"cannot $what column '$colName': it is a generated column — " +
+        "dropGeneratedColumn first")
+    require(!state.idCols.contains(colName),
+      s"cannot $what column '$colName': it is GENERATED ALWAYS AS IDENTITY " +
+        "(assignment and the high-water mark are keyed by this name; the " +
+        "declaration is permanent — overwrite into a fresh table to shed it)")
+    val pat = ("\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
+    state.genCols.find { case (_, sql) => pat.findFirstIn(sql).isDefined }
+      .foreach { case (n, sql) =>
+        throw new IllegalArgumentException(
+          s"cannot $what column '$colName': generated column '$n' ($sql) " +
+            "references it — dropGeneratedColumn first")
+      }
+  }
+
+  /** Remove a GENERATED-column declaration — metadata-only (the column
+    * and its data stay; writes simply stop computing/validating it).
+    * The inverse of [[addGeneratedColumn]]; identity declarations are
+    * permanent (their assigned values could never be re-derived).
+    */
+  def dropGeneratedColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val tip = tipVersion(spark, dir)
+    val state = stateAt(spark, dir, tip)
+    require(state.genCols.contains(name),
+      s"no generated column '$name' on $dir (declared: " +
+        s"${state.genCols.keys.toSeq.sorted.mkString(", ")})")
+    publishNext(spark, dir, Seq("op:rmgencol", s"rmgencol:$name"))
+  }
+
   private def requireNoConstraintRef(state: TableState, colName: String,
       what: String): Unit = {
     val pat = ("\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
@@ -3422,10 +3582,12 @@ object TxTable {
     require(from != to, s"rename to the same name: '$from'")
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    requireSingleTableMeta(state, dir, "renameColumn")
     val names = logicalNamesOf(spark, dir, state)
     require(names.contains(from), s"no column '$from' (columns: ${names.mkString(", ")})")
     require(!names.contains(to), s"column '$to' already exists")
     requireNoConstraintRef(state, from, "rename")
+    requireNoWriteContractRef(state, from, "rename")
     val phys = state.colMap.physicalOf(from)
     // renaming BACK to the physical name drops the indirection entirely
     val newRenames = (state.colMap.renames - from) ++
@@ -3448,10 +3610,12 @@ object TxTable {
     requireMappableName(name, "column names")
     val readV = tipVersion(spark, dir)
     val state = stateAt(spark, dir, readV)
+    requireSingleTableMeta(state, dir, "dropColumn")
     val names = logicalNamesOf(spark, dir, state)
     require(names.contains(name), s"no column '$name' (columns: ${names.mkString(", ")})")
     require(names.size >= 2, "cannot drop the last column")
     requireNoConstraintRef(state, name, "drop")
+    requireNoWriteContractRef(state, name, "drop")
     val phys = state.colMap.physicalOf(name)
     val newCm = ColMap(state.colMap.renames - name, state.colMap.dropped + phys)
     val physSch = tableSchemaOf(spark, dir, state).get

@@ -14,15 +14,19 @@ import graft.sources.TxTable
   * id, so delivery is EXACTLY-ONCE without user-written `foreachBatch`
   * plumbing — a restarted query re-offers completed batches and the
   * table's own ledger skips them whole ([[TxTable.appendTxn]] at or
-  * below the writer's high-water mark commits nothing). The ledger is
-  * IN the table's log, so exactly-once holds even if the STREAM
-  * checkpoint is lost: re-running the whole feed under a fresh
-  * checkpoint re-offers every batch and every one is skipped.
+  * below the writer's high-water mark commits nothing).
   *
   * Options: `path` (the table directory — or `.start(path)`),
-  * `writerId` (the ledger key; default `stream-sink`. Two queries
-  * feeding ONE table must use distinct writerIds — same rule as
-  * [[TxTable.appendTxn]]), `statsCols` (comma-separated columns to
+  * `writerId` (the ledger key; DEFAULT is the streaming QUERY ID — the
+  * Delta rule for its SetTransaction keying, so two distinct queries
+  * feeding one table never collide on the ledger and silently drop
+  * each other's batches; the query id persists in the stream
+  * checkpoint, so restarts keep their ledger continuity. Set it
+  * EXPLICITLY for the stronger survives-a-LOST-checkpoint guarantee —
+  * a fresh-checkpoint rerun under the same explicit writerId re-offers
+  * every batch and the table's ledger skips them all, at the user's
+  * promise that this writer is the feed's only producer under that
+  * id), `statsCols` (comma-separated columns to
   * record per-directory/per-file min/max+null stats for at write time
   * — the pruning surface), `allowAdditive` (additive schema evolution
   * on a batch carrying new columns, the Delta mergeSchema shape),
@@ -44,22 +48,34 @@ import graft.sources.TxTable
   */
 final class TxTableSink(
     dir: String,
-    writerId: String,
+    writerIdOpt: Option[String],
     statsCols: Seq[String],
     allowAdditive: Boolean,
     compactEvery: Int) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
+    // default ledger key: the QUERY id (the local property StreamExecution
+    // sets around every batch) — distinct queries get distinct ledgers,
+    // so a second default-keyed query writing this table cannot replay
+    // into the first's high-water mark and silently drop its batches
+    val writerId = writerIdOpt.getOrElse {
+      val q = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+      require(q != null && q.nonEmpty,
+        "txtable sink could not resolve the streaming query id for its " +
+          "default ledger key — pass .option(\"writerId\", ...) explicitly")
+      q
+    }
     val batch = GraftBridge.batchFrameOf(spark, data)
     val committed =
       TxTable.appendTxn(spark, dir, batch, writerId, batchId, statsCols,
         allowAdditive)
-    // best-effort layout work, never a query failure; a REPLAYED batch
-    // (None) skips it outright — the original attempt already ran it
+    // best-effort layout work, NEVER a query failure (the batch above
+    // already committed): any maintenance error — a conflict, a
+    // FileNotFound racing a concurrent vacuum — skips this interval
     if (committed.isDefined && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       try TxTable.compact(spark, dir, statsCols)
-      catch { case _: TxTable.CommitConflict => () }
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   override def toString: String = s"TxTableSink[$dir]"
@@ -83,13 +99,13 @@ trait TxTableSinkProvider extends StreamSinkProvider {
         "pruning surface (file-level stats prune finer than directories)")
     val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
       "txtable sink needs a table directory: .start(path) or .option(\"path\", ...)"))
-    val writerId = parameters.getOrElse("writerId", "stream-sink")
-    require(writerId.nonEmpty && !writerId.contains(":"),
-      s"writerId must be non-empty and colon-free: '$writerId'")
+    val writerIdOpt = parameters.get("writerId")
+    writerIdOpt.foreach(w => require(w.nonEmpty && !w.contains(":"),
+      s"writerId must be non-empty and colon-free: '$w'"))
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val allowAdditive = parameters.get("allowAdditive").exists(_.trim.toBoolean)
     val compactEvery = parameters.get("compactEvery").map(_.trim.toInt).getOrElse(0)
-    new TxTableSink(dir, writerId, statsCols, allowAdditive, compactEvery)
+    new TxTableSink(dir, writerIdOpt, statsCols, allowAdditive, compactEvery)
   }
 }

@@ -241,4 +241,62 @@ class TxTableGenColSpec extends SparkTestBase {
     assert(viaPq.idCols == Map("rid" -> (1L, 1L)))
     assert(viaPq.idHw.contains("rid"))
   }
+
+  test("overwrite on an identity/generated table tracks the WRITTEN " +
+      "schema (assigned + computed columns included): reads surface " +
+      "them and the next plain append passes the additive gate") {
+    val dir = freshDir()
+    TxTable.addIdentityColumn(spark, dir, "rid")
+    TxTable.addGeneratedColumn(spark, dir, "day", "ts % 7")
+    TxTable.append(spark, dir, rows(0, 5))
+    // truncate-and-load: the incoming frame has neither rid nor day —
+    // the files DO (applyWriteDefaults), and the tracked schema must
+    // say so, or every later read hides them and appends fail
+    TxTable.overwrite(spark, dir, rows(100, 104))
+    val snap = TxTable.snapshot(spark, dir)
+    assert(snap.columns.toSet == Set("id", "ts", "rid", "day"),
+      s"tracked schema must include written defaults: ${snap.columns.toSeq}")
+    assert(snap.count() == 4L)
+    assert(snap.select("day").collect().map(_.getLong(0)).toSet ==
+      (100L until 104L).map(_ * 100L % 7L).toSet)
+    // identity keeps advancing across the overwrite (values never reuse)
+    val overRids = snap.select("rid").collect().map(_.getLong(0)).toSet
+    TxTable.append(spark, dir, rows(104, 106))
+    val after = TxTable.snapshot(spark, dir)
+    assert(after.count() == 6L, "plain append after overwrite must pass the gate")
+    val appendRids = after.select("rid").collect().map(_.getLong(0)).toSet -- overRids
+    assert(appendRids.forall(r => overRids.forall(_ < r)),
+      "the overwrite's idhw mark advanced off the WRITTEN files")
+  }
+
+  test("column DDL cannot break the write contract: rename/drop of a " +
+      "generated or identity column (or a column a generated expression " +
+      "references) rejects; dropGeneratedColumn is the declared way out") {
+    val dir = freshDir()
+    TxTable.addIdentityColumn(spark, dir, "rid")
+    TxTable.addGeneratedColumn(spark, dir, "day", "ts % 7")
+    TxTable.append(spark, dir, rows(0, 5))
+    def rejects(what: String)(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("cannot"), s"$what: ${e.getMessage}")
+    }
+    rejects("rename gencol")(TxTable.renameColumn(spark, dir, "day", "dow"))
+    rejects("drop gencol")(TxTable.dropColumn(spark, dir, "day"))
+    rejects("rename idcol")(TxTable.renameColumn(spark, dir, "rid", "uid"))
+    rejects("drop idcol")(TxTable.dropColumn(spark, dir, "rid"))
+    rejects("rename referenced")(TxTable.renameColumn(spark, dir, "ts", "at"))
+    rejects("drop referenced")(TxTable.dropColumn(spark, dir, "ts"))
+    // shed the generated declaration: 'day' becomes a NORMAL column —
+    // writes carry it like any other (no computation, no validation;
+    // the 5 % 7 != value below would have been rejected under the
+    // contract) and the referenced column frees up for DDL
+    TxTable.dropGeneratedColumn(spark, dir, "day")
+    TxTable.append(spark, dir,
+      (5L until 7L).map(i => (i, i * 100L, 99L)).toDF("id", "ts", "day"))
+    assert(TxTable.snapshot(spark, dir).count() == 7L)
+    TxTable.renameColumn(spark, dir, "ts", "at")
+    assert(TxTable.snapshot(spark, dir).columns.contains("at"))
+    intercept[IllegalArgumentException](
+      TxTable.dropGeneratedColumn(spark, dir, "day")) // already gone
+  }
 }

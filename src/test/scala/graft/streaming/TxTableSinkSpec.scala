@@ -44,22 +44,44 @@ class TxTableSinkSpec extends SparkTestBase {
   }
 
   test("three micro-batches land as three ledgered versions; a FULL " +
-      "replay under a fresh stream checkpoint commits nothing (the " +
-      "ledger is in the table, not the checkpoint)") {
+      "replay under a fresh stream checkpoint with an EXPLICIT writerId " +
+      "commits nothing (the ledger is in the table, not the checkpoint)") {
     val feed = freshDir("sinkfeed"); val table = freshDir("sinktbl")
     stageFeed(feed)
-    drain(feed, table, freshDir("sinkck"))
+    drain(feed, table, freshDir("sinkck"), Map("writerId" -> "loader"))
     assert(TxTable.snapshot(spark, table).select("id").as[Long]
       .collect().sorted.toSeq == (0L until 12L))
     val versions = TxTable.versions(spark, table)
     assert(versions.size == 3, s"one version per micro-batch: $versions")
-    assert(TxTable.lastTxn(spark, table, "stream-sink").contains(2L),
+    assert(TxTable.lastTxn(spark, table, "loader").contains(2L),
       "batch id is the transaction id")
     // the exactly-once half the checkpoint CANNOT give: lose the stream
-    // checkpoint entirely, re-offer the whole feed — every batch skips
-    drain(feed, table, freshDir("sinkck2"))
+    // checkpoint entirely, re-offer the whole feed under the SAME
+    // explicit writerId — every batch skips at the table's ledger
+    drain(feed, table, freshDir("sinkck2"), Map("writerId" -> "loader"))
     assert(TxTable.versions(spark, table) == versions)
     assert(TxTable.snapshot(spark, table).count() == 12L)
+  }
+
+  test("DEFAULT ledger key is the streaming query id: two distinct " +
+      "default-keyed queries feeding one table both land their data — " +
+      "a shared-constant default would make the second query's batches " +
+      "replay into the first's high-water mark and silently vanish") {
+    val table = freshDir("sinktbl")
+    val feedA = freshDir("sinkfeedA"); val feedB = freshDir("sinkfeedB")
+    rows(0, 5).coalesce(1).write.mode("append").parquet(feedA)
+    rows(5, 8).coalesce(1).write.mode("append").parquet(feedB)
+    // two separate queries (fresh checkpoints), both on the default key:
+    // each query's id keys its own ledger, so query B's batch 0 is NOT
+    // at-or-below query A's mark — nothing is dropped
+    drain(feedA, table, freshDir("sinkckA"))
+    drain(feedB, table, freshDir("sinkckB"))
+    assert(TxTable.snapshot(spark, table).select("id").as[Long]
+      .collect().sorted.toSeq == (0L until 8L),
+      "both default-keyed queries' rows must land")
+    // and each query's ledger survives under its own id, not a shared one
+    assert(TxTable.lastTxn(spark, table, "stream-sink").isEmpty,
+      "no shared-constant ledger key may exist")
   }
 
   test("checkpoint resume: a restarted stream appends ONLY the new feed " +
