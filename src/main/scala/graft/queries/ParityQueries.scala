@@ -788,6 +788,43 @@ object ParityQueries extends QueryFamily {
       a.join(b, Seq("lang")).orderBy("lang")
     }),
 
+    // ---- GROUP MAINTENANCE ([[graft.sources.TxGroup.compactTable]] /
+    //      [[TxGroup.compactDvs]] / [[TxGroup.maintain]]): the GDPR
+    //      erase lifecycle must not degrade reads forever — the daemon
+    //      pass folds each member's directory tail (deletion vectors
+    //      folded into the rewrite), retires the now-inert sidecars,
+    //      and checkpoints, with the snapshot algebra UNCHANGED (pure
+    //      layout). The layout invariants are embedded as requires:
+    //      both members folded, ZERO outstanding sidecars after the
+    //      pass (the erase's per-read anti-join cost is capped). ----
+    "q241_txgroup_erase_maintain" -> ((s, dir) => {
+      val g = Scratch.freshDir(s, "q241grp", dir)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      (0 until 3).foreach { third =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(3)) === third)
+        graft.sources.TxGroup.appendMany(s, g, Seq(
+          "docs" -> slice,
+          "doc_meta" -> slice.select(col("doc_id"), col("lang"))))
+      }
+      val pred = pmod(col("doc_id"), lit(10)) === 4
+      graft.sources.TxGroup.deleteRowsMany(s, g,
+        Seq("docs" -> pred, "doc_meta" -> pred), txn = Some(("q241", 1L)))
+      val m = graft.sources.TxGroup.maintain(s, g,
+        smallBytes = Long.MaxValue, horizonMs = 24L * 3600 * 1000)
+      require(m.compacted.keySet == Set("doc_meta", "docs") &&
+        m.compacted.values.forall(_.isDefined),
+        s"the daemon pass must fold both members: $m")
+      require(graft.sources.TxTable.deletionVectors(s, g).isEmpty,
+        "the erase's sidecars went inert in the fold and must retire")
+      val a = graft.sources.TxGroup.snapshot(s, g, "docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      val b = graft.sources.TxGroup.snapshot(s, g, "doc_meta")
+        .groupBy("lang").agg(count(lit(1)).as("n_meta"))
+      a.join(b, Seq("lang")).orderBy("lang")
+    }),
+
     // ---- GENERATED + IDENTITY columns ([[graft.sources.TxTable
     //      .addGeneratedColumn]] / [[addIdentityColumn]], the Delta
     //      write-contract features): `bucket` is GENERATED ALWAYS AS
@@ -1613,6 +1650,13 @@ object ParityQueries extends QueryFamily {
       """SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(n_chars) AS BIGINT) AS sum_chars, COUNT(*) AS n_meta
          FROM documents WHERE doc_id % 10 <> 3
+         GROUP BY lang ORDER BY lang""",
+    // erase + full daemon pass (member folds, sidecar retirement,
+    // checkpoint) is PURE LAYOUT — the same filtered algebra holds
+    "q241_txgroup_erase_maintain" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars, COUNT(*) AS n_meta
+         FROM documents WHERE doc_id % 10 <> 4
          GROUP BY lang ORDER BY lang""",
     // generated column = plain arithmetic over documents; identity
     // uniqueness surfaces as count(distinct rid) == count(*) per bucket
