@@ -2356,9 +2356,11 @@ object TxTable {
     * values from `start` by multiples of `step`, allocated against a
     * log-tracked high-water mark (`idhw:` action) — and REJECTS frames
     * that provide it (the ALWAYS contract). Values are unique and
-    * increasing, NOT contiguous (the distributed allocation leaves
-    * gaps — the documented Delta trade; assignment is one
-    * zipWithUniqueId pass, no global ordering exchange). Concurrent
+    * increasing, NOT contiguous across appends (each append leaves the
+    * mark at its own maximum — the documented Delta trade; assignment
+    * is per-partition offsets from one count pass plus pure column
+    * arithmetic, codegen-preserved, no global ordering exchange and no
+    * RDD round trip). Concurrent
     * appends to one identity table conflict — the gate detects a moved
     * mark and aborts with guidance rather than double-assigning
     * (Delta's concurrent-identity rule). Declared on a table with no
@@ -2396,10 +2398,11 @@ object TxTable {
     */
   private def applyWriteDefaults(spark: SparkSession,
       state: Option[TableState], df: DataFrame, what: String)
-      : (DataFrame, Map[String, String], Map[String, Long]) = {
+      : (DataFrame, Map[String, String], Map[String, Long], () => Unit) = {
     val gens = state.map(_.genCols).getOrElse(Map.empty)
     val ids = state.map(_.idCols).getOrElse(Map.empty)
-    if (gens.isEmpty && ids.isEmpty) return (df, Map.empty, Map.empty)
+    if (gens.isEmpty && ids.isEmpty)
+      return (df, Map.empty, Map.empty, () => ())
     var out = df
     val checks = scala.collection.mutable.Map.empty[String, String]
     gens.toSeq.sortBy(_._1).foreach { case (n, sql) =>
@@ -2417,20 +2420,59 @@ object TxTable {
     val bases = ids.map { case (n, (start, step)) =>
       n -> state.flatMap(_.idHw.get(n)).map(_ + step).getOrElse(start)
     }
+    var release: () => Unit = () => ()
     if (ids.nonEmpty) {
-      // ONE uid pass serves every identity column: uid is unique and
-      // non-negative per row (zipWithUniqueId — no global ordering
-      // exchange), so base + step*uid is unique and >= base
+      // ONE uid column serves every identity column: uid is DENSE
+      // 0..N-1 from per-partition offsets (one P-row count pass — the
+      // standard identity-allocation shape; driver state is one long
+      // per partition), added as pure column arithmetic so the write
+      // keeps whole-stage codegen and column pruning end to end — no
+      // RDD round trip, no row serde (r18 advice). The frame is PINNED
+      // for the count→write pair so a non-deterministic source cannot
+      // shift rows between partitions and overlap two allocations; the
+      // caller releases the blocks right after the data write (the
+      // returned thunk), and an error path falls back to the context
+      // cleaner (write-sized blocks, same lifetime as the write).
+      val pinned = out
+      pinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      release = () => { pinned.unpersist(blocking = false); () }
+      val pidCol = "__graft_idty_pid"
+      val counts = out
+        .groupBy(org.apache.spark.sql.functions.spark_partition_id().as(pidCol))
+        .count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nParts = if (counts.isEmpty) 0 else counts.keys.max + 1
+      val offsets = new Array[Long](math.max(nParts, 1))
+      var running = 0L
+      (0 until nParts).foreach { i =>
+        offsets(i) = running; running += counts.getOrElse(i, 0L)
+      }
+      // overflow guard: the LAST value each column would assign must
+      // fit a Long — fail HERE (nothing written) instead of mid-write
+      ids.toSeq.sortBy(_._1).foreach { case (n, (_, step)) =>
+        require(running == 0L ||
+          (Long.MaxValue - bases(n)) / step >= running - 1,
+          s"identity column '$n' would overflow Long: next base " +
+            s"${bases(n)}, step $step, $running incoming rows")
+      }
+      // monotonically_increasing_id = (pid << 33) + row-in-partition,
+      // so subtracting the pid span recovers the per-partition row
+      // index; offsets are a plan literal (P longs, broadcast-sized)
       val uidCol = "__graft_idty_uid"
-      val withUid = spark.createDataFrame(
-        out.rdd.zipWithUniqueId().map { case (r, uid) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ uid)
-        }, out.schema.add(uidCol, LongType))
+      val withUid = out
+        .withColumn(pidCol, org.apache.spark.sql.functions.spark_partition_id())
+        .withColumn(uidCol,
+          org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.typedlit(offsets.toSeq),
+            col(pidCol) + 1) +
+            (org.apache.spark.sql.functions.monotonically_increasing_id() -
+              (col(pidCol).cast(LongType) * lit(1L << 33))))
+        .drop(pidCol)
       out = ids.toSeq.sortBy(_._1).foldLeft(withUid) { case (acc, (n, (_, step))) =>
         acc.withColumn(n, lit(bases(n)) + lit(step) * col(uidCol))
       }.drop(uidCol)
     }
-    (out, checks.toMap, bases)
+    (out, checks.toMap, bases, release)
   }
 
   /** The `idhw:` lines a just-written directory advances the identity
@@ -2464,11 +2506,13 @@ object TxTable {
     val stateOpt = if (tip == 0) None else Some(stateAt(spark, dir, tip))
     stateOpt.foreach(requireSingleTableContent(_, dir, "append"))
     val cm = stateOpt.map(_.colMap).getOrElse(ColMap.identity)
-    val (dfG, genChecks, idBases) = applyWriteDefaults(spark, stateOpt, df, "append")
+    val (dfG, genChecks, idBases, release) =
+      applyWriteDefaults(spark, stateOpt, df, "append")
     // callers write LOGICAL names; files store physical (column mapping)
     val dfP = toPhysical(dfG, cm, "append")
     val schemaL = gateAndSchemaLines(spark, dir, stateOpt, dfP.schema, allowAdditive, "append")
     val rel = writeData(spark, dir, dfP)
+    release() // identity allocation pins survive only to the data write
     enforceConstraints(spark, dir, rel,
       stateOpt.map(_.constraints).getOrElse(Map.empty) ++ genChecks, "append", cm)
     val idhwL = idHwLines(spark, dir, rel, idBases.keys.toSeq.sorted, cm)
@@ -2508,11 +2552,13 @@ object TxTable {
     if (stateOpt.exists(_.txns.get(writerId).exists(_ >= txnId))) return None
     stateOpt.foreach(requireSingleTableContent(_, dir, "appendTxn"))
     val cm = stateOpt.map(_.colMap).getOrElse(ColMap.identity)
-    val (dfG, genChecks, idBases) = applyWriteDefaults(spark, stateOpt, df, "appendTxn")
+    val (dfG, genChecks, idBases, release) =
+      applyWriteDefaults(spark, stateOpt, df, "appendTxn")
     val dfP = toPhysical(dfG, cm, "appendTxn")
     val schemaL =
       gateAndSchemaLines(spark, dir, stateOpt, dfP.schema, allowAdditive, "appendTxn")
     val rel = writeData(spark, dir, dfP)
+    release()
     enforceConstraints(spark, dir, rel,
       stateOpt.map(_.constraints).getOrElse(Map.empty) ++ genChecks, "appendTxn", cm)
     val idhwL = idHwLines(spark, dir, rel, idBases.keys.toSeq.sorted, cm)
@@ -2541,9 +2587,10 @@ object TxTable {
     val tip0 = tipOrZero(spark, dir)
     val state0 = if (tip0 == 0) None else Some(stateAt(spark, dir, tip0))
     state0.foreach(requireSingleTableContent(_, dir, "overwrite"))
-    val (dfG, genChecks0, idBases) =
+    val (dfG, genChecks0, idBases, release) =
       applyWriteDefaults(spark, state0, df, "overwrite")
     val rel = writeData(spark, dir, dfG)
+    release()
     val (fs, root) = fsFor(spark, dir)
     // stats come off the WRITTEN files — state-independent, priced once
     val statsL = statsLines(spark, dir, rel, statsCols)
@@ -3214,7 +3261,8 @@ object TxTable {
     require(state.idCols.isEmpty,
       s"replaceRange on a table with identity columns is not supported — " +
         "identity assignment is append-path-only; delete + append instead")
-    val (dfG, genChecks, _) = applyWriteDefaults(spark, Some(state), df, "replaceRange")
+    val (dfG, genChecks, _, _) = // identity rejected above: release is a no-op
+      applyWriteDefaults(spark, Some(state), df, "replaceRange")
     val colNameP = cm.physicalOf(colName)
     val dfP = toPhysical(dfG, cm, "replaceRange")
     val statsColsP = statsCols.map(cm.physicalOf)

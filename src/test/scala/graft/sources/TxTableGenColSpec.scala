@@ -242,6 +242,51 @@ class TxTableGenColSpec extends SparkTestBase {
     assert(viaPq.idHw.contains("rid"))
   }
 
+  test("identity assignment is columnar: one append's ids are DENSE " +
+      "(base..base+N-1 — per-partition offsets, not sparse uid spans " +
+      "that burn the Long space at scale) and NO plan in the append " +
+      "scans an RDD (codegen + pruning survive the identity write)") {
+    val dir = freshDir()
+    TxTable.addIdentityColumn(spark, dir, "rid")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      TxTable.append(spark, dir, rows(0, 500).repartition(7))
+      // the execution listener is asynchronous — give the write's
+      // callbacks a moment to land before asserting over them
+      val deadline = System.currentTimeMillis() + 10000
+      while (plans.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(300)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val captured = plans.asScala.toSeq
+    assert(captured.nonEmpty, "the append must surface query executions")
+    val rddScans = captured.filter(p =>
+      p.contains("ExistingRDD") || p.contains("ExternalRDDScan"))
+    assert(rddScans.isEmpty,
+      s"identity append must not round-trip through an RDD scan:\n${rddScans.headOption.getOrElse("")}")
+    // dense allocation: exactly start..start+N-1 in ONE append (gaps
+    // exist only ACROSS appends) — the mark grows by the row count,
+    // never by partition-indexed spans
+    val rids = TxTable.snapshot(spark, dir).select("rid")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rids == (1L to 500L), s"dense ids expected: ${rids.take(5)}...")
+    // a second append continues above the mark, dense again
+    TxTable.append(spark, dir, rows(500, 600).repartition(3))
+    val rids2 = TxTable.snapshot(spark, dir).select("rid")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rids2 == (1L to 600L), s"mark advances by row count: ${rids2.takeRight(3)}")
+  }
+
   test("overwrite on an identity/generated table tracks the WRITTEN " +
       "schema (assigned + computed columns included): reads surface " +
       "them and the next plain append passes the additive gate") {
