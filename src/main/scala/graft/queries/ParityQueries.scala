@@ -757,6 +757,45 @@ object ParityQueries extends QueryFamily {
       graft.sources.TxTable.snapshot(s, tdir).orderBy("doc_id")
     }),
 
+    // ---- STREAMING MULTI-TABLE SINK ([[graft.streaming.TxGroupSink]],
+    //      `writeStream.format("txgroup")` — the write half of the
+    //      group surface, symmetric to q238): a MULTIPLEXED feed (every
+    //      doc row, plus a mirror row for even doc_ids under a `table`
+    //      discriminator) drains micro-batch by micro-batch, each batch
+    //      ONE atomic two-table commit ledgered by batch id — the
+    //      members can never skew, and the post-drain join must equal
+    //      the plain algebra over documents. ----
+    "q242_txgroup_sink_stream" -> ((s, dir) => {
+      val g = Scratch.freshDir(s, "q242grp", dir)
+      val feed = Scratch.freshDir(s, "q242feed", dir)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      var feedSchema: org.apache.spark.sql.types.StructType = null
+      (0 until 3).foreach { third =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(3)) === third)
+        val mux = slice.withColumn("table", lit("docs"))
+          .unionByName(slice.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .withColumn("table", lit("meta")))
+          .select("table", "doc_id", "lang", "n_chars")
+        feedSchema = mux.schema
+        mux.coalesce(1).write.mode("append").parquet(feed)
+      }
+      val q = s.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+        .writeStream.format("txgroup")
+        .option("writerId", "q242").option("statsCols", "doc_id")
+        .option("checkpointLocation", Scratch.freshDir(s, "q242ckpt", dir))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(g)
+      q.awaitTermination()
+      val a = graft.sources.TxGroup.snapshot(s, g, "docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      val b = graft.sources.TxGroup.snapshot(s, g, "meta")
+        .groupBy("lang").agg(count(lit(1)).as("n_meta"))
+      a.join(b, Seq("lang")).orderBy("lang")
+    }),
+
     // ---- ATOMIC MULTI-TABLE DELETE ([[graft.sources.TxGroup
     //      .deleteRowsMany]] — the GDPR shape): one commit's
     //      deletion-vector sidecars erase doc_id % 10 == 3 from the
@@ -1651,6 +1690,14 @@ object ParityQueries extends QueryFamily {
          CAST(SUM(n_chars) AS BIGINT) AS sum_chars, COUNT(*) AS n_meta
          FROM documents WHERE doc_id % 10 <> 3
          GROUP BY lang ORDER BY lang""",
+    // the multiplexed drain routes every doc to `docs` and every even
+    // doc to `meta`, atomically per batch — the join equals the plain
+    // one-pass algebra over documents
+    "q242_txgroup_sink_stream" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_meta
+         FROM documents GROUP BY lang ORDER BY lang""",
     // erase + full daemon pass (member folds, sidecar retirement,
     // checkpoint) is PURE LAYOUT — the same filtered algebra holds
     "q241_txgroup_erase_maintain" ->
