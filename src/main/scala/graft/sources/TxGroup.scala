@@ -112,6 +112,43 @@ object TxGroup {
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
 
+  /** Reject a GROUP content surface pointed at a SINGLE-TABLE
+    * ([[TxTable]]) directory — the MIRROR of
+    * [[TxTable.requireSingleTableContent]]: root-level `data/` content
+    * (or single-table metadata — a tracked root schema, a
+    * generated/identity write contract, constraints, a column mapping)
+    * means the log is a TxTable's, and an [[appendMany]] would publish
+    * namespaced member directories BESIDE it — every subsequent
+    * [[TxTable.snapshot]] reads ALL live directories, so the table's
+    * own reads would silently union foreign member rows (wrong answers,
+    * not an error — the same silent-corruption class as the
+    * single-table-surface-on-a-group path, in the other direction).
+    * An EMPTY directory passes: the first [[appendMany]] is how a
+    * group is born. A legacy pre-schema-tracking single-table CLONE
+    * (absolute references, no recorded schema) is the one shape this
+    * cannot see — modern tables always track their schema.
+    */
+  private def requireGroupTarget(state: TxTable.TableState, dir: String,
+      what: String): Unit = {
+    val single = state.live.filter(d =>
+      !TxTable.isAbsRef(d) && (d.startsWith("data/") || d.startsWith("dv/")))
+    val meta =
+      if (state.schemaJson.isDefined) Some("a tracked root schema")
+      else if (state.genCols.nonEmpty || state.idCols.nonEmpty ||
+        state.idHw.nonEmpty) Some("a generated/identity write contract")
+      else if (state.constraints.nonEmpty) Some("constraints")
+      else if (!state.colMap.isIdentity) Some("a column mapping")
+      else None
+    require(single.isEmpty && meta.isEmpty,
+      s"$what targets $dir, a single-table TxTable directory (" +
+        single.headOption.map(d => s"root-level content like '$d'")
+          .getOrElse(meta.getOrElse("single-table metadata")) +
+        ") — publishing namespaced member data beside it would make the " +
+        "table's own reads silently union foreign rows; use the " +
+        "single-table TxTable surfaces on it, and a fresh directory " +
+        "for the group")
+  }
+
   /** [[snapshot]] restricted to a stats-range conjunction — the
     * [[TxTable.snapshotWhere]] pruning over one member table's
     * directories (integer/date ranges; recorded per-directory stats
@@ -191,8 +228,16 @@ object TxGroup {
       df.write.mode("overwrite").parquet(s"$dir/$rel")
       (t, rel, df)
     }
-    def cleanup(): Unit = rels.foreach { case (_, rel, _) =>
+    def cleanup(): Unit = rels.foreach { case (t, rel, _) =>
       fs.delete(new Path(root, rel), true)
+      // drop the namespace shells too if THIS write created them (a
+      // non-recursive delete refuses a non-empty dir, so a real member
+      // table's other directories are never touched) — a rejected
+      // append must leave no trace, not an empty `<table>/data/` husk
+      try {
+        fs.delete(new Path(root, s"$t/data"), false)
+        fs.delete(new Path(root, t), false)
+      } catch { case _: java.io.IOException => () }
     }
     // any stats failure (non-stats-capable column, colon in a name)
     // must reclaim the just-written directories like every other
@@ -247,8 +292,13 @@ object TxGroup {
             return None
           }
         }
-        try schemaL = rels.flatMap { case (t, _, df) => gateTable(state, t, df.schema) }
-        catch { case e: IllegalArgumentException => cleanup(); throw e }
+        try {
+          // the target must BE a group (or an empty dir a group is born
+          // into) — member dirs published beside single-table content
+          // would silently corrupt that table's reads (mirror guard)
+          state.foreach(requireGroupTarget(_, dir, "appendMany"))
+          schemaL = rels.flatMap { case (t, _, df) => gateTable(state, t, df.schema) }
+        } catch { case e: IllegalArgumentException => cleanup(); throw e }
         gatedTip = curTip
       }
       try {
@@ -314,6 +364,7 @@ object TxGroup {
     }
     val readV = TxTable.tipVersion(spark, dir)
     val state = TxTable.stateAt(spark, dir, readV)
+    requireGroupTarget(state, dir, "deleteRowsMany")
     val (fs, root) = fsFor(spark, dir)
     val dvRels = scala.collection.mutable.ArrayBuffer.empty[String]
     val allCandidates = scala.collection.mutable.Set.empty[String]
@@ -382,6 +433,7 @@ object TxGroup {
     requireTableName(table)
     val readV = TxTable.tipVersion(spark, dir)
     val state = TxTable.stateAt(spark, dir, readV)
+    requireGroupTarget(state, dir, "compactTable")
     val all = tableDirs(state, table)
     require(all.nonEmpty,
       s"group $dir has no table '$table' (tables: ${tables(spark, dir).mkString(", ")})")
@@ -425,6 +477,7 @@ object TxGroup {
       retightenStats: Boolean = true): Option[Long] = {
     val readV = TxTable.tipVersion(spark, dir)
     val state = TxTable.stateAt(spark, dir, readV)
+    requireGroupTarget(state, dir, "TxGroup.compactDvs")
     TxTable.compactDvsImpl(spark, dir, readV, state, retightenStats)
   }
 
@@ -454,6 +507,16 @@ object TxGroup {
       smallBytes: Long = 128L * 1024 * 1024,
       horizonMs: Long = 7L * 24 * 60 * 60 * 1000,
       logRetainMs: Option[Long] = None): GroupMaintenance = {
+    // a daemon pointed at a SINGLE TABLE would silently never compact
+    // (no member namespaces to fold) — fail loud, name the right surface
+    val tip0 = TxTable.tipOrZero(spark, dir)
+    if (tip0 > 0) {
+      val st0 = TxTable.stateAt(spark, dir, tip0)
+      require(st0.live.forall(d =>
+        TxTable.isAbsRef(d) || !d.startsWith("data/")) && st0.schemaJson.isEmpty,
+        s"TxGroup.maintain targets $dir, a single-table TxTable directory " +
+          "— its data would never fold here; use TxTable.maintain")
+    }
     val compacted = tables(spark, dir).sorted.map { t =>
       t -> (try compactTable(spark, dir, t, smallBytes = Some(smallBytes))
       catch { case _: CommitConflict => None })

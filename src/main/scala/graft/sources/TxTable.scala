@@ -383,7 +383,7 @@ object TxTable {
         "referenced single table instead (the documented group scope)")
   }
 
-  private def isAbsRef(rel: String): Boolean =
+  private[sources] def isAbsRef(rel: String): Boolean =
     rel.startsWith("/") || rel.contains("://")
 
   /** Resolve a live-set reference to a readable path. */

@@ -520,4 +520,38 @@ class TxGroupSpec extends SparkTestBase {
     assert(m2.compacted.values.forall(_.isEmpty))
     assert(TxGroup.snapshot(spark, dir, "docs").count() == expect.size.toLong)
   }
+
+  test("the MIRROR guard: every group content surface pointed at a " +
+      "SINGLE-TABLE directory is rejected (an appendMany would publish " +
+      "member dirs beside the table's data/ and its own reads would " +
+      "silently union foreign rows); the table is untouched") {
+    val dir = freshDir()
+    TxTable.append(spark, dir, docs(0, 10))
+    val before = TxTable.versions(spark, dir)
+    def rejects(what: String)(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("single-table TxTable directory"),
+        s"$what: $e")
+    }
+    rejects("appendMany")(TxGroup.appendMany(spark, dir,
+      Seq("docs" -> docs(10, 20))))
+    rejects("deleteRowsMany")(TxGroup.deleteRowsMany(spark, dir,
+      Seq("docs" -> (col("id") === 1L))))
+    rejects("compactTable")(TxGroup.compactTable(spark, dir, "docs"))
+    rejects("TxGroup.compactDvs")(TxGroup.compactDvs(spark, dir))
+    rejects("TxGroup.maintain")(TxGroup.maintain(spark, dir))
+    // nothing published, no debris: the rejected appendMany reclaimed
+    // its written member directory and the table reads exactly as before
+    assert(TxTable.versions(spark, dir) == before)
+    assert(TxTable.snapshot(spark, dir).count() == 10L)
+    val root = new java.io.File(dir)
+    assert(!root.listFiles().map(_.getName).contains("docs"),
+      "the rejected appendMany must reclaim its member namespace")
+    // a FRESH empty directory still passes — that is how a group is born
+    val g = freshDir()
+    assert(TxGroup.appendMany(spark, g, Seq("docs" -> docs(0, 3))).contains(1L))
+    // and a dir whose only actions are SHARED metadata (checkpoint on an
+    // empty log is impossible — use a group) keeps working end to end
+    assert(TxGroup.snapshot(spark, g, "docs").count() == 3L)
+  }
 }
