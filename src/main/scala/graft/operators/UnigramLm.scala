@@ -49,17 +49,32 @@ object UnigramLm {
     * "p1", "cur") for order 3); blank/null docs yield no rows, exactly
     * like the filtered posexplode they replace.
     *
-    * Known trade: `filter`/`transform` are CodegenFallback in Spark 4 —
-    * the lambda evaluates interpreted per element. That per-token cost
-    * is linear and partition-local; the window it replaces was a full
-    * corpus EXCHANGE plus a per-document sort, which dominates at any
-    * scale (measured: the swap plus the cached-plan-AQE fix took the
-    * trigram scorer from 3.7 s to 1.2 s at sf0.1). If the interpreted
-    * projection ever shows up in a profile, the next rung is a compiled
-    * n-gram Expression (the ShingleSet precedent) — same output, same
-    * plan shape.
+    * The tuple projection is the COMPILED
+    * [[graft.functions.expr.NgramStructs]] kernel (one pass, blank
+    * filter + BOS windowing fused, whole-stage codegen — the rung the
+    * first interpreted `filter`/`transform` draft documented, r19;
+    * [[ngramsDeclarative]] keeps that draft as the parity reference,
+    * NgramKernelSpec pins row-identical output). The window shuffle the
+    * array form replaced stays gone: linear, partition-local, no
+    * exchange (measured: the array swap plus the cached-plan-AQE fix
+    * took the trigram scorer from 3.7 s to 1.2 s at sf0.1).
     */
   private def ngramsFromArray(
+      docs: DataFrame, idCol: String, textCol: String,
+      order: Int, outCols: Seq[String]): DataFrame = {
+    require(outCols.length == order, s"order-$order n-gram needs $order names")
+    ScaleOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(graft.functions.expr.NgramFunctions.ngramStructs(
+          tokens(col(textCol)), order, outCols)).as("g"))
+      .select(col(idCol) +: outCols.map(n => col("g." + n).as(n)): _*)
+  }
+
+  /** The declarative higher-order-function form of [[ngramsFromArray]]
+    * (interpreted CodegenFallback lambdas) — kept as the compiled
+    * kernel's parity reference, never on a hot path.
+    */
+  private[operators] def ngramsDeclarative(
       docs: DataFrame, idCol: String, textCol: String,
       order: Int, outCols: Seq[String]): DataFrame = {
     require(outCols.length == order, s"order-$order n-gram needs $order names")
@@ -71,7 +86,7 @@ object UnigramLm {
         val back = order - 1 - j
         when(i >= back, ts.getItem(i - back)).otherwise(lit("")).as(name)
       } :+ t.as(outCols.last)): _*))
-    ScaleOut(docs.select(col(idCol), col(textCol)))
+    docs.select(col(idCol), col(textCol))
       .select(col(idCol), filter(tokens(col(textCol)), t => t =!= "").as("ts"))
       .select(col(idCol), explode(grams).as("g"))
       .select(col(idCol) +: outCols.map(n => col("g." + n).as(n)): _*)
