@@ -63,8 +63,15 @@ final class TxGroupSink(
     // member-count-bounded driver result); released before returning
     batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val tables = batch.select(tableCol).distinct()
-        .collect().map(_.getString(0)).sorted
+      val tables0 = batch.select(tableCol).distinct()
+        .collect().map(_.getString(0))
+      // fail LOUD before any write: a null route would otherwise NPE in
+      // the sort (and a filter on === null matches nothing, so the rows
+      // would silently vanish from the batch)
+      require(!tables0.contains(null),
+        s"txgroup sink batch $batchId carries NULL in discriminator " +
+          s"column '$tableCol' — every row must name its member table")
+      val tables = tables0.sorted
       if (tables.nonEmpty) {
         val writes = tables.toSeq.map { t =>
           val slice = batch.filter(col(tableCol) === t).drop(tableCol)

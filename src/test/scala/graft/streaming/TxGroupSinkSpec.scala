@@ -115,4 +115,20 @@ class TxGroupSinkSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("nope")),
       s"must name the missing routing column: $e")
   }
+
+  test("a NULL discriminator value rejects the batch LOUD, before any " +
+      "write (a === null filter matches nothing, so the rows would " +
+      "otherwise silently vanish); the group stays empty") {
+    val feed = freshDir("gsinkfeed"); val group = freshDir("gsinkgrp")
+    Seq((Some("docs"), 0L), (None, 1L), (Some("docs"), 2L))
+      .toDF("table", "id").coalesce(1).write.mode("append").parquet(feed)
+    val e = intercept[Exception] {
+      drain(feed, group, freshDir("gsinkck"), Map("writerId" -> "mux"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL in discriminator")),
+      s"must name the null route: $e")
+    assert(TxTable.tipOrZero(spark, group) == 0L, "nothing may commit")
+  }
 }
