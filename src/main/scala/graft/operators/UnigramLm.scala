@@ -53,11 +53,12 @@ object UnigramLm {
     * [[graft.functions.expr.NgramStructs]] kernel (one pass, blank
     * filter + BOS windowing fused, whole-stage codegen — the rung the
     * first interpreted `filter`/`transform` draft documented, r19;
-    * [[ngramsDeclarative]] keeps that draft as the parity reference,
-    * NgramKernelSpec pins row-identical output). The window shuffle the
-    * array form replaced stays gone: linear, partition-local, no
-    * exchange (measured: the array swap plus the cached-plan-AQE fix
-    * took the trigram scorer from 3.7 s to 1.2 s at sf0.1).
+    * NgramKernelSpec holds that draft as its declarative reference and
+    * pins row-identical output, the ShingleKernelSpec convention). The
+    * window shuffle the array form replaced stays gone: linear,
+    * partition-local, no exchange (measured: the array swap plus the
+    * cached-plan-AQE fix took the trigram scorer from 3.7 s to 1.2 s
+    * at sf0.1).
     */
   private def ngramsFromArray(
       docs: DataFrame, idCol: String, textCol: String,
@@ -67,28 +68,6 @@ object UnigramLm {
       .select(col(idCol),
         explode(graft.functions.expr.NgramFunctions.ngramStructs(
           tokens(col(textCol)), order, outCols)).as("g"))
-      .select(col(idCol) +: outCols.map(n => col("g." + n).as(n)): _*)
-  }
-
-  /** The declarative higher-order-function form of [[ngramsFromArray]]
-    * (interpreted CodegenFallback lambdas) — kept as the compiled
-    * kernel's parity reference, never on a hot path.
-    */
-  private[operators] def ngramsDeclarative(
-      docs: DataFrame, idCol: String, textCol: String,
-      order: Int, outCols: Seq[String]): DataFrame = {
-    require(outCols.length == order, s"order-$order n-gram needs $order names")
-    val ts = col("ts")
-    val grams = transform(ts, (t, i) => struct(
-      (outCols.init.zipWithIndex.map { case (name, j) =>
-        // context j is the token `order − 1 − j` positions back (0-based
-        // array indexing via getItem), BOS "" before the doc's start
-        val back = order - 1 - j
-        when(i >= back, ts.getItem(i - back)).otherwise(lit("")).as(name)
-      } :+ t.as(outCols.last)): _*))
-    docs.select(col(idCol), col(textCol))
-      .select(col(idCol), filter(tokens(col(textCol)), t => t =!= "").as("ts"))
-      .select(col(idCol), explode(grams).as("g"))
       .select(col(idCol) +: outCols.map(n => col("g." + n).as(n)): _*)
   }
 

@@ -508,15 +508,13 @@ object TxGroup {
       horizonMs: Long = 7L * 24 * 60 * 60 * 1000,
       logRetainMs: Option[Long] = None): GroupMaintenance = {
     // a daemon pointed at a SINGLE TABLE would silently never compact
-    // (no member namespaces to fold) — fail loud, name the right surface
+    // (no member namespaces to fold) — fail loud, name the right
+    // surface, through the ONE shared detector so the two rules
+    // cannot drift
     val tip0 = TxTable.tipOrZero(spark, dir)
-    if (tip0 > 0) {
-      val st0 = TxTable.stateAt(spark, dir, tip0)
-      require(st0.live.forall(d =>
-        TxTable.isAbsRef(d) || !d.startsWith("data/")) && st0.schemaJson.isEmpty,
-        s"TxGroup.maintain targets $dir, a single-table TxTable directory " +
-          "— its data would never fold here; use TxTable.maintain")
-    }
+    if (tip0 > 0)
+      requireGroupTarget(TxTable.stateAt(spark, dir, tip0), dir,
+        "TxGroup.maintain")
     val compacted = tables(spark, dir).sorted.map { t =>
       t -> (try compactTable(spark, dir, t, smallBytes = Some(smallBytes))
       catch { case _: CommitConflict => None })

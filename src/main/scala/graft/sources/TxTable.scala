@@ -2433,9 +2433,14 @@ object TxTable {
       // caller releases the blocks right after the data write (the
       // returned thunk), and an error path falls back to the context
       // cleaner (write-sized blocks, same lifetime as the write).
+      // A frame the CALLER already persisted is its own pin: don't
+      // re-persist (a no-op that would hide the caller's level) and —
+      // critically — don't unpersist a cache we don't own.
       val pinned = out
-      pinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      release = () => { pinned.unpersist(blocking = false); () }
+      if (pinned.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        pinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        release = () => { pinned.unpersist(blocking = false); () }
+      }
       val pidCol = "__graft_idty_pid"
       val counts = out
         .groupBy(org.apache.spark.sql.functions.spark_partition_id().as(pidCol))
@@ -2448,10 +2453,14 @@ object TxTable {
         offsets(i) = running; running += counts.getOrElse(i, 0L)
       }
       // overflow guard: the LAST value each column would assign must
-      // fit a Long — fail HERE (nothing written) instead of mid-write
+      // fit a Long — fail HERE (nothing written) instead of mid-write.
+      // Exact arithmetic, not a division inequality: `MaxValue - base`
+      // itself wraps when base is negative (start is unconstrained),
+      // which would falsely reject every append to a negative-start
+      // identity table.
       ids.toSeq.sortBy(_._1).foreach { case (n, (_, step)) =>
-        require(running == 0L ||
-          (Long.MaxValue - bases(n)) / step >= running - 1,
+        require(running == 0L || scala.util.Try(
+          Math.addExact(bases(n), Math.multiplyExact(step, running - 1))).isSuccess,
           s"identity column '$n' would overflow Long: next base " +
             s"${bases(n)}, step $step, $running incoming rows")
       }

@@ -26,7 +26,10 @@ import graft.sources.TxTable
   * a fresh-checkpoint rerun under the same explicit writerId re-offers
   * every batch and the table's ledger skips them all, at the user's
   * promise that this writer is the feed's only producer under that
-  * id), `statsCols` (comma-separated columns to
+  * id. A table whose ledger was written under a DIFFERENT key — e.g.
+  * a constant one — must keep passing that key explicitly: a new
+  * default key starts a fresh ledger line and cannot see the old
+  * marks), `statsCols` (comma-separated columns to
   * record per-directory/per-file min/max+null stats for at write time
   * — the pruning surface), `allowAdditive` (additive schema evolution
   * on a batch carrying new columns, the Delta mergeSchema shape),

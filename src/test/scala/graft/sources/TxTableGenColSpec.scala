@@ -287,6 +287,44 @@ class TxTableGenColSpec extends SparkTestBase {
     assert(rids2 == (1L to 600L), s"mark advances by row count: ${rids2.takeRight(3)}")
   }
 
+  test("a NEGATIVE identity start assigns fine (the overflow guard is " +
+      "exact arithmetic, not a division that wraps on negative bases); " +
+      "a genuinely overflowing allocation still rejects before any write") {
+    val dir = freshDir()
+    TxTable.addIdentityColumn(spark, dir, "rid", start = -5L)
+    TxTable.append(spark, dir, rows(0, 10))
+    val rids = TxTable.snapshot(spark, dir).select("rid")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rids == (-5L to 4L), s"negative-start ids: $rids")
+    val dir2 = freshDir()
+    TxTable.addIdentityColumn(spark, dir2, "rid", start = Long.MaxValue - 3)
+    val e = intercept[IllegalArgumentException](
+      TxTable.append(spark, dir2, rows(0, 10)))
+    assert(e.getMessage.contains("overflow"), s"$e")
+    // the declaration committed version 1; the rejected append must not
+    // have added a version (a declaration-only table has no snapshot)
+    assert(TxTable.tipOrZero(spark, dir2) == 1L, "nothing may publish")
+  }
+
+  test("an identity append to a frame the CALLER persisted keeps the " +
+      "caller's cache: no double-pin, and release() must not evict a " +
+      "cache the engine does not own") {
+    val dir = freshDir()
+    TxTable.addIdentityColumn(spark, dir, "rid")
+    val df = rows(0, 50).repartition(4)
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      df.count() // materialize the caller's cache
+      TxTable.append(spark, dir, df)
+      assert(df.storageLevel ==
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY,
+        "the caller's cache must survive the append untouched")
+      val rids = TxTable.snapshot(spark, dir).select("rid")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(rids == (1L to 50L))
+    } finally df.unpersist()
+  }
+
   test("overwrite on an identity/generated table tracks the WRITTEN " +
       "schema (assigned + computed columns included): reads surface " +
       "them and the next plain append passes the additive gate") {
