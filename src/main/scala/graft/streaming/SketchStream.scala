@@ -49,27 +49,32 @@ object SketchStream {
       k: Int, salt: String, ps: Seq[(String, Int)],
       maxFilesPerTrigger: Option[Int] = None,
       prep: DataFrame => DataFrame = identity): DataFrame = {
-    var reader = spark.readStream.schema(feedSchema)
-    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
-    val stream = prep(reader.parquet(feedDir))
-    val state = QuantileSketch.sample(stream, groupCols, idCol, valueCol, k, salt)
-    // Complete mode: every trigger emits the full current state; the
-    // keyed-overwrite sink keeps only the latest — after an
-    // AvailableNow drain, that IS the sketch of the whole feed. A
-    // replayed final batch rewrites the same state (idempotent). The
-    // state dir is a SIBLING of the checkpoint, never its parent — the
-    // per-batch overwrite must not delete the stream's own commit log.
-    val q = state.writeStream
-      .outputMode(OutputMode.Complete)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(s"$outDir/state")
-        ()
-      }
-      .option("checkpointLocation", s"$outDir/_checkpoint")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    QuantileSketch.quantiles(drainedState(spark, outDir, state.schema), groupCols, ps)
+    // state partitions sized by the feed, not the core count
+    // ([[StreamShuffle]]): AQE cannot coalesce inside a streaming plan
+    val stateSchema = StreamShuffle.withDrainSized(spark, feedDir) {
+      var reader = spark.readStream.schema(feedSchema)
+      maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+      val stream = prep(reader.parquet(feedDir))
+      val state = QuantileSketch.sample(stream, groupCols, idCol, valueCol, k, salt)
+      // Complete mode: every trigger emits the full current state; the
+      // keyed-overwrite sink keeps only the latest — after an
+      // AvailableNow drain, that IS the sketch of the whole feed. A
+      // replayed final batch rewrites the same state (idempotent). The
+      // state dir is a SIBLING of the checkpoint, never its parent — the
+      // per-batch overwrite must not delete the stream's own commit log.
+      val q = state.writeStream
+        .outputMode(OutputMode.Complete)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/state")
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      state.schema
+    }
+    QuantileSketch.quantiles(drainedState(spark, outDir, stateSchema), groupCols, ps)
   }
 
   /** The KMV distinct sketch ([[graft.operators.Kmv]]) as streaming
@@ -92,22 +97,26 @@ object SketchStream {
       maxFilesPerTrigger: Option[Int] = None,
       prep: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.functions._
-    var reader = spark.readStream.schema(feedSchema)
-    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
-    val stream = prep(reader.parquet(feedDir))
-    val state = graft.operators.Kmv.sketch(stream, groupCols, valueCol, k, salt)
-    val q = state.writeStream
-      .outputMode(OutputMode.Complete)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(s"$outDir/state")
-        ()
-      }
-      .option("checkpointLocation", s"$outDir/_checkpoint")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // feed-sized state partitions ([[StreamShuffle]])
+    val stateSchema = StreamShuffle.withDrainSized(spark, feedDir) {
+      var reader = spark.readStream.schema(feedSchema)
+      maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+      val stream = prep(reader.parquet(feedDir))
+      val state = graft.operators.Kmv.sketch(stream, groupCols, valueCol, k, salt)
+      val q = state.writeStream
+        .outputMode(OutputMode.Complete)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/state")
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      state.schema
+    }
     graft.operators.Kmv.distinctEstimate(
-      drainedState(spark, outDir, state.schema), k)
+      drainedState(spark, outDir, stateSchema), k)
   }
 
   /** q149's exact-OLS sufficient statistics ([[graft.operators
@@ -123,22 +132,26 @@ object SketchStream {
   def olsTrendStreaming(
       spark: SparkSession, feedDir: String, feedSchema: StructType,
       outDir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    var reader = spark.readStream.schema(feedSchema)
-    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
-    val stream = reader.parquet(feedDir)
-    val state = graft.operators.TrendOls.sufficientStats(
-      graft.operators.TrendOls.base(stream))
-    val q = state.writeStream
-      .outputMode(OutputMode.Complete)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(s"$outDir/state")
-        ()
-      }
-      .option("checkpointLocation", s"$outDir/_checkpoint")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    graft.operators.TrendOls.finish(drainedState(spark, outDir, state.schema))
+    // feed-sized state partitions ([[StreamShuffle]])
+    val stateSchema = StreamShuffle.withDrainSized(spark, feedDir) {
+      var reader = spark.readStream.schema(feedSchema)
+      maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+      val stream = reader.parquet(feedDir)
+      val state = graft.operators.TrendOls.sufficientStats(
+        graft.operators.TrendOls.base(stream))
+      val q = state.writeStream
+        .outputMode(OutputMode.Complete)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/state")
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      state.schema
+    }
+    graft.operators.TrendOls.finish(drainedState(spark, outDir, stateSchema))
   }
 
   /** [[graft.operators.DecayScore]] as streaming state (q179) — the
@@ -151,26 +164,30 @@ object SketchStream {
       spark: SparkSession, feedDir: String, feedSchema: StructType,
       outDir: String, horizon: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    var reader = spark.readStream.schema(feedSchema)
-    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
-    val stream = reader.parquet(feedDir)
     import org.apache.spark.sql.functions._
-    val state = graft.operators.DecayScore.aggregate(
-      graft.operators.DecayScore.contributions(
-        stream.select(col("user_id"),
-          col("ts"), round(col("value") * 100).cast("long").as("vc")),
-        horizon))
-    val q = state.writeStream
-      .outputMode(OutputMode.Complete)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(s"$outDir/state")
-        ()
-      }
-      .option("checkpointLocation", s"$outDir/_checkpoint")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    drainedState(spark, outDir, state.schema)
+    // feed-sized state partitions ([[StreamShuffle]])
+    val stateSchema = StreamShuffle.withDrainSized(spark, feedDir) {
+      var reader = spark.readStream.schema(feedSchema)
+      maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+      val stream = reader.parquet(feedDir)
+      val state = graft.operators.DecayScore.aggregate(
+        graft.operators.DecayScore.contributions(
+          stream.select(col("user_id"),
+            col("ts"), round(col("value") * 100).cast("long").as("vc")),
+          horizon))
+      val q = state.writeStream
+        .outputMode(OutputMode.Complete)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/state")
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      state.schema
+    }
+    drainedState(spark, outDir, stateSchema)
   }
 
   /** The Count-Min counter grid ([[graft.operators.Freq.cmsGrid]]) as
@@ -214,36 +231,40 @@ object SketchStream {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.expr.HashFunctions.cmsBuckets
-    var reader = spark.readStream.schema(feedSchema)
-    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
-    // ONE pass over the feed for both state halves: each occurrence
-    // emits its d grid coordinates plus one sentinel vocabulary row from
-    // a single posexplode over (buckets ++ sentinel) — a self-union of
-    // the source would share the stream's offsets too, but it scans and
-    // re-tokenizes every micro-batch's files twice; appending the
-    // sentinel to the bucket array keeps the per-batch feed work single
-    val occurrences = items(reader.parquet(feedDir))
-      .select(col("item").cast("string").as("item"))
-      .filter(col("item").isNotNull)
-    val state = occurrences
-      .withColumn("bs", cmsBuckets(col("item"), d, logW))
-      .select(col("item"), posexplode(concat(col("bs"), array(lit(-1)))))
-      .select(
-        when(col("pos") < d, col("pos")).otherwise(lit(-1)).as("i"),
-        when(col("pos") < d, col("col")).otherwise(lit(-1)).as("bucket"),
-        when(col("pos") < d, lit(null).cast("string")).otherwise(col("item")).as("item"))
-      .groupBy("i", "bucket", "item").agg(count(lit(1)).as("cnt"))
-    val q = state.writeStream
-      .outputMode(OutputMode.Complete)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(s"$outDir/state")
-        ()
-      }
-      .option("checkpointLocation", s"$outDir/_checkpoint")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val drained = drainedState(spark, outDir, state.schema)
+    // feed-sized state partitions ([[StreamShuffle]])
+    val stateSchema = StreamShuffle.withDrainSized(spark, feedDir) {
+      var reader = spark.readStream.schema(feedSchema)
+      maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+      // ONE pass over the feed for both state halves: each occurrence
+      // emits its d grid coordinates plus one sentinel vocabulary row from
+      // a single posexplode over (buckets ++ sentinel) — a self-union of
+      // the source would share the stream's offsets too, but it scans and
+      // re-tokenizes every micro-batch's files twice; appending the
+      // sentinel to the bucket array keeps the per-batch feed work single
+      val occurrences = items(reader.parquet(feedDir))
+        .select(col("item").cast("string").as("item"))
+        .filter(col("item").isNotNull)
+      val state = occurrences
+        .withColumn("bs", cmsBuckets(col("item"), d, logW))
+        .select(col("item"), posexplode(concat(col("bs"), array(lit(-1)))))
+        .select(
+          when(col("pos") < d, col("pos")).otherwise(lit(-1)).as("i"),
+          when(col("pos") < d, col("col")).otherwise(lit(-1)).as("bucket"),
+          when(col("pos") < d, lit(null).cast("string")).otherwise(col("item")).as("item"))
+        .groupBy("i", "bucket", "item").agg(count(lit(1)).as("cnt"))
+      val q = state.writeStream
+        .outputMode(OutputMode.Complete)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/state")
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      state.schema
+    }
+    val drained = drainedState(spark, outDir, stateSchema)
     graft.operators.Freq.cmsHeavyHittersFromGrid(
       drained.filter(col("item").isNull).select("i", "bucket", "cnt"),
       drained.filter(col("item").isNotNull).select("item"),
@@ -278,25 +299,29 @@ object SketchStream {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.normText
     import graft.functions.expr.ClassifierFunctions.charGramBuckets
-    var reader = spark.readStream.schema(feedSchema)
-    maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
-    val state = reader.parquet(feedDir)
-      .select(target.as("is_tgt"),
-        explode(charGramBuckets(normText(col(textCol)), n, dim)).as("b"))
-      .groupBy("b")
-      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
-        count(lit(1)).as("cr"))
-    val q = state.writeStream
-      .outputMode(OutputMode.Complete)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(s"$outDir/state")
-        ()
-      }
-      .option("checkpointLocation", s"$outDir/_checkpoint")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    drainedState(spark, outDir, state.schema)
+    // feed-sized state partitions ([[StreamShuffle]])
+    val stateSchema = StreamShuffle.withDrainSized(spark, feedDir) {
+      var reader = spark.readStream.schema(feedSchema)
+      maxFilesPerTrigger.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+      val state = reader.parquet(feedDir)
+        .select(target.as("is_tgt"),
+          explode(charGramBuckets(normText(col(textCol)), n, dim)).as("b"))
+        .groupBy("b")
+        .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr"))
+      val q = state.writeStream
+        .outputMode(OutputMode.Complete)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/state")
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      state.schema
+    }
+    drainedState(spark, outDir, stateSchema)
   }
 
   /** The SERVING half of streaming DSIR selection — the deployment
