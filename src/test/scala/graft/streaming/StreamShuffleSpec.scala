@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Contract of the feed-sized drain partitioning ([[StreamShuffle]]):
+  * the derived count is the AQE coalescing rule applied at plan time
+  * (ceil(feedBytes / advisoryPartitionSize), clamped to [1, session]),
+  * the session conf is restored after the drain (the post-drain readout
+  * must plan under the session's own sizing), and the drained result is
+  * partition-count-INVARIANT — the merge-law property every stateful
+  * drain relies on, here pinned by running the same feed at 1 and at
+  * the session count.
+  */
+class StreamShuffleSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("derived count clamps to [1, session shuffle partitions]") {
+    val feed = tmp("ssp_feed")
+    // tiny feed: well under one advisory partition -> 1
+    spark.range(10).write.mode("overwrite").parquet(feed)
+    assert(StreamShuffle.drainPartitions(spark, feed) === 1)
+    // empty dir -> still at least 1 (an empty feed drains zero batches)
+    val empty = tmp("ssp_empty")
+    assert(StreamShuffle.drainPartitions(spark, empty) === 1)
+    // a feed far larger than advisory x session is clamped at the
+    // session ceiling — the no-op-at-scale direction: lower the
+    // advisory size so a small fixture crosses it
+    val prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16")
+    try {
+      val session = spark.sessionState.conf.numShufflePartitions
+      assert(StreamShuffle.drainPartitions(spark, feed) === session)
+    } finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+  }
+
+  test("withDrainSized restores the session conf, even on failure") {
+    val feed = tmp("ssp_feed2")
+    spark.range(10).write.mode("overwrite").parquet(feed)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    StreamShuffle.withDrainSized(spark, feed) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "1")
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    intercept[RuntimeException] {
+      StreamShuffle.withDrainSized(spark, feed) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+  }
+
+  test("drained sketch state is partition-count-invariant (merge law)") {
+    import spark.implicits._
+    val feed = tmp("ssp_feed3")
+    (0 until 300).map(i => (i.toLong, s"g${i % 3}", s"v${i % 40}"))
+      .toDF("id", "g", "v").repartition(3)
+      .write.mode("overwrite").parquet(feed)
+    val schema = spark.read.parquet(feed).schema
+    def drain(): Seq[String] =
+      SketchStream.kmvDistinctStreaming(
+        spark, feed, schema, tmp("ssp_out"),
+        groupCols = Seq("g"), valueCol = "v", k = 16, salt = "ssp",
+        maxFilesPerTrigger = Some(1))
+        .orderBy("g").collect().map(_.mkString("|")).toSeq
+    // derived sizing (1 for this tiny feed)
+    val derived = drain()
+    // session sizing, the pre-optimization layout
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // force the derivation to the session ceiling via a tiny advisory size
+    val prevAdv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16")
+    val atSession = try drain() finally {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdv)
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(derived === atSession)
+    assert(derived.nonEmpty)
+  }
+}
