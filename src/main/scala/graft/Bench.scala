@@ -81,12 +81,14 @@ object Bench {
     * the r12 additions q151/q156/q165/q179/q205 had drifted into the
     * light group without their settle.
     */
-  private def isStreaming(name: String): Boolean =
+  val streamingIds: Set[String] =
     Set("q36", "q38", "q44", "q47", "q49", "q57", "q64", "q83", "q92", "q95",
       "q100", "q102", "q113", "q116", "q128",
       "q151", "q156", "q165", "q179", "q205", "q213", "q215", "q220", "q234",
       "q238")
-      .contains(name.takeWhile(_ != '_'))
+
+  private def isStreaming(name: String): Boolean =
+    streamingIds.contains(name.takeWhile(_ != '_'))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -330,7 +332,30 @@ object Bench {
           ",\"history_covered\":" + covered
       } catch { case _: Exception => "\"history_rows\":-1" }
     }
-    val calibJson = s"""{"values":${calibs.map(f3).mkString("[", ",", "]")},"contended":$contended,"settle_tries":$settleTries,"rerun_advised":$contended,"contention_rerun":${jarr(rerunNames)},"history_rerun":${jarr(historyReruns)},$histRef}"""
+    // CANARY-NORMALIZED ADJUDICATION (r19 verdict #4): the host-paced
+    // streaming/materialize queries drift with the machine's per-job
+    // pace, not with code — NOTES_r19 root-caused the family's
+    // round-over-round swings to exactly this. The settled defense is
+    // the ratio to the q44 canary (same window, same pacing): flat
+    // ratio = pacing, moved ratio = plan change. Record that ratio IN
+    // the artifact row so a later PERF triage carries its own noise
+    // defense instead of re-litigating from NOTES. Additive fields
+    // only — no timed section changed.
+    val canaryJson: String = {
+      val q44 = finalResults.find(_._1.startsWith("q44_")).map(_._2.min)
+      val paced = Seq("q92_dedup_ingest_stream", "q95_dedup_ingest_stream_embedding",
+        "q100_dedup_ingest_stream_semantic", "q102_ann_ingest_stream_ivfpq",
+        "q115_dedup_groups_chain", "q131_materialize_training",
+        "q209_materialize_incremental", "q220_dsir_select_stream")
+      q44 match {
+        case Some(c) if c > 0 =>
+          val ratios = finalResults.filter(r => paced.contains(r._1))
+            .map { case (k, v) => k -> f3(v.min / c) }
+          s""","canary_q44":${f3(c)},"canary_ratios":${jmap(ratios)}"""
+        case _ => ""
+      }
+    }
+    val calibJson = s"""{"values":${calibs.map(f3).mkString("[", ",", "]")},"contended":$contended,"settle_tries":$settleTries,"rerun_advised":$contended,"contention_rerun":${jarr(rerunNames)},"history_rerun":${jarr(historyReruns)},$histRef$canaryJson}"""
     // per-query minima at 3 dp: the COMPLETE record in ~6 KB, printed
     // SECOND-TO-LAST (see the ordering note below)
     val qs = jmap(finalResults.map { case (k, v) => k -> f3(v.min) })

@@ -12,16 +12,13 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
 
   /** Queries whose construction starts (and awaits) a stream drain or a
-    * multi-batch ingest — mirror of Bench.isStreaming plus the staged
-    * ingest family; their readout plans are trivial read-backs.
+    * multi-batch ingest — [[Bench.streamingIds]] (the one authoritative
+    * set, so the two lists cannot drift as rounds add streaming queries)
+    * plus the staged-ingest additions the bench times as batch queries;
+    * their readout plans are trivial read-backs.
     */
-  private def isDrain(name: String): Boolean = {
-    val id = name.takeWhile(_ != '_')
-    Set("q36", "q38", "q44", "q47", "q49", "q57", "q64", "q83", "q92", "q95",
-      "q100", "q102", "q113", "q116", "q128",
-      "q151", "q156", "q165", "q179", "q205", "q213", "q215", "q220", "q234",
-      "q238", "q241", "q242").contains(id)
-  }
+  private def isDrain(name: String): Boolean =
+    (Bench.streamingIds ++ Set("q241", "q242")).contains(name.takeWhile(_ != '_'))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outFile = args(1)

@@ -37,19 +37,30 @@ object Apss {
   /** Top-`k` cosine neighbours per document over n-gram TF-IDF vectors.
     * Output: (doc_id, sim_rank, sim_id, cosine) — rank 1..k by
     * (cosine DESC, sim_id ASC), cosine rounded 6dp at the edge only.
+    *
+    * Dimensions travel as 64-bit window hashes, not gram strings
+    * ([[graft.functions.expr.ShingleOps.shingleWindowHashes]]): the
+    * n-gram is concatenated, hashed, and dropped in one compiled pass —
+    * replacing the interpreted `transform(sequence(...), i ->
+    * concat_ws(...))` CodegenFallback HOF — and every downstream
+    * exchange/join keys on 8 bytes instead of a ~25-byte string (§2.3
+    * "shuffle keys, not n-gram strings" — the same hashed-dimension
+    * contract as [[Dedup.ngramJaccardPairs]]'s inverted index; the hash
+    * never enters the arithmetic, only equality).
     */
   def tfidfCosineTopK(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, k: Int = 3): DataFrame = {
-    // docs with < n tokens carry no dimension and drop here (Spark's
-    // sequence(1, stop) DESCENDS when stop < 1 — the filter guards it)
-    val grams = expr(
-      s"""transform(sequence(1, size(__t) - ${n - 1}),
-            i -> concat_ws(' ', slice(__t, i, $n)))""")
+    // docs with < n tokens carry no dimension and drop here
     val tf = ScaleOut(docs.select(col(idCol).as("id"),
         graft.functions.TextFunctions.tokens(col(textCol)).as("__t")))
       .filter(size(col("__t")) >= n)
-      .select(col("id"), explode(grams).as("sh"))
+      .select(col("id"), explode(
+        graft.functions.expr.ShingleFunctions.shingleWindowHashes(col("__t"), n))
+        .as("sh"))
+      // tokens() never yields null elements, so null window hashes cannot
+      // occur — the filter only pins that invariant against future callers
+      .filter(col("sh").isNotNull)
       .groupBy("id", "sh").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("sh").agg(count(lit(1)).as("df"))
     // three consumers (norms + both sides of the dot join) — pin so the

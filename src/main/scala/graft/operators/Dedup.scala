@@ -590,11 +590,24 @@ object Dedup {
     * `writePairs`) and the segment append — previously the text kernel
     * (the dominant per-batch cost) ran twice, once in
     * [[incrementalNearDupPairs]] and again in [[appendToMinhashIndex]],
-    * and the index meta was read twice. Contracts are unchanged: probe
-    * first, append second (each pair forms exactly once), the append
-    * skips whole when `segName` is already committed, and a replayed
-    * probe rewrites identical output (crash-replay idempotence,
+    * and the index meta was read twice. Contracts are unchanged: the
+    * append skips whole when `segName` is already committed, and a
+    * replayed probe rewrites identical output (crash-replay idempotence,
     * MinhashIngestStreamSpec).
+    *
+    * The batch's three independent actions — the pair write and the two
+    * segment-part writes — are submitted CONCURRENTLY (§2.6,
+    * [[ConcurrentJobs]]): all three consume only the pinned kernel frames
+    * plus the index state FROZEN into the probe's plan before any write
+    * starts (`Segments.readPart` lists files at plan construction), and
+    * the marker commit still happens strictly after every write lands, so
+    * crash-replay semantics are byte-identical. Probe-before-append held
+    * the ordering story when the writes were serialized; what actually
+    * makes each pair form exactly once is that the probe result is
+    * INVARIANT to whether the batch's own segment is visible (its
+    * candidate `distinct` and anti-joined verification sets collapse the
+    * batch's own rows — the same invariance the post-commit crash-replay
+    * case always needed, pinned by the spec's replay matrix).
     */
   def minhashIngestBatch(
       spark: SparkSession, indexDir: String, batch: DataFrame,
@@ -609,12 +622,16 @@ object Dedup {
           minhashSignature(col("shingles"), numHashes, seed).as("sig")),
         bands, numHashes / bands),
       StorageLevel.MEMORY_AND_DISK)
-    writePairs(
-      incrementalPairsFromKernel(spark, indexDir, incSets, incBuckets, threshold,
-        hinted = fitsBroadcast(batch)))
-    if (!Segments.isCommitted(spark, indexDir, segName)) {
-      Segments.writePart(incBuckets, indexDir, "buckets", segName)
-      Segments.writePart(hashedKeySets(incSets), indexDir, "sets", segName)
+    // plan construction BEFORE the fan-out: the probe's index listing is
+    // frozen here, so the concurrent segment writes cannot influence it
+    val pairs = incrementalPairsFromKernel(spark, indexDir, incSets, incBuckets,
+      threshold, hinted = fitsBroadcast(batch))
+    if (Segments.isCommitted(spark, indexDir, segName)) writePairs(pairs)
+    else {
+      ConcurrentJobs.awaitAll(
+        () => Segments.writePart(incBuckets, indexDir, "buckets", segName),
+        () => Segments.writePart(hashedKeySets(incSets), indexDir, "sets", segName),
+        () => writePairs(pairs))
       Segments.commit(spark, indexDir, segName)
     }
   }
@@ -1247,8 +1264,14 @@ object Dedup {
     * directory, KERNEL-FUSED like [[minhashIngestBatch]]: the batch's
     * cell assignments are computed once and shared by the probe and the
     * segment append, and the meta/centroid driver reads happen once per
-    * batch instead of twice. Contracts unchanged (probe first, append
-    * second, committed segments skip whole — SemanticIngestStreamSpec).
+    * batch instead of twice. Contracts unchanged (committed segments skip
+    * whole — SemanticIngestStreamSpec); the pair write and the two
+    * segment-part writes are submitted concurrently (§2.6) under the same
+    * invariance argument as [[minhashIngestBatch]] — the probe plan's
+    * index listing freezes before the fan-out, the marker commit happens
+    * strictly after every write lands, and the probe result is invariant
+    * to the batch's own segment being visible (the post-commit
+    * crash-replay case the spec already pins).
     */
   def semanticIngestBatch(
       spark: SparkSession, indexDir: String, batch: DataFrame,
@@ -1260,11 +1283,14 @@ object Dedup {
       v.select(col("id"), col("vec"),
         explode(nearestCells(col("vec"), cents, nassign)).as("cell")),
       StorageLevel.MEMORY_AND_DISK)
-    writePairs(semanticPairsFromKernel(spark, indexDir, ScaleOut(v),
-      assigned.select("id", "cell"), threshold))
-    if (!Segments.isCommitted(spark, indexDir, segName)) {
-      Segments.writePart(assigned, indexDir, "assigned", segName)
-      Segments.writePart(v, indexDir, "vecs", segName)
+    val pairs = semanticPairsFromKernel(spark, indexDir, ScaleOut(v),
+      assigned.select("id", "cell"), threshold)
+    if (Segments.isCommitted(spark, indexDir, segName)) writePairs(pairs)
+    else {
+      ConcurrentJobs.awaitAll(
+        () => Segments.writePart(assigned, indexDir, "assigned", segName),
+        () => Segments.writePart(v, indexDir, "vecs", segName),
+        () => writePairs(pairs))
       Segments.commit(spark, indexDir, segName)
     }
   }
@@ -1478,8 +1504,10 @@ object Dedup {
     * directory, KERNEL-FUSED like [[minhashIngestBatch]]: the batch's
     * radius-0 bucket signatures are computed once and shared by the
     * probe and the segment append, and the index meta is read once per
-    * batch instead of twice. Contracts unchanged (probe first, append
-    * second, committed segments skip whole — EmbeddingIngestStreamSpec).
+    * batch instead of twice. Contracts unchanged (committed segments skip
+    * whole — EmbeddingIngestStreamSpec); the pair write and the two
+    * segment-part writes are submitted concurrently (§2.6) under the same
+    * invariance argument as [[minhashIngestBatch]].
     */
   def embeddingIngestBatch(
       spark: SparkSession, indexDir: String, batch: DataFrame,
@@ -1492,11 +1520,14 @@ object Dedup {
       Ann.withBuckets(inc, "vec", planes, tables, dim, seed)
         .select("id", "table", "bucket"),
       StorageLevel.MEMORY_AND_DISK)
-    writePairs(embeddingPairsFromKernel(spark, indexDir, inc, incBase,
-      planes, tables, dim, seed, threshold, probeRadius))
-    if (!Segments.isCommitted(spark, indexDir, segName)) {
-      Segments.writePart(incBase, indexDir, "buckets", segName)
-      Segments.writePart(v, indexDir, "vecs", segName)
+    val pairs = embeddingPairsFromKernel(spark, indexDir, inc, incBase,
+      planes, tables, dim, seed, threshold, probeRadius)
+    if (Segments.isCommitted(spark, indexDir, segName)) writePairs(pairs)
+    else {
+      ConcurrentJobs.awaitAll(
+        () => Segments.writePart(incBase, indexDir, "buckets", segName),
+        () => Segments.writePart(v, indexDir, "vecs", segName),
+        () => writePairs(pairs))
       Segments.commit(spark, indexDir, segName)
     }
   }

@@ -55,8 +55,16 @@ object Mixture {
     * mixture contract.
     */
   def sqrtTemperatureWeights(
-      docs: DataFrame, groupCol: String = "source"): Map[String, Double] = {
-    val counts = docs.groupBy(groupCol).count().collect()
+      docs: DataFrame, groupCol: String = "source"): Map[String, Double] =
+    weightsFromCounts(groupCounts(docs, groupCol))
+
+  /** The per-group count collect behind [[sqrtTemperatureWeights]] —
+    * exposed so a caller that already pays a count action for another
+    * reason (an emptiness gate) can derive the weights from ITS counts
+    * instead of launching a second aggregate over the same rows.
+    */
+  def groupCounts(docs: DataFrame, groupCol: String): Seq[(String, Long)] =
+    docs.groupBy(groupCol).count().collect().toSeq
       .map { r =>
         // fail fast, not silently: a null key would become a null-keyed
         // weight that resample's equi-join can never match, so every row
@@ -67,6 +75,12 @@ object Mixture {
             "group needs a non-null key; filter or coalesce upstream")
         r.getString(0) -> r.getLong(1)
       }
+
+  /** The τ = 1/2 rule over ALREADY-COLLECTED per-group counts — one
+    * definition, so count-reusing callers and [[sqrtTemperatureWeights]]
+    * cannot drift on the snap/clamp arithmetic.
+    */
+  def weightsFromCounts(counts: Seq[(String, Long)]): Map[String, Double] = {
     require(counts.nonEmpty, "temperature mixture needs at least one group")
     val nMax = counts.map(_._2).max
     counts.map { case (g, n) =>

@@ -307,11 +307,15 @@ object Pq {
     val enc = encodeInput(
       v.withColumn("cell", element_at(nearestCells(col("vec"), st.cents, 1), 1)),
       st.cellMeans, st.byResidual)
-    Segments.writePart(
-      enc.select(col("id").as("neighbor_id"),
-        pqEncode(col("evec"), st.books, st.dsub).as("codes"), col("cell")),
-      dir, "codes", segName, partitionBy = Seq("cell"))
-    Segments.writePart(v, dir, "vecs", segName)
+    // the two part writes are independent (separate dirs, separate
+    // sources; the marker commit below is the only publish point) —
+    // submit them concurrently (§2.6, [[ConcurrentJobs]])
+    ConcurrentJobs.awaitAll(
+      () => Segments.writePart(
+        enc.select(col("id").as("neighbor_id"),
+          pqEncode(col("evec"), st.books, st.dsub).as("codes"), col("cell")),
+        dir, "codes", segName, partitionBy = Seq("cell")),
+      () => Segments.writePart(v, dir, "vecs", segName))
     Segments.commit(spark, dir, segName)
   }
 

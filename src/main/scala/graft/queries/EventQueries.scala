@@ -758,10 +758,15 @@ object EventQueries extends QueryFamily {
     // drained complete-mode state equals the batch statistics and the
     // finished result shares q149's oracle VERBATIM — batch-boundary
     // invisibility stated as hash equality
+    // no withStreamShuffle wrapper: the SketchStream drain self-sizes its
+    // state partitioning from the feed ([[graft.streaming.StreamShuffle
+    // .withDrainSized]] inside olsTrendStreaming) — an outer wrapper would
+    // cap the inner derivation's clamp ceiling at the legacy env constant
+    // instead of the true session count (r19 ADVICE)
     "q156_events_trend_stream" -> ((s, dir) =>
-      withStreamShuffle(s)(graft.streaming.SketchStream.olsTrendStreaming(
+      graft.streaming.SketchStream.olsTrendStreaming(
           s, stagedEventsDir(s, dir), EventStreams.eventSchema,
-          Scratch.freshDir(s, "q156", dir)))
+          Scratch.freshDir(s, "q156", dir))
         .orderBy("event_type")),
 
     // time-decayed engagement score ([[graft.operators.DecayScore]]):
@@ -780,10 +785,12 @@ object EventQueries extends QueryFamily {
     // mergeable-state family, member five): fixed horizon ⇒ each
     // contribution is batch-independent, so the drained complete-mode
     // state shares q178's oracle VERBATIM
+    // no withStreamShuffle wrapper — same reason as q156: the drain
+    // self-sizes via withDrainSized
     "q179_user_decay_score_stream" -> ((s, dir) =>
-      withStreamShuffle(s)(graft.streaming.SketchStream.decayScoreStreaming(
+      graft.streaming.SketchStream.decayScoreStreaming(
           s, stagedEventsDir(s, dir), EventStreams.eventSchema,
-          Scratch.freshDir(s, "q179", dir), horizon = "2024-02-01"))
+          Scratch.freshDir(s, "q179", dir), horizon = "2024-02-01")
         .orderBy("user_id"))
   )
 

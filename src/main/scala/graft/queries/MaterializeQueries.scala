@@ -199,12 +199,20 @@ object MaterializeQueries extends QueryFamily {
       // case: 50 docs, tiny-sample models) materializes to an EMPTY
       // shard set — the mixture needs >= 1 group and the partitioned
       // write leaves nothing to read back, so short-circuit (the
-      // oracle's composed SQL yields zero rows for the same corpus)
-      if (kept.isEmpty)
+      // oracle's composed SQL yields zero rows for the same corpus).
+      // GATE + WEIGHTS IN ONE ACTION (r19 verdict #2 / §2.6 "fewer
+      // actions"): the mixture's own per-lang count collect doubles as
+      // the emptiness gate — and unlike the limit-1 isEmpty probe it
+      // replaces, the full aggregate warms the pinned `kept` cache
+      // whole, so the export pass reads memory instead of re-deriving
+      // the tail partitions
+      val langCounts = graft.operators.Mixture.groupCounts(kept, "lang")
+      if (langCounts.isEmpty)
         s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outputSchema)
       else
-        materialize(s, dir, kept, pieces)
+        materialize(s, dir, kept, pieces,
+          graft.operators.Mixture.weightsFromCounts(langCounts))
     }),
 
     // q209 — the INCREMENTAL twin of q131 (the missing integration
@@ -277,26 +285,40 @@ object MaterializeQueries extends QueryFamily {
         .join(merged, ledger("doc_id") === merged("member_id"), "left")
         .filter(coalesce(col("keep_id"), ledger("doc_id")) === ledger("doc_id"))
         .select(ledger("doc_id"), col("lang"), col("n_pieces"))
-      if (kept.isEmpty)
+      // GATE + MIXTURE WEIGHTS IN ONE ACTION (r19 verdict #2 / §2.6
+      // "fewer actions"): one (lang, side) count over corpus ∪ increment
+      // replaces the increment-side limit-1 isEmpty probe AND the
+      // separate combined-population weight aggregate — the increment
+      // side's presence is the emptiness gate, the lang sums are exactly
+      // the counts sqrtTemperatureWeights would have collected over the
+      // same union, and the full aggregate warms every pinned frame the
+      // probe only partially touched
+      val sideCounts = corpusKept.select(col("lang"), lit(false).as("_inc"))
+        .unionByName(kept.select(col("lang"), lit(true).as("_inc")))
+        .groupBy("lang", "_inc").count().collect().toSeq
+      sideCounts.foreach(r => require(!r.isNullAt(0),
+        "temperature mixture: 'lang' contains NULL — a mixture group " +
+          "needs a non-null key; filter or coalesce upstream"))
+      if (!sideCounts.exists(_.getBoolean(1)))
         s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outputSchema)
-      else
-        materializeIncrement(s, dir, stateDir, kept, pieces, corpusKept)
+      else {
+        val weights = graft.operators.Mixture.weightsFromCounts(
+          sideCounts.groupBy(_.getString(0)).view
+            .mapValues(_.map(_.getLong(2)).sum).toSeq)
+        materializeIncrement(s, dir, stateDir, kept, pieces, corpusKept, weights)
+      }
     }))
 
-  /** q209 stages 6-9: weights from corpus+increment, increment-only
-    * resample, corpus per-lang offsets, APPEND export + read-back.
+  /** q209 stages 6-9: weights from corpus+increment (pre-collected by
+    * the caller's gate action), increment-only resample, corpus per-lang
+    * offsets, APPEND export + read-back.
     */
   private def materializeIncrement(
       s: SparkSession, dir: String, stateDir: String,
-      kept: DataFrame, pieces: DataFrame, corpusKept: DataFrame): DataFrame = {
+      kept: DataFrame, pieces: DataFrame, corpusKept: DataFrame,
+      weights: Map[String, Double]): DataFrame = {
     val split = DedupQueries.corpusSplit
-    // 6. weights from the COMBINED kept population (what a from-scratch
-    // run would derive); the collect is lang-bounded
-    val weights = graft.operators.Mixture.sqrtTemperatureWeights(
-      corpusKept.select("doc_id", "lang")
-        .unionByName(kept.select("doc_id", "lang")),
-      groupCol = "lang")
     val copies = graft.operators.Mixture.resample(
         kept.select(col("doc_id"), col("lang")), weights,
         groupCol = "lang", salt = "mat")
@@ -367,14 +389,21 @@ object MaterializeQueries extends QueryFamily {
 
   /** Stages 5/6/8 over a per-doc frame carrying (doc_id, lang, source,
     * text, n_pieces): sqrt-temperature mixture (weights from the frame's
-    * own lang counts), provenance URL, and token-budget packing — the
-    * pre-export row set. Shared by q131 and the staged corpus-state
-    * build so the two runs' packing algebra cannot drift.
+    * own lang counts, or a caller-collected `weights` table when the
+    * caller's emptiness gate already paid the count action — same τ=1/2
+    * rule either way, [[graft.operators.Mixture.weightsFromCounts]]),
+    * provenance URL, and token-budget packing — the pre-export row set.
+    * Shared by q131 and the staged corpus-state build so the two runs'
+    * packing algebra cannot drift.
     */
-  private def packRows(perDoc: DataFrame): DataFrame = {
+  private def packRows(
+      perDoc: DataFrame,
+      weights: Option[Map[String, Double]] = None): DataFrame = {
     // 6. sqrt-temperature mixture over the surviving corpus
-    val copies = graft.operators.Mixture.sqrtTemperatureResample(
-        perDoc.select(col("doc_id"), col("lang")),
+    val w6 = weights.getOrElse(graft.operators.Mixture.sqrtTemperatureWeights(
+      perDoc.select(col("doc_id"), col("lang")), groupCol = "lang"))
+    val copies = graft.operators.Mixture.resample(
+        perDoc.select(col("doc_id"), col("lang")), w6,
         groupCol = "lang", salt = "mat")
       .select(col("doc_id"), col("copy"))
     // 5 + assembly: provenance URL onto the kept docs
@@ -399,13 +428,16 @@ object MaterializeQueries extends QueryFamily {
       concat(col("doc_id").cast("string"), lit(":"), col("copy").cast("string")),
       numShards)
 
-  /** Stages 6-9 over a non-empty kept set (see [[queries]]). */
+  /** Stages 6-9 over a non-empty kept set (see [[queries]]); `weights`
+    * comes pre-collected from the caller's gate action.
+    */
   private def materialize(
       s: SparkSession, dir: String, kept: DataFrame,
-      pieces: DataFrame): DataFrame = {
+      pieces: DataFrame, weights: Map[String, Double]): DataFrame = {
       val rows = packRows(kept
         .join(pieces, Seq("doc_id"), "left")
-        .withColumn("n_pieces", coalesce(col("n_pieces"), lit(0L))))
+        .withColumn("n_pieces", coalesce(col("n_pieces"), lit(0L))),
+        Some(weights))
       // 9. content-addressed shard export + READ-BACK: the query's
       // result rows come from the exported parquet itself
       val exp = Scratch.freshDir(s, "q131", dir)

@@ -884,10 +884,23 @@ object TextQueries extends QueryFamily {
         graft.operators.Dsir.bucketCounts(
           feedBatch, pmod(col("doc_id"), lit(2)) === 0),
         dim = 1024)
+      // maxFilesPerTrigger = 2, not 1 (r19 verdict #3): per-document
+      // weights are batch-independent under the frozen score table, so
+      // batch granularity is an EXECUTION knob here (the result — and the
+      // oracle, q215's statement verbatim — is identical at any value).
+      // Each micro-batch pays a fixed floor the data cannot amortize at
+      // gate scale (micro-batch planning + the txn ledger's driver-side
+      // commit), profiled at ~0.7 s/batch of the query's 2.1 s planGap;
+      // two batches over the 3-file feed keep the cross-batch boundary —
+      // exactly-once txn appends across >1 ledger commit stay exercised
+      // in the gate (and the spec's replay matrix drives the multi-batch
+      // cases directly) — while shedding a third of the per-batch floor.
+      // At 100 TB the trigger sizing is a deployment throughput decision
+      // either way; nothing about 1-file batches is load-bearing.
       val weights = graft.streaming.SketchStream.dsirScoreStreaming(
         s, feedDir, DedupQueries.docsFeedSchema, scores,
         Scratch.freshDir(s, "q220tbl", dir), Scratch.freshDir(s, "q220ckpt", dir),
-        maxFilesPerTrigger = Some(1))
+        maxFilesPerTrigger = Some(2))
       val k = math.ceil(0.1 * weights.count()).toLong
       graft.operators.Dsir.flagByThreshold(weights, k)
         .orderBy("doc_id")

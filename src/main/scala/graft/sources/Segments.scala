@@ -143,21 +143,26 @@ object Segments {
     val live = liveSegs(spark, dir)
     if (live.size < 2) return 0
     val seg = s"compact-${markers(fs, root).size}"
-    parts.foreach { case (part, partitionBy) =>
-      val merged = live.map(s => spark.read.parquet(s"$dir/segs/$part/$s"))
-        .reduce(_ unionByName _)
-      val bytes = live.map { s =>
-        val p = new Path(root, s"segs/$part/$s")
-        fs.getContentSummary(p).getLength
-      }.sum
-      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      // partitioned parts cluster by their partition columns so each
-      // Hive leaf gets whole files, not one sliver per shuffle task
-      val laid =
-        if (partitionBy.isEmpty) merged.repartition(n)
-        else merged.repartition(n, partitionBy.map(org.apache.spark.sql.functions.col): _*)
-      writePart(laid, dir, part, seg, partitionBy)
-    }
+    // per-part merges are independent (separate source dirs, separate
+    // target dirs; the marker commit below is the only publish point) —
+    // submit them concurrently (§2.6, [[graft.operators.ConcurrentJobs]])
+    graft.operators.ConcurrentJobs.awaitAll(parts.map {
+      case (part, partitionBy) => () => {
+        val merged = live.map(s => spark.read.parquet(s"$dir/segs/$part/$s"))
+          .reduce(_ unionByName _)
+        val bytes = live.map { s =>
+          val p = new Path(root, s"segs/$part/$s")
+          fs.getContentSummary(p).getLength
+        }.sum
+        val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        // partitioned parts cluster by their partition columns so each
+        // Hive leaf gets whole files, not one sliver per shuffle task
+        val laid =
+          if (partitionBy.isEmpty) merged.repartition(n)
+          else merged.repartition(n, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        writePart(laid, dir, part, seg, partitionBy)
+      }
+    }: _*)
     commit(spark, dir, seg, supersedes = live)
     live.foreach { s =>
       parts.foreach { case (part, _) =>

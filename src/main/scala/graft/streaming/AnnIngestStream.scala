@@ -62,12 +62,18 @@ object AnnIngestStream {
       // re-collected it; a draining stream loads it once per STREAM and
       // passes it here, so per-batch cost carries no quantizer reads at all
       val st = state.getOrElse(Pq.loadIvfPqState(batch.sparkSession, indexDir))
-      Pq.searchIvfPqIndexWith(st, batch.sparkSession, indexDir, batch, k,
-          idCol, vecCol, nprobe,
-          excludeIds = Some(batch.select(col(idCol))))
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      Pq.appendToIvfPqIndexWith(st, batch, indexDir, idCol, vecCol,
-        seg = Some(s"batch-$batchId"))
+      // search plan constructed BEFORE the fan-out: its code/vec listing
+      // freezes here, so the concurrent append cannot influence it — and
+      // the search result is append-invariant anyway (own ids excluded;
+      // the post-commit crash-replay case the spec pins). Search write
+      // and segment append then run concurrently (§2.6).
+      val matches = Pq.searchIvfPqIndexWith(st, batch.sparkSession, indexDir,
+        batch, k, idCol, vecCol, nprobe,
+        excludeIds = Some(batch.select(col(idCol))))
+      graft.operators.ConcurrentJobs.awaitAll(
+        () => Pq.appendToIvfPqIndexWith(st, batch, indexDir, idCol, vecCol,
+          seg = Some(s"batch-$batchId")),
+        () => matches.write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
         Segments.compact(batch.sparkSession, indexDir,
           Seq("codes" -> Seq("cell"), "vecs" -> Nil), compactTargetBytes)

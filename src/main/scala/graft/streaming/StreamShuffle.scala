@@ -29,7 +29,32 @@ import org.apache.spark.sql.SparkSession
   * the per-deployment knob for a LONG-RUNNING stream (not an
   * AvailableNow drain), whose feed directory at first start says nothing
   * about eventual state volume; the checkpoint pins whatever the first
-  * start chose.
+  * start chose. The value must parse as a positive integer — anything
+  * else fails loud at drain start ([[drainPartitions]]) instead of
+  * poisoning `spark.sql.shuffle.partitions` with an unplannable value.
+  *
+  * Two deliberate approximations, documented rather than fixed:
+  *
+  *  - `feedBytes` measures COMPRESSED on-disk parquet, while the
+  *    advisory partition size governs in-flight (decompressed) shuffle
+  *    bytes, so the derivation undercounts what AQE would choose for a
+  *    mid-sized feed by roughly the compression ratio. Harmless here:
+  *    the sketch drains carry kilobytes of state either way, and the
+  *    clamp ceiling (the session count) binds long before a factor of
+  *    2-4x matters; a deployment that sits exactly at the boundary sets
+  *    the env override.
+  *  - [[withDrainSized]] mutates the session-global
+  *    `spark.sql.shuffle.partitions` for the duration of `body`
+  *    (restored in `finally`). Structured Streaming reads the conf at
+  *    plan time, so this is the only hook that reaches a drain's state
+  *    exchange — there is no per-query repartition that controls state
+  *    partitioning. Consequence: drains sized this way must not run
+  *    CONCURRENTLY with each other (or with batch queries whose plans
+  *    are sensitive to the session count) on one SparkSession — they
+  *    would plan under each other's sizing. Results stay correct by the
+  *    sketch merge laws; only the sizing cross-talks. The bench/verify
+  *    harness runs queries strictly sequentially (the single-writer
+  *    discipline this engine assumes throughout).
   */
 object StreamShuffle {
 
@@ -44,8 +69,19 @@ object StreamShuffle {
     * ceil(feedBytes / advisoryPartitionSize) clamped to
     * [1, session shuffle partitions].
     */
+  /** Validate the env override: positive integer or a loud, named error
+    * (a malformed value would otherwise surface as an obscure plan-time
+    * failure on the first drain). Package-visible for the spec.
+    */
+  private[streaming] def parseOverride(raw: String): Int = {
+    val parsed = raw.trim.toIntOption
+    require(parsed.exists(_ > 0),
+      s"SPARK_GRAFT_STREAM_PARTITIONS must be a positive integer, got '$raw'")
+    parsed.get
+  }
+
   def drainPartitions(spark: SparkSession, feedDir: String): Int =
-    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse {
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(parseOverride).getOrElse {
       val advisory = spark.conf.get(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
       val advisoryBytes =

@@ -39,6 +39,16 @@ class StreamShuffleSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
   }
 
+  test("env override parse: positive integers pass, malformed values fail loud") {
+    assert(StreamShuffle.parseOverride("8") === 8)
+    assert(StreamShuffle.parseOverride(" 200 ") === 200)
+    for (bad <- Seq("abc", "", "0", "-3", "2.5", "1e3"))
+      withClue(s"raw='$bad'") {
+        val e = intercept[IllegalArgumentException](StreamShuffle.parseOverride(bad))
+        assert(e.getMessage.contains("SPARK_GRAFT_STREAM_PARTITIONS"))
+      }
+  }
+
   test("withDrainSized restores the session conf, even on failure") {
     val feed = tmp("ssp_feed2")
     spark.range(10).write.mode("overwrite").parquet(feed)
